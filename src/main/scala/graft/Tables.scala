@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * Each table is a single parquet file under `sfDir`; Spark's parquet
+  * source gives us columnar scans, predicate pushdown and column pruning
+  * for free, so every query built on these benefits from Catalyst
+  * pushdown without custom code.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
+    // rejects; read nanos as long and convert to a (micro-precision)
+    // timestamp — same truncation DuckDB applies, so oracles agree.
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, timestamp_micros}
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+}
+
+/** A named query with an optional DuckDB oracle (driver correctness gate)
+  * and a flag marking it part of the headline benchmark set.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None,
+    bench: Boolean = false)

@@ -1,0 +1,705 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+
+/** Relational operator coverage matrix: scans, projections, filters,
+  * joins (inner/left/semi/anti/outer), aggregation (group/rollup/cube/
+  * distinct/having/conditional), windows (ranking/analytic/frames),
+  * sorts/top-k, set ops, subqueries, scalar string/date/math/array/json
+  * functions.
+  *
+  * Every query is expressed with `org.apache.spark.sql.functions` so the
+  * whole plan stays inside whole-stage codegen, filters/projections push
+  * into the parquet scan, and Catalyst is free to pick broadcast joins.
+  *
+  * Float-determinism convention (hash-matched against a DuckDB oracle):
+  * monetary/quantity doubles are cast to DECIMAL before aggregation —
+  * decimal arithmetic is exact and associative, so Spark and DuckDB agree
+  * bit-for-bit; the final value is cast back to DOUBLE (both engines do
+  * correctly-rounded decimal→double, yielding identical bits). Raw
+  * double SUM/AVG would depend on partition/accumulation order.
+  * Every query ends in a fully-deterministic ORDER BY (unique key suffix)
+  * mirrored in the oracle SQL.
+  */
+object Relational {
+
+  private def money(c: String): Column = col(c).cast("decimal(12,2)")
+  private def factor1(sign: String, c: String): Column =
+    if (sign == "-") lit(1).cast("decimal(8,2)") - col(c).cast("decimal(8,2)")
+    else lit(1).cast("decimal(8,2)") + col(c).cast("decimal(8,2)")
+  private def T(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  // oracle-side decimal cast helpers (DuckDB dialect)
+  private def oMoney(c: String) = s"CAST($c AS DECIMAL(12,2))"
+  private def oF(sign: String, c: String) =
+    s"(CAST(1 AS DECIMAL(8,2)) $sign CAST($c AS DECIMAL(8,2)))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- 1. full scan + group aggregate (TPC-H Q1 shape) ------------------
+    QueryDef(
+      "q01_pricing_summary",
+      (s, d) => {
+        T(s, d, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(money("l_quantity")).cast("double").as("sum_qty"),
+            sum(money("l_extendedprice")).cast("double").as("sum_base_price"),
+            sum(money("l_extendedprice") * factor1("-", "l_discount"))
+              .cast("double").as("sum_disc_price"),
+            sum(money("l_extendedprice") * factor1("-", "l_discount") *
+              factor1("+", "l_tax")).cast("double").as("sum_charge"),
+            (sum(money("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(${oMoney("l_quantity")}) AS DOUBLE) AS sum_qty,
+          CAST(SUM(${oMoney("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(${oMoney("l_extendedprice")} * ${oF("-", "l_discount")}) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(${oMoney("l_extendedprice")} * ${oF("-", "l_discount")} * ${oF("+", "l_tax")}) AS DOUBLE) AS sum_charge,
+          CAST(SUM(${oMoney("l_quantity")}) AS DOUBLE) / COUNT(*) AS avg_qty,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      bench = true),
+
+    // ---- 2. projection + filter pushdown ----------------------------------
+    QueryDef(
+      "q02_filter_project",
+      (s, d) =>
+        T(s, d, "lineitem")
+          .filter(col("l_quantity") > 45 &&
+            col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        WHERE l_quantity > 45 AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- 3. 3-way join + agg + top-k (broadcast dims) ---------------------
+    QueryDef(
+      "q03_top_customers",
+      (s, d) => {
+        val c = T(s, d, "customer")
+        val o = T(s, d, "orders")
+        val l = T(s, d, "lineitem")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(sum(money("l_extendedprice") * factor1("-", "l_discount"))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(10)
+      },
+      Some(s"""
+        SELECT c_custkey, c_name,
+          CAST(SUM(${oMoney("l_extendedprice")} * ${oF("-", "l_discount")}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 10"""),
+      bench = true),
+
+    // ---- 4. left-semi join (EXISTS) ----------------------------------------
+    QueryDef(
+      "q04_semi_join",
+      (s, d) => {
+        val o = T(s, d, "orders")
+        val l = T(s, d, "lineitem").filter(col("l_quantity") >= 49)
+        o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ---- 5. left-anti join (NOT EXISTS) ------------------------------------
+    QueryDef(
+      "q05_anti_join",
+      (s, d) => {
+        val c = T(s, d, "customer")
+        val o = T(s, d, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ---- 6. broadcast join with small dim ----------------------------------
+    QueryDef(
+      "q06_brand_volume",
+      (s, d) => {
+        val l = T(s, d, "lineitem")
+        val p = T(s, d, "part")
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            sum(money("l_quantity")).cast("double").as("sum_qty"),
+            count(lit(1)).as("n_items"))
+          .orderBy("p_brand")
+      },
+      Some(s"""
+        SELECT p_brand,
+          CAST(SUM(${oMoney("l_quantity")}) AS DOUBLE) AS sum_qty,
+          COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY p_brand"""),
+      bench = true),
+
+    // ---- 7. star join across 4 tables + date extraction --------------------
+    QueryDef(
+      "q07_nation_revenue",
+      (s, d) => {
+        val n = T(s, d, "nation")
+        val c = T(s, d, "customer")
+        val o = T(s, d, "orders")
+        val l = T(s, d, "lineitem")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+          .agg(sum(money("l_extendedprice") * factor1("-", "l_discount"))
+            .cast("double").as("revenue"))
+          .orderBy("n_name", "o_year")
+      },
+      Some(s"""
+        SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+          CAST(SUM(${oMoney("l_extendedprice")} * ${oF("-", "l_discount")}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, o_year
+        ORDER BY n_name, o_year"""),
+      bench = true),
+
+    // ---- 8. window: ranking (row_number) -----------------------------------
+    QueryDef(
+      "q08_window_rank",
+      (s, d) => {
+        // lineitem has NO unique key in this synthetic data (dup
+        // (l_orderkey,l_linenumber) pairs) — the window order must be a
+        // total order over the full row or row_number() is nondeterministic
+        // and can't hash-match the oracle.
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax"), col("l_returnflag"), col("l_linestatus"))
+        T(s, d, "lineitem")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy("l_suppkey", "rn")
+      },
+      Some("""
+        SELECT l_suppkey, rn, l_orderkey, l_linenumber FROM (
+          SELECT l_suppkey, l_orderkey, l_linenumber,
+            ROW_NUMBER() OVER (PARTITION BY l_suppkey
+              ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+                l_quantity, l_extendedprice, l_discount, l_tax,
+                l_returnflag, l_linestatus) AS rn
+          FROM lineitem) t
+        WHERE rn <= 3
+        ORDER BY l_suppkey, rn""")),
+
+    // ---- 9. window: running frame (rows unbounded preceding) ---------------
+    QueryDef(
+      "q09_window_running",
+      (s, d) => {
+        // Total window order (see q08) + running_qty in the final sort:
+        // full-duplicate rows get running sums that are order-dependent
+        // individually but identical as a multiset, so sorting by them
+        // makes the output sequence deterministic.
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax"), col("l_returnflag"), col("l_linestatus"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T(s, d, "lineitem")
+          .withColumn("running_qty", sum(money("l_quantity")).over(w).cast("double"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("running_qty"))
+          .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "running_qty")
+      },
+      Some(s"""
+        SELECT l_orderkey, l_linenumber, l_suppkey,
+          CAST(SUM(${oMoney("l_quantity")}) OVER (PARTITION BY l_suppkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+              l_quantity, l_extendedprice, l_discount, l_tax,
+              l_returnflag, l_linestatus
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, l_suppkey, running_qty"""),
+      bench = true),
+
+    // ---- 10. window: analytic (lag/lead) ------------------------------------
+    QueryDef(
+      "q10_window_lag",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        T(s, d, "orders")
+          .withColumn("prev_price", coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)))
+          .withColumn("next_key", coalesce(lead(col("o_orderkey"), 1).over(w), lit(-1L)))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("prev_price"), col("next_key"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          COALESCE(LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey), 0.0) AS prev_price,
+          COALESCE(LEAD(o_orderkey, 1) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey), -1) AS next_key
+        FROM orders
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- 11. rollup ----------------------------------------------------------
+    QueryDef(
+      "q11_rollup",
+      (s, d) =>
+        T(s, d, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(money("l_quantity")).cast("double").as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("n"), col("sum_qty"))
+          .orderBy("returnflag", "linestatus"),
+      Some(s"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(${oMoney("l_quantity")}) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus""")),
+
+    // ---- 12. cube ------------------------------------------------------------
+    QueryDef(
+      "q12_cube",
+      (s, d) =>
+        T(s, d, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"))
+          .orderBy("status", "priority"),
+      Some("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
+    // ---- 13. distinct + count distinct ---------------------------------------
+    QueryDef(
+      "q13_distinct",
+      (s, d) =>
+        T(s, d, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(countDistinct(col("o_custkey")).as("n_customers"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("o_orderstatus"),
+      Some("""
+        SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
+    // ---- 14. union all + union distinct --------------------------------------
+    QueryDef(
+      "q14_union",
+      (s, d) => {
+        val o = T(s, d, "orders")
+        val a = o.filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+        val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        a.union(b).distinct().orderBy("o_custkey")
+      },
+      Some("""
+        SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        UNION
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY o_custkey""")),
+
+    // ---- 15. intersect --------------------------------------------------------
+    QueryDef(
+      "q15_intersect",
+      (s, d) => {
+        val o = T(s, d, "orders")
+        val y95 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        val y96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+        y95.intersect(y96).orderBy("o_custkey")
+      },
+      Some("""
+        SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+        ORDER BY o_custkey""")),
+
+    // ---- 16. except -----------------------------------------------------------
+    QueryDef(
+      "q16_except",
+      (s, d) => {
+        val c = T(s, d, "customer").select(col("c_custkey"))
+        val o = T(s, d, "orders").filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("c_custkey"))
+        c.except(o).orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY c_custkey""")),
+
+    // ---- 17. global sort + top-k ----------------------------------------------
+    QueryDef(
+      "q17_topk_orders",
+      (s, d) =>
+        T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(15),
+      Some("""
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 15""")),
+
+    // ---- 18. string functions ---------------------------------------------------
+    QueryDef(
+      "q18_string_funcs",
+      (s, d) =>
+        T(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            upper(col("c_name")).as("name_upper"),
+            substring(col("c_name"), 1, 8).as("name_pfx"),
+            length(col("c_name")).as("name_len"),
+            concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"),
+            regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"))
+          .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey,
+          UPPER(c_name) AS name_upper,
+          SUBSTR(c_name, 1, 8) AS name_pfx,
+          CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+          CONCAT_WS('|', c_mktsegment, c_name) AS seg_name,
+          REGEXP_REPLACE(c_name, '[0-9]', '#', 'g') AS name_masked
+        FROM customer
+        ORDER BY c_custkey""")),
+
+    // ---- 19. LIKE + regexp_extract ----------------------------------------------
+    QueryDef(
+      "q19_like_regexp",
+      (s, d) =>
+        T(s, d, "part")
+          .filter(col("p_type").like("%A%"))
+          .select(
+            col("p_partkey"),
+            col("p_type"),
+            regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"))
+          .orderBy("p_partkey"),
+      Some("""
+        SELECT p_partkey, p_type,
+          COALESCE(REGEXP_EXTRACT(p_name, '^(\w+)', 1), '') AS first_word
+        FROM part
+        WHERE p_type LIKE '%A%'
+        ORDER BY p_partkey""")),
+
+    // ---- 20. date/time functions --------------------------------------------------
+    QueryDef(
+      "q20_date_funcs",
+      (s, d) =>
+        T(s, d, "orders")
+          .groupBy(
+            year(col("o_orderdate")).as("o_year"),
+            quarter(col("o_orderdate")).as("o_quarter"))
+          .agg(count(lit(1)).as("n"),
+            sum(money("o_totalprice")).cast("double").as("sum_price"))
+          .orderBy("o_year", "o_quarter"),
+      Some(s"""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+               CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS o_quarter,
+               COUNT(*) AS n,
+               CAST(SUM(${oMoney("o_totalprice")}) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY o_year, o_quarter
+        ORDER BY o_year, o_quarter""")),
+
+    // ---- 21. math functions ---------------------------------------------------------
+    QueryDef(
+      "q21_math_funcs",
+      (s, d) =>
+        T(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            abs(col("c_acctbal")).as("bal_abs"),
+            floor(col("c_acctbal")).cast("long").as("bal_floor"),
+            ceil(col("c_acctbal")).cast("long").as("bal_ceil"),
+            sqrt(abs(col("c_acctbal"))).as("bal_sqrt"),
+            (col("c_custkey") % 7).as("key_mod"))
+          .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey,
+          ABS(c_acctbal) AS bal_abs,
+          CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor,
+          CAST(CEIL(c_acctbal) AS BIGINT) AS bal_ceil,
+          SQRT(ABS(c_acctbal)) AS bal_sqrt,
+          c_custkey % 7 AS key_mod
+        FROM customer
+        ORDER BY c_custkey""")),
+
+    // ---- 22. CASE WHEN bucketing -------------------------------------------------------
+    QueryDef(
+      "q22_case_when",
+      (s, d) =>
+        T(s, d, "lineitem")
+          .select(
+            when(col("l_quantity") < 10, "low")
+              .when(col("l_quantity") < 30, "mid")
+              .otherwise("high").as("qty_bucket"))
+          .groupBy(col("qty_bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("qty_bucket"),
+      Some("""
+        SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                    WHEN l_quantity < 30 THEN 'mid'
+                    ELSE 'high' END AS qty_bucket,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY qty_bucket
+        ORDER BY qty_bucket""")),
+
+    // ---- 23. outer joins ------------------------------------------------------------------
+    QueryDef(
+      "q23_outer_join",
+      (s, d) => {
+        val n = T(s, d, "nation")
+        val c = T(s, d, "customer")
+        n.join(c, col("n_nationkey") === col("c_nationkey"), "left")
+          .groupBy(col("n_name"))
+          .agg(count(col("c_custkey")).as("n_customers"))
+          .orderBy("n_name")
+      },
+      Some("""
+        SELECT n_name, COUNT(c_custkey) AS n_customers
+        FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+        GROUP BY n_name
+        ORDER BY n_name""")),
+
+    // ---- 24. min/max over strings + ints ----------------------------------------------------
+    QueryDef(
+      "q24_minmax",
+      (s, d) =>
+        T(s, d, "part")
+          .groupBy(col("p_brand"))
+          .agg(
+            min(col("p_name")).as("first_name"),
+            max(col("p_name")).as("last_name"),
+            min(col("p_size")).as("min_size"),
+            max(col("p_size")).as("max_size"))
+          .orderBy("p_brand"),
+      Some("""
+        SELECT p_brand, MIN(p_name) AS first_name, MAX(p_name) AS last_name,
+               MIN(p_size) AS min_size, MAX(p_size) AS max_size
+        FROM part
+        GROUP BY p_brand
+        ORDER BY p_brand""")),
+
+    // ---- 25. HAVING ----------------------------------------------------------------------------
+    QueryDef(
+      "q25_having",
+      (s, d) =>
+        T(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(money("o_totalprice")).cast("double").as("total_spent"))
+          .filter(col("n_orders") >= 3)
+          .orderBy("o_custkey"),
+      Some(s"""
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(${oMoney("o_totalprice")}) AS DOUBLE) AS total_spent
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 3
+        ORDER BY o_custkey""")),
+
+    // ---- 26. IN subquery (semi join) ------------------------------------------------------------
+    QueryDef(
+      "q26_in_subquery",
+      (s, d) => {
+        val o = T(s, d, "orders")
+        val building = T(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        o.join(building, col("o_custkey") === col("c_custkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+        ORDER BY o_orderkey""")),
+
+    // ---- 27. scalar subquery (filter vs global aggregate) -----------------------------------------
+    QueryDef(
+      "q27_scalar_subquery",
+      (s, d) => {
+        val o = T(s, d, "orders")
+        val avgPrice = o.agg(
+          (sum(money("o_totalprice")).cast("double") / count(lit(1))).as("avg_price"))
+        o.crossJoin(avgPrice)
+          .filter(col("o_totalprice") > col("avg_price") * 1.5)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT CAST(SUM(${oMoney("o_totalprice")}) AS DOUBLE) / COUNT(*)
+                              FROM orders) * 1.5
+        ORDER BY o_orderkey""")),
+
+    // ---- 28. conditional aggregation ----------------------------------------------------------------
+    QueryDef(
+      "q28_conditional_agg",
+      (s, d) =>
+        T(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("n_discounted"),
+            sum(when(col("l_tax") === 0.0, 1).otherwise(0)).as("n_taxfree"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+          SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
+          SUM(CASE WHEN l_tax = 0.0 THEN 1 ELSE 0 END) AS n_taxfree,
+          COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // ---- 29. array functions over split text --------------------------------------------------------
+    QueryDef(
+      "q29_array_funcs",
+      (s, d) =>
+        T(s, d, "documents")
+          .select(
+            col("doc_id"),
+            col("lang"),
+            size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+            array_contains(split(trim(col("text")), "\\s+"), "data").as("has_data"))
+          .groupBy(col("lang"))
+          .agg(
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(when(col("has_data"), 1).otherwise(0)).as("n_docs_with_data"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("lang"),
+      Some("""
+        SELECT lang,
+          SUM(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+          SUM(CASE WHEN list_contains(string_split_regex(trim(text), '\s+'), 'data')
+              THEN 1 ELSE 0 END) AS n_docs_with_data,
+          COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang""")),
+
+    // ---- 30. JSON extraction --------------------------------------------------------------------------
+    QueryDef(
+      "q30_json_funcs",
+      (s, d) =>
+        T(s, d, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("sum_k"),
+            max(col("k")).as("max_k"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      Some("""
+        SELECT event_type,
+          SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+          MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+          COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ---- 31. time bucketing over the event stream table (batch form) ----------------------------------
+    QueryDef(
+      "q31_event_buckets",
+      (s, d) =>
+        T(s, d, "events")
+          .groupBy(
+            unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(money("value")).cast("double").as("sum_value"))
+          .orderBy("hour_ms", "event_type"),
+      Some(s"""
+        SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(${oMoney("value")}) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY hour_ms, event_type
+        ORDER BY hour_ms, event_type"""),
+      bench = true),
+
+    // ---- 32. full outer join ----------------------------------------------------------------------------
+    QueryDef(
+      "q32_full_outer",
+      (s, d) => {
+        val hi = T(s, d, "orders").filter(col("o_totalprice") > 300000)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_hi"))
+        val lo = T(s, d, "orders").filter(col("o_totalprice") < 5000)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_lo"))
+        hi.join(lo, Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"),
+            coalesce(col("n_hi"), lit(0L)).as("n_hi"),
+            coalesce(col("n_lo"), lit(0L)).as("n_lo"))
+          .orderBy("o_custkey")
+      },
+      Some("""
+        SELECT COALESCE(hi.o_custkey, lo.o_custkey) AS o_custkey,
+               COALESCE(n_hi, 0) AS n_hi, COALESCE(n_lo, 0) AS n_lo
+        FROM (SELECT o_custkey, COUNT(*) AS n_hi FROM orders
+              WHERE o_totalprice > 300000 GROUP BY o_custkey) hi
+        FULL OUTER JOIN
+             (SELECT o_custkey, COUNT(*) AS n_lo FROM orders
+              WHERE o_totalprice < 5000 GROUP BY o_custkey) lo
+        ON hi.o_custkey = lo.o_custkey
+        ORDER BY o_custkey"""))
+  )
+}

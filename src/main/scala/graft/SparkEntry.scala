@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** All registered queries, across domains. */
   def registry: Seq[QueryDef] =
-    graft.queries.Relational.defs
+    graft.queries.Relational.defs ++
+      graft.queries.Mapping.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.compile.{MappingCompiler, Relationship}
+import graft.gen.DataGenerator
+import graft.spec.MappingSpec
+
+/** Oracle-checked coverage for the mapping-spec engine — the reference's
+  * core capability (SURVEY.md §1.3, §2.3, §2.4): spec parsing, source
+  * extraction with WHERE, rename/enrich projection, relationship-path
+  * parent joins, IN-list lookups, and the write-back ID pairing.
+  *
+  * Each query parses a spec from the reference's JSON wire format (so the
+  * codec itself is under the correctness gate) and runs the compiled
+  * DataFrame program over the TPC-H-ish test tables.
+  */
+object Mapping {
+
+  /** A customer migration spec in the reference's exact JSON shape
+    * (snake_case keys, array-of-specs — mapping_parser.py:14-28). The
+    * source exposes Salesforce-style `Id` + a write-back column
+    * `dst_ref`; `constants` replaces the reference's hard-coded owner-ID
+    * enrichment (migration_engine.py:39-41). */
+  private val customerSpecJson = """
+    [{"source_object": "customer_src",
+      "destination_object": "customer_dst",
+      "where_condition": "acctbal > 1000",
+      "mapping": [
+        {"table_src": "customer_src", "column_src": "Id",
+         "table_dst": "customer_dst", "column_dst": "old_id",
+         "operation": "copy", "column_type": "src_id"},
+        {"table_src": "customer_src", "column_src": "name",
+         "table_dst": "customer_dst", "column_dst": "name",
+         "operation": "copy", "column_type": "regular"},
+        {"table_src": "customer_src", "column_src": "acctbal",
+         "table_dst": "customer_dst", "column_dst": "acctbal",
+         "operation": "copy", "column_type": "regular"},
+        {"table_src": "customer_src", "column_src": "Id",
+         "table_dst": "customer_dst", "column_dst": "type",
+         "operation": "copy", "column_type": "regular"},
+        {"table_src": "customer_src", "column_src": "dst_ref",
+         "table_dst": "customer_dst", "column_dst": "Id",
+         "operation": "upd_src", "column_type": "dst_id"}],
+      "constants": {"segment": "MIGRATED"}}]"""
+
+  def customerSpec: MappingSpec = MappingSpec.fromJson(customerSpecJson).head
+
+  /** customer table dressed as a Salesforce-ish source object. */
+  private def customerSrc(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "customer").select(
+      col("c_custkey").cast("string").as("Id"),
+      col("c_name").as("name"),
+      col("c_acctbal").as("acctbal"),
+      lit(null).cast("string").as("dst_ref"))
+
+  private def catalog(s: SparkSession, d: String): String => DataFrame = {
+    case "customer_src" => customerSrc(s, d)
+    case other => Tables(s, d, other)
+  }
+
+  /** Relationship-path spec: orders rows projecting the parent customer's
+    * name — the dotted `Parent.Column` SOQL form (mapping_parser.py:34-38)
+    * compiled to a broadcast left join. */
+  private val ordersSpecJson = """
+    [{"source_object": "orders",
+      "destination_object": "orders_dst",
+      "where_condition": "o_totalprice > 400000",
+      "mapping": [
+        {"table_src": "orders", "column_src": "o_orderkey",
+         "table_dst": "orders_dst", "column_dst": "old_id",
+         "operation": "copy", "column_type": "src_id"},
+        {"table_src": "customer", "column_src": "c_name",
+         "table_dst": "orders_dst", "column_dst": "cust_name",
+         "operation": "copy", "column_type": "regular"}]}]"""
+
+  def ordersSpec: MappingSpec = MappingSpec.fromJson(ordersSpecJson).head
+
+  val ordersRels: Seq[Relationship] =
+    Seq(Relationship("orders", "o_custkey", "customer", "c_custkey"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- m01: extract + rename + type + constants (migrate steps 1-2) ----
+    QueryDef(
+      "m01_mapping_project",
+      (s, d) => {
+        val spec = customerSpec
+        val extracted = MappingCompiler.sourceQuery(catalog(s, d), spec)
+        MappingCompiler.destinationRows(extracted, spec).orderBy("old_id")
+      },
+      Some("""
+        SELECT CAST(c_custkey AS VARCHAR) AS old_id,
+               c_name AS name,
+               c_acctbal AS acctbal,
+               'customer_dst' AS type,
+               CAST(NULL AS VARCHAR) AS Id,
+               'MIGRATED' AS segment
+        FROM customer
+        WHERE c_acctbal > 1000
+        ORDER BY old_id""")),
+
+    // ---- m02: write-back ID pairing (migration_engine.py:50-68) ----------
+    QueryDef(
+      "m02_mapping_writeback",
+      (s, d) => {
+        val spec = customerSpec
+        val extracted = MappingCompiler.sourceQuery(catalog(s, d), spec)
+        val created = MappingCompiler.destinationRows(extracted, spec)
+          .withColumn("Id", concat(lit("D"), col("old_id")))
+        MappingCompiler.writeBackRows(created, spec).orderBy("Id")
+      },
+      Some("""
+        SELECT 'D' || CAST(c_custkey AS VARCHAR) AS dst_ref,
+               CAST(c_custkey AS VARCHAR) AS Id
+        FROM customer
+        WHERE c_acctbal > 1000
+        ORDER BY Id""")),
+
+    // ---- m03: relationship-path column → broadcast parent join ------------
+    QueryDef(
+      "m03_mapping_relationship",
+      (s, d) => {
+        val spec = ordersSpec
+        val extracted = MappingCompiler.sourceQuery(catalog(s, d), spec, ordersRels)
+        MappingCompiler.destinationRows(extracted, spec).orderBy("old_id")
+      },
+      Some("""
+        SELECT o_orderkey AS old_id, c_name AS cust_name
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > 400000
+        ORDER BY old_id""")),
+
+    // ---- m04: IN-list lookup (mapping_parser.py:56-82 intent) --------------
+    QueryDef(
+      "m04_inlist_lookup",
+      (s, d) => {
+        val keys: Seq[Any] = Seq(1L, 7L, 42L, 99L, 123L, 500L)
+        MappingCompiler.filterByKeys(
+            Tables(s, d, "part").select(col("p_partkey"), col("p_name")),
+            "p_partkey", keys)
+          .orderBy("p_partkey")
+      },
+      Some("""
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE p_partkey IN (1, 7, 42, 99, 123, 500)
+        ORDER BY p_partkey""")),
+
+    // ---- m05: synthetic data generator (rows-only check; the hash chain
+    // is not oracle-expressible) ------------------------------------------
+    QueryDef(
+      "m05_datagen",
+      (s, _) => {
+        // the reference's Account struct (test_data_generator.py:9-36)
+        val struct = Seq(
+          "Name" -> "text", "type" -> "ObjectName",
+          "Billing_Address__c" -> "text", "Billing_City__c" -> "text",
+          "Billing_County__c" -> "text", "Billing_Zip_Code__c" -> "int",
+          "Shipping_Address__c" -> "text", "Shipping_City__c" -> "text",
+          "Shipping_County__c" -> "text", "Shipping_Zip_Code__c" -> "int",
+          "Account_Birthday__c" -> "date", "Website" -> "text")
+        val defaults = Map(
+          "Billing_City__c" -> "San Antonio", "Billing_County__c" -> "USA",
+          "Shipping_City__c" -> "San Antonio", "Shipping_County__c" -> "USA",
+          "Website" -> "www.example.com")
+        val prefixes = Map(
+          "Name" -> "Account name_",
+          "Billing_Address__c" -> "Street_Billing_Address_",
+          "Shipping_Address__c" -> "Street_Shipping_Address_")
+        DataGenerator.generate(s, struct, defaults, prefixes,
+            n = 1000, objectName = "Account", seed = 42L)
+          .orderBy("Name")
+      },
+      None)
+  )
+}

@@ -13,7 +13,10 @@ object SparkEntry {
   /** All registered queries, across domains. */
   def registry: Seq[QueryDef] =
     graft.queries.Relational.defs ++
-      graft.queries.Mapping.defs
+      graft.queries.Mapping.defs ++
+      graft.queries.Dedup.defs ++
+      graft.queries.Similarity.defs ++
+      graft.queries.TextAnalysis.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

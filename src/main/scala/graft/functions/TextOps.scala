@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text/dedup operator library for large-scale corpus pipelines.
+  *
+  * Everything here is built from codegen'd Catalyst expressions
+  * (`split`/`transform`/`aggregate`/`xxhash64`) — no UDFs, no driver
+  * loops — so each operator runs inside whole-stage codegen and scales
+  * linearly with the corpus: per-document work is a narrow projection;
+  * only candidate generation (explode + join on a hash key) shuffles,
+  * and it shuffles on uniformly-distributed hash keys.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a document. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Canonical form for exact dedup: lowercase, collapsed whitespace. */
+  def normalize(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Distinct word n-gram shingles as strings ("w1 w2 w3").
+    *
+    * PITFALL: `toks` is referenced inside the transform lambda, and
+    * higher-order functions re-evaluate lambda-captured expressions PER
+    * ELEMENT (no CSE, no codegen) — pass a materialized column (e.g. via
+    * [[shingleSets]]), never a raw `split(...)` expression, or tokenizing
+    * becomes O(tokens²) per row. */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** (id, shingle-set) per document with each stage materialized as its
+    * own projection, so tokenize → shingle → hash each run once per row
+    * (CollapseProject keeps the boundary: the aliases are non-cheap and
+    * multiply-referenced). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= n) // == "shingle set non-empty", but cheap
+      .select(col("__id"), shingles(col("__toks"), n).as("__sh"))
+
+  /** MinHash signature of a shingle set: element `i` is
+    * `min over shingles of xxhash64(shingle, i)` — H independent salted
+    * hash families without the overflow pitfalls of (a*x+b) mod p. */
+  def minHashSignature(shing: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shing, s => xxhash64(s, lit(i))))
+    }: _*)
+
+  /** LSH band keys for a MinHash signature: one xxhash64 per band over
+    * its `rowsPerBand`-slice (band index salted in, so equal hashes in
+    * different bands don't collide). Docs sharing ANY band key are
+    * near-dup candidates. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(b))
+    }: _*)
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+
+  /** Exact all-pairs n-gram Jaccard dedup via an inverted-index join —
+    * the scalable exact algorithm: explode distinct shingles, equi-join
+    * on the shingle (shuffle on a well-distributed string key), count
+    * shared shingles per pair, compute Jaccard from set sizes. Returns
+    * (idA, idB, jac) with idA < idB and jac >= threshold.
+    *
+    * At 100 TB this is the verification stage; candidate pruning (LSH,
+    * prefix filtering) should bound the join fan-out first — see
+    * [[minHashCandidates]]. */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    // cache the EXPENSIVE stage, and cache it BEFORE any explode: the
+    // optimizer infers filters from Generate/join keys and pushes them
+    // down with full alias substitution — without an InMemoryRelation
+    // barrier the whole shingle chain is re-evaluated inside a pushed
+    // Filter for every row (measured 20x slowdown). Both self-join sides
+    // read the cache, halving compute as well.
+    val sh = shingleSets(df, idCol, textCol, n).cache()
+    val ex = sh.select(col("__id"), size(col("__sh")).as("__n"),
+      explode(col("__sh")).as("__s"))
+    val a = ex.select(col("__id").as("id_a"), col("__n").as("n_a"), col("__s"))
+    val b = ex.select(col("__id").as("id_b"), col("__n").as("n_b"), col("__s"))
+    a.join(b, a("__s") === b("__s") && a("id_a") < b("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .withColumn("jac",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .where(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** MinHash+LSH candidate pairs: per-doc signature (narrow), explode
+    * band keys, self-join per (band, key) bucket — the classic
+    * shingle→minhash→band→bucket-join pipeline. Output pairs are
+    * candidates only; callers verify with [[jaccard]] on true shingle
+    * sets. Bucket sizes are bounded in practice by hash uniformity;
+    * pathological identical-doc floods surface as a skewed join and are
+    * the caller's dedup-first problem. */
+  def minHashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    // one projection per stage — signature and band computation each read
+    // a materialized array instead of re-deriving the whole upstream
+    // expression per lambda element (see shingles() pitfall)
+    // cache the signature stage BEFORE the explode — the pushdown barrier
+    // must sit under the Generate or the inferred size()>0 filter
+    // re-derives the whole 128-hash chain per row (see ngramJaccardPairs);
+    // materializing the sketch table once is also the 100 TB-scale shape
+    val sig = shingleSets(df, idCol, textCol, n)
+      .select(col("__id"), minHashSignature(col("__sh"), numHashes).as("__sig"))
+      .select(col("__id"), lshBandKeys(col("__sig"), bands, r).as("__bands"))
+      .cache()
+    val ex = sig.select(col("__id"), posexplode(col("__bands")).as(Seq("__b", "__key")))
+    val l = ex.select(col("__id").as("id_a"), col("__b"), col("__key"))
+    val rt = ex.select(col("__id").as("id_b"), col("__b"), col("__key"))
+    l.join(rt, Seq("__b", "__key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** 64-bit SimHash per document, computed scalably: explode token
+    * hashes, then ONE hash aggregation with 64 conditional sums (one per
+    * bit) — no per-row 64-way fold, so the whole thing stays in
+    * whole-stage codegen and shuffles once on the doc id. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+      explode(tokens(col(textCol))).as("__t"))
+      .select(col("__id"), xxhash64(col("__t")).as("__h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__b$b")
+    }
+    val packed = (0 until 64).map { b =>
+      when(col(s"__b$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    toks.groupBy(col("__id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("__id").as(idCol), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates with Hamming distance <= maxHamming,
+    * via block banding (pigeonhole: any pair within distance d shares at
+    * least one of d+1 blocks exactly) + exact `bit_count(a^b)` verify. */
+  def simHashPairs(
+      sims: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    val keys = array((0 until blocks).map { i =>
+      struct(lit(i).as("blk"),
+        shiftright(col("simhash"), i * width)
+          .bitwiseAND((1L << width) - 1).as("key"))
+    }: _*)
+    // sims is typically an aggregate output (already a pushdown barrier);
+    // cache it anyway — both self-join sides read it
+    val ex = sims.cache().select(col(idCol).as("__id"), col("simhash"),
+      explode(keys).as("__k"))
+    val l = ex.select(col("__id").as("id_a"), col("simhash").as("sim_a"), col("__k"))
+    val r = ex.select(col("__id").as("id_b"), col("simhash").as("sim_b"), col("__k"))
+    l.join(r, Seq("__k"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding-vector operators (`Array[Float]`/`Array[Double]` columns)
+  * built purely from higher-order Catalyst functions
+  * (`zip_with`/`aggregate`/`transform`) — no UDFs, so the math stays in
+  * codegen and the only shuffles are the explicit candidate joins.
+  *
+  * Scale design: brute-force top-k is the exactness baseline (quadratic
+  * candidate join — fine for a broadcast-able query side); the
+  * hyperplane-LSH path buckets vectors first so the join fan-out is
+  * bucket-local, which is the 100 TB shape: shuffle on bucket key,
+  * verify exact cosine inside buckets only.
+  */
+object VectorOps {
+
+  /** Promote a float vector to double — all similarity math is done in
+    * double so results are reproducible against a double-precision
+    * oracle regardless of accumulation order sensitivity. */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Dot product via zip_with + left-fold aggregate (deterministic
+    * element order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), _ + _))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Unit-normalized copy, so downstream cosine = plain dot product and
+    * norms aren't recomputed per candidate pair.
+    *
+    * PITFALL: the norm is referenced inside the transform lambda and
+    * higher-order functions re-evaluate captured expressions PER ELEMENT
+    * — pass a materialized norm column ([[normalizedVectors]]), not a raw
+    * `l2Norm(...)` expression. */
+  def normalized(v: Column, norm: Column): Column =
+    transform(v, x => x / norm)
+
+  /** (__id, __v) with the vector cast to double and unit-normalized, each
+    * stage its own projection so cast → norm → scale run once per row. */
+  def normalizedVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), toDouble(col(vecCol)).as("__raw"))
+      .select(col("__id"), col("__raw"), l2Norm(col("__raw")).as("__norm"))
+      .select(col("__id"), normalized(col("__raw"), col("__norm")).as("__v"))
+
+  /** Exact brute-force cosine top-k: normalize both sides once, cross
+    * join queries × corpus (broadcast the query side — it is the small
+    * side by construction), rank by dot product. The correctness
+    * baseline for any ANN variant. */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = normalizedVectors(queries, idCol, vecCol)
+      .select(col("__id").as("query_id"), col("__v").as("__qv"))
+    val c = normalizedVectors(corpus, idCol, vecCol)
+      .select(col("__id").as("neighbor_id"), col("__v").as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("__qv"), col("__cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Signed-random-projection (hyperplane LSH) signature: bit `j` is the
+    * sign of `sum_i r_ij * v_i` with Rademacher weights
+    * `r_ij = ±1` derived from xxhash64(i, j) — deterministic, no stored
+    * projection matrix, O(dim × bits) per vector. */
+  def hyperplaneSignature(v: Column, bits: Int, seed: Long = 42L): Column = {
+    val terms = (0 until bits).map { j =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+          x * (pmod(xxhash64(i, lit(j), lit(seed)), lit(2))
+            .cast("double") * 2.0 - 1.0)),
+        lit(0.0), _ + _)
+      when(proj > 0, lit(1L << j)).otherwise(0L)
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate near-neighbor pairs: vectors sharing a
+    * signature bucket are candidates; exact cosine verifies. Multi-probe
+    * via `bands` signatures (different seeds) raises recall without
+    * growing any single bucket. */
+  def lshCosinePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, bands: Int, threshold: Double): DataFrame = {
+    val base = normalizedVectors(df, idCol, vecCol)
+    // compute + cache all band signatures BEFORE the explode: the cache is
+    // a predicate-pushdown barrier, without which the optimizer's
+    // inferred Generate/join-key filters re-evaluate the whole signature
+    // chain per row (see TextOps); it also serves both self-join sides
+    val sigs = base.select(col("__id"), col("__v"),
+      array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          hyperplaneSignature(col("__v"), bits, seed = 1000L + b).as("sig"))): _*)
+        .as("__sigs"))
+      .cache()
+    val withSigs = sigs.select(col("__id"), col("__v"),
+      explode(col("__sigs")).as("__bucket"))
+    val l = withSigs.select(col("__id").as("id_a"), col("__v").as("va"), col("__bucket"))
+    val r = withSigs.select(col("__id").as("id_b"), col("__v").as("vb"), col("__bucket"))
+    l.join(r, Seq("__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), dot(col("va"), col("vb")).as("cos"))
+      .distinct()
+      .where(col("cos") >= threshold)
+  }
+
+  /** Exact all-pairs cosine near-duplicates above a threshold — the
+    * embedding-space dedup baseline. Quadratic; the LSH variant is the
+    * scale path. */
+  def bruteForceCosinePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    // cache: both sides of the quadratic join read the normalized vectors
+    val base = normalizedVectors(df, idCol, vecCol).cache()
+    val l = base.select(col("__id").as("id_a"), col("__v").as("va"))
+    val r = base.select(col("__id").as("id_b"), col("__v").as("vb"))
+    l.join(r, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), dot(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

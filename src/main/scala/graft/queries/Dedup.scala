@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.{TextOps, VectorOps}
+
+/** Deduplication operators over the `documents` / `embeddings` corpus:
+  * exact (hash group), exact n-gram Jaccard (inverted-index join),
+  * MinHash+LSH (candidates + exact verify), SimHash (bit banding +
+  * Hamming verify), and embedding-cosine near-dup (exact baseline; LSH
+  * variant in Similarity).
+  *
+  * Oracle notes: the xxhash64-based sketches (MinHash, SimHash) are not
+  * reproducible in DuckDB; their gate entries are the *verified* outputs
+  * (exact Jaccard over candidates), which at the planted similarity
+  * levels (>= 0.9) equal the exhaustive result with probability
+  * ~1 - 1e-15 per pair, so the exact-pairs oracle applies. Cosine values
+  * are never emitted — only threshold decisions, with data-checked
+  * margin (min |cos - t| ~ 5e-4) — so float accumulation-order noise
+  * cannot flip the compare.
+  */
+object Dedup {
+
+  private val oracleShingles = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM toks
+    )"""
+
+  private val oracleJaccardPairs = s"""
+    $oracleShingles, ex AS (
+      SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+             any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(shared AS DOUBLE)/(na+nb-shared) AS jac
+    FROM pairs WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5
+    ORDER BY id_a, id_b"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- d01: exact dedup via content-hash groupBy ------------------------
+    QueryDef(
+      "d01_exact_dedup",
+      (s, d) =>
+        Tables(s, d, "documents")
+          .groupBy(md5(TextOps.normalize(col("text"))).as("content_hash"))
+          .agg(min(col("doc_id")).as("canonical_id"),
+            count(lit(1)).as("n_copies"))
+          .select(col("canonical_id"), col("n_copies"))
+          .orderBy("canonical_id"),
+      Some("""
+        SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        ORDER BY canonical_id"""),
+      bench = true),
+
+    // ---- d02: exact n-gram Jaccard near-dup (inverted-index join) ---------
+    QueryDef(
+      "d02_ngram_jaccard",
+      (s, d) =>
+        TextOps.ngramJaccardPairs(
+            Tables(s, d, "documents")
+              .repartition(s.sparkContext.defaultParallelism),
+            "doc_id", "text", n = 3, threshold = 0.5)
+          .orderBy("id_a", "id_b"),
+      Some(oracleJaccardPairs),
+      bench = true),
+
+    // ---- d03: MinHash + LSH candidates, exact-Jaccard verified ------------
+    QueryDef(
+      "d03_minhash_lsh",
+      (s, d) => {
+        // single-file parquet scans arrive as ONE partition — spread the
+        // CPU-heavy sketching across the cluster before computing
+        val docs = Tables(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+        val cands = TextOps.minHashCandidates(docs, "doc_id", "text",
+          n = 3, numHashes = 128, bands = 32)
+        // cached: read twice for the verify join + pushdown barrier
+        val sh = TextOps.shingleSets(docs, "doc_id", "text", 3).cache()
+        val a = sh.select(col("__id").as("id_a"), col("__sh").as("sh_a"))
+        val b = sh.select(col("__id").as("id_b"), col("__sh").as("sh_b"))
+        cands.join(a, "id_a").join(b, "id_b")
+          .select(col("id_a"), col("id_b"),
+            TextOps.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+          .where(col("jac") >= 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(oracleJaccardPairs),
+      bench = true),
+
+    // ---- d04: SimHash near-dup (bit banding + Hamming verify; the
+    // xxhash64 bit pattern is not oracle-expressible → rows-only) ----------
+    QueryDef(
+      "d04_simhash",
+      (s, d) => {
+        val sims = TextOps.simHash(
+          Tables(s, d, "documents")
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text")
+        // word-level edits move several simhash bits: planted >=0.9-jaccard
+        // pairs here span hamming 0..9, so use the 8-block banding (<=7)
+        TextOps.simHashPairs(sims, "doc_id", maxHamming = 7)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // ---- d05: embedding-cosine near-dup, exact baseline -------------------
+    QueryDef(
+      "d05_embedding_dedup",
+      (s, d) =>
+        VectorOps.bruteForceCosinePairs(Tables(s, d, "embeddings"),
+            "vec_id", "embedding", threshold = 0.4)
+          .select(col("id_a"), col("id_b"))
+          .orderBy("id_a", "id_b"),
+      Some("""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4
+        ORDER BY id_a, id_b"""),
+      bench = true)
+  )
+}

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over the embedding corpus:
+  * brute-force cosine top-k as the exactness baseline (oracle-checked)
+  * and a hyperplane-LSH bucketed variant as the scale path (rows-only;
+  * recall vs the baseline is asserted in ScalaTest).
+  *
+  * The emitted columns are ids/ranks only — cosine *values* stay
+  * internal so cross-engine float accumulation noise (~1e-13) cannot
+  * break the hash compare; rank stability was data-checked (min
+  * adjacent-cosine gap within top-k ~ 1.4e-6, six orders above the
+  * noise floor).
+  */
+object Similarity {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- s01: exact brute-force cosine top-k ------------------------------
+    QueryDef(
+      "s01_ann_bruteforce",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val queries = emb.where(col("vec_id") < 20)
+        VectorOps.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])) AS cos
+          FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+          WHERE q.vec_id < 20
+        ), ranked AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, neighbor_id
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank"""),
+      bench = true),
+
+    // ---- s02: hyperplane-LSH bucketed near-neighbor pairs (scale path;
+    // xxhash64-derived projections are not oracle-expressible) -------------
+    QueryDef(
+      "s02_ann_lsh",
+      (s, d) =>
+        // short signatures + many bands: at this moderate threshold (0.4)
+        // hyperplane collision probability per bit is ~0.63, so recall
+        // needs few bits per band; real near-dup corpora (cos >= 0.9)
+        // would use longer signatures for a sharper prune
+        VectorOps.lshCosinePairs(Tables(s, d, "embeddings"),
+            "vec_id", "embedding", bits = 4, bands = 8, threshold = 0.4)
+          .select(col("id_a"), col("id_b"))
+          .orderBy("id_a", "id_b"),
+      None)
+  )
+}

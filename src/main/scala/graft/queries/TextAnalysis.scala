@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.TextOps
+
+/** Text-analysis operators over the `documents` corpus: n-gram-heuristic
+  * language ID, quality scoring, token counting (whitespace + BPE-ish
+  * regex), and document fingerprinting. All pure column expressions —
+  * one narrow projection per document, aggregations shuffle once.
+  *
+  * Float discipline: ratios are emitted through an explicit
+  * `floor(x*10000 + 0.5)/10000` on both engines — `round()` differs at
+  * exact halves (Spark HALF_UP vs DuckDB half-to-even), while
+  * floor-of-identical-IEEE-ops is bit-deterministic.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram heuristic.
+    * Deterministic priority order (en > es > de > fr > zh) breaks ties;
+    * zero overlap everywhere → "und". */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de5", "shi4", "he2"))
+
+  private def overlap(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  private def scoreCols(toks: Column): Seq[Column] =
+    stopwords.map { case (lang, words) => overlap(toks, words).as(s"n_$lang") }
+
+  private def predictExpr: Column = {
+    val langs = stopwords.map(_._1)
+    // argmax with fixed priority: a language wins if its count is > 0 and
+    // >= every later language's count and > none of the earlier ones beat it
+    langs.foldRight(lit("und")) { (lang, elseExpr) =>
+      val c = col(s"n_$lang")
+      val beatenByEarlier = langs.takeWhile(_ != lang)
+        .map(l2 => col(s"n_$l2") >= c)
+      val losesToLater = langs.dropWhile(_ != lang).drop(1)
+        .map(l2 => col(s"n_$l2") > c)
+      val isMax = (beatenByEarlier ++ losesToLater)
+        .foldLeft(c > 0)((acc, cond) => acc && !cond)
+      when(isMax, lit(lang)).otherwise(elseExpr)
+    }
+  }
+
+  private def oracleOverlap(lang: String, words: Seq[String]): String =
+    s"len(list_filter(w, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t))) AS n_$lang"
+
+  private def oraclePredict: String = {
+    val langs = stopwords.map(_._1)
+    val cases = langs.map { lang =>
+      val earlier = langs.takeWhile(_ != lang).map(l2 => s"n_$l2 >= n_$lang")
+      val later = langs.dropWhile(_ != lang).drop(1).map(l2 => s"n_$l2 > n_$lang")
+      val conds = (s"n_$lang > 0" +: (earlier ++ later).map(c => s"NOT ($c)")).mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- t01: language-ID heuristic (stopword-profile overlap) -----------
+    QueryDef(
+      "t01_langid",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        Tables(s, d, "documents")
+          .select((col("doc_id") +: col("lang") +: scoreCols(toks)): _*)
+          .withColumn("predicted", predictExpr)
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "predicted")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, lang,
+                 ${stopwords.map { case (l, ws) => oracleOverlap(l, ws) }.mkString(",\n                 ")}
+          FROM toks
+        )
+        SELECT lang, $oraclePredict AS predicted, count(*) AS n_docs
+        FROM scored
+        GROUP BY lang, predicted
+        ORDER BY lang, predicted""")),
+
+    // ---- t02: quality scoring --------------------------------------------
+    QueryDef(
+      "t02_quality",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val en = stopwords.head._2
+        def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            size(toks).as("n_tokens"),
+            length(col("text")).as("n_chars"),
+            overlap(toks, en).as("n_stop"))
+          .select(col("doc_id"), col("n_tokens"),
+            r4(col("n_chars").cast("double") / col("n_tokens")).as("avg_token_len"),
+            r4(col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+            r4(
+              least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5 +
+              (col("n_stop").cast("double") / col("n_tokens")) * 0.25 +
+              least(col("n_chars").cast("double") / col("n_tokens") / 10.0, lit(1.0)) * 0.25
+            ).as("quality_score"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id,
+                 len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                 length(text) AS n_chars,
+                 len(list_filter(string_split_regex(trim(text), '\s+'),
+                     t -> list_contains(['the','a','of','and','to','in','is'], t))) AS n_stop
+          FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               floor((CAST(n_chars AS DOUBLE) / n_tokens)*10000.0 + 0.5)/10000.0 AS avg_token_len,
+               floor((CAST(n_stop AS DOUBLE) / n_tokens)*10000.0 + 0.5)/10000.0 AS stopword_ratio,
+               floor((least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.5 +
+                      (CAST(n_stop AS DOUBLE)/n_tokens)*0.25 +
+                      least(CAST(n_chars AS DOUBLE)/n_tokens/10.0, 1.0)*0.25)*10000.0 + 0.5)/10000.0 AS quality_score
+        FROM base
+        ORDER BY doc_id"""),
+      bench = true),
+
+    // ---- t03: token counting (whitespace + BPE-ish regex) -----------------
+    QueryDef(
+      "t03_token_count",
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("ws_tokens"),
+            regexp_count(col("text"), lit("[a-z]+|[0-9]")).cast("long").as("bpe_tokens"),
+            length(col("text")).cast("long").as("chars"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ws_tokens")).as("total_ws_tokens"),
+            sum(col("bpe_tokens")).as("total_bpe_tokens"),
+            sum(col("chars")).as("total_chars"))
+          .orderBy("source"),
+      Some("""
+        SELECT source, count(*) AS n_docs,
+               sum(len(string_split_regex(trim(text), '\s+'))) AS total_ws_tokens,
+               sum(len(regexp_extract_all(text, '[a-z]+|[0-9]'))) AS total_bpe_tokens,
+               sum(length(text)) AS total_chars
+        FROM documents
+        GROUP BY source
+        ORDER BY source""")),
+
+    // ---- t04: document fingerprinting (content hash + min-shingle hash) ---
+    QueryDef(
+      "t04_fingerprint",
+      (s, d) =>
+        // stage toks -> shingles -> fp so the split isn't re-evaluated per
+        // shingle (see TextOps.shingles pitfall)
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            TextOps.tokens(col("text")).as("__toks"))
+          .select(col("doc_id"),
+            md5(TextOps.normalize(col("text"))).as("content_fp"),
+            TextOps.shingles(col("__toks"), 3).as("__sh"))
+          .select(col("doc_id"), col("content_fp"),
+            substring(col("content_fp"), 1, 8).as("fp_prefix"),
+            array_min(transform(col("__sh"), x => md5(x))).as("min_shingle_fp"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_fp,
+                 list_distinct(list_transform(
+                   generate_series(1, len(string_split_regex(trim(text), '\s+'))-2),
+                   i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                        string_split_regex(trim(text), '\s+')[i+2])) AS shingles
+          FROM documents
+        )
+        SELECT doc_id, content_fp,
+               substr(content_fp, 1, 8) AS fp_prefix,
+               list_sort(list_transform(shingles, x -> md5(x)))[1] AS min_shingle_fp
+        FROM sh
+        ORDER BY doc_id"""))
+  )
+}

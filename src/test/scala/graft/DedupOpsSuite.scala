@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextOps, VectorOps}
+
+/** Quality properties of the sketch-based dedup/similarity operators,
+  * measured against their exact counterparts on the sf0.001 corpus (the
+  * planted near-dup pairs have Jaccard >= 0.9 / the embedding pairs
+  * cosine >= 0.4). */
+class DedupOpsSuite extends SparkSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = Tables(spark, sf, "embeddings")
+
+  private lazy val exactPairs: Set[(Long, Long)] =
+    TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+  test("minhash LSH recall is total on the planted >=0.9 pairs") {
+    val cands = TextOps.minHashCandidates(docs, "doc_id", "text", 3, 128, 32)
+      .as[(Long, Long)].collect().toSet
+    assert(exactPairs.subsetOf(cands),
+      s"missed: ${exactPairs.diff(cands)}")
+  }
+
+  test("minhash LSH prunes the candidate space well below all-pairs") {
+    val n = docs.count()
+    val cands = TextOps.minHashCandidates(docs, "doc_id", "text", 3, 128, 32).count()
+    assert(cands < n * (n - 1) / 2 / 10,
+      s"$cands candidates is not a meaningful prune of ${n * (n - 1) / 2}")
+  }
+
+  test("simhash: planted near-dup pairs are within hamming 7") {
+    val sims = TextOps.simHash(docs, "doc_id", "text")
+    val pairs = TextOps.simHashPairs(sims, "doc_id", maxHamming = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // simhash is a weaker sketch than 3-gram jaccard; demand >= 90%
+    val recall = exactPairs.count(pairs.contains).toDouble / exactPairs.size
+    assert(recall >= 0.9, s"recall $recall, missed ${exactPairs.diff(pairs)}")
+  }
+
+  test("simhash of identical text is identical") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val hs = TextOps.simHash(df, "doc_id", "text")
+      .select("simhash").as[Long].collect()
+    assert(hs(0) == hs(1))
+  }
+
+  test("embedding LSH pairs are a subset of exact pairs with usable recall") {
+    val exact = VectorOps.bruteForceCosinePairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = VectorOps.lshCosinePairs(emb, "vec_id", "embedding",
+        bits = 4, bands = 8, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH emitted a pair the exact op rejects")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low for bits=4/bands=8")
+  }
+
+  test("brute-force top-k neighbors are symmetric-consistent with pairs") {
+    val top1 = VectorOps.bruteForceTopK(
+        emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect()
+    assert(top1.length == 5)
+    // the top-1 cosine must equal the exact pairwise cosine
+    top1.foreach { case (q, n, c) =>
+      val direct = VectorOps.bruteForceCosinePairs(
+          emb.where(col("vec_id").isin(q, n)), "vec_id", "embedding", -1.0)
+        .select("cos").as[Double].collect().head
+      assert(math.abs(direct - c) < 1e-12)
+    }
+  }
+
+  test("jaccard column function matches set arithmetic") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(TextOps.jaccard(col("x"), col("y"))).as[Double].collect().head
+    assert(math.abs(j - 0.5) < 1e-15) // |{b,c}| / |{a,b,c,d}|
+  }
+}

@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.Mapping.defs ++
       graft.queries.Dedup.defs ++
       graft.queries.Similarity.defs ++
-      graft.queries.TextAnalysis.defs
+      graft.queries.TextAnalysis.defs ++
+      graft.queries.Windows.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -21,8 +21,11 @@ object Tables {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      import org.apache.spark.sql.functions.{col, timestamp_micros}
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      import org.apache.spark.sql.functions.{expr, timestamp_micros}
+      // integral `div`, NOT `/`: Column./ is double division and a 2^62-ish
+      // nanos value exceeds the 53-bit mantissa — off-by-1-microsecond
+      // results that survive into ms-precision aggregates
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 }

@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Batch-mode gate coverage for the event-time windowing operators the
+  * streaming module uses — `window()` and `session_window()` run
+  * identically in batch, so the DuckDB oracle can pin their semantics
+  * (the streaming-specific behavior — watermarks, state, incremental
+  * emission — is covered in StreamingSuite).
+  */
+object Windows {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- w01: tumbling event-time windows --------------------------------
+    QueryDef(
+      "w01_tumbling_window",
+      (s, d) =>
+        Tables(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_millis(col("window.start")).as("window_start_ms"),
+            col("event_type"), col("n"))
+          .orderBy("window_start_ms", "event_type"),
+      Some("""
+        SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+               event_type, COUNT(*) AS n
+        FROM events
+        GROUP BY window_start_ms, event_type
+        ORDER BY window_start_ms, event_type""")),
+
+    // ---- w02: session windows (30-minute gap) -----------------------------
+    QueryDef(
+      "w02_session_window",
+      (s, d) =>
+        Tables(s, d, "events")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(unix_millis(col("session_window.start")).as("session_start_ms"),
+            col("user_id"), col("n_events"))
+          .orderBy("user_id", "session_start_ms"),
+      // gaps-and-islands formulation: a new session starts when the gap to
+      // the previous event is >= 30 min (session_window's half-open bound)
+      Some("""
+        WITH o AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM events
+        ), m AS (
+          SELECT user_id, ts,
+                 CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM o
+        ), sess AS (
+          SELECT user_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM m
+        )
+        SELECT epoch_ms(min(ts)) AS session_start_ms, user_id,
+               count(*) AS n_events
+        FROM sess
+        GROUP BY user_id, sess_id
+        ORDER BY user_id, session_start_ms"""))
+  )
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface — the incremental counterpart of the
+  * batch engine (SURVEY.md §2.9): the reference's cursor micro-batching
+  * (`queryMore` loops, data_connector.py:62-66) and job polling
+  * (data_connector.py:313-325) map onto micro-batch sources and
+  * triggers; its "extract → transform → load" pipeline becomes
+  * `foreachBatch` over the same compiled mapping program.
+  *
+  * Everything is event-time based with explicit watermarks so state
+  * stores stay bounded on unbounded streams — the property that matters
+  * at production scale (the reference instead accumulates everything in
+  * driver memory).
+  */
+object Streams {
+
+  /** Incremental scan over a parquet path with the schema taken from a
+    * batch read (streaming sources cannot infer). Accepts a directory or
+    * a single file — the file-stream source demands a directory-valued
+    * basePath, so for a file path the parent is supplied explicitly. */
+  def eventStream(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(schema)
+    val f = new java.io.File(path)
+    // the file-stream source requires a directory base; for a concrete
+    // file, express it as a {name} glob so the parent becomes the base
+    if (f.isFile) reader.parquet(s"${f.getParent}/{${f.getName}}")
+    else reader.parquet(path)
+  }
+
+  /** Tumbling event-time window counts with a watermark: late events
+    * beyond `lateness` are dropped and their windows finalized, so state
+    * is O(active windows), not O(stream length). */
+  def tumblingCounts(
+      events: DataFrame, tsCol: String, lateness: String,
+      windowLength: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Event-time session windows per user: sessions close `gap` after the
+    * last event; watermark bounds session state. */
+  def sessionCounts(
+      events: DataFrame, tsCol: String, lateness: String,
+      gap: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserState(n: Long, total: Double)
+  final case class UserSnapshot(user_id: Long, n: Long, total: Double)
+
+  /** Custom streaming state via mapGroupsWithState: per-user running
+    * (count, sum) surviving across micro-batches — the pattern for any
+    * accumulator the built-in aggs can't express. ProcessingTimeTimeout
+    * is deliberately off: state lives for the stream's lifetime here;
+    * real deployments bound it with a timeout. */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserSnapshot](GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          val next = rows.foldLeft(prev)((s, e) => UserState(s.n + 1, s.total + e.value))
+          state.update(next)
+          UserSnapshot(user, next.n, next.total)
+      }
+  }
+
+  final case class Doc(key: String, doc_id: Long, text: String)
+
+  /** Streaming exact dedup: first occurrence of each content key wins,
+    * later duplicates are dropped — flatMapGroupsWithState keeping one
+    * boolean per seen key. The streaming face of d01_exact_dedup; pair
+    * with a TTL timeout in production so the seen-set doesn't grow
+    * unboundedly. */
+  def streamingDedup(docs: Dataset[Doc]): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Boolean, Doc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1) // first occurrence within the batch wins too
+          }
+      }
+  }
+
+  /** Runs the compiled mapping projection incrementally: every
+    * micro-batch is transformed with the same MappingCompiler program the
+    * batch engine uses and appended via the sink callback — the
+    * streaming form of migrate()'s extract→transform→load. */
+  def migrateStream(
+      stream: DataFrame,
+      spec: graft.spec.MappingSpec)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val out = graft.compile.MappingCompiler.destinationRows(
+          spec.whereExpr.map(w => batch.where(expr(w))).getOrElse(batch), spec)
+        sink(out, id)
+      }
+      .start()
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+import graft.streaming.Streams.{Doc, UserEvent}
+
+/** Streaming behavior that batch oracles can't see: watermark-driven
+  * late-data dropping, cross-micro-batch state, and streaming dedup. */
+class StreamingSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling window with watermark drops late events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streams.tumblingCounts(
+      input.toDF().toDF("ts", "event_type", "value"),
+      "ts", lateness = "10 minutes", windowLength = "1 hour")
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("tumbling").start()
+    try {
+      // batch 1: events in hour 10; watermark advances to 11:30-0:10=11:20
+      input.addData((ts(5), "a", 1.0), (ts(30), "a", 2.0),
+        (Timestamp.valueOf("2024-01-01 11:30:00"), "b", 3.0))
+      q.processAllAvailable()
+      // batch 2: event at 10:40 is 40+ min late -> dropped; 11:40 is fine
+      input.addData((ts(40), "a", 99.0),
+        (Timestamp.valueOf("2024-01-01 11:40:00"), "b", 4.0))
+      q.processAllAvailable()
+      // batch 3: push watermark past 12:00 to finalize hour-11 windows
+      input.addData((Timestamp.valueOf("2024-01-01 12:30:00"), "c", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select(date_format(col("window_start"), "HH:mm").as("w"),
+          col("event_type"), col("n"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      // hour-10 'a' closed with ONLY the two on-time events (99.0 dropped)
+      assert(rows.contains(("10:00", "a", 2L, 3.0)), s"got $rows")
+      assert(rows.contains(("11:00", "b", 2L, 7.0)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState carries per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val out = Streams.runningUserTotals(input.toDS())
+    val q = out.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("totals").start()
+    try {
+      input.addData(UserEvent(1L, 10.0), UserEvent(1L, 5.0), UserEvent(2L, 1.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(1L, 2.0))
+      q.processAllAvailable()
+      // user 1: state accumulated 2 events then +1 across batches
+      assert(spark.table("totals").where(col("user_id") === 1 && col("n") === 3
+        && col("total") === 17.0).count() == 1)
+      assert(spark.table("totals").where(col("user_id") === 2 && col("n") === 1).count() == 1)
+    } finally q.stop()
+  }
+
+  test("streamingDedup emits only the first occurrence of each key") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val out = Streams.streamingDedup(input.toDS())
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup").start()
+    try {
+      input.addData(Doc("k1", 1L, "x"), Doc("k1", 2L, "x"), Doc("k2", 3L, "y"))
+      q.processAllAvailable()
+      input.addData(Doc("k1", 4L, "x"), Doc("k3", 5L, "z"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 3L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("migrateStream applies the mapping program per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, Double, String)]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val q = Streams.migrateStream(
+      input.toDF().toDF("Id", "name", "acctbal", "dst_ref"),
+      graft.queries.Mapping.customerSpec) { (batch, _) =>
+      collected ++= batch.select("old_id", "name")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+    }
+    try {
+      input.addData(("1", "low", 10.0, null), ("2", "hi", 5000.0, null))
+      q.processAllAvailable()
+      input.addData(("3", "hi2", 2000.0, null))
+      q.processAllAvailable()
+      // where_condition (acctbal > 1000) filtered row 1; renames applied
+      assert(collected.toSet == Set(("2", "hi"), ("3", "hi2")))
+    } finally q.stop()
+  }
+
+  test("batch session_window matches the hand-rolled islands computation") {
+    val df = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(50)),   // two sessions (gap 40m)
+      (2L, ts(0)), (2L, ts(29)), (2L, ts(58)))   // one chained session
+      .toDF("user_id", "ts")
+    val out = df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (1L, 1L), (2L, 3L)))
+  }
+}

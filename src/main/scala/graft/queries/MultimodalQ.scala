@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.multimodal.Multimodal
+
+/** Registry coverage for the multimodal plumbing: synthetic media corpus
+  * → per-partition batched feature extraction (stub kernel) → per-kind
+  * rollup, and video frame sampling. Rows-only checks: the stub kernels
+  * are deliberately not SQL-expressible. */
+object MultimodalQ {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "mm01_media_features",
+      (s, d) => {
+        val media = Multimodal.syntheticMedia(s, Tables(s, d, "documents"))
+        val feats = Multimodal.extractFeatures(media, dim = 64).toDF()
+        val kinds = media.toDF().select(col("media_id"), col("meta.kind").as("kind"))
+        feats.join(kinds, "media_id")
+          .groupBy(col("kind"))
+          .agg(count(lit(1)).as("n_media"),
+            // 1-based index 33 = byte bucket 32 (the space character) —
+            // always populated for text-derived payloads
+            avg(element_at(col("feature"), 33)).as("avg_f32"))
+          .orderBy("kind")
+      },
+      None),
+
+    QueryDef(
+      "mm02_frame_sample",
+      (s, d) => {
+        val media = Multimodal.syntheticMedia(s, Tables(s, d, "documents"))
+        Multimodal.sampleFrames(media, everyMs = 500).toDF()
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(length(col("frame_bytes"))).as("total_bytes"))
+          .orderBy("media_id")
+      },
+      None)
+  )
+}

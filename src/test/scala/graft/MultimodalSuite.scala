@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+class MultimodalSuite extends SparkSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val media =
+    Multimodal.syntheticMedia(spark, spark.read.parquet(s"$sf/documents.parquet"))
+
+  test("synthetic media: schema, kinds, payload bytes") {
+    val df = media.toDF()
+    assert(df.columns.toSeq == Seq("media_id", "meta", "bytes"))
+    val kinds = media.map(_.meta.kind).distinct().collect().sorted.toSeq
+    assert(kinds == Seq("audio", "image", "video"))
+    assert(media.filter(_.bytes.nonEmpty).count() == media.count())
+  }
+
+  test("decodeImages touches only images, deterministic luma") {
+    val dec = Multimodal.decodeImages(media, batchSize = 7)
+    val nImages = media.filter(_.meta.kind == "image").count()
+    assert(dec.count() == nImages)
+    val a = dec.orderBy("media_id").collect()
+    val b = Multimodal.decodeImages(media, batchSize = 64).orderBy("media_id").collect()
+    assert(a.toSeq == b.toSeq, "batch size must not change results")
+    assert(a.forall(d => d.channels == 3 && d.meanLuma > 0))
+  }
+
+  test("extractFeatures: fixed dim, unit norm, deterministic") {
+    val f = Multimodal.extractFeatures(media, dim = 64).collect()
+    assert(f.length == media.count())
+    assert(f.forall(_.feature.length == 64))
+    f.foreach { mf =>
+      val norm = math.sqrt(mf.feature.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-3, s"norm $norm for ${mf.media_id}")
+    }
+  }
+
+  test("features feed the ANN operators end to end") {
+    val feats = Multimodal.extractFeatures(media, dim = 64)
+      .toDF("vec_id", "embedding")
+    val top = graft.functions.VectorOps.bruteForceTopK(
+      feats.where(col("vec_id") < 3), feats, "vec_id", "embedding", k = 2)
+    assert(top.count() == 6)
+  }
+
+  test("resize shrinks only oversized media and preserves aspect bound") {
+    val out = Multimodal.resize(media, maxSide = 128)
+    assert(out.count() == media.count())
+    assert(out.collect().forall(m =>
+      math.max(m.meta.width, m.meta.height) <= 128 || m.bytes.nonEmpty))
+    val untouched = media.filter(m => math.max(m.meta.width, m.meta.height) <= 128)
+      .map(m => (m.media_id, m.bytes.length)).collect().toMap
+    val after = out.map(m => (m.media_id, m.bytes.length)).collect().toMap
+    untouched.foreach { case (id, len) => assert(after(id) == len) }
+  }
+
+  test("sampleFrames: one row per sampled frame, ordered and disjoint") {
+    val frames = Multimodal.sampleFrames(media, everyMs = 500)
+    val vids = media.filter(_.meta.kind == "video")
+      .map(m => (m.media_id, math.max(1, (m.meta.durationMs / 500).toInt)))
+      .collect().toMap
+    val counts = frames.groupByKey(_.media_id).count().collect().toMap
+    assert(counts == vids.map { case (k, v) => k -> v.toLong })
+    // frame indices are dense 0..n-1
+    val idx = frames.filter(_.media_id == vids.keys.head)
+      .map(_.frame_idx).collect().sorted.toSeq
+    assert(idx == idx.indices.toSeq)
+  }
+
+  test("payload stays distributed: plan has no collect-shaped exchange to driver") {
+    val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("CollectLimit"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Sink-side operators completing the reference's mutation surface
+  * (SURVEY.md §2.2) on the parquet-backed TableIO: upsert keyed by an
+  * external ID (bulk_upsert, data_connector.py:301-310), predicate
+  * delete (bulk_delete, data_connector.py:294-298), semi-join delete
+  * (the mriya.py:62-77 flow), chunked mutation calls (chunked_create/
+  * update/delete, data_connector.py:119-161), and CSV export
+  * (export_to_csv, data_connector.py:86-111).
+  */
+object Sinks {
+
+  /** MERGE-style upsert: rows whose `keyColumn` matches an existing row
+    * replace it; the rest append — one full-outer-shaped pass expressed
+    * as anti-join + union, no driver materialization. */
+  def upsert(io: ParquetTableIO, table: String, incoming: DataFrame,
+      keyColumn: String): Unit = {
+    val existing = io.read(table)
+    val kept = existing.join(
+      broadcast(incoming.select(col(keyColumn))), Seq(keyColumn), "left_anti")
+    io.overwrite(table, kept.unionByName(incoming))
+  }
+
+  /** DELETE FROM table WHERE cond. */
+  def delete(io: ParquetTableIO, table: String, condition: String): Long = {
+    val existing = io.read(table)
+    val keep = existing.where(not(expr(condition)))
+    val removed = existing.count() - keep.count()
+    io.overwrite(table, keep)
+    removed
+  }
+
+  /** Semi-join delete — `DELETE FROM table WHERE key IN (ids)`, the
+    * reference's 200-ID-batch destination cleanup (mriya.py:62-77)
+    * expressed as one anti-join instead of generated OR-chains. */
+  def deleteMatching(io: ParquetTableIO, table: String, keyColumn: String,
+      ids: DataFrame): Long = {
+    val existing = io.read(table)
+    val keep = existing.join(broadcast(ids.select(col(keyColumn))),
+      Seq(keyColumn), "left_anti")
+    val removed = existing.count() - keep.count()
+    io.overwrite(table, keep)
+    removed
+  }
+
+  /** Executor-parallel chunked mutation: partitions stream through
+    * `grouped(chunkSize)` and each chunk goes to one API call — the
+    * distributed form of the reference's serial 200-row loops. The
+    * callback must be idempotent or the target must dedup on retry
+    * (Spark may re-run tasks; the reference has the same double-insert
+    * hazard on its single retry, data_connector.py:246-252). */
+  def chunkedForeach(df: DataFrame, chunkSize: Int)(call: Seq[Row] => Unit): Unit =
+    df.foreachPartition { (it: Iterator[Row]) =>
+      it.grouped(chunkSize).foreach(chunk => call(chunk.toSeq))
+    }
+
+  /** CSV export with header — the reference's export_to_csv pipeline in
+    * one declarative write (partitioned output; a single file would be a
+    * driver bottleneck at scale). */
+  def exportCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** CSV scan with an explicit schema (the reference infers headers from
+    * the first row — data_connector.py:91; explicit schemas avoid that
+    * fragility). */
+  def readCsv(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+}

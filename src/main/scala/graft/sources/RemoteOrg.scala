@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** The remote-org boundary the connector talks to — the Spark-native
+  * abstraction of the reference's SOAP/REST connectors
+  * (data_connector.py:38-368): describe ≈ metadata, query ≈
+  * bulk_load/fetch_all_data, mutations ≈ bulk_insert/update/upsert/delete
+  * with the reference's 200-row chunk contract enforced at this boundary
+  * (QUERY_LIMIT, data_connector.py:23).
+  *
+  * Injectable so the whole connector stack is unit-testable with zero
+  * network egress (SURVEY.md §7 hard-point d); a production impl would
+  * wrap HTTP + auth/token-retry (data_connector.py:164-252) behind the
+  * same trait.
+  */
+trait RemoteOrg {
+  def describe(sObject: String): StructType
+  /** Executes a SOQL string; the connector only generates the grammar
+    * produced by [[Soql]] (SELECT cols FROM obj [WHERE …] [LIMIT n]). */
+  def query(soql: String): Iterator[Row]
+  /** Inserts ≤200-row chunks; returns created IDs in row order. */
+  def insert(sObject: String, rows: Seq[Row], schema: StructType): Seq[String]
+  def delete(sObject: String, ids: Seq[String]): Int
+}
+
+/** Process-local registry so the reflectively-instantiated DSv2 provider
+  * can locate an org by name from read options. */
+object RemoteOrgRegistry {
+  private val orgs = new ConcurrentHashMap[String, RemoteOrg]()
+  def register(name: String, org: RemoteOrg): Unit = orgs.put(name, org)
+  def apply(name: String): RemoteOrg = {
+    val o = orgs.get(name)
+    require(o != null, s"no RemoteOrg registered under '$name'")
+    o
+  }
+}
+
+/** SOQL generation + a tiny evaluator for the same grammar — the
+  * in-memory org executes exactly what the connector pushes down, so
+  * tests prove the negotiated contract end to end. */
+object Soql {
+  def render(
+      sObject: String, columns: Seq[String],
+      predicates: Seq[String], limit: Option[Int]): String = {
+    val where = if (predicates.isEmpty) "" else predicates.mkString(" WHERE (", ") AND (", ")")
+    val lim = limit.map(n => s" LIMIT $n").getOrElse("")
+    s"SELECT ${columns.mkString(", ")} FROM $sObject$where$lim"
+  }
+}
+
+/** In-memory [[RemoteOrg]]: tables are row buffers with explicit schemas;
+  * `query` parses the connector-generated SOQL (projection, simple
+  * comparison/IN predicates, LIMIT) and records every statement so tests
+  * can assert on what was actually pushed down. */
+final class InMemoryOrg extends RemoteOrg {
+  private val tables = TrieMap.empty[String, (StructType, Vector[Row])]
+  private var idSeq = 0L
+  val statements = scala.collection.mutable.ArrayBuffer.empty[String]
+  val insertBatchSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+
+  def createTable(name: String, schema: StructType, rows: Seq[Row] = Nil): Unit =
+    tables.put(name, (schema, rows.toVector))
+
+  def rows(name: String): Vector[Row] = tables(name)._2
+
+  override def describe(sObject: String): StructType = tables(sObject)._1
+
+  override def query(soql: String): Iterator[Row] = synchronized {
+    statements += soql
+    val Pattern = """SELECT (.+) FROM (\S+)( WHERE (.+?))?( LIMIT (\d+))?$""".r
+    soql match {
+      case Pattern(cols, obj, _, where, _, limit) =>
+        val (schema, data) = tables(obj)
+        val filtered = Option(where).map(w => data.filter(evalWhere(w, schema, _)))
+          .getOrElse(data)
+        val limited = Option(limit).map(n => filtered.take(n.toInt)).getOrElse(filtered)
+        val colNames = cols.split(",").map(_.trim).toSeq
+        val idx = colNames.map(schema.fieldIndex)
+        limited.iterator.map(r => Row.fromSeq(idx.map(r.get)))
+      case _ => throw new IllegalArgumentException(s"unsupported SOQL: $soql")
+    }
+  }
+
+  // evaluates the conjunct grammar render() produces: (p) AND (p) …
+  private def evalWhere(w: String, schema: StructType, row: Row): Boolean =
+    w.split("\\) AND \\(").map(_.stripPrefix("(").stripSuffix(")"))
+      .forall(p => evalPred(p.trim, schema, row))
+
+  private def evalPred(p: String, schema: StructType, row: Row): Boolean = {
+    def v(col: String): Any = row.get(schema.fieldIndex(col))
+    def cmp(col: String, lit: String): Int = {
+      val x = v(col)
+      x match {
+        case null => throw new NullPointerException
+        case n: Long => java.lang.Long.compare(n, lit.toLong)
+        case n: Int => java.lang.Integer.compare(n, lit.toInt)
+        case n: Double => java.lang.Double.compare(n, lit.toDouble)
+        case s: String => s.compareTo(lit.stripPrefix("'").stripSuffix("'"))
+        case other => throw new IllegalArgumentException(s"cmp $other")
+      }
+    }
+    val In = """(\w+) IN \((.+)\)""".r
+    val Ne = """(\w+) != (.+)""".r
+    val Ge = """(\w+) >= (.+)""".r
+    val Le = """(\w+) <= (.+)""".r
+    val Gt = """(\w+) > (.+)""".r
+    val Lt = """(\w+) < (.+)""".r
+    val Eq = """(\w+) = (.+)""".r
+    val NotNull = """(\w+) != null""".r
+    val IsNull = """(\w+) = null""".r
+    try p match {
+      case NotNull(c) => v(c) != null
+      case IsNull(c) => v(c) == null
+      case In(c, lits) =>
+        val set = lits.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSet
+        v(c) != null && set.contains(v(c).toString)
+      case Ne(c, l) => cmp(c, l) != 0
+      case Ge(c, l) => cmp(c, l) >= 0
+      case Le(c, l) => cmp(c, l) <= 0
+      case Gt(c, l) => cmp(c, l) > 0
+      case Lt(c, l) => cmp(c, l) < 0
+      case Eq(c, l) => cmp(c, l) == 0
+      case other => throw new IllegalArgumentException(s"unsupported predicate: $other")
+    } catch { case _: NullPointerException => false }
+  }
+
+  override def insert(sObject: String, batch: Seq[Row], schema: StructType): Seq[String] =
+    synchronized {
+      require(batch.size <= 200,
+        s"chunk contract violated: ${batch.size} rows in one call") // data_connector.py:23
+      insertBatchSizes += batch.size
+      val (tblSchema, existing) = tables(sObject)
+      val withIds = batch.map { r =>
+        idSeq += 1
+        val id = f"ID$idSeq%012d"
+        // align incoming row to table schema; Id column filled by the org
+        val vals = tblSchema.fieldNames.map {
+          case "Id" => id
+          case f if schema.fieldNames.contains(f) => r.get(schema.fieldIndex(f))
+          case _ => null
+        }
+        (id, Row.fromSeq(vals.toSeq))
+      }
+      tables.put(sObject, (tblSchema, existing ++ withIds.map(_._2)))
+      withIds.map(_._1)
+    }
+
+  override def delete(sObject: String, ids: Seq[String]): Int = synchronized {
+    val (schema, data) = tables(sObject)
+    val idIdx = schema.fieldIndex("Id")
+    val keep = data.filterNot(r => ids.contains(r.getString(idIdx)))
+    tables.put(sObject, (schema, keep))
+    data.size - keep.size
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{Row, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{InMemoryOrg, RemoteOrgRegistry}
+
+/** The DSv2 connector's negotiated pushdown contract, proven end to end:
+  * the in-memory org records every SOQL statement, so these tests assert
+  * on what Catalyst actually pushed — not just on result correctness. */
+class ConnectorSuite extends SparkSuite {
+
+  private val schema = StructType(Seq(
+    StructField("Id", StringType),
+    StructField("Name", StringType),
+    StructField("Amount", LongType),
+    StructField("Region", StringType)))
+
+  private def freshOrg(name: String, n: Int = 10): InMemoryOrg = {
+    val org = new InMemoryOrg
+    org.createTable("Account", schema,
+      (1 to n).map(i => Row(f"ID$i%03d", s"acc$i", i.toLong * 10, if (i % 2 == 0) "EU" else "US")))
+    RemoteOrgRegistry.register(name, org)
+    org
+  }
+
+  private def read(orgName: String) =
+    spark.read.format("salesforce-sim")
+      .option("org", orgName).option("sObject", "Account").load()
+
+  test("full scan reads all rows through the connector") {
+    freshOrg("t1")
+    assert(read("t1").count() == 10)
+  }
+
+  test("column pruning reaches the generated SOQL") {
+    val org = freshOrg("t2")
+    val out = read("t2").select("Name", "Amount")
+    assert(out.collect().length == 10)
+    val soql = org.statements.last
+    assert(soql.startsWith("SELECT Name, Amount FROM Account"), soql)
+    assert(!soql.contains("Region"))
+  }
+
+  test("filter pushdown: comparison predicates are absorbed into SOQL") {
+    val org = freshOrg("t3")
+    val out = read("t3").where(col("Amount") > 50 && col("Region") === "EU")
+    val rows = out.collect()
+    assert(rows.forall(r => r.getAs[Long]("Amount") > 50 && r.getAs[String]("Region") == "EU"))
+    assert(rows.length == 3) // 60,80,100 are EU
+    val soql = org.statements.last
+    assert(soql.contains("Amount > 50"), soql)
+    assert(soql.contains("Region = 'EU'"), soql)
+    // and the physical plan reports them as pushed
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("SalesforceScan"), plan)
+  }
+
+  test("IN-list predicate pushes as SOQL IN") {
+    val org = freshOrg("t4")
+    val out = read("t4").where(col("Id").isin("ID001", "ID004"))
+    assert(out.count() == 2)
+    assert(org.statements.last.contains("Id IN ('ID001', 'ID004')"), org.statements.last)
+  }
+
+  test("limit pushdown caps the remote query") {
+    val org = freshOrg("t5")
+    assert(read("t5").limit(3).collect().length == 3)
+    assert(org.statements.last.endsWith("LIMIT 3"), org.statements.last)
+  }
+
+  test("untranslatable filters still return correct results post-scan") {
+    val org = freshOrg("t6")
+    val out = read("t6").where(col("Name").endsWith("3")) // no SOQL rendering
+    assert(out.collect().map(_.getAs[String]("Id")).toSeq == Seq("ID003"))
+    // Spark pushes the inferred IsNotNull(Name); the endsWith itself must
+    // stay post-scan (its literal never appears in the SOQL)
+    assert(!org.statements.last.contains("'3'"), org.statements.last +
+      " — endsWith must not be pushed")
+  }
+
+  test("write path chunks inserts at 200 rows per org call") {
+    val org = freshOrg("t7", n = 0)
+    import spark.implicits._
+    val df = (1 to 450).map(i => (null.asInstanceOf[String], s"w$i", i.toLong, "EU"))
+      .toDF("Id", "Name", "Amount", "Region").repartition(1)
+    df.write.format("salesforce-sim")
+      .option("org", "t7").option("sObject", "Account")
+      .mode(SaveMode.Append).save()
+    assert(org.rows("Account").size == 450)
+    assert(org.insertBatchSizes.forall(_ <= 200), org.insertBatchSizes)
+    assert(org.insertBatchSizes.sum == 450)
+    // org minted IDs for every created row
+    assert(org.rows("Account").forall(_.getString(0) != null))
+  }
+
+  test("round trip: migrate through the connector surface") {
+    val org = freshOrg("t8")
+    // extract with pushdown, transform, load back to a second object
+    org.createTable("Account__c", StructType(Seq(
+      StructField("Id", StringType),
+      StructField("Old_Id__c", StringType),
+      StructField("Name", StringType))))
+    val extracted = read("t8").where(col("Amount") >= 60)
+      .select(col("Id").as("Old_Id__c"), col("Name"))
+    extracted.write.format("salesforce-sim")
+      .option("org", "t8").option("sObject", "Account__c")
+      .mode(SaveMode.Append).save()
+    val created = org.rows("Account__c")
+    assert(created.size == 5)
+    assert(created.forall(r => r.getString(0).startsWith("ID") && r.getString(1) != null))
+  }
+}

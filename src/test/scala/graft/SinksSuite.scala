@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.{ParquetTableIO, Sinks}
+
+class SinksSuite extends SparkSuite {
+  import spark.implicits._
+
+  private def freshIo(): ParquetTableIO = {
+    val dir = Files.createTempDirectory("graft_sinks_").toString
+    val io = new ParquetTableIO(spark, dir)
+    Seq(("1", "a", 10L), ("2", "b", 20L), ("3", "c", 30L))
+      .toDF("Id", "name", "v").write.parquet(io.path("t"))
+    io
+  }
+
+  test("upsert replaces matching keys and appends new ones") {
+    val io = freshIo()
+    Sinks.upsert(io, "t",
+      Seq(("2", "B2", 99L), ("4", "d", 40L)).toDF("Id", "name", "v"), "Id")
+    val got = io.read("t").as[(String, String, Long)].collect().toSet
+    assert(got == Set(("1", "a", 10L), ("2", "B2", 99L), ("3", "c", 30L), ("4", "d", 40L)))
+  }
+
+  test("delete removes rows matching a predicate") {
+    val io = freshIo()
+    assert(Sinks.delete(io, "t", "v >= 20") == 2)
+    assert(io.read("t").select("Id").as[String].collect().toSeq == Seq("1"))
+  }
+
+  test("deleteMatching is an anti-join on the key set") {
+    val io = freshIo()
+    val ids = Seq("1", "3", "999").toDF("Id")
+    assert(Sinks.deleteMatching(io, "t", "Id", ids) == 2)
+    assert(io.read("t").select("Id").as[String].collect().toSeq == Seq("2"))
+  }
+
+  test("chunkedForeach emits chunks no larger than the limit") {
+    val seen = spark.sparkContext.collectionAccumulator[Int]("chunks")
+    val df = spark.range(1050).toDF("x").repartition(3)
+    Sinks.chunkedForeach(df, 200)(chunk => seen.add(chunk.size))
+    val sizes = seen.value
+    assert(sizes.asScala.sum == 1050)
+    assert(sizes.asScala.forall(_ <= 200), sizes)
+  }
+
+  test("csv export/read round trip with explicit schema") {
+    val dir = Files.createTempDirectory("graft_csv_").toString
+    val df = Seq(("1", "x", 1.5), ("2", "y", 2.5)).toDF("Id", "name", "score")
+    Sinks.exportCsv(df, s"$dir/out")
+    val schema = StructType(Seq(
+      StructField("Id", StringType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val back = Sinks.readCsv(spark, s"$dir/out", schema)
+    assert(back.orderBy("Id").as[(String, String, Double)].collect().toSeq ==
+      Seq(("1", "x", 1.5), ("2", "y", 2.5)))
+  }
+
+  private implicit class JavaListOps[T](l: java.util.List[T]) {
+    def asScala: Seq[T] = {
+      import scala.jdk.CollectionConverters._
+      l.iterator().asScala.toSeq
+    }
+  }
+}

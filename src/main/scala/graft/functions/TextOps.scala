@@ -43,8 +43,10 @@ object TextOps {
       .select(col("__id"), shingles(col("__toks"), n).as("__sh"))
 
   /** MinHash signature of a shingle set: element `i` is
-    * `min over shingles of xxhash64(shingle, i)` — H independent salted
-    * hash families without the overflow pitfalls of (a*x+b) mod p. */
+    * `min over shingles of hash_i(shingle)` — H independent salted hash
+    * families. Declarative/interpreted form; [[minHashCandidates]] uses
+    * the codegen [[MinHashSig]] expression instead (same semantics,
+    * different hash family, ~50x faster). */
   def minHashSignature(shing: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(shing, s => xxhash64(s, lit(i))))
@@ -118,7 +120,8 @@ object TextOps {
     // re-derives the whole 128-hash chain per row (see ngramJaccardPairs);
     // materializing the sketch table once is also the 100 TB-scale shape
     val sig = shingleSets(df, idCol, textCol, n)
-      .select(col("__id"), minHashSignature(col("__sh"), numHashes).as("__sig"))
+      .select(col("__id"),
+        MinHashSig.column(df.sparkSession, col("__sh"), numHashes).as("__sig"))
       .select(col("__id"), lshBandKeys(col("__sig"), bands, r).as("__bands"))
       .cache()
     val ex = sig.select(col("__id"), posexplode(col("__bands")).as(Seq("__b", "__key")))

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -23,9 +23,16 @@ object VectorOps {
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
   /** Dot product via zip_with + left-fold aggregate (deterministic
-    * element order). */
+    * element order). Interpreted — for hot paths use [[nativeDot]]. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** Codegen'd dot product ([[DotProduct]]) — identical result (same
+    * left-to-right accumulation order), ~an order of magnitude faster on
+    * candidate-pair scoring since the loop runs inside whole-stage
+    * codegen instead of the interpreted higher-order evaluator. */
+  def nativeDot(spark: SparkSession, a: Column, b: Column): Column =
+    DotProduct.column(spark, a, b)
 
   def l2Norm(v: Column): Column =
     sqrt(aggregate(transform(v, x => x * x), lit(0.0), _ + _))
@@ -46,7 +53,8 @@ object VectorOps {
     * stage its own projection so cast → norm → scale run once per row. */
   def normalizedVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("__id"), toDouble(col(vecCol)).as("__raw"))
-      .select(col("__id"), col("__raw"), l2Norm(col("__raw")).as("__norm"))
+      .select(col("__id"), col("__raw"),
+        sqrt(nativeDot(df.sparkSession, col("__raw"), col("__raw"))).as("__norm"))
       .select(col("__id"), normalized(col("__raw"), col("__norm")).as("__v"))
 
   /** Exact brute-force cosine top-k: normalize both sides once, cross
@@ -63,7 +71,7 @@ object VectorOps {
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        dot(col("__qv"), col("__cv")).as("cos"))
+        nativeDot(queries.sparkSession, col("__qv"), col("__cv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -111,7 +119,8 @@ object VectorOps {
     val r = withSigs.select(col("__id").as("id_b"), col("__v").as("vb"), col("__bucket"))
     l.join(r, Seq("__bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), dot(col("va"), col("vb")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        nativeDot(df.sparkSession, col("va"), col("vb")).as("cos"))
       .distinct()
       .where(col("cos") >= threshold)
   }
@@ -127,7 +136,8 @@ object VectorOps {
     val l = base.select(col("__id").as("id_a"), col("__v").as("va"))
     val r = base.select(col("__id").as("id_b"), col("__v").as("vb"))
     l.join(r, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), dot(col("va"), col("vb")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        nativeDot(df.sparkSession, col("va"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

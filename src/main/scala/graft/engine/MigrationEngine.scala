@@ -81,9 +81,14 @@ final class MigrationEngine(
     mintId: Option[String => org.apache.spark.sql.Column] = None) {
 
   def migrate(spec: MappingSpec, limit: Option[Int] = None): MigrationMetrics = {
-    // 1. extract (migration_engine.py:77-81)
+    // 1. extract (migration_engine.py:77-81); the extracted-row count is
+    // collected via an Observation on the same pass that feeds the
+    // insert — no second scan of the source (df.observe + listener
+    // replaces the reference's console bookkeeping, SURVEY.md §7)
+    val obs = new org.apache.spark.sql.Observation()
     val extracted = MappingCompiler.sourceQuery(src.read, spec, relationships, limit)
-    val nExtracted = extracted.count()
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
 
     // 2. transform: rename + type + constants (migration_engine.py:25-41)
     val newRows = MappingCompiler.destinationRows(extracted, spec)
@@ -95,6 +100,7 @@ final class MigrationEngine(
     }
     val created = dst.insert(spec.destinationObject, withId)
     val nInserted = created.count()
+    val nExtracted = obs.get("n").asInstanceOf[Long]
 
     // 4. write-back join (migration_engine.py:50-68): new dst Id -> old src
     // row. Everything derived from the source table must be materialized

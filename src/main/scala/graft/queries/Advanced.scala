@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Remaining relational-surface coverage: pivot, ordered array
+  * aggregation, and grouping sets (the one grouping form the DataFrame
+  * API lacks — expressed through spark.sql over a registered view).
+  */
+object Advanced {
+
+  private def money(c: String) = col(c).cast("decimal(12,2)")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- a01: pivot ------------------------------------------------------
+    QueryDef(
+      "a01_pivot",
+      (s, d) =>
+        Tables(s, d, "orders")
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(sum(money("o_totalprice")).cast("double"))
+          .na.fill(0.0, Seq("F", "O", "P"))
+          .orderBy("o_year"),
+      Some("""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+          COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS F,
+          COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS O,
+          COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS P
+        FROM orders
+        GROUP BY o_year
+        ORDER BY o_year""")),
+
+    // ---- a02: ordered array aggregation ----------------------------------
+    QueryDef(
+      "a02_array_agg",
+      (s, d) =>
+        Tables(s, d, "nation")
+          .join(Tables(s, d, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(sort_array(collect_list(col("n_name"))).as("nations"),
+            count(lit(1)).as("n"))
+          .orderBy("r_name"),
+      Some("""
+        SELECT r_name, list_sort(list(n_name)) AS nations, COUNT(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name""")),
+
+    // ---- a03: grouping sets ----------------------------------------------
+    QueryDef(
+      "a03_grouping_sets",
+      (s, d) => {
+        Tables(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+        s.sql("""
+          SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                 COALESCE(l_linestatus, 'ALL') AS ls,
+                 COUNT(*) AS n
+          FROM lineitem_gs
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          ORDER BY rf, ls""")
+      },
+      Some("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+               COALESCE(l_linestatus, 'ALL') AS ls,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY rf, ls"""))
+  )
+}

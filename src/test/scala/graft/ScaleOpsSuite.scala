@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.ScaleOps
+
+class ScaleOpsSuite extends SparkSuite {
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join result under heavy skew") {
+    // 10k rows, 90% on one key — the shape that melts a single reducer
+    val fact = spark.range(10000)
+      .select((when(col("id") % 10 =!= 0, 1L).otherwise(col("id"))).as("k"),
+        col("id").as("payload"))
+    val dim = Seq((1L, "hot"), (2L, "a"), (30L, "b"), (4000L, "c"))
+      .toDF("k", "name")
+    val plain = fact.join(dim, "k").select("k", "payload", "name")
+    val salted = ScaleOps.saltedJoin(fact, dim, "k", saltFactor = 8)
+      .select("k", "payload", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("saltedJoin spreads a hot key across many partitions") {
+    // ~every row on k=1; dim has several keys so the join can't be
+    // optimized away into a project (Spark eliminates single-row joins)
+    val fact = spark.range(8000)
+      .select(when(col("id") % 100 === 0, col("id") % 4).otherwise(1L).as("k"),
+        col("id").as("payload"))
+      .repartition(8)
+    val dim = spark.range(0, 4).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("name"))
+    // disable broadcast so the join actually shuffles on the join key
+    withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "16") {
+      val salted = ScaleOps.saltedJoin(fact, dim, "k", saltFactor = 8)
+      val sizes = salted.groupBy(spark_partition_id().as("p")).count()
+        .select("count").as[Long].collect()
+      // 8 salts hash into 16 reducers; a few may collide, but the hot key
+      // must no longer live on a single reducer
+      assert(sizes.length >= 5, s"hot key stayed on ${sizes.length} partitions")
+      assert(sizes.max < 8000, s"one reducer still holds everything: ${sizes.toSeq}")
+      val plainSizes = fact.join(dim, "k")
+        .groupBy(spark_partition_id().as("p")).count()
+        .select("count").as[Long].collect()
+      // unsalted: the hot key's ~99% of rows land on one reducer
+      assert(plainSizes.max >= 7000,
+        s"expected one hot reducer in the unsalted join: ${plainSizes.toSeq}")
+    }
+  }
+
+  test("bucketed tables join without any shuffle exchange") {
+    val left = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("x"))
+    val right = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("y"))
+    ScaleOps.writeBucketed(left, "bkt_left", "k", 4)
+    ScaleOps.writeBucketed(right, "bkt_right", "k", 4)
+    withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      assert(joined.count() == 1000)
+      assert(ScaleOps.shuffleFree(joined),
+        joined.queryExecution.executedPlan.toString.take(2000))
+    }
+  }
+
+  test("aggregation on the bucket key is also shuffle-free") {
+    val df = spark.range(1000).select(col("id").as("k"), col("id").as("v"))
+    ScaleOps.writeBucketed(df, "bkt_agg", "k", 4)
+    val agg = spark.table("bkt_agg").groupBy("k").agg(sum("v"))
+    assert(agg.count() == 1000)
+    assert(ScaleOps.shuffleFree(agg),
+      agg.queryExecution.executedPlan.toString.take(2000))
+  }
+
+  private def withSqlConf[T](pairs: (String, String)*)(body: => T): T = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.sources.RemoteOrgRegistry
+
+/** TableIO over the DSv2 connector — the production-shaped binding that
+  * lets [[MigrationEngine]] run the reference's actual scenario: migrate
+  * records between two remote orgs, with extraction pushdown negotiated
+  * by Catalyst and mutations chunked by the connector's writers.
+  *
+  * Created-ID correlation mirrors the reference: after the bulk insert
+  * the destination is re-queried for the just-created rows
+  * (migration_engine.py:52 — the insert API's per-batch results are a
+  * connector TODO there too, data_connector.py:277-278). The re-query
+  * filters on the `src_id` column via the connector, so it pushes down
+  * as a SOQL IN-list exactly like mapping_parser.py:85-111 intended. */
+final class ConnectorTableIO(
+    spark: SparkSession,
+    orgName: String,
+    srcIdColumn: Option[String] = None) extends TableIO {
+
+  private def reader(table: String): DataFrame =
+    spark.read.format("salesforce-sim")
+      .option("org", orgName).option("sObject", table).load()
+
+  override def read(table: String): DataFrame = reader(table)
+
+  override def insert(table: String, rows: DataFrame): DataFrame = {
+    // the org fills Id — never trust a driver-side value for it
+    val clean =
+      if (rows.columns.contains("Id")) rows.drop("Id") else rows
+    clean.write.format("salesforce-sim")
+      .option("org", orgName).option("sObject", table)
+      .mode(SaveMode.Append).save()
+    srcIdColumn match {
+      case Some(k) =>
+        // created-records lookup keyed by the old-ID column (pushes down
+        // as an IN-list when the engine filters further)
+        val keys = clean.select(col(k)).distinct()
+        reader(table).join(keys, Seq(k), "left_semi")
+      case None => reader(table)
+    }
+  }
+
+  override def overwrite(table: String, rows: DataFrame): Unit = {
+    // full replace that PRESERVES record identity: materialize the new
+    // rows first (they derive from the table being replaced), delete the
+    // old ones, then write back with Ids intact (the org honors provided
+    // Ids — update semantics). Production orgs would use a targeted
+    // update call with exactly applyWriteBack's rows instead.
+    val materialized = rows.cache()
+    materialized.count()
+    val org = RemoteOrgRegistry(orgName)
+    val ids = reader(table).select(col("Id"))
+      .collect().map(_.getString(0)).toSeq
+    org.delete(table, ids)
+    materialized.write.format("salesforce-sim")
+      .option("org", orgName).option("sObject", table)
+      .mode(SaveMode.Append).save()
+    materialized.unpersist()
+  }
+}

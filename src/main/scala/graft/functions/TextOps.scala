@@ -90,7 +90,12 @@ object TextOps {
       explode(col("__sh")).as("__s"))
     val a = ex.select(col("__id").as("id_a"), col("__n").as("n_a"), col("__s"))
     val b = ex.select(col("__id").as("id_b"), col("__n").as("n_b"), col("__s"))
-    a.join(b, a("__s") === b("__s") && a("id_a") < b("id_b"))
+    // size-compatibility prune (exactness-preserving): jac(A,B) >= t
+    // implies |A| >= t|B| and |B| >= t|A|, so size-incompatible pairs are
+    // dropped inside the join instead of surviving to the aggregation
+    a.join(b, a("__s") === b("__s") && a("id_a") < b("id_b") &&
+        a("n_a") >= lit(threshold) * b("n_b") &&
+        b("n_b") >= lit(threshold) * a("n_a"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"),
         first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))

@@ -135,9 +135,17 @@ final class InMemoryOrg extends RemoteOrg {
       insertBatchSizes += batch.size
       val (tblSchema, existing) = tables(sObject)
       val withIds = batch.map { r =>
-        idSeq += 1
-        val id = f"ID$idSeq%012d"
-        // align incoming row to table schema; Id column filled by the org
+        // honor a caller-supplied non-null Id (update/replace semantics —
+        // bulk_update keeps record identity, data_connector.py:281-291);
+        // mint a fresh one otherwise (insert semantics)
+        val provided = schema.fieldNames.indexOf("Id") match {
+          case -1 => None
+          case i => Option(r.get(i)).map(_.toString)
+        }
+        val id = provided.getOrElse {
+          idSeq += 1
+          f"ID$idSeq%012d"
+        }
         val vals = tblSchema.fieldNames.map {
           case "Id" => id
           case f if schema.fieldNames.contains(f) => r.get(schema.fieldIndex(f))

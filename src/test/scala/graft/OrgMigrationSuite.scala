@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.{ConnectorTableIO, MigrationEngine}
+import graft.sources.{InMemoryOrg, RemoteOrgRegistry}
+import graft.spec.MappingSpec
+
+/** The reference's actual end-to-end scenario: migrate records between
+  * two remote orgs through the DSv2 connector — extraction pushdown,
+  * chunked insert, created-ID correlation, and write-back update, with
+  * the round-trip invariant asserted org-side. */
+class OrgMigrationSuite extends SparkSuite {
+
+  private val srcSchema = StructType(Seq(
+    StructField("Id", StringType), StructField("Name", StringType),
+    StructField("Amount", DoubleType), StructField("New_Id__c", StringType)))
+  private val dstSchema = StructType(Seq(
+    StructField("Id", StringType), StructField("Old_Record_Id__c", StringType),
+    StructField("Name", StringType), StructField("type", StringType)))
+
+  private val spec = MappingSpec.fromJson("""
+    [{"source_object": "Account",
+      "destination_object": "Accounts__c",
+      "where_condition": "Amount >= 100",
+      "mapping": [
+        {"table_src": "Account", "column_src": "Id",
+         "table_dst": "Accounts__c", "column_dst": "Old_Record_Id__c",
+         "operation": "copy", "column_type": "src_id"},
+        {"table_src": "Account", "column_src": "Name",
+         "table_dst": "Accounts__c", "column_dst": "Name",
+         "operation": "copy", "column_type": "regular"},
+        {"table_src": "Account", "column_src": "Id",
+         "table_dst": "Accounts__c", "column_dst": "type",
+         "operation": "copy", "column_type": "regular"},
+        {"table_src": "Account", "column_src": "New_Id__c",
+         "table_dst": "Accounts__c", "column_dst": "Id",
+         "operation": "upd_src", "column_type": "dst_id"}]}]""").head
+
+  test("org-to-org migrate with write-back through the connector") {
+    val srcOrg = new InMemoryOrg
+    val dstOrg = new InMemoryOrg
+    srcOrg.createTable("Account", srcSchema, Seq(
+      Row("A1", "small", 50.0, null),
+      Row("A2", "big", 500.0, null),
+      Row("A3", "huge", 900.0, null)))
+    dstOrg.createTable("Accounts__c", dstSchema)
+    RemoteOrgRegistry.register("mig_src", srcOrg)
+    RemoteOrgRegistry.register("mig_dst", dstOrg)
+
+    val src = new ConnectorTableIO(spark, "mig_src")
+    val dst = new ConnectorTableIO(spark, "mig_dst",
+      srcIdColumn = spec.dstSrcIdColumn)
+    val m = new MigrationEngine(src, dst).migrate(spec)
+
+    assert(m.extracted == 2 && m.inserted == 2 && m.updated == 2)
+
+    // destination got org-minted IDs plus the old-ID column + type
+    val dstRows = dstOrg.rows("Accounts__c")
+    assert(dstRows.size == 2)
+    val byOldId = dstRows.map(r => r.getString(1) -> r).toMap
+    assert(byOldId.keySet == Set("A2", "A3"))
+    assert(byOldId("A2").getString(2) == "big")
+    assert(dstRows.forall(_.getString(3) == "Accounts__c")) // type column
+    assert(dstRows.forall(_.getString(0).startsWith("ID")))
+
+    // round-trip invariant (migration_engine.py:44-68): each migrated
+    // source row's upd_src column equals its new destination Id
+    val srcRows = srcOrg.rows("Account")
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(srcRows("A1") == null, "unmigrated row must stay untouched")
+    assert(srcRows("A2") == byOldId("A2").getString(0))
+    assert(srcRows("A3") == byOldId("A3").getString(0))
+
+    // the extraction pushed its WHERE into generated SOQL
+    assert(srcOrg.statements.exists(_.contains("Amount >= 100")),
+      srcOrg.statements.mkString("\n"))
+  }
+}

@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.TextAnalysis.defs ++
       graft.queries.Windows.defs ++
       graft.queries.MultimodalQ.defs ++
-      graft.queries.Advanced.defs
+      graft.queries.Advanced.defs ++
+      graft.queries.Complex.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

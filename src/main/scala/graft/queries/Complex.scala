@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+
+/** Complex plan shapes modeled on the harder TPC-H queries: correlated
+  * aggregates resolved per-group (Q2/Q17), join-then-histogram (Q13) —
+  * the shapes that exercise subquery decorrelation, multi-level
+  * aggregation, and window-over-join plans.
+  */
+object Complex {
+
+  private def money(c: String) = col(c).cast("decimal(12,2)")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- c01 (Q2 shape): best supplier per part via correlated max -------
+    QueryDef(
+      "c01_min_cost_supplier",
+      (s, d) => {
+        val pairs = Tables(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val sup = Tables(s, d, "supplier")
+        val w = Window.partitionBy(col("l_partkey"))
+          .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+        pairs.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") === 1 && col("l_partkey") <= 200)
+          .select(col("l_partkey"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
+          .orderBy("l_partkey")
+      },
+      Some("""
+        SELECT l_partkey, s_suppkey, s_name, s_acctbal FROM (
+          SELECT l_partkey, s_suppkey, s_name, s_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY l_partkey
+                   ORDER BY s_acctbal DESC, s_suppkey) AS rk
+          FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+          JOIN supplier ON l_suppkey = s_suppkey
+          WHERE l_partkey <= 200) t
+        WHERE rk = 1
+        ORDER BY l_partkey""")),
+
+    // ---- c02 (Q17 shape): small-quantity orders vs per-part average ------
+    QueryDef(
+      "c02_avg_yearly",
+      (s, d) => {
+        val l = Tables(s, d, "lineitem")
+        val avgQty = l.groupBy(col("l_partkey").as("pk"))
+          .agg((sum(money("l_quantity")).cast("double") / count(lit(1)))
+            .as("avg_qty"))
+        l.join(avgQty, col("l_partkey") === col("pk"))
+          .where(col("l_quantity") < col("avg_qty") * 0.5)
+          .agg((sum(money("l_extendedprice")).cast("double") / 7.0)
+            .as("avg_yearly"),
+            count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+               COUNT(*) AS n
+        FROM lineitem l
+        JOIN (SELECT l_partkey AS pk,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+              FROM lineitem GROUP BY l_partkey) a
+          ON l.l_partkey = a.pk
+        WHERE l_quantity < avg_qty * 0.5""")),
+
+    // ---- c03 (Q13 shape): order-count histogram over a left join ---------
+    QueryDef(
+      "c03_customer_distribution",
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val o = Tables(s, d, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""
+        SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey) t
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC"""),
+      bench = true)
+  )
+}

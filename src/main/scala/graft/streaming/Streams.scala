@@ -101,6 +101,33 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join: rows match when keys are equal and the
+    * left event lands within [rightTs, rightTs + maxDelay]. Watermarks on
+    * BOTH sides bound the join state — without them a stream-stream join
+    * buffers forever. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, maxDelay: String,
+      lateness: String): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      l(key) === r(key) &&
+        l.col(leftTs) >= r.col(rightTs) &&
+        l.col(leftTs) <= r.col(rightTs) + expr(s"INTERVAL $maxDelay"))
+      .drop(r(key)) // one unambiguous key column in the output
+  }
+
+  /** Streaming dedup bounded by the watermark: duplicates of a key are
+    * dropped as long as they arrive within `lateness` of the first
+    * occurrence; state for old keys is reclaimed — the unbounded-corpus
+    * form of [[streamingDedup]] (which keeps its seen-set forever). */
+  def dedupWithinWatermark(
+      df: DataFrame, keys: Seq[String], tsCol: String,
+      lateness: String): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Runs the compiled mapping projection incrementally: every
     * micro-batch is transformed with the same MappingCompiler program the
     * batch engine uses and appended via the sink callback — the

@@ -99,6 +99,47 @@ class StreamingSuite extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the delay window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = Streams.intervalJoin(
+      clicks.toDF().toDF("user_id", "click_ts"),
+      views.toDF().toDF("user_id", "view_ts"),
+      "user_id", "click_ts", "view_ts",
+      maxDelay = "10 minutes", lateness = "1 hour")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssjoin").start()
+    try {
+      views.addData((1L, ts(0)), (2L, ts(0)))
+      clicks.addData((1L, ts(5)),   // within 10 min -> match
+        (2L, ts(30)),               // 30 min later -> no match
+        (3L, ts(5)))                // no view -> no match
+      q.processAllAvailable()
+      val got = spark.table("ssjoin").select("user_id")
+        .as[Long].collect().toSeq
+      assert(got == Seq(1L), s"got $got")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups inside the lateness window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val out = Streams.dedupWithinWatermark(
+      input.toDF().toDF("key", "ts"), Seq("key"), "ts", lateness = "10 minutes")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wmdedup").start()
+    try {
+      input.addData(("a", ts(0)), ("a", ts(1)), ("b", ts(2)))
+      q.processAllAvailable()
+      input.addData(("a", ts(3))) // still within the window -> dropped
+      q.processAllAvailable()
+      val keys = spark.table("wmdedup").select("key").as[String]
+        .collect().sorted.toSeq
+      assert(keys == Seq("a", "b"), s"got $keys")
+    } finally q.stop()
+  }
+
   test("batch session_window matches the hand-rolled islands computation") {
     val df = Seq(
       (1L, ts(0)), (1L, ts(10)), (1L, ts(50)),   // two sessions (gap 40m)

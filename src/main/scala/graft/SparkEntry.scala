@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.Windows.defs ++
       graft.queries.MultimodalQ.defs ++
       graft.queries.Advanced.defs ++
-      graft.queries.Complex.defs
+      graft.queries.Complex.defs ++
+      graft.queries.Pipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

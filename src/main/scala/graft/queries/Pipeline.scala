@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.TextOps
+
+/** The composed training-data curation pipeline — the operators of
+  * Dedup/TextAnalysis chained the way a real corpus build runs them:
+  *
+  *   quality filter → exact dedup → near-dup removal (keep the lowest
+  *   doc_id of each >=0.5-Jaccard pair) → per-language corpus stats.
+  *
+  * Everything stays declarative, so Catalyst fuses the filters into the
+  * scan and the only shuffles are the dedup joins and the final rollup.
+  * The DuckDB oracle replays the identical pipeline, which pins the
+  * composition semantics end to end, not just each stage alone.
+  */
+object Pipeline {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "p01_corpus_pipeline",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+
+        // stage 1: quality floor — drop tiny documents
+        val quality = docs
+          .withColumn("__toks", TextOps.tokens(col("text")))
+          .where(size(col("__toks")) >= 20)
+
+        // stage 2: exact dedup on normalized content (keep min doc_id)
+        val canonical = quality
+          .withColumn("__fp", md5(TextOps.normalize(col("text"))))
+          .withColumn("__rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__fp")).orderBy(col("doc_id"))))
+          .where(col("__rk") === 1)
+
+        // stage 3: near-dup removal — drop the higher doc_id of every
+        // >=0.5-Jaccard pair (computed over the quality-filtered corpus)
+        val nearDupLosers = TextOps
+          .ngramJaccardPairs(quality, "doc_id", "text", n = 3, threshold = 0.5)
+          .select(col("id_b").as("doc_id")).distinct()
+        val kept = canonical.join(nearDupLosers, Seq("doc_id"), "left_anti")
+
+        // stage 4: per-language corpus stats
+        kept.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(col("__toks"))).as("total_tokens"),
+            sum(length(col("text"))).as("total_chars"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH quality AS (
+          SELECT doc_id, lang, text,
+                 string_split_regex(trim(text), '\s+') AS toks
+          FROM documents
+          WHERE len(string_split_regex(trim(text), '\s+')) >= 20
+        ), canonical AS (
+          SELECT * FROM (
+            SELECT q.*, ROW_NUMBER() OVER (
+              PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+              ORDER BY doc_id) AS rk
+            FROM quality q) t
+          WHERE rk = 1
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(toks)-2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          FROM quality
+        ), ex AS (
+          SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
+        ), losers AS (
+          SELECT DISTINCT b.doc_id
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id, a.n, b.n
+          HAVING CAST(COUNT(*) AS DOUBLE)/(a.n + b.n - COUNT(*)) >= 0.5
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(len(toks)) AS total_tokens,
+               SUM(length(text)) AS total_chars
+        FROM canonical
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        GROUP BY lang
+        ORDER BY lang"""),
+      bench = true),
+
+    // HLL cardinality sketch — algorithms differ across engines, so the
+    // gate is rows-only; the relative-error bound is pinned in ScalaTest
+    QueryDef(
+      "p02_approx_distinct",
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02)
+            .as("approx_orders"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      None)
+  )
+}

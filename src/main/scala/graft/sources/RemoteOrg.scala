@@ -45,10 +45,12 @@ object RemoteOrgRegistry {
 object Soql {
   def render(
       sObject: String, columns: Seq[String],
-      predicates: Seq[String], limit: Option[Int]): String = {
+      predicates: Seq[String], limit: Option[Int],
+      groupBy: Seq[String] = Nil): String = {
     val where = if (predicates.isEmpty) "" else predicates.mkString(" WHERE (", ") AND (", ")")
+    val grp = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
     val lim = limit.map(n => s" LIMIT $n").getOrElse("")
-    s"SELECT ${columns.mkString(", ")} FROM $sObject$where$lim"
+    s"SELECT ${columns.mkString(", ")} FROM $sObject$where$grp$lim"
   }
 }
 
@@ -71,17 +73,63 @@ final class InMemoryOrg extends RemoteOrg {
 
   override def query(soql: String): Iterator[Row] = synchronized {
     statements += soql
-    val Pattern = """SELECT (.+) FROM (\S+)( WHERE (.+?))?( LIMIT (\d+))?$""".r
+    val Pattern =
+      """SELECT (.+) FROM (\S+)( WHERE (.+?))?( GROUP BY ([\w, ]+?))?( LIMIT (\d+))?$""".r
     soql match {
-      case Pattern(cols, obj, _, where, _, limit) =>
+      case Pattern(cols, obj, _, where, _, groupBy, _, limit) =>
         val (schema, data) = tables(obj)
         val filtered = Option(where).map(w => data.filter(evalWhere(w, schema, _)))
           .getOrElse(data)
-        val limited = Option(limit).map(n => filtered.take(n.toInt)).getOrElse(filtered)
-        val colNames = cols.split(",").map(_.trim).toSeq
-        val idx = colNames.map(schema.fieldIndex)
-        limited.iterator.map(r => Row.fromSeq(idx.map(r.get)))
+        val items = cols.split(",").map(_.trim).toSeq
+        val isAgg = items.exists(i => i.contains("(")) || groupBy != null
+        val resultRows =
+          if (!isAgg) {
+            val idx = items.map(schema.fieldIndex)
+            filtered.map(r => Row.fromSeq(idx.map(r.get)))
+          } else {
+            val groupCols = Option(groupBy)
+              .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+            val gIdx = groupCols.map(schema.fieldIndex)
+            val grouped = filtered.groupBy(r => gIdx.map(r.get))
+            grouped.toVector.sortBy(_._1.mkString("|")).map { case (key, rows) =>
+              val vals = items.map {
+                case g if groupCols.contains(g) => key(groupCols.indexOf(g))
+                case "COUNT(*)" => rows.size.toLong
+                case AggFn("COUNT", c) => rows.count(r => r.get(schema.fieldIndex(c)) != null).toLong
+                case AggFn("MIN", c) => minMax(rows, schema.fieldIndex(c), min = true)
+                case AggFn("MAX", c) => minMax(rows, schema.fieldIndex(c), min = false)
+                case other => throw new IllegalArgumentException(
+                  s"unsupported aggregate select item: $other")
+              }
+              Row.fromSeq(vals)
+            }
+          }
+        val limited = Option(limit).map(n => resultRows.take(n.toInt)).getOrElse(resultRows)
+        limited.iterator
       case _ => throw new IllegalArgumentException(s"unsupported SOQL: $soql")
+    }
+  }
+
+  private object AggFn {
+    private val P = """(\w+)\((\w+)\)""".r
+    def unapply(s: String): Option[(String, String)] = s match {
+      case P(fn, c) => Some((fn.toUpperCase, c))
+      case _ => None
+    }
+  }
+
+  private def minMax(rows: Seq[Row], idx: Int, min: Boolean): Any = {
+    val vs = rows.map(_.get(idx)).filter(_ != null)
+    if (vs.isEmpty) null
+    else {
+      implicit val ord: Ordering[Any] = (a: Any, b: Any) => (a, b) match {
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
+        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+        case (x: String, y: String) => x.compareTo(y)
+        case other => throw new IllegalArgumentException(s"cannot order $other")
+      }
+      if (min) vs.min else vs.max
     }
   }
 

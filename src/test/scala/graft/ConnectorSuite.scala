@@ -79,6 +79,34 @@ class ConnectorSuite extends SparkSuite {
       " — endsWith must not be pushed")
   }
 
+  test("count(*) pushes down as a SOQL aggregate") {
+    val org = freshOrg("t9")
+    val n = read("t9").where(col("Region") === "EU").count()
+    assert(n == 5)
+    val soql = org.statements.last
+    assert(soql.contains("COUNT(*)"), soql)
+  }
+
+  test("groupBy min/max/count pushes down with GROUP BY") {
+    val org = freshOrg("t10")
+    val out = read("t10").groupBy("Region")
+      .agg(count(lit(1)).as("n"), min("Amount").as("lo"), max("Amount").as("hi"))
+      .orderBy("Region")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("EU", 5L, 20L, 100L), ("US", 5L, 10L, 90L)))
+    val soql = org.statements.last
+    assert(soql.contains("GROUP BY Region") && soql.contains("MIN(Amount)")
+      && soql.contains("MAX(Amount)"), soql)
+  }
+
+  test("untranslatable aggregates (sum/avg) stay in Spark, results correct") {
+    val org = freshOrg("t11")
+    val out = read("t11").groupBy("Region").agg(sum("Amount").as("s"))
+      .orderBy("Region").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("EU", 300L), ("US", 250L)))
+    assert(!org.statements.last.contains("SUM"), org.statements.last)
+  }
+
   test("write path chunks inserts at 200 rows per org call") {
     val org = freshOrg("t7", n = 0)
     import spark.implicits._

@@ -24,17 +24,23 @@ object Bench {
     Tables(spark, sfDir, "lineitem").count()
     Tables(spark, sfDir, "orders").count()
 
+    // a failed query must be visible, not a fast-looking timing: it is
+    // reported as -1 and excluded from the total, with its name listed
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       spark.catalog.clearCache() // isolate queries: no cross-query cache reuse
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.filter(_._2 < 0).map(r => "\"" + r._1 + "\"")
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

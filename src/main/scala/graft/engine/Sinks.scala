@@ -24,10 +24,13 @@ object Sinks {
     io.overwrite(table, kept.unionByName(incoming))
   }
 
-  /** DELETE FROM table WHERE cond. */
+  /** DELETE FROM table WHERE cond — SQL delete semantics: only rows where
+    * the predicate is TRUE are removed; NULL-evaluating rows (e.g. a null
+    * column in `v >= 20`) are kept, so `not(cond)` alone would be wrong
+    * (NOT NULL is NULL and the row would be silently dropped). */
   def delete(io: ParquetTableIO, table: String, condition: String): Long = {
     val existing = io.read(table)
-    val keep = existing.where(not(expr(condition)))
+    val keep = existing.where(coalesce(expr(condition), lit(false)) =!= true)
     val removed = existing.count() - keep.count()
     io.overwrite(table, keep)
     removed

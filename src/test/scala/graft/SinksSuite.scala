@@ -30,6 +30,17 @@ class SinksSuite extends SparkSuite {
     assert(io.read("t").select("Id").as[String].collect().toSeq == Seq("1"))
   }
 
+  test("delete keeps rows where the predicate evaluates to NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sinks_null_").toString
+    val io = new graft.engine.ParquetTableIO(spark, dir)
+    Seq(("1", Some(10L)), ("2", None), ("3", Some(30L)))
+      .toDF("Id", "v").write.parquet(io.path("t"))
+    // SQL DELETE semantics: the NULL row does not match `v >= 20`
+    assert(Sinks.delete(io, "t", "v >= 20") == 1)
+    assert(io.read("t").select("Id").as[String].collect().sorted.toSeq ==
+      Seq("1", "2"))
+  }
+
   test("deleteMatching is an anti-join on the key set") {
     val io = freshIo()
     val ids = Seq("1", "3", "999").toDF("Id")

@@ -40,7 +40,8 @@ object TextOps {
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) >= n) // == "shingle set non-empty", but cheap
-      .select(col("__id"), shingles(col("__toks"), n).as("__sh"))
+      .select(col("__id"),
+        NGramShingles.column(df.sparkSession, col("__toks"), n).as("__sh"))
 
   /** MinHash signature of a shingle set: element `i` is
     * `min over shingles of hash_i(shingle)` — H independent salted hash

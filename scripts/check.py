@@ -18,7 +18,9 @@ TABLES = ["region","nation","customer","supplier","part","orders",
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize dtypes for compare
+    # the driver sorts rows before hashing — replicate it so list-typed
+    # columns fail here too (unhashable ndarray), not only in the gate
+    df = df.sort_values(by=list(df.columns))
     return df.reset_index(drop=True)
 
 def main():
@@ -45,6 +47,14 @@ def main():
             n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            n_fail += 1; continue
+        # the driver's gate hashes typed values, so dtype divergence
+        # (e.g. DuckDB HUGEINT->float64 vs Spark int64) is a failure even
+        # when values compare equal
+        dt = [(c, str(got[c].dtype), str(exp[c].dtype))
+              for c in got.columns if str(got[c].dtype) != str(exp[c].dtype)]
+        if dt:
+            print(f"FAIL {name}: dtype mismatch {dt}")
             n_fail += 1; continue
         bad = None
         for c in got.columns:

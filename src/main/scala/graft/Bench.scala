@@ -24,9 +24,14 @@ object Bench {
     Tables(spark, sfDir, "lineitem").count()
     Tables(spark, sfDir, "orders").count()
 
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg
+
     // a failed query must be visible, not a fast-looking timing: it is
     // reported as -1 and excluded from the total, with its name listed
-    val results = SparkEntry.benchQueries.map { name =>
+    def time(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
       val fn = SparkEntry.queries(name)
       spark.catalog.clearCache() // isolate queries: no cross-query cache reuse
       val t0 = System.nanoTime()
@@ -35,12 +40,27 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val failed = results.filter(_._2 < 0).map(r => "\"" + r._1 + "\"")
+    def json(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+
+    // headline = scale-path queries; the deliberately-quadratic exactness
+    // baselines (d05/s01) are timed too but labeled separately so the
+    // headline number reflects the algorithms meant to run at 100 TB
+    val results = time(SparkEntry.benchQueries)
+    val baselines = time(SparkEntry.baselineQueries)
+    val loadEnd = loadAvg
+    val cores = Runtime.getRuntime.availableProcessors()
+    // a polluted run must be self-identifying: loadavg >> this JVM's own
+    // core budget means another process was competing for the machine
+    if (math.min(loadStart, loadEnd) > cores * 1.5)
+      System.err.println(f"[bench] WARNING: system load ($loadStart%.1f -> " +
+        f"$loadEnd%.1f on $cores cores) suggests contention; timings unreliable")
+
+    val failed = (results ++ baselines).filter(_._2 < 0).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val baseTotal = baselines.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(results)},"baseline_queries":${json(baselines)},"baseline_total":$baseTotal%.3f,"failed":$failed,"loadavg":{"start":$loadStart%.2f,"end":$loadEnd%.2f},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,6 +36,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(o => q.name -> o.stripMargin.trim)).toMap
 
-  /** Headline benchmark subset (Bench.scala). */
-  def benchQueries: Seq[String] = registry.filter(_.bench).map(_.name)
+  /** Headline benchmark subset (Bench.scala) — scale-path queries only. */
+  def benchQueries: Seq[String] =
+    registry.filter(q => q.bench && !q.baseline).map(_.name)
+
+  /** Labeled exactness baselines: timed by Bench, reported separately. */
+  def baselineQueries: Seq[String] =
+    registry.filter(q => q.bench && q.baseline).map(_.name)
 }

@@ -28,13 +28,28 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
+
+  /** The `documents` table repartitioned for CPU-heavy per-row work: a
+    * single-file parquet scan arrives as ONE partition, serializing
+    * regex/HOF projections onto one core; an up-front round-robin
+    * repartition costs one small shuffle of raw text and buys full
+    * cluster parallelism for everything downstream. */
+  def corpus(spark: SparkSession, sfDir: String): DataFrame =
+    apply(spark, sfDir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
 }
 
 /** A named query with an optional DuckDB oracle (driver correctness gate)
   * and a flag marking it part of the headline benchmark set.
+  *
+  * `baseline = true` marks a deliberately-naive exactness baseline (e.g.
+  * quadratic all-pairs cosine): it is still timed by Bench, but reported
+  * under `baseline_queries` and excluded from the headline total so the
+  * headline number reflects the algorithms that actually scale.
   */
 final case class QueryDef(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None,
-    bench: Boolean = false)
+    bench: Boolean = false,
+    baseline: Boolean = false)

@@ -28,10 +28,15 @@ object TextOps {
     * ELEMENT (no CSE, no codegen) — pass a materialized column (e.g. via
     * [[shingleSets]]), never a raw `split(...)` expression, or tokenizing
     * becomes O(tokens²) per row. */
-  def shingles(toks: Column, n: Int): Column =
+  def shingles(toks: Column, n: Int): Column = {
+    // docs shorter than n tokens must yield [] — sequence(1, 0) is the
+    // DESCENDING [1, 0] in Spark, whose slice(toks, 0, n) throws at runtime
+    val starts = size(toks) - (n - 1)
     array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      when(starts >= 1, sequence(lit(1), starts))
+        .otherwise(array().cast("array<int>")),
       i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
 
   /** (id, shingle-set) per document with each stage materialized as its
     * own projection, so tokenize → shingle → hash each run once per row

@@ -74,7 +74,7 @@ object VectorOps {
         nativeDot(queries.sparkSession, col("__qv"), col("__cv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long")) // int64: match DuckDB row_number
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }

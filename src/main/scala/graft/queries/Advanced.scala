@@ -43,11 +43,13 @@ object Advanced {
           .join(Tables(s, d, "region"),
             col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"))
-          .agg(sort_array(collect_list(col("n_name"))).as("nations"),
+          // scalar (not array) result: the driver's pandas gate cannot
+          // sort/hash list-typed columns, so both engines emit a CSV string
+          .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
             count(lit(1)).as("n"))
           .orderBy("r_name"),
       Some("""
-        SELECT r_name, list_sort(list(n_name)) AS nations, COUNT(*) AS n
+        SELECT r_name, list_aggregate(list_sort(list(n_name)), 'string_agg', ',') AS nations, COUNT(*) AS n
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
         ORDER BY r_name""")),

@@ -67,8 +67,7 @@ object Dedup {
       "d02_ngram_jaccard",
       (s, d) =>
         TextOps.ngramJaccardPairs(
-            Tables(s, d, "documents")
-              .repartition(s.sparkContext.defaultParallelism),
+            Tables.corpus(s, d),
             "doc_id", "text", n = 3, threshold = 0.5)
           .orderBy("id_a", "id_b"),
       Some(oracleJaccardPairs),
@@ -80,8 +79,7 @@ object Dedup {
       (s, d) => {
         // single-file parquet scans arrive as ONE partition — spread the
         // CPU-heavy sketching across the cluster before computing
-        val docs = Tables(s, d, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
+        val docs = Tables.corpus(s, d)
         val cands = TextOps.minHashCandidates(docs, "doc_id", "text",
           n = 3, numHashes = 128, bands = 32)
         // cached: read twice for the verify join + pushdown barrier
@@ -103,15 +101,15 @@ object Dedup {
       "d04_simhash",
       (s, d) => {
         val sims = TextOps.simHash(
-          Tables(s, d, "documents")
-            .repartition(s.sparkContext.defaultParallelism),
+          Tables.corpus(s, d),
           "doc_id", "text")
         // word-level edits move several simhash bits: planted >=0.9-jaccard
         // pairs here span hamming 0..9, so use the 8-block banding (<=7)
         TextOps.simHashPairs(sims, "doc_id", maxHamming = 7)
           .orderBy("id_a", "id_b")
       },
-      None),
+      None,
+      bench = true),
 
     // ---- d05: embedding-cosine near-dup, exact baseline -------------------
     QueryDef(
@@ -127,6 +125,7 @@ object Dedup {
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.4
         ORDER BY id_a, id_b"""),
-      bench = true)
+      bench = true,
+      baseline = true) // quadratic-by-design exactness baseline; d03/s02 are the scale paths
   )
 }

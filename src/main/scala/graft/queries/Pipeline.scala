@@ -22,8 +22,7 @@ object Pipeline {
     QueryDef(
       "p01_corpus_pipeline",
       (s, d) => {
-        val docs = Tables(s, d, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
+        val docs = Tables.corpus(s, d)
 
         // stage 1: quality floor — drop tiny documents
         val quality = docs
@@ -79,8 +78,8 @@ object Pipeline {
           HAVING CAST(COUNT(*) AS DOUBLE)/(a.n + b.n - COUNT(*)) >= 0.5
         )
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(len(toks)) AS total_tokens,
-               SUM(length(text)) AS total_chars
+               CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars
         FROM canonical
         WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         GROUP BY lang

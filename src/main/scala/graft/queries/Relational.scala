@@ -209,7 +209,7 @@ object Relational {
             col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
             col("l_discount"), col("l_tax"), col("l_returnflag"), col("l_linestatus"))
         T(s, d, "lineitem")
-          .withColumn("rn", row_number().over(w))
+          .withColumn("rn", row_number().over(w).cast("long")) // int64: match DuckDB row_number
           .filter(col("rn") <= 3)
           .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"))
           .orderBy("l_suppkey", "rn")
@@ -603,8 +603,8 @@ object Relational {
           .orderBy("l_returnflag"),
       Some("""
         SELECT l_returnflag,
-          SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
-          SUM(CASE WHEN l_tax = 0.0 THEN 1 ELSE 0 END) AS n_taxfree,
+          CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+          CAST(SUM(CASE WHEN l_tax = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxfree,
           COUNT(*) AS n
         FROM lineitem
         GROUP BY l_returnflag
@@ -614,7 +614,7 @@ object Relational {
     QueryDef(
       "q29_array_funcs",
       (s, d) =>
-        T(s, d, "documents")
+        Tables.corpus(s, d)
           .select(
             col("doc_id"),
             col("lang"),
@@ -628,9 +628,9 @@ object Relational {
           .orderBy("lang"),
       Some("""
         SELECT lang,
-          SUM(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
-          SUM(CASE WHEN list_contains(string_split_regex(trim(text), '\s+'), 'data')
-              THEN 1 ELSE 0 END) AS n_docs_with_data,
+          CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+          CAST(SUM(CASE WHEN list_contains(string_split_regex(trim(text), '\s+'), 'data')
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_data,
           COUNT(*) AS n_docs
         FROM documents
         GROUP BY lang
@@ -650,7 +650,7 @@ object Relational {
           .orderBy("event_type"),
       Some("""
         SELECT event_type,
-          SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+          CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
           COUNT(*) AS n
         FROM events

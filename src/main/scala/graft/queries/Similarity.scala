@@ -45,7 +45,8 @@ object Similarity {
         SELECT query_id, rank, neighbor_id
         FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank"""),
-      bench = true),
+      bench = true,
+      baseline = true), // corpus×queries brute force; s02 is the scale path
 
     // ---- s02: hyperplane-LSH bucketed near-neighbor pairs (scale path;
     // xxhash64-derived projections are not oracle-expressible) -------------
@@ -60,6 +61,7 @@ object Similarity {
             "vec_id", "embedding", bits = 4, bands = 8, threshold = 0.4)
           .select(col("id_a"), col("id_b"))
           .orderBy("id_a", "id_b"),
-      None)
+      None,
+      bench = true)
   )
 }

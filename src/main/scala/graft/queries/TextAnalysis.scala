@@ -70,7 +70,7 @@ object TextAnalysis {
       "t01_langid",
       (s, d) => {
         val toks = TextOps.tokens(col("text"))
-        Tables(s, d, "documents")
+        Tables.corpus(s, d)
           .select((col("doc_id") +: col("lang") +: scoreCols(toks)): _*)
           .withColumn("predicted", predictExpr)
           .groupBy(col("lang"), col("predicted"))
@@ -98,9 +98,9 @@ object TextAnalysis {
         val toks = TextOps.tokens(col("text"))
         val en = stopwords.head._2
         def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
-        Tables(s, d, "documents")
+        Tables.corpus(s, d)
           .select(col("doc_id"),
-            size(toks).as("n_tokens"),
+            size(toks).cast("long").as("n_tokens"), // int64: match DuckDB len()
             length(col("text")).as("n_chars"),
             overlap(toks, en).as("n_stop"))
           .select(col("doc_id"), col("n_tokens"),
@@ -136,7 +136,7 @@ object TextAnalysis {
     QueryDef(
       "t03_token_count",
       (s, d) =>
-        Tables(s, d, "documents")
+        Tables.corpus(s, d)
           .select(col("source"),
             size(TextOps.tokens(col("text"))).cast("long").as("ws_tokens"),
             regexp_count(col("text"), lit("[a-z]+|[0-9]")).cast("long").as("bpe_tokens"),
@@ -149,9 +149,9 @@ object TextAnalysis {
           .orderBy("source"),
       Some("""
         SELECT source, count(*) AS n_docs,
-               sum(len(string_split_regex(trim(text), '\s+'))) AS total_ws_tokens,
-               sum(len(regexp_extract_all(text, '[a-z]+|[0-9]'))) AS total_bpe_tokens,
-               sum(length(text)) AS total_chars
+               CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_ws_tokens,
+               CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]'))) AS BIGINT) AS total_bpe_tokens,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars
         FROM documents
         GROUP BY source
         ORDER BY source""")),
@@ -162,7 +162,7 @@ object TextAnalysis {
       (s, d) =>
         // stage toks -> shingles -> fp so the split isn't re-evaluated per
         // shingle (see TextOps.shingles pitfall)
-        Tables(s, d, "documents")
+        Tables.corpus(s, d)
           .select(col("doc_id"), col("text"),
             TextOps.tokens(col("text")).as("__toks"))
           .select(col("doc_id"),

@@ -41,6 +41,16 @@ class DedupOpsSuite extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall, missed ${exactPairs.diff(pairs)}")
   }
 
+  test("shingles of a doc shorter than n tokens is empty, not an error") {
+    val df = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      .orderBy("doc_id")
+      .as[(Long, Seq[String])].collect()
+    assert(out(0)._2.isEmpty)
+    assert(out(1)._2 == Seq("a b c", "b c d"))
+  }
+
   test("simhash of identical text is identical") {
     val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"))
       .toDF("doc_id", "text")

@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
-import graft.sources.RemoteOrgRegistry
+import graft.sources.{OrgWriteMetrics, RemoteOrgRegistry, WriteOutcome}
 
 /** TableIO over the DSv2 connector — the production-shaped binding that
   * lets [[MigrationEngine]] run the reference's actual scenario: migrate
@@ -43,18 +43,41 @@ final class ConnectorTableIO(
     }
   }
 
+  override def update(table: String, rows: DataFrame): Long = {
+    // targeted bulk update through the DSv2 write path: executors chunk
+    // the update rows (≤200/call) and the org applies them by Id —
+    // data_connector.py:281-291 semantics, zero driver materialization
+    rows.write.format("salesforce-sim")
+      .option("org", orgName).option("sObject", table)
+      .option("writeMode", "update")
+      .mode(SaveMode.Append).save()
+    OrgWriteMetrics.lastCommit(orgName, table).processed
+  }
+
+  /** Upsert keyed on an external-ID field (bulk_upsert,
+    * data_connector.py:301-310), through the same chunked write path. */
+  def upsert(table: String, rows: DataFrame, externalIdField: String): WriteOutcome = {
+    rows.write.format("salesforce-sim")
+      .option("org", orgName).option("sObject", table)
+      .option("writeMode", "upsert").option("externalIdField", externalIdField)
+      .mode(SaveMode.Append).save()
+    OrgWriteMetrics.lastCommit(orgName, table)
+  }
+
+  /** Server-side predicate delete (bulk_delete, data_connector.py:294-298):
+    * the WHERE ships to the org; no ID list crosses the driver. */
+  def deleteWhere(table: String, predicates: Seq[String]): Int =
+    RemoteOrgRegistry(orgName).deleteWhere(table, predicates)
+
   override def overwrite(table: String, rows: DataFrame): Unit = {
     // full replace that PRESERVES record identity: materialize the new
-    // rows first (they derive from the table being replaced), delete the
-    // old ones, then write back with Ids intact (the org honors provided
-    // Ids — update semantics). Production orgs would use a targeted
-    // update call with exactly applyWriteBack's rows instead.
+    // rows first (they derive from the table being replaced), truncate
+    // org-side (no driver ID collection), then re-insert with Ids intact
+    // (the org honors provided Ids). The migration write-back path never
+    // comes here anymore — it issues targeted update() calls.
     val materialized = rows.cache()
     materialized.count()
-    val org = RemoteOrgRegistry(orgName)
-    val ids = reader(table).select(col("Id"))
-      .collect().map(_.getString(0)).toSeq
-    org.delete(table, ids)
+    RemoteOrgRegistry(orgName).deleteWhere(table, Seq("Id != null"))
     materialized.write.format("salesforce-sim")
       .option("org", orgName).option("sObject", table)
       .mode(SaveMode.Append).save()

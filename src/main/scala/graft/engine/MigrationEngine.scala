@@ -19,7 +19,11 @@ trait TableIO {
   def read(table: String): DataFrame
   /** Appends rows; returns the created rows with their new `Id`. */
   def insert(table: String, rows: DataFrame): DataFrame
-  /** Full-table replace (used to apply write-back updates). */
+  /** Targeted update: `rows` carry `Id` plus the columns to overwrite on
+    * the matching records — the reference's bulk_update
+    * (data_connector.py:281-291). Returns rows processed. */
+  def update(table: String, rows: DataFrame): Long
+  /** Full-table replace (bulk sink maintenance, not the update path). */
   def overwrite(table: String, rows: DataFrame): Unit
 }
 
@@ -46,6 +50,26 @@ final class ParquetTableIO(
         concat(lit(idPrefix), xxhash64(rows.columns.map(col): _*).cast("string")))
     created.write.mode("append").parquet(path(table))
     created
+  }
+
+  override def update(table: String, rows: DataFrame): Long = {
+    // parquet is immutable, so a targeted update is necessarily
+    // read-merge-rewrite here; the join is broadcast (the update set is
+    // small relative to the table) and nothing crosses the driver. A
+    // mutable sink (the connector) applies per-row updates instead.
+    val updCols = rows.columns.filterNot(_ == "Id").toSeq
+    val existing = read(table)
+    val u = rows.select(
+      (col("Id").as("__upd_id") +: updCols.map(c => col(c).as(s"__upd_$c"))): _*)
+    val joined = existing.join(broadcast(u), existing("Id") === u("__upd_id"), "left")
+    val merged = joined.select(existing.columns.toSeq.map {
+      case c if updCols.contains(c) =>
+        coalesce(col(s"__upd_$c"), existing(c)).as(c)
+      case c => existing(c)
+    }: _*)
+    val n = rows.count()
+    overwrite(table, merged)
+    n
   }
 
   override def overwrite(table: String, rows: DataFrame): Unit = {
@@ -108,12 +132,11 @@ final class MigrationEngine(
     // recompute over the mutated table.
     val nUpdated = spec.srcOldIdColumn match {
       case Some(_) =>
+        // targeted update of exactly the write-back rows (reference
+        // semantics: bulk_update, data_connector.py:281-291) — never a
+        // full-table rewrite through the driver
         val updates = MappingCompiler.writeBackRows(created, spec)
-        val n = updates.count()
-        val srcTable = src.read(spec.sourceObject)
-        val updated = MappingCompiler.applyWriteBack(srcTable, updates, spec)
-        src.overwrite(spec.sourceObject, updated)
-        n
+        src.update(spec.sourceObject, updates)
       case None => 0L
     }
 

@@ -24,7 +24,38 @@ trait RemoteOrg {
   def query(soql: String): Iterator[Row]
   /** Inserts ≤200-row chunks; returns created IDs in row order. */
   def insert(sObject: String, rows: Seq[Row], schema: StructType): Seq[String]
+  /** Updates existing rows by `Id` (≤200-row chunks) — bulk_update
+    * (data_connector.py:281-291): only the columns present in `schema`
+    * are overwritten; missing Ids are counted as failures, not errors. */
+  def update(sObject: String, rows: Seq[Row], schema: StructType): (Int, Int)
+  /** Insert-or-update keyed on an external-ID field (≤200-row chunks) —
+    * bulk_upsert (data_connector.py:301-310). Returns (inserted, updated). */
+  def upsert(sObject: String, externalIdField: String, rows: Seq[Row],
+      schema: StructType): (Int, Int)
   def delete(sObject: String, ids: Seq[String]): Int
+  /** Server-side predicate delete — bulk_delete(object, where)
+    * (data_connector.py:294-298): the org resolves the WHERE itself, so
+    * no ID list ever crosses to the driver. */
+  def deleteWhere(sObject: String, predicates: Seq[String]): Int
+  /** Sorted internal PK split points for range-partitioned scans — the
+    * sim of Bulk API PK chunking. `k-1` boundaries split the table into
+    * `k` ranges (first: Id <= b1; last: Id > b(k-1)); empty means the
+    * org serves the table as one cursor. */
+  def pkChunkBoundaries(sObject: String, desiredChunks: Int): Seq[String] = Nil
+}
+
+/** Per-(org, sObject) outcome of the last connector batch write — the
+  * numberRecordsProcessed/Failed surface of the reference's batch status
+  * checks (data_connector.py:342-349), aggregated from writer commit
+  * messages instead of discarded. */
+final case class WriteOutcome(processed: Long, failed: Long)
+
+object OrgWriteMetrics {
+  private val last = new ConcurrentHashMap[(String, String), WriteOutcome]()
+  def record(org: String, sObject: String, o: WriteOutcome): Unit =
+    last.put((org, sObject), o)
+  def lastCommit(org: String, sObject: String): WriteOutcome =
+    last.getOrDefault((org, sObject), WriteOutcome(0L, 0L))
 }
 
 /** Process-local registry so the reflectively-instantiated DSv2 provider
@@ -90,7 +121,14 @@ final class InMemoryOrg extends RemoteOrg {
             val groupCols = Option(groupBy)
               .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
             val gIdx = groupCols.map(schema.fieldIndex)
-            val grouped = filtered.groupBy(r => gIdx.map(r.get))
+            // a global aggregate (no GROUP BY) over zero rows still yields
+            // ONE row (COUNT=0, NULL min/max) — the connector declares
+            // complete pushdown, so Spark trusts this result verbatim
+            val grouped0 = filtered.groupBy(r => gIdx.map(r.get))
+            val grouped =
+              if (gIdx.isEmpty && grouped0.isEmpty)
+                Map(Seq.empty[Any] -> Vector.empty[Row])
+              else grouped0
             grouped.toVector.sortBy(_._1.mkString("|")).map { case (key, rows) =>
               val vals = items.map {
                 case g if groupCols.contains(g) => key(groupCols.indexOf(g))
@@ -134,9 +172,33 @@ final class InMemoryOrg extends RemoteOrg {
   }
 
   // evaluates the conjunct grammar render() produces: (p) AND (p) …
+  // split at depth-0 ") AND (" boundaries only — a naive string split
+  // would break inside IN-list parens: (Id IN ('a', 'b')) AND (Id > 'x')
+  private def splitConjuncts(w: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < w.length) {
+      w.charAt(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0 && w.startsWith(" AND (", i + 1)) {
+            out += w.substring(start, i + 1)
+            start = i + 6 // skip ") AND " and land on the next "("
+            i += 5
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    out += w.substring(start)
+    out.toSeq.map(_.trim.stripPrefix("(").stripSuffix(")"))
+  }
+
   private def evalWhere(w: String, schema: StructType, row: Row): Boolean =
-    w.split("\\) AND \\(").map(_.stripPrefix("(").stripSuffix(")"))
-      .forall(p => evalPred(p.trim, schema, row))
+    splitConjuncts(w).forall(p => evalPred(p.trim, schema, row))
 
   private def evalPred(p: String, schema: StructType, row: Row): Boolean = {
     def v(col: String): Any = row.get(schema.fieldIndex(col))
@@ -205,6 +267,60 @@ final class InMemoryOrg extends RemoteOrg {
       withIds.map(_._1)
     }
 
+  override def update(sObject: String, batch: Seq[Row], schema: StructType): (Int, Int) =
+    synchronized {
+      require(batch.size <= 200,
+        s"chunk contract violated: ${batch.size} rows in one call") // data_connector.py:23
+      statements += s"UPDATE $sObject (${batch.size} rows)"
+      val (tblSchema, data) = tables(sObject)
+      val idIdx = schema.fieldIndex("Id")
+      val byId = batch.map(r => r.getString(idIdx) -> r).toMap
+      var updated = 0
+      val next = data.map { existing =>
+        byId.get(existing.getString(tblSchema.fieldIndex("Id"))) match {
+          case Some(upd) =>
+            updated += 1
+            Row.fromSeq(tblSchema.fieldNames.map { f =>
+              if (f != "Id" && schema.fieldNames.contains(f)) upd.get(schema.fieldIndex(f))
+              else existing.get(tblSchema.fieldIndex(f))
+            }.toSeq)
+          case None => existing
+        }
+      }
+      tables.put(sObject, (tblSchema, next))
+      (updated, batch.size - updated)
+    }
+
+  override def upsert(sObject: String, externalIdField: String, batch: Seq[Row],
+      schema: StructType): (Int, Int) = synchronized {
+    require(batch.size <= 200,
+      s"chunk contract violated: ${batch.size} rows in one call")
+    statements += s"UPSERT $sObject ON $externalIdField (${batch.size} rows)"
+    val (tblSchema, data) = tables(sObject)
+    val keyIdx = tblSchema.fieldIndex(externalIdField)
+    val existingKeys = data.map(r => Option(r.get(keyIdx)).map(_.toString).orNull)
+      .filter(_ != null).toSet
+    val (toUpdate, toInsert) = batch.partition { r =>
+      val k = r.get(schema.fieldIndex(externalIdField))
+      k != null && existingKeys.contains(k.toString)
+    }
+    val bKey = schema.fieldIndex(externalIdField)
+    val updatedData = tables(sObject)._2.map { existing =>
+      val k = Option(existing.get(keyIdx)).map(_.toString).orNull
+      toUpdate.find(r => Option(r.get(bKey)).map(_.toString).contains(k)) match {
+        case Some(upd) =>
+          Row.fromSeq(tblSchema.fieldNames.map { f =>
+            if (f != "Id" && schema.fieldNames.contains(f)) upd.get(schema.fieldIndex(f))
+            else existing.get(tblSchema.fieldIndex(f))
+          }.toSeq)
+        case None => existing
+      }
+    }
+    tables.put(sObject, (tblSchema, updatedData))
+    if (toInsert.nonEmpty) insert(sObject, toInsert, schema)
+    (toInsert.size, toUpdate.size)
+  }
+
   override def delete(sObject: String, ids: Seq[String]): Int = synchronized {
     val (schema, data) = tables(sObject)
     val idIdx = schema.fieldIndex("Id")
@@ -212,4 +328,30 @@ final class InMemoryOrg extends RemoteOrg {
     tables.put(sObject, (schema, keep))
     data.size - keep.size
   }
+
+  override def deleteWhere(sObject: String, predicates: Seq[String]): Int =
+    synchronized {
+      val where = if (predicates.isEmpty) "" else predicates.mkString("(", ") AND (", ")")
+      statements += s"DELETE FROM $sObject${if (where.isEmpty) "" else s" WHERE $where"}"
+      val (schema, data) = tables(sObject)
+      val keep =
+        if (predicates.isEmpty) Vector.empty
+        else data.filterNot(r => evalWhere(where, schema, r))
+      tables.put(sObject, (schema, keep))
+      data.size - keep.size
+    }
+
+  override def pkChunkBoundaries(sObject: String, desiredChunks: Int): Seq[String] =
+    synchronized {
+      val (schema, data) = tables(sObject)
+      if (desiredChunks <= 1 || data.size < desiredChunks) Nil
+      else {
+        val ids = data.map(_.getString(schema.fieldIndex("Id"))).sorted
+        // evenly spaced internal boundaries; a real org's PK chunking
+        // hands out ranges of fixed row width the same way
+        (1 until desiredChunks)
+          .map(i => ids((i.toLong * ids.size / desiredChunks).toInt - 1))
+          .distinct
+      }
+    }
 }

@@ -99,6 +99,52 @@ class ConnectorSuite extends SparkSuite {
       && soql.contains("MAX(Amount)"), soql)
   }
 
+  test("PK-range scan splits into multiple partitions with identical results") {
+    val org = freshOrg("t12")
+    val df = read("t12")
+    assert(df.rdd.getNumPartitions == 4, s"expected 4 PK ranges, got ${df.rdd.getNumPartitions}")
+    // every range carries an Id-range predicate and the union is exactly the table
+    val ids = df.collect().map(_.getAs[String]("Id")).sorted
+    assert(ids.toSeq == (1 to 10).map(i => f"ID$i%03d"))
+    val scans = org.statements.filter(_.startsWith("SELECT"))
+    assert(scans.count(_.contains("Id > ")) >= 3, scans.mkString("\n"))
+  }
+
+  test("explicit numPartitions=1 keeps the single-cursor scan") {
+    val org = freshOrg("t13")
+    val df = spark.read.format("salesforce-sim")
+      .option("org", "t13").option("sObject", "Account")
+      .option("numPartitions", "1").load()
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.count() == 10)
+  }
+
+  test("aggregate over PK ranges demotes to partials Spark merges correctly") {
+    val org = freshOrg("t14")
+    // 4 range partitions -> complete pushdown must NOT be claimed; each
+    // range returns partial COUNT/MIN/MAX and Spark merges (COUNT summed)
+    val out = read("t14").groupBy("Region")
+      .agg(count(lit(1)).as("n"), min("Amount").as("lo"), max("Amount").as("hi"))
+      .orderBy("Region")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("EU", 5L, 20L, 100L), ("US", 5L, 10L, 90L)))
+    val aggScans = org.statements.filter(s => s.contains("COUNT(*)"))
+    assert(aggScans.size == 4, org.statements.mkString("\n"))
+    assert(aggScans.forall(_.contains("GROUP BY Region")))
+    // global count over ranges also sums partials
+    assert(read("t14").count() == 10)
+  }
+
+  test("global aggregate over an empty match still yields one row") {
+    freshOrg("t9e")
+    val out = read("t9e").where(col("Region") === "APAC")
+      .agg(count(lit(1)).as("n"), min("Amount").as("lo"))
+      .collect()
+    assert(out.length == 1, "global aggregate must emit exactly one row")
+    assert(out(0).getLong(0) == 0L)
+    assert(out(0).isNullAt(1))
+  }
+
   test("untranslatable aggregates (sum/avg) stay in Spark, results correct") {
     val org = freshOrg("t11")
     val out = read("t11").groupBy("Region").agg(sum("Amount").as("s"))

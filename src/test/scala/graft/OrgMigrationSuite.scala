@@ -76,5 +76,67 @@ class OrgMigrationSuite extends SparkSuite {
     // the extraction pushed its WHERE into generated SOQL
     assert(srcOrg.statements.exists(_.contains("Amount >= 100")),
       srcOrg.statements.mkString("\n"))
+
+    // write-back went through targeted UPDATE calls — never a
+    // full-table delete+reinsert (the round-1 overwrite scale bug)
+    assert(srcOrg.statements.exists(_.startsWith("UPDATE Account")),
+      srcOrg.statements.mkString("\n"))
+    assert(!srcOrg.statements.exists(_.startsWith("DELETE FROM Account")),
+      srcOrg.statements.mkString("\n"))
+
+    // commit metrics surfaced processed/failed counts from the writers
+    val ins = graft.sources.OrgWriteMetrics.lastCommit("mig_dst", "Accounts__c")
+    assert(ins.processed == 2 && ins.failed == 0, ins)
+    val upd = graft.sources.OrgWriteMetrics.lastCommit("mig_src", "Account")
+    assert(upd.processed == 2 && upd.failed == 0, upd)
+  }
+
+  test("connector update counts missing Ids as failed, not as errors") {
+    val org = new InMemoryOrg
+    org.createTable("Account", srcSchema, Seq(
+      Row("A1", "one", 1.0, null), Row("A2", "two", 2.0, null)))
+    RemoteOrgRegistry.register("updm", org)
+    import spark.implicits._
+    val updates = Seq(("A1", "renamed"), ("AX", "ghost")).toDF("Id", "Name")
+    val n = new ConnectorTableIO(spark, "updm").update("Account", updates)
+    assert(n == 1)
+    val out = graft.sources.OrgWriteMetrics.lastCommit("updm", "Account")
+    assert(out.processed == 1 && out.failed == 1, out)
+    val byId = org.rows("Account").map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byId("A1") == "renamed" && byId("A2") == "two")
+  }
+
+  test("connector upsert inserts new keys and updates existing ones") {
+    val org = new InMemoryOrg
+    org.createTable("Account", srcSchema, Seq(
+      Row("A1", "one", 1.0, "K1"), Row("A2", "two", 2.0, "K2")))
+    RemoteOrgRegistry.register("upsm", org)
+    import spark.implicits._
+    val rows = Seq(("K1", "one-v2", 10.0), ("K3", "three", 3.0))
+      .toDF("New_Id__c", "Name", "Amount")
+    val out = new ConnectorTableIO(spark, "upsm")
+      .upsert("Account", rows, "New_Id__c")
+    assert(out.processed == 2 && out.failed == 0, out)
+    assert(org.statements.exists(_.startsWith("UPSERT Account ON New_Id__c")),
+      org.statements.mkString("\n"))
+    val byKey = org.rows("Account")
+      .map(r => r.getString(3) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(byKey("K1") == ("one-v2", 10.0)) // updated in place
+    assert(byKey("K2") == ("two", 2.0))     // untouched
+    assert(byKey("K3") == ("three", 3.0))   // inserted
+  }
+
+  test("connector deleteWhere resolves the predicate org-side") {
+    val org = new InMemoryOrg
+    org.createTable("Account", srcSchema, Seq(
+      Row("A1", "keep", 1.0, null), Row("A2", "drop", 200.0, null),
+      Row("A3", "drop", 300.0, null)))
+    RemoteOrgRegistry.register("delw", org)
+    val n = new ConnectorTableIO(spark, "delw")
+      .deleteWhere("Account", Seq("Amount > 100"))
+    assert(n == 2)
+    assert(org.rows("Account").map(_.getString(0)) == Vector("A1"))
+    assert(org.statements.last == "DELETE FROM Account WHERE (Amount > 100)",
+      org.statements.last)
   }
 }

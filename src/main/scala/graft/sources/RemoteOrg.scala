@@ -13,9 +13,10 @@ import org.apache.spark.sql.Row
   * (QUERY_LIMIT, data_connector.py:23).
   *
   * Injectable so the whole connector stack is unit-testable with zero
-  * network egress (SURVEY.md §7 hard-point d); a production impl would
-  * wrap HTTP + auth/token-retry (data_connector.py:164-252) behind the
-  * same trait.
+  * network egress (SURVEY.md §7 hard-point d). The auth/token lifecycle
+  * (fetch, cache, invalidate-and-retry-once — data_connector.py:164-252)
+  * lives in [[TokenProvider]]/[[AuthRetryOrg]] (Auth.scala), which wrap
+  * any impl of this trait in the retry-once session policy.
   */
 trait RemoteOrg {
   def describe(sObject: String): StructType

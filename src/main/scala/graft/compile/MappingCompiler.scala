@@ -55,17 +55,28 @@ object MappingCompiler {
       .filter(_ != spec.sourceObject).distinct
 
     val joined = parentTables.foldLeft(base) { (df, parent) =>
-      val rel = relationships.find(r =>
-        r.childTable == spec.sourceObject && r.parentTable == parent)
-        .getOrElse(throw new IllegalArgumentException(
-          s"no relationship declared for ${spec.sourceObject} -> $parent"))
-      // prune the parent to key + referenced columns before broadcasting
-      val needed = spec.mapping.filter(_.tableSrc == parent).map(_.columnSrc)
-      val parentDf = catalog(parent)
-        .select((rel.parentKey +: needed).distinct.map(col): _*)
-      df.join(broadcast(parentDf),
-        df(rel.fkColumn) === parentDf(rel.parentKey), "left")
-        .drop(parentDf(rel.parentKey))
+      val needed = spec.mapping.filter(_.tableSrc == parent).map(_.columnSrc).distinct
+      val dotted = needed.map(c => s"$parent.$c")
+      if (dotted.forall(df.columns.contains)) {
+        // the source scan already exposes relationship-path columns
+        // (connector pushdown: SOQL `Parent.Column`) — alias them to the
+        // source-column names and let the ORG do the join; one object
+        // scanned instead of two, exactly mapping_parser.py:34-38
+        needed.zip(dotted).foldLeft(df) { case (d, (c, dc)) =>
+          d.withColumn(c, col(s"`$dc`"))
+        }
+      } else {
+        val rel = relationships.find(r =>
+          r.childTable == spec.sourceObject && r.parentTable == parent)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no relationship declared for ${spec.sourceObject} -> $parent"))
+        // prune the parent to key + referenced columns before broadcasting
+        val parentDf = catalog(parent)
+          .select((rel.parentKey +: needed).distinct.map(col): _*)
+        df.join(broadcast(parentDf),
+          df(rel.fkColumn) === parentDf(rel.parentKey), "left")
+          .drop(parentDf(rel.parentKey))
+      }
     }
 
     // WHERE refers to source-table columns (not just projected ones —

@@ -18,11 +18,22 @@ import graft.sources.{OrgWriteMetrics, RemoteOrgRegistry, WriteOutcome}
 final class ConnectorTableIO(
     spark: SparkSession,
     orgName: String,
-    srcIdColumn: Option[String] = None) extends TableIO {
+    srcIdColumn: Option[String] = None,
+    relationships: Seq[graft.compile.Relationship] = Nil) extends TableIO {
 
-  private def reader(table: String): DataFrame =
-    spark.read.format("salesforce-sim")
-      .option("org", orgName).option("sObject", table).load()
+  private def reader(table: String): DataFrame = {
+    val rels = relationships.filter(_.childTable == table)
+    val base = spark.read.format("salesforce-sim")
+      .option("org", orgName).option("sObject", table)
+    // declared parent lookups ride along so the scan exposes dotted
+    // Parent.Column fields and the org executes the join (SOQL
+    // relationship paths) — the compiler then skips its Spark-side join
+    val withRels =
+      if (rels.isEmpty) base
+      else base.option("relationships",
+        rels.map(r => s"${r.fkColumn}:${r.parentTable}:${r.parentKey}").mkString(";"))
+    withRels.load()
+  }
 
   override def read(table: String): DataFrame = reader(table)
 

@@ -95,9 +95,40 @@ final class InMemoryOrg extends RemoteOrg {
   private var idSeq = 0L
   val statements = scala.collection.mutable.ArrayBuffer.empty[String]
   val insertBatchSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+  /** (childTable, fkColumn, parentTable, parentKey) — lets `query`
+    * resolve dotted `Parent.Column` select items the way a real org
+    * resolves relationship paths (mapping_parser.py:34-38). */
+  private val relationships =
+    scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String)]
 
   def createTable(name: String, schema: StructType, rows: Seq[Row] = Nil): Unit =
     tables.put(name, (schema, rows.toVector))
+
+  def declareRelationship(childTable: String, fkColumn: String,
+      parentTable: String, parentKey: String): Unit =
+    relationships += ((childTable, fkColumn, parentTable, parentKey))
+
+  /** Value of a select item for `row`: a plain column, or a dotted
+    * relationship path resolved through the declared FK (left-join
+    * semantics: unmatched/null FK → null). Linear parent lookup — this is
+    * the test sim; a real org does this server-side. */
+  private def resolveValue(item: String, table: String, schema: StructType,
+      row: Row): Any =
+    if (!item.contains(".")) row.get(schema.fieldIndex(item))
+    else {
+      val Array(parent, pcol) = item.split("\\.", 2)
+      val rel = relationships.find(r => r._1 == table && r._3 == parent)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no relationship $table -> $parent declared for path $item"))
+      val fkVal = row.get(schema.fieldIndex(rel._2))
+      if (fkVal == null) null
+      else {
+        val (pSchema, pData) = tables(parent)
+        val keyIdx = pSchema.fieldIndex(rel._4)
+        pData.find(pr => pr.get(keyIdx) == fkVal)
+          .map(_.get(pSchema.fieldIndex(pcol))).orNull
+      }
+    }
 
   def rows(name: String): Vector[Row] = tables(name)._2
 
@@ -116,8 +147,7 @@ final class InMemoryOrg extends RemoteOrg {
         val isAgg = items.exists(i => i.contains("(")) || groupBy != null
         val resultRows =
           if (!isAgg) {
-            val idx = items.map(schema.fieldIndex)
-            filtered.map(r => Row.fromSeq(idx.map(r.get)))
+            filtered.map(r => Row.fromSeq(items.map(resolveValue(_, obj, schema, r))))
           } else {
             val groupCols = Option(groupBy)
               .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)

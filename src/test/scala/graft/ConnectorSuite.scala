@@ -135,6 +135,73 @@ class ConnectorSuite extends SparkSuite {
     assert(read("t14").count() == 10)
   }
 
+  test("relationship-path columns push down as dotted SOQL, no parent scan") {
+    val org = new InMemoryOrg
+    org.createTable("Child", StructType(Seq(
+      StructField("Id", StringType), StructField("Name", StringType),
+      StructField("ParentId", StringType))), Seq(
+      Row("C1", "a", "P1"), Row("C2", "b", "P2"), Row("C3", "c", null)))
+    org.createTable("Parent", StructType(Seq(
+      StructField("Id", StringType), StructField("Email", StringType))), Seq(
+      Row("P1", "p1@x.org"), Row("P2", "p2@x.org")))
+    org.declareRelationship("Child", "ParentId", "Parent", "Id")
+    RemoteOrgRegistry.register("rel1", org)
+
+    val df = spark.read.format("salesforce-sim")
+      .option("org", "rel1").option("sObject", "Child")
+      .option("relationships", "ParentId:Parent:Id")
+      .option("numPartitions", "1").load()
+    assert(df.columns.contains("Parent.Email"))
+
+    val out = df.select(col("Name"), col("`Parent.Email`").as("email"))
+      .orderBy("Name")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("a", "p1@x.org"), ("b", "p2@x.org"), ("c", null)))
+
+    val scans = org.statements.filter(_.startsWith("SELECT"))
+    assert(scans.exists(_.contains("Parent.Email")), scans.mkString("\n"))
+    assert(!scans.exists(_.contains("FROM Parent")),
+      "parent must not be scanned separately:\n" + scans.mkString("\n"))
+  }
+
+  test("mapping compiler uses connector relationship pushdown when available") {
+    import graft.compile.{MappingCompiler, Relationship}
+    import graft.engine.ConnectorTableIO
+    import graft.spec.MappingSpec
+
+    val org = new InMemoryOrg
+    org.createTable("Account", StructType(Seq(
+      StructField("Id", StringType), StructField("OwnerId", StringType),
+      StructField("Amount", LongType))), Seq(
+      Row("A1", "U1", 10L), Row("A2", "U2", 20L), Row("A3", null, 30L)))
+    org.createTable("User", StructType(Seq(
+      StructField("Id", StringType), StructField("Alias", StringType))), Seq(
+      Row("U1", "ann"), Row("U2", "bob")))
+    org.declareRelationship("Account", "OwnerId", "User", "Id")
+    RemoteOrgRegistry.register("rel2", org)
+
+    val rels = Seq(Relationship("Account", "OwnerId", "User", "Id"))
+    val io = new ConnectorTableIO(spark, "rel2", relationships = rels)
+    val spec = MappingSpec.fromJson("""
+      [{"source_object": "Account", "destination_object": "Accounts__c",
+        "mapping": [
+          {"table_src": "Account", "column_src": "Id",
+           "table_dst": "Accounts__c", "column_dst": "Old_Id__c",
+           "operation": "copy", "column_type": "src_id"},
+          {"table_src": "User", "column_src": "Alias",
+           "table_dst": "Accounts__c", "column_dst": "Owner_Alias__c",
+           "operation": "copy", "column_type": "regular"}]}]""").head
+
+    val out = MappingCompiler.sourceQuery(io.read, spec, rels)
+      .orderBy("Id").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("A1", "ann"), ("A2", "bob"), ("A3", null)))
+    // the org saw ONE object with a dotted path — not a User table scan
+    val scans = org.statements.filter(_.startsWith("SELECT"))
+    assert(scans.exists(s => s.contains("User.Alias") && s.contains("FROM Account")),
+      scans.mkString("\n"))
+    assert(!scans.exists(_.contains("FROM User")), scans.mkString("\n"))
+  }
+
   test("global aggregate over an empty match still yields one row") {
     freshOrg("t9e")
     val out = read("t9e").where(col("Region") === "APAC")

@@ -73,15 +73,19 @@ object TextOps {
     inter / (size(a) + size(b) - size(array_intersect(a, b)))
   }
 
-  /** Exact all-pairs n-gram Jaccard dedup via an inverted-index join —
-    * the scalable exact algorithm: explode distinct shingles, equi-join
-    * on the shingle (shuffle on a well-distributed string key), count
-    * shared shingles per pair, compute Jaccard from set sizes. Returns
-    * (idA, idB, jac) with idA < idB and jac >= threshold.
+  /** Exact all-pairs n-gram Jaccard dedup via PREFIX FILTERING (the
+    * PPJoin/All-Pairs scheme) + exact verification:
     *
-    * At 100 TB this is the verification stage; candidate pruning (LSH,
-    * prefix filtering) should bound the join fan-out first — see
-    * [[minHashCandidates]]. */
+    *   1. index only each document's `|S| - ceil(t*|S|) + 1` globally
+    *      RAREST shingles (ascending document frequency, shingle as the
+    *      tiebreak — a total order). Any pair with jac >= t must share a
+    *      prefix shingle, so candidate recall is total while hot shingles
+    *      (the quadratic fan-out at 100x corpus scale) almost never enter
+    *      the index.
+    *   2. verify candidates exactly on the full shingle sets.
+    *
+    * Returns (idA, idB, jac) with idA < idB and jac >= threshold —
+    * byte-identical to the plain inverted-index algorithm. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
@@ -89,27 +93,47 @@ object TextOps {
     // optimizer infers filters from Generate/join keys and pushes them
     // down with full alias substitution — without an InMemoryRelation
     // barrier the whole shingle chain is re-evaluated inside a pushed
-    // Filter for every row (measured 20x slowdown). Both self-join sides
-    // read the cache, halving compute as well.
+    // Filter for every row (measured 20x slowdown). The cache also serves
+    // candidate generation AND both verify sides.
     val sh = shingleSets(df, idCol, textCol, n).cache()
+    verifyJaccard(sh, prefixCandidates(sh, threshold), threshold)
+  }
+
+  /** Candidate pairs from the prefix index: explode shingles, compute
+    * global document frequency (one aggregation), keep each doc's
+    * `|S| - ceil(t*|S|) + 1` rarest shingles, self-join on the shingle
+    * with the size-compatibility prune (jac >= t implies t|A| <= |B| <=
+    * |A|/t). Exact-recall superset of the >= t pairs. */
+  def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ex = sh.select(col("__id"), size(col("__sh")).as("__n"),
       explode(col("__sh")).as("__s"))
-    val a = ex.select(col("__id").as("id_a"), col("__n").as("n_a"), col("__s"))
-    val b = ex.select(col("__id").as("id_b"), col("__n").as("n_b"), col("__s"))
-    // size-compatibility prune (exactness-preserving): jac(A,B) >= t
-    // implies |A| >= t|B| and |B| >= t|A|, so size-incompatible pairs are
-    // dropped inside the join instead of surviving to the aggregation
+    val freq = ex.groupBy("__s").agg(count(lit(1)).as("__df"))
+    // (df asc, shingle asc) is a TOTAL order, identical across docs —
+    // required for the prefix principle to hold
+    val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__s"))
+    val prefix = ex.join(freq, "__s")
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+      .select(col("__id"), col("__n"), col("__s"))
+    val a = prefix.select(col("__id").as("id_a"), col("__n").as("n_a"), col("__s"))
+    val b = prefix.select(col("__id").as("id_b"), col("__n").as("n_b"), col("__s"))
     a.join(b, a("__s") === b("__s") && a("id_a") < b("id_b") &&
         a("n_a") >= lit(threshold) * b("n_b") &&
         b("n_b") >= lit(threshold) * a("n_a"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("shared"),
-        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
-      .withColumn("jac",
-        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
-      .where(col("jac") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jac"))
+      .select(col("id_a"), col("id_b")).distinct()
   }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    * the cached shingle-set table; emits pairs with jac >= threshold. */
+  def verifyJaccard(sh: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame =
+    candidates
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("__sh_a"), col("__sh_b")).as("jac"))
+      .where(col("jac") >= threshold)
 
   /** MinHash+LSH candidate pairs: per-doc signature (narrow), explode
     * band keys, self-join per (band, key) bucket — the classic

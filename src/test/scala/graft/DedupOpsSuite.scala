@@ -41,6 +41,25 @@ class DedupOpsSuite extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall, missed ${exactPairs.diff(pairs)}")
   }
 
+  test("prefix filtering keeps total recall while pruning the candidate space") {
+    val sh = TextOps.shingleSets(docs, "doc_id", "text", 3).cache()
+    val prefixCands = TextOps.prefixCandidates(sh, 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(exactPairs.subsetOf(prefixCands),
+      s"prefix filter lost pairs: ${exactPairs.diff(prefixCands)}")
+    // the full inverted index (any shared shingle + size prune) for comparison
+    val ex = sh.select(col("__id"), size(col("__sh")).as("__n"),
+      explode(col("__sh")).as("__s"))
+    val a = ex.select(col("__id").as("id_a"), col("__n").as("n_a"), col("__s"))
+    val b = ex.select(col("__id").as("id_b"), col("__n").as("n_b"), col("__s"))
+    val fullCands = a.join(b, a("__s") === b("__s") && a("id_a") < b("id_b") &&
+        a("n_a") >= lit(0.5) * b("n_b") && b("n_b") >= lit(0.5) * a("n_a"))
+      .select(col("id_a"), col("id_b")).distinct().count()
+    assert(prefixCands.size < fullCands,
+      s"prefix index (${prefixCands.size}) did not prune vs full index ($fullCands)")
+    sh.unpersist()
+  }
+
   test("shingles of a doc shorter than n tokens is empty, not an error") {
     val df = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
     val out = df.select(col("doc_id"),

@@ -93,9 +93,13 @@ object TextOps {
     // optimizer infers filters from Generate/join keys and pushes them
     // down with full alias substitution — without an InMemoryRelation
     // barrier the whole shingle chain is re-evaluated inside a pushed
-    // Filter for every row (measured 20x slowdown). The cache also serves
-    // candidate generation AND both verify sides.
+    // Filter for every row (measured 20x slowdown). The cache serves four
+    // downstream branches (freq, prefix, both verify sides), so it is
+    // materialized EAGERLY: concurrent first-readers of an unpopulated
+    // cache each recompute the partition, and the branch fan-out makes
+    // that race ~4x the whole shingle cost (measured 10x on p01).
     val sh = shingleSets(df, idCol, textCol, n).cache()
+    sh.count()
     verifyJaccard(sh, prefixCandidates(sh, threshold), threshold)
   }
 

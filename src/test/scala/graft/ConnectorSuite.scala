@@ -202,6 +202,48 @@ class ConnectorSuite extends SparkSuite {
     assert(!scans.exists(_.contains("FROM User")), scans.mkString("\n"))
   }
 
+  test("streaming source: PK-cursor micro-batches deliver rows exactly once") {
+    val simOrg = new InMemoryOrg
+    simOrg.createTable("Event__c", StructType(Seq(
+      StructField("Id", StringType), StructField("Payload", StringType))))
+    simOrg.insert("Event__c",
+      (1 to 5).map(i => Row(null, s"p$i")),
+      StructType(Seq(StructField("Id", StringType), StructField("Payload", StringType))))
+    RemoteOrgRegistry.register("stream1", simOrg)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
+
+    // parquet sink: fault-tolerant, so the second start RESUMES from the
+    // checkpointed PK cursor (the memory sink refuses recovery)
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("salesforce-sim")
+        .option("org", "stream1").option("sObject", "Event__c").load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    runOnce()
+    assert(spark.read.parquet(out).count() == 5)
+
+    // new records arrive; a restarted query resumes from the
+    // checkpointed cursor and reads ONLY the delta
+    simOrg.insert("Event__c",
+      (6 to 8).map(i => Row(null, s"p$i")),
+      StructType(Seq(StructField("Id", StringType), StructField("Payload", StringType))))
+    runOnce()
+    val all = spark.read.parquet(out).collect().map(_.getString(1)).sorted
+    assert(all.toSeq == (1 to 8).map(i => s"p$i"),
+      "delta must append exactly once: " + all.mkString(","))
+
+    // the cursor rendered as an Id-range scan, the queryMore shape
+    assert(simOrg.statements.exists(s => s.contains("Id > ") && s.contains("Id <= ")),
+      simOrg.statements.mkString("\n"))
+  }
+
   test("global aggregate over an empty match still yields one row") {
     freshOrg("t9e")
     val out = read("t9e").where(col("Region") === "APAC")

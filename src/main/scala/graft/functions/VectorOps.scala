@@ -125,6 +125,108 @@ object VectorOps {
       .where(col("cos") >= threshold)
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer of
+    * `nlist` spherical-kmeans centroids is trained driver-side on a
+    * BOUNDED sample (standard IVF practice — the training set is a few
+    * thousand vectors regardless of corpus size), then
+    *
+    *   1. every corpus vector is assigned to its nearest centroid — one
+    *      codegen dot product per centroid, argmax — a narrow projection;
+    *   2. each query probes its `nprobe` closest centroid lists;
+    *   3. candidates = equi-join on the centroid id (shuffle on a
+    *      low-cardinality, size-balanced key), verified with exact
+    *      cosine and ranked per query.
+    *
+    * At 100 TB the corpus assignment is a single pass and the join
+    * touches `nprobe/nlist` of the data per query — the IVF trade-off.
+    * Not oracle-expressible (kmeans); recall vs [[bruteForceTopK]] is
+    * pinned in ScalaTest. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int, nprobe: Int,
+      sampleSize: Int = 2048, iters: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = normalizedVectors(corpus, idCol, vecCol)
+      .select(col("__id").as("neighbor_id"), col("__v").as("__cv"))
+    val q = normalizedVectors(queries, idCol, vecCol)
+      .select(col("__id").as("query_id"), col("__v").as("__qv"))
+
+    val centroids = trainCentroids(
+      c.select(col("__cv")).limit(sampleSize).collect()
+        .map(_.getSeq[Double](0).toArray), nlist, iters)
+    val centCols = centroids.map(ct => array(ct.map(lit): _*))
+
+    // nearest-centroid argmax: one codegen dot per centroid, then the
+    // 1-based position of the max — ties resolve to the lowest index.
+    // The dot array is staged as its own column so it is computed once
+    // per row, not once per referencing expression (HOF pitfall).
+    def dots(v: Column): Column =
+      array(centCols.map(ct => nativeDot(spark, v, ct)): _*)
+    val assigned = c.withColumn("__dots", dots(col("__cv")))
+      .withColumn("__bucket",
+        (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast("int"))
+      .drop("__dots")
+
+    // query probes: indices of the nprobe highest-dot centroids —
+    // sort (−dot, idx) structs ascending, slice, explode
+    val probeList = slice(
+      transform(
+        array_sort(zip_with(
+          dots(col("__qv")),
+          sequence(lit(0), lit(nlist - 1)),
+          (d, i) => struct((-d).as("nd"), i.as("idx")))),
+        s => s.getField("idx")),
+      1, nprobe)
+    val probes = q.select(col("query_id"), col("__qv"),
+        explode(probeList).as("__bucket"))
+
+    val scored = probes.join(assigned, Seq("__bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        nativeDot(spark, col("__qv"), col("__cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Driver-side spherical k-means (Lloyd's on unit vectors, cosine
+    * assignment, renormalized means; empty clusters keep their previous
+    * centroid). Deterministic: seeds from evenly spaced sample points. */
+  private[functions] def trainCentroids(
+      sample: Array[Array[Double]], nlist: Int, iters: Int): Seq[Seq[Double]] = {
+    require(sample.nonEmpty, "IVF training sample is empty")
+    val dim = sample.head.length
+    val n = sample.length
+    var cents = Array.tabulate(math.min(nlist, n))(i => sample((i.toLong * n / nlist).toInt))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.MinValue
+        for (ci <- cents.indices) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += v(i) * cents(ci)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = ci }
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { ci =>
+        if (counts(ci) == 0) cents(ci)
+        else {
+          val m = sums(ci)
+          val norm = math.sqrt(m.map(x => x * x).sum)
+          if (norm == 0.0) cents(ci) else m.map(_ / norm)
+        }
+      }.toArray
+    }
+    cents.map(_.toSeq).toSeq
+  }
+
   /** Exact all-pairs cosine near-duplicates above a threshold — the
     * embedding-space dedup baseline. Quadratic; the LSH variant is the
     * scale path. */

@@ -62,6 +62,21 @@ object Similarity {
           .select(col("id_a"), col("id_b"))
           .orderBy("id_a", "id_b"),
       None,
+      bench = true),
+
+    // ---- s03: IVF (kmeans-bucketed) top-k — the probe-limited scale
+    // path; kmeans is not oracle-expressible, recall pinned in ScalaTest
+    QueryDef(
+      "s03_ann_ivf",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        VectorOps.ivfTopK(
+            emb.where(col("vec_id") < 20), emb, "vec_id", "embedding",
+            k = 5, nlist = 16, nprobe = 4)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      },
+      None,
       bench = true)
   )
 }

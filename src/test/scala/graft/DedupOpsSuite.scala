@@ -89,6 +89,25 @@ class DedupOpsSuite extends SparkSuite {
     assert(recall >= 0.5, s"recall $recall too low for bits=4/bands=8")
   }
 
+  test("IVF top-k recall against the exact brute force is usable") {
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = VectorOps.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // the sf0.001 corpus is tiny (~500 vectors), so probe half the lists;
+    // larger corpora (s03 at sf0.01+) use nlist=16/nprobe=4
+    val ivf = VectorOps.ivfTopK(queries, emb, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall too low for nlist=8/nprobe=4")
+    // probing ALL lists must recover the exact result (IVF is exact
+    // when nprobe == nlist)
+    val full = VectorOps.ivfTopK(queries, emb, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact, "nprobe=nlist must equal brute force")
+  }
+
   test("brute-force top-k neighbors are symmetric-consistent with pairs") {
     val top1 = VectorOps.bruteForceTopK(
         emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", k = 1)

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.functions.{DotProduct, MinHashSig, NGramShingles}
+
+/** SparkSessionExtensions entry point — makes the engine's codegen
+  * expressions first-class SQL functions on any session built with
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * or, on an existing session, via [[GraftExtensions.install]]. The
+  * functions (all whole-stage-codegen Catalyst expressions, no UDFs):
+  *
+  *   - `graft_dot(a, b)`       — double dot product of two numeric arrays
+  *   - `graft_minhash(arr, n)` — n-element MinHash signature of a string array
+  *   - `graft_shingles(toks, n)` — distinct word n-gram shingles
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    // injectFunction would add a fourth registration spelling; reuse the
+    // idempotent per-session registrars at session construction instead
+    // so SQL, Column API, and extension-configured sessions all resolve
+    // the same FunctionRegistry entries.
+    ext.injectCheckRule { spark =>
+      GraftExtensions.install(spark)
+      _ => ()
+    }
+  }
+}
+
+object GraftExtensions {
+  /** Registers every graft SQL function on an existing session
+    * (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    DotProduct.ensureRegistered(spark)
+    MinHashSig.ensureRegistered(spark)
+    NGramShingles.ensureRegistered(spark)
+  }
+}

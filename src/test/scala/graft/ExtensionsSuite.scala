@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-facing function surface: graft_* functions resolve from plain
+  * SQL once GraftExtensions installs them (the same code path a session
+  * built with `spark.sql.extensions=graft.GraftExtensions` runs at
+  * construction). Uses the shared test session — suites run in one JVM,
+  * so building/stopping a private session here would break siblings. */
+class ExtensionsSuite extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("graft functions are SQL-callable after extension install") {
+    GraftExtensions.install(spark)
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(dot == 11.0)
+
+    val sh = spark.sql(
+      "SELECT graft_shingles(array('a','b','c','d'), 3) AS s")
+      .head().getSeq[String](0)
+    assert(sh.toSet == Set("a b c", "b c d"))
+
+    val sig = spark.sql(
+      "SELECT graft_minhash(array('x','y','z'), 8) AS m")
+      .head().getSeq[Long](0)
+    assert(sig.length == 8)
+    // deterministic across calls
+    val sig2 = spark.sql(
+      "SELECT graft_minhash(array('x','y','z'), 8) AS m")
+      .head().getSeq[Long](0)
+    assert(sig == sig2)
+  }
+
+  test("install is idempotent") {
+    GraftExtensions.install(spark)
+    GraftExtensions.install(spark)
+    assert(spark.sql("SELECT graft_dot(array(2.0d), array(3.0d))")
+      .head().getDouble(0) == 6.0)
+  }
+}

@@ -126,6 +126,27 @@ class OrgMigrationSuite extends SparkSuite {
     assert(byKey("K3") == ("three", 3.0))   // inserted
   }
 
+  test("upsert is idempotent — the safe sink under Spark task retries") {
+    // write() inserts happen before commit(), so a retried insert task
+    // double-writes (the reference has the same hazard on its single
+    // auth retry, data_connector.py:246-252). External-ID upsert is the
+    // idempotent alternative: replaying the same batch must be a no-op.
+    val org = new InMemoryOrg
+    org.createTable("Account", srcSchema, Nil)
+    RemoteOrgRegistry.register("idem", org)
+    import spark.implicits._
+    val rows = Seq(("K1", "one", 1.0), ("K2", "two", 2.0))
+      .toDF("New_Id__c", "Name", "Amount")
+    val io = new ConnectorTableIO(spark, "idem")
+    io.upsert("Account", rows, "New_Id__c")
+    val after1 = org.rows("Account").sortBy(_.getString(3))
+    io.upsert("Account", rows, "New_Id__c") // the "retry"
+    val after2 = org.rows("Account").sortBy(_.getString(3))
+    assert(after2.size == 2, s"retry must not duplicate: ${after2.size} rows")
+    assert(after1.map(_.toSeq.drop(1)) == after2.map(_.toSeq.drop(1)),
+      "non-Id columns must be unchanged by the replay")
+  }
+
   test("connector deleteWhere resolves the predicate org-side") {
     val org = new InMemoryOrg
     org.createTable("Account", srcSchema, Seq(

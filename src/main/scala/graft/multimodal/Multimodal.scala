@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing for a training-data pipeline: media
   * payloads travel as opaque `binary` columns beside a typed metadata
   * struct; decode / feature-extract / resize / frame-sample are
-  * per-partition batch operators whose Spark-side shape (schema,
-  * partitioning, batch iteration) is real and tested, while the codec
-  * kernels themselves are STUBS — deterministic fakes standing in for
-  * the image/audio libraries this environment does not ship. Swapping a
-  * stub for a real decoder changes one function body, none of the
-  * dataflow.
+  * per-partition batch operators.
+  *
+  * Image decode and resize are REAL for every format the JDK's
+  * `javax.imageio` reads (PNG/JPEG/BMP/GIF) — actual pixel decode,
+  * actual luma, actual resampling — with a deterministic fallback for
+  * payloads that aren't decodable images (the synthetic test corpus,
+  * or formats needing native codecs). Model-based feature extraction
+  * and video frame decode remain deterministic STUB kernels standing
+  * in for libraries this environment does not ship; swapping one
+  * changes a function body, none of the dataflow.
   *
   * Scale notes: payload bytes stay in executors end to end (no
   * collect); per-partition `grouped(batchSize)` mirrors how a real
@@ -58,21 +62,55 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB image decode — ??? in spirit: a real implementation calls a
-    * codec (JPEG/PNG) here; the fake derives channel count and mean luma
-    * deterministically from the payload so tests can pin behavior. The
-    * batched per-partition shape is the real contract. */
+  /** Decodes a payload with the JDK's ImageIO (PNG/JPEG/BMP/GIF, no
+    * native deps); None when the bytes aren't a supported image. */
+  private[multimodal] def decodeWithImageIO(bytes: Array[Byte]): Option[DecodedImage] =
+    if (bytes.length < 8) None
+    else
+      try {
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+          .map { img =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                // Rec. 601 luma from the sRGB pixel
+                sum += 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            DecodedImage(0L, w, h,
+              channels = img.getColorModel.getNumComponents,
+              meanLuma = sum / (w.toLong * h))
+          }
+      } catch { case _: java.io.IOException => None }
+
+  /** Image decode: REAL for JDK-readable formats (dimensions, channel
+    * count and mean luma from actual pixels); deterministic fallback
+    * (metadata dims, byte-mean luma) for undecodable payloads. The
+    * batched per-partition shape is the contract a vectorized/native
+    * decode drops into. */
   def decodeImages(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
     media.filter(_.meta.kind == "image").mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // --- STUB KERNEL: replace with real batched decode ---
         batch.map { m =>
-          val luma =
-            if (m.bytes.isEmpty) 0.0
-            else m.bytes.map(b => (b & 0xff).toDouble).sum / m.bytes.length
-          DecodedImage(m.media_id, m.meta.width, m.meta.height,
-            channels = 3, meanLuma = luma)
+          decodeWithImageIO(m.bytes) match {
+            case Some(d) => d.copy(media_id = m.media_id)
+            case None =>
+              // fallback for non-image payloads: deterministic fake so
+              // the pipeline shape stays testable without real media
+              val luma =
+                if (m.bytes.isEmpty) 0.0
+                else m.bytes.map(b => (b & 0xff).toDouble).sum / m.bytes.length
+              DecodedImage(m.media_id, m.meta.width, m.meta.height,
+                channels = 3, meanLuma = luma)
+          }
         }
       }
     }
@@ -103,20 +141,49 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: recomputes metadata exactly (real work), fakes the
-    * pixel transform by truncating the payload proportionally. */
+  /** Resize to `maxSide` on the longer edge: REAL bilinear resample +
+    * PNG re-encode for JDK-readable images; proportional payload
+    * truncation as the deterministic fallback for non-image bytes. */
   def resize(media: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { m =>
-      val scale = maxSide.toDouble / math.max(m.meta.width, m.meta.height).max(1)
-      if (scale >= 1.0) m
-      else {
-        val w = math.max(1, (m.meta.width * scale).toInt)
-        val h = math.max(1, (m.meta.height * scale).toInt)
-        // --- STUB KERNEL: real implementation resamples pixels ---
-        val keep = math.max(1, (m.bytes.length * scale * scale).toInt)
-        m.copy(meta = m.meta.copy(width = w, height = h),
-          bytes = m.bytes.take(keep))
+      val decoded =
+        if (m.meta.kind == "image")
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes)))
+          catch { case _: java.io.IOException => None }
+        else None
+      decoded match {
+        case Some(img) =>
+          val scale = maxSide.toDouble / math.max(img.getWidth, img.getHeight).max(1)
+          if (scale >= 1.0)
+            m.copy(meta = m.meta.copy(width = img.getWidth, height = img.getHeight))
+          else {
+            val w = math.max(1, (img.getWidth * scale).toInt)
+            val h = math.max(1, (img.getHeight * scale).toInt)
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            m.copy(meta = m.meta.copy(width = w, height = h),
+              bytes = buf.toByteArray)
+          }
+        case None =>
+          val scale = maxSide.toDouble / math.max(m.meta.width, m.meta.height).max(1)
+          if (scale >= 1.0) m
+          else {
+            val w = math.max(1, (m.meta.width * scale).toInt)
+            val h = math.max(1, (m.meta.height * scale).toInt)
+            // fallback for non-image payloads: truncate proportionally so
+            // the pipeline shape stays testable without real media
+            val keep = math.max(1, (m.bytes.length * scale * scale).toInt)
+            m.copy(meta = m.meta.copy(width = w, height = h),
+              bytes = m.bytes.take(keep))
+          }
       }
     }
   }

@@ -28,6 +28,49 @@ class MultimodalSuite extends SparkSuite {
     assert(a.forall(d => d.channels == 3 && d.meanLuma > 0))
   }
 
+  test("real PNG payloads decode with true dimensions and pixel luma") {
+    import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+    // an 8x4 gradient PNG built in-test: luma is exactly computable
+    def png(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val grey128 = png(8, 4, (_, _) => 0x808080) // every pixel luma = 128
+    val rows = Seq(
+      MediaRow(1L, MediaMeta("image", 999, 999, 0, 0L), grey128),
+      // not a decodable image -> deterministic fallback path
+      MediaRow(2L, MediaMeta("image", 10, 10, 0, 0L), "not a png".getBytes("UTF-8")))
+    val dec = Multimodal.decodeImages(spark.createDataset(rows))
+      .collect().sortBy(_.media_id)
+    // real decode: TRUE dimensions (not the metadata's 999x999), exact luma
+    assert(dec(0).width == 8 && dec(0).height == 4)
+    assert(math.abs(dec(0).meanLuma - 128.0) < 1e-9, dec(0).meanLuma.toString)
+    assert(dec(0).channels == 3)
+    // fallback keeps metadata dims
+    assert(dec(1).width == 10 && dec(1).height == 10)
+  }
+
+  test("real PNG resize resamples pixels and halves dimensions") {
+    import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+    val img = new java.awt.image.BufferedImage(
+      16, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16) img.setRGB(x, y, 0x404040)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val rows = Seq(MediaRow(1L, MediaMeta("image", 16, 8, 0, 0L), buf.toByteArray))
+    val out = Multimodal.resize(spark.createDataset(rows), maxSide = 8).collect().head
+    assert(out.meta.width == 8 && out.meta.height == 4)
+    // the resized payload is a REAL decodable PNG of the new size
+    val re = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.bytes))
+    assert(re.getWidth == 8 && re.getHeight == 4)
+    assert((re.getRGB(3, 2) & 0xffffff) == 0x404040, "uniform grey must survive resampling")
+  }
+
   test("extractFeatures: fixed dim, unit norm, deterministic") {
     val f = Multimodal.extractFeatures(media, dim = 64).collect()
     assert(f.length == media.count())

@@ -700,6 +700,34 @@ object Relational {
              (SELECT o_custkey, COUNT(*) AS n_lo FROM orders
               WHERE o_totalprice < 5000 GROUP BY o_custkey) lo
         ON hi.o_custkey = lo.o_custkey
-        ORDER BY o_custkey"""))
+        ORDER BY o_custkey""")),
+
+    // ---- 33. map functions over data (construct / element_at / keys) -----------------------------
+    // map columns never reach the output (the gate's pandas compare can't
+    // hash dicts) — extraction yields scalar columns on both engines
+    QueryDef(
+      "q33_map_funcs",
+      (s, d) =>
+        T(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast("double").as("__n"),
+            max(col("l_quantity")).cast("double").as("__maxq"))
+          .select(col("l_returnflag"),
+            map(lit("n"), col("__n"), lit("maxq"), col("__maxq")).as("m"))
+          .select(col("l_returnflag"),
+            element_at(col("m"), "n").as("n_rows"),
+            element_at(col("m"), "maxq").as("max_qty"),
+            array_join(map_keys(col("m")), ",").as("mkeys"))
+          .orderBy("l_returnflag"),
+      Some("""
+        WITH agg AS (
+          SELECT l_returnflag,
+                 MAP {'n': CAST(count(*) AS DOUBLE),
+                      'maxq': CAST(max(l_quantity) AS DOUBLE)} AS m
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag,
+               m['n'][1] AS n_rows, m['maxq'][1] AS max_qty,
+               array_to_string(map_keys(m), ',') AS mkeys
+        FROM agg ORDER BY l_returnflag"""))
   )
 }

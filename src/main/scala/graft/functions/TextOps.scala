@@ -171,6 +171,38 @@ object TextOps {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    * MOSS scheme): hash every character k-gram of the normalized text,
+    * slide a w-hash window, keep each window's MINIMUM hash, dedupe —
+    * any two documents sharing a substring of length >= w+k-1 are
+    * GUARANTEED to share a fingerprint, position-independently.
+    *
+    * All narrow per-row column work (no explode, no shuffle): the k-gram
+    * hash array is staged as its own projection so the window-min
+    * transform references a bound attribute instead of re-evaluating the
+    * hash chain per window (HOF pitfall). Output column `fps` is the
+    * distinct fingerprint array. */
+  def winnowingFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val norm = normalize(col(textCol))
+    val grams = df
+      .select(col(idCol).as("__id"), norm.as("__t"))
+      .select(col("__id"),
+        // Column.substr(pos, len) — the functions.substring variant only
+        // takes literal positions
+        when(length(col("__t")) >= k,
+          transform(sequence(lit(1), length(col("__t")) - (k - 1)),
+            i => xxhash64(col("__t").substr(i, lit(k)))))
+          .otherwise(array().cast("array<bigint>")).as("__gh"))
+    grams.select(col("__id"),
+      array_distinct(
+        when(size(col("__gh")) >= w,
+          transform(sequence(lit(1), size(col("__gh")) - (w - 1)),
+            j => array_min(slice(col("__gh"), j, lit(w)))))
+          .otherwise(col("__gh"))).as("fps"))
+  }
+
   /** 64-bit SimHash per document, computed scalably: explode token
     * hashes, then ONE hash aggregation with 64 conditional sums (one per
     * bit) — no per-row 64-way fold, so the whole thing stays in

@@ -187,6 +187,21 @@ object TextAnalysis {
                substr(content_fp, 1, 8) AS fp_prefix,
                list_sort(list_transform(shingles, x -> md5(x)))[1] AS min_shingle_fp
         FROM sh
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- t05: winnowing fingerprints (rolling k-gram hash + window min;
+    // xxhash64 bit patterns aren't oracle-expressible → rows-only; the
+    // winnowing substring-match guarantee is property-tested) ------------
+    QueryDef(
+      "t05_winnowing",
+      (s, d) =>
+        TextOps.winnowingFingerprints(
+            Tables.corpus(s, d), "doc_id", "text", k = 8, w = 4)
+          .select(col("__id").as("doc_id"),
+            size(col("fps")).cast("long").as("n_fps"),
+            array_min(col("fps")).as("fp_min"),
+            array_max(col("fps")).as("fp_max"))
+          .orderBy("doc_id"),
+      None)
   )
 }

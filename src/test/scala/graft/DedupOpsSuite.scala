@@ -70,6 +70,29 @@ class DedupOpsSuite extends SparkSuite {
     assert(out(1)._2 == Seq("a b c", "b c d"))
   }
 
+  test("winnowing: shared substrings >= w+k-1 chars guarantee a shared fingerprint") {
+    val k = 8; val w = 4
+    val shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    val df = Seq(
+      (1L, s"PREFIX AAA $shared SUFFIX ZZZ"),
+      (2L, s"totally different opening words here $shared and other trailing content"),
+      (3L, "no overlap with anything qqq www eee rrr ttt yyy uuu iii"),
+      (4L, "short"), // below k chars -> empty fingerprint set, no error
+      (1000L, s"PREFIX AAA $shared SUFFIX ZZZ")) // identical to doc 1
+      .toDF("doc_id", "text")
+    val fps = TextOps.winnowingFingerprints(df, "doc_id", "text", k, w)
+      .as[(Long, Seq[Long])].collect().toMap
+    // identical docs -> identical sets
+    assert(fps(1L).toSet == fps(1000L).toSet)
+    // winnowing guarantee: the shared substring (>= w+k-1 chars) must
+    // surface at least one common fingerprint despite different offsets
+    assert((fps(1L).toSet & fps(2L).toSet).nonEmpty,
+      "no shared fingerprint for a long shared substring")
+    // disjoint-content doc shares nothing with doc 1
+    assert((fps(1L).toSet & fps(3L).toSet).isEmpty)
+    assert(fps(4L).isEmpty)
+  }
+
   test("simhash of identical text is identical") {
     val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"))
       .toDF("doc_id", "text")

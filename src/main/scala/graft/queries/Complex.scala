@@ -85,6 +85,41 @@ object Complex {
           GROUP BY c_custkey) t
         GROUP BY c_count
         ORDER BY custdist DESC, c_count DESC"""),
-      bench = true)
+      bench = true),
+
+    // ---- c04 (Q20 shape): suppliers shipping excess volume of a part -----
+    // per-(part,supplier) volume vs 1.5x the part's cross-supplier average:
+    // two aggregation levels + a join back, then a dimension join — the
+    // "nested aggregate feeding a semi-join" decorrelation shape
+    QueryDef(
+      "c04_excess_volume",
+      (s, d) => {
+        val vols = Tables(s, d, "lineitem")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(money("l_quantity")).cast("double").as("vol"))
+        val avgPart = vols.groupBy(col("l_partkey").as("pk"))
+          .agg((sum(col("vol")) / count(lit(1))).as("part_avg"))
+        vols.join(avgPart, col("l_partkey") === col("pk"))
+          .where(col("vol") > col("part_avg") * 1.5)
+          .join(broadcast(Tables(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_partkey"), col("l_suppkey"), col("s_name"),
+            col("vol"), col("part_avg"))
+          .orderBy("l_partkey", "l_suppkey")
+      },
+      Some("""
+        WITH vols AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS vol
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), avg_part AS (
+          SELECT l_partkey AS pk, SUM(vol) / COUNT(*) AS part_avg
+          FROM vols GROUP BY l_partkey
+        )
+        SELECT l_partkey, l_suppkey, s_name, vol, part_avg
+        FROM vols JOIN avg_part ON l_partkey = pk
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE vol > part_avg * 1.5
+        ORDER BY l_partkey, l_suppkey"""))
   )
 }

@@ -62,6 +62,33 @@ object Windows {
                count(*) AS n_events
         FROM sess
         GROUP BY user_id, sess_id
-        ORDER BY user_id, session_start_ms"""))
+        ORDER BY user_id, session_start_ms""")),
+
+    // ---- w03: sliding event-time windows (1 hour long, 30-minute slide) --
+    // every event lands in exactly 2 windows; the oracle replays the
+    // epoch-aligned window-start arithmetic Spark uses
+    QueryDef(
+      "w03_sliding_window",
+      (s, d) =>
+        Tables(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_millis(col("window.start")).as("window_start_ms"),
+            col("event_type"), col("n"))
+          .orderBy("window_start_ms", "event_type"),
+      Some("""
+        WITH cand AS (
+          SELECT event_type,
+                 (CAST(floor(epoch(ts) / 1800) AS BIGINT) - k.k) * 1800000
+                   AS window_start_ms,
+                 epoch_ms(ts) AS ts_ms
+          FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+        )
+        SELECT window_start_ms, event_type, COUNT(*) AS n
+        FROM cand
+        WHERE ts_ms >= window_start_ms
+          AND ts_ms < window_start_ms + 3600000
+        GROUP BY window_start_ms, event_type
+        ORDER BY window_start_ms, event_type"""))
   )
 }

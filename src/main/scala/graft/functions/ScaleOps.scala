@@ -30,6 +30,48 @@ object ScaleOps {
     salted.join(expanded, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Backward as-of join — for every left row, the single latest right
+    * row with `right.ts <= left.ts` in the same key group (nulls when
+    * none). Spark has no built-in as-of join; the naive form
+    * (`l.key = r.key AND r.ts <= l.ts` + row_number) explodes
+    * quadratically inside hot keys. This is the merge formulation:
+    *
+    *   union both sides (right first on ts ties, so at-or-before
+    *   matches) → ONE shuffle on the key → running `last(payload,
+    *   ignoreNulls)` window → keep left rows.
+    *
+    *   Cost is a sort within key groups — the plan you want at 100 TB,
+    *   and the same shape Structured Streaming's state-ordered merge
+    *   uses. `payload` names the right columns carried to the output
+    *   (as `asof_<name>`). */
+  def asofJoin(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pStruct = struct(payload.map(c => right(c)): _*)
+    val r2 = right.select(
+      col(keyCol).as("__k"), col(rightTsCol).as("__ts"), pStruct.as("__p"))
+      .withColumn("__side", lit(0))
+    val l2 = left
+      .withColumn("__k", col(keyCol))
+      .withColumn("__ts", col(leftTsCol))
+      .withColumn("__side", lit(1))
+    // union-by-name fills the sides' missing columns with nulls
+    val all = l2.unionByName(r2, allowMissingColumns = true)
+    // right rows sort before left rows at equal ts (__side 0 < 1), so a
+    // right row AT the left timestamp matches; __p is the final
+    // tiebreak, making duplicate right timestamps deterministic
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = all.withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    payload.foldLeft(matched) { (df, c) =>
+      df.withColumn(s"asof_$c", col("__m").getField(c))
+    }.select(left.columns.map(col) ++ payload.map(c => col(s"asof_$c")): _*)
+  }
+
   /** Writes `df` as a bucketed+sorted catalog table: joins and
     * aggregations on `key` between tables bucketed the same way need no
     * shuffle (verified in ScaleOpsSuite by asserting the join plan has

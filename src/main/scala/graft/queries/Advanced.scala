@@ -54,6 +54,32 @@ object Advanced {
         GROUP BY r_name
         ORDER BY r_name""")),
 
+    // ---- a04: as-of join (latest view at-or-before each purchase) --------
+    // Spark has no built-in as-of join; ScaleOps.asofJoin is the
+    // union+window merge (one shuffle, no per-key range explosion).
+    // DuckDB's native ASOF LEFT JOIN is the oracle.
+    QueryDef(
+      "a04_asof_join",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.where(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"))
+        graft.functions.ScaleOps
+          .asofJoin(purchases, views, "user_id", "ts", "ts", Seq("view_event_id"))
+          .select(col("event_id"), col("user_id"),
+            unix_millis(col("ts")).as("ts_ms"), col("asof_view_event_id"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,
+               v.event_id AS asof_view_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+        ORDER BY c.event_id""")),
+
     // ---- a03: grouping sets ----------------------------------------------
     QueryDef(
       "a03_grouping_sets",

@@ -71,6 +71,37 @@ class ScaleOpsSuite extends SparkSuite {
       agg.queryExecution.executedPlan.toString.take(2000))
   }
 
+  test("asofJoin: latest at-or-before match per key, nulls when none") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", 100L), // after both views -> matches v2 (ts 90)
+      (2L, "u1", 50L),  // ts tie with v1 -> at-or-before matches v1
+      (3L, "u1", 10L),  // before every view -> null
+      (4L, "u2", 500L)  // key with no right rows -> null
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(("u1", 50L, 1001L), ("u1", 90L, 1002L))
+      .toDF("k", "ts", "vid")
+    val out = ScaleOps.asofJoin(left, right, "k", "ts", "ts", Seq("vid"))
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      1L -> Some(1002L), 2L -> Some(1001L), 3L -> None, 4L -> None))
+  }
+
+  test("asofJoin plans one shuffle on the key, no range join") {
+    import spark.implicits._
+    val left = spark.range(100).select(
+      col("id").as("event_id"), (col("id") % 5).as("k"), col("id").as("ts"))
+    val right = spark.range(50).select(
+      (col("id") % 5).as("k"), (col("id") * 2).as("ts"), col("id").as("vid"))
+    val out = ScaleOps.asofJoin(left, right, "k", "ts", "ts", Seq("vid"))
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "as-of must not degrade to a range/cross join:\n" + plan.take(2000))
+  }
+
   private def withSqlConf[T](pairs: (String, String)*)(body: => T): T = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }

@@ -72,6 +72,36 @@ object ScaleOps {
     }.select(left.columns.map(col) ++ payload.map(c => col(s"asof_$c")): _*)
   }
 
+  /** Interval (range) join — pairs `(l, r)` with the same key and
+    * `r.ts` in `[l.ts, l.ts + windowSec]`. Spark plans a raw
+    * `key-equal AND ts BETWEEN` condition as an equi-join whose range
+    * predicate only filters AFTER materializing every same-key pair —
+    * quadratic inside hot keys. Here both sides are bucketed into
+    * `windowSec`-wide time bins and joined on (key, bin): each left row
+    * probes its own bin and the next one (any match lies in one of the
+    * two), so fan-out is bounded by bin population, not key population.
+    * Output: all left columns plus `payload` right columns as
+    * `match_<name>`. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, windowSec: Long,
+      payload: Seq[String]): DataFrame = {
+    val binL = (unix_micros(col(leftTsCol)) / lit(windowSec * 1000000L)).cast("long")
+    val binR = (unix_micros(col(rightTsCol)) / lit(windowSec * 1000000L)).cast("long")
+    val l2 = left
+      .withColumn("__k", col(keyCol))
+      .withColumn("__lts", col(leftTsCol))
+      // a [ts, ts+window] interval spans at most two window-wide bins
+      .withColumn("__bin", explode(array(binL, binL + 1)))
+    val r2 = right.select(
+      (col(keyCol).as("__k") +: col(rightTsCol).as("__rts") +: binR.as("__bin") +:
+        payload.map(c => right(c).as(s"match_$c"))): _*)
+    l2.join(r2, Seq("__k", "__bin"))
+      .where(col("__rts") >= col("__lts") &&
+        col("__rts") <= col("__lts") + expr(s"INTERVAL $windowSec SECOND"))
+      .select(left.columns.map(col) ++ payload.map(c => col(s"match_$c")): _*)
+  }
+
   /** Writes `df` as a bucketed+sorted catalog table: joins and
     * aggregations on `key` between tables bucketed the same way need no
     * shuffle (verified in ScaleOpsSuite by asserting the join plan has

@@ -80,6 +80,33 @@ object Advanced {
           ON c.user_id = v.user_id AND c.ts >= v.ts
         ORDER BY c.event_id""")),
 
+    // ---- a05: interval (range) join — errors within 5 min of a signup ----
+    // bin-bucketed equi-join (ScaleOps.intervalJoin) instead of a raw
+    // range predicate, so hot users don't turn into quadratic pair blowup
+    QueryDef(
+      "a05_interval_join",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val signups = ev.where(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val errors = ev.where(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id").as("err_event_id"))
+        graft.functions.ScaleOps
+          .intervalJoin(signups, errors, "user_id", "ts", "ts",
+            windowSec = 300L, Seq("err_event_id"))
+          .select(col("event_id"), col("user_id"),
+            unix_millis(col("ts")).as("ts_ms"), col("match_err_event_id"))
+          .orderBy("event_id", "match_err_event_id")
+      },
+      Some("""
+        SELECT s.event_id, s.user_id, epoch_ms(s.ts) AS ts_ms,
+               e.event_id AS match_err_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        JOIN (SELECT * FROM events WHERE event_type = 'error') e
+          ON s.user_id = e.user_id
+         AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 5 MINUTE
+        ORDER BY s.event_id, match_err_event_id""")),
+
     // ---- a03: grouping sets ----------------------------------------------
     QueryDef(
       "a03_grouping_sets",

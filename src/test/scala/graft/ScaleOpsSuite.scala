@@ -102,6 +102,34 @@ class ScaleOpsSuite extends SparkSuite {
       "as-of must not degrade to a range/cross join:\n" + plan.take(2000))
   }
 
+  test("intervalJoin equals the naive range join, including bin boundaries") {
+    import spark.implicits._
+    // timestamps engineered to cross bin boundaries and hit the
+    // inclusive window endpoint exactly
+    val left = Seq(
+      (1L, "u1", "2024-01-01 00:04:30"),
+      (2L, "u1", "2024-01-01 00:05:00"),
+      (3L, "u2", "2024-01-01 00:00:00"))
+      .toDF("event_id", "k", "t")
+      .select(col("event_id"), col("k"), col("t").cast("timestamp").as("ts"))
+    val right = Seq(
+      ("u1", "2024-01-01 00:04:30", 10L), // == left ts -> match (inclusive)
+      ("u1", "2024-01-01 00:09:30", 11L), // exactly +5min from event 1 -> match
+      ("u1", "2024-01-01 00:09:31", 12L), // 1s past event 1's window
+      ("u2", "2024-01-01 00:04:59", 13L),
+      ("u2", "2024-01-01 00:05:01", 14L)) // past u2's window
+      .toDF("k", "t", "rid")
+      .select(col("k"), col("t").cast("timestamp").as("ts"), col("rid"))
+    val got = ScaleOps.intervalJoin(left, right, "k", "ts", "ts", 300L, Seq("rid"))
+      .select("event_id", "match_rid").as[(Long, Long)].collect().toSet
+    val want = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") && col("r.ts") >= col("l.ts") &&
+          col("r.ts") <= col("l.ts") + expr("INTERVAL 300 SECOND"))
+      .select(col("l.event_id"), col("r.rid")).as[(Long, Long)].collect().toSet
+    assert(got == want, s"got $got want $want")
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L), (3L, 13L)))
+  }
+
   private def withSqlConf[T](pairs: (String, String)*)(body: => T): T = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }

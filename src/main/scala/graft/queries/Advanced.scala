@@ -78,7 +78,8 @@ object Advanced {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') c
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON c.user_id = v.user_id AND c.ts >= v.ts
-        ORDER BY c.event_id""")),
+        ORDER BY c.event_id"""),
+      bench = true),
 
     // ---- a05: interval (range) join — errors within 5 min of a signup ----
     // bin-bucketed equi-join (ScaleOps.intervalJoin) instead of a raw
@@ -105,7 +106,8 @@ object Advanced {
         JOIN (SELECT * FROM events WHERE event_type = 'error') e
           ON s.user_id = e.user_id
          AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 5 MINUTE
-        ORDER BY s.event_id, match_err_event_id""")),
+        ORDER BY s.event_id, match_err_event_id"""),
+      bench = true),
 
     // ---- a03: grouping sets ----------------------------------------------
     QueryDef(

@@ -2,14 +2,55 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark entry: times the headline query set (QueryDef.bench) on
-  * SPARK_GRAFT_SF_DIR and prints one JSON line. A warmup query runs
+/** Benchmark entry: times the headline query set (SparkEntry.benchQueries)
+  * on SPARK_GRAFT_SF_DIR and prints one JSON line. A warmup query runs
   * first so JIT/codegen cost doesn't land on the first measured query;
   * each query is executed with count() so the full plan runs but
-  * nothing is materialized on the driver. */
+  * nothing is materialized on the driver.
+  *
+  * Trustworthiness machinery (this host shows rare bimodal ~2-minute
+  * stalls on a single query — timeout-shaped, not load/GC/steal):
+  *  - per-query best-known floors persist across runs in BENCH_floor.json
+  *    (keyed by sf dir basename); each run takes min(measured, prior runs)
+  *    as the floor and tightens the file;
+  *  - outliers (>3x median, or >3x their own persisted floor) are
+  *    re-timed ONCE after a cooldown (default 30s) so the retry doesn't
+  *    land in the same polluted window;
+  *  - the emitted JSON carries both `first_pass_total` (untouched
+  *    single-run measurement) and `value` (best-of total), so the
+  *    headline is auditable against the raw pass;
+  *  - the JSON self-marks `"suspect":true` with reasons when loadavg
+  *    exceeds cores*1.5 or any final headline timing is still >3x its
+  *    persisted floor — a polluted artifact must say so in-band, not
+  *    on stderr.
+  */
 object Bench {
+  private val FloorFile = "BENCH_floor.json"
+
+  /** Flat {"sf0.1/q01":1.234,...} map; hand-rolled format we control, so
+    * a regex parse is exact (no JSON lib dependency drift). */
+  private def loadFloors(): Map[String, Double] = {
+    val f = new java.io.File(FloorFile)
+    if (!f.isFile) Map.empty
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  private def saveFloors(floors: Map[String, Double]): Unit = {
+    val body = floors.toSeq.sorted
+      .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(FloorFile), body.getBytes("UTF-8"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfKey = new java.io.File(sfDir).getName
+    val cooldownSec = sys.env.getOrElse("SPARK_GRAFT_COOLDOWN_SEC", "30").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -43,22 +84,32 @@ object Bench {
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
 
+    val priorFloors = loadFloors()
+    def floorOf(name: String): Option[Double] = priorFloors.get(s"$sfKey/$name")
+
     // headline = scale-path queries; the deliberately-quadratic exactness
     // baselines (d05/s01) are timed too but labeled separately so the
     // headline number reflects the algorithms meant to run at 100 TB.
-    // This host shows rare bimodal ~2-minute stalls on a single query
-    // (timeout-shaped, not load/GC/steal — confirmed by thread-dump
-    // profiling); outliers >3x the median are re-timed once and the
-    // faster of the two runs is reported, with both kept in `retried`
-    // so the artifact stays honest about the variance.
     val firstPass = time(SparkEntry.benchQueries)
+    val firstTotal = firstPass.map(_._2).filter(_ >= 0).sum
     val med = {
       val ok = firstPass.map(_._2).filter(_ >= 0).sorted
       if (ok.isEmpty) 0.0 else ok(ok.length / 2)
     }
-    val retried = firstPass.filter { case (_, v) =>
-      v > math.max(5.0, 3 * med)
-    }.map { case (name, _) => name -> time(Seq(name)).head._2 }.toMap
+    val outliers = firstPass.filter { case (name, v) =>
+      v > math.max(5.0, 3 * med) ||
+        floorOf(name).exists(fl => v > math.max(5.0, 3 * fl))
+    }
+    val retried: Map[String, Double] =
+      if (outliers.isEmpty) Map.empty
+      else {
+        // cooldown so the re-time doesn't sample the same stall window
+        System.err.println(s"[bench] ${outliers.size} outlier(s); cooling " +
+          s"down ${cooldownSec}s before re-timing")
+        System.gc()
+        Thread.sleep(cooldownSec * 1000L)
+        outliers.map { case (name, _) => name -> time(Seq(name)).head._2 }.toMap
+      }
     val results = firstPass.map { case (name, v) =>
       retried.get(name) match {
         case Some(v2) if v2 >= 0 && v2 < v => name -> v2
@@ -68,11 +119,27 @@ object Bench {
     val baselines = time(SparkEntry.baselineQueries)
     val loadEnd = loadAvg
     val cores = Runtime.getRuntime.availableProcessors()
-    // a polluted run must be self-identifying: loadavg >> this JVM's own
-    // core budget means another process was competing for the machine
-    if (math.min(loadStart, loadEnd) > cores * 1.5)
-      System.err.println(f"[bench] WARNING: system load ($loadStart%.1f -> " +
-        f"$loadEnd%.1f on $cores cores) suggests contention; timings unreliable")
+
+    // tighten persisted floors with this run's measurements (all queries)
+    val measured = (results ++ baselines).filter(_._2 >= 0)
+    val newFloors = measured.foldLeft(priorFloors) { case (acc, (name, v)) =>
+      val k = s"$sfKey/$name"
+      acc.updated(k, acc.get(k).fold(v)(math.min(_, v)))
+    }
+    try saveFloors(newFloors)
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not persist floors: ${e.getMessage}") }
+
+    // in-band pollution marking: the driver's gate must see a believable
+    // number or an explicit suspect flag, never silently-garbage timings
+    val loadSuspect = math.min(loadStart, loadEnd) > cores * 1.5
+    val slowVsFloor = results.filter { case (name, v) =>
+      v >= 0 && floorOf(name).exists(fl => v > math.max(5.0, 3 * fl))
+    }.map(_._1)
+    val suspect = loadSuspect || slowVsFloor.nonEmpty
+    val reasons =
+      (if (loadSuspect) Seq(f"loadavg ${math.min(loadStart, loadEnd)}%.1f > ${cores * 1.5}%.1f") else Nil) ++
+        slowVsFloor.map(n => s"$n >3x floor")
 
     val failed = (results ++ baselines).filter(_._2 < 0).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
@@ -81,7 +148,8 @@ object Bench {
     val retriedJson = retried.map { case (k, v2) =>
       "\"" + k + "\":[" + f"${firstPass.toMap.apply(k)}%.3f,$v2%.3f]"
     }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(results)},"baseline_queries":${json(baselines)},"baseline_total":$baseTotal%.3f,"retried":$retriedJson,"failed":$failed,"loadavg":{"start":$loadStart%.2f,"end":$loadEnd%.2f},"sf":"$sfDir"}""")
+    val reasonsJson = reasons.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","first_pass_total":$firstTotal%.3f,"suspect":$suspect,"suspect_reasons":$reasonsJson,"queries":${json(results)},"baseline_queries":${json(baselines)},"baseline_total":$baseTotal%.3f,"retried":$retriedJson,"failed":$failed,"loadavg":{"start":$loadStart%.2f,"end":$loadEnd%.2f},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -57,22 +57,28 @@ final class ConnectorTableIO(
   override def update(table: String, rows: DataFrame): Long = {
     // targeted bulk update through the DSv2 write path: executors chunk
     // the update rows (≤200/call) and the org applies them by Id —
-    // data_connector.py:281-291 semantics, zero driver materialization
+    // data_connector.py:281-291 semantics, zero driver materialization.
+    // The outcome is read back under a unique writeId echoed through the
+    // commit, so a concurrent write to the same (org, table) can't race
+    // this call's processed count.
+    val writeId = java.util.UUID.randomUUID().toString
     rows.write.format("salesforce-sim")
       .option("org", orgName).option("sObject", table)
-      .option("writeMode", "update")
+      .option("writeMode", "update").option("writeId", writeId)
       .mode(SaveMode.Append).save()
-    OrgWriteMetrics.lastCommit(orgName, table).processed
+    OrgWriteMetrics.forWrite(writeId).fold(0L)(_.processed)
   }
 
   /** Upsert keyed on an external-ID field (bulk_upsert,
     * data_connector.py:301-310), through the same chunked write path. */
   def upsert(table: String, rows: DataFrame, externalIdField: String): WriteOutcome = {
+    val writeId = java.util.UUID.randomUUID().toString
     rows.write.format("salesforce-sim")
       .option("org", orgName).option("sObject", table)
       .option("writeMode", "upsert").option("externalIdField", externalIdField)
+      .option("writeId", writeId)
       .mode(SaveMode.Append).save()
-    OrgWriteMetrics.lastCommit(orgName, table)
+    OrgWriteMetrics.forWrite(writeId).getOrElse(WriteOutcome(0L, 0L))
   }
 
   /** Server-side predicate delete (bulk_delete, data_connector.py:294-298):

@@ -53,10 +53,18 @@ final case class WriteOutcome(processed: Long, failed: Long)
 
 object OrgWriteMetrics {
   private val last = new ConcurrentHashMap[(String, String), WriteOutcome]()
-  def record(org: String, sObject: String, o: WriteOutcome): Unit =
+  private val byId = new ConcurrentHashMap[String, WriteOutcome]()
+  def record(org: String, sObject: String, writeId: Option[String],
+      o: WriteOutcome): Unit = {
     last.put((org, sObject), o)
+    writeId.foreach(byId.put(_, o))
+  }
   def lastCommit(org: String, sObject: String): WriteOutcome =
     last.getOrDefault((org, sObject), WriteOutcome(0L, 0L))
+  /** Outcome of one specific write, keyed by the unique id the caller
+    * passed as the `writeId` write option — immune to concurrent writes
+    * to the same (org, table) overwriting each other's slot. */
+  def forWrite(writeId: String): Option[WriteOutcome] = Option(byId.get(writeId))
 }
 
 /** Process-local registry so the reflectively-instantiated DSv2 provider
@@ -167,6 +175,8 @@ final class InMemoryOrg extends RemoteOrg {
                 case AggFn("COUNT", c) => rows.count(r => r.get(schema.fieldIndex(c)) != null).toLong
                 case AggFn("MIN", c) => minMax(rows, schema.fieldIndex(c), min = true)
                 case AggFn("MAX", c) => minMax(rows, schema.fieldIndex(c), min = false)
+                case AggFn("SUM", c) => sumAgg(rows, schema.fieldIndex(c))
+                case AggFn("AVG", c) => avgAgg(rows, schema.fieldIndex(c))
                 case other => throw new IllegalArgumentException(
                   s"unsupported aggregate select item: $other")
               }
@@ -187,6 +197,40 @@ final class InMemoryOrg extends RemoteOrg {
     }
   }
 
+  /** SQL SUM semantics: null over zero non-null inputs; Long for integral
+    * inputs (the connector declares LongType), Double for floats. */
+  private def sumAgg(rows: Seq[Row], idx: Int): Any = {
+    val vs = rows.map(_.get(idx)).filter(_ != null)
+    if (vs.isEmpty) null
+    else vs.head match {
+      case _: Long | _: Int | _: Short | _: Byte =>
+        vs.map {
+          case n: Long => n
+          case n: Int => n.toLong
+          case n: Short => n.toLong
+          case n: Byte => n.toLong
+        }.sum
+      case _ => vs.map {
+        case n: Double => n
+        case n: Float => n.toDouble
+        case other => throw new IllegalArgumentException(s"cannot sum $other")
+      }.sum
+    }
+  }
+
+  private def avgAgg(rows: Seq[Row], idx: Int): Any = {
+    val vs = rows.map(_.get(idx)).filter(_ != null).map {
+      case n: Long => n.toDouble
+      case n: Int => n.toDouble
+      case n: Short => n.toDouble
+      case n: Byte => n.toDouble
+      case n: Double => n
+      case n: Float => n.toDouble
+      case other => throw new IllegalArgumentException(s"cannot avg $other")
+    }
+    if (vs.isEmpty) null else vs.sum / vs.size
+  }
+
   private def minMax(rows: Seq[Row], idx: Int, min: Boolean): Any = {
     val vs = rows.map(_.get(idx)).filter(_ != null)
     if (vs.isEmpty) null
@@ -202,34 +246,93 @@ final class InMemoryOrg extends RemoteOrg {
     }
   }
 
-  // evaluates the conjunct grammar render() produces: (p) AND (p) …
-  // split at depth-0 ") AND (" boundaries only — a naive string split
-  // would break inside IN-list parens: (Id IN ('a', 'b')) AND (Id > 'x')
-  private def splitConjuncts(w: String): Seq[String] = {
+  // evaluates the boolean grammar SoqlFilters + render() produce:
+  // nested (…) AND/OR (…) with comparison / IN / LIKE / null leaves.
+  // Splitting happens only at depth-0 connectives, quote-aware, so
+  // IN-list parens and literals containing " AND " never break parsing.
+  private def splitTop(p: String, sep: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
+    var inQuote = false
     var start = 0
     var i = 0
-    while (i < w.length) {
-      w.charAt(i) match {
+    while (i < p.length) {
+      val ch = p.charAt(i)
+      if (inQuote) {
+        if (ch == '\\') i += 1 // skip escaped char inside a literal
+        else if (ch == '\'') inQuote = false
+      } else ch match {
+        case '\'' => inQuote = true
         case '(' => depth += 1
-        case ')' =>
-          depth -= 1
-          if (depth == 0 && w.startsWith(" AND (", i + 1)) {
-            out += w.substring(start, i + 1)
-            start = i + 6 // skip ") AND " and land on the next "("
-            i += 5
-          }
+        case ')' => depth -= 1
         case _ =>
+          if (depth == 0 && p.startsWith(sep, i)) {
+            out += p.substring(start, i)
+            start = i + sep.length
+            i += sep.length - 1
+          }
       }
       i += 1
     }
-    out += w.substring(start)
-    out.toSeq.map(_.trim.stripPrefix("(").stripSuffix(")"))
+    out += p.substring(start)
+    out.toSeq
+  }
+
+  /** Strips one pair of outer parens iff they wrap the whole expression. */
+  private def stripOuter(p0: String): String = {
+    var p = p0.trim
+    var changed = true
+    while (changed && p.startsWith("(") && p.endsWith(")")) {
+      changed = false
+      var depth = 0
+      var inQuote = false
+      var wraps = true
+      var i = 0
+      while (i < p.length - 1) {
+        val ch = p.charAt(i)
+        if (inQuote) { if (ch == '\\') i += 1 else if (ch == '\'') inQuote = false }
+        else ch match {
+          case '\'' => inQuote = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) wraps = false
+          case _ =>
+        }
+        i += 1
+      }
+      if (wraps) { p = p.substring(1, p.length - 1).trim; changed = true }
+    }
+    p
   }
 
   private def evalWhere(w: String, schema: StructType, row: Row): Boolean =
-    splitConjuncts(w).forall(p => evalPred(p.trim, schema, row))
+    evalBool(w, schema, row)
+
+  private def evalBool(p0: String, schema: StructType, row: Row): Boolean = {
+    val p = stripOuter(p0)
+    val ors = splitTop(p, " OR ")
+    if (ors.length > 1) return ors.exists(evalBool(_, schema, row))
+    val ands = splitTop(p, " AND ")
+    if (ands.length > 1) return ands.forall(evalBool(_, schema, row))
+    evalPred(p, schema, row)
+  }
+
+  /** SOQL LIKE with \-escaped wildcards → anchored regex match. */
+  private def likeMatch(value: String, pattern: String): Boolean = {
+    val rx = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '\\' if i + 1 < pattern.length =>
+          rx.append(java.util.regex.Pattern.quote(pattern.charAt(i + 1).toString))
+          i += 1
+        case '%' => rx.append(".*")
+        case '_' => rx.append(".")
+        case c => rx.append(java.util.regex.Pattern.quote(c.toString))
+      }
+      i += 1
+    }
+    value.matches(rx.toString)
+  }
 
   private def evalPred(p: String, schema: StructType, row: Row): Boolean = {
     def v(col: String): Any = row.get(schema.fieldIndex(col))
@@ -241,10 +344,18 @@ final class InMemoryOrg extends RemoteOrg {
         case n: Int => java.lang.Integer.compare(n, lit.toInt)
         case n: Double => java.lang.Double.compare(n, lit.toDouble)
         case s: String => s.compareTo(lit.stripPrefix("'").stripSuffix("'"))
+        // SOQL date/datetime literals are unquoted ISO — dates compare
+        // lexicographically; instants via parse (offset-safe)
+        case d: java.sql.Date => d.toString.compareTo(lit)
+        case d: java.time.LocalDate => d.toString.compareTo(lit)
+        case t: java.sql.Timestamp =>
+          t.toInstant.compareTo(java.time.Instant.parse(lit))
+        case t: java.time.Instant => t.compareTo(java.time.Instant.parse(lit))
         case other => throw new IllegalArgumentException(s"cmp $other")
       }
     }
     val In = """(\w+) IN \((.+)\)""".r
+    val Like = """(\w+) LIKE '(.*)'""".r
     val Ne = """(\w+) != (.+)""".r
     val Ge = """(\w+) >= (.+)""".r
     val Le = """(\w+) <= (.+)""".r
@@ -259,6 +370,9 @@ final class InMemoryOrg extends RemoteOrg {
       case In(c, lits) =>
         val set = lits.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSet
         v(c) != null && set.contains(v(c).toString)
+      case Like(c, pat) =>
+        val s = Option(v(c)).map(_.toString).orNull
+        s != null && likeMatch(s, pat)
       case Ne(c, l) => cmp(c, l) != 0
       case Ge(c, l) => cmp(c, l) >= 0
       case Le(c, l) => cmp(c, l) <= 0

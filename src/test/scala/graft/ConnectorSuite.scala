@@ -69,14 +69,71 @@ class ConnectorSuite extends SparkSuite {
     assert(org.statements.last.endsWith("LIMIT 3"), org.statements.last)
   }
 
-  test("untranslatable filters still return correct results post-scan") {
+  test("LIKE pushdown: startsWith/endsWith/contains render to SOQL LIKE") {
     val org = freshOrg("t6")
-    val out = read("t6").where(col("Name").endsWith("3")) // no SOQL rendering
+    val out = read("t6").where(col("Name").endsWith("3"))
     assert(out.collect().map(_.getAs[String]("Id")).toSeq == Seq("ID003"))
-    // Spark pushes the inferred IsNotNull(Name); the endsWith itself must
-    // stay post-scan (its literal never appears in the SOQL)
-    assert(!org.statements.last.contains("'3'"), org.statements.last +
-      " — endsWith must not be pushed")
+    assert(org.statements.exists(_.contains("Name LIKE '%3'")),
+      org.statements.mkString("\n"))
+
+    val out2 = read("t6").where(col("Name").startsWith("acc1")) // acc1, acc10
+    assert(out2.count() == 2)
+    assert(org.statements.exists(_.contains("Name LIKE 'acc1%'")),
+      org.statements.mkString("\n"))
+
+    val out3 = read("t6").where(col("Name").contains("c1")) // acc1, acc10
+    assert(out3.count() == 2)
+    assert(org.statements.exists(_.contains("Name LIKE '%c1%'")),
+      org.statements.mkString("\n"))
+  }
+
+  test("untranslatable filters still return correct results post-scan") {
+    val org = freshOrg("t6b")
+    val out = read("t6b").where(length(col("Name")) === 4) // acc1..acc9
+    assert(out.count() == 9)
+    // the length() predicate has no SOQL rendering — nothing beyond the
+    // inferred IsNotNull may reach the org
+    assert(org.statements.filter(_.startsWith("SELECT"))
+      .forall(s => !s.toLowerCase.contains("length") && !s.contains("LIKE")),
+      org.statements.mkString("\n"))
+  }
+
+  test("OR predicates push down as SOQL OR") {
+    val org = freshOrg("t6c")
+    val out = read("t6c").where(col("Region") === "US" || col("Amount") >= 100)
+    val rows = out.collect()
+    assert(rows.length == 6) // 5 US + EU amount 100
+    assert(org.statements.exists(s => s.contains("Region = 'US'") &&
+      s.contains(" OR ") && s.contains("Amount >= 100")),
+      org.statements.mkString("\n"))
+  }
+
+  test("date and timestamp literals push down as unquoted ISO SOQL") {
+    val org = new InMemoryOrg
+    val sch = StructType(Seq(
+      StructField("Id", StringType),
+      StructField("CloseDate", DateType),
+      StructField("CreatedAt", TimestampType)))
+    org.createTable("Opp", sch, (1 to 6).map(i => Row(
+      f"ID$i%03d", java.sql.Date.valueOf(f"2024-01-$i%02d"),
+      java.sql.Timestamp.from(java.time.Instant.parse(f"2024-01-$i%02dT05:00:00Z")))))
+    RemoteOrgRegistry.register("t6d", org)
+    val df = spark.read.format("salesforce-sim")
+      .option("org", "t6d").option("sObject", "Opp")
+      .option("numPartitions", "1").load()
+
+    val byDate = df.where(col("CloseDate") > lit(java.sql.Date.valueOf("2024-01-03")))
+    assert(byDate.count() == 3)
+    assert(org.statements.exists(_.contains("CloseDate > 2024-01-03")),
+      org.statements.mkString("\n"))
+
+    val byTs = df.where(
+      col("CreatedAt") >= lit(java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-05T00:00:00Z"))))
+    assert(byTs.count() == 2)
+    assert(org.statements.exists(s =>
+      s.contains("CreatedAt >= 2024-01-05T00:00:00Z")),
+      org.statements.mkString("\n"))
   }
 
   test("count(*) pushes down as a SOQL aggregate") {
@@ -102,7 +159,9 @@ class ConnectorSuite extends SparkSuite {
   test("PK-range scan splits into multiple partitions with identical results") {
     val org = freshOrg("t12")
     val df = read("t12")
-    assert(df.rdd.getNumPartitions == 4, s"expected 4 PK ranges, got ${df.rdd.getNumPartitions}")
+    // the default partition request tracks the cluster, not a constant
+    assert(df.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
+      s"expected defaultParallelism PK ranges, got ${df.rdd.getNumPartitions}")
     // every range carries an Id-range predicate and the union is exactly the table
     val ids = df.collect().map(_.getAs[String]("Id")).sorted
     assert(ids.toSeq == (1 to 10).map(i => f"ID$i%03d"))
@@ -244,6 +303,58 @@ class ConnectorSuite extends SparkSuite {
       simOrg.statements.mkString("\n"))
   }
 
+  test("streaming admission control caps backfill batches at maxRecordsPerBatch") {
+    val simOrg = new InMemoryOrg
+    val sch = StructType(Seq(
+      StructField("Id", StringType), StructField("Payload", StringType)))
+    simOrg.createTable("Event__c", sch)
+    (1 to 10).grouped(5).foreach(g =>
+      simOrg.insert("Event__c", g.map(i => Row(null, s"p$i")), sch))
+    RemoteOrgRegistry.register("stream2", simOrg)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-admit-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-admit-out").toString
+
+    val q = spark.readStream.format("salesforce-sim")
+      .option("org", "stream2").option("sObject", "Event__c")
+      .option("maxRecordsPerBatch", "4").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    // nothing lost, nothing duplicated — and the backfill paged: 10 rows
+    // at <=4/batch means at least 3 non-empty micro-batches
+    assert(spark.read.parquet(out).count() == 10)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3,
+      s"expected >=3 capped batches, got ${batches.map(_.numInputRows).mkString(",")}")
+    assert(batches.forall(_.numInputRows <= 4),
+      batches.map(_.numInputRows).mkString(","))
+  }
+
+  test("streaming micro-batch ranges split on PK-chunk boundaries") {
+    import graft.sources.{OrgMicroBatchStream, OrgStreamOffset, OrgInputPartition}
+    val simOrg = new InMemoryOrg
+    val sch = StructType(Seq(
+      StructField("Id", StringType), StructField("Payload", StringType)))
+    simOrg.createTable("Event__c", sch)
+    (1 to 12).grouped(6).foreach(g =>
+      simOrg.insert("Event__c", g.map(i => Row(null, s"p$i")), sch))
+    RemoteOrgRegistry.register("stream3", simOrg)
+
+    val stream = new OrgMicroBatchStream("stream3", "Event__c", sch, Nil,
+      numPartitions = 4)
+    val end = stream.latestOffset().asInstanceOf[OrgStreamOffset]
+    val parts = stream.planInputPartitions(OrgStreamOffset(""), end)
+    assert(parts.length > 1,
+      s"backfill batch must split into >1 partitions, got ${parts.length}")
+    // the ranges reassemble the exact batch: no overlap, no gap
+    val rows = parts.flatMap(p =>
+      simOrg.query(p.asInstanceOf[OrgInputPartition].soql).map(_.getString(1)))
+    assert(rows.sorted.toSeq == (1 to 12).map(i => s"p$i").sorted)
+  }
+
   test("global aggregate over an empty match still yields one row") {
     freshOrg("t9e")
     val out = read("t9e").where(col("Region") === "APAC")
@@ -254,12 +365,38 @@ class ConnectorSuite extends SparkSuite {
     assert(out(0).isNullAt(1))
   }
 
-  test("untranslatable aggregates (sum/avg) stay in Spark, results correct") {
+  test("SUM/AVG push down completely on a single-cursor scan") {
     val org = freshOrg("t11")
-    val out = read("t11").groupBy("Region").agg(sum("Amount").as("s"))
+    val df = spark.read.format("salesforce-sim")
+      .option("org", "t11").option("sObject", "Account")
+      .option("numPartitions", "1").load()
+    val out = df.groupBy("Region")
+      .agg(sum("Amount").as("s"), avg("Amount").as("a"))
+      .orderBy("Region").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("EU", 300L, 60.0), ("US", 250L, 50.0)))
+    val soql = org.statements.last
+    assert(soql.contains("SUM(Amount)") && soql.contains("AVG(Amount)"), soql)
+  }
+
+  test("SUM over PK ranges demotes to partials Spark sums correctly") {
+    val org = freshOrg("t11b")
+    val out = read("t11b").groupBy("Region").agg(sum("Amount").as("s"))
       .orderBy("Region").collect().map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq == Seq(("EU", 300L), ("US", 250L)))
-    assert(!org.statements.last.contains("SUM"), org.statements.last)
+    val sumScans = org.statements.filter(_.contains("SUM(Amount)"))
+    assert(sumScans.size == 4, org.statements.mkString("\n"))
+  }
+
+  test("AVG over PK ranges still yields the exact average (no avg-of-avgs)") {
+    val org = freshOrg("t11c")
+    val out = read("t11c").groupBy("Region").agg(avg("Amount").as("a"))
+      .orderBy("Region").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.toSeq == Seq(("EU", 60.0), ("US", 50.0)))
+    // partial pushdown must never ship AVG per range — Spark rewrites to
+    // SUM/COUNT partials it can merge exactly
+    assert(!org.statements.exists(s => s.contains("AVG") && s.contains("Id > ")),
+      org.statements.mkString("\n"))
   }
 
   test("write path chunks inserts at 200 rows per org call") {

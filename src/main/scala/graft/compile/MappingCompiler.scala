@@ -57,7 +57,12 @@ object MappingCompiler {
     val joined = parentTables.foldLeft(base) { (df, parent) =>
       val needed = spec.mapping.filter(_.tableSrc == parent).map(_.columnSrc).distinct
       val dotted = needed.map(c => s"$parent.$c")
-      if (dotted.forall(df.columns.contains)) {
+      // the alias-to-bare-name shortcut is only safe when no child column
+      // shares the name (both Child and Parent having e.g. `Name` is
+      // common in Salesforce) — a silent withColumn replacement would read
+      // the parent's value where the spec meant the child's
+      val collisions = needed.filter(df.columns.contains)
+      if (dotted.forall(df.columns.contains) && collisions.isEmpty) {
         // the source scan already exposes relationship-path columns
         // (connector pushdown: SOQL `Parent.Column`) — alias them to the
         // source-column names and let the ORG do the join; one object
@@ -65,6 +70,13 @@ object MappingCompiler {
         needed.zip(dotted).foldLeft(df) { case (d, (c, dc)) =>
           d.withColumn(c, col(s"`$dc`"))
         }
+      } else if (dotted.forall(df.columns.contains) && collisions.nonEmpty &&
+          !relationships.exists(r =>
+            r.childTable == spec.sourceObject && r.parentTable == parent)) {
+        throw new IllegalArgumentException(
+          s"relationship-path columns ${collisions.mkString(", ")} of $parent " +
+            s"collide with ${spec.sourceObject} columns; declare a " +
+            "Relationship so the join can resolve them explicitly")
       } else {
         val rel = relationships.find(r =>
           r.childTable == spec.sourceObject && r.parentTable == parent)

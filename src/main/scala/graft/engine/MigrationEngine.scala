@@ -59,17 +59,26 @@ final class ParquetTableIO(
     // mutable sink (the connector) applies per-row updates instead.
     val updCols = rows.columns.filterNot(_ == "Id").toSeq
     val existing = read(table)
+    // a join-hit marker (not coalesce) so an update row that explicitly
+    // sets a column to NULL propagates the NULL — matching the connector
+    // TableIO, which overwrites whatever value the update row carries
     val u = rows.select(
-      (col("Id").as("__upd_id") +: updCols.map(c => col(c).as(s"__upd_$c"))): _*)
+      (col("Id").as("__upd_id") +: lit(true).as("__hit") +:
+        updCols.map(c => col(c).as(s"__upd_$c"))): _*)
     val joined = existing.join(broadcast(u), existing("Id") === u("__upd_id"), "left")
     val merged = joined.select(existing.columns.toSeq.map {
       case c if updCols.contains(c) =>
-        coalesce(col(s"__upd_$c"), existing(c)).as(c)
+        when(col("__hit"), col(s"__upd_$c")).otherwise(existing(c)).as(c)
       case c => existing(c)
     }: _*)
-    val n = rows.count()
+    // processed = rows that matched an existing record (connector path
+    // counts unmatched Ids as failed, not processed); counted before the
+    // overwrite mutates the table these lazy plans read from
+    val matched = existing.join(
+      broadcast(rows.select(col("Id").as("__upd_id"))),
+      existing("Id") === col("__upd_id"), "left_semi").count()
     overwrite(table, merged)
-    n
+    matched
   }
 
   override def overwrite(table: String, rows: DataFrame): Unit = {

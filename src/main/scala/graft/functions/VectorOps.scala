@@ -80,50 +80,51 @@ object VectorOps {
   }
 
   /** Signed-random-projection (hyperplane LSH) signature: bit `j` is the
-    * sign of `sum_i r_ij * v_i` with Rademacher weights
-    * `r_ij = ±1` derived from xxhash64(i, j) — deterministic, no stored
-    * projection matrix, O(dim × bits) per vector. */
-  def hyperplaneSignature(v: Column, bits: Int, seed: Long = 42L): Column = {
-    val terms = (0 until bits).map { j =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
-          x * (pmod(xxhash64(i, lit(j), lit(seed)), lit(2))
-            .cast("double") * 2.0 - 1.0)),
-        lit(0.0), _ + _)
-      when(proj > 0, lit(1L << j)).otherwise(0L)
-    }
-    terms.reduce(_ + _)
-  }
+    * sign of `sum_i r_ij * v_i` with Rademacher weights `r_ij = ±1` —
+    * deterministic, no stored projection matrix. Computed by the codegen
+    * [[HyperplaneSig]] expression (all bands in one generated loop), so
+    * band/bit counts are chosen by recall math, not expression-tree size. */
+  def hyperplaneSignatures(spark: SparkSession, v: Column, bits: Int,
+      bands: Int, seed: Long = 42L): Column =
+    HyperplaneSig.column(spark, v, bits, bands, seed)
 
-  /** LSH-bucketed approximate near-neighbor pairs: vectors sharing a
-    * signature bucket are candidates; exact cosine verifies. Multi-probe
-    * via `bands` signatures (different seeds) raises recall without
-    * growing any single bucket. */
-  def lshCosinePairs(
+  /** LSH candidate pairs with their exact cosine, deduplicated across
+    * bands: vectors sharing any band signature are candidates. The
+    * pre-threshold form exists so tests can pin the candidate-set size
+    * (the prune) independently of the similarity cut. */
+  def lshScoredCandidates(
       df: DataFrame, idCol: String, vecCol: String,
-      bits: Int, bands: Int, threshold: Double): DataFrame = {
+      bits: Int, bands: Int): DataFrame = {
     val base = normalizedVectors(df, idCol, vecCol)
     // compute + cache all band signatures BEFORE the explode: the cache is
     // a predicate-pushdown barrier, without which the optimizer's
     // inferred Generate/join-key filters re-evaluate the whole signature
     // chain per row (see TextOps); it also serves both self-join sides
     val sigs = base.select(col("__id"), col("__v"),
-      array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          hyperplaneSignature(col("__v"), bits, seed = 1000L + b).as("sig"))): _*)
+      hyperplaneSignatures(df.sparkSession, col("__v"), bits, bands)
         .as("__sigs"))
       .cache()
     val withSigs = sigs.select(col("__id"), col("__v"),
-      explode(col("__sigs")).as("__bucket"))
-    val l = withSigs.select(col("__id").as("id_a"), col("__v").as("va"), col("__bucket"))
-    val r = withSigs.select(col("__id").as("id_b"), col("__v").as("vb"), col("__bucket"))
-    l.join(r, Seq("__bucket"))
+      posexplode(col("__sigs")).as(Seq("__band", "__sig")))
+    val l = withSigs.select(col("__id").as("id_a"), col("__v").as("va"),
+      col("__band"), col("__sig"))
+    val r = withSigs.select(col("__id").as("id_b"), col("__v").as("vb"),
+      col("__band"), col("__sig"))
+    l.join(r, Seq("__band", "__sig"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         nativeDot(df.sparkSession, col("va"), col("vb")).as("cos"))
       .distinct()
-      .where(col("cos") >= threshold)
   }
+
+  /** LSH-bucketed approximate near-neighbor pairs: candidates from
+    * shared band buckets, exact cosine verifies. Bucket-local join
+    * fan-out — the 100 TB shape for all-pairs similarity. */
+  def lshCosinePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, bands: Int, threshold: Double): DataFrame =
+    lshScoredCandidates(df, idCol, vecCol, bits, bands)
+      .where(col("cos") >= threshold)
 
   /** IVF (inverted-file) approximate top-k: a coarse quantizer of
     * `nlist` spherical-kmeans centroids is trained driver-side on a

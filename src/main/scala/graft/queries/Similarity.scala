@@ -49,16 +49,20 @@ object Similarity {
       baseline = true), // corpus×queries brute force; s02 is the scale path
 
     // ---- s02: hyperplane-LSH bucketed near-neighbor pairs (scale path;
-    // xxhash64-derived projections are not oracle-expressible) -------------
+    // hash-derived projections are not oracle-expressible) -----------------
     QueryDef(
       "s02_ann_lsh",
       (s, d) =>
-        // short signatures + many bands: at this moderate threshold (0.4)
-        // hyperplane collision probability per bit is ~0.63, so recall
-        // needs few bits per band; real near-dup corpora (cos >= 0.9)
-        // would use longer signatures for a sharper prune
+        // bits=8/bands=32 (codegen HyperplaneSig — one loop, not 256
+        // expressions): random-pair collision 1-(1-2^-8)^32 ≈ 12% of all
+        // pairs vs ~40% at the old bits=4/bands=8, with recall ≥ 0.5 on
+        // the planted cos∈[0.40,0.51] pairs (pinned in DedupOpsSuite
+        // together with the candidate-count prune). This threshold (0.4)
+        // is a hard LSH regime — per-bit collision ~0.63 — so bands, not
+        // bits, carry the recall; real near-dup corpora (cos ≥ 0.9) get
+        // a far sharper prune from the same operator.
         VectorOps.lshCosinePairs(Tables(s, d, "embeddings"),
-            "vec_id", "embedding", bits = 4, bands = 8, threshold = 0.4)
+            "vec_id", "embedding", bits = 8, bands = 32, threshold = 0.4)
           .select(col("id_a"), col("id_b"))
           .orderBy("id_a", "id_b"),
       None,

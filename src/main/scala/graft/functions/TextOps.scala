@@ -203,14 +203,29 @@ object TextOps {
           .otherwise(col("__gh"))).as("fps"))
   }
 
+  /** 64-bit token hash derived from md5 (first 16 hex chars read
+    * big-endian), assembled from two 32-bit `conv` chunks so the unsigned
+    * value lands in the correct signed-long bit pattern (a single 64-bit
+    * conv+cast would null out values with the top bit set). md5 exists in
+    * both Spark and DuckDB (`('0x' || substr(md5(t),1,16))::UBIGINT`), so
+    * every sketch built on this hash is oracle-expressible — unlike
+    * xxhash64, whose seed/finalizer DuckDB cannot reproduce. */
+  def tokenHash64(t: Column): Column = {
+    val hx = md5(t)
+    shiftleft(conv(substring(hx, 1, 8), 16, 10).cast("long"), 32) +
+      conv(substring(hx, 9, 8), 16, 10).cast("long")
+  }
+
   /** 64-bit SimHash per document, computed scalably: explode token
     * hashes, then ONE hash aggregation with 64 conditional sums (one per
     * bit) — no per-row 64-way fold, so the whole thing stays in
-    * whole-stage codegen and shuffles once on the doc id. */
+    * whole-stage codegen and shuffles once on the doc id. Token bits come
+    * from [[tokenHash64]] (md5-derived), so the whole pipeline is
+    * reproducible in the DuckDB oracle. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("__id"),
       explode(tokens(col(textCol))).as("__t"))
-      .select(col("__id"), xxhash64(col("__t")).as("__h"))
+      .select(col("__id"), tokenHash64(col("__t")).as("__h"))
     val bitSums = (0 until 64).map { b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"__b$b")

@@ -10,16 +10,41 @@ import graft.functions.{TextOps, VectorOps}
   * Hamming verify), and embedding-cosine near-dup (exact baseline; LSH
   * variant in Similarity).
   *
-  * Oracle notes: the xxhash64-based sketches (MinHash, SimHash) are not
-  * reproducible in DuckDB; their gate entries are the *verified* outputs
-  * (exact Jaccard over candidates), which at the planted similarity
-  * levels (>= 0.9) equal the exhaustive result with probability
-  * ~1 - 1e-15 per pair, so the exact-pairs oracle applies. Cosine values
-  * are never emitted — only threshold decisions, with data-checked
-  * margin (min |cos - t| ~ 5e-4) — so float accumulation-order noise
-  * cannot flip the compare.
+  * Oracle notes: the xxhash64-based MinHash sketch is not reproducible
+  * in DuckDB; its gate entry is the *verified* output (exact Jaccard
+  * over candidates), which at the planted similarity levels (>= 0.9)
+  * equals the exhaustive result with probability ~1 - 1e-15 per pair, so
+  * the exact-pairs oracle applies. SimHash (d04) derives its bits from
+  * md5 ([[TextOps.tokenHash64]]), which DuckDB reproduces exactly — its
+  * oracle recomputes the 64 bit-sums and checks Hamming pairs
+  * exhaustively (banding + verify == exact Hamming filter by the
+  * pigeonhole guarantee). Cosine values are never emitted — only
+  * threshold decisions, with data-checked margin (min |cos - t| ~ 5e-4)
+  * — so float accumulation-order noise cannot flip the compare.
   */
 object Dedup {
+
+  /** DuckDB replay of [[TextOps.simHash]] + exact Hamming-<=7 pairs: the
+    * 64 per-bit sums as columns (no 64-bit packing — DuckDB's UBIGINT
+    * shift overloads overflow at bit 63), hamming as a 64-term bit
+    * comparison on the all-pairs join (oracle-side O(n²) is fine at
+    * verification scale). */
+  private val oracleSimhash: String = {
+    val bitSums = (0 until 64).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+    val ham = (0 until 64).map(b =>
+      s"(CASE WHEN (a.b$b > 0) != (b.b$b > 0) THEN 1 ELSE 0 END)").mkString(" + ")
+    "WITH toks AS (\n" +
+      "  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t\n" +
+      "  FROM documents\n" +
+      "), th AS (\n" +
+      "  SELECT doc_id, ('0x' || substr(md5(t),1,16))::UBIGINT AS h FROM toks\n" +
+      s"), bits AS (\n  SELECT doc_id, $bitSums FROM th GROUP BY doc_id\n" +
+      s"), scored AS (\n  SELECT a.doc_id AS id_a, b.doc_id AS id_b, $ham AS hamming\n" +
+      "  FROM bits a JOIN bits b ON a.doc_id < b.doc_id\n)\n" +
+      "SELECT id_a, id_b, CAST(hamming AS INT) AS hamming\n" +
+      "FROM scored WHERE hamming <= 11 ORDER BY id_a, id_b"
+  }
 
   private val oracleShingles = """
     WITH toks AS (
@@ -95,20 +120,23 @@ object Dedup {
       Some(oracleJaccardPairs),
       bench = true),
 
-    // ---- d04: SimHash near-dup (bit banding + Hamming verify; the
-    // xxhash64 bit pattern is not oracle-expressible → rows-only) ----------
+    // ---- d04: SimHash near-dup (bit banding + Hamming verify; md5-bit
+    // source makes the whole pipeline DuckDB-expressible) ------------------
     QueryDef(
       "d04_simhash",
       (s, d) => {
         val sims = TextOps.simHash(
           Tables.corpus(s, d),
           "doc_id", "text")
-        // word-level edits move several simhash bits: planted >=0.9-jaccard
-        // pairs here span hamming 0..9, so use the 8-block banding (<=7)
-        TextOps.simHashPairs(sims, "doc_id", maxHamming = 7)
+        // word-level edits move several simhash bits: the planted
+        // near-dup pairs span hamming 0..11 under the md5-derived bit
+        // family (measured at sf0.001/sf0.01), so band for <=11
+        // (12 blocks of 5 bits; pigeonhole still guarantees candidate
+        // totality, exact bit_count verifies)
+        TextOps.simHashPairs(sims, "doc_id", maxHamming = 11)
           .orderBy("id_a", "id_b")
       },
-      None,
+      Some(oracleSimhash),
       bench = true),
 
     // ---- d05: embedding-cosine near-dup, exact baseline -------------------

@@ -8,14 +8,15 @@ import org.apache.spark.sql.functions._
   * struct; decode / feature-extract / resize / frame-sample are
   * per-partition batch operators.
   *
-  * Image decode and resize are REAL for every format the JDK's
-  * `javax.imageio` reads (PNG/JPEG/BMP/GIF) — actual pixel decode,
-  * actual luma, actual resampling — with a deterministic fallback for
-  * payloads that aren't decodable images (the synthetic test corpus,
-  * or formats needing native codecs). Model-based feature extraction
-  * and video frame decode remain deterministic STUB kernels standing
-  * in for libraries this environment does not ship; swapping one
-  * changes a function body, none of the dataflow.
+  * Image decode, resize AND feature extraction are REAL for every
+  * format the JDK's `javax.imageio` reads (PNG/JPEG/BMP/GIF) — actual
+  * pixel decode, actual luma, actual resampling, and histogram+DCT
+  * perceptual features from the decoded grid — with a deterministic
+  * fallback for payloads that aren't decodable images (the synthetic
+  * test corpus, or formats needing native codecs). Non-image feature
+  * embedding and video frame decode remain deterministic STUB kernels
+  * standing in for libraries this environment does not ship; swapping
+  * one changes a function body, none of the dataflow.
   *
   * Scale notes: payload bytes stay in executors end to end (no
   * collect); per-partition `grouped(batchSize)` mirrors how a real
@@ -116,26 +117,112 @@ object Multimodal {
     }
   }
 
-  /** STUB feature extraction: a real implementation runs a vision/audio
-    * model over the batch; the fake hashes byte windows into a fixed-dim
-    * float vector (deterministic, unit-scale). Output schema and batch
-    * shape match what an ANN index ingests ([[graft.functions.VectorOps]]). */
+  /** REAL image feature kernel: grayscale histogram + low-frequency 2D
+    * DCT coefficients (the pHash family) computed from the actual ImageIO
+    * decode — resampled to a fixed grid so a resized copy of an image
+    * lands near the original while visually different images land far
+    * apart (pinned in MultimodalSuite). Layout: `dim/2` luma-histogram
+    * bins followed by `dim - dim/2` zigzag DCT coefficients (DC excluded
+    * — brightness alone shouldn't dominate), L2-normalized. */
+  private[multimodal] def imageFeature(
+      img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val grid = 32
+    // resample to grid×grid (bilinear) and take Rec. 601 luma
+    val small = new java.awt.image.BufferedImage(
+      grid, grid, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, grid, grid, null)
+    g.dispose()
+    val luma = Array.ofDim[Double](grid, grid)
+    var y = 0
+    while (y < grid) {
+      var x = 0
+      while (x < grid) {
+        val rgb = small.getRGB(x, y)
+        luma(y)(x) = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val histBins = dim / 2
+    val hist = new Array[Double](histBins)
+    luma.foreach(_.foreach { v =>
+      hist(math.min(histBins - 1, (v / 256.0 * histBins).toInt)) += 1
+    })
+    val histNorm = hist.map(_ / (grid.toDouble * grid))
+    // separable orthonormal 2D DCT-II; zigzag low-freq scan skipping DC
+    val dct = dct2(luma, grid)
+    val want = dim - histBins
+    val coeffs = new Array[Double](want)
+    var taken = 0
+    var s = 1 // zigzag diagonal index (u+v); s=0 is DC
+    while (taken < want && s <= 2 * (grid - 1)) {
+      var u = math.min(s, grid - 1)
+      while (taken < want && u >= math.max(0, s - (grid - 1))) {
+        coeffs(taken) = dct(u)(s - u) / 255.0
+        taken += 1
+        u -= 1
+      }
+      s += 1
+    }
+    val v = histNorm ++ coeffs
+    val norm = math.sqrt(v.map(x => x * x).sum).max(1e-9)
+    v.map(x => (x / norm).toFloat)
+  }
+
+  /** Orthonormal 2D DCT-II of an n×n grid (separable, O(n³)). */
+  private def dct2(a: Array[Array[Double]], n: Int): Array[Array[Double]] = {
+    val c = Array.tabulate(n, n)((k, i) =>
+      math.sqrt((if (k == 0) 1.0 else 2.0) / n) *
+        math.cos(math.Pi * (2 * i + 1) * k / (2.0 * n)))
+    // rows then columns: out = C * a * C^T
+    val tmp = Array.tabulate(n, n) { (y, u) =>
+      var acc = 0.0; var x = 0
+      while (x < n) { acc += c(u)(x) * a(y)(x); x += 1 }
+      acc
+    }
+    Array.tabulate(n, n) { (u, v) =>
+      var acc = 0.0; var y = 0
+      while (y < n) { acc += c(u)(y) * tmp(y)(v); y += 1 }
+      acc
+    }
+  }
+
+  /** Feature extraction over a media batch: REAL histogram+DCT features
+    * (via [[imageFeature]]) for every payload ImageIO can decode;
+    * deterministic byte-window hash fallback for undecodable payloads
+    * (audio/video embedding models are libraries this environment does
+    * not ship — that fallback is the remaining documented stand-in).
+    * Output schema and batch shape match what an ANN index ingests
+    * ([[graft.functions.VectorOps]]). */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 64,
       batchSize: Int = 64): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // --- STUB KERNEL: replace with real batched model inference ---
         batch.map { m =>
-          val v = new Array[Float](dim)
-          var i = 0
-          while (i < m.bytes.length) {
-            val j = (m.bytes(i) & 0xff) % dim
-            v(j) += 1.0f / (1 + i % 7)
-            i += 1
+          val decoded =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.bytes)))
+            catch { case _: java.io.IOException => None }
+          decoded match {
+            case Some(img) => MediaFeature(m.media_id, imageFeature(img, dim))
+            case None =>
+              // --- STUB KERNEL (non-image payloads): replace with real
+              // batched model inference; deterministic byte-window hash ---
+              val v = new Array[Float](dim)
+              var i = 0
+              while (i < m.bytes.length) {
+                val j = (m.bytes(i) & 0xff) % dim
+                v(j) += 1.0f / (1 + i % 7)
+                i += 1
+              }
+              val norm = math.sqrt(v.map(x => x.toDouble * x).sum).max(1e-9)
+              MediaFeature(m.media_id, v.map(x => (x / norm).toFloat))
           }
-          val norm = math.sqrt(v.map(x => x.toDouble * x).sum).max(1e-9)
-          MediaFeature(m.media_id, v.map(x => (x / norm).toFloat))
         }
       }
     }

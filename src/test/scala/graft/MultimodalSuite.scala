@@ -81,6 +81,39 @@ class MultimodalSuite extends SparkSuite {
     }
   }
 
+  test("real image features: different images far apart, resized copy stays near") {
+    import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+    def png(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    // horizontal gradient vs checkerboard: visually unrelated
+    val gradient = png(128, 128, (x, _) => { val v = x * 2; (v << 16) | (v << 8) | v })
+    val checker = png(128, 128, (x, y) =>
+      if (((x / 16) + (y / 16)) % 2 == 0) 0xffffff else 0x000000)
+    val rows = Seq(
+      MediaRow(1L, MediaMeta("image", 128, 128, 0, 0L), gradient),
+      MediaRow(2L, MediaMeta("image", 128, 128, 0, 0L), checker))
+    val ds = spark.createDataset(rows)
+    // resized copy of the gradient via the REAL resize path (64px side)
+    val resized = Multimodal.resize(
+      spark.createDataset(Seq(rows.head.copy(media_id = 3L))), maxSide = 64)
+    val feats = Multimodal.extractFeatures(ds.union(resized), dim = 64)
+      .collect().map(f => f.media_id -> f.feature).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val farPair = cos(feats(1L), feats(2L))
+    val nearPair = cos(feats(1L), feats(3L))
+    assert(nearPair > 0.95, s"resized copy should stay near, cos=$nearPair")
+    assert(farPair < 0.8, s"different images should be far, cos=$farPair")
+    assert(nearPair - farPair > 0.2,
+      s"feature space must separate: near=$nearPair far=$farPair")
+  }
+
   test("features feed the ANN operators end to end") {
     val feats = Multimodal.extractFeatures(media, dim = 64)
       .toDF("vec_id", "embedding")

@@ -31,9 +31,16 @@ final class SessionExpiredException(msg: String) extends RuntimeException(msg)
 /** Thrown when authentication itself fails (bad credentials / org down). */
 final class AuthFailedException(msg: String) extends RuntimeException(msg)
 
-/** Minimal injectable HTTP boundary: a form POST returning (status, body). */
+/** Minimal injectable HTTP boundary: a form POST returning (status, body),
+  * plus a raw request method for REST/Bulk-API clients ([[BulkApiOrg]]).
+  * The default implementation throws so form-only fakes stay valid. */
 trait HttpTransport {
   def postForm(url: String, params: Map[String, String]): (Int, String)
+  /** Raw request: (status, body). `body` is empty for GET. */
+  def send(method: String, url: String, headers: Map[String, String],
+      body: String): (Int, String) =
+    throw new UnsupportedOperationException(
+      "this transport only supports form POSTs")
 }
 
 /** Token storage boundary; keyed by username like sessions.ini. */

@@ -113,7 +113,8 @@ final class MigrationEngine(
     relationships: Seq[Relationship] = Nil,
     mintId: Option[String => org.apache.spark.sql.Column] = None) {
 
-  def migrate(spec: MappingSpec, limit: Option[Int] = None): MigrationMetrics = {
+  def migrate(spec: MappingSpec, limit: Option[Int] = None,
+      preInsert: DataFrame => DataFrame = identity): MigrationMetrics = {
     // 1. extract (migration_engine.py:77-81); the extracted-row count is
     // collected via an Observation on the same pass that feeds the
     // insert — no second scan of the source (df.observe + listener
@@ -123,8 +124,9 @@ final class MigrationEngine(
       .observe(obs, org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n"))
 
-    // 2. transform: rename + type + constants (migration_engine.py:25-41)
-    val newRows = MappingCompiler.destinationRows(extracted, spec)
+    // 2. transform: rename + type + constants (migration_engine.py:25-41),
+    // then the caller's pre-insert hook (FK remapping in MigrationPlan)
+    val newRows = preInsert(MappingCompiler.destinationRows(extracted, spec))
 
     // 3. load + correlate created IDs (migration_engine.py:43)
     val withId = (mintId, spec.dstSrcIdColumn) match {

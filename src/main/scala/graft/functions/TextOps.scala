@@ -171,6 +171,49 @@ object TextOps {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Connected components over a near-duplicate pair graph via min-label
+    * propagation: every document's cluster id is the minimum doc id
+    * reachable through dup edges — the canonical-representative
+    * assignment a dedup pipeline needs after pair generation (keep
+    * `doc_id == cluster_id`, drop the rest).
+    *
+    * Iterative DataFrame algorithm: each round propagates labels across
+    * edges and keeps the per-node min; rounds needed = component
+    * diameter (near-dup clusters are small — planted clusters converge
+    * in 2-3). Every shuffle keys on uniformly distributed ids; the
+    * driver loop only reads convergence counts, never data. */
+  def duplicateClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("__src"), col("id_b").as("__dst"))
+      .union(pairs.select(col("id_b").as("__src"), col("id_a").as("__dst")))
+      .cache()
+    var labels = docs.select(col(idCol).as("__v"), col(idCol).as("__lbl")).cache()
+    labels.count()
+    var prev: DataFrame = null
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val propagated = edges.join(labels, edges("__src") === labels("__v"))
+        .select(col("__dst").as("__v"), col("__lbl"))
+      val next = labels.union(propagated)
+        .groupBy("__v").agg(min("__lbl").as("__lbl"))
+        .cache()
+      next.count() // materialize before the convergence compare reads twice
+      val changed = next
+        .join(labels.withColumnRenamed("__lbl", "__old"), "__v")
+        .where(col("__lbl") =!= col("__old")).count()
+      if (prev != null) prev.unpersist()
+      prev = labels
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    if (prev != null) prev.unpersist()
+    edges.unpersist()
+    labels.select(col("__v").as(idCol), col("__lbl").as("cluster_id"))
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
     * MOSS scheme): hash every character k-gram of the normalized text,
     * slide a w-hash window, keep each window's MINIMUM hash, dedupe —

@@ -68,6 +68,39 @@ object Dedup {
     FROM pairs WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5
     ORDER BY id_a, id_b"""
 
+  /** Transitive closure of the near-dup pair graph in DuckDB: the
+    * recursive member walks edges from every document; min reachable id
+    * per node == the min-label-propagation fixpoint the Spark operator
+    * computes. */
+  private val oracleClusters = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+             any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT id_a, id_b FROM cand
+      WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL
+      SELECT id_b, id_a FROM p
+    ), reach AS (
+      SELECT doc_id AS v, doc_id AS r FROM documents
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v
+    )
+    SELECT v AS doc_id, min(r) AS cluster_id
+    FROM reach GROUP BY v ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- d01: exact dedup via content-hash groupBy ------------------------
@@ -137,6 +170,19 @@ object Dedup {
           .orderBy("id_a", "id_b")
       },
       Some(oracleSimhash),
+      bench = true),
+
+    // ---- d06: duplicate clustering (connected components over the
+    // near-dup pair graph; canonical id = min reachable doc id) ------------
+    QueryDef(
+      "d06_dup_clusters",
+      (s, d) => {
+        val docs = Tables.corpus(s, d)
+        val pairs = TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        TextOps.duplicateClusters(docs, "doc_id", pairs)
+          .orderBy("doc_id")
+      },
+      Some(oracleClusters),
       bench = true),
 
     // ---- d05: embedding-cosine near-dup, exact baseline -------------------

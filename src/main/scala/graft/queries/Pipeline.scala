@@ -97,6 +97,31 @@ object Pipeline {
             .as("approx_orders"),
             count(lit(1)).as("n"))
           .orderBy("l_returnflag"),
-      None)
+      None),
+
+    // Deterministic hash sampling — the reproducible corpus-subset
+    // operator a training pipeline needs (same 5% every run, every
+    // engine, no RNG state): sample key = bits 8..38 of the md5-derived
+    // doc_id hash (identical in Spark and DuckDB regardless of
+    // signed/unsigned shifts), keep key % 20 == 0. Pure narrow filter —
+    // pushes to the scan, trivially parallel at any corpus size.
+    QueryDef(
+      "p03_hash_sample",
+      (s, d) =>
+        Tables.corpus(s, d)
+          .select(col("doc_id"), col("lang"),
+            shiftright(TextOps.tokenHash64(col("doc_id").cast("string")), 8)
+              .bitwiseAND(0x7FFFFFFFL).as("__k"))
+          .where(col("__k") % 20 === 0)
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT >> 8)
+                   & 2147483647) AS k
+          FROM documents)
+        WHERE k % 20 = 0
+        ORDER BY doc_id"""))
   )
 }

@@ -202,6 +202,92 @@ object TextAnalysis {
             array_min(col("fps")).as("fp_min"),
             array_max(col("fps")).as("fp_max"))
           .orderBy("doc_id"),
-      None)
+      None),
+
+    // ---- t06: PII / identifier scrubbing — multi-pattern regex redaction
+    // with per-pattern counts, over the customer projection (the one
+    // synthetic text surface carrying identifier-shaped digit runs;
+    // email/phone patterns are part of the operator and simply count 0
+    // here). Narrow per-row column work, codegen regexes. -----------------
+    QueryDef(
+      "t06_pii_scrub",
+      (s, d) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        val idRe = "[0-9]{6,}"
+        Tables(s, d, "customer")
+          .select(col("c_custkey"),
+            concat_ws(" ", col("c_name"), col("c_mktsegment")).as("__text"))
+          .select(col("c_custkey"),
+            regexp_count(col("__text"), lit(emailRe)).cast("long").as("n_emails"),
+            regexp_count(col("__text"), lit(phoneRe)).cast("long").as("n_phones"),
+            regexp_count(col("__text"), lit(idRe)).cast("long").as("n_ids"),
+            regexp_replace(regexp_replace(regexp_replace(col("__text"),
+              emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), idRe, "<ID>")
+              .as("redacted"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey, concat_ws(' ', c_name, c_mktsegment) AS txt
+          FROM customer
+        )
+        SELECT c_custkey,
+               CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(txt, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(txt, '[0-9]{6,}')) AS BIGINT) AS n_ids,
+               regexp_replace(regexp_replace(regexp_replace(txt,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                 '[0-9]{6,}', '<ID>', 'g') AS redacted
+        FROM t
+        ORDER BY c_custkey""")),
+
+    // ---- t07: TF-IDF top terms per document. The rational variant
+    // (tf * N / df — no transcendentals) so both engines compute
+    // bit-identical IEEE doubles; equal scores tie-break on the term, so
+    // rank order is cross-engine deterministic. The score itself is never
+    // emitted. Shuffles: tf groupBy, df groupBy, rank window — all on
+    // uniform keys; N joins in as a broadcast scalar, not a driver value.
+    QueryDef(
+      "t07_tfidf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.corpus(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(TextOps.tokens(lower(col("text")))).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("__n"))
+        val scored = tf.join(dfreq, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score", col("tf").cast("double") * col("__n") / col("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY 1
+        ), scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                 CAST(tf.tf AS DOUBLE) * (SELECT count(*) FROM documents) / dfreq.df AS score
+          FROM tf JOIN dfreq USING (term)
+        ), ranked AS (
+          SELECT doc_id, term, tf, df,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+          FROM scored
+        )
+        SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        FROM ranked WHERE rank <= 3
+        ORDER BY doc_id, rank"""))
   )
 }

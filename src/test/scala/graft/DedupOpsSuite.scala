@@ -159,6 +159,30 @@ class DedupOpsSuite extends SparkSuite {
     }
   }
 
+  test("duplicate clusters equal union-find over the exact pair graph") {
+    val pairs = TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val clusters = TextOps.duplicateClusters(docs, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    // reference union-find over the same exact pairs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    exactPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val allIds = docs.select("doc_id").as[Long].collect()
+    assert(clusters.keySet == allIds.toSet, "every doc must get a cluster")
+    allIds.foreach { id =>
+      assert(clusters(id) == find(id),
+        s"doc $id: got ${clusters(id)}, union-find says ${find(id)}")
+    }
+    // sanity: the planted dups produce at least one non-trivial cluster
+    assert(clusters.exists { case (id, c) => id != c })
+  }
+
   test("jaccard column function matches set arithmetic") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(TextOps.jaccard(col("x"), col("y"))).as[Double].collect().head

@@ -728,6 +728,40 @@ object Relational {
         SELECT l_returnflag,
                m['n'][1] AS n_rows, m['maxq'][1] AS max_qty,
                array_to_string(map_keys(m), ',') AS mkeys
-        FROM agg ORDER BY l_returnflag"""))
+        FROM agg ORDER BY l_returnflag""")),
+
+    // ---- q34: exact discrete percentiles via cume_dist — the
+    // interpolation-free formulation (min value with cume_dist >= p), so
+    // the result is a value FROM the data and hash-compares across
+    // engines with zero float-arithmetic divergence. One window + one
+    // aggregation, both shuffling on the group key.
+    QueryDef(
+      "q34_percentiles",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        T(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            cume_dist().over(w).as("cd"))
+          .groupBy("l_returnflag")
+          .agg(
+            min(when(col("cd") >= 0.5, col("l_extendedprice"))).as("median_price"),
+            min(when(col("cd") >= 0.95, col("l_extendedprice"))).as("p95_price"),
+            max(col("l_extendedprice")).as("max_price"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH cd AS (
+          SELECT l_returnflag, l_extendedprice,
+                 cume_dist() OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice) AS cd
+          FROM lineitem)
+        SELECT l_returnflag,
+               min(CASE WHEN cd >= 0.5 THEN l_extendedprice END) AS median_price,
+               min(CASE WHEN cd >= 0.95 THEN l_extendedprice END) AS p95_price,
+               max(l_extendedprice) AS max_price,
+               count(*) AS n
+        FROM cd GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{DotProduct, MinHashSig, NGramShingles}
+import graft.functions.{DotProduct, HyperplaneSig, MinHashSig, NGramShingles}
 
 /** SparkSessionExtensions entry point — makes the engine's codegen
   * expressions first-class SQL functions on any session built with
@@ -18,6 +18,8 @@ import graft.functions.{DotProduct, MinHashSig, NGramShingles}
   *   - `graft_dot(a, b)`       — double dot product of two numeric arrays
   *   - `graft_minhash(arr, n)` — n-element MinHash signature of a string array
   *   - `graft_shingles(toks, n)` — distinct word n-gram shingles
+  *   - `graft_hyperplane_sig(v, bits, bands, seed)` — hyperplane-LSH band
+  *     signatures of a double vector
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -39,5 +41,6 @@ object GraftExtensions {
     DotProduct.ensureRegistered(spark)
     MinHashSig.ensureRegistered(spark)
     NGramShingles.ensureRegistered(spark)
+    HyperplaneSig.ensureRegistered(spark)
   }
 }

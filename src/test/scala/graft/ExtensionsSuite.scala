@@ -37,6 +37,12 @@ class ExtensionsSuite extends AnyFunSuite {
       "SELECT graft_minhash(array('x','y','z'), 8) AS m")
       .head().getSeq[Long](0)
     assert(sig == sig2)
+
+    val hp = spark.sql(
+      "SELECT graft_hyperplane_sig(array(0.6d, -0.8d), 8, 4, 42L) AS h")
+      .head().getSeq[Long](0)
+    assert(hp.length == 4)
+    assert(hp.forall(s => s >= 0 && s < 256), "8-bit band signatures")
   }
 
   test("install is idempotent") {

@@ -99,6 +99,60 @@ class StreamingSuite extends SparkSuite {
     } finally q.stop()
   }
 
+  test("incremental org-to-org replication through the connector") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.sources.{InMemoryOrg, RemoteOrgRegistry}
+    // the reference's migration scenario, made incremental: a PK-cursor
+    // stream off the source org, each micro-batch mapped by the same
+    // compiler program and appended to the destination org through the
+    // connector's chunked write path
+    val sch = StructType(Seq(
+      StructField("Id", StringType), StructField("Payload", StringType)))
+    val srcOrg = new InMemoryOrg
+    srcOrg.createTable("Event__c", sch)
+    val dstOrg = new InMemoryOrg
+    dstOrg.createTable("Event__c", StructType(Seq(
+      StructField("Id", StringType), StructField("Src_Id__c", StringType),
+      StructField("Payload", StringType))))
+    RemoteOrgRegistry.register("rep_src", srcOrg)
+    RemoteOrgRegistry.register("rep_dst", dstOrg)
+    srcOrg.insert("Event__c", (1 to 5).map(i => Row(null, s"p$i")), sch)
+
+    val spec = graft.spec.MappingSpec.fromJson("""
+      [{"source_object": "Event__c", "destination_object": "Event__c",
+        "mapping": [
+          {"table_src": "Event__c", "column_src": "Id",
+           "table_dst": "Event__c", "column_dst": "Src_Id__c",
+           "operation": "copy", "column_type": "src_id"},
+          {"table_src": "Event__c", "column_src": "Payload",
+           "table_dst": "Event__c", "column_dst": "Payload",
+           "operation": "copy", "column_type": "regular"}]}]""").head
+
+    val stream = spark.readStream.format("salesforce-sim")
+      .option("org", "rep_src").option("sObject", "Event__c")
+      .option("maxRecordsPerBatch", "2").load()
+    val q = Streams.migrateStream(stream, spec) { (batch, _) =>
+      batch.write.format("salesforce-sim")
+        .option("org", "rep_dst").option("sObject", "Event__c")
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    try {
+      q.processAllAvailable()
+      assert(dstOrg.rows("Event__c").size == 5)
+      // late-arriving source records replicate incrementally, exactly once
+      srcOrg.insert("Event__c", Seq(Row(null, "p6"), Row(null, "p7")), sch)
+      q.processAllAvailable()
+      val dstRows = dstOrg.rows("Event__c")
+      assert(dstRows.map(_.getString(2)).sorted ==
+        (1 to 7).map(i => s"p$i").sorted)
+      // destination minted fresh Ids and kept the source correlation
+      assert(dstRows.forall(r => r.getString(0) != null && r.getString(1) != null))
+      assert(dstRows.map(_.getString(1)).distinct.size == 7,
+        "each dst row correlates to a distinct source record")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the delay window only") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[(Long, Timestamp)]

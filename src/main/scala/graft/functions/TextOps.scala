@@ -224,7 +224,10 @@ object TextOps {
     * hash array is staged as its own projection so the window-min
     * transform references a bound attribute instead of re-evaluating the
     * hash chain per window (HOF pitfall). Output column `fps` is the
-    * distinct fingerprint array. */
+    * distinct fingerprint array. K-gram hashes come from [[tokenHash64]]
+    * (md5-derived) masked to 63 bits, so signed-Long ordering matches
+    * DuckDB's unsigned ordering and the whole operator is
+    * oracle-expressible. */
   def winnowingFingerprints(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
@@ -236,7 +239,8 @@ object TextOps {
         // takes literal positions
         when(length(col("__t")) >= k,
           transform(sequence(lit(1), length(col("__t")) - (k - 1)),
-            i => xxhash64(col("__t").substr(i, lit(k)))))
+            i => tokenHash64(col("__t").substr(i, lit(k)))
+              .bitwiseAND(lit(Long.MaxValue))))
           .otherwise(array().cast("array<bigint>")).as("__gh"))
     grams.select(col("__id"),
       array_distinct(

@@ -189,9 +189,9 @@ object TextAnalysis {
         FROM sh
         ORDER BY doc_id""")),
 
-    // ---- t05: winnowing fingerprints (rolling k-gram hash + window min;
-    // xxhash64 bit patterns aren't oracle-expressible → rows-only; the
-    // winnowing substring-match guarantee is property-tested) ------------
+    // ---- t05: winnowing fingerprints (rolling k-gram hash + window min)
+    // — md5-derived 63-bit gram hashes, so DuckDB replays the full
+    // pipeline; the substring-match guarantee is property-tested too ------
     QueryDef(
       "t05_winnowing",
       (s, d) =>
@@ -202,7 +202,27 @@ object TextAnalysis {
             array_min(col("fps")).as("fp_min"),
             array_max(col("fps")).as("fp_max"))
           .orderBy("doc_id"),
-      None),
+      Some("""
+        WITH norm AS (
+          SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+          FROM documents
+        ), g AS (
+          SELECT doc_id, CASE WHEN length(t) >= 8 THEN
+            list_transform(generate_series(1, length(t)-7),
+              i -> (('0x' || substr(md5(substr(t, i, 8)),1,16))::UBIGINT
+                     & 9223372036854775807))
+            ELSE CAST([] AS UBIGINT[]) END AS gh
+          FROM norm
+        ), fp AS (
+          SELECT doc_id, list_distinct(CASE WHEN len(gh) >= 4 THEN
+            list_transform(generate_series(1, len(gh)-3), j -> list_min(gh[j:j+3]))
+            ELSE gh END) AS fps
+          FROM g
+        )
+        SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+               CAST(list_min(fps) AS BIGINT) AS fp_min,
+               CAST(list_max(fps) AS BIGINT) AS fp_max
+        FROM fp ORDER BY doc_id""")),
 
     // ---- t06: PII / identifier scrubbing — multi-pattern regex redaction
     // with per-pattern counts, over the customer projection (the one

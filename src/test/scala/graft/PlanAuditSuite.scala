@@ -64,4 +64,48 @@ class PlanAuditSuite extends SparkSuite {
     val p = plan("m04_inlist_lookup")
     assert(p.contains("PushedFilters: [") && p.contains("In("), p)
   }
+
+  test("t07: the document count joins in as a broadcast, never sort-merge") {
+    val p = plan("t07_tfidf")
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the 1-row N scalar must not force a shuffle join:\n" + p)
+  }
+
+  test("p03: hash sampling is a narrow scan-side filter (no pre-filter shuffle)") {
+    val df = SparkEntry.queries("p03_hash_sample")(spark, sf)
+    df.collect()
+    // audit the FINAL adaptive plan only (the tree string appends the
+    // initial plan, whose repeated nodes would confuse position checks)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the md5-key filter itself can't push into parquet, but it must run
+    // in the scan stage: in tree-string order (downstream first), every
+    // Exchange prints ABOVE the Filter, none between Filter and FileScan
+    val filterIdx = p.indexOf("Filter")
+    val scanIdx = p.indexOf("FileScan")
+    assert(filterIdx >= 0 && scanIdx > filterIdx, p)
+    assert(!p.substring(filterIdx, scanIdx).contains("Exchange"),
+      "sampling must filter in the scan stage, before any shuffle:\n" + p)
+    assert(p.contains("*("), "sampling filter must stay in codegen:\n" + p)
+  }
+
+  test("t06: regex scrubbing runs inside whole-stage codegen") {
+    val df = SparkEntry.queries("t06_pii_scrub")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p)
+    assert(!p.contains("BatchEvalPython"), "no Python UDFs in the hot path")
+  }
+
+  test("d06: dup-cluster edges and labels read through cache barriers") {
+    val df = SparkEntry.queries("d06_dup_clusters")(spark, sf)
+    val cached = df.queryExecution.optimizedPlan.collect {
+      case r: InMemoryRelation => r
+    }
+    assert(cached.nonEmpty,
+      "the converged label table must be an InMemoryRelation — each " +
+        "iteration materialized once, not recomputed per downstream read")
+    spark.catalog.clearCache()
+  }
 }

@@ -181,14 +181,22 @@ object TextOps {
     * edges and keeps the per-node min; rounds needed = component
     * diameter (near-dup clusters are small — planted clusters converge
     * in 2-3). Every shuffle keys on uniformly distributed ids; the
-    * driver loop only reads convergence counts, never data. */
+    * driver loop only reads convergence counts, never data.
+    *
+    * Only EDGE-INCIDENT vertices iterate: a doc with no dup edge can
+    * never receive a foreign label, so the loop runs over the pair
+    * subgraph (at corpus scale, orders of magnitude smaller than the
+    * corpus) and the full document set joins back once at the end —
+    * iteration cost tracks |dup graph|, not |corpus|. */
   def duplicateClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("__src"), col("id_b").as("__dst"))
       .union(pairs.select(col("id_b").as("__src"), col("id_a").as("__dst")))
       .cache()
-    var labels = docs.select(col(idCol).as("__v"), col(idCol).as("__lbl")).cache()
+    // edges holds both directions, so src alone covers every incident vertex
+    var labels = edges.select(col("__src").as("__v")).distinct()
+      .select(col("__v"), col("__v").as("__lbl")).cache()
     labels.count()
     var prev: DataFrame = null
     var converged = false
@@ -211,7 +219,12 @@ object TextOps {
     }
     if (prev != null) prev.unpersist()
     edges.unpersist()
-    labels.select(col("__v").as(idCol), col("__lbl").as("cluster_id"))
+    // non-incident docs (the vast majority) are their own cluster; the
+    // converged subgraph labels are tiny and cached, so AQE broadcasts
+    docs.select(col(idCol).as("__v"))
+      .join(labels, Seq("__v"), "left")
+      .select(col("__v").as(idCol),
+        coalesce(col("__lbl"), col("__v")).as("cluster_id"))
   }
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the

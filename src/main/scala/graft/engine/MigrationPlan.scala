@@ -38,7 +38,24 @@ final class MigrationPlan(
   /** Topological order: spec Y depends on spec X when a reference makes
     * Y's destination point at X's source records. Kahn's algorithm with
     * input order as the tiebreak, so unrelated specs keep their order. */
+  /** The plan keys specs by sourceObject (FK resolution) and marks
+    * progress by destinationObject (topo order) — duplicates in either
+    * would silently shadow or skip a spec, so they are structural errors. */
+  private def requireUnique(specs: Seq[MappingSpec]): Unit = {
+    def dups(names: Seq[String]): Seq[String] =
+      names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }.toSeq.sorted
+    val dupDst = dups(specs.map(_.destinationObject))
+    require(dupDst.isEmpty,
+      s"duplicate destinationObject(s) in mapping list: ${dupDst.mkString(", ")} — " +
+        "each destination object may be migrated by exactly one spec")
+    val dupSrc = dups(specs.map(_.sourceObject))
+    require(dupSrc.isEmpty,
+      s"duplicate sourceObject(s) in mapping list: ${dupSrc.mkString(", ")} — " +
+        "FK references resolve a parent by its source object, which must be unique")
+  }
+
   private[engine] def ordered(specs: Seq[MappingSpec]): Seq[MappingSpec] = {
+    requireUnique(specs)
     val bySource = specs.map(s => s.sourceObject -> s).toMap
     def depsOf(s: MappingSpec): Seq[MappingSpec] =
       references.filter(_.childDestinationObject == s.destinationObject)

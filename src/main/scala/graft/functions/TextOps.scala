@@ -219,10 +219,22 @@ object TextOps {
     }
     if (prev != null) prev.unpersist()
     edges.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"duplicateClusters: label propagation hit maxIters=$maxIters before " +
+          "converging — components wider than the iteration budget carry " +
+          "partially-propagated (non-minimal) cluster ids")
+    // cut the converged labels loose from the cache before returning: a
+    // localCheckpoint re-materializes the (already computed, subgraph-
+    // sized) labels into block storage owned by the result's lineage, so
+    // the loop's cache can be dropped NOW instead of leaking until the
+    // caller happens to evaluate the lazy join
+    val finalLabels = labels.localCheckpoint(true)
+    labels.unpersist()
     // non-incident docs (the vast majority) are their own cluster; the
-    // converged subgraph labels are tiny and cached, so AQE broadcasts
+    // converged subgraph labels are tiny, so AQE broadcasts
     docs.select(col(idCol).as("__v"))
-      .join(labels, Seq("__v"), "left")
+      .join(finalLabels, Seq("__v"), "left")
       .select(col("__v").as(idCol),
         coalesce(col("__lbl"), col("__v")).as("cluster_id"))
   }

@@ -208,10 +208,13 @@ final class BulkApiOrg(
       request("GET", s"$asyncBase/job/$jobId/batch/$batchId/result/$rid") match {
         case JArray(recs) => recs.iterator.map { rec =>
           Row.fromSeq(items.map { item =>
-            val v = rec \ item
+            // relationship-path items (Parent.Name) arrive as nested
+            // objects in Bulk JSON — traverse each dotted segment; a null
+            // parent short-circuits to JNull (left-join semantics)
+            val v = item.split("\\.").foldLeft(rec: JValue)(_ \ _)
             fieldType.get(item) match {
               case Some(dt) => coerce(v, dt)
-              case None => coerce(v, NullType) // aggregate/expression item
+              case None => coerce(v, NullType) // aggregate/expression/dotted item
             }
           })
         }

@@ -86,11 +86,12 @@ object Soql {
   def render(
       sObject: String, columns: Seq[String],
       predicates: Seq[String], limit: Option[Int],
-      groupBy: Seq[String] = Nil): String = {
+      groupBy: Seq[String] = Nil, orderBy: Seq[String] = Nil): String = {
     val where = if (predicates.isEmpty) "" else predicates.mkString(" WHERE (", ") AND (", ")")
     val grp = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    val ord = if (orderBy.isEmpty) "" else s" ORDER BY ${orderBy.mkString(", ")}"
     val lim = limit.map(n => s" LIMIT $n").getOrElse("")
-    s"SELECT ${columns.mkString(", ")} FROM $sObject$where$grp$lim"
+    s"SELECT ${columns.mkString(", ")} FROM $sObject$where$grp$ord$lim"
   }
 }
 
@@ -145,9 +146,9 @@ final class InMemoryOrg extends RemoteOrg {
   override def query(soql: String): Iterator[Row] = synchronized {
     statements += soql
     val Pattern =
-      """SELECT (.+) FROM (\S+)( WHERE (.+?))?( GROUP BY ([\w, ]+?))?( LIMIT (\d+))?$""".r
+      """SELECT (.+) FROM (\S+)( WHERE (.+?))?( GROUP BY ([\w, ]+?))?( ORDER BY ([\w, ]+?))?( LIMIT (\d+))?$""".r
     soql match {
-      case Pattern(cols, obj, _, where, _, groupBy, _, limit) =>
+      case Pattern(cols, obj, _, where, _, groupBy, _, orderBy, _, limit) =>
         val (schema, data) = tables(obj)
         val filtered = Option(where).map(w => data.filter(evalWhere(w, schema, _)))
           .getOrElse(data)
@@ -183,7 +184,28 @@ final class InMemoryOrg extends RemoteOrg {
               Row.fromSeq(vals)
             }
           }
-        val limited = Option(limit).map(n => resultRows.take(n.toInt)).getOrElse(resultRows)
+        // ORDER BY applies before LIMIT (SOQL semantics): the sim sorts on
+        // the projected result so the connector's capped Id-cursor pages
+        // are the n *smallest* Ids even when the table's physical order is
+        // arbitrary. Keys must be select items (all connector-issued
+        // ordered queries satisfy this).
+        val ordered = Option(orderBy) match {
+          case None => resultRows
+          case Some(ob) =>
+            val keys = ob.split(",").map(_.trim).toSeq.map { k =>
+              val parts = k.split("\\s+")
+              val idx = items.indexOf(parts(0))
+              require(idx >= 0, s"ORDER BY key ${parts(0)} not in select list")
+              (idx, parts.length > 1 && parts(1).equalsIgnoreCase("DESC"))
+            }
+            resultRows.sortWith { (a, b) =>
+              keys.iterator.map { case (idx, desc) =>
+                val c = compareValues(a.get(idx), b.get(idx))
+                if (desc) -c else c
+              }.find(_ != 0).getOrElse(0) < 0
+            }
+        }
+        val limited = Option(limit).map(n => ordered.take(n.toInt)).getOrElse(ordered)
         limited.iterator
       case _ => throw new IllegalArgumentException(s"unsupported SOQL: $soql")
     }
@@ -229,6 +251,19 @@ final class InMemoryOrg extends RemoteOrg {
       case other => throw new IllegalArgumentException(s"cannot avg $other")
     }
     if (vs.isEmpty) null else vs.sum / vs.size
+  }
+
+  /** Null-first total order over the scalar types the sim stores. */
+  private def compareValues(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+    case other => throw new IllegalArgumentException(s"cannot order $other")
   }
 
   private def minMax(rows: Seq[Row], idx: Int, min: Boolean): Any = {

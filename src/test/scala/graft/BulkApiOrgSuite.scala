@@ -41,6 +41,31 @@ class BulkApiOrgSuite extends AnyFunSuite {
     }
   }
 
+  test("query resolves dotted relationship-path items through nested JSON") {
+    val http = new ScriptedHttp({
+      case ("GET", u) if u == s"$rest/sobjects/Contact/describe" =>
+        (200, """{"fields": [
+          {"name": "Id", "type": "id"},
+          {"name": "AccountId", "type": "id"}]}""")
+      case ("POST", u) if u == s"$async/job" => (201, """{"id": "J9"}""")
+      case ("POST", u) if u == s"$async/job/J9/batch" => (201, """{"id": "B9"}""")
+      case ("POST", u) if u == s"$async/job/J9" => (200, """{"state": "Closed"}""")
+      case ("GET", u) if u == s"$async/job/J9/batch/B9" =>
+        (200, """{"state": "Completed"}""")
+      case ("GET", u) if u == s"$async/job/J9/batch/B9/result" =>
+        (200, """["R1"]""")
+      case ("GET", u) if u == s"$async/job/J9/batch/B9/result/R1" =>
+        // real Bulk JSON nests relationship paths as child objects; a
+        // row with no parent carries null, not a missing key
+        (200, """[
+          {"Id": "C1", "Account": {"Name": "acme"}},
+          {"Id": "C2", "Account": null}]""")
+    })
+    val org = new BulkApiOrg(tok, http, sleeper = _ => ())
+    val rows = org.query("SELECT Id, Account.Name FROM Contact").toSeq
+    assert(rows == Seq(Row("C1", "acme"), Row("C2", null)))
+  }
+
   test("query runs the full job lifecycle and coerces described types") {
     var polls = 0
     val http = new ScriptedHttp({

@@ -333,6 +333,40 @@ class ConnectorSuite extends SparkSuite {
       batches.map(_.numInputRows).mkString(","))
   }
 
+  test("admission cap holds when the org's physical row order is not Id order") {
+    // Ids supplied by the caller in DESCENDING insert order: a LIMIT-only
+    // paging query would see the table max in its first page and the
+    // "capped" first batch would swallow the entire table. The pushed
+    // ORDER BY Id makes each page the n smallest remaining Ids.
+    val simOrg = new InMemoryOrg
+    val sch = StructType(Seq(
+      StructField("Id", StringType), StructField("Payload", StringType)))
+    simOrg.createTable("Event__c", sch)
+    (10 to 1 by -1).grouped(5).foreach(g =>
+      simOrg.insert("Event__c", g.map(i => Row(f"Z$i%03d", s"p$i")), sch))
+    RemoteOrgRegistry.register("stream4", simOrg)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ord-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ord-out").toString
+
+    val q = spark.readStream.format("salesforce-sim")
+      .option("org", "stream4").option("sObject", "Event__c")
+      .option("maxRecordsPerBatch", "4").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    assert(spark.read.parquet(out).count() == 10)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3,
+      s"expected >=3 capped batches, got ${batches.map(_.numInputRows).mkString(",")}")
+    assert(batches.forall(_.numInputRows <= 4),
+      batches.map(_.numInputRows).mkString(","))
+    assert(simOrg.statements.exists(_.contains("ORDER BY Id LIMIT")),
+      "paging query must push ORDER BY Id:\n" + simOrg.statements.mkString("\n"))
+  }
+
   test("streaming micro-batch ranges split on PK-chunk boundaries") {
     import graft.sources.{OrgMicroBatchStream, OrgStreamOffset, OrgInputPartition}
     val simOrg = new InMemoryOrg

@@ -86,4 +86,27 @@ class MigrationPlanSuite extends SparkSuite {
     }
     assert(e.getMessage.contains("cyclic"))
   }
+
+  test("duplicate destination or source objects fail loudly, not silently") {
+    val dir = Files.createTempDirectory("graft_plan4_").toString
+    val src = new ParquetTableIO(spark, s"$dir/src")
+    val dst = new ParquetTableIO(spark, s"$dir/dst")
+    val engine = new MigrationEngine(src, dst)
+    val plan = new MigrationPlan(src, dst, engine)
+
+    // two specs landing in the same destination: the second would never
+    // migrate (topo progress is keyed by destinationObject)
+    val eDst = intercept[IllegalArgumentException] {
+      plan.migrateAll(Seq(specJson("A", "X__c"), specJson("B", "X__c")))
+    }
+    assert(eDst.getMessage.contains("destinationObject"), eDst.getMessage)
+    assert(eDst.getMessage.contains("X__c"), eDst.getMessage)
+
+    // two specs reading the same source: last-wins shadowing in FK maps
+    val eSrc = intercept[IllegalArgumentException] {
+      plan.migrateAll(Seq(specJson("A", "X__c"), specJson("A", "Y__c")))
+    }
+    assert(eSrc.getMessage.contains("sourceObject"), eSrc.getMessage)
+    assert(eSrc.getMessage.contains("A"), eSrc.getMessage)
+  }
 }

@@ -110,22 +110,51 @@ object TextOps {
     * |A|/t). Exact-recall superset of the >= t pairs. */
   def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val t = threshold
     val ex = sh.select(col("__id"), size(col("__sh")).as("__n"),
       explode(col("__sh")).as("__s"))
     val freq = ex.groupBy("__s").agg(count(lit(1)).as("__df"))
     // (df asc, shingle asc) is a TOTAL order, identical across docs —
     // required for the prefix principle to hold
     val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__s"))
+    // probe prefix: |S| - ceil(t|S|) + 1 rarest shingles (classic prefix
+    // filter); the __rk position is kept for the positional bound below
     val prefix = ex.join(freq, "__s")
       .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
-      .select(col("__id"), col("__n"), col("__s"))
-    val a = prefix.select(col("__id").as("id_a"), col("__n").as("n_a"), col("__s"))
-    val b = prefix.select(col("__id").as("id_b"), col("__n").as("n_b"), col("__s"))
-    a.join(b, a("__s") === b("__s") && a("id_a") < b("id_b") &&
-        a("n_a") >= lit(threshold) * b("n_b") &&
-        b("n_b") >= lit(threshold) * a("n_a"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .where(col("__rk") <= col("__n") - ceil(lit(t) * col("__n")) + 1)
+      .select(col("__id"), col("__n"), col("__s"), col("__rk"))
+    // PPJoin role split (Xiao et al. 2008): for a qualifying pair the
+    // size-SMALLER record is guaranteed a shared token inside its shorter
+    // INDEX prefix (|S| - ceil(2t/(1+t)|S|) + 1) matched against the
+    // larger record's probe prefix — so only that sliver of the smaller
+    // side enters the join. Roles use the (size, id) total order so
+    // equal-size pairs keep exactly one orientation.
+    val idxLen = col("__n") - ceil(lit(2 * t / (1 + t)) * col("__n")) + 1
+    // distinct key names per side: Column-equality on the same lineage
+    // trips Spark's ambiguous-self-join fixup (and its warning)
+    val probe = prefix.select(col("__id").as("id_p"), col("__n").as("n_p"),
+      col("__s").as("__s_p"), col("__rk").as("rk_p"))
+    val index = prefix.where(col("__rk") <= idxLen)
+      .select(col("__id").as("id_i"), col("__n").as("n_i"),
+        col("__s").as("__s_i"), col("__rk").as("rk_i"))
+    // overlap form of the threshold: jac >= t  <=>  |A∩B| >= t/(1+t)(|A|+|B|)
+    val needed = ceil(lit(t / (1 + t)) * (col("n_p") + col("n_i")))
+    // positional upper bound on the overlap given a match at ranks
+    // (rk_p, rk_i): tokens before the match contribute at most
+    // min(rk_p, rk_i) - 1, tokens after at most min(n_p-rk_p, n_i-rk_i)
+    val ubound = least(col("rk_p"), col("rk_i")) - 1 + lit(1) +
+      least(col("n_p") - col("rk_p"), col("n_i") - col("rk_i"))
+    probe.join(index,
+      col("__s_p") === col("__s_i") &&
+        // index side is the (size, id)-smaller record
+        (col("n_i") < col("n_p") ||
+          (col("n_i") === col("n_p") && col("id_i") < col("id_p"))) &&
+        // size compatibility: t*|A| <= |B| <= |A|
+        col("n_i") >= lit(t) * col("n_p") &&
+        ubound >= needed)
+      .select(least(col("id_p"), col("id_i")).as("id_a"),
+        greatest(col("id_p"), col("id_i")).as("id_b"))
+      .distinct()
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
@@ -190,35 +219,52 @@ object TextOps {
     * iteration cost tracks |dup graph|, not |corpus|. */
   def duplicateClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
-    val edges = pairs
-      .select(col("id_a").as("__src"), col("id_b").as("__dst"))
-      .union(pairs.select(col("id_b").as("__src"), col("id_a").as("__dst")))
-      .cache()
-    // edges holds both directions, so src alone covers every incident vertex
-    var labels = edges.select(col("__src").as("__v")).distinct()
+    // cache the (possibly expensive-to-produce) pair stream ONCE, then
+    // derive both edge directions from the cache — the naive
+    // `pairs ∪ pairs.reversed` union evaluates the upstream pair
+    // generator twice
+    val base = pairs
+      .select(col("id_a").as("__src"), col("id_b").as("__dst")).cache()
+    base.count()
+    val edges = base
+      .union(base.select(col("__dst").as("__src"), col("__src").as("__dst")))
+    // both directions are present, so base's two columns cover every
+    // incident vertex
+    var labels = base.select(col("__src").as("__v"))
+      .union(base.select(col("__dst").as("__v"))).distinct()
       .select(col("__v"), col("__v").as("__lbl")).cache()
     labels.count()
     var prev: DataFrame = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val propagated = edges.join(labels, edges("__src") === labels("__v"))
-        .select(col("__dst").as("__v"), col("__lbl"))
-      val next = labels.union(propagated)
-        .groupBy("__v").agg(min("__lbl").as("__lbl"))
+      // one job per round: incoming neighbor labels pre-aggregate to a
+      // per-vertex min (map-side partial), the left join folds them into
+      // the current labels, and the `changed` count is the SAME action
+      // that populates the round's cache — no separate compare job. The
+      // label side is subgraph-sized, so AQE broadcasts both joins; the
+      // only exchange is the groupBy on uniformly distributed ids.
+      val prop = edges.join(labels, edges("__src") === labels("__v"))
+        .groupBy(col("__dst")).agg(min("__lbl").as("__plbl"))
+      val next = labels.join(prop, labels("__v") === prop("__dst"), "left")
+        .select(labels("__v"),
+          least(labels("__lbl"), coalesce(col("__plbl"), labels("__lbl")))
+            .as("__lbl"),
+          // null when no incoming label — filtered out by the where
+          (col("__plbl") < labels("__lbl")).as("__chg"))
         .cache()
-      next.count() // materialize before the convergence compare reads twice
-      val changed = next
-        .join(labels.withColumnRenamed("__lbl", "__old"), "__v")
-        .where(col("__lbl") =!= col("__old")).count()
+      val changed = next.where(col("__chg")).count()
       if (prev != null) prev.unpersist()
       prev = labels
+      // keep the CACHED frame itself (unpersist is identity-based; a
+      // select() over it would make the later unpersist a no-op) — the
+      // stray __chg column is dropped at the end
       labels = next
       converged = changed == 0
       iter += 1
     }
     if (prev != null) prev.unpersist()
-    edges.unpersist()
+    base.unpersist()
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"duplicateClusters: label propagation hit maxIters=$maxIters before " +

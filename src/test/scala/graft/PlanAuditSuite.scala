@@ -98,14 +98,19 @@ class PlanAuditSuite extends SparkSuite {
     assert(!p.contains("BatchEvalPython"), "no Python UDFs in the hot path")
   }
 
-  test("d06: dup-cluster edges and labels read through cache barriers") {
+  test("d06: dup-cluster labels read through a materialization barrier") {
     val df = SparkEntry.queries("d06_dup_clusters")(spark, sf)
-    val cached = df.queryExecution.optimizedPlan.collect {
-      case r: InMemoryRelation => r
+    // the converged labels are handed off as an eager localCheckpoint
+    // (LogicalRDD): already-computed blocks, no lineage back into the
+    // iteration — the closing corpus join can never recompute the loop
+    val barriers = df.queryExecution.optimizedPlan.collect {
+      case r: InMemoryRelation => r: Any
+      case r: org.apache.spark.sql.execution.LogicalRDD => r: Any
     }
-    assert(cached.nonEmpty,
-      "the converged label table must be an InMemoryRelation — each " +
-        "iteration materialized once, not recomputed per downstream read")
+    assert(barriers.nonEmpty,
+      "the converged label table must sit behind a materialization " +
+        "barrier (localCheckpoint/InMemoryRelation), not a recomputable " +
+        "lineage")
     spark.catalog.clearCache()
   }
 }

@@ -96,26 +96,37 @@ object Bench {
       val ok = firstPass.map(_._2).filter(_ >= 0).sorted
       if (ok.isEmpty) 0.0 else ok(ok.length / 2)
     }
-    val outliers = firstPass.filter { case (name, v) =>
+    def isOutlier(name: String, v: Double): Boolean =
       v > math.max(5.0, 3 * med) ||
         floorOf(name).exists(fl => v > math.max(5.0, 3 * fl))
+    // up to TWO retry rounds, each behind its own cooldown, re-timing
+    // only queries whose best-so-far is still outlier-shaped: this host's
+    // stall windows can outlive one cooldown (observed: first retry of a
+    // 7s query still at 280s), and a second widely-spaced sample is the
+    // difference between a believable artifact and a poisoned gate
+    var best = firstPass.toMap
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    firstPass.foreach { case (n, v) => samples(n) = Vector(v) }
+    var pending = firstPass.collect {
+      case (n, v) if v >= 0 && isOutlier(n, v) => n
     }
-    val retried: Map[String, Double] =
-      if (outliers.isEmpty) Map.empty
-      else {
-        // cooldown so the re-time doesn't sample the same stall window
-        System.err.println(s"[bench] ${outliers.size} outlier(s); cooling " +
-          s"down ${cooldownSec}s before re-timing")
-        System.gc()
-        Thread.sleep(cooldownSec * 1000L)
-        outliers.map { case (name, _) => name -> time(Seq(name)).head._2 }.toMap
+    var round = 0
+    while (pending.nonEmpty && round < 2) {
+      System.err.println(s"[bench] ${pending.size} outlier(s); cooling " +
+        s"down ${cooldownSec}s before re-timing (round ${round + 1})")
+      System.gc()
+      Thread.sleep(cooldownSec * 1000L)
+      pending.foreach { n =>
+        val v2 = time(Seq(n)).head._2
+        samples(n) = samples(n) :+ v2
+        if (v2 >= 0 && v2 < best(n)) best = best.updated(n, v2)
       }
-    val results = firstPass.map { case (name, v) =>
-      retried.get(name) match {
-        case Some(v2) if v2 >= 0 && v2 < v => name -> v2
-        case _ => name -> v
-      }
+      pending = pending.filter(n => isOutlier(n, best(n)))
+      round += 1
     }
+    val retried: Map[String, Vector[Double]] =
+      samples.filter(_._2.length > 1).toMap
+    val results = firstPass.map { case (name, _) => name -> best(name) }
     val baselines = time(SparkEntry.baselineQueries)
     val loadEnd = loadAvg
     val cores = Runtime.getRuntime.availableProcessors()
@@ -145,8 +156,8 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val baseTotal = baselines.map(_._2).filter(_ >= 0).sum
-    val retriedJson = retried.map { case (k, v2) =>
-      "\"" + k + "\":[" + f"${firstPass.toMap.apply(k)}%.3f,$v2%.3f]"
+    val retriedJson = retried.map { case (k, vs) =>
+      "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val reasonsJson = reasons.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","first_pass_total":$firstTotal%.3f,"suspect":$suspect,"suspect_reasons":$reasonsJson,"queries":${json(results)},"baseline_queries":${json(baselines)},"baseline_total":$baseTotal%.3f,"retried":$retriedJson,"failed":$failed,"loadavg":{"start":$loadStart%.2f,"end":$loadEnd%.2f},"sf":"$sfDir"}""")

@@ -47,9 +47,17 @@ object ScaleOps {
   def asofJoin(
       left: DataFrame, right: DataFrame, keyCol: String,
       leftTsCol: String, rightTsCol: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      direction: String = "backward",
+      toleranceSec: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pStruct = struct(payload.map(c => right(c)): _*)
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val forward = direction == "forward"
+    // the matched row's own timestamp rides in the struct so a
+    // tolerance bound can null out stale matches after the merge
+    val pStruct = struct(
+      (col(rightTsCol).as("__mts") +: payload.map(c => right(c))): _*)
     val r2 = right.select(
       col(keyCol).as("__k"), col(rightTsCol).as("__ts"), pStruct.as("__p"))
       .withColumn("__side", lit(0))
@@ -59,14 +67,31 @@ object ScaleOps {
       .withColumn("__side", lit(1))
     // union-by-name fills the sides' missing columns with nulls
     val all = l2.unionByName(r2, allowMissingColumns = true)
-    // right rows sort before left rows at equal ts (__side 0 < 1), so a
-    // right row AT the left timestamp matches; __p is the final
-    // tiebreak, making duplicate right timestamps deterministic
+    // backward scans time ascending (running last = nearest at-or-
+    // before); forward scans descending (running last = nearest at-or-
+    // after). Either way right rows sort before left rows at equal ts
+    // (__side 0 < 1) so an exactly-simultaneous right row matches, and
+    // __p is the final tiebreak, making duplicate right timestamps
+    // deterministic.
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts"), col("__side"), col("__p"))
+      .orderBy(
+        (if (forward) Seq(col("__ts").desc, col("__side").asc, col("__p").desc)
+         else Seq(col("__ts").asc, col("__side").asc, col("__p").asc)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = all.withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+    val merged = all.withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
+    val matched = toleranceSec match {
+      case None => merged
+      case Some(tol) =>
+        // the match is on the correct side of the left ts by
+        // construction, so one signed bound suffices
+        val mts = col("__m").getField("__mts")
+        val ageMicros =
+          if (forward) unix_micros(mts) - unix_micros(col("__ts"))
+          else unix_micros(col("__ts")) - unix_micros(mts)
+        merged.withColumn("__m",
+          when(ageMicros <= tol * 1000000L, col("__m")))
+    }
     payload.foldLeft(matched) { (df, c) =>
       df.withColumn(s"asof_$c", col("__m").getField(c))
     }.select(left.columns.map(col) ++ payload.map(c => col(s"asof_$c")): _*)

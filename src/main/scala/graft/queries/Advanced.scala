@@ -109,6 +109,61 @@ object Advanced {
         ORDER BY s.event_id, match_err_event_id"""),
       bench = true),
 
+    // ---- a06: as-of join with a staleness tolerance ----------------------
+    // same merge plan as a04; matches older than the tolerance null out
+    // AFTER the merge, so the bound costs one comparison, not a plan
+    // change. Oracle: DuckDB ASOF LEFT JOIN with a CASE age filter.
+    QueryDef(
+      "a06_asof_tolerance",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.where(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"))
+        graft.functions.ScaleOps
+          .asofJoin(purchases, views, "user_id", "ts", "ts",
+            Seq("view_event_id"), toleranceSec = Some(3600L))
+          .select(col("event_id"), col("user_id"),
+            unix_millis(col("ts")).as("ts_ms"), col("asof_view_event_id"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,
+               CASE WHEN v.ts >= c.ts - INTERVAL 1 HOUR THEN v.event_id END
+                 AS asof_view_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+        ORDER BY c.event_id""")),
+
+    // ---- a07: forward as-of join (next event at-or-after) ----------------
+    // the merge scans time DESCENDING, so the running last is the nearest
+    // following row; DuckDB's ASOF operator takes the <= comparison
+    // directly.
+    QueryDef(
+      "a07_asof_forward",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val views = ev.where(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("purchase_event_id"))
+        graft.functions.ScaleOps
+          .asofJoin(views, purchases, "user_id", "ts", "ts",
+            Seq("purchase_event_id"), direction = "forward")
+          .select(col("event_id"), col("user_id"),
+            unix_millis(col("ts")).as("ts_ms"), col("asof_purchase_event_id"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT v.event_id, v.user_id, epoch_ms(v.ts) AS ts_ms,
+               c.event_id AS asof_purchase_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') c
+          ON v.user_id = c.user_id AND v.ts <= c.ts
+        ORDER BY v.event_id""")),
+
     // ---- a03: grouping sets ----------------------------------------------
     QueryDef(
       "a03_grouping_sets",

@@ -122,6 +122,34 @@ object Pipeline {
                    & 2147483647) AS k
           FROM documents)
         WHERE k % 20 = 0
+        ORDER BY doc_id""")),
+
+    // ---- p04: stratified sample (per-language rates, deterministic) ------
+    // per-stratum Bernoulli sampling with md5-derived key bits compared
+    // against INTEGER thresholds (floor(rate * 2^31)) — the same subset
+    // falls out of any engine, any run, any partitioning: downsample the
+    // over-represented language, keep the tail. One narrow scan-stage
+    // filter, no shuffle before the final sort.
+    QueryDef(
+      "p04_stratified_sample",
+      (s, d) =>
+        Tables.corpus(s, d)
+          .select(col("doc_id"), col("lang"),
+            shiftright(TextOps.tokenHash64(col("doc_id").cast("string")), 8)
+              .bitwiseAND(0x7FFFFFFFL).as("__k"))
+          // en is the bulk language: keep 5%; everything else: 20%
+          .where(col("__k") <
+            when(col("lang") === "en", lit(107374182L))
+              .otherwise(lit(429496729L)))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT >> 8)
+                   & 2147483647) AS k
+          FROM documents)
+        WHERE k < CASE WHEN lang = 'en' THEN 107374182 ELSE 429496729 END
         ORDER BY doc_id"""))
   )
 }

@@ -762,6 +762,52 @@ object Relational {
                min(CASE WHEN cd >= 0.95 THEN l_extendedprice END) AS p95_price,
                max(l_extendedprice) AS max_price,
                count(*) AS n
-        FROM cd GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM cd GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q35: gaps-and-islands sessionization (lag + running sum) --------
+    // batch analog of the session window: an island = consecutive
+    // same-user events with gaps <= 30 min. Two windows over ONE
+    // partition-by-user sort (Spark reuses the exchange+sort between
+    // same-spec windows) + one aggregation. (ts, event_id) is the total
+    // order, so duplicate timestamps cannot flake the hash compare.
+    QueryDef(
+      "q35_gaps_islands",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("__new",
+            coalesce((unix_millis(col("ts")) -
+              unix_millis(lag(col("ts"), 1).over(w)) >
+              lit(30L * 60 * 1000)).cast("int"), lit(0)))
+          .withColumn("island",
+            sum(col("__new")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("island"))
+          .agg(
+            unix_millis(min(col("ts"))).as("start_ms"),
+            unix_millis(max(col("ts"))).as("end_ms"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id", "island")
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id))
+                      > 30*60*1000 THEN 1 ELSE 0 END AS new_island
+          FROM events),
+        islands AS (
+          SELECT user_id, ts,
+                 CAST(SUM(new_island) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+          FROM flagged)
+        SELECT user_id, island,
+               epoch_ms(MIN(ts)) AS start_ms, epoch_ms(MAX(ts)) AS end_ms,
+               COUNT(*) AS n_events
+        FROM islands GROUP BY user_id, island
+        ORDER BY user_id, island"""))
   )
 }

@@ -24,11 +24,17 @@ import org.apache.spark.sql.types._
   * give the fetch-cache-invalidate-replay-once policy
   * (data_connector.py:240-252).
   *
-  * PK chunking: a production deployment enables the
-  * `Sforce-Enable-PKChunking` header and reads the spawned batch ranges;
-  * this client keeps the trait default (single cursor) — the connector's
-  * range parallelism comes from [[RemoteOrg.pkChunkBoundaries]] when the
-  * org provides it.
+  * Content type: `JSON` (default) or `CSV` — CSV is the reference's
+  * actual wire format (`contentType='CSV'`, data_connector.py:248,273).
+  * CSV jobs speak the Bulk v1 XML envelopes for job/batch metadata and
+  * raw CSV for payloads/results; JSON jobs speak JSON throughout. Both
+  * modes land on identical [[Row]]s (described types, "" = null).
+  *
+  * PK chunking: `pkChunkSize` adds the `Sforce-Enable-PKChunking`
+  * header to query jobs; the org then splits the query into per-Id-range
+  * batches which are polled as a set and streamed back-to-back — the
+  * server-side sibling of the connector's [[RemoteOrg.pkChunkBoundaries]]
+  * client-side range scan.
   */
 final class BulkApiOrg(
     token: AuthToken,
@@ -36,26 +42,56 @@ final class BulkApiOrg(
     apiVersion: String = "47.0",
     maxPolls: Int = 60,
     pollDelayMs: Long = 1000L,
-    sleeper: Long => Unit = Thread.sleep) extends RemoteOrg {
+    sleeper: Long => Unit = Thread.sleep,
+    contentType: String = "JSON",
+    pkChunkSize: Option[Int] = None) extends RemoteOrg {
+
+  require(contentType == "JSON" || contentType == "CSV",
+    s"contentType must be JSON|CSV, got $contentType")
+  private val csvMode = contentType == "CSV"
 
   private val asyncBase = s"${token.instanceUrl}/services/async/$apiVersion"
   private val restBase = s"${token.instanceUrl}/services/data/v$apiVersion"
 
-  private def headers(contentType: Option[String]): Map[String, String] =
+  private def headers(contentType: Option[String],
+      extra: Map[String, String] = Map.empty): Map[String, String] =
     Map("X-SFDC-Session" -> token.accessToken) ++
-      contentType.map("Content-Type" -> _)
+      contentType.map("Content-Type" -> _) ++ extra
 
   /** One request with session-expiry detection: the retry policy itself
     * lives in [[AuthRetryOrg]], which replays the whole org call. */
-  private def request(method: String, url: String, body: String = "",
-      contentType: Option[String] = Some("application/json")): JValue = {
-    val (status, respBody) = http.send(method, url, headers(contentType), body)
+  private def requestRaw(method: String, url: String, body: String = "",
+      contentType: Option[String] = Some("application/json"),
+      extraHeaders: Map[String, String] = Map.empty): String = {
+    val (status, respBody) =
+      http.send(method, url, headers(contentType, extraHeaders), body)
     if (status == 401 || respBody.contains("INVALID_SESSION_ID"))
       throw new SessionExpiredException(s"$method $url -> $status")
     if (status / 100 != 2)
       throw new RuntimeException(s"$method $url -> $status: $respBody")
+    respBody
+  }
+
+  private def request(method: String, url: String, body: String = "",
+      contentType: Option[String] = Some("application/json"),
+      extraHeaders: Map[String, String] = Map.empty): JValue = {
+    val respBody = requestRaw(method, url, body, contentType, extraHeaders)
     if (respBody.isBlank) JNothing else JsonMethods.parse(respBody)
   }
+
+  // ---- Bulk v1 XML envelopes (CSV mode) -----------------------------------
+
+  private def xmlField(xml: String, tag: String): Option[String] =
+    s"(?s)<$tag>(.*?)</$tag>".r.findFirstMatchIn(xml).map(_.group(1).trim)
+
+  private def xmlBlocks(xml: String, tag: String): List[String] =
+    s"(?s)<$tag>(.*?)</$tag>".r.findAllMatchIn(xml).map(_.group(1)).toList
+
+  private def jobInfoXml(fields: Seq[(String, String)]): String =
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<jobInfo xmlns=\"http://www.force.com/2009/06/asyncapi/dataload\">" +
+      fields.map { case (k, v) => s"<$k>$v</$k>" }.mkString +
+      "</jobInfo>"
 
   private def str(j: JValue): String = j match {
     case JString(s) => s
@@ -65,21 +101,45 @@ final class BulkApiOrg(
   // ---- job lifecycle ------------------------------------------------------
 
   private def createJob(operation: String, sObject: String,
-      externalIdField: Option[String] = None): String = {
-    val fields: List[(String, JValue)] = List(
-      "operation" -> JString(operation),
-      "object" -> JString(sObject),
-      "contentType" -> JString("JSON")) ++
-      externalIdField.map(f => "externalIdFieldName" -> JString(f))
-    str(request("POST", s"$asyncBase/job",
-      JsonMethods.compact(JsonMethods.render(JObject(fields)))) \ "id")
-  }
+      externalIdField: Option[String] = None,
+      extraHeaders: Map[String, String] = Map.empty): String =
+    if (csvMode) {
+      val fields = Seq("operation" -> operation, "object" -> sObject) ++
+        externalIdField.map("externalIdFieldName" -> _) ++
+        Seq("contentType" -> "CSV")
+      xmlField(requestRaw("POST", s"$asyncBase/job", jobInfoXml(fields),
+        Some("application/xml"), extraHeaders), "id")
+        .getOrElse(throw new RuntimeException("no job id in XML response"))
+    } else {
+      val fields: List[(String, JValue)] = List(
+        "operation" -> JString(operation),
+        "object" -> JString(sObject),
+        "contentType" -> JString("JSON")) ++
+        externalIdField.map(f => "externalIdFieldName" -> JString(f))
+      str(request("POST", s"$asyncBase/job",
+        JsonMethods.compact(JsonMethods.render(JObject(fields))),
+        extraHeaders = extraHeaders) \ "id")
+    }
 
   private def addBatch(jobId: String, body: String): String =
-    str(request("POST", s"$asyncBase/job/$jobId/batch", body) \ "id")
+    if (csvMode)
+      xmlField(requestRaw("POST", s"$asyncBase/job/$jobId/batch", body,
+        Some("text/csv")), "id")
+        .getOrElse(throw new RuntimeException("no batch id in XML response"))
+    else str(request("POST", s"$asyncBase/job/$jobId/batch", body) \ "id")
 
   private def closeJob(jobId: String): Unit =
-    request("POST", s"$asyncBase/job/$jobId", """{"state": "Closed"}""")
+    if (csvMode)
+      requestRaw("POST", s"$asyncBase/job/$jobId",
+        jobInfoXml(Seq("state" -> "Closed")), Some("application/xml"))
+    else request("POST", s"$asyncBase/job/$jobId", """{"state": "Closed"}""")
+
+  private def batchState(jobId: String, batchId: String): String =
+    if (csvMode)
+      xmlField(requestRaw("GET", s"$asyncBase/job/$jobId/batch/$batchId",
+        contentType = None), "state")
+        .getOrElse(throw new RuntimeException("no state in XML batchInfo"))
+    else str(request("GET", s"$asyncBase/job/$jobId/batch/$batchId") \ "state")
 
   /** Polls the batch until Completed; Failed / Not Processed and poll
     * exhaustion are errors (the reference loops on check_batch_status,
@@ -87,12 +147,10 @@ final class BulkApiOrg(
   private def awaitBatch(jobId: String, batchId: String): Unit = {
     var polls = 0
     while (polls < maxPolls) {
-      val state = str(
-        request("GET", s"$asyncBase/job/$jobId/batch/$batchId") \ "state")
-      state match {
+      batchState(jobId, batchId) match {
         case "Completed" => return
-        case "Failed" | "Not Processed" =>
-          throw new RuntimeException(s"batch $batchId ended in state $state")
+        case "Failed" | "Not Processed" | "NotProcessed" =>
+          throw new RuntimeException(s"batch $batchId ended in state Failed/Not Processed")
         case _ => // Queued | InProgress
           polls += 1
           if (polls < maxPolls) sleeper(pollDelayMs)
@@ -101,17 +159,56 @@ final class BulkApiOrg(
     throw new RuntimeException(s"batch $batchId not Completed after $maxPolls polls")
   }
 
-  private def batchResult(jobId: String, batchId: String): JValue =
-    request("GET", s"$asyncBase/job/$jobId/batch/$batchId/result")
+  /** (batchId, state) for every batch of the job — the PK-chunking poll
+    * surface: chunked query jobs spawn one batch per Id range. */
+  private def listBatches(jobId: String): Seq[(String, String)] =
+    if (csvMode)
+      xmlBlocks(requestRaw("GET", s"$asyncBase/job/$jobId/batch",
+        contentType = None), "batchInfo").map { b =>
+        (xmlField(b, "id").getOrElse(""), xmlField(b, "state").getOrElse(""))
+      }
+    else request("GET", s"$asyncBase/job/$jobId/batch") \ "batchInfo" match {
+      case JArray(bs) => bs.map(b => (str(b \ "id"), str(b \ "state")))
+      case other => throw new RuntimeException(s"bad batch list: $other")
+    }
+
+  /** Waits for a PK-chunked job: the seed batch flips to Not Processed
+    * once the org has split it; every spawned range batch must reach
+    * Completed. Returns the completed batch ids in listing order. */
+  private def awaitChunkedBatches(jobId: String): Seq[String] = {
+    var polls = 0
+    while (polls < maxPolls) {
+      val infos = listBatches(jobId)
+      infos.find(_._2 == "Failed").foreach { case (id, _) =>
+        throw new RuntimeException(s"chunked batch $id ended in state Failed")
+      }
+      val pending = infos.isEmpty ||
+        infos.exists(i => i._2 == "Queued" || i._2 == "InProgress")
+      if (!pending) return infos.filter(_._2 == "Completed").map(_._1)
+      polls += 1
+      if (polls < maxPolls) sleeper(pollDelayMs)
+    }
+    throw new RuntimeException(s"chunked job $jobId not Completed after $maxPolls polls")
+  }
+
+  private def batchResultIds(jobId: String, batchId: String): List[String] =
+    if (csvMode)
+      xmlBlocks(requestRaw("GET",
+        s"$asyncBase/job/$jobId/batch/$batchId/result", contentType = None),
+        "result").map(_.trim)
+    else request("GET", s"$asyncBase/job/$jobId/batch/$batchId/result") match {
+      case JArray(ids) => ids.map(str)
+      case other => throw new RuntimeException(s"bad result list: $other")
+    }
 
   /** create → batch → close → poll → result for one payload. */
   private def runJob(operation: String, sObject: String, payload: String,
-      externalIdField: Option[String] = None): (String, String, JValue) = {
+      externalIdField: Option[String] = None): (String, String) = {
     val jobId = createJob(operation, sObject, externalIdField)
     val batchId = addBatch(jobId, payload)
     closeJob(jobId)
     awaitBatch(jobId, batchId)
-    (jobId, batchId, batchResult(jobId, batchId))
+    (jobId, batchId)
   }
 
   // ---- schema / coercion --------------------------------------------------
@@ -163,6 +260,72 @@ final class BulkApiOrg(
     case (other, _) => throw new RuntimeException(s"cannot coerce $other to $dt")
   }
 
+  /** RFC-4180-style CSV over the whole payload: quoted fields, doubled
+    * quotes, embedded commas/newlines preserved — Bulk CSV results can
+    * carry multi-line text fields, so splitting on lines is not enough. */
+  private[sources] def parseCsv(text: String): Seq[Seq[String]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val row = scala.collection.mutable.ArrayBuffer.empty[String]
+    val field = new StringBuilder
+    var inQuote = false
+    var i = 0
+    def endField(): Unit = { row += field.toString; field.clear() }
+    def endRow(): Unit = { endField(); out += row.toVector; row.clear() }
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inQuote) {
+        if (c == '"') {
+          if (i + 1 < text.length && text.charAt(i + 1) == '"') {
+            field += '"'; i += 1
+          } else inQuote = false
+        } else field += c
+      } else c match {
+        case '"' => inQuote = true
+        case ',' => endField()
+        case '\r' => // normalized away; '\n' terminates the row
+        case '\n' => endRow()
+        case other => field += other
+      }
+      i += 1
+    }
+    if (field.nonEmpty || row.nonEmpty) endRow()
+    out.toSeq
+  }
+
+  private def csvQuote(s: String): String =
+    "\"" + s.replace("\"", "\"\"") + "\""
+
+  /** Mutation payload as Bulk CSV (header + quoted rows; null → empty —
+    * the wire the reference writes through CsvDictsAdapter,
+    * data_connector.py:272-279). */
+  private def toCsv(rows: Seq[Row], schema: StructType): String = {
+    val header = schema.fieldNames.map(csvQuote).mkString(",")
+    val lines = rows.map { r =>
+      schema.fields.indices.map { i =>
+        if (r.isNullAt(i)) ""
+        else csvQuote(r.get(i) match {
+          case t: java.sql.Timestamp => t.toInstant.toString
+          case other => other.toString
+        })
+      }.mkString(",")
+    }
+    (header +: lines).mkString("\n")
+  }
+
+  /** CSV wire value → described JVM type; empty means null (Salesforce
+    * CSV has no way to carry an empty non-null string). */
+  private def coerceCsv(s: String, dt: DataType): Any =
+    if (s.isEmpty) null
+    else dt match {
+      case LongType => s.toLong
+      case DoubleType => s.toDouble
+      case BooleanType => s.toBoolean
+      case DateType => java.sql.Date.valueOf(s)
+      case TimestampType =>
+        java.sql.Timestamp.from(java.time.Instant.parse(s))
+      case _ => s
+    }
+
   private def toJson(rows: Seq[Row], schema: StructType): String = {
     val recs = rows.map { r =>
       JObject(schema.fields.zipWithIndex.collect {
@@ -199,37 +362,81 @@ final class BulkApiOrg(
     val schema = describe(obj)
     val fieldType: Map[String, DataType] =
       schema.fields.map(f => f.name -> f.dataType).toMap
-    val (jobId, batchId, resultList) = runJob("query", obj, soql)
-    val resultIds = resultList match {
-      case JArray(ids) => ids.map(str)
-      case other => throw new RuntimeException(s"bad result list: $other")
-    }
-    resultIds.iterator.flatMap { rid =>
-      request("GET", s"$asyncBase/job/$jobId/batch/$batchId/result/$rid") match {
-        case JArray(recs) => recs.iterator.map { rec =>
-          Row.fromSeq(items.map { item =>
-            // relationship-path items (Parent.Name) arrive as nested
-            // objects in Bulk JSON — traverse each dotted segment; a null
-            // parent short-circuits to JNull (left-join semantics)
-            val v = item.split("\\.").foldLeft(rec: JValue)(_ \ _)
-            fieldType.get(item) match {
-              case Some(dt) => coerce(v, dt)
-              case None => coerce(v, NullType) // aggregate/expression/dotted item
+    val chunkHeader = pkChunkSize
+      .map(n => "Sforce-Enable-PKChunking" -> s"chunkSize=$n").toMap
+    val jobId = createJob("query", obj, extraHeaders = chunkHeader)
+    val seedBatch = addBatch(jobId, soql)
+    closeJob(jobId)
+    val batches =
+      if (pkChunkSize.isEmpty) { awaitBatch(jobId, seedBatch); Seq(seedBatch) }
+      else awaitChunkedBatches(jobId)
+    batches.iterator.flatMap { batchId =>
+      batchResultIds(jobId, batchId).iterator.flatMap { rid =>
+        val url = s"$asyncBase/job/$jobId/batch/$batchId/result/$rid"
+        if (csvMode) {
+          // CSV flattens relationship paths into dotted headers, so one
+          // name→position map serves plain and dotted items alike
+          val rows = parseCsv(requestRaw("GET", url, contentType = None))
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val pos = rows.head.zipWithIndex.toMap
+            val idx = items.map(item => pos.getOrElse(item,
+              throw new RuntimeException(s"result CSV lacks column $item")))
+            rows.tail.iterator.map { r =>
+              Row.fromSeq(items.zip(idx).map { case (item, i) =>
+                coerceCsv(r(i), fieldType.getOrElse(item, StringType))
+              })
             }
-          })
+          }
+        } else request("GET", url) match {
+          case JArray(recs) => recs.iterator.map { rec =>
+            Row.fromSeq(items.map { item =>
+              // relationship-path items (Parent.Name) arrive as nested
+              // objects in Bulk JSON — traverse each dotted segment; a null
+              // parent short-circuits to JNull (left-join semantics)
+              val v = item.split("\\.").foldLeft(rec: JValue)(_ \ _)
+              fieldType.get(item) match {
+                case Some(dt) => coerce(v, dt)
+                case None => coerce(v, NullType) // aggregate/expression/dotted item
+              }
+            })
+          }
+          case other => throw new RuntimeException(s"bad result payload: $other")
         }
-        case other => throw new RuntimeException(s"bad result payload: $other")
       }
     }
   }
 
-  /** Shared mutation path: run the job, return per-record results. */
+  /** Shared mutation path: run the job, return per-record results. CSV
+    * results (`"Id","Success","Created","Error"` lines) normalize into
+    * the same JSON shape the JSON wire returns, so the verbs upstream
+    * are mode-blind. */
   private def mutate(operation: String, sObject: String, rows: Seq[Row],
-      schema: StructType, externalIdField: Option[String] = None): List[JValue] =
-    runJob(operation, sObject, toJson(rows, schema), externalIdField)._3 match {
+      schema: StructType, externalIdField: Option[String] = None): List[JValue] = {
+    val payload =
+      if (csvMode) toCsv(rows, schema) else toJson(rows, schema)
+    val (jobId, batchId) = runJob(operation, sObject, payload, externalIdField)
+    val url = s"$asyncBase/job/$jobId/batch/$batchId/result"
+    if (csvMode) {
+      val parsed = parseCsv(requestRaw("GET", url, contentType = None))
+      if (parsed.isEmpty) Nil
+      else {
+        val pos = parsed.head.map(_.toLowerCase).zipWithIndex.toMap
+        def at(r: Seq[String], name: String): Option[String] =
+          pos.get(name).map(r(_)).filter(_.nonEmpty)
+        parsed.tail.map { r =>
+          JObject(List(
+            "id" -> at(r, "id").map(JString(_): JValue).getOrElse(JNull),
+            "success" -> JBool(at(r, "success").exists(_.toBoolean)),
+            "created" -> JBool(at(r, "created").exists(_.toBoolean)),
+            "errors" -> at(r, "error").map(JString(_): JValue).getOrElse(JNull)))
+        }.toList
+      }
+    } else request("GET", url) match {
       case JArray(rs) => rs
       case other => throw new RuntimeException(s"bad mutation result: $other")
     }
+  }
 
   override def insert(sObject: String, rows: Seq[Row],
       schema: StructType): Seq[String] =

@@ -30,11 +30,16 @@ class BulkApiOrgSuite extends AnyFunSuite {
       script: PartialFunction[(String, String), (Int, String)])
       extends HttpTransport {
     val calls = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    private val headerLog =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, String])]
+    def headersSeen(url: String): Map[String, String] =
+      headerLog.find(_._1 == url).map(_._2).getOrElse(Map.empty)
     override def postForm(url: String, params: Map[String, String]): (Int, String) =
       (200, s"""{"access_token": "TOK${calls.size}", "instance_url": "https://na1.example.org"}""")
     override def send(method: String, url: String,
         headers: Map[String, String], body: String): (Int, String) = {
       calls += ((method, url, body))
+      headerLog += ((url, headers))
       assert(headers.contains("X-SFDC-Session"), s"missing session header on $url")
       script.applyOrElse((method, url),
         (k: (String, String)) => fail(s"unexpected request $k"))
@@ -239,5 +244,109 @@ class BulkApiOrgSuite extends AnyFunSuite {
     assert(http.calls.exists(c =>
       c._3.contains("SELECT Id FROM Account WHERE (Amount > 5)")),
       http.calls.mkString("\n"))
+  }
+
+  // ---- CSV content type (the reference's wire format,
+  // data_connector.py:248,273) -------------------------------------------
+
+  test("CSV query speaks XML envelopes and parses quoted CSV results") {
+    val http = new ScriptedHttp({
+      case ("GET", u) if u == s"$rest/sobjects/Account/describe" =>
+        (200, accountDescribe)
+      case ("POST", u) if u == s"$async/job" =>
+        (201, "<jobInfo><id>J1</id><state>Open</state></jobInfo>")
+      case ("POST", u) if u == s"$async/job/J1/batch" =>
+        (201, "<batchInfo><id>B1</id><state>Queued</state></batchInfo>")
+      case ("POST", u) if u == s"$async/job/J1" =>
+        (200, "<jobInfo><id>J1</id><state>Closed</state></jobInfo>")
+      case ("GET", u) if u == s"$async/job/J1/batch/B1" =>
+        (200, "<batchInfo><id>B1</id><state>Completed</state></batchInfo>")
+      case ("GET", u) if u == s"$async/job/J1/batch/B1/result" =>
+        (200, "<result-list><result>R1</result></result-list>")
+      case ("GET", u) if u == s"$async/job/J1/batch/B1/result/R1" =>
+        // embedded comma, doubled quote, multi-line field, empty = null
+        (200, "\"Id\",\"Name\",\"Amount\",\"Closed\",\"CloseDate\"\n" +
+          "\"A1\",\"acme, inc\",\"10\",\"false\",\"2024-02-03\"\n" +
+          "\"A2\",\"say \"\"hi\"\"\nthere\",\"\",\"true\",\"\"")
+    })
+    val org = new BulkApiOrg(tok, http, sleeper = _ => (), contentType = "CSV")
+    val rows = org.query(
+      "SELECT Id, Name, Amount, Closed, CloseDate FROM Account").toSeq
+    assert(rows == Seq(
+      Row("A1", "acme, inc", 10L, false, java.sql.Date.valueOf("2024-02-03")),
+      Row("A2", "say \"hi\"\nthere", null, true, null)))
+    // the job was created via XML with contentType CSV
+    val createCall = http.calls.find(_._2 == s"$async/job").get
+    assert(createCall._3.contains("<contentType>CSV</contentType>"), createCall._3)
+    assert(createCall._3.contains("<operation>query</operation>"), createCall._3)
+  }
+
+  test("CSV mutations post CSV payloads and parse CSV batch results") {
+    val http = new ScriptedHttp({
+      case ("POST", u) if u == s"$async/job" =>
+        (201, "<jobInfo><id>J1</id></jobInfo>")
+      case ("POST", u) if u == s"$async/job/J1/batch" =>
+        (201, "<batchInfo><id>B1</id></batchInfo>")
+      case ("POST", u) if u == s"$async/job/J1" =>
+        (200, "<jobInfo><id>J1</id></jobInfo>")
+      case ("GET", u) if u == s"$async/job/J1/batch/B1" =>
+        (200, "<batchInfo><id>B1</id><state>Completed</state></batchInfo>")
+      case ("GET", u) if u == s"$async/job/J1/batch/B1/result" =>
+        (200, "\"Id\",\"Success\",\"Created\",\"Error\"\n" +
+          "\"A1\",\"true\",\"true\",\"\"\n" +
+          "\"A2\",\"true\",\"true\",\"\"")
+    })
+    val org = new BulkApiOrg(tok, http, sleeper = _ => (), contentType = "CSV")
+    val ids = org.insert("Account",
+      Seq(Row("acme", 10L), Row("zorg", null)), writeSchema)
+    assert(ids == Seq("A1", "A2"))
+    // payload is header + quoted rows, null as empty
+    val batchCall = http.calls.find(_._2 == s"$async/job/J1/batch").get
+    assert(batchCall._3 == "\"Name\",\"Amount\"\n\"acme\",\"10\"\n\"zorg\",",
+      batchCall._3)
+  }
+
+  test("PK-chunked query polls the batch set and concatenates range results") {
+    var listPolls = 0
+    val http = new ScriptedHttp({
+      case ("GET", u) if u == s"$rest/sobjects/Account/describe" =>
+        (200, accountDescribe)
+      case ("POST", u) if u == s"$async/job" => (201, """{"id": "J1"}""")
+      case ("POST", u) if u == s"$async/job/J1/batch" => (201, """{"id": "B0"}""")
+      case ("POST", u) if u == s"$async/job/J1" => (200, """{"state": "Closed"}""")
+      case ("GET", u) if u == s"$async/job/J1/batch" =>
+        listPolls += 1
+        // round 1: ranges still running; round 2: seed Not Processed,
+        // both range batches done
+        if (listPolls == 1)
+          (200, """{"batchInfo": [
+            {"id": "B0", "state": "Not Processed"},
+            {"id": "B1", "state": "InProgress"},
+            {"id": "B2", "state": "Completed"}]}""")
+        else
+          (200, """{"batchInfo": [
+            {"id": "B0", "state": "Not Processed"},
+            {"id": "B1", "state": "Completed"},
+            {"id": "B2", "state": "Completed"}]}""")
+      case ("GET", u) if u == s"$async/job/J1/batch/B1/result" =>
+        (200, """["R1"]""")
+      case ("GET", u) if u == s"$async/job/J1/batch/B2/result" =>
+        (200, """["R2"]""")
+      case ("GET", u) if u == s"$async/job/J1/batch/B1/result/R1" =>
+        (200, """[{"Id": "A1", "Name": "a"}]""")
+      case ("GET", u) if u == s"$async/job/J1/batch/B2/result/R2" =>
+        (200, """[{"Id": "A2", "Name": "b"}]""")
+    })
+    val org = new BulkApiOrg(tok, http, sleeper = _ => (),
+      pkChunkSize = Some(50000))
+    val rows = org.query("SELECT Id, Name FROM Account").toSeq
+    assert(rows == Seq(Row("A1", "a"), Row("A2", "b")))
+    assert(listPolls == 2, "must poll the batch LIST, not the seed batch")
+    // the chunking header rode on job creation only
+    val createCall = http.calls.find(_._2 == s"$async/job").get
+    val createHeaders = http.headersSeen(s"$async/job")
+    assert(createHeaders.get("Sforce-Enable-PKChunking").contains("chunkSize=50000"),
+      createHeaders.toString)
+    assert(createCall._3.contains(""""operation":"query""""))
   }
 }

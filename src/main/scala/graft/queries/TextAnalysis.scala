@@ -308,6 +308,40 @@ object TextAnalysis {
         )
         SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
         FROM ranked WHERE rank <= 3
-        ORDER BY doc_id, rank"""))
+        ORDER BY doc_id, rank""")),
+
+    // ---- t08: Count-Min-sketch heavy hitters ------------------------------
+    // fixed-memory frequency estimation: a depth x width counter grid
+    // (md5-salted buckets) estimates any token's count as the min of its
+    // cells — state is ~4 KiB regardless of corpus size. Exact counts
+    // ride along, pinning the CMS one-sided error (est >= true) in the
+    // oracle compare. Every hash is md5-derived, so DuckDB rebuilds the
+    // *identical* sketch.
+    QueryDef(
+      "t08_heavy_hitters",
+      (s, d) =>
+        graft.functions.SketchOps.cmsHeavyHitters(
+          Tables.corpus(s, d), "text", depth = 4, width = 1024, topK = 10),
+      Some("""
+        WITH toks AS (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents),
+        salts AS (SELECT unnest([0,1,2,3]) AS r),
+        sketch AS (
+          SELECT r, CAST((('0x' || substr(md5(r::VARCHAR || ':' || tok),1,16))::UBIGINT
+                     & 1023) AS BIGINT) AS bucket, count(*) AS c
+          FROM toks, salts
+          GROUP BY 1, 2),
+        top AS (
+          SELECT tok, count(*) AS true_n FROM toks GROUP BY tok
+          ORDER BY true_n DESC, tok LIMIT 10)
+        SELECT t.tok, t.true_n, MIN(s.c) AS cms_est
+        FROM top t, salts r
+        JOIN sketch s
+          ON s.r = r.r
+         AND s.bucket = CAST((('0x' || substr(md5(r.r::VARCHAR || ':' || t.tok),1,16))::UBIGINT
+                         & 1023) AS BIGINT)
+        GROUP BY t.tok, t.true_n
+        ORDER BY true_n DESC, tok"""))
   )
 }

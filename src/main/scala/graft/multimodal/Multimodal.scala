@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
   * format the JDK's `javax.imageio` reads (PNG/JPEG/BMP/GIF) — actual
   * pixel decode, actual luma, actual resampling, and histogram+DCT
   * perceptual features from the decoded grid — with a deterministic
-  * fallback for payloads that aren't decodable images (the synthetic
-  * test corpus, or formats needing native codecs). Non-image feature
-  * embedding and video frame decode remain deterministic STUB kernels
-  * standing in for libraries this environment does not ship; swapping
-  * one changes a function body, none of the dataflow.
+  * fallback for payloads that aren't decodable images (formats needing
+  * native codecs). Video frame sampling is REAL for the documented
+  * [[VideoContainer]] format (timestamped length-prefixed PNG frames —
+  * the container stands in for codec demuxing, which needs native
+  * libraries this environment does not ship): frames are selected
+  * as-of each sample timestamp and every emitted payload is an
+  * ImageIO-decodable image. Non-image feature embedding remains a
+  * deterministic STUB kernel; swapping it changes a function body,
+  * none of the dataflow.
   *
   * Scale notes: payload bytes stay in executors end to end (no
   * collect); per-partition `grouped(batchSize)` mirrors how a real
@@ -42,6 +46,64 @@ object Multimodal {
 
   final case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
+  /** Minimal deterministic video container: `GVC1` magic, frame count,
+    * then (timestampMs: i64, length: i32, png bytes) per frame. A stand-
+    * in for real demuxing (mp4/mkv need native codec libraries), but the
+    * framing, timestamps, and per-frame image payloads are all real —
+    * a decoder swap touches only this object. */
+  object VideoContainer {
+    private val Magic = Array[Byte]('G', 'V', 'C', '1')
+
+    def encode(frames: Seq[(Long, Array[Byte])]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.write(Magic)
+      out.writeInt(frames.size)
+      frames.foreach { case (ts, png) =>
+        out.writeLong(ts); out.writeInt(png.length); out.write(png)
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+    /** Frames as (timestampMs, pngBytes); None when `bytes` is not a
+      * GVC1 payload (malformed framing is an error, not a None — silent
+      * coercion of a corrupt container would hide data loss). */
+    def decode(bytes: Array[Byte]): Option[Seq[(Long, Array[Byte])]] =
+      if (bytes.length < 8 || !bytes.startsWith(Magic)) None
+      else {
+        val in = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(bytes, 4, bytes.length - 4))
+        val n = in.readInt()
+        require(n >= 0, s"negative frame count $n")
+        Some((0 until n).map { _ =>
+          val ts = in.readLong()
+          val len = in.readInt()
+          require(len >= 0, s"negative frame length $len")
+          val png = new Array[Byte](len)
+          in.readFully(png)
+          (ts, png)
+        })
+      }
+  }
+
+  /** Solid-color PNG — the deterministic synthetic frame payload (color
+    * from the (id, index) hash), decodable by any ImageIO consumer. */
+  private[graft] def syntheticPng(id: Long, idx: Int, size: Int = 16): Array[Byte] = {
+    val rgb = (((id * 31 + idx) * 2654435761L) & 0xFFFFFFL).toInt
+    val img = new java.awt.image.BufferedImage(
+      size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < size) {
+      var x = 0
+      while (x < size) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic media corpus derived from the documents
     * table: text bytes become the payload, metadata from doc stats. Kind
     * cycles image/audio/video so every operator has coverage. */
@@ -61,6 +123,18 @@ object Multimodal {
           (length(col("text")) * 10).cast("long").as("durationMs")).as("meta"),
         encode(col("text"), "UTF-8").as("bytes"))
       .as[MediaRow]
+      // video payloads become REAL containers (4 evenly spaced PNG
+      // frames), so downstream frame sampling exercises actual demux +
+      // decode; executed per-row in executors, never on the driver
+      .map { m =>
+        if (m.meta.kind != "video") m
+        else {
+          val dur = math.max(4L, m.meta.durationMs)
+          val frames = (0 until 4).map(i =>
+            (i * dur / 4, syntheticPng(m.media_id, i)))
+          m.copy(bytes = VideoContainer.encode(frames))
+        }
+      }
   }
 
   /** Decodes a payload with the JDK's ImageIO (PNG/JPEG/BMP/GIF, no
@@ -275,18 +349,29 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video payloads: one output row per sampled
-    * frame, `everyMs` apart — the explode-shaped operator a video
-    * pipeline needs before per-frame decode. Slicing is the STUB; the
-    * row multiplication and ordering are real. */
+  /** Frame sampling for video payloads: one output row per sample
+    * timestamp, `everyMs` apart — the explode-shaped operator a video
+    * pipeline needs before per-frame work. [[VideoContainer]] payloads
+    * get REAL demuxing: each sample emits the container frame as-of its
+    * timestamp (latest frame at-or-before), so every output payload is
+    * a decodable image. Non-container payloads keep the byte-slice
+    * fallback (formats needing native demuxers). Linear output, no
+    * shuffle. */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.meta.kind == "video").flatMap { m =>
       val n = math.max(1, (m.meta.durationMs / math.max(1L, everyMs)).toInt)
-      val span = math.max(1, m.bytes.length / n)
-      (0 until n).iterator.map { i =>
-        // --- STUB KERNEL: real implementation decodes frame i ---
-        Frame(m.media_id, i, m.bytes.slice(i * span, i * span + span))
+      VideoContainer.decode(m.bytes) match {
+        case Some(frames) if frames.nonEmpty =>
+          (0 until n).iterator.map { i =>
+            val t = i.toLong * everyMs
+            val at = frames.lastIndexWhere(_._1 <= t)
+            Frame(m.media_id, i, frames(math.max(at, 0))._2)
+          }
+        case _ =>
+          val span = math.max(1, m.bytes.length / n)
+          (0 until n).iterator.map(i =>
+            Frame(m.media_id, i, m.bytes.slice(i * span, i * span + span)))
       }
     }
   }

@@ -150,4 +150,33 @@ class MultimodalSuite extends SparkSuite {
     val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
     assert(!plan.contains("CollectLimit"))
   }
+
+  test("video container demux: sampled frames are real decodable images") {
+    import Multimodal._
+    import spark.implicits._
+    // 3 solid-color frames at 0/1000/2000 ms, sampled every 600 ms over
+    // a 3000 ms clip: samples at 0,600,1200,1800,2400 map as-of to
+    // frames 0,0,1,1,2
+    val pngs = (0 until 3).map(i => Multimodal.syntheticPng(7L, i, size = 8))
+    val clip = VideoContainer.encode(
+      Seq((0L, pngs(0)), (1000L, pngs(1)), (2000L, pngs(2))))
+    val row = MediaRow(7L, MediaMeta("video", 8, 8, 0, 3000L), clip)
+    val out = sampleFrames(Seq(row).toDS(), everyMs = 600L)
+      .collect().sortBy(_.frame_idx)
+    assert(out.length == 5)
+    assert(out.map(_.frame_bytes.toSeq).toSeq ==
+      Seq(pngs(0), pngs(0), pngs(1), pngs(1), pngs(2)).map(_.toSeq))
+    // every emitted payload decodes as an actual 8x8 image
+    out.foreach { f =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.frame_bytes))
+      assert(img != null && img.getWidth == 8 && img.getHeight == 8)
+    }
+    // round-trip: container decode returns the exact frames
+    assert(VideoContainer.decode(clip).get.map(_._2.toSeq) == pngs.map(_.toSeq))
+    // non-container payloads keep the slice fallback, not an error
+    val raw = MediaRow(8L, MediaMeta("video", 8, 8, 0, 1000L),
+      Array.fill[Byte](100)(3))
+    assert(sampleFrames(Seq(raw).toDS(), 500L).collect().length == 2)
+  }
 }

@@ -104,6 +104,85 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** 16-bit mono PCM WAV of a pure sine tone — the deterministic
+    * synthetic audio payload, decodable by `javax.sound.sampled`. */
+  private[graft] def syntheticWav(id: Long, sampleRate: Int = 16000,
+      nSamples: Int = 2048): Array[Byte] = {
+    val freq = 200.0 + (id % 40) * 100.0
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      val s = math.sin(2 * math.Pi * freq * i / sampleRate)
+      buf.putShort((s * 20000).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** PCM samples in [-1, 1] plus the sample rate, decoded with the
+    * JDK's `javax.sound.sampled` (WAV/AIFF/AU — no native deps); None
+    * when the payload isn't a supported audio container. */
+  private[graft] def decodePcm(bytes: Array[Byte]): Option[(Int, Array[Double])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16) None
+      else {
+        val raw = in.readAllBytes()
+        val order =
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN
+        val sb = java.nio.ByteBuffer.wrap(raw).order(order).asShortBuffer()
+        val ch = math.max(1, fmt.getChannels)
+        val out = new Array[Double](sb.remaining() / ch)
+        var i = 0
+        while (i < out.length) {
+          out(i) = sb.get(i * ch) / 32768.0 // first channel
+          i += 1
+        }
+        Some((fmt.getSampleRate.toInt, out))
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Goertzel magnitude spectrum at `dim` evenly spaced frequencies up
+    * to Nyquist, unit-normalized — a real signal-domain feature (pure
+    * tones land their energy in the matching bin), no FFT library. */
+  private[multimodal] def audioFeature(sampleRate: Int,
+      samples: Array[Double], dim: Int): Array[Float] = {
+    val n = math.min(samples.length, 4096)
+    val v = new Array[Float](dim)
+    var k = 0
+    while (k < dim) {
+      val freq = (k + 1).toDouble * (sampleRate / 2.0) / (dim + 1)
+      val w = 2 * math.Pi * freq / sampleRate
+      val coeff = 2 * math.cos(w)
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+      var i = 0
+      while (i < n) {
+        s0 = samples(i) + coeff * s1 - s2
+        s2 = s1; s1 = s0
+        i += 1
+      }
+      v(k) = math.sqrt(s1 * s1 + s2 * s2 - coeff * s1 * s2).toFloat
+      k += 1
+    }
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum).max(1e-9)
+    v.map(x => (x / norm).toFloat)
+  }
+
   /** Deterministic synthetic media corpus derived from the documents
     * table: text bytes become the payload, metadata from doc stats. Kind
     * cycles image/audio/video so every operator has coverage. */
@@ -124,15 +203,19 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("bytes"))
       .as[MediaRow]
       // video payloads become REAL containers (4 evenly spaced PNG
-      // frames), so downstream frame sampling exercises actual demux +
-      // decode; executed per-row in executors, never on the driver
+      // frames) and audio payloads REAL sine-tone WAVs, so downstream
+      // demux/decode exercises actual media; executed per-row in
+      // executors, never on the driver
       .map { m =>
-        if (m.meta.kind != "video") m
-        else {
-          val dur = math.max(4L, m.meta.durationMs)
-          val frames = (0 until 4).map(i =>
-            (i * dur / 4, syntheticPng(m.media_id, i)))
-          m.copy(bytes = VideoContainer.encode(frames))
+        m.meta.kind match {
+          case "video" =>
+            val dur = math.max(4L, m.meta.durationMs)
+            val frames = (0 until 4).map(i =>
+              (i * dur / 4, syntheticPng(m.media_id, i)))
+            m.copy(bytes = VideoContainer.encode(frames))
+          case "audio" =>
+            m.copy(bytes = syntheticWav(m.media_id, m.meta.sampleRate))
+          case _ => m
         }
       }
   }
@@ -284,18 +367,24 @@ object Multimodal {
             catch { case _: java.io.IOException => None }
           decoded match {
             case Some(img) => MediaFeature(m.media_id, imageFeature(img, dim))
-            case None =>
-              // --- STUB KERNEL (non-image payloads): replace with real
-              // batched model inference; deterministic byte-window hash ---
-              val v = new Array[Float](dim)
-              var i = 0
-              while (i < m.bytes.length) {
-                val j = (m.bytes(i) & 0xff) % dim
-                v(j) += 1.0f / (1 + i % 7)
-                i += 1
-              }
-              val norm = math.sqrt(v.map(x => x.toDouble * x).sum).max(1e-9)
-              MediaFeature(m.media_id, v.map(x => (x / norm).toFloat))
+            case None => decodePcm(m.bytes) match {
+              // REAL audio features: decoded PCM -> Goertzel spectrum
+              case Some((rate, samples)) =>
+                MediaFeature(m.media_id, audioFeature(rate, samples, dim))
+              case None =>
+                // --- STUB KERNEL (payloads that are neither decodable
+                // image nor audio): replace with real batched model
+                // inference; deterministic byte-window hash ---
+                val v = new Array[Float](dim)
+                var i = 0
+                while (i < m.bytes.length) {
+                  val j = (m.bytes(i) & 0xff) % dim
+                  v(j) += 1.0f / (1 + i % 7)
+                  i += 1
+                }
+                val norm = math.sqrt(v.map(x => x.toDouble * x).sum).max(1e-9)
+                MediaFeature(m.media_id, v.map(x => (x / norm).toFloat))
+            }
           }
         }
       }

@@ -151,6 +151,34 @@ class MultimodalSuite extends SparkSuite {
     assert(!plan.contains("CollectLimit"))
   }
 
+  test("audio features come from real PCM decode, tone energy in the right bin") {
+    import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+    // two tones an octave+ apart and a byte-identical re-synth of the first
+    val low = Multimodal.syntheticWav(2L)   // 200 + 2*100 = 400 Hz
+    val high = Multimodal.syntheticWav(30L) // 3200 Hz
+    val rows = Seq(
+      MediaRow(1L, MediaMeta("audio", 0, 0, 16000, 128L), low),
+      MediaRow(2L, MediaMeta("audio", 0, 0, 16000, 128L), high),
+      MediaRow(3L, MediaMeta("audio", 0, 0, 16000, 128L),
+        Multimodal.syntheticWav(2L)))
+    val feats = Multimodal.extractFeatures(spark.createDataset(rows), dim = 64)
+      .collect().map(f => f.media_id -> f.feature).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    assert(cos(feats(1L), feats(3L)) > 0.999, "same tone must match itself")
+    assert(cos(feats(1L), feats(2L)) < 0.5,
+      s"different tones must separate, cos=${cos(feats(1L), feats(2L))}")
+    // the 400 Hz tone's energy concentrates at bin freq ~= 400 Hz
+    val peak = feats(1L).zipWithIndex.maxBy(_._1)._2
+    val peakFreq = (peak + 1).toDouble * 8000.0 / 65
+    assert(math.abs(peakFreq - 400.0) < 8000.0 / 65,
+      s"peak bin at $peakFreq Hz, expected ~400")
+    // decodePcm really parses the WAV (rate + sample count)
+    val (rate, samples) = Multimodal.decodePcm(low).get
+    assert(rate == 16000 && samples.length == 2048)
+    assert(samples.max <= 1.0 && samples.min >= -1.0)
+  }
+
   test("video container demux: sampled frames are real decodable images") {
     import Multimodal._
     import spark.implicits._

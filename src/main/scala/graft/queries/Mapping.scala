@@ -173,6 +173,62 @@ object Mapping {
             n = 1000, objectName = "Account", seed = 42L)
           .orderBy("Name")
       },
-      None)
+      None),
+
+    // ---- m06: post-migration reconciliation (keyed snapshot diff) --------
+    // the audit the reference never does after migrating: one full-outer
+    // join classifying every key as added/removed/changed with the
+    // differing columns listed. The right side is a deterministic
+    // perturbation of customer (drops, edits, additions), so the
+    // discrepancy set is exactly reproducible in the oracle.
+    QueryDef(
+      "m06_reconcile",
+      (s, d) => {
+        val base = Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_acctbal"))
+        val kept = base.where(pmod(col("c_custkey"), lit(97)) =!= 0)
+          .withColumn("c_acctbal",
+            when(pmod(col("c_custkey"), lit(89)) === 0, col("c_acctbal") + 10)
+              .otherwise(col("c_acctbal")))
+        val added = base.where(pmod(col("c_custkey"), lit(101)) === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000)
+        graft.engine.Reconcile
+          .diff(base, kept.unionByName(added), "c_custkey")
+          .orderBy("c_custkey", "status")
+      },
+      Some("""
+        WITH base AS (
+          SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer),
+        right_t AS (
+          SELECT c_custkey, c_name, c_nationkey,
+                 CASE WHEN c_custkey % 89 = 0 THEN c_acctbal + 10
+                      ELSE c_acctbal END AS c_acctbal
+          FROM base WHERE c_custkey % 97 <> 0
+          UNION ALL
+          SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal
+          FROM base WHERE c_custkey % 101 = 0),
+        j AS (
+          SELECT COALESCE(l.c_custkey, r.c_custkey) AS c_custkey,
+                 CASE WHEN l.c_custkey IS NULL THEN 'added'
+                      WHEN r.c_custkey IS NULL THEN 'removed'
+                      WHEN (l.c_name IS DISTINCT FROM r.c_name)
+                        OR (l.c_nationkey IS DISTINCT FROM r.c_nationkey)
+                        OR (l.c_acctbal IS DISTINCT FROM r.c_acctbal)
+                        THEN 'changed'
+                      ELSE 'same' END AS status,
+                 CASE WHEN l.c_custkey IS NOT NULL AND r.c_custkey IS NOT NULL
+                      THEN concat_ws(',',
+                        CASE WHEN l.c_name IS DISTINCT FROM r.c_name
+                             THEN 'c_name' END,
+                        CASE WHEN l.c_nationkey IS DISTINCT FROM r.c_nationkey
+                             THEN 'c_nationkey' END,
+                        CASE WHEN l.c_acctbal IS DISTINCT FROM r.c_acctbal
+                             THEN 'c_acctbal' END)
+                      ELSE '' END AS changed_cols
+          FROM base l FULL OUTER JOIN right_t r ON l.c_custkey = r.c_custkey)
+        SELECT c_custkey, status, changed_cols FROM j
+        WHERE status <> 'same'
+        ORDER BY c_custkey, status"""))
   )
 }

@@ -98,6 +98,50 @@ class PlanAuditSuite extends SparkSuite {
     assert(!p.contains("BatchEvalPython"), "no Python UDFs in the hot path")
   }
 
+  test("q35: both session windows share one user-partitioned sort") {
+    val df = SparkEntry.queries("q35_gaps_islands")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // lag and the running island-sum have identical window specs: Spark
+    // must plan ONE exchange on user_id for both, plus one for the final
+    // groupBy — a third exchange means the sort reuse regressed
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+  }
+
+  test("a06/a07: as-of variants keep the single-shuffle merge shape") {
+    for (q <- Seq("a06_asof_tolerance", "a07_asof_forward")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"$q must stay a union+window merge, not a join explosion:\n$p")
+    }
+  }
+
+  test("t08: the CMS sketch aggregation partial-combines before its shuffle") {
+    val df = SparkEntry.queries("t08_heavy_hitters")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // partial_count marker = map-side combine: the exchanged volume is
+    // bounded by tasks*cells, not the token stream
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "sketch build must pre-aggregate map-side:\n" + p)
+    spark.catalog.clearCache()
+  }
+
+  test("m06: reconciliation is one shuffle join, compares stay codegen'd") {
+    val df = SparkEntry.queries("m06_reconcile")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BatchEvalPython"), p)
+  }
+
   test("d06: dup-cluster labels read through a materialization barrier") {
     val df = SparkEntry.queries("d06_dup_clusters")(spark, sf)
     // the converged labels are handed off as an eager localCheckpoint

@@ -229,6 +229,7 @@ object Mapping {
           FROM base l FULL OUTER JOIN right_t r ON l.c_custkey = r.c_custkey)
         SELECT c_custkey, status, changed_cols FROM j
         WHERE status <> 'same'
-        ORDER BY c_custkey, status"""))
+        ORDER BY c_custkey, status"""),
+      bench = true)
   )
 }

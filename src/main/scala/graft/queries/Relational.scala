@@ -808,6 +808,7 @@ object Relational {
                epoch_ms(MIN(ts)) AS start_ms, epoch_ms(MAX(ts)) AS end_ms,
                COUNT(*) AS n_events
         FROM islands GROUP BY user_id, island
-        ORDER BY user_id, island"""))
+        ORDER BY user_id, island"""),
+      bench = true)
   )
 }

@@ -342,6 +342,7 @@ object TextAnalysis {
          AND s.bucket = CAST((('0x' || substr(md5(r.r::VARCHAR || ':' || t.tok),1,16))::UBIGINT
                          & 1023) AS BIGINT)
         GROUP BY t.tok, t.true_n
-        ORDER BY true_n DESC, tok"""))
+        ORDER BY true_n DESC, tok"""),
+      bench = true)
   )
 }

@@ -200,6 +200,45 @@ object TextOps {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Edit-distance-1 similarity join via deletion signatures (the FastSS
+    * scheme): the signature set of `s` is `s` plus every single-character
+    * deletion of `s`. Two strings are within edit distance 1 IFF they
+    * share a signature — equality shares `s` itself, a substitution at
+    * position i shares the delete-at-i form, and an insert/delete pair
+    * shares the shorter string. So an equi-join on the signature is a
+    * TOTAL-recall candidate generator (no sliding-window or all-pairs
+    * scan), and `levenshtein` verifies exactly.
+    *
+    * Scale shape: signatures are linear (|s|+1 keys per row, each a
+    * near-copy of the string), the join keys hash uniformly, and
+    * verification is candidate-local. The quadratic form this replaces
+    * (cross join + levenshtein) is what the DuckDB oracle runs at test
+    * scale. Output: (id_a, id_b, dist) with id_a < id_b, dist <= 1. */
+  def editDistancePairs(df: DataFrame, idCol: String,
+      strCol: String): DataFrame = {
+    val sigs = df
+      .select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .select(col("__id"), col("__s"),
+        // sequence(1, 0) DESCENDS in Spark — guard the empty string
+        explode(concat(array(col("__s")),
+          when(length(col("__s")) >= 1,
+            transform(sequence(lit(1), length(col("__s"))),
+              i => concat(
+                col("__s").substr(lit(1), i - 1),
+                col("__s").substr(i + 1, length(col("__s"))))))
+            .otherwise(array().cast("array<string>"))))
+          .as("__sig"))
+    val a = sigs.select(col("__id").as("id_a"), col("__s").as("s_a"),
+      col("__sig").as("__sig_a"))
+    val b = sigs.select(col("__id").as("id_b"), col("__s").as("s_b"),
+      col("__sig").as("__sig_b"))
+    a.join(b, col("__sig_a") === col("__sig_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+      .where(col("dist") <= 1)
+      .distinct()
+  }
+
   /** Connected components over a near-duplicate pair graph via min-label
     * propagation: every document's cluster id is the minimum doc id
     * reachable through dup edges — the canonical-representative

@@ -120,6 +120,49 @@ object Complex {
         FROM vols JOIN avg_part ON l_partkey = pk
         JOIN supplier ON l_suppkey = s_suppkey
         WHERE vol > part_avg * 1.5
-        ORDER BY l_partkey, l_suppkey"""))
+        ORDER BY l_partkey, l_suppkey""")),
+
+    // ---- c05 (Q21 shape): sole-blame supplier on multi-supplier orders ---
+    // the EXISTS / NOT-EXISTS double correlation, decorrelated by hand
+    // into ONE per-order aggregate (distinct suppliers, distinct
+    // suppliers-with-returns): the blame condition becomes n_supp >= 2
+    // AND n_ret = 1 — one shuffle where the textbook plan does two
+    // correlated semi/anti joins against the fact table. The oracle
+    // keeps the classic correlated-subquery text, proving equivalence.
+    QueryDef(
+      "c05_sole_blame_supplier",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val perOrder = li.groupBy("l_orderkey").agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("n_ret"))
+        val returned = li.where(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        returned.join(perOrder, "l_orderkey")
+          .where(col("n_supp") >= 2 && col("n_ret") === 1)
+          .join(broadcast(Tables(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some("""
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait FROM (
+          SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+          FROM lineitem l1
+          WHERE l1.l_returnflag = 'R'
+            AND EXISTS (SELECT 1 FROM lineitem l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey
+                              AND l3.l_returnflag = 'R')) q
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20"""))
   )
 }

@@ -200,6 +200,23 @@ object Dedup {
                                      CAST(b.embedding AS DOUBLE[])) >= 0.4
         ORDER BY id_a, id_b"""),
       bench = true,
-      baseline = true) // quadratic-by-design exactness baseline; d03/s02 are the scale paths
+      baseline = true), // quadratic-by-design exactness baseline; d03/s02 are the scale paths
+
+    // ---- d07: edit-distance-1 fuzzy join (deletion signatures) -----------
+    // FastSS: |s|+1 deletion signatures per row, equi-join, levenshtein
+    // verify — total recall without the oracle's quadratic cross join.
+    QueryDef(
+      "d07_fuzzy_join",
+      (s, d) =>
+        graft.functions.TextOps
+          .editDistancePairs(Tables(s, d, "customer"), "c_custkey", "c_name")
+          .orderBy("id_a", "id_b"),
+      Some("""
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ORDER BY id_a, id_b"""),
+      bench = true)
   )
 }

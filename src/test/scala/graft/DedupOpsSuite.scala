@@ -188,4 +188,34 @@ class DedupOpsSuite extends SparkSuite {
     val j = df.select(TextOps.jaccard(col("x"), col("y"))).as[Double].collect().head
     assert(math.abs(j - 0.5) < 1e-15) // |{b,c}| / |{a,b,c,d}|
   }
+
+  test("deletion-signature fuzzy join equals the brute-force ed<=1 pairs") {
+    // substitutions, inserts, deletes, equal strings, and far-apart
+    // strings — incl. the ed=2 trap pair ("ab","ba") that shares a
+    // signature but must be verified away
+    val rows = Seq(
+      1L -> "crate", 2L -> "crane", 3L -> "rate", 4L -> "cratea",
+      5L -> "ab", 6L -> "ba", 7L -> "crate", 8L -> "zzzz", 9L -> "")
+    val df = rows.toDF("id", "s")
+    val got = TextOps.editDistancePairs(df, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib
+      d = {
+        // reference Levenshtein
+        val m = Array.tabulate(sa.length + 1, sb.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to sa.length; j <- 1 to sb.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (sa(i - 1) == sb(j - 1)) 0 else 1))
+        m(sa.length)(sb.length)
+      }
+      if d <= 1
+    } yield (ia, ib)).toSet
+    assert(got == brute, s"got $got expected $brute")
+    assert(got.contains((1L, 2L)) && got.contains((1L, 7L)) &&
+      got.contains((1L, 3L)) && got.contains((1L, 4L)))
+    assert(!got.contains((5L, 6L)), "ed=2 transposition must verify away")
+  }
 }

@@ -103,23 +103,38 @@ object TextOps {
     verifyJaccard(sh, prefixCandidates(sh, threshold), threshold)
   }
 
-  /** Candidate pairs from the prefix index: explode shingles, compute
-    * global document frequency (one aggregation), keep each doc's
-    * `|S| - ceil(t*|S|) + 1` rarest shingles, self-join on the shingle
-    * with the size-compatibility prune (jac >= t implies t|A| <= |B| <=
-    * |A|/t). Exact-recall superset of the >= t pairs. */
+  /** Candidate pairs from the prefix index: hash each shingle to 64 bits,
+    * explode, compute global document frequency (one aggregation), keep
+    * each doc's `|S| - ceil(t*|S|) + 1` rarest shingles, self-join on the
+    * hash with the size-compatibility prune (jac >= t implies t|A| <=
+    * |B| <= |A|/t). Exact-recall superset of the >= t pairs.
+    *
+    * The ENTIRE candidate stage runs in hash space: every shuffled row
+    * carries an 8-byte key instead of the shingle string (2-4x fewer
+    * shuffle bytes — the dominant cost at corpus scale). Correctness is
+    * one-sided: set sizes and frequencies are computed over the hashed
+    * sets themselves, so hash-Jaccard >= string-Jaccard (collisions only
+    * merge elements) and every string-space qualifying pair survives the
+    * filter; spurious collision-born candidates are killed by the exact
+    * string-set verify. */
   def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = threshold
-    val ex = sh.select(col("__id"), size(col("__sh")).as("__n"),
-      explode(col("__sh")).as("__s"))
+    val ex = sh
+      .select(col("__id"),
+        array_distinct(transform(col("__sh"), s => xxhash64(s))).as("__hs"))
+      .select(col("__id"), size(col("__hs")).as("__n"),
+        explode(col("__hs")).as("__s"))
+    // distinct output name: a USING self-join on the same lineage trips
+    // Spark's trivially-true-predicate fixup (and its warning)
     val freq = ex.groupBy("__s").agg(count(lit(1)).as("__df"))
-    // (df asc, shingle asc) is a TOTAL order, identical across docs —
+      .select(col("__s").as("__sf"), col("__df"))
+    // (df asc, hash asc) is a TOTAL order, identical across docs —
     // required for the prefix principle to hold
     val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__s"))
     // probe prefix: |S| - ceil(t|S|) + 1 rarest shingles (classic prefix
     // filter); the __rk position is kept for the positional bound below
-    val prefix = ex.join(freq, "__s")
+    val prefix = ex.join(freq, col("__s") === col("__sf")).drop("__sf")
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= col("__n") - ceil(lit(t) * col("__n")) + 1)
       .select(col("__id"), col("__n"), col("__s"), col("__rk"))
@@ -209,11 +224,16 @@ object TextOps {
     * TOTAL-recall candidate generator (no sliding-window or all-pairs
     * scan), and `levenshtein` verifies exactly.
     *
-    * Scale shape: signatures are linear (|s|+1 keys per row, each a
-    * near-copy of the string), the join keys hash uniformly, and
-    * verification is candidate-local. The quadratic form this replaces
-    * (cross join + levenshtein) is what the DuckDB oracle runs at test
-    * scale. Output: (id_a, id_b, dist) with id_a < id_b, dist <= 1. */
+    * Scale shape: signatures are linear (|s|+1 keys per row) and are
+    * HASHED to 8 bytes before the shuffle — the signature string (a
+    * near-copy of the whole input string) never ships; a hash collision
+    * can only add a candidate, which the levenshtein verify kills. Pairs
+    * sharing several signatures (exact copies share ALL |s|+1) are
+    * deduplicated by a map-side-combinable aggregate BEFORE verification,
+    * so levenshtein runs once per pair, not once per shared signature.
+    * The quadratic form this replaces (cross join + levenshtein) is what
+    * the DuckDB oracle runs at test scale. Output: (id_a, id_b, dist)
+    * with id_a < id_b, dist <= 1. */
   def editDistancePairs(df: DataFrame, idCol: String,
       strCol: String): DataFrame = {
     val sigs = df
@@ -228,15 +248,20 @@ object TextOps {
                 col("__s").substr(i + 1, length(col("__s"))))))
             .otherwise(array().cast("array<string>"))))
           .as("__sig"))
+      .select(col("__id"), col("__s"), xxhash64(col("__sig")).as("__h"))
     val a = sigs.select(col("__id").as("id_a"), col("__s").as("s_a"),
-      col("__sig").as("__sig_a"))
+      col("__h").as("__h_a"))
     val b = sigs.select(col("__id").as("id_b"), col("__s").as("s_b"),
-      col("__sig").as("__sig_b"))
-    a.join(b, col("__sig_a") === col("__sig_b") && col("id_a") < col("id_b"))
+      col("__h").as("__h_b"))
+    a.join(b, col("__h_a") === col("__h_b") && col("id_a") < col("id_b"))
+      // dedupe candidate pairs before the (comparatively expensive)
+      // edit-distance verify; s_a/s_b are functionally determined by the
+      // pair ids, so first() is exact
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("s_a")).as("s_a"), first(col("s_b")).as("s_b"))
       .select(col("id_a"), col("id_b"),
         levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
       .where(col("dist") <= 1)
-      .distinct()
   }
 
   /** Connected components over a near-duplicate pair graph via min-label

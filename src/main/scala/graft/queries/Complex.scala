@@ -12,6 +12,10 @@ import graft.{QueryDef, Tables}
 object Complex {
 
   private def money(c: String) = col(c).cast("decimal(12,2)")
+  private def disc1(c: String) =
+    lit(1).cast("decimal(8,2)") - col(c).cast("decimal(8,2)")
+  private val oDisc1 =
+    "(CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -163,6 +167,141 @@ object Complex {
         JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    // ---- c06 (Q7 shape): bilateral volume shipping between two nations ---
+    // the dim filter moves INTO the broadcast side (2-row nation dims)
+    // so the fact join itself prunes; the textbook OR-of-pairs predicate
+    // reduces to `supp_nation <> cust_nation` after the pre-filter — no
+    // post-join OR over two dim columns for Catalyst to fail to push.
+    QueryDef(
+      "c06_volume_shipping",
+      (s, d) => {
+        val pair = Seq("NATION_1", "NATION_2")
+        val n1 = Tables(s, d, "nation").where(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+        val n2 = Tables(s, d, "nation").where(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+        Tables(s, d, "lineitem")
+          .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("sk"))
+          .join(broadcast(n2), col("c_nationkey") === col("ck"))
+          .where(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(money("l_extendedprice") * disc1("l_discount"))
+            .cast("double").as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * $oDisc1) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year"""),
+      bench = true),
+
+    // ---- c07 (Q8 shape): national market share inside a region ----------
+    // numerator and denominator come out of ONE aggregate over the joined
+    // fact (conditional sum), not two passes; every dim side is filtered
+    // before its broadcast. Decimal sums stay exact until the final
+    // double division, so the oracle agrees bit-for-bit after rounding.
+    QueryDef(
+      "c07_market_share",
+      (s, d) => {
+        def r4(c: org.apache.spark.sql.Column) =
+          floor(c * 10000.0 + 0.5) / 10000.0
+        val asiaNations = Tables(s, d, "nation")
+          .join(broadcast(Tables(s, d, "region").where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("ck_nat"))
+        val suppNation = Tables(s, d, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val vol = money("l_extendedprice") * disc1("l_discount")
+        Tables(s, d, "lineitem")
+          .join(broadcast(Tables(s, d, "part").where(col("p_type") === "PROMO")),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(asiaNations), col("c_nationkey") === col("ck_nat"))
+          .join(broadcast(Tables(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_3", vol)
+              .otherwise(lit(0).cast("decimal(12,2)"))).as("nat_vol"),
+            sum(vol).as("tot_vol"))
+          .select(col("o_year"),
+            r4(col("nat_vol").cast("double") / col("tot_vol").cast("double"))
+              .as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+                 CAST(l_extendedprice AS DECIMAL(12,2)) * $oDisc1 AS vol,
+                 n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        )
+        SELECT o_year,
+               floor((CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+                      CAST(SUM(vol) AS DOUBLE))*10000.0 + 0.5)/10000.0 AS mkt_share
+        FROM f GROUP BY o_year ORDER BY o_year""")),
+
+    // ---- c08 (Q15 shape): top-revenue supplier(s) via a reused view ------
+    // the revenue aggregate is computed ONCE; the scalar-max comparison is
+    // a window max over the aggregate (25 rows post-agg), not a second
+    // scan of the fact table.
+    QueryDef(
+      "c08_top_supplier",
+      (s, d) => {
+        val rev = Tables(s, d, "lineitem")
+          .where(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1997-01-01")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(money("l_extendedprice") * disc1("l_discount"))
+            .cast("double").as("total_revenue"))
+        val top = rev.agg(max(col("total_revenue")).as("mx"))
+        rev.join(broadcast(top), col("total_revenue") === col("mx"))
+          .join(broadcast(Tables(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some(s"""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * $oDisc1) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        ORDER BY s_suppkey"""))
   )
 }

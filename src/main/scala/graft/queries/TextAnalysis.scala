@@ -343,6 +343,48 @@ object TextAnalysis {
                          & 1023) AS BIGINT)
         GROUP BY t.tok, t.true_n
         ORDER BY true_n DESC, tok"""),
-      bench = true)
+      bench = true),
+
+    // ---- t09: repetition-based quality filter (Gopher-style) --------------
+    // per-document token-repetition signals: the fraction of tokens taken
+    // by the single most frequent token and the fraction covered by any
+    // repeated token — the standard "remove boilerplate/degenerate docs"
+    // filters in corpus curation. Two hash aggregations, both map-side
+    // combinable; the `repetitive` flag is pure integer arithmetic
+    // (top*5 >= n  <=>  top-token share >= 20%), so no fp drift vs the
+    // oracle. reference: mriya has no corpus ops; shapes follow the
+    // published Gopher/C4 filtering rules.
+    QueryDef(
+      "t09_repetition",
+      (s, d) => {
+        def r4(c: org.apache.spark.sql.Column) =
+          floor(c * 10000.0 + 0.5) / 10000.0
+        Tables.corpus(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("c")).as("n_tokens"),
+            max(col("c")).as("top_c"),
+            sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup_c"))
+          .select(col("doc_id"), col("n_tokens"),
+            r4(col("top_c").cast("double") / col("n_tokens")).as("top_token_frac"),
+            r4(col("dup_c").cast("double") / col("n_tokens")).as("dup_token_frac"),
+            (col("top_c") * 5 >= col("n_tokens")).as("repetitive"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents),
+        cnt AS (
+          SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               floor((CAST(max(c) AS DOUBLE)/sum(c))*10000.0 + 0.5)/10000.0 AS top_token_frac,
+               floor((CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS DOUBLE)/sum(c))*10000.0 + 0.5)/10000.0 AS dup_token_frac,
+               (max(c)*5 >= sum(c)) AS repetitive
+        FROM cnt GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -157,4 +157,38 @@ class PlanAuditSuite extends SparkSuite {
         "lineage")
     spark.catalog.clearCache()
   }
+
+  test("c06/c07: every dimension join broadcasts; only the fact joins shuffle") {
+    for (q <- Seq("c06_volume_shipping", "c07_market_share")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // the lineitem<->orders join is the only sort-merge candidate; nation/
+      // region/customer/supplier/part dims must never degrade to it
+      assert("SortMergeJoin".r.findAllIn(p).size <= 1,
+        s"$q: more than one sort-merge join — a dim join lost its broadcast:\n$p")
+    }
+  }
+
+  test("d02: prefix-filter candidate stage shuffles 8-byte hash keys, not strings") {
+    val df = SparkEntry.queries("d02_ngram_jaccard")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the candidate self-join must key on the xxhash64 of the shingle —
+    // shuffling shingle STRINGS is the 2-4x shuffle-volume regression
+    assert(p.contains("xxhash64"),
+      "candidate generation must run in hash space (xxhash64 keys):\n" + p)
+    spark.catalog.clearCache()
+  }
+
+  test("t09: repetition metrics partial-aggregate before both shuffles") {
+    val df = SparkEntry.queries("t09_repetition")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // both groupBys must show a map-side partial: HashAggregate appears
+    // above AND below each exchange
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BatchEvalPython"), p)
+  }
 }

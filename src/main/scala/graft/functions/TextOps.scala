@@ -264,6 +264,31 @@ object TextOps {
       .where(col("dist") <= 1)
   }
 
+  /** Benchmark-decontamination join: for every training document, the
+    * eval documents it shares at least one word n-gram with, and how many
+    * distinct n-grams are shared — the standard contamination check run
+    * before training on a scraped corpus.
+    *
+    * Scale shape: the eval side (a benchmark suite) is orders of
+    * magnitude smaller than the corpus, so its exploded n-grams are
+    * BROADCAST — the training corpus' n-grams are generated and matched
+    * in place, with no shuffle of corpus-sized data; only the matched
+    * sliver (contamination is rare by construction) reaches the pair
+    * aggregate. Both sides' shingle sets are distinct per document, so
+    * `count(*)` per pair IS the distinct shared-gram count. */
+  def contaminationPairs(train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame) =
+      shingleSets(df, idCol, textCol, n)
+        .select(col("__id"), explode(col("__sh")).as("__g"))
+    val ev = grams(eval_)
+      .select(col("__id").as("eval_id"), col("__g").as("__ge"))
+    grams(train).join(broadcast(ev), col("__g") === col("__ge"))
+      .groupBy(col("__id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("__id").as("doc_id"), col("eval_id"), col("n_shared"))
+  }
+
   /** Connected components over a near-duplicate pair graph via min-label
     * propagation: every document's cluster id is the minimum doc id
     * reachable through dup edges — the canonical-representative

@@ -217,6 +217,37 @@ object Dedup {
         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= 1
         ORDER BY id_a, id_b"""),
+      bench = true),
+
+    // ---- d08: benchmark decontamination (eval-overlap n-gram join) -------
+    // the eval slice (doc_id % 50 = 0 stands in for a benchmark suite)
+    // broadcasts its exploded 4-grams; the training corpus matches them
+    // in place — no corpus-sized shuffle, only matched pairs aggregate.
+    QueryDef(
+      "d08_decontaminate",
+      (s, d) => {
+        val docs = Tables.corpus(s, d)
+        graft.functions.TextOps.contaminationPairs(
+            train = docs.where(col("doc_id") % 50 =!= 0),
+            eval_ = docs.where(col("doc_id") % 50 === 0),
+            "doc_id", "text", n = 4)
+          .orderBy("doc_id", "eval_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-3),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
+          FROM toks
+        ), ex AS (
+          SELECT doc_id, unnest(g) AS s FROM sh
+        )
+        SELECT tr.doc_id AS doc_id, ev.doc_id AS eval_id,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM ex tr JOIN ex ev ON tr.s = ev.s
+         AND ev.doc_id % 50 = 0 AND tr.doc_id % 50 <> 0
+        GROUP BY 1, 2 ORDER BY doc_id, eval_id"""),
       bench = true)
   )
 }

@@ -385,6 +385,7 @@ object TextAnalysis {
                floor((CAST(max(c) AS DOUBLE)/sum(c))*10000.0 + 0.5)/10000.0 AS top_token_frac,
                floor((CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS DOUBLE)/sum(c))*10000.0 + 0.5)/10000.0 AS dup_token_frac,
                (max(c)*5 >= sum(c)) AS repetitive
-        FROM cnt GROUP BY doc_id ORDER BY doc_id"""))
+        FROM cnt GROUP BY doc_id ORDER BY doc_id"""),
+      bench = true)
   )
 }

@@ -180,6 +180,14 @@ class PlanAuditSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("d08: eval n-grams broadcast; the corpus side never shuffles its grams") {
+    val p = plan("d08_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the eval gram set must broadcast — shuffling corpus grams is the " +
+        "scale regression:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("t09: repetition metrics partial-aggregate before both shuffles") {
     val df = SparkEntry.queries("t09_repetition")(spark, sf)
     df.collect()

@@ -228,6 +228,59 @@ object VectorOps {
     cents.map(_.toSeq).toSeq
   }
 
+  /** SemDeDup-shaped semantic dedup: cosine near-duplicate pairs via an
+    * IVF coarse quantizer instead of the quadratic all-pairs join.
+    *
+    *   1. train `nlist` spherical-kmeans centroids on a bounded sample
+    *      (driver-side, standard IVF practice);
+    *   2. assign every vector to its `nassign` nearest centroids — the
+    *      multi-assignment is what buys recall across cluster
+    *      boundaries (a pair straddling two clusters still co-occurs in
+    *      one list when either member is assigned to both);
+    *   3. self-join within each centroid list and verify with the exact
+    *      codegen cosine.
+    *
+    * Cost tracks sum of squared list sizes (~n²·nassign²/nlist for
+    * balanced lists) instead of n² — the knob a 100 TB corpus needs.
+    * Not oracle-expressible (kmeans); recall vs
+    * [[bruteForceCosinePairs]] is pinned in ScalaTest. */
+  def ivfCosinePairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nlist: Int, nassign: Int,
+      sampleSize: Int = 2048, iters: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val c = normalizedVectors(df, idCol, vecCol)
+    val centroids = trainCentroids(
+      c.select(col("__v")).limit(sampleSize).collect()
+        .map(_.getSeq[Double](0).toArray), nlist, iters)
+    val centCols = centroids.map(ct => array(ct.map(lit): _*))
+    val k = math.min(nassign, centroids.length)
+    // top-nassign centroid indices, same argsort idiom as ivfTopK
+    val assignList = slice(
+      transform(
+        array_sort(zip_with(
+          array(centCols.map(ct => nativeDot(spark, col("__v"), ct)): _*),
+          sequence(lit(0), lit(centroids.length - 1)),
+          (d, i) => struct((-d).as("nd"), i.as("idx")))),
+        s => s.getField("idx")),
+      1, k)
+    val assigned = c.select(col("__id"), col("__v"),
+      explode(assignList).as("__bucket"))
+    val l = assigned.select(col("__id").as("id_a"), col("__v").as("va"),
+      col("__bucket"))
+    val r = assigned.select(col("__id").as("id_b"), col("__v").as("vb"),
+      col("__bucket"))
+    l.join(r, Seq("__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        nativeDot(spark, col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
+      // a pair can co-occur in up to nassign shared lists; cosine is
+      // bit-deterministic per pair, so grouping collapses exact copies
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cos")).as("cos"))
+  }
+
   /** Exact all-pairs cosine near-duplicates above a threshold — the
     * embedding-space dedup baseline. Quadratic; the LSH variant is the
     * scale path. */

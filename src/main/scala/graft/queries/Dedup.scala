@@ -248,6 +248,19 @@ object Dedup {
         FROM ex tr JOIN ex ev ON tr.s = ev.s
          AND ev.doc_id % 50 = 0 AND tr.doc_id % 50 <> 0
         GROUP BY 1, 2 ORDER BY doc_id, eval_id"""),
+      bench = true),
+
+    // ---- d09: semantic dedup, IVF-bucketed (SemDeDup shape) --------------
+    // the scale path for d05: kmeans coarse quantizer, multi-assignment
+    // for cross-boundary recall, within-list self-join + exact cosine.
+    // No oracle (kmeans); subset-of-exact + recall pinned in ScalaTest.
+    QueryDef(
+      "d09_semantic_dedup",
+      (s, d) =>
+        VectorOps.ivfCosinePairs(Tables(s, d, "embeddings"),
+            "vec_id", "embedding", threshold = 0.4, nlist = 16, nassign = 2)
+          .orderBy("id_a", "id_b"),
+      None,
       bench = true)
   )
 }

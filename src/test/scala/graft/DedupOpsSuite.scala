@@ -126,6 +126,22 @@ class DedupOpsSuite extends SparkSuite {
       s"$cands candidates is not a meaningful prune of $allPairs pairs")
   }
 
+  test("IVF semantic dedup: subset of exact pairs, usable recall, exact at nassign=nlist") {
+    val exact = VectorOps.bruteForceCosinePairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ivf = VectorOps.ivfCosinePairs(emb, "vec_id", "embedding", 0.4,
+        nlist = 8, nassign = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ivf.subsetOf(exact), "IVF dedup emitted a pair the exact op rejects")
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"IVF dedup recall $recall too low for nlist=8/nassign=2")
+    // assigning to every list must recover the exact result
+    val full = VectorOps.ivfCosinePairs(emb, "vec_id", "embedding", 0.4,
+        nlist = 8, nassign = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(full == exact, "nassign=nlist must equal brute force")
+  }
+
   test("IVF top-k recall against the exact brute force is usable") {
     val queries = emb.where(col("vec_id") < 20)
     val exact = VectorOps.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)

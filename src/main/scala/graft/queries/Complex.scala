@@ -302,6 +302,78 @@ object Complex {
         SELECT s_suppkey, s_name, total_revenue
         FROM rev JOIN supplier ON l_suppkey = s_suppkey
         WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
-        ORDER BY s_suppkey"""))
+        ORDER BY s_suppkey""")),
+
+    // ---- c09 (Q19 shape): disjunction of multi-column conjunctions -------
+    // the OR-of-ANDs predicate spans both join sides; the partkey join
+    // stays an equi-join with the disjunction as a post-join filter, and
+    // the common conjunct (quantity <= 40) is factored out so at least
+    // one selective predicate reaches the lineitem scan.
+    QueryDef(
+      "c09_disjunctive_filter",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem").where(col("l_quantity") <= 40)
+        val p = Tables(s, d, "part")
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .where(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 15)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+              col("l_quantity").between(10, 25)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+              col("l_quantity").between(25, 40)))
+          .agg(
+            sum(money("l_extendedprice") * disc1("l_discount"))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some(s"""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * $oDisc1) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 15)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 25)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 25 AND 40)""")),
+
+    // ---- c10 (Q22 shape): above-average balances with no orders ----------
+    // the scalar "avg positive balance" threshold is applied as the
+    // DIVISION-FREE form bal * n_pos > sum_pos (decimal-exact on both
+    // engines — a double avg would make borderline rows engine-dependent);
+    // the "recently inactive" test is an anti join against the filtered
+    // order stream, not a correlated probe (every synthetic customer has
+    // SOME order, so the classic no-orders form would be vacuous).
+    QueryDef(
+      "c10_global_sales_opportunity",
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").cast("decimal(12,2)").as("bal"))
+        val thr = c.where(col("bal") > 0)
+          .agg(sum(col("bal")).as("sum_pos"), count(lit(1)).as("n_pos"))
+        c.join(broadcast(thr), col("bal") * col("n_pos") > col("sum_pos"))
+          .join(Tables(s, d, "orders")
+              .where(col("o_orderdate") >= "2001-01-01"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("bal")).cast("double").as("totacctbal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        WITH thr AS (
+          SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_pos,
+                 COUNT(*) AS n_pos
+          FROM customer WHERE CAST(c_acctbal AS DECIMAL(12,2)) > 0)
+        SELECT c_mktsegment, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        FROM customer, thr
+        WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_pos > sum_pos
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""))
   )
 }

@@ -809,6 +809,35 @@ object Relational {
                COUNT(*) AS n_events
         FROM islands GROUP BY user_id, island
         ORDER BY user_id, island"""),
-      bench = true)
+      bench = true),
+
+    // ---- 36. window: RANGE frame over event time ---------------------------
+    // trailing-hour running sum per user — a RANGE (value-based) frame,
+    // not ROWS: peers with equal timestamps share one frame, and the
+    // frame extent is a time interval. Values sum as decimals so the
+    // in-frame accumulation order can't produce engine-dependent fp
+    // drift; one shuffle (user hash), one sort per partition.
+    QueryDef(
+      "q36_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("__sec"))
+          .rangeBetween(-3600, Window.currentRow)
+        T(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            (unix_millis(col("ts")).cast("double") / 1000.0).as("__sec"),
+            col("value").cast("decimal(18,6)").as("__v"))
+          .withColumn("hour_sum", sum(col("__v")).over(w).cast("double"))
+          .select(col("event_id"), col("user_id"), col("hour_sum"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                 PARTITION BY user_id ORDER BY epoch_ms(ts)/1000.0
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS hour_sum
+        FROM events
+        ORDER BY event_id"""))
   )
 }

@@ -48,6 +48,19 @@ object TextOps {
       .select(col("__id"),
         NGramShingles.column(df.sparkSession, col("__toks"), n).as("__sh"))
 
+  /** (id, shingle-HASH-set): [[shingleSets]] with each shingle replaced
+    * by its xxhash64 — the form every self-join pipeline here should
+    * consume. Joins, frequency counts and intersections over 8-byte
+    * longs shuffle and compare a fraction of the string cost; a hash
+    * collision can only nudge a Jaccard value by ~1/|S| with probability
+    * ~|S|²/2⁶⁴ per pair (vanishing), and candidate-stage collisions are
+    * removed by verification. */
+  def hashedShingleSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shingleSets(df, idCol, textCol, n)
+      .select(col("__id"),
+        array_distinct(transform(col("__sh"), s => xxhash64(s))).as("__sh"))
+
   /** MinHash signature of a shingle set: element `i` is
     * `min over shingles of hash_i(shingle)` — H independent salted hash
     * families. Declarative/interpreted form; [[minHashCandidates]] uses
@@ -98,7 +111,10 @@ object TextOps {
     // materialized EAGERLY: concurrent first-readers of an unpopulated
     // cache each recompute the partition, and the branch fan-out makes
     // that race ~4x the whole shingle cost (measured 10x on p01).
-    val sh = shingleSets(df, idCol, textCol, n).cache()
+    // hash space end-to-end: the cache holds long arrays (4-5x smaller
+    // than shingle strings), and every downstream stage — frequency,
+    // prefix, candidate join, intersection verify — works on 8-byte keys
+    val sh = hashedShingleSets(df, idCol, textCol, n).cache()
     sh.count()
     verifyJaccard(sh, prefixCandidates(sh, threshold), threshold)
   }
@@ -173,14 +189,21 @@ object TextOps {
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
-    * the cached shingle-set table; emits pairs with jac >= threshold. */
+    * the cached shingle-set table (string or hashed form); emits pairs
+    * with jac >= threshold. The intersection size is STAGED as its own
+    * column: referencing `array_intersect` twice inside one projection
+    * (as the naive jac formula does) evaluates the O(|A|·|B|) intersect
+    * twice per candidate — measured as the dominant d02 cost. */
   def verifyJaccard(sh: DataFrame, candidates: DataFrame,
       threshold: Double): DataFrame =
     candidates
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .withColumn("__i",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("__sh_a"), col("__sh_b")).as("jac"))
+        (col("__i") /
+          (size(col("__sh_a")) + size(col("__sh_b")) - col("__i"))).as("jac"))
       .where(col("jac") >= threshold)
 
   /** MinHash+LSH candidate pairs: per-doc signature (narrow), explode

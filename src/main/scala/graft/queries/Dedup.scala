@@ -140,14 +140,10 @@ object Dedup {
         val docs = Tables.corpus(s, d)
         val cands = TextOps.minHashCandidates(docs, "doc_id", "text",
           n = 3, numHashes = 128, bands = 32)
-        // cached: read twice for the verify join + pushdown barrier
-        val sh = TextOps.shingleSets(docs, "doc_id", "text", 3).cache()
-        val a = sh.select(col("__id").as("id_a"), col("__sh").as("sh_a"))
-        val b = sh.select(col("__id").as("id_b"), col("__sh").as("sh_b"))
-        cands.join(a, "id_a").join(b, "id_b")
-          .select(col("id_a"), col("id_b"),
-            TextOps.jaccard(col("sh_a"), col("sh_b")).as("jac"))
-          .where(col("jac") >= 0.5)
+        // cached: read twice for the verify join + pushdown barrier;
+        // hashed form — the verify intersects longs, not strings
+        val sh = TextOps.hashedShingleSets(docs, "doc_id", "text", 3).cache()
+        TextOps.verifyJaccard(sh, cands, 0.5)
           .orderBy("id_a", "id_b")
       },
       Some(oracleJaccardPairs),

@@ -151,5 +151,28 @@ object Pipeline {
           FROM documents)
         WHERE k < CASE WHEN lang = 'en' THEN 107374182 ELSE 429496729 END
         ORDER BY doc_id"""))
+
+    // Quantile sketch (Greenwald-Khanna via approx_percentile) — the
+    // fixed-memory percentile operator for 100 TB streams, completing
+    // the sketch family (HLL=p02, CMS=t08). Sketch internals differ
+    // across engines, so the gate is rows-only; the accuracy bound vs
+    // the exact q34-style percentiles is pinned in ScalaTest.
+    ,
+    QueryDef(
+      "p05_approx_quantiles",
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_percentile(col("l_extendedprice"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
+              .as("price_q"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"),
+            element_at(col("price_q"), 1).as("p50"),
+            element_at(col("price_q"), 2).as("p95"),
+            element_at(col("price_q"), 3).as("p99"),
+            col("n"))
+          .orderBy("l_returnflag"),
+      None)
   )
 }

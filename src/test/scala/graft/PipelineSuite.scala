@@ -29,4 +29,24 @@ class PipelineSuite extends SparkSuite {
       assert(err < 0.05, s"approx=$approx exact=$exact err=$err")
     }
   }
+
+  test("approx quantiles land within a 2% rank window of the exact percentiles") {
+    // GK with accuracy=10000 guarantees rank error <= 1/10000; verify the
+    // far looser 2%-rank envelope so the test pins behavior, not internals
+    val bounds = Tables(spark, sf, "lineitem").groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.48, 0.52, 0.93, 0.97, 0.97, 1.0))")
+        .as("b"))
+      .select(col("l_returnflag"), col("b"))
+      .as[(String, Seq[Double])].collect().toMap
+    val approx = SparkEntry.queries("p05_approx_quantiles")(spark, sf)
+      .select(col("l_returnflag"), col("p50"), col("p95"), col("p99"))
+      .as[(String, Double, Double, Double)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (flag, p50, p95, p99) =>
+      val b = bounds(flag)
+      assert(p50 >= b(0) && p50 <= b(1), s"$flag p50=$p50 outside [${b(0)},${b(1)}]")
+      assert(p95 >= b(2) && p95 <= b(3), s"$flag p95=$p95 outside [${b(2)},${b(3)}]")
+      assert(p99 >= b(4) && p99 <= b(5), s"$flag p99=$p99 outside [${b(4)},${b(5)}]")
+    }
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{DotProduct, HyperplaneSig, MinHashSig, NGramShingles}
+import graft.functions.{DotProduct, HyperplaneSig, IntersectSize, MinHashSig, NGramShingles}
 
 /** SparkSessionExtensions entry point — makes the engine's codegen
   * expressions first-class SQL functions on any session built with
@@ -20,6 +20,8 @@ import graft.functions.{DotProduct, HyperplaneSig, MinHashSig, NGramShingles}
   *   - `graft_shingles(toks, n)` — distinct word n-gram shingles
   *   - `graft_hyperplane_sig(v, bits, bands, seed)` — hyperplane-LSH band
   *     signatures of a double vector
+  *   - `graft_intersect_size(a, b)` — intersection size of two sorted
+  *     bigint arrays (two-pointer merge count)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -42,5 +44,6 @@ object GraftExtensions {
     MinHashSig.ensureRegistered(spark)
     NGramShingles.ensureRegistered(spark)
     HyperplaneSig.ensureRegistered(spark)
+    IntersectSize.ensureRegistered(spark)
   }
 }

@@ -59,7 +59,10 @@ object TextOps {
       n: Int): DataFrame =
     shingleSets(df, idCol, textCol, n)
       .select(col("__id"),
-        array_distinct(transform(col("__sh"), s => xxhash64(s))).as("__sh"))
+        // sorted ascending: [[verifyJaccard]] counts overlap with the
+        // two-pointer codegen [[IntersectSize]], which requires it
+        array_sort(array_distinct(transform(col("__sh"), s => xxhash64(s))))
+          .as("__sh"))
 
   /** MinHash signature of a shingle set: element `i` is
     * `min over shingles of hash_i(shingle)` — H independent salted hash
@@ -195,16 +198,25 @@ object TextOps {
     * (as the naive jac formula does) evaluates the O(|A|·|B|) intersect
     * twice per candidate — measured as the dominant d02 cost. */
   def verifyJaccard(sh: DataFrame, candidates: DataFrame,
-      threshold: Double): DataFrame =
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    // hashed sets ([[hashedShingleSets]]: sorted long arrays) overlap via
+    // the allocation-free codegen merge count; string sets (tests, ad-hoc
+    // callers) fall back to the built-in intersect
+    val overlap: (Column, Column) => Column = sh.schema("__sh").dataType match {
+      case ArrayType(LongType, _) =>
+        (a, b) => IntersectSize.column(sh.sparkSession, a, b)
+      case _ => (a, b) => size(array_intersect(a, b))
+    }
     candidates
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
-      .withColumn("__i",
-        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double"))
+      .withColumn("__i", overlap(col("__sh_a"), col("__sh_b")).cast("double"))
       .select(col("id_a"), col("id_b"),
         (col("__i") /
           (size(col("__sh_a")) + size(col("__sh_b")) - col("__i"))).as("jac"))
       .where(col("jac") >= threshold)
+  }
 
   /** MinHash+LSH candidate pairs: per-doc signature (narrow), explode
     * band keys, self-join per (band, key) bucket — the classic

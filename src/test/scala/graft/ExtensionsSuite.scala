@@ -43,6 +43,28 @@ class ExtensionsSuite extends AnyFunSuite {
       .head().getSeq[Long](0)
     assert(hp.length == 4)
     assert(hp.forall(s => s >= 0 && s < 256), "8-bit band signatures")
+
+    val is = spark.sql(
+      "SELECT graft_intersect_size(array(1L,3L,5L,9L), array(2L,3L,5L,8L,9L)) AS c")
+      .head().getInt(0)
+    assert(is == 3)
+  }
+
+  test("graft_intersect_size agrees with array_intersect on random sorted sets") {
+    GraftExtensions.install(spark)
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      def lit(s: Seq[Long]) =
+        if (s.isEmpty) "CAST(array() AS ARRAY<BIGINT>)"
+        else s.mkString("array(", "L,", "L)")
+      val row = spark.sql(
+        s"SELECT graft_intersect_size(${lit(a)}, ${lit(b)}) AS c, " +
+          s"size(array_intersect(${lit(a)}, ${lit(b)})) AS e").head()
+      assert(row.getInt(0) == row.getInt(1),
+        s"a=$a b=$b got=${row.getInt(0)} want=${row.getInt(1)}")
+    }
   }
 
   test("install is idempotent") {

@@ -374,6 +374,167 @@ object Complex {
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                           AND o_orderdate >= TIMESTAMP '2001-01-01')
         GROUP BY c_mktsegment
-        ORDER BY c_mktsegment"""))
+        ORDER BY c_mktsegment""")),
+
+    // ---- c11 (Q9 shape): product-line profit by nation and year ----------
+    // lineitem x supplier x nation with a part-name substring filter: the
+    // part filter prunes FIRST (broadcast semi via the small filtered dim)
+    // so only matching line items flow into the fact-side aggregation;
+    // supplier and nation stay broadcast dimension joins. (The reference
+    // schema has no partsupp, so profit omits supplycost.)
+    QueryDef(
+      "c11_profit_by_nation",
+      (s, d) => {
+        val redParts = Tables(s, d, "part")
+          .where(col("p_name").like("%red%")).select(col("p_partkey"))
+        val li = Tables(s, d, "lineitem")
+        li.join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(Tables(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("l_shipdate")).as("o_year"))
+          .agg(sum(money("l_extendedprice") * disc1("l_discount"))
+            .cast("double").as("profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some(s"""
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS o_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * $oDisc1) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC"""),
+      bench = true),
+
+    // ---- c12 (Q18 shape): large-volume orders -----------------------------
+    // the HAVING aggregate runs on lineitem alone (map-side combinable,
+    // one shuffle on l_orderkey), and only the few qualifying keys join
+    // back to orders/customer — never the full fact-to-fact join.
+    QueryDef(
+      "c12_large_volume_orders",
+      (s, d) => {
+        val big = Tables(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(money("l_quantity")).cast("double").as("total_qty"))
+          .where(col("total_qty") > 180)
+        big.join(Tables(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        FROM (SELECT l_orderkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 180) big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100""")),
+
+    // ---- c13 (Q14 shape): promotion revenue share --------------------------
+    // conditional aggregate over a broadcast part join inside one month;
+    // the date range reaches the lineitem scan as a pushed filter. The
+    // division runs on the two decimal-exact sums cast to double — one
+    // IEEE op on identical operands, so both engines agree bitwise.
+    QueryDef(
+      "c13_promo_revenue",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .where(col("l_shipdate") >= "1997-03-01" &&
+            col("l_shipdate") < "1997-04-01")
+        li.join(broadcast(Tables(s, d, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            (sum(when(col("p_type") === "PROMO",
+              money("l_extendedprice") * disc1("l_discount"))
+              .otherwise(lit(0).cast("decimal(20,4)"))).cast("double") * 100.0 /
+              sum(money("l_extendedprice") * disc1("l_discount")).cast("double"))
+              .as("promo_pct"),
+            count(lit(1)).as("n"))
+      },
+      Some(s"""
+        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * $oDisc1
+                      ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE) * 100.0 /
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * $oDisc1) AS DOUBLE) AS promo_pct,
+               COUNT(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'""")),
+
+    // ---- c14 (Q16 shape): supplier diversity per part profile -------------
+    // COUNT(DISTINCT) per group with an anti-joined supplier exclusion:
+    // the exclusion list (negative balances) broadcasts, the distinct
+    // runs as the standard two-phase expand/aggregate on (brand,size).
+    QueryDef(
+      "c14_supplier_diversity",
+      (s, d) => {
+        val badSup = Tables(s, d, "supplier")
+          .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+        Tables(s, d, "lineitem")
+          .join(broadcast(Tables(s, d, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .where(col("p_brand") =!= "Brand#1" && col("p_size") <= 25)
+          .join(broadcast(badSup), col("l_suppkey") === col("s_suppkey"),
+            "left_anti")
+          .groupBy(col("p_brand"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+      },
+      Some("""
+        SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size <= 25
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size""")),
+
+    // ---- c15 (Q10 shape): returned-item revenue by customer ---------------
+    // fact filter (returnflag) + order-date quarter both push to their
+    // scans; customer and nation broadcast; one shuffle for the group-by,
+    // top-20 via the sort-limit (TakeOrderedAndProject at execution).
+    QueryDef(
+      "c15_returned_items",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem").where(col("l_returnflag") === "R")
+        val o = Tables(s, d, "orders")
+          .where(col("o_orderdate") >= "1998-01-01" &&
+            col("o_orderdate") < "1998-04-01")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum(money("l_extendedprice") * disc1("l_discount"))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""
+        SELECT c_custkey, c_name, n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * $oDisc1) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o_orderdate < TIMESTAMP '1998-04-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20"""))
   )
 }

@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
   * only candidate generation (explode + join on a hash key) shuffles,
   * and it shuffles on uniformly-distributed hash keys.
   */
+/** Typed rows for [[TextOps.packSequences]]'s streaming pass. */
+final case class PackDoc(doc_id: Long, bucket: Long, tok: Long)
+final case class PackedDoc(doc_id: Long, bucket: Long, seq_id: Long, n_tokens: Long)
+
 object TextOps {
 
   /** Whitespace tokens of a document. */
@@ -504,5 +508,56 @@ object TextOps {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** Greedy sequence packing: assign documents to fixed-token-budget
+    * training sequences (first-fit along a deterministic order), the
+    * standard pre-training batching step.
+    *
+    * Packing is inherently sequential, so the scale design shards it:
+    * docs hash into `buckets` deterministic buckets ([[tokenHash64]] of
+    * the id, so any engine reproduces the split), each bucket is packed
+    * independently by one streaming O(1)-state pass, and sequence ids are
+    * namespaced (bucket, seq). One shuffle on the bucket key, no global
+    * coordination — at 100 TB, `buckets` scales with the cluster and
+    * each task packs its buckets in a single pass. A doc larger than
+    * `capacity` gets a sequence of its own (the caller chunks those
+    * upstream if needed).
+    *
+    * Expects `tokCol` precomputed (token count per doc). Emits one row
+    * per doc: (idCol, bucket, seq_id, n_tokens).
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, tokCol: String,
+      buckets: Int = 8, capacity: Long = 512): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two (mask-derived from the id hash)")
+    val s = df.sparkSession
+    import s.implicits._
+    val ds = df.select(
+      col(idCol).cast("long").as("doc_id"),
+      // bits 8..10+ of the md5-derived id hash; arithmetic-vs-logical
+      // shift is irrelevant under the low-bit mask, so DuckDB's
+      // UBIGINT >> matches exactly
+      shiftright(tokenHash64(col(idCol).cast("string")), 8)
+        .bitwiseAND(buckets - 1).as("bucket"),
+      col(tokCol).cast("long").as("tok")).as[PackDoc]
+    ds.repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"))
+      .mapPartitions { it =>
+        // streaming greedy: state is (current bucket, open bin, fill);
+        // buckets arrive contiguously because the partition is sorted
+        var curBucket = Long.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { r =>
+          if (r.bucket != curBucket) { curBucket = r.bucket; bin = 0L; fill = r.tok }
+          else if (fill + r.tok > capacity) { bin += 1L; fill = r.tok }
+          else fill += r.tok
+          PackedDoc(r.doc_id, r.bucket, bin, r.tok)
+        }
+      }
+      .toDF("doc_id", "bucket", "seq_id", "n_tokens")
+      .withColumnRenamed("doc_id", idCol)
   }
 }

@@ -173,6 +173,42 @@ object Pipeline {
             element_at(col("price_q"), 3).as("p99"),
             col("n"))
           .orderBy("l_returnflag"),
-      None)
+      None),
+
+    // ---- p06: greedy sequence packing (training-batch assembly) ----------
+    // docs shard into md5-derived buckets, each bucket packs greedily in
+    // one streaming pass (TextOps.packSequences); the oracle replays the
+    // identical greedy recurrence with a recursive CTE per bucket, so the
+    // whole sequential algorithm — not just row counts — is pinned.
+    QueryDef(
+      "p06_sequence_packing",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("tok"))
+        TextOps.packSequences(docs, "doc_id", "tok", buckets = 8, capacity = 512)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH RECURSIVE base AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok,
+                 CAST(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT >> 8) & 7) AS BIGINT) AS bucket
+          FROM documents
+        ), ordered AS (
+          SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+          FROM base
+        ), packed AS (
+          SELECT bucket, rn, doc_id, tok, CAST(0 AS BIGINT) AS seq_id, tok AS fill
+          FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT o.bucket, o.rn, o.doc_id, o.tok,
+                 CASE WHEN p.fill + o.tok <= 512 THEN p.seq_id ELSE p.seq_id + 1 END,
+                 CASE WHEN p.fill + o.tok <= 512 THEN p.fill + o.tok ELSE o.tok END
+          FROM packed p JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+        )
+        SELECT doc_id, bucket, seq_id, tok AS n_tokens
+        FROM packed ORDER BY doc_id"""),
+      bench = true)
   )
 }

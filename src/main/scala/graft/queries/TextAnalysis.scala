@@ -386,6 +386,55 @@ object TextAnalysis {
                floor((CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS DOUBLE)/sum(c))*10000.0 + 0.5)/10000.0 AS dup_token_frac,
                (max(c)*5 >= sum(c)) AS repetitive
         FROM cnt GROUP BY doc_id ORDER BY doc_id"""),
-      bench = true)
+      bench = true),
+
+    // ---- t10: boilerplate-token scrub (dictionary filtering) -------------
+    // corpus-level document frequency finds "boilerplate" tokens (df >
+    // 50% of docs), then every doc is rewritten without them — the
+    // CCNet-style boilerplate scrub as a dataflow: one distinct+count
+    // aggregation for the dictionary (map-side combinable), dictionary
+    // folded to a single sorted array and BROADCAST to the rewrite
+    // projection (no per-token join on the write path, no driver
+    // collect). The rewrite is one staged `filter` HOF pass per doc —
+    // the kept-array is materialized once (lambda-capture pitfall:
+    // never repeat the HOF).
+    QueryDef(
+      "t10_boilerplate",
+      (s, d) => {
+        val docs = Tables.corpus(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        val ndf = docs.agg(count(lit(1)).as("n_docs"))
+        val dfreq = docs
+          .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val blist = dfreq.crossJoin(broadcast(ndf))
+          .where(col("df") * 2 > col("n_docs"))
+          .agg(sort_array(collect_list(col("tok"))).as("bl"))
+        docs.crossJoin(broadcast(blist))
+          .withColumn("kept",
+            filter(col("toks"), t => !array_contains(col("bl"), t)))
+          .select(col("doc_id"),
+            array_join(col("kept"), " ").as("clean_text"),
+            (size(col("toks")) - size(col("kept"))).cast("long").as("removed"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents),
+        n AS (SELECT COUNT(*) AS n_docs FROM docs),
+        dfreq AS (
+          SELECT tok, COUNT(*) AS df FROM (
+            SELECT DISTINCT doc_id, tok FROM (
+              SELECT doc_id, unnest(toks) AS tok FROM docs))
+          GROUP BY tok),
+        boiler AS (
+          SELECT COALESCE(list(tok ORDER BY tok), []) AS bl
+          FROM dfreq, n WHERE df * 2 > n_docs)
+        SELECT doc_id,
+               COALESCE(array_to_string([t FOR t IN toks IF NOT list_contains(bl, t)], ' '), '') AS clean_text,
+               CAST(len(toks) - len([t FOR t IN toks IF NOT list_contains(bl, t)]) AS BIGINT) AS removed
+        FROM docs, boiler
+        ORDER BY doc_id"""))
   )
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Partitioning strategies for the shapes that break at 100 TB: skewed
@@ -143,4 +143,34 @@ object ScaleOps {
     * property bucketed/co-partitioned plans are built to achieve. */
   def shuffleFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange")
+
+  /** Morton (Z-order) key interleaving the low `bits` bits of two long
+    * columns — pure shift/mask/add arithmetic, so it runs inside
+    * whole-stage codegen and is bit-identical in any engine. Columns are
+    * masked to `bits` first; 2*bits <= 62 keeps the key positive. */
+  def zorderKey(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val mask = (1L << bits) - 1
+    val am = a.bitwiseAND(mask)
+    val bm = b.bitwiseAND(mask)
+    (0 until bits).map { i =>
+      shiftleft(shiftright(am, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(bm, i).bitwiseAND(1), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Cluster `df` by the Z-order of two dimensions: range-repartition +
+    * sort on the Morton key, so each output partition (and each parquet
+    * row group written from it) covers a small bounding box in BOTH
+    * dimensions — min/max pruning then works for predicates on either
+    * column, not just the lead sort key. This is the multi-dimensional
+    * layout step a 100 TB table gets before being written. */
+  def zorderRepartition(
+      df: DataFrame, a: String, b: String,
+      numPartitions: Int, bits: Int = 16): DataFrame = {
+    val keyed = df.withColumn("__z", zorderKey(col(a), col(b), bits))
+    keyed.repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
 }

@@ -838,6 +838,36 @@ object Relational {
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
                  AS hour_sum
         FROM events
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ---- q37: Z-order clustering key (multi-dim layout) -------------------
+    // the Morton key ScaleOps.zorderRepartition clusters 100 TB tables
+    // by, checked bit-for-bit: the oracle replays all 32 interleave
+    // terms as plain BIGINT shift/mask arithmetic. Key built over
+    // (user_id, event minute), the two dimensions a time-series scan
+    // prunes on.
+    QueryDef(
+      "q37_zorder_cluster",
+      (s, d) => {
+        val ev = T(s, d, "events").select(col("event_id"),
+          col("user_id").as("__u"),
+          expr("unix_micros(ts) div 60000000").as("__m"))
+        ev.select(col("event_id"),
+            graft.functions.ScaleOps.zorderKey(col("__u"), col("__m"), 16).as("zkey"))
+          .orderBy(col("zkey"), col("event_id"))
+          .limit(1000)
+      },
+      Some {
+        val u = "(user_id & 65535)"
+        val m = "(((epoch_us(ts) // 60000000)) & 65535)"
+        val zSql = (0 until 16).map { i =>
+          s"((($u >> $i) & 1) << ${2 * i}) + ((($m >> $i) & 1) << ${2 * i + 1})"
+        }.mkString(" + ")
+        s"""
+        SELECT event_id, $zSql AS zkey
+        FROM events
+        ORDER BY zkey, event_id
+        LIMIT 1000"""
+      })
   )
 }

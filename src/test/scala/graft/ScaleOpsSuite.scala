@@ -130,6 +130,51 @@ class ScaleOpsSuite extends SparkSuite {
     assert(got == Set((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L), (3L, 13L)))
   }
 
+  test("zorderKey matches a reference Morton interleave bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    def ref(a: Long, b: Long, bits: Int): Long = {
+      var z = 0L
+      for (i <- 0 until bits) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (-1L, 7L), (1L << 40, 3L))
+    val got = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.functions.ScaleOps.zorderKey(col("a"), col("b"), 16).as("z"))
+      .as[(Long, Long, Long)].collect().toSet
+    val want = rows.map { case (a, b) =>
+      (a, b, ref(a & 65535L, b & 65535L, 16))
+    }.toSet
+    assert(got == want)
+  }
+
+  test("zorderRepartition: partitions cover small boxes in BOTH dims") {
+    import org.apache.spark.sql.functions._
+    // a 64x64 grid, shuffled arrival order
+    val grid = spark.range(4096)
+      .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+      .repartition(7)
+    val parts = 16
+    val z = graft.functions.ScaleOps.zorderRepartition(grid, "x", "y", parts, bits = 6)
+    assert(z.queryExecution.executedPlan.toString.contains("rangepartitioning"),
+      "layout must be a range partition on the Morton key")
+    val boxes = z
+      .select(spark_partition_id().as("p"), col("x"), col("y"))
+      .groupBy("p")
+      .agg((max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"))
+      .as[(Int, Long, Long)].collect()
+    assert(boxes.length == parts)
+    // a lexicographic (x,y) sort would give dy = 63 for every slab; the
+    // Z-order layout bounds the box in both dimensions
+    boxes.foreach { case (p, dx, dy) =>
+      assert(dx <= 24 && dy <= 24, s"partition $p box ${dx}x$dy too wide")
+    }
+  }
+
   private def withSqlConf[T](pairs: (String, String)*)(body: => T): T = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }

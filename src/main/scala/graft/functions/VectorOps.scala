@@ -154,8 +154,8 @@ object VectorOps {
       .select(col("__id").as("query_id"), col("__v").as("__qv"))
 
     val centroids = trainCentroids(
-      c.select(col("__cv")).limit(sampleSize).collect()
-        .map(_.getSeq[Double](0).toArray), nlist, iters)
+      sortSample(c.select(col("__cv")).limit(sampleSize).collect()
+        .map(_.getSeq[Double](0).toArray)), nlist, iters)
     val centCols = centroids.map(ct => array(ct.map(lit): _*))
 
     // nearest-centroid argmax: one codegen dot per centroid, then the
@@ -192,6 +192,18 @@ object VectorOps {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  /** Canonical order for a collected training sample: `limit().collect()`
+    * returns rows in partition-dependent order, so kmeans seeding (and
+    * therefore every downstream assignment) would vary with the input's
+    * partitioning unless the sample is sorted first. Lexicographic on
+    * the vector values — data-only, layout-free. */
+  private[functions] def sortSample(sample: Array[Array[Double]]): Array[Array[Double]] =
+    sample.sortWith { (a, b) =>
+      var i = 0
+      while (i < a.length && i < b.length && a(i) == b(i)) i += 1
+      if (i < a.length && i < b.length) a(i) < b(i) else a.length < b.length
+    }
 
   /** Driver-side spherical k-means (Lloyd's on unit vectors, cosine
     * assignment, renormalized means; empty clusters keep their previous
@@ -251,8 +263,8 @@ object VectorOps {
     val spark = df.sparkSession
     val c = normalizedVectors(df, idCol, vecCol)
     val centroids = trainCentroids(
-      c.select(col("__v")).limit(sampleSize).collect()
-        .map(_.getSeq[Double](0).toArray), nlist, iters)
+      sortSample(c.select(col("__v")).limit(sampleSize).collect()
+        .map(_.getSeq[Double](0).toArray)), nlist, iters)
     val centCols = centroids.map(ct => array(ct.map(lit): _*))
     val k = math.min(nassign, centroids.length)
     // top-nassign centroid indices, same argsort idiom as ivfTopK
@@ -279,6 +291,128 @@ object VectorOps {
       // bit-deterministic per pair, so grouping collapses exact copies
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("cos")).as("cos"))
+  }
+
+  /** Product-quantization ANN with exact re-ranking (ADC + refine).
+    *
+    * The memory-compression path for 100 TB embedding search: vectors
+    * are stored as `m` sub-space codebook indices (m bytes with
+    * ksub<=256) instead of 4*dim float bytes — a 32x compression at
+    * dim=64/m=8 — and the first-pass scan touches ONLY the codes:
+    *
+    *   1. train an L2 kmeans codebook per sub-space on a bounded
+    *      driver-side sample (standard PQ practice);
+    *   2. encode the corpus: per sub-space argmin ||sub - c||, computed
+    *      as argmax of (sub·c - |c|²/2) with the codegen dot — one
+    *      narrow pass, emits the m-code array;
+    *   3. ADC scan: each query precomputes an m x ksub lookup table of
+    *      sub-dot-products (query-side columns); the approximate dot of
+    *      a (query, code) pair is m array lookups, no float vector ever
+    *      shipped;
+    *   4. refine: the top `k * refine` by approximate score re-rank
+    *      with the exact codegen cosine — only the shortlist touches
+    *      full vectors.
+    *
+    * Composes with IVF (assign + per-list codes) when even the code
+    * scan must shrink. Not oracle-expressible (kmeans); recall vs
+    * [[bruteForceTopK]] and the encode determinism are pinned in
+    * ScalaTest. */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, ksub: Int = 16, refine: Int = 4,
+      sampleSize: Int = 2048, iters: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = normalizedVectors(corpus, idCol, vecCol)
+      .select(col("__id").as("neighbor_id"), col("__v").as("__cv"))
+    val q = normalizedVectors(queries, idCol, vecCol)
+      .select(col("__id").as("query_id"), col("__v").as("__qv"))
+
+    val sample = sortSample(c.select(col("__cv")).limit(sampleSize).collect()
+      .map(_.getSeq[Double](0).toArray))
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val dim = sample.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    // per-sub-space codebooks (plain L2 kmeans — sub-vectors are not unit)
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      trainCentroidsL2(sample.map(_.slice(j * sub, (j + 1) * sub)), ksub, iters)
+    }
+
+    // encode: argmin ||x_j - c||² = argmax (x_j·c - |c|²/2); the dot
+    // array is staged per sub-space so it is computed once (HOF pitfall)
+    def subVec(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
+    def codeOf(v: Column, j: Int): Column = {
+      val scores = array(books(j).map { ct =>
+        nativeDot(spark, subVec(v, j), array(ct.map(lit): _*)) -
+          lit(ct.map(x => x * x).sum / 2.0)
+      }: _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+    val encoded = c.select(
+      (col("neighbor_id") +: col("__cv").as("__cv") +:
+        (0 until m).map(j => codeOf(col("__cv"), j).as(s"__c$j"))): _*)
+
+    // ADC: per-query LUT columns lut_j[code] = q_j · c_{j,code}
+    val withLut = q.select(
+      (col("query_id") +: col("__qv") +:
+        (0 until m).map { j =>
+          array(books(j).map(ct =>
+            nativeDot(spark, subVec(col("__qv"), j), array(ct.map(lit): _*))): _*)
+            .as(s"__lut$j")
+        }): _*)
+    val approx = (0 until m).map(j =>
+      element_at(col(s"__lut$j"), col(s"__c$j") + 1)).reduce(_ + _)
+
+    val scanned = withLut.crossJoin(encoded)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__approx", approx)
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("__approx").desc, col("neighbor_id"))
+    val shortlist = scanned
+      .withColumn("__ar", row_number().over(wA))
+      .where(col("__ar") <= k * refine)
+    // refine: exact cosine only on the shortlist
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .withColumn("cos", nativeDot(spark, col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Driver-side plain (Euclidean) Lloyd's kmeans for PQ sub-space
+    * codebooks; deterministic evenly-spaced seeding, empty clusters keep
+    * their previous centroid. */
+  private[functions] def trainCentroidsL2(
+      sample: Array[Array[Double]], kk: Int, iters: Int): Seq[Seq[Double]] = {
+    require(sample.nonEmpty, "kmeans sample is empty")
+    val dim = sample.head.length
+    val n = sample.length
+    var cents = Array.tabulate(math.min(kk, n))(i => sample((i.toLong * n / kk).toInt))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        for (ci <- cents.indices) {
+          var dd = 0.0; var i = 0
+          while (i < dim) {
+            val diff = v(i) - cents(ci)(i); dd += diff * diff; i += 1
+          }
+          if (dd < bestD) { bestD = dd; best = ci }
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { ci =>
+        if (counts(ci) == 0) cents(ci)
+        else sums(ci).toSeq.map(_ / counts(ci)).toArray
+      }.toArray
+    }
+    cents.map(_.toSeq).toSeq
   }
 
   /** Exact all-pairs cosine near-duplicates above a threshold — the

@@ -81,6 +81,25 @@ object Similarity {
           .orderBy("query_id", "rank")
       },
       None,
+      bench = true),
+
+    // ---- s04: product-quantization ANN (compressed-scan path) ------------
+    // 8 sub-spaces x 16 codes = 8 bytes/vector (32x smaller than the
+    // float vectors); first pass scans only codes via per-query lookup
+    // tables, exact cosine re-ranks the 8k-row shortlist. Rows-only (kmeans
+    // codebooks are not DuckDB-expressible); recall vs s01 and encode
+    // determinism pinned in DedupOpsSuite.
+    QueryDef(
+      "s04_ann_pq",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        VectorOps.pqTopK(
+            emb.where(col("vec_id") < 20), emb, "vec_id", "embedding",
+            k = 5, m = 8, ksub = 16, refine = 8)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      },
+      None,
       bench = true)
   )
 }

@@ -161,6 +161,27 @@ class DedupOpsSuite extends SparkSuite {
     assert(full == exact, "nprobe=nlist must equal brute force")
   }
 
+  test("PQ top-k: usable recall, deterministic, exact with refine >= corpus") {
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = VectorOps.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = VectorOps.pqTopK(queries, emb, "vec_id", "embedding",
+      k = 5, m = 8, ksub = 16, refine = 8)
+    val got = pq.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall $recall too low for m=8/ksub=16/refine=8")
+    // deterministic across partitioning (codebooks + argmax tiebreaks)
+    val again = VectorOps.pqTopK(queries, emb.repartition(7), "vec_id", "embedding",
+        k = 5, m = 8, ksub = 16, refine = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got == again, "PQ result depends on partitioning")
+    // a shortlist covering the whole corpus makes the refine pass exact
+    val full = VectorOps.pqTopK(queries, emb, "vec_id", "embedding",
+        k = 5, m = 8, ksub = 16, refine = 200)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact, "refine >= corpus size must equal brute force")
+  }
+
   test("brute-force top-k neighbors are symmetric-consistent with pairs") {
     val top1 = VectorOps.bruteForceTopK(
         emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", k = 1)

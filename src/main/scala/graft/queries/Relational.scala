@@ -868,6 +868,48 @@ object Relational {
         FROM events
         ORDER BY zkey, event_id
         LIMIT 1000"""
-      })
+      }),
+
+    // ---- q38: ordered funnel (view -> click -> purchase) ------------------
+    // each stage is a keyed aggregate joined back on user_id — three
+    // aggregations sharing ONE hash partitioning (no per-stage resort),
+    // no window over the whole event stream, no self-join explosion. The
+    // "after the previous stage" condition rides the join as a range
+    // predicate against the single previous-stage timestamp.
+    QueryDef(
+      "q38_funnel",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val v = ev.where(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("vt"))
+        val c = ev.where(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .where(col("ts") >= col("vt"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("ct"))
+        val p = ev.where(col("event_type") === "purchase")
+          .join(c, Seq("user_id"))
+          .where(col("ts") >= col("ct"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id, min(ts) AS vt FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS ct
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.vt
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS pt
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.ct
+          GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM v) AS n_view,
+               (SELECT COUNT(*) FROM c) AS n_click,
+               (SELECT COUNT(*) FROM p) AS n_purchase"""))
   )
 }

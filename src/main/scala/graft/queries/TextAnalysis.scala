@@ -435,6 +435,39 @@ object TextAnalysis {
                COALESCE(array_to_string([t FOR t IN toks IF NOT list_contains(bl, t)], ' '), '') AS clean_text,
                CAST(len(toks) - len([t FOR t IN toks IF NOT list_contains(bl, t)]) AS BIGINT) AS removed
         FROM docs, boiler
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- t11: BPE-style adjacent-pair counts (tokenizer training) --------
+    // the inner loop of byte-pair-encoding training: count every adjacent
+    // token pair across the corpus, rank merge candidates. One narrow
+    // per-doc projection (no self-join — pairs come from an index
+    // transform over the token array), one map-side-combinable count.
+    // At 100 TB this is the exact shape each BPE merge iteration runs.
+    QueryDef(
+      "t11_bpe_pairs",
+      (s, d) => {
+        val toks = Tables.corpus(s, d)
+          .select(TextOps.tokens(col("text")).as("t"))
+        toks.select(explode(
+            when(size(col("t")) >= 2,
+              transform(sequence(lit(1), size(col("t")) - 1),
+                i => concat_ws(" ", element_at(col("t"), i),
+                  element_at(col("t"), i + 1))))
+              .otherwise(array().cast("array<string>"))).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(50)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+        pairs AS (
+          SELECT unnest(list_transform(range(1, len(t)),
+                   i -> t[i] || ' ' || t[i+1])) AS pair
+          FROM toks WHERE len(t) >= 2)
+        SELECT pair, COUNT(*) AS cnt
+        FROM pairs GROUP BY pair
+        ORDER BY cnt DESC, pair
+        LIMIT 50"""))
   )
 }

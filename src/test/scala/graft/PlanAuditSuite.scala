@@ -199,4 +199,62 @@ class PlanAuditSuite extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BatchEvalPython"), p)
   }
+
+  test("c11/c15: part filter prunes first; all dims broadcast") {
+    for (q <- Seq("c11_profit_by_nation", "c15_returned_items")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // lineitem<->orders (c15) is the one legitimate sort-merge; every
+      // dimension (part/supplier/nation/customer) must broadcast
+      assert("SortMergeJoin".r.findAllIn(p).size <= 1,
+        s"$q: a dimension join lost its broadcast:\n$p")
+    }
+  }
+
+  test("c12: the HAVING aggregate runs on lineitem alone before any join") {
+    val p = plan("c12_large_volume_orders")
+    // no fact-to-fact join before aggregation: the first join input must
+    // already be an aggregate (the qualifying-orders set)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p06: packing is one bucket shuffle + an in-partition sort") {
+    val df = SparkEntry.queries("p06_sequence_packing")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // exactly one hash exchange on the bucket key before the final
+    // presentation sort; the greedy pass itself must not shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected one bucket shuffle, found $exchanges:\n$p")
+  }
+
+  test("t10: the boilerplate dictionary broadcasts to the rewrite") {
+    val p = plan("t10_boilerplate")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the dictionary must broadcast, never shuffle the corpus against it:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q37: the Morton key is pure projection arithmetic (no UDF, no shuffle before the sort)") {
+    val df = SparkEntry.queries("q37_zorder_cluster")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    // TakeOrderedAndProject handles the top-k — no global sort exchange
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q38: funnel stages reuse one user_id partitioning (no extra exchanges)") {
+    val df = SparkEntry.queries("q38_funnel")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // every stage aggregate must partial-combine map-side (the final
+    // 1-row stage-count combination is a legitimate nested-loop join)
+    assert(p.contains("HashAggregate"), p)
+    // the three per-user aggs + joins hash-partition on user_id; the plan
+    // must not resort the event stream per stage
+    assert(!p.contains("SortMergeJoin"), s"funnel stages must stay hash joins:\n$p")
+  }
 }

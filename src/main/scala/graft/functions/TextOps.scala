@@ -254,6 +254,41 @@ object TextOps {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Incremental near-dup join: MinHash+LSH candidates between a DELTA
+    * (today's crawl) and an existing CORPUS, verified with exact
+    * Jaccard — the daily-ingest dedup shape. Asymmetric by design: the
+    * two sides are sketched independently (in production the corpus
+    * sketch is precomputed and stored — it never recomputes per delta),
+    * the band join only pairs delta x corpus (never corpus x corpus),
+    * and the join fan-out is bounded by band-bucket population exactly
+    * as in [[minHashCandidates]]. With a small delta the band join's
+    * delta side broadcasts. Output: (id_a = delta id, id_b = corpus id,
+    * jac >= threshold); ids must be disjoint across the two inputs. */
+  def incrementalJaccardPairs(
+      delta: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val spark = delta.sparkSession
+    def bandEx(df: DataFrame, side: String): DataFrame = {
+      // cache BEFORE the explode (pushdown barrier — see minHashCandidates)
+      val sig = shingleSets(df, idCol, textCol, n)
+        .select(col("__id"),
+          MinHashSig.column(spark, col("__sh"), numHashes).as("__sig"))
+        .select(col("__id"), lshBandKeys(col("__sig"), bands, r).as("__bands"))
+        .cache()
+      sig.select(col("__id").as(side),
+        posexplode(col("__bands")).as(Seq("__b", "__key")))
+    }
+    val cands = bandEx(delta, "id_a")
+      .join(bandEx(corpus, "id_b"), Seq("__b", "__key"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sh = hashedShingleSets(
+      delta.unionByName(corpus), idCol, textCol, n).cache()
+    verifyJaccard(sh, cands, threshold)
+  }
+
   /** Edit-distance-1 similarity join via deletion signatures (the FastSS
     * scheme): the signature set of `s` is `s` plus every single-character
     * deletion of `s`. Two strings are within edit distance 1 IFF they

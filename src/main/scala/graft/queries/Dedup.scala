@@ -257,6 +257,38 @@ object Dedup {
             "vec_id", "embedding", threshold = 0.4, nlist = 16, nassign = 2)
           .orderBy("id_a", "id_b"),
       None,
+      bench = true),
+
+    // ---- d11: incremental dedup — today's delta vs the standing corpus ----
+    // the daily-ingest shape: only delta x corpus band pairs are joined
+    // (the corpus never self-joins, its sketch is reusable), exact
+    // Jaccard verifies. Oracle replays the exact delta x corpus shingle
+    // overlap — the LSH family (128 hashes / 32 bands) has ~total recall
+    // at the planted >=0.5 similarities, same as d03.
+    QueryDef(
+      "d11_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.corpus(s, d)
+        val delta = docs.where(col("doc_id") % 20 === 0)
+        val standing = docs.where(col("doc_id") % 20 =!= 0)
+        TextOps.incrementalJaccardPairs(delta, standing,
+            "doc_id", "text", n = 3, numHashes = 128, bands = 32,
+            threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        $oracleShingles, ex AS (
+          SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+                 any_value(a.n) AS na, any_value(b.n) AS nb
+          FROM ex a JOIN ex b
+            ON a.s = b.s AND a.doc_id % 20 = 0 AND b.doc_id % 20 != 0
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, CAST(shared AS DOUBLE)/(na+nb-shared) AS jac
+        FROM pairs WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5
+        ORDER BY id_a, id_b"""),
       bench = true)
   )
 }

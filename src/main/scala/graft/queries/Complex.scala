@@ -535,6 +535,78 @@ object Complex {
           AND o_orderdate < TIMESTAMP '1998-04-01'
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue DESC, c_custkey
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    // ---- c16 (Q4 shape): order-priority count with EXISTS ------------------
+    // the correlated EXISTS (an order has at least one late-value line
+    // item) decorrelates to a LEFT SEMI join on the filtered lineitem —
+    // never a fact-to-fact row-multiplying join; the quarter filter
+    // pushes to the orders scan.
+    QueryDef(
+      "c16_priority_count",
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+          .where(col("o_orderdate") >= "1997-01-01" &&
+            col("o_orderdate") < "1997-04-01")
+        val lateLines = Tables(s, d, "lineitem")
+          .where(col("l_quantity") >= 45).select(col("l_orderkey"))
+        o.join(lateLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ---- c17 (Q5 shape): local-supplier volume (full snowflake join) ------
+    // the 6-way join: lineitem->orders is the one fact-fact shuffle;
+    // customer/supplier/nation/region all broadcast, and the
+    // same-nation constraint (customer and supplier co-located) rides
+    // the supplier join condition.
+    QueryDef(
+      "c17_local_volume",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val o = Tables(s, d, "orders")
+          .where(col("o_orderdate") >= "1997-01-01" &&
+            col("o_orderdate") < "1998-01-01")
+        val c = Tables(s, d, "customer")
+        val sup = Tables(s, d, "supplier")
+        val nr = Tables(s, d, "nation")
+          .join(broadcast(Tables(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .where(col("r_name") === "AMERICA")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("s_nationkey") === col("c_nationkey"))
+          .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(money("l_extendedprice") * disc1("l_discount"))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * $oDisc1) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name"""))
   )
 }

@@ -145,4 +145,63 @@ object Streams {
       }
       .start()
   }
+
+  /** Streaming near-dup detection against a STANDING corpus — the
+    * stream-static face of d11 (incremental ingest dedup): the corpus
+    * sketch (exploded LSH band keys + hashed shingle sets) is computed
+    * ONCE and cached; each micro-batch sketches only its own documents
+    * (pure column expressions — no state), probes the static band table
+    * with a stream-static join, and verifies candidates with the exact
+    * codegen Jaccard. Emits (doc_id, dup_of, jac) per detected
+    * near-duplicate, exactly once per pair: the multi-band collapse is a
+    * stateful streaming dropDuplicates, which also suppresses cross-batch
+    * re-detections. Like [[streamingDedup]], that state grows with the
+    * pair count — production streams with event time should swap in
+    * dropDuplicatesWithinWatermark for reclaimable state. */
+  def streamNearDups(
+      stream: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    import graft.functions.{IntersectSize, MinHashSig, NGramShingles, TextOps}
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val spark = corpus.sparkSession
+    val r = numHashes / bands
+
+    // ---- static side, computed once per query start ----
+    val corpusSh = TextOps.hashedShingleSets(corpus, idCol, textCol, n)
+      .select(col("__id").as("dup_of"), col("__sh").as("__sh_c"))
+      .cache()
+    val corpusBands = TextOps.shingleSets(corpus, idCol, textCol, n)
+      .select(col("__id").as("dup_of"),
+        MinHashSig.column(spark, col("__sh"), numHashes).as("__sig"))
+      .select(col("dup_of"),
+        explode(TextOps.lshBandKeys(col("__sig"), bands, r)).as("__key"))
+      .cache()
+
+    // ---- stream side: one narrow projection chain per micro-batch ----
+    val toks = TextOps.tokens(col(textCol))
+    val sketched = stream
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col("doc_id"),
+        NGramShingles.column(spark, col("__toks"), n).as("__shs"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(col("__shs"), s => xxhash64(s))))
+          .as("__sh_s"),
+        MinHashSig.column(spark, col("__shs"), numHashes).as("__sig"))
+      .select(col("doc_id"), col("__sh_s"),
+        explode(TextOps.lshBandKeys(col("__sig"), bands, r)).as("__key"))
+
+    sketched
+      .join(corpusBands, Seq("__key")) // stream-static equi-join
+      .select(col("doc_id"), col("dup_of"), col("__sh_s"))
+      .dropDuplicates("doc_id", "dup_of") // collapse multi-band hits
+      .join(corpusSh, Seq("dup_of"))
+      .withColumn("__i",
+        IntersectSize.column(spark, col("__sh_s"), col("__sh_c")).cast("double"))
+      .select(col("doc_id"), col("dup_of"),
+        (col("__i") / (size(col("__sh_s")) + size(col("__sh_c")) - col("__i")))
+          .as("jac"))
+      .where(col("jac") >= threshold)
+  }
 }

@@ -205,4 +205,38 @@ class StreamingSuite extends SparkSuite {
       .as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 2L), (1L, 1L), (2L, 3L)))
   }
+
+  test("streamNearDups flags streamed docs against the standing corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "entirely different reference content with no overlap whatsoever here"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = Streams.streamNearDups(
+      input.toDF().toDF("doc_id", "text"), corpus,
+      "doc_id", "text", n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("neardups").start()
+    try {
+      // batch 1: a near-copy of corpus doc 100 (one word changed) and a
+      // fresh document
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy cat again and again today"),
+        (2L, "completely novel text that matches nothing in the corpus at all"))
+      q.processAllAvailable()
+      // batch 2: an exact copy of corpus doc 101 and a re-send of doc 1
+      // (its pair must NOT re-emit — exactly-once per pair)
+      input.addData(
+        (3L, "entirely different reference content with no overlap whatsoever here"),
+        (1L, "the quick brown fox jumps over the lazy cat again and again today"))
+      q.processAllAvailable()
+      val pairs = spark.table("neardups")
+        .select("doc_id", "dup_of").as[(Long, Long)].collect().toSeq
+      assert(pairs.sorted == Seq((1L, 100L), (3L, 101L)), pairs.toString)
+      val jac = spark.table("neardups")
+        .where(col("doc_id") === 3L).select("jac").as[Double].head()
+      assert(jac == 1.0, s"exact copy must verify at jaccard 1.0, got $jac")
+    } finally q.stop()
+  }
 }

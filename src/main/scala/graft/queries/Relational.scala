@@ -910,6 +910,69 @@ object Relational {
           GROUP BY e.user_id)
         SELECT (SELECT COUNT(*) FROM v) AS n_view,
                (SELECT COUNT(*) FROM c) AS n_click,
-               (SELECT COUNT(*) FROM p) AS n_purchase"""))
+               (SELECT COUNT(*) FROM p) AS n_purchase""")),
+
+    // ---- q39: cohort retention (signup week x weeks-since) ----------------
+    // cohort = each user's first signup week; retention counts distinct
+    // users active k weeks later. One aggregate for cohorts (map-side
+    // combinable min), cohort joins back on user_id (same partitioning
+    // as the event stream group), distinct-count per (cohort, offset).
+    // Week arithmetic is pure integer epoch math — identical in any
+    // engine, no locale-dependent week-of-year.
+    QueryDef(
+      "q39_cohort_retention",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val cohort = ev.where(col("event_type") === "signup")
+          .groupBy(col("user_id"))
+          .agg(expr("min(unix_micros(ts)) div 604800000000").as("cohort_week"))
+        ev.select(col("user_id"),
+            expr("unix_micros(ts) div 604800000000").as("event_week"))
+          .join(cohort, Seq("user_id"))
+          .where(col("event_week") >= col("cohort_week"))
+          .groupBy(col("cohort_week"),
+            (col("event_week") - col("cohort_week")).as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""
+        WITH cohort AS (
+          SELECT user_id,
+                 min(epoch_us(ts) // 604800000000) AS cohort_week
+          FROM events WHERE event_type = 'signup' GROUP BY user_id)
+        SELECT cohort_week,
+               (epoch_us(e.ts) // 604800000000) - cohort_week AS week_offset,
+               COUNT(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN cohort c ON e.user_id = c.user_id
+        WHERE (epoch_us(e.ts) // 604800000000) >= cohort_week
+        GROUP BY 1, 2
+        ORDER BY cohort_week, week_offset""")),
+
+    // ---- q40: event-transition counts (sequence mining) --------------------
+    // per-user next-event bigrams via ONE lag window (a single user-
+    // partitioned sort), then a global count per (from, to) transition —
+    // the first-order Markov summary of the event stream.
+    QueryDef(
+      "q40_event_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        T(s, d, "events")
+          .select(col("user_id"), col("event_type").as("to_type"),
+            lag(col("event_type"), 1).over(w).as("from_type"))
+          .where(col("from_type").isNotNull)
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""
+        SELECT from_type, to_type, COUNT(*) AS n FROM (
+          SELECT user_id, event_type AS to_type,
+                 LAG(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS from_type
+          FROM events) t
+        WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type
+        ORDER BY from_type, to_type"""))
   )
 }

@@ -230,6 +230,38 @@ object Mapping {
         SELECT c_custkey, status, changed_cols FROM j
         WHERE status <> 'same'
         ORDER BY c_custkey, status"""),
-      bench = true)
+      bench = true),
+
+    // ---- m07: table profiling (pre/post-migration column stats) ----------
+    // one wide aggregation -> long format; every counter map-side
+    // combinable, exact distinct counts, numeric/timestamp min-max as
+    // doubles. The column-level generalization of the reference's
+    // record-count validation.
+    QueryDef(
+      "m07_profile",
+      (s, d) =>
+        graft.engine.Profile.profile(Tables(s, d, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+          .orderBy("column"),
+      Some {
+        def row(c: String, minMax: String => String) =
+          s"""SELECT '$c' AS "column",
+              CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+              COUNT(DISTINCT $c) AS n_distinct,
+              ${minMax("MIN")} AS min_num, ${minMax("MAX")} AS max_num
+              FROM orders"""
+        val num = (c: String) => (f: String) => s"CAST($f($c) AS DOUBLE)"
+        val ts = (c: String) => (f: String) => s"CAST(epoch_us($f($c)) AS DOUBLE)"
+        val str = (_: String) => (_: String) => "CAST(NULL AS DOUBLE)"
+        Seq(
+          row("o_orderkey", num("o_orderkey")),
+          row("o_custkey", num("o_custkey")),
+          row("o_orderstatus", str("o_orderstatus")),
+          row("o_totalprice", num("o_totalprice")),
+          row("o_orderdate", ts("o_orderdate")),
+          row("o_orderpriority", str("o_orderpriority")))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY 1")
+      })
   )
 }

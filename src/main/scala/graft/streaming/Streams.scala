@@ -79,6 +79,42 @@ object Streams {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+  final case class FunnelProgress(user_id: Long, stage: Int)
+
+  /** Streaming funnel state machine — the incremental face of
+    * q38_funnel: per user, `stage` advances through the ordered step
+    * list (view -> click -> purchase by default) as qualifying events
+    * arrive, strictly in order and monotonically in event time; a
+    * snapshot row is emitted whenever a user's stage advances. Events
+    * inside one micro-batch are sorted by event time before folding, so
+    * batch boundaries don't change the outcome. State is one (int,
+    * timestamp) per user; production deployments bound it with a state
+    * TTL. */
+  def funnelProgress(
+      events: Dataset[FunnelEvent],
+      steps: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Int, Long), FunnelProgress](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[(Int, Long)]) =>
+          var (stage, lastTs) = state.getOption.getOrElse((0, Long.MinValue))
+          val entered = stage
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+            if (stage < steps.length && e.event_type == steps(stage) &&
+              e.ts.getTime >= lastTs) {
+              stage += 1
+              lastTs = e.ts.getTime
+            }
+          }
+          state.update((stage, lastTs))
+          if (stage > entered) Iterator.single(FunnelProgress(user, stage))
+          else Iterator.empty
+      }
+  }
+
   final case class Doc(key: String, doc_id: Long, text: String)
 
   /** Streaming exact dedup: first occurrence of each content key wins,

@@ -206,6 +206,34 @@ class StreamingSuite extends SparkSuite {
     assert(out == Set((1L, 2L), (1L, 1L), (2L, 3L)))
   }
 
+  test("funnelProgress advances per-user stages across micro-batches, in order") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.FunnelEvent
+    val input = MemoryStream[FunnelEvent]
+    val out = Streams.funnelProgress(input.toDS())
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("funnel").start()
+    try {
+      // user 1 views then clicks; user 2 clicks FIRST (must not advance)
+      input.addData(
+        FunnelEvent(1L, "view", ts(1)), FunnelEvent(1L, "click", ts(2)),
+        FunnelEvent(2L, "click", ts(1)))
+      q.processAllAvailable()
+      // user 1 purchases (stage 3); user 2 views then clicks across the
+      // batch boundary; a STALE purchase before user 2's click is ignored
+      input.addData(
+        FunnelEvent(1L, "purchase", ts(3)),
+        FunnelEvent(2L, "view", ts(2)), FunnelEvent(2L, "purchase", ts(1)))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(2L, "click", ts(4)))
+      q.processAllAvailable()
+      val snaps = spark.table("funnel")
+        .select("user_id", "stage").as[(Long, Int)].collect().toSeq.sorted
+      // user 1: 2 (batch 1) then 3; user 2: nothing, then 1, then 2
+      assert(snaps == Seq((1L, 2), (1L, 3), (2L, 1), (2L, 2)), snaps.toString)
+    } finally q.stop()
+  }
+
   test("streamNearDups flags streamed docs against the standing corpus") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(

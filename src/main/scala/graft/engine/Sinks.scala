@@ -72,4 +72,19 @@ object Sinks {
   def readCsv(spark: org.apache.spark.sql.SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** JSON-Lines export — the interchange format LLM corpus tooling
+    * expects (one JSON object per line, splittable, append-friendly).
+    * Compression keeps the 100 TB story sane: gzip parts are still
+    * line-splittable per file and a fraction of the raw text size. */
+  def exportJsonl(df: DataFrame, path: String, compress: Boolean = false): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (compress) w.option("compression", "gzip") else w).json(path)
+  }
+
+  /** JSONL scan with an explicit schema — schema inference over 100 TB
+    * of JSONL is a full extra pass; production reads always declare. */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

@@ -468,6 +468,50 @@ object TextAnalysis {
         SELECT pair, COUNT(*) AS cnt
         FROM pairs GROUP BY pair
         ORDER BY cnt DESC, pair
-        LIMIT 50"""))
+        LIMIT 50""")),
+
+    // ---- t12: unigram log-probability scoring (LM quality filter) ---------
+    // the unigram approximation of KenLM-style perplexity filtering:
+    // corpus unigram counts -> per-token -ln p(tok) -> per-doc mean.
+    // Float discipline: ln runs on identical (count, total) operands in
+    // both engines, each token's nats are fixed-pointed to 1e-4 BEFORE
+    // the sum, so the per-doc aggregate is integer arithmetic —
+    // accumulation order (Spark partial aggs vs DuckDB serial) cannot
+    // move the result. The unigram table broadcasts; the corpus-total
+    // count rides along as a 1-row broadcast.
+    QueryDef(
+      "t12_unigram_logprob",
+      (s, d) => {
+        val toks = Tables.corpus(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val total = uni.agg(sum(col("c")).as("n"))
+        toks.join(broadcast(uni), Seq("tok"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"),
+            floor(-log(col("c").cast("double") / col("n").cast("double"))
+              * 10000.0 + 0.5).cast("long").as("__nats4"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            floor(sum(col("__nats4")).cast("double") / count(lit(1)) + 0.5)
+              .cast("long").as("mean_nats4"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents),
+        uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        total AS (SELECT SUM(c) AS n FROM uni),
+        scored AS (
+          SELECT doc_id,
+                 CAST(floor(-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * 10000.0 + 0.5) AS BIGINT) AS nats4
+          FROM toks JOIN uni USING (tok), total)
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(floor(CAST(SUM(nats4) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+                 AS mean_nats4
+        FROM scored GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -69,6 +69,24 @@ class SinksSuite extends SparkSuite {
       Seq(("1", "x", 1.5), ("2", "y", 2.5)))
   }
 
+  test("jsonl export/read round trip, plain and gzip") {
+    val df = Seq((1L, "alpha doc", 0.9), (2L, "beta doc", 0.1))
+      .toDF("doc_id", "text", "score")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("score", DoubleType)))
+    for (compress <- Seq(false, true)) {
+      val dir = Files.createTempDirectory("graft_jsonl_").toString
+      Sinks.exportJsonl(df, s"$dir/out", compress)
+      val files = new java.io.File(s"$dir/out").listFiles.map(_.getName)
+      assert(files.exists(_.endsWith(if (compress) ".json.gz" else ".json")),
+        files.mkString(","))
+      val back = Sinks.readJsonl(spark, s"$dir/out", schema)
+      assert(back.orderBy("doc_id").as[(Long, String, Double)].collect().toSeq ==
+        Seq((1L, "alpha doc", 0.9), (2L, "beta doc", 0.1)))
+    }
+  }
+
   private implicit class JavaListOps[T](l: java.util.List[T]) {
     def asScala: Seq[T] = {
       import scala.jdk.CollectionConverters._

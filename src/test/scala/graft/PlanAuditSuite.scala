@@ -245,6 +245,52 @@ class PlanAuditSuite extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("c16: EXISTS decorrelates to a semi join, never a row-multiplying join") {
+    val p = plan("c16_priority_count")
+    assert(p.contains("LeftSemi") || p.contains("left_semi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c17: snowflake — every dimension broadcasts, one fact-fact shuffle") {
+    val p = plan("c17_local_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"customer/supplier/nation-region must all broadcast:\n$p")
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("d11: the standing corpus never self-joins; verify runs in hash space") {
+    val df = SparkEntry.queries("d11_incremental_dedup")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("xxhash64"),
+      "band keys and shingle sets must be hashed before any shuffle:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("q39/q40: one event-stream aggregation chain each, no cartesian") {
+    for (q <- Seq("q39_cohort_retention", "q40_event_transitions")) {
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BatchEvalPython"), s"$q:\n$p")
+    }
+  }
+
+  test("t12: unigram table broadcasts; scoring has no sort-merge join") {
+    val p = plan("t12_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"),
+      "the unigram dictionary must broadcast to the token stream:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("m07: profiling is one aggregation pass over the table") {
+    val df = SparkEntry.queries("m07_profile")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // one scan of orders — the wide agg must not re-scan per column
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"profiling must read the table exactly once:\n$p")
+  }
+
   test("q38: funnel stages reuse one user_id partitioning (no extra exchanges)") {
     val df = SparkEntry.queries("q38_funnel")(spark, sf)
     df.collect()

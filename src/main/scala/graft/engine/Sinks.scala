@@ -87,4 +87,17 @@ object Sinks {
   def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Hive-style partitioned parquet write: one directory per value of
+    * `partitionCols` — the coarse pruning layer a 100 TB table needs
+    * (predicates on the partition columns skip whole directories at
+    * PLANNING time, before any file is opened; SinksSuite pins
+    * `PartitionFilters` in the scan). Compose with
+    * [[graft.functions.ScaleOps.zorderRepartition]] inside each
+    * partition for row-group-level pruning on the remaining dims. */
+  def writePartitioned(
+      df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

@@ -130,6 +130,33 @@ class ScaleOpsSuite extends SparkSuite {
     assert(got == Set((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L), (3L, 13L)))
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (the moderate-skew path)") {
+    // saltedJoin is the pathological-skew tool; MODERATE skew is handled
+    // by AQE's skew-join splitting — pin that the engine's config story
+    // actually engages it. One key holds ~90% of the fact side.
+    import org.apache.spark.sql.functions._
+    val fact = spark.range(40000)
+      .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val dim = spark.range(40000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    withSqlConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = fact.join(dim, "k")
+      // execute THIS queryExecution (count() would plan a fresh one and
+      // leave this plan un-finalized), then read the final adaptive plan
+      assert(joined.collect().length == 40000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must mark the hot partition's join as skew-split:\n$p")
+    }
+  }
+
   test("zorderKey matches a reference Morton interleave bit-for-bit") {
     import org.apache.spark.sql.functions.col
     def ref(a: Long, b: Long, bits: Int): Long = {

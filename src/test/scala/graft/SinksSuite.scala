@@ -87,6 +87,23 @@ class SinksSuite extends SparkSuite {
     }
   }
 
+  test("partitioned write prunes directories at planning time") {
+    val dir = Files.createTempDirectory("graft_part_").toString
+    val df = Seq((1L, "en", "a"), (2L, "de", "b"), (3L, "en", "c"), (4L, "fr", "d"))
+      .toDF("doc_id", "lang", "text")
+    Sinks.writePartitioned(df, s"$dir/docs", Seq("lang"))
+    assert(new java.io.File(s"$dir/docs/lang=en").isDirectory)
+    val scan = spark.read.parquet(s"$dir/docs").where(col("lang") === "en")
+    val p = scan.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("lang"),
+      s"the lang predicate must prune partitions, not filter rows:\n$p")
+    assert(scan.count() == 2)
+    // the pruned scan reads only the en directory's files
+    val files = scan.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.toString.split("\n")).mkString
+    assert(!files.contains("lang=de"), files)
+  }
+
   private implicit class JavaListOps[T](l: java.util.List[T]) {
     def asScala: Seq[T] = {
       import scala.jdk.CollectionConverters._

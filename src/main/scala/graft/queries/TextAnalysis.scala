@@ -512,6 +512,53 @@ object TextAnalysis {
                COUNT(*) AS n_tokens,
                CAST(floor(CAST(SUM(nats4) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
                  AS mean_nats4
-        FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- t13: overlapping token-window chunking (RAG/embedding prep) -----
+    // split each document into chunk_size-token windows with `overlap`
+    // tokens of context shared between neighbors — the retrieval-corpus
+    // prep step. Pure per-row array arithmetic (sequence -> slice), one
+    // explode; no shuffle until the presentation sort. Stride =
+    // chunk_size - overlap; the last window keeps its tail remainder.
+    QueryDef(
+      "t13_chunking",
+      (s, d) => {
+        val size_ = 64
+        val overlap = 16
+        val stride = size_ - overlap // 48
+        val docs = Tables.corpus(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+          .withColumn("n", size(col("t")))
+        // number of chunks: 1 + ceil(max(0, n - size) / stride)
+        val nChunks = lit(1) +
+          ceil(greatest(col("n") - size_, lit(0)).cast("double") / stride)
+            .cast("int")
+        docs
+          .withColumn("ch", explode(transform(
+            sequence(lit(0), nChunks - 1),
+            i => struct(i.as("chunk_id"),
+              slice(col("t"), i * stride + 1, lit(size_)).as("toks")))))
+          .select(col("doc_id"),
+            col("ch.chunk_id").cast("long").as("chunk_id"),
+            array_join(col("ch.toks"), " ").as("chunk_text"),
+            size(col("ch.toks")).cast("long").as("n_tokens"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents),
+        sized AS (SELECT doc_id, t, len(t) AS n FROM docs),
+        chunks AS (
+          SELECT doc_id,
+                 unnest(range(0, 1 + CAST(ceil(greatest(n - 64, 0) / 48.0) AS BIGINT)))
+                   AS chunk_id,
+                 t
+          FROM sized)
+        SELECT doc_id, chunk_id,
+               array_to_string(t[chunk_id*48 + 1 : chunk_id*48 + 64], ' ') AS chunk_text,
+               CAST(len(t[chunk_id*48 + 1 : chunk_id*48 + 64]) AS BIGINT) AS n_tokens
+        FROM chunks
+        ORDER BY doc_id, chunk_id"""))
   )
 }

@@ -388,6 +388,112 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF x PQ — the production 100 TB ANN stack, composed from the two
+    * pieces above: the IVF coarse quantizer bounds WHICH codes are
+    * scanned (nprobe/nlist of the corpus), PQ bounds HOW MUCH each
+    * scanned row costs (m byte-codes + LUT lookups instead of a float
+    * vector), and the exact re-rank touches full vectors only for the
+    * `k * refine` shortlist. Candidate volume: |corpus| * nprobe/nlist
+    * code rows per query, none of them carrying vectors.
+    *
+    * Codes quantize the raw (normalized) vectors, not residuals —
+    * residual encoding buys accuracy at nlist >> 1k but couples the
+    * codebook to the quantizer; at these list counts raw-vector codes
+    * keep both stages independently testable. */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int, nprobe: Int,
+      m: Int = 8, ksub: Int = 16, refine: Int = 8,
+      sampleSize: Int = 2048, iters: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = normalizedVectors(corpus, idCol, vecCol)
+      .select(col("__id").as("neighbor_id"), col("__v").as("__cv"))
+    val q = normalizedVectors(queries, idCol, vecCol)
+      .select(col("__id").as("query_id"), col("__v").as("__qv"))
+
+    val sample = sortSample(c.select(col("__cv")).limit(sampleSize).collect()
+      .map(_.getSeq[Double](0).toArray))
+    require(sample.nonEmpty, "IVF-PQ training sample is empty")
+    val dim = sample.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+
+    // coarse quantizer (spherical, shared with ivfTopK) + PQ codebooks
+    val coarse = trainCentroids(sample, nlist, iters)
+    val coarseCols = coarse.map(ct => array(ct.map(lit): _*))
+    val books = (0 until m).map { j =>
+      trainCentroidsL2(sample.map(_.slice(j * sub, (j + 1) * sub)), ksub, iters)
+    }
+
+    def coarseDots(v: Column): Column =
+      array(coarseCols.map(ct => nativeDot(spark, v, ct)): _*)
+    def subCols(vc: String): Seq[Column] =
+      (0 until m).map(j => slice(col(vc), j * sub + 1, sub).as(s"__s$j"))
+
+    // corpus: coarse bucket + PQ codes, one narrow pass; the stored form
+    // at scale is exactly this (id, bucket, m codes) — 8 bytes of codes
+    val cStaged = c.select(
+      (col("neighbor_id") +: col("__cv") +:
+        coarseDots(col("__cv")).as("__cd") +: subCols("__cv")): _*)
+    val encoded = cStaged.select(
+      (col("neighbor_id") +: col("__cv") +:
+        (array_position(col("__cd"), array_max(col("__cd"))) - 1).cast("int")
+          .as("__bucket") +:
+        (0 until m).map { j =>
+          val scores = array(books(j).map { ct =>
+            nativeDot(spark, col(s"__s$j"), array(ct.map(lit): _*)) -
+              lit(ct.map(x => x * x).sum / 2.0)
+          }: _*)
+          (array_position(scores, array_max(scores)) - 1).cast("int").as(s"__c$j")
+        }): _*)
+      .cache() // read by the code scan AND the shortlist refine join
+
+    // queries: nprobe bucket probes + the ADC lookup tables
+    val probeList = slice(
+      transform(
+        array_sort(zip_with(
+          coarseDots(col("__qv")),
+          sequence(lit(0), lit(coarse.length - 1)),
+          (dd, i) => struct((-dd).as("nd"), i.as("idx")))),
+        st => st.getField("idx")),
+      1, math.min(nprobe, coarse.length))
+    val qStaged = q.select(
+      (col("query_id") +: col("__qv") +: probeList.as("__probes") +:
+        subCols("__qv")): _*)
+    val withLut = qStaged.select(
+      (col("query_id") +: col("__qv") +:
+        explode(col("__probes")).as("__bucket") +:
+        (0 until m).map { j =>
+          array(books(j).map(ct =>
+            nativeDot(spark, col(s"__s$j"), array(ct.map(lit): _*))): _*)
+            .as(s"__lut$j")
+        }): _*)
+
+    // probe join on the bucket id; score = m LUT lookups, no vectors
+    val approx = (0 until m).map(j =>
+      element_at(col(s"__lut$j"), col(s"__c$j") + 1)).reduce(_ + _)
+    val scanned = withLut
+      .join(encoded.drop("__cv").hint("shuffle_hash"), Seq("__bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__approx", approx)
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("__approx").desc, col("neighbor_id"))
+    val shortlist = scanned
+      .withColumn("__ar", row_number().over(wA))
+      .where(col("__ar") <= k * refine)
+      .select(col("query_id"), col("__qv"), col("neighbor_id"))
+    // refine: fetch full vectors ONLY for the shortlist
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .join(encoded.select(col("neighbor_id"), col("__cv")), Seq("neighbor_id"))
+      .withColumn("cos", nativeDot(spark, col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Driver-side plain (Euclidean) Lloyd's kmeans for PQ sub-space
     * codebooks; deterministic evenly-spaced seeding, empty clusters keep
     * their previous centroid. */

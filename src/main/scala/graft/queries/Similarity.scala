@@ -100,6 +100,24 @@ object Similarity {
           .orderBy("query_id", "rank")
       },
       None,
+      bench = true),
+
+    // ---- s05: IVF x PQ — the composed production stack --------------------
+    // coarse quantizer bounds WHICH rows are scanned (nprobe/nlist), PQ
+    // bounds the per-row cost (8 byte-codes + LUT adds), exact re-rank
+    // touches vectors only for the shortlist. Rows-only; recall pinned
+    // in DedupOpsSuite.
+    QueryDef(
+      "s05_ann_ivfpq",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        VectorOps.ivfPqTopK(
+            emb.where(col("vec_id") < 20), emb, "vec_id", "embedding",
+            k = 5, nlist = 16, nprobe = 8, m = 8, ksub = 16, refine = 8)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      },
+      None,
       bench = true)
   )
 }

@@ -182,6 +182,24 @@ class DedupOpsSuite extends SparkSuite {
     assert(full == exact, "refine >= corpus size must equal brute force")
   }
 
+  test("IVF-PQ top-k: usable recall; all-lists + wide refine equals brute force") {
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = VectorOps.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = VectorOps.ivfPqTopK(queries, emb, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 4, m = 8, ksub = 16, refine = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.5,
+      s"IVF-PQ recall $recall too low for nlist=8/nprobe=4/refine=8")
+    // probing every list with a corpus-wide shortlist removes both
+    // approximations: the composition must collapse to brute force
+    val full = VectorOps.ivfPqTopK(queries, emb, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 8, m = 8, ksub = 16, refine = 200)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact, "nprobe=nlist + full refine must equal brute force")
+  }
+
   test("brute-force top-k neighbors are symmetric-consistent with pairs") {
     val top1 = VectorOps.bruteForceTopK(
         emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", k = 1)

@@ -72,7 +72,7 @@ object Dedup {
     * recursive member walks edges from every document; min reachable id
     * per node == the min-label-propagation fixpoint the Spark operator
     * computes. */
-  private val oracleClusters = """
+  private val oracleClustersCte = """
     WITH RECURSIVE toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
     ), sh AS (
@@ -97,7 +97,10 @@ object Dedup {
       SELECT doc_id AS v, doc_id AS r FROM documents
       UNION
       SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v
-    )
+    )"""
+
+  private val oracleClusters = s"""
+    $oracleClustersCte
     SELECT v AS doc_id, min(r) AS cluster_id
     FROM reach GROUP BY v ORDER BY doc_id"""
 
@@ -289,6 +292,49 @@ object Dedup {
         SELECT id_a, id_b, CAST(shared AS DOUBLE)/(na+nb-shared) AS jac
         FROM pairs WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5
         ORDER BY id_a, id_b"""),
-      bench = true)
+      bench = true),
+
+    // ---- d12: cluster-representative selection ----------------------------
+    // the curation DECISION on top of d06: per near-dup cluster keep the
+    // best document (longest by token count, doc_id tiebreak) instead of
+    // blindly keeping the min id. One window over the cluster assignment
+    // — the rep choice and member count share the same partitioning.
+    QueryDef(
+      "d12_cluster_reps",
+      (s, d) => {
+        val docs = Tables.corpus(s, d)
+        val pairs = TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        val clusters = TextOps.duplicateClusters(docs, "doc_id", pairs)
+        val toks = docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))
+        clusters.join(toks, Seq("doc_id"))
+          .withColumn("rk", row_number().over(
+            w.orderBy(col("n_toks").desc, col("doc_id"))))
+          .withColumn("n_members", count(lit(1)).over(w))
+          .where(col("rk") === 1)
+          .select(col("cluster_id"), col("doc_id").as("rep_id"),
+            col("n_toks").as("rep_tokens"), col("n_members"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""
+        $oracleClustersCte, cl AS (
+          SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+        ), tl AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_toks
+          FROM documents
+        ), j AS (
+          SELECT cl.cluster_id, cl.doc_id, tl.n_toks,
+                 ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                   ORDER BY tl.n_toks DESC, cl.doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+          FROM cl JOIN tl ON cl.doc_id = tl.doc_id
+        )
+        SELECT cluster_id, doc_id AS rep_id, n_toks AS rep_tokens, n_members
+        FROM j WHERE rk = 1
+        ORDER BY cluster_id"""))
   )
 }

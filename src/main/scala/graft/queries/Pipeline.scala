@@ -209,6 +209,37 @@ object Pipeline {
         )
         SELECT doc_id, bucket, seq_id, tok AS n_tokens
         FROM packed ORDER BY doc_id"""),
-      bench = true)
+      bench = true),
+
+    // ---- p07: deterministic train/val/test split (98/1/1) -----------------
+    // the held-out split as a pure function of the doc id (md5-derived
+    // bucket % 100): any engine, any run, any partitioning produces the
+    // SAME membership — no sampled state to persist, rerunning the
+    // pipeline cannot leak val/test docs into train. Scan-stage
+    // projection + one count aggregation.
+    QueryDef(
+      "p07_train_val_test",
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("lang"),
+            (shiftright(TextOps.tokenHash64(col("doc_id").cast("string")), 8)
+              .bitwiseAND(0x7FFFFFFFL) % 100).as("__b"))
+          .withColumn("split",
+            when(col("__b") < 98, "train")
+              .when(col("__b") === 98, "val").otherwise("test"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "split"),
+      Some("""
+        SELECT lang,
+               CASE WHEN b < 98 THEN 'train'
+                    WHEN b = 98 THEN 'val' ELSE 'test' END AS split,
+               COUNT(*) AS n_docs
+        FROM (SELECT lang,
+                     ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT >> 8)
+                       & 2147483647) % 100 AS b
+              FROM documents)
+        GROUP BY 1, 2
+        ORDER BY lang, split"""))
   )
 }

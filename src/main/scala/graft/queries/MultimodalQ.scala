@@ -5,9 +5,11 @@ import graft.{QueryDef, Tables}
 import graft.multimodal.Multimodal
 
 /** Registry coverage for the multimodal plumbing: synthetic media corpus
-  * → per-partition batched feature extraction (stub kernel) → per-kind
-  * rollup, and video frame sampling. Rows-only checks: the stub kernels
-  * are deliberately not SQL-expressible. */
+  * → per-partition batched feature extraction (REAL kernels: ImageIO
+  * histogram+DCT for images, javax.sound PCM spectrum for audio, GVC1
+  * demux for video; byte-hash only for unknown payloads) → per-kind
+  * rollup, and video frame sampling. Rows-only checks: binary decode
+  * kernels are not SQL-expressible. */
 object MultimodalQ {
 
   val defs: Seq[QueryDef] = Seq(

@@ -100,4 +100,21 @@ object Sinks {
     df.write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Dead-letter routing: split `df` against the set of valid keys —
+    * rows whose key misses are APPENDED to the quarantine path (the
+    * accumulating reject table a production load keeps for replay), valid
+    * rows are returned for the actual mutation. The reference only
+    * counts failures (numberRecordsFailed); this keeps the rows.
+    *
+    * Both halves are one semi/anti join against the same (broadcastable)
+    * key set; cache `df` first when it is expensive to recompute. */
+  def quarantineInvalid(
+      df: DataFrame, validKeys: DataFrame, keyCol: String,
+      quarantinePath: String): DataFrame = {
+    val keys = validKeys.select(col(keyCol)).distinct()
+    df.join(keys, Seq(keyCol), "left_anti")
+      .write.mode("append").parquet(quarantinePath)
+    df.join(keys, Seq(keyCol), "left_semi")
+  }
 }

@@ -87,6 +87,20 @@ class SinksSuite extends SparkSuite {
     }
   }
 
+  test("quarantineInvalid routes dangling keys to the dead-letter table, twice") {
+    val dir = Files.createTempDirectory("graft_dlq_").toString
+    val valid = Seq(1L, 2L, 3L).toDF("Id")
+    val batch1 = Seq((1L, "a"), (9L, "x"), (2L, "b")).toDF("Id", "v")
+    val ok1 = Sinks.quarantineInvalid(batch1, valid, "Id", s"$dir/dlq")
+    assert(ok1.select("Id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // second batch APPENDS to the same dead-letter table
+    val batch2 = Seq((3L, "c"), (10L, "y")).toDF("Id", "v")
+    val ok2 = Sinks.quarantineInvalid(batch2, valid, "Id", s"$dir/dlq")
+    assert(ok2.select("Id").as[Long].collect().toSeq == Seq(3L))
+    val dlq = spark.read.parquet(s"$dir/dlq")
+    assert(dlq.select("Id").as[Long].collect().sorted.toSeq == Seq(9L, 10L))
+  }
+
   test("partitioned write prunes directories at planning time") {
     val dir = Files.createTempDirectory("graft_part_").toString
     val df = Seq((1L, "en", "a"), (2L, "de", "b"), (3L, "en", "c"), (4L, "fr", "d"))

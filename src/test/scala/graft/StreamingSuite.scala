@@ -153,6 +153,35 @@ class StreamingSuite extends SparkSuite {
     } finally q.stop()
   }
 
+  test("connector is a native streaming sink (no foreachBatch shim)") {
+    import org.apache.spark.sql.types._
+    import graft.sources.{InMemoryOrg, RemoteOrgRegistry}
+    implicit val sqlCtx = spark.sqlContext
+    val sch = StructType(Seq(
+      StructField("Id", StringType), StructField("Payload", StringType)))
+    val dst = new InMemoryOrg
+    dst.createTable("Sink__c", sch)
+    RemoteOrgRegistry.register("stream_sink", dst)
+    val input = MemoryStream[String]
+    val df = input.toDF().toDF("Payload")
+      .select(lit(null).cast("string").as("Id"), col("Payload"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val q = df.writeStream.format("salesforce-sim")
+      .option("org", "stream_sink").option("sObject", "Sink__c")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData("a", "b")
+      q.processAllAvailable()
+      assert(dst.rows("Sink__c").size == 2)
+      input.addData("c")
+      q.processAllAvailable()
+      val rows = dst.rows("Sink__c")
+      assert(rows.map(_.getString(1)).sorted == Seq("a", "b", "c"))
+      assert(rows.forall(_.getString(0) != null), "org must mint Ids")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the delay window only") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[(Long, Timestamp)]

@@ -464,4 +464,47 @@ class ConnectorSuite extends SparkSuite {
     assert(created.size == 5)
     assert(created.forall(r => r.getString(0).startsWith("ID") && r.getString(1) != null))
   }
+
+  test("write node reports processed/failed as DSv2 custom metrics") {
+    import graft.sources.{InMemoryOrg, RemoteOrgRegistry}
+    val sch = StructType(Seq(
+      StructField("Id", StringType), StructField("V", StringType)))
+    val morg = new InMemoryOrg
+    morg.createTable("M__c", sch)
+    RemoteOrgRegistry.register("metrics_org", morg)
+    import spark.implicits._
+    val metrics = scala.collection.mutable.Map.empty[String, Long]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        qe.executedPlan.foreach { node =>
+          node.metrics.foreach { case (k, m) =>
+            if (k.contains("orgRecords")) metrics.synchronized {
+              metrics(k) = metrics.getOrElse(k, 0L) + m.value
+            }
+          }
+        }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Seq(("", "a"), ("", "b"), ("", "c"))
+        .toDF("Id", "V")
+        .write.format("salesforce-sim")
+        .option("org", "metrics_org").option("sObject", "M__c")
+        .mode(SaveMode.Append).save()
+      // the write plan must DECLARE both custom metrics (they surface in
+      // the SQL UI); listener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (metrics.synchronized(metrics.size) < 2 &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(metrics.synchronized(metrics.keySet) ==
+        Set("orgRecordsProcessed", "orgRecordsFailed"), metrics.toString)
+      // the VALUES flow through the task -> commit aggregation path
+      assert(graft.sources.OrgWriteMetrics.lastCommit("metrics_org", "M__c") ==
+        graft.sources.WriteOutcome(3L, 0L))
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

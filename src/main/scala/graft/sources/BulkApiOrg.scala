@@ -42,12 +42,23 @@ final class BulkApiOrg(
     apiVersion: String = "47.0",
     maxPolls: Int = 60,
     pollDelayMs: Long = 1000L,
+    maxPollDelayMs: Long = 30000L,
     sleeper: Long => Unit = Thread.sleep,
     contentType: String = "JSON",
     pkChunkSize: Option[Int] = None) extends RemoteOrg {
 
   require(contentType == "JSON" || contentType == "CSV",
     s"contentType must be JSON|CSV, got $contentType")
+
+  /** Poll delay for attempt `i` (0-based): capped exponential backoff —
+    * pollDelayMs * 2^i up to maxPollDelayMs. The reference polls on a
+    * fixed interval (data_connector.py:313-325); backoff keeps long
+    * async jobs from hammering the API while staying responsive for
+    * fast ones. */
+  private def pollDelay(attempt: Int): Long = {
+    val factor = 1L << math.min(attempt, 20)
+    math.min(pollDelayMs * factor, maxPollDelayMs)
+  }
   private val csvMode = contentType == "CSV"
 
   private val asyncBase = s"${token.instanceUrl}/services/async/$apiVersion"
@@ -153,7 +164,7 @@ final class BulkApiOrg(
           throw new RuntimeException(s"batch $batchId ended in state Failed/Not Processed")
         case _ => // Queued | InProgress
           polls += 1
-          if (polls < maxPolls) sleeper(pollDelayMs)
+          if (polls < maxPolls) sleeper(pollDelay(polls - 1))
       }
     }
     throw new RuntimeException(s"batch $batchId not Completed after $maxPolls polls")
@@ -186,7 +197,7 @@ final class BulkApiOrg(
         infos.exists(i => i._2 == "Queued" || i._2 == "InProgress")
       if (!pending) return infos.filter(_._2 == "Completed").map(_._1)
       polls += 1
-      if (polls < maxPolls) sleeper(pollDelayMs)
+      if (polls < maxPolls) sleeper(pollDelay(polls - 1))
     }
     throw new RuntimeException(s"chunked job $jobId not Completed after $maxPolls polls")
   }

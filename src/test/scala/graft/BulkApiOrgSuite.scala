@@ -125,6 +125,30 @@ class BulkApiOrgSuite extends AnyFunSuite {
       case ("GET", u) if u == s"$async/job/J1/batch/B1/result" => (200, result)
     })
 
+  test("polling backs off exponentially up to the cap") {
+    var polls = 0
+    val http = new ScriptedHttp({
+      case ("GET", u) if u == s"$rest/sobjects/Account/describe" =>
+        (200, accountDescribe)
+      case ("POST", u) if u == s"$async/job" => (201, """{"id": "J1"}""")
+      case ("POST", u) if u == s"$async/job/J1/batch" => (201, """{"id": "B1"}""")
+      case ("POST", u) if u == s"$async/job/J1" => (200, """{"state": "Closed"}""")
+      case ("GET", u) if u == s"$async/job/J1/batch/B1" =>
+        polls += 1
+        if (polls < 7) (200, """{"state": "InProgress"}""")
+        else (200, """{"state": "Completed"}""")
+      case ("GET", u) if u == s"$async/job/J1/batch/B1/result" => (200, """["R1"]""")
+      case ("GET", u) if u == s"$async/job/J1/batch/B1/result/R1" =>
+        (200, """[{"Id": "A1", "Name": "n", "Amount": 1, "Closed": false, "CloseDate": null}]""")
+    })
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val org = new BulkApiOrg(tok, http,
+      pollDelayMs = 100L, maxPollDelayMs = 1000L, sleeper = delays += _)
+    org.query("SELECT Id, Name, Amount, Closed, CloseDate FROM Account").toSeq
+    assert(delays.toSeq == Seq(100L, 200L, 400L, 800L, 1000L, 1000L),
+      delays.toString)
+  }
+
   test("insert posts JSON records and returns created ids in order") {
     val http = mutationHttp("insert",
       """[{"id": "A1", "success": true, "created": true},

@@ -99,21 +99,70 @@ final class FileTokenCache(path: java.nio.file.Path) extends TokenCache {
   }
 }
 
+/** An OAuth2 grant: the form parameters POSTed to the token endpoint.
+  * [[TokenProvider]] is grant-agnostic — caching, invalidation and the
+  * retry-once policy are identical for every flow. */
+trait OAuthGrant {
+  def params(): Map[String, String]
+}
+
+/** The reference's flow: username-password grant
+  * (get_oauth2_token, data_connector.py:200-216). */
+final case class PasswordGrant(creds: ConnectorParam) extends OAuthGrant {
+  override def params(): Map[String, String] = Map(
+    "grant_type" -> "password",
+    "client_id" -> creds.consumerKey,
+    "client_secret" -> creds.consumerSecret,
+    "username" -> creds.username,
+    "password" -> creds.password)
+}
+
+/** JWT bearer grant (RFC 7523) — the modern server-to-server flow: a
+  * short-lived RS256-signed assertion (iss=consumer key, sub=user,
+  * aud=login host) replaces the password entirely. The assertion is
+  * minted fresh per fetch; `now` is injectable for tests. */
+final class JwtBearerGrant(
+    clientId: String, username: String, audience: String,
+    key: java.security.PrivateKey,
+    validitySec: Long = 180L,
+    now: () => Long = System.currentTimeMillis) extends OAuthGrant {
+
+  private def b64url(bytes: Array[Byte]): String =
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
+  private def b64url(s: String): String =
+    b64url(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** header.claims.signature — visible for test-side verification. */
+  def assertion(): String = {
+    val header = b64url("""{"alg":"RS256"}""")
+    val exp = now() / 1000L + validitySec
+    val claims = b64url(
+      s"""{"iss":"$clientId","sub":"$username","aud":"$audience","exp":$exp}""")
+    val signingInput = s"$header.$claims"
+    val sig = java.security.Signature.getInstance("SHA256withRSA")
+    sig.initSign(key)
+    sig.update(signingInput.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s"$signingInput.${b64url(sig.sign())}"
+  }
+
+  override def params(): Map[String, String] = Map(
+    "grant_type" -> "urn:ietf:params:oauth:grant-type:jwt-bearer",
+    "assertion" -> assertion())
+}
+
 /** Fetches, caches and refreshes org tokens; [[withAuthRetry]] is the
   * retry-once-on-expiry policy every connector call should run under. */
 final class TokenProvider(
     creds: ConnectorParam,
     http: HttpTransport,
-    cache: TokenCache = new InMemoryTokenCache) {
+    cache: TokenCache = new InMemoryTokenCache,
+    grant: Option[OAuthGrant] = None) {
 
-  /** OAuth2 password grant (get_oauth2_token, data_connector.py:200-216). */
+  private val flow: OAuthGrant = grant.getOrElse(PasswordGrant(creds))
+
   private def fetch(): AuthToken = {
-    val (status, body) = http.postForm(s"${creds.url}/services/oauth2/token", Map(
-      "grant_type" -> "password",
-      "client_id" -> creds.consumerKey,
-      "client_secret" -> creds.consumerSecret,
-      "username" -> creds.username,
-      "password" -> creds.password))
+    val (status, body) =
+      http.postForm(s"${creds.url}/services/oauth2/token", flow.params())
     if (status != 200)
       throw new AuthFailedException(s"token endpoint returned $status")
     val json = JsonMethods.parse(body)

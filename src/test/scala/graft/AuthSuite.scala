@@ -42,6 +42,35 @@ class AuthSuite extends AnyFunSuite {
     assert(http.calls.size == 1)
   }
 
+  test("JWT bearer grant: signed assertion verifies and fetches a token") {
+    val kpg = java.security.KeyPairGenerator.getInstance("RSA")
+    kpg.initialize(2048, new java.security.SecureRandom(Array[Byte](42)))
+    val kp = kpg.generateKeyPair()
+    val grant = new JwtBearerGrant(
+      clientId = "ck", username = "u@example.org",
+      audience = "https://login.example.org", key = kp.getPrivate,
+      now = () => 1700000000000L)
+    val http = new FakeHttp(Iterator(ok("JWT_TOK")))
+    val p = new TokenProvider(creds, http, grant = Some(grant))
+    assert(p.token() == AuthToken("JWT_TOK", "https://na1.example.org"))
+
+    val (_, params) = http.calls.head
+    assert(params("grant_type") == "urn:ietf:params:oauth:grant-type:jwt-bearer")
+    val assertion = params("assertion")
+    val Array(h, c, s) = assertion.split('.')
+    // the signature must verify against the public key over header.claims
+    val sig = java.security.Signature.getInstance("SHA256withRSA")
+    sig.initVerify(kp.getPublic)
+    sig.update(s"$h.$c".getBytes("UTF-8"))
+    assert(sig.verify(java.util.Base64.getUrlDecoder.decode(s)),
+      "assertion signature must verify")
+    val claims = new String(java.util.Base64.getUrlDecoder.decode(c), "UTF-8")
+    assert(claims.contains(""""iss":"ck"""") &&
+      claims.contains(""""sub":"u@example.org"""") &&
+      claims.contains(""""aud":"https://login.example.org"""") &&
+      claims.contains(""""exp":1700000180"""), claims)
+  }
+
   test("expired session: invalidate, re-auth, replay exactly once") {
     val http = new FakeHttp(Iterator(ok("T1"), ok("T2")))
     val p = new TokenProvider(creds, http)

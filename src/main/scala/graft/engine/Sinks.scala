@@ -101,6 +101,15 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** ORC export/scan — the other columnar interchange format warehouses
+    * speak; same pushdown/pruning properties as parquet (predicate +
+    * column pruning reach the ORC reader). */
+  def exportOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Dead-letter routing: split `df` against the set of valid keys —
     * rows whose key misses are APPENDED to the quarantine path (the
     * accumulating reject table a production load keeps for replay), valid

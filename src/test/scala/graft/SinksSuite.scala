@@ -87,6 +87,19 @@ class SinksSuite extends SparkSuite {
     }
   }
 
+  test("orc round trip keeps values and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("graft_orc_").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "name", "score")
+    Sinks.exportOrc(df, s"$dir/t")
+    val back = Sinks.readOrc(spark, s"$dir/t").where(col("id") >= 2)
+    assert(back.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((2L, "b", 2.5), (3L, "c", 3.5)))
+    val p = back.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThanOrEqual"),
+      s"ORC scan must receive the pushed filter:\n$p")
+  }
+
   test("quarantineInvalid routes dangling keys to the dead-letter table, twice") {
     val dir = Files.createTempDirectory("graft_dlq_").toString
     val valid = Seq(1L, 2L, 3L).toDF("Id")

@@ -89,6 +89,40 @@ object Windows {
         WHERE ts_ms >= window_start_ms
           AND ts_ms < window_start_ms + 3600000
         GROUP BY window_start_ms, event_type
-        ORDER BY window_start_ms, event_type"""))
+        ORDER BY window_start_ms, event_type""")),
+
+    // ---- w04: top event type per tumbling hour (windowed top-k) ----------
+    // the trending-items shape: windowed counts -> rank within each
+    // window -> keep the leader. Deterministic tiebreak on event_type;
+    // one shuffle for the count, the rank rides the same partitioning.
+    QueryDef(
+      "w04_window_topk",
+      (s, d) => {
+        val counts = Tables(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_millis(col("window.start")).as("window_start_ms"),
+            col("event_type"), col("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("window_start_ms"))
+          .orderBy(col("n").desc, col("event_type"))
+        counts.withColumn("rk", row_number().over(w))
+          .where(col("rk") === 1)
+          .select(col("window_start_ms"), col("event_type"), col("n"))
+          .orderBy("window_start_ms")
+      },
+      Some("""
+        WITH counts AS (
+          SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600000 AS window_start_ms,
+                 event_type, COUNT(*) AS n
+          FROM events
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start_ms
+            ORDER BY n DESC, event_type) AS rk
+          FROM counts)
+        SELECT window_start_ms, event_type, n
+        FROM ranked WHERE rk = 1
+        ORDER BY window_start_ms"""))
   )
 }

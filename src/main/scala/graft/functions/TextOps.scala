@@ -21,9 +21,12 @@ object TextOps {
   /** Whitespace tokens of a document. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Canonical form for exact dedup: lowercase, collapsed whitespace. */
+  /** Canonical form for exact dedup: lowercase, collapsed whitespace,
+    * trimmed AFTER collapsing — `trim` strips spaces only, so a leading
+    * tab would otherwise survive as a leading space and normalize would
+    * not be idempotent (caught by TextPropertiesSuite). */
   def normalize(text: Column): Column =
-    lower(regexp_replace(trim(text), "\\s+", " "))
+    lower(trim(regexp_replace(text, "\\s+", " ")))
 
   /** Distinct word n-gram shingles as strings ("w1 w2 w3").
     *

@@ -119,7 +119,7 @@ object Dedup {
       Some("""
         SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
         FROM documents
-        GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
         ORDER BY canonical_id"""),
       bench = true),
 

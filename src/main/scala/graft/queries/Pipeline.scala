@@ -60,7 +60,7 @@ object Pipeline {
         ), canonical AS (
           SELECT * FROM (
             SELECT q.*, ROW_NUMBER() OVER (
-              PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+              PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
               ORDER BY doc_id) AS rk
             FROM quality q) t
           WHERE rk = 1

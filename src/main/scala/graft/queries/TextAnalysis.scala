@@ -175,7 +175,7 @@ object TextAnalysis {
       Some("""
         WITH sh AS (
           SELECT doc_id,
-                 md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_fp,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_fp,
                  list_distinct(list_transform(
                    generate_series(1, len(string_split_regex(trim(text), '\s+'))-2),
                    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
@@ -204,7 +204,7 @@ object TextAnalysis {
           .orderBy("doc_id"),
       Some("""
         WITH norm AS (
-          SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+          SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
           FROM documents
         ), g AS (
           SELECT doc_id, CASE WHEN length(t) >= 8 THEN

@@ -764,6 +764,33 @@ object Relational {
                count(*) AS n
         FROM cd GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- q41: interpolated percentiles (percentile_cont semantics) -------
+    // the exact continuous quantile — linear interpolation between the
+    // two straddling order statistics. Both engines interpolate the same
+    // rationals; the result is fixed-pointed to 1e-4 so a last-ulp
+    // association difference cannot break the hash compare.
+    QueryDef(
+      "q41_percentile_cont",
+      (s, d) => {
+        def r4(c: org.apache.spark.sql.Column) =
+          floor(c * 10000.0 + 0.5) / 10000.0
+        T(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+            r4(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               floor(quantile_cont(l_extendedprice, 0.5) * 10000.0 + 0.5)/10000.0 AS p50,
+               floor(quantile_cont(l_extendedprice, 0.9) * 10000.0 + 0.5)/10000.0 AS p90,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
     // ---- q35: gaps-and-islands sessionization (lag + running sum) --------
     // batch analog of the session window: an island = consecutive
     // same-user events with gaps <= 30 min. Two windows over ONE

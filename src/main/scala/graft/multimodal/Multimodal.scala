@@ -90,13 +90,24 @@ object Multimodal {
   /** Solid-color PNG — the deterministic synthetic frame payload (color
     * from the (id, index) hash), decodable by any ImageIO consumer. */
   private[graft] def syntheticPng(id: Long, idx: Int, size: Int = 16): Array[Byte] = {
-    val rgb = (((id * 31 + idx) * 2654435761L) & 0xFFFFFFL).toInt
+    // id-seeded low-frequency gradient (never all-black: luma floor 16),
+    // so each image has structure a perceptual hash can latch onto and
+    // distinct ids produce distinct patterns
+    val seed = (id * 31 + idx) * 2654435761L
+    val (dx, dy, base) =
+      (((seed >> 8) & 7).toInt + 1, ((seed >> 16) & 7).toInt + 1,
+        ((seed >> 24) & 0x7F).toInt + 16)
     val img = new java.awt.image.BufferedImage(
       size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < size) {
       var x = 0
-      while (x < size) { img.setRGB(x, y, rgb); x += 1 }
+      while (x < size) {
+        val v = (base + x * dx + y * dy) & 0xFF
+        val v2 = math.max(v, 16)
+        img.setRGB(x, y, (v2 << 16) | (v2 << 8) | v2)
+        x += 1
+      }
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
@@ -202,10 +213,10 @@ object Multimodal {
           (length(col("text")) * 10).cast("long").as("durationMs")).as("meta"),
         encode(col("text"), "UTF-8").as("bytes"))
       .as[MediaRow]
-      // video payloads become REAL containers (4 evenly spaced PNG
-      // frames) and audio payloads REAL sine-tone WAVs, so downstream
-      // demux/decode exercises actual media; executed per-row in
-      // executors, never on the driver
+      // every payload is REAL media: images are PNGs, video payloads are
+      // containers of 4 evenly spaced PNG frames, audio payloads are
+      // sine-tone WAVs — so downstream decode/demux exercises actual
+      // codecs; executed per-row in executors, never on the driver
       .map { m =>
         m.meta.kind match {
           case "video" =>
@@ -215,7 +226,8 @@ object Multimodal {
             m.copy(bytes = VideoContainer.encode(frames))
           case "audio" =>
             m.copy(bytes = syntheticWav(m.media_id, m.meta.sampleRate))
-          case _ => m
+          case _ =>
+            m.copy(bytes = syntheticPng(m.media_id, 0))
         }
       }
   }
@@ -329,6 +341,81 @@ object Multimodal {
     val norm = math.sqrt(v.map(x => x * x).sum).max(1e-9)
     v.map(x => (x / norm).toFloat)
   }
+
+  /** 64-bit perceptual hash (pHash family) of a decoded image: 32x32
+    * bilinear luma resample -> orthonormal 2D DCT -> first 64 zigzag
+    * low-frequency coefficients (DC excluded) -> bit i = coeff_i above
+    * the median. Resizes and mild perturbations move few bits; distinct
+    * images are ~32 bits apart (random). */
+  private[multimodal] def phashOf(img: java.awt.image.BufferedImage): Long = {
+    val grid = 32
+    val small = new java.awt.image.BufferedImage(
+      grid, grid, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, grid, grid, null)
+    g.dispose()
+    val luma = Array.ofDim[Double](grid, grid)
+    var y = 0
+    while (y < grid) {
+      var x = 0
+      while (x < grid) {
+        val rgb = small.getRGB(x, y)
+        luma(y)(x) = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val dct = dct2(luma, grid)
+    val coeffs = new Array[Double](64)
+    var taken = 0
+    var s = 1
+    while (taken < 64 && s <= 2 * (grid - 1)) {
+      var u = math.min(s, grid - 1)
+      while (taken < 64 && u >= math.max(0, s - (grid - 1))) {
+        coeffs(taken) = dct(u)(s - u)
+        taken += 1
+        u -= 1
+      }
+      s += 1
+    }
+    val sorted = coeffs.sorted
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (coeffs(i) > median) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** (media_id, simhash=pHash) for every ImageIO-decodable payload —
+    * column named to feed [[graft.functions.TextOps.simHashPairs]]
+    * directly, so image near-dup detection reuses the banded Hamming
+    * join (pigeonhole candidates + exact bit_count verify) unchanged. */
+  def perceptualHashes(media: Dataset[MediaRow],
+      batchSize: Int = 64): org.apache.spark.sql.DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { m =>
+        try {
+          Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.bytes)))
+            .map(img => (m.media_id, phashOf(img)))
+        } catch { case _: java.io.IOException => None }
+      })
+    }.toDF("media_id", "simhash")
+  }
+
+  /** Image near-duplicate pairs: pHash + banded Hamming join — the
+    * multimodal face of SimHash dedup. */
+  def imageNearDupPairs(media: Dataset[MediaRow],
+      maxHamming: Int): org.apache.spark.sql.DataFrame =
+    graft.functions.TextOps.simHashPairs(
+      perceptualHashes(media), "media_id", maxHamming)
 
   /** Orthonormal 2D DCT-II of an n×n grid (separable, O(n³)). */
   private def dct2(a: Array[Array[Double]], n: Int): Array[Array[Double]] = {

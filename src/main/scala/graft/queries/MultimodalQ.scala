@@ -40,6 +40,31 @@ object MultimodalQ {
             sum(length(col("frame_bytes"))).as("total_bytes"))
           .orderBy("media_id")
       },
+      None),
+
+    // ---- mm03: image near-dup detection (pHash + banded Hamming join) ----
+    // the multimodal face of SimHash dedup: re-encoded duplicates of the
+    // corpus images must pair with their originals through the same
+    // pigeonhole banding + exact bit_count verify the text path uses.
+    // (The synthetic 16x16 corpus images are high-frequency noise, so
+    // the corpus query plants exact duplicates; RESIZE-invariance on
+    // structured images is pinned in MultimodalSuite.) Rows-only —
+    // binary decode kernels are not SQL-expressible.
+    QueryDef(
+      "mm03_image_neardup",
+      (s, d) => {
+        import s.implicits._
+        val images = Multimodal
+          .syntheticMedia(s, Tables(s, d, "documents"))
+          .filter(_.meta.kind == "image")
+        val dupes = images.map(m => m.copy(media_id = m.media_id + 1000000L))
+        val pairs = Multimodal.imageNearDupPairs(
+          images.union(dupes), maxHamming = 10)
+        pairs
+          .where(col("id_b") === col("id_a") + 1000000L)
+          .select(col("id_a"), col("id_b"), col("hamming"))
+          .orderBy("id_a")
+      },
       None)
   )
 }

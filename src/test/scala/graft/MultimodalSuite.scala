@@ -114,6 +114,39 @@ class MultimodalSuite extends SparkSuite {
       s"feature space must separate: near=$nearPair far=$farPair")
   }
 
+  test("pHash: resized copy within hamming 10, different images far; near-dup join finds the pair") {
+    import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+    def png(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val gradient = png(128, 128, (x, _) => { val v = x * 2; (v << 16) | (v << 8) | v })
+    val blobs = png(128, 128, (x, y) =>
+      if (math.hypot(x - 40, y - 70) < 30 || math.hypot(x - 100, y - 30) < 20)
+        0xffffff else 0x101010)
+    val rows = Seq(
+      MediaRow(1L, MediaMeta("image", 128, 128, 0, 0L), gradient),
+      MediaRow(2L, MediaMeta("image", 128, 128, 0, 0L), blobs))
+    val resized = Multimodal.resize(
+      spark.createDataset(Seq(rows.head.copy(media_id = 3L))), maxSide = 64)
+    val all = spark.createDataset(rows).union(resized)
+    val hashes = Multimodal.perceptualHashes(all)
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashes(1L), hashes(3L)) <= 10,
+      s"resized copy drifted ${ham(hashes(1L), hashes(3L))} bits")
+    assert(ham(hashes(1L), hashes(2L)) > 16,
+      s"unrelated images only ${ham(hashes(1L), hashes(2L))} bits apart")
+    // the banded join surfaces exactly the (original, resized) pair
+    val pairs = Multimodal.imageNearDupPairs(all, maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L)), pairs.toString)
+  }
+
   test("features feed the ANN operators end to end") {
     val feats = Multimodal.extractFeatures(media, dim = 64)
       .toDF("vec_id", "embedding")

@@ -791,6 +791,49 @@ object Relational {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
 
+    // ---- q42: top standardized deviations per group (z-score ranking) ----
+    // the outlier-detection shape: per-type mean/variance from ONE
+    // map-side-combinable agg (decimal-exact sum/sumsq/count), broadcast
+    // back, rank every event by z². Parity discipline: all moments stay
+    // exact decimals; z² is one double division of identical operands,
+    // fixed-pointed to 1e-4 before the sort (event_id tiebreak).
+    QueryDef(
+      "q42_top_deviations",
+      (s, d) => {
+        val ev = T(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            col("value").cast("decimal(18,6)").as("v"))
+        val stats = ev.groupBy(col("event_type"))
+          .agg(sum(col("v")).as("sv"),
+            sum(col("v") * col("v")).as("svv"),
+            count(lit(1)).as("n"))
+        // z² = (v·n − sv)² / ((svv·n − sv²)·n), exact until one division
+        val num = (col("v") * col("n") - col("sv")) *
+          (col("v") * col("n") - col("sv"))
+        val den = (col("svv") * col("n") - col("sv") * col("sv")) * col("n")
+        ev.join(broadcast(stats), Seq("event_type"))
+          .withColumn("zsq",
+            floor(num.cast("double") / den.cast("double") * 10000.0 + 0.5) / 10000.0)
+          .select(col("event_id"), col("event_type"), col("zsq"))
+          .orderBy(col("zsq").desc, col("event_id"))
+          .limit(20)
+      },
+      Some("""
+        WITH stats AS (
+          SELECT event_type,
+                 SUM(CAST(value AS DECIMAL(18,6))) AS sv,
+                 SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS svv,
+                 COUNT(*) AS n
+          FROM events GROUP BY event_type)
+        SELECT event_id, e.event_type,
+               floor(CAST((CAST(value AS DECIMAL(18,6)) * n - sv) *
+                          (CAST(value AS DECIMAL(18,6)) * n - sv) AS DOUBLE) /
+                     CAST((svv * n - sv * sv) * n AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+                 AS zsq
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        ORDER BY zsq DESC, event_id
+        LIMIT 20""")),
+
     // ---- q35: gaps-and-islands sessionization (lag + running sum) --------
     // batch analog of the session window: an island = consecutive
     // same-user events with gaps <= 30 min. Two windows over ONE

@@ -110,6 +110,34 @@ object Sinks {
   def readOrc(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Small-files compaction: rewrite a parquet directory into
+    * ceil(bytes / targetBytes) files. Long-running ingest (especially
+    * streaming sinks — one file per micro-batch per partition) shreds
+    * tables into thousands of tiny files whose open/footer overhead
+    * dominates 100 TB scans; periodic compaction restores scan-sized
+    * files. Rewrites into a temp dir first, then swaps, so a reader
+    * never sees a half-written table. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val dir = new java.io.File(path)
+    val bytes = Option(dir.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = s"$path.__compacting"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val old = new java.io.File(path)
+    val bak = new java.io.File(s"$path.__old")
+    require(old.renameTo(bak), s"could not stage $path for swap")
+    require(new java.io.File(tmp).renameTo(old), s"could not swap in $tmp")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(bak)
+    nFiles
+  }
+
   /** Dead-letter routing: split `df` against the set of valid keys —
     * rows whose key misses are APPENDED to the quarantine path (the
     * accumulating reject table a production load keeps for replay), valid

@@ -100,6 +100,22 @@ class SinksSuite extends SparkSuite {
       s"ORC scan must receive the pushed filter:\n$p")
   }
 
+  test("compact coalesces a shredded table without changing its rows") {
+    val dir = Files.createTempDirectory("graft_compact_").toString
+    // shred: 64 partitions for 1000 rows = 64 tiny files
+    spark.range(1000).repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val before = new java.io.File(s"$dir/t").listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(before >= 32, s"expected many small files, got $before")
+    val n = Sinks.compact(spark, s"$dir/t", targetBytes = 1L << 20)
+    val after = new java.io.File(s"$dir/t").listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(after == n && after < before / 4, s"files: $before -> $after")
+    val back = spark.read.parquet(s"$dir/t").as[Long].collect().sorted
+    assert(back.toSeq == (0L until 1000L))
+  }
+
   test("quarantineInvalid routes dangling keys to the dead-letter table, twice") {
     val dir = Files.createTempDirectory("graft_dlq_").toString
     val valid = Seq(1L, 2L, 3L).toDF("Id")

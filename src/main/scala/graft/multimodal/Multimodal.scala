@@ -435,13 +435,15 @@ object Multimodal {
     }
   }
 
-  /** Feature extraction over a media batch: REAL histogram+DCT features
-    * (via [[imageFeature]]) for every payload ImageIO can decode;
-    * deterministic byte-window hash fallback for undecodable payloads
-    * (audio/video embedding models are libraries this environment does
-    * not ship — that fallback is the remaining documented stand-in).
-    * Output schema and batch shape match what an ANN index ingests
-    * ([[graft.functions.VectorOps]]). */
+  /** Feature extraction over a media batch — every shipped modality runs
+    * a REAL kernel: images through [[imageFeature]] (histogram+DCT),
+    * audio through PCM decode + Goertzel spectrum, video through the
+    * container demux with the middle frame pushed through the image
+    * kernel (the standard keyframe-embedding shape). The deterministic
+    * byte-window hash remains ONLY for payloads no decoder recognizes —
+    * the slot where a production deployment plugs batched model
+    * inference. Output schema and batch shape match what an ANN index
+    * ingests ([[graft.functions.VectorOps]]). */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 64,
       batchSize: Int = 64): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
@@ -458,24 +460,41 @@ object Multimodal {
               // REAL audio features: decoded PCM -> Goertzel spectrum
               case Some((rate, samples)) =>
                 MediaFeature(m.media_id, audioFeature(rate, samples, dim))
-              case None =>
-                // --- STUB KERNEL (payloads that are neither decodable
-                // image nor audio): replace with real batched model
-                // inference; deterministic byte-window hash ---
-                val v = new Array[Float](dim)
-                var i = 0
-                while (i < m.bytes.length) {
-                  val j = (m.bytes(i) & 0xff) % dim
-                  v(j) += 1.0f / (1 + i % 7)
-                  i += 1
+              // REAL video features: demux the container, embed the
+              // middle frame with the image kernel (keyframe shape)
+              case None if VideoContainer.decode(m.bytes).exists(_.nonEmpty) =>
+                val frames = VideoContainer.decode(m.bytes).get
+                val mid = frames(frames.size / 2)._2
+                val img =
+                  try Option(javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(mid)))
+                  catch { case _: java.io.IOException => None }
+                img match {
+                  case Some(f) => MediaFeature(m.media_id, imageFeature(f, dim))
+                  case None => MediaFeature(m.media_id, byteHashFeature(m.bytes, dim))
                 }
-                val norm = math.sqrt(v.map(x => x.toDouble * x).sum).max(1e-9)
-                MediaFeature(m.media_id, v.map(x => (x / norm).toFloat))
+              case None =>
+                // --- STUB KERNEL (payloads no decoder recognizes):
+                // replace with real batched model inference;
+                // deterministic byte-window hash ---
+                MediaFeature(m.media_id, byteHashFeature(m.bytes, dim))
             }
           }
         }
       }
     }
+  }
+
+  private def byteHashFeature(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) {
+      val j = (bytes(i) & 0xff) % dim
+      v(j) += 1.0f / (1 + i % 7)
+      i += 1
+    }
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum).max(1e-9)
+    v.map(x => (x / norm).toFloat)
   }
 
   /** Resize to `maxSide` on the longer edge: REAL bilinear resample +

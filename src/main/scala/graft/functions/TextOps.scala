@@ -257,6 +257,71 @@ object TextOps {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Iterative BPE training over the corpus — the real tokenizer-training
+    * loop, not just one pair count: each round counts all adjacent token
+    * pairs (one map-side-combinable aggregation), takes the most
+    * frequent pair (count desc, pair asc — fully deterministic), and
+    * rewrites every document with that pair merged (left-greedy,
+    * standard BPE semantics — an "a a a" run under merge (a,a) becomes
+    * ["aa", "a"]). The rewrite is a typed map: O(len) per document,
+    * no quadratic array rebuilding. Driver state is ONE (pair, count)
+    * row per round; at production scale rounds batch the top-k
+    * non-interacting merges per pass instead of one.
+    *
+    * Returns the merge table: (rank, left, right, count). */
+  def bpeTrain(
+      df: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L): Seq[(Int, String, String, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cur = df.select(tokens(col(textCol)).as("t")).as[Seq[String]].cache()
+    cur.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val top = cur.toDF("t")
+        .select(explode(when(size(col("t")) >= 2,
+          transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("l"),
+              element_at(col("t"), i + 1).as("r"))))
+          .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
+        .groupBy(col("p.l"), col("p.r")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).as[(String, String, Long)].collect()
+      top.headOption.filter(_._3 >= minCount) match {
+        case None => done = true
+        case Some((a, b, c)) =>
+          merges += ((rank, a, b, c))
+          val prev = cur
+          cur = prev.map(ts => mergePair(ts, a, b)).cache()
+          cur.count()
+          prev.unpersist()
+          rank += 1
+      }
+    }
+    cur.unpersist()
+    merges.toSeq
+  }
+
+  /** Left-greedy single-pair merge of a token sequence (plain Scala —
+    * runs inside the typed map of [[bpeTrain]]). */
+  private[graft] def mergePair(
+      ts: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < ts.length) {
+      if (i + 1 < ts.length && ts(i) == a && ts(i + 1) == b) {
+        out += a + b
+        i += 2
+      } else {
+        out += ts(i)
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
   /** Incremental near-dup join: MinHash+LSH candidates between a DELTA
     * (today's crawl) and an existing CORPUS, verified with exact
     * Jaccard — the daily-ingest dedup shape. Asymmetric by design: the

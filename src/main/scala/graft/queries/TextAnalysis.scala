@@ -559,6 +559,25 @@ object TextAnalysis {
                array_to_string(t[chunk_id*48 + 1 : chunk_id*48 + 64], ' ') AS chunk_text,
                CAST(len(t[chunk_id*48 + 1 : chunk_id*48 + 64]) AS BIGINT) AS n_tokens
         FROM chunks
-        ORDER BY doc_id, chunk_id"""))
+        ORDER BY doc_id, chunk_id""")),
+
+    // ---- t14: BPE training loop (iterative merges) ------------------------
+    // the full tokenizer-training iteration (t11 is one round of it):
+    // count pairs -> take the deterministic top -> rewrite the corpus ->
+    // repeat. Rows-only: replaying an iterative fixpoint in SQL is not
+    // practical; the merge semantics are pinned exactly on a hand-checked
+    // corpus in BpeSuite.
+    QueryDef(
+      "t14_bpe_train",
+      (s, d) => {
+        val merges = TextOps.bpeTrain(
+          Tables.corpus(s, d).select(col("text")), "text", numMerges = 8)
+        import s.implicits._
+        merges.toDF("rank", "left", "right", "cnt")
+          .select(col("rank").cast("long"), col("left"), col("right"),
+            col("cnt"))
+          .orderBy("rank")
+      },
+      None)
   )
 }

@@ -465,6 +465,36 @@ class ConnectorSuite extends SparkSuite {
     assert(created.forall(r => r.getString(0).startsWith("ID") && r.getString(1) != null))
   }
 
+  test("ORDER BY + LIMIT pushes as SOQL top-N; partial under PK ranges") {
+    val org = freshOrg("topn1")
+    val out = read("topn1").select("Id", "Amount")
+      .orderBy(col("Amount").desc).limit(3).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("ID010", "ID009", "ID008"))
+    val q = org.statements.last
+    assert(q.contains("ORDER BY Amount DESC") && q.contains("LIMIT 3"),
+      s"top-N must reach the org: $q")
+
+    // the sim hands out PK ranges for a 10-row table (parallelism-sized),
+    // so the statements above are already the PARTIAL top-N: every range
+    // query must carry its own ordered LIMIT and the merged result is
+    // exact. Assert that the range scans (if any) were each capped.
+    val rangeQs = org.statements.filter(s =>
+      s.contains("Id >") || s.contains("Id <="))
+    assert(rangeQs.forall(s =>
+      s.contains("ORDER BY Amount DESC") && s.contains("LIMIT 3")),
+      rangeQs.mkString("\n"))
+  }
+
+  test("sorting on an aggregate does NOT claim top-N pushdown") {
+    val org = freshOrg("topn3")
+    // group+agg pushes; the ORDER BY over the agg result stays in Spark
+    val out = read("topn3").groupBy("Region").count()
+      .orderBy(col("count").desc).limit(1).collect()
+    assert(out.head.getLong(1) == 5L)
+    assert(!org.statements.exists(_.contains("ORDER BY count")),
+      org.statements.mkString("\n"))
+  }
+
   test("write node reports processed/failed as DSv2 custom metrics") {
     import graft.sources.{InMemoryOrg, RemoteOrgRegistry}
     val sch = StructType(Seq(

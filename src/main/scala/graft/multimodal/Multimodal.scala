@@ -232,6 +232,33 @@ object Multimodal {
       }
   }
 
+  /** Ingest a directory of media files as [[MediaRow]]s through Spark's
+    * `binaryFile` source — the production loading path for raw media
+    * sitting in object storage: distributed file listing, per-file
+    * binary content rows, pushdown on path glob and modifiedAfter.
+    * media_id is the stable xxhash64 of the file path; width/height and
+    * duration are filled by downstream decode (metadata here records
+    * only payload size). */
+  def readMediaDir(spark: SparkSession, path: String, kind: String,
+      glob: Option[String] = None): Dataset[MediaRow] = {
+    import spark.implicits._
+    val reader = spark.read.format("binaryFile")
+    glob.foreach(g => reader.option("pathGlobFilter", g))
+    reader.load(path)
+      .select(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("path")).as("media_id"),
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.lit(kind).as("kind"),
+          org.apache.spark.sql.functions.lit(0).as("width"),
+          org.apache.spark.sql.functions.lit(0).as("height"),
+          org.apache.spark.sql.functions.lit(0).as("sampleRate"),
+          org.apache.spark.sql.functions.col("length").as("durationMs"))
+          .as("meta"),
+        org.apache.spark.sql.functions.col("content").as("bytes"))
+      .as[MediaRow]
+  }
+
   /** Decodes a payload with the JDK's ImageIO (PNG/JPEG/BMP/GIF, no
     * native deps); None when the bytes aren't a supported image. */
   private[multimodal] def decodeWithImageIO(bytes: Array[Byte]): Option[DecodedImage] =

@@ -147,6 +147,27 @@ class MultimodalSuite extends SparkSuite {
     assert(pairs == Set((1L, 3L)), pairs.toString)
   }
 
+  test("readMediaDir ingests files via binaryFile and decode works end to end") {
+    import graft.multimodal.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_").toFile
+    for (i <- 1 to 3) {
+      val bytes = Multimodal.syntheticPng(i.toLong, 0)
+      java.nio.file.Files.write(
+        new java.io.File(dir, s"img_$i.png").toPath, bytes)
+    }
+    java.nio.file.Files.write(
+      new java.io.File(dir, "notes.txt").toPath, "not an image".getBytes)
+    val media = Multimodal.readMediaDir(
+      spark, dir.toString, "image", glob = Some("*.png"))
+    assert(media.count() == 3, "glob must exclude the txt file")
+    assert(media.collect().forall(m => m.meta.kind == "image" && m.bytes.nonEmpty))
+    // distinct stable ids, real decode downstream
+    assert(media.map(_.media_id).distinct().count() == 3)
+    val decoded = Multimodal.decodeImages(media)
+    assert(decoded.count() == 3)
+    assert(decoded.collect().forall(d => d.width == 16 && d.height == 16))
+  }
+
   test("features feed the ANN operators end to end") {
     val feats = Multimodal.extractFeatures(media, dim = 64)
       .toDF("vec_id", "embedding")

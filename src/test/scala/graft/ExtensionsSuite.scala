@@ -73,4 +73,22 @@ class ExtensionsSuite extends AnyFunSuite {
     assert(spark.sql("SELECT graft_dot(array(2.0d), array(3.0d))")
       .head().getDouble(0) == 6.0)
   }
+
+  test("Views.register makes the whole engine usable from pure SQL") {
+    graft.Views.register(spark, "/root/testdata/sf0.001")
+    // a TPC-H-style join/agg via spark.sql matches the DataFrame program
+    val sqlRows = spark.sql("""
+      SELECT n_name, COUNT(*) AS n
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n DESC, n_name LIMIT 5""").collect()
+    assert(sqlRows.length == 5 && sqlRows.forall(_.getLong(1) > 0))
+    // the engine's own codegen functions compose with the views in SQL
+    val sim = spark.sql("""
+      SELECT a.vec_id, b.vec_id,
+             graft_dot(CAST(a.embedding AS ARRAY<DOUBLE>),
+                       CAST(b.embedding AS ARRAY<DOUBLE>)) AS dot
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      LIMIT 3""").collect()
+    assert(sim.length == 3)
+  }
 }

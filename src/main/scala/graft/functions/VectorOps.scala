@@ -346,11 +346,17 @@ object VectorOps {
     def staged(df: DataFrame, vc: String, keep: Seq[Column]): DataFrame =
       df.select((keep :+ col(vc)) ++
         (0 until m).map(j => slice(col(vc), j * sub + 1, sub).as(s"__s$j")): _*)
+    // each codebook rides as ONE nested-array literal and the ksub dot
+    // products come from a single transform over it — m small expression
+    // trees instead of m*ksub literal arrays, which keeps plan/codegen
+    // compilation (the fixed cost that dominated at small scale) flat in
+    // ksub while the per-row work is unchanged
+    def bookLit(j: Int): Column = typedlit(books(j).map(_.toSeq))
+    def lutOf(j: Int): Column =
+      transform(bookLit(j), ct => nativeDot(spark, col(s"__s$j"), ct))
     def codeOf(j: Int): Column = {
-      val scores = array(books(j).map { ct =>
-        nativeDot(spark, col(s"__s$j"), array(ct.map(lit): _*)) -
-          lit(ct.map(x => x * x).sum / 2.0)
-      }: _*)
+      val nh = typedlit(books(j).map(ct => ct.map(x => x * x).sum / 2.0))
+      val scores = zip_with(lutOf(j), nh, (d, h) => d - h)
       (array_position(scores, array_max(scores)) - 1).cast("int")
     }
     val encoded = staged(c, "__cv", Seq(col("neighbor_id")))
@@ -362,11 +368,7 @@ object VectorOps {
     val withLut = staged(q, "__qv", Seq(col("query_id")))
       .select(
         (col("query_id") +: col("__qv") +:
-          (0 until m).map { j =>
-            array(books(j).map(ct =>
-              nativeDot(spark, col(s"__s$j"), array(ct.map(lit): _*))): _*)
-              .as(s"__lut$j")
-          }): _*)
+          (0 until m).map(j => lutOf(j).as(s"__lut$j"))): _*)
     val approx = (0 until m).map(j =>
       element_at(col(s"__lut$j"), col(s"__c$j") + 1)).reduce(_ + _)
 
@@ -426,8 +428,13 @@ object VectorOps {
       trainCentroidsL2(sample.map(_.slice(j * sub, (j + 1) * sub)), ksub, iters)
     }
 
+    // nested-array literals + one HOF per codebook — same flat-compile
+    // trick as pqTopK (m small trees instead of m*ksub literal arrays)
     def coarseDots(v: Column): Column =
-      array(coarseCols.map(ct => nativeDot(spark, v, ct)): _*)
+      transform(typedlit(coarse.map(_.toSeq)), ct => nativeDot(spark, v, ct))
+    def bookLut(j: Int): Column =
+      transform(typedlit(books(j).map(_.toSeq)),
+        ct => nativeDot(spark, col(s"__s$j"), ct))
     def subCols(vc: String): Seq[Column] =
       (0 until m).map(j => slice(col(vc), j * sub + 1, sub).as(s"__s$j"))
 
@@ -441,10 +448,8 @@ object VectorOps {
         (array_position(col("__cd"), array_max(col("__cd"))) - 1).cast("int")
           .as("__bucket") +:
         (0 until m).map { j =>
-          val scores = array(books(j).map { ct =>
-            nativeDot(spark, col(s"__s$j"), array(ct.map(lit): _*)) -
-              lit(ct.map(x => x * x).sum / 2.0)
-          }: _*)
+          val nh = typedlit(books(j).map(ct => ct.map(x => x * x).sum / 2.0))
+          val scores = zip_with(bookLut(j), nh, (d, h) => d - h)
           (array_position(scores, array_max(scores)) - 1).cast("int").as(s"__c$j")
         }): _*)
       .cache() // read by the code scan AND the shortlist refine join
@@ -464,11 +469,7 @@ object VectorOps {
     val withLut = qStaged.select(
       (col("query_id") +: col("__qv") +:
         explode(col("__probes")).as("__bucket") +:
-        (0 until m).map { j =>
-          array(books(j).map(ct =>
-            nativeDot(spark, col(s"__s$j"), array(ct.map(lit): _*))): _*)
-            .as(s"__lut$j")
-        }): _*)
+        (0 until m).map(j => bookLut(j).as(s"__lut$j"))): _*)
 
     // probe join on the bucket id; score = m LUT lookups, no vectors
     val approx = (0 until m).map(j =>

@@ -156,12 +156,18 @@ object VectorOps {
     val centroids = trainCentroids(
       sortSample(c.select(col("__cv")).limit(sampleSize).collect()
         .map(_.getSeq[Double](0).toArray)), nlist, iters)
+
     val centCols = centroids.map(ct => array(ct.map(lit): _*))
 
     // nearest-centroid argmax: one codegen dot per centroid, then the
     // 1-based position of the max — ties resolve to the lowest index.
     // The dot array is staged as its own column so it is computed once
     // per row, not once per referencing expression (HOF pitfall).
+    // NOTE: the literal-array form is deliberate — at nlist=16 the
+    // expression tree is small and stays in whole-stage codegen; the
+    // nested-literal + transform variant (right for PQ's m*ksub trees)
+    // measured 7x SLOWER here because the interpreted HOF evaluator
+    // took over the hot corpus-assignment pass.
     def dots(v: Column): Column =
       array(centCols.map(ct => nativeDot(spark, v, ct)): _*)
     val assigned = c.withColumn("__dots", dots(col("__cv")))
@@ -268,6 +274,7 @@ object VectorOps {
     val centCols = centroids.map(ct => array(ct.map(lit): _*))
     val k = math.min(nassign, centroids.length)
     // top-nassign centroid indices, same argsort idiom as ivfTopK
+    // (codegen literal arrays — see the ivfTopK note)
     val assignList = slice(
       transform(
         array_sort(zip_with(

@@ -34,7 +34,9 @@ object Profile {
         case _ => lit(null).cast("double")
       }
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        // sum over ZERO rows is null — an empty table must profile as 0
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"__nn_$c"),
         countDistinct(col(c)).as(s"__nd_$c"),
         min(numeric).as(s"__mn_$c"),
         max(numeric).as(s"__mx_$c"))

@@ -54,6 +54,17 @@ class PackingSuite extends SparkSuite {
     assert(again.exceptAll(packed).count() === 0)
   }
 
+  test("empty input packs to an empty result, not an error") {
+    val empty = docs.where(col("doc_id") < 0)
+    assert(TextOps.packSequences(empty, "doc_id", "tok", 4, cap).count() === 0)
+  }
+
+  test("a single bucket still packs every doc (degenerate sharding)") {
+    val one = TextOps.packSequences(docs, "doc_id", "tok", buckets = 1, capacity = cap)
+    assert(one.count() === 400)
+    assert(one.select("bucket").distinct().count() === 1)
+  }
+
   test("oversize docs land alone in their own sequence") {
     val oversizeSeqs = packed.where(col("n_tokens") > cap)
       .select("bucket", "seq_id")

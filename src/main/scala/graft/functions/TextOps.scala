@@ -304,6 +304,27 @@ object TextOps {
     merges.toSeq
   }
 
+  /** Tokenize the corpus with a learned merge table: every document's
+    * token sequence has the merges applied IN RANK ORDER (the BPE
+    * inference rule — training order is the merge priority). One typed
+    * map over the corpus, the merge list broadcast by closure; O(merges
+    * x len) per document. Returns (idCol, tokens) with the merged
+    * vocabulary applied. */
+  def bpeApply(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ordered = merges.sortBy(_._1).map(m => (m._2, m._3))
+    df.select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("toks"))
+      .as[(Long, Seq[String])]
+      .map { case (id, ts) =>
+        (id, ordered.foldLeft(ts) { case (cur, (a, b)) => mergePair(cur, a, b) })
+      }
+      .toDF(idCol, "tokens")
+  }
+
   /** Left-greedy single-pair merge of a token sequence (plain Scala —
     * runs inside the typed map of [[bpeTrain]]). */
   private[graft] def mergePair(

@@ -578,6 +578,28 @@ object TextAnalysis {
             col("cnt"))
           .orderBy("rank")
       },
+      None),
+
+    // ---- t15: BPE tokenization (apply the learned merges) ----------------
+    // train -> apply, end to end: the corpus re-tokenized under the
+    // learned vocabulary; per-doc compression demonstrates the merges
+    // actually fire. Rows-only (iterative); the token counts are the
+    // auditable signal (merged <= raw always, strictly < where merges
+    // applied).
+    QueryDef(
+      "t15_bpe_tokenize",
+      (s, d) => {
+        val docs = Tables.corpus(s, d)
+        val merges = TextOps.bpeTrain(
+          docs.select(col("text")), "text", numMerges = 8)
+        TextOps.bpeApply(docs, "doc_id", "text", merges)
+          .select(col("doc_id"),
+            size(col("tokens")).cast("long").as("n_merged_tokens"))
+          .join(docs.select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_raw_tokens")),
+            Seq("doc_id"))
+          .orderBy("doc_id")
+      },
       None)
   )
 }

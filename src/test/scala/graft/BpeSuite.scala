@@ -28,6 +28,22 @@ class BpeSuite extends SparkSuite {
     assert(TextOps.mergePair(Seq("b", "a", "a"), "a", "a") == Seq("b", "aa"))
   }
 
+  test("bpeApply replays training merges in rank order") {
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs.select(col("text")), "text", 10, minCount = 2L)
+    val out = TextOps.bpeApply(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    // merge 1 = (a,b); (ab,c)/(ab,d) each count 1 < minCount -> stop
+    assert(out(1L) == Seq("ab", "c") && out(2L) == Seq("ab", "d"), out.toString)
+    // applying in rank order chains merges: train on a corpus where both
+    // (a,b) and (ab,c) are learned, apply must produce the full "abc"
+    val docs2 = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val m2 = TextOps.bpeTrain(docs2.select(col("text")), "text", 10, minCount = 2L)
+    val out2 = TextOps.bpeApply(docs2, "doc_id", "text", m2)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out2(1L) == Seq("abc"), out2.toString)
+  }
+
   test("every merge strictly shrinks the corpus token count") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("text")).limit(100)

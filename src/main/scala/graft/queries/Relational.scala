@@ -93,11 +93,18 @@ object Relational {
         val c = T(s, d, "customer")
         val o = T(s, d, "orders")
         val l = T(s, d, "lineitem")
-        l.join(o, col("l_orderkey") === col("o_orderkey"))
+        // reduce BEFORE the fact-fact join: per-order revenue first
+        // (map-side combinable, 4x fewer join rows since lineitem:orders
+        // is ~4:1), then the order->customer rollup — decimal sums are
+        // associative so the split is exact. At 100 TB this halves the
+        // dominant shuffle; the sort-merge joins what's left.
+        val perOrder = l.groupBy(col("l_orderkey"))
+          .agg(sum(money("l_extendedprice") * factor1("-", "l_discount"))
+            .as("__rev"))
+        perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_custkey"), col("c_name"))
-          .agg(sum(money("l_extendedprice") * factor1("-", "l_discount"))
-            .cast("double").as("revenue"))
+          .agg(sum(col("__rev")).cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("c_custkey"))
           .limit(10)
       },

@@ -102,6 +102,56 @@ object Similarity {
       None,
       bench = true),
 
+    // ---- s06: behavioral time-series similarity ---------------------------
+    // the "similar users" shape: each user's event stream folds into a
+    // 24-dim hour-of-day activity profile (24 conditional decimal sums —
+    // ONE map-side-combinable aggregation, exact until the final
+    // per-element double cast), then the standard cosine top-k runs on
+    // the derived vectors. Any ANN path (s02-s05) accepts the same
+    // profiles at scale; the gate uses the exact form so DuckDB can
+    // replay it bit-for-bit with list_cosine_similarity.
+    QueryDef(
+      "s06_user_similarity",
+      (s, d) => {
+        val hourSums = (0 until 24).map { h =>
+          sum(when(hour(col("ts")) === h, col("value").cast("decimal(18,6)"))
+            .otherwise(lit(0).cast("decimal(18,6)")))
+            .cast("double").as(s"h$h")
+        }
+        val profiles = Tables(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(hourSums.head, hourSums.tail: _*)
+          .select(col("user_id"),
+            array((0 until 24).map(h => col(s"h$h")): _*).as("profile"))
+        VectorOps.bruteForceTopK(
+            profiles.where(col("user_id") < 10), profiles,
+            "user_id", "profile", k = 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val sums = (0 until 24).map(h =>
+          s"CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) = $h THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)")
+          .mkString(", ")
+        s"""
+        WITH profiles AS (
+          SELECT user_id, [$sums] AS profile
+          FROM events GROUP BY user_id
+        ), scored AS (
+          SELECT q.user_id AS query_id, c.user_id AS neighbor_id,
+                 list_cosine_similarity(q.profile, c.profile) AS cos
+          FROM profiles q JOIN profiles c ON q.user_id != c.user_id
+          WHERE q.user_id < 10
+        ), ranked AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, neighbor_id
+        FROM ranked WHERE rank <= 3
+        ORDER BY query_id, rank"""
+      }),
+
     // ---- s05: IVF x PQ — the composed production stack --------------------
     // coarse quantizer bounds WHICH rows are scanned (nprobe/nlist), PQ
     // bounds the per-row cost (8 byte-codes + LUT adds), exact re-rank

@@ -138,6 +138,46 @@ object Sinks {
     nFiles
   }
 
+  /** Versioned atomic publish: each write lands in `path/v=N` and a
+    * `_LATEST` pointer file flips to N only after the data is fully
+    * written (tmp + rename — readers NEVER see a half-written version).
+    * Old versions stay readable ([[readVersion]]) until pruned — the
+    * poor-man's time travel a pipeline output needs for safe downstream
+    * consumption and rollback. Returns the published version. */
+  def writeVersioned(df: DataFrame, path: String): Long = {
+    val root = new java.io.File(path)
+    root.mkdirs()
+    val next = Option(root.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+      .foldLeft(0L)(math.max) + 1
+    df.write.mode("overwrite").parquet(s"$path/v=$next")
+    val tmp = new java.io.File(root, "_LATEST.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(root, "_LATEST").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  def latestVersion(path: String): Option[Long] = {
+    val p = new java.io.File(path, "_LATEST").toPath
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    else None
+  }
+
+  def readLatest(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    readVersion(spark, path, latestVersion(path).getOrElse(
+      throw new IllegalStateException(s"no published version under $path")))
+
+  def readVersion(spark: org.apache.spark.sql.SparkSession, path: String,
+      version: Long): DataFrame =
+    spark.read.parquet(s"$path/v=$version")
+
   /** Dead-letter routing: split `df` against the set of valid keys —
     * rows whose key misses are APPENDED to the quarantine path (the
     * accumulating reject table a production load keeps for replay), valid

@@ -100,6 +100,19 @@ class SinksSuite extends SparkSuite {
       s"ORC scan must receive the pushed filter:\n$p")
   }
 
+  test("versioned publish: readers flip atomically, old versions stay readable") {
+    val dir = Files.createTempDirectory("graft_ver_").toString
+    assert(Sinks.latestVersion(s"$dir/t").isEmpty)
+    val v1 = Sinks.writeVersioned(Seq((1L, "a")).toDF("id", "v"), s"$dir/t")
+    val v2 = Sinks.writeVersioned(Seq((1L, "b"), (2L, "c")).toDF("id", "v"), s"$dir/t")
+    assert(v1 == 1L && v2 == 2L)
+    assert(Sinks.latestVersion(s"$dir/t").contains(2L))
+    assert(Sinks.readLatest(spark, s"$dir/t").count() == 2)
+    // rollback surface: the previous version is intact
+    assert(Sinks.readVersion(spark, s"$dir/t", 1L)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
   test("compact coalesces a shredded table without changing its rows") {
     val dir = Files.createTempDirectory("graft_compact_").toString
     // shred: 64 partitions for 1000 rows = 64 tiny files

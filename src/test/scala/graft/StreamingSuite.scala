@@ -153,6 +153,58 @@ class StreamingSuite extends SparkSuite {
     } finally q.stop()
   }
 
+  test("end-to-end incremental analytics: org stream -> watermarked window -> org sink") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    import graft.sources.{InMemoryOrg, RemoteOrgRegistry}
+    val srcSch = StructType(Seq(
+      StructField("Id", StringType), StructField("EventTs", StringType),
+      StructField("Amount", StringType)))
+    val src = new InMemoryOrg
+    src.createTable("Metric__c", srcSch)
+    val dst = new InMemoryOrg
+    dst.createTable("Rollup__c", StructType(Seq(
+      StructField("Id", StringType), StructField("WindowStart", StringType),
+      StructField("Total", StringType))))
+    RemoteOrgRegistry.register("an_src", src)
+    RemoteOrgRegistry.register("an_dst", dst)
+    def ev(minute: Int, amount: Int) =
+      Row(null, f"2024-01-01 10:$minute%02d:00", amount.toString)
+    src.insert("Metric__c", Seq(ev(1, 5), ev(2, 7), ev(31, 3)), srcSch)
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_an_").toString
+    val agg = spark.readStream.format("salesforce-sim")
+      .option("org", "an_src").option("sObject", "Metric__c").load()
+      .select(col("EventTs").cast("timestamp").as("ts"),
+        col("Amount").cast("long").as("amount"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes"))
+      .agg(sum(col("amount")).as("total"))
+      .select(lit(null).cast("string").as("Id"),
+        col("window.start").cast("string").as("WindowStart"),
+        col("total").cast("string").as("Total"))
+    val q = agg.writeStream.format("salesforce-sim")
+      .option("org", "an_dst").option("sObject", "Rollup__c")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // watermark has not passed the first window yet — nothing emitted
+      assert(dst.rows("Rollup__c").isEmpty)
+      // an 11:15 event moves the watermark to 11:05, past both windows' ends
+      src.insert("Metric__c",
+        Seq(Row(null, "2024-01-01 11:15:00", "1")), srcSch)
+      q.processAllAvailable()
+      q.processAllAvailable() // one more cycle: emit after watermark advance
+      val out = dst.rows("Rollup__c")
+        .map(r => (r.getString(1), r.getString(2))).sorted
+      assert(out == Seq(
+        ("2024-01-01 10:00:00", "12"), ("2024-01-01 10:30:00", "3")), out.toString)
+      // minted Ids prove the rows went through the org write path
+      assert(dst.rows("Rollup__c").forall(_.getString(0) != null))
+    } finally q.stop()
+  }
+
   test("connector is a native streaming sink (no foreachBatch shim)") {
     import org.apache.spark.sql.types._
     import graft.sources.{InMemoryOrg, RemoteOrgRegistry}

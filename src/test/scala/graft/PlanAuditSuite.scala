@@ -291,6 +291,30 @@ class PlanAuditSuite extends SparkSuite {
       s"profiling must read the table exactly once:\n$p")
   }
 
+  test("s06: one profile aggregation, query side broadcasts, no shuffle-side cartesian") {
+    val df = SparkEntry.queries("s06_user_similarity")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the 24 conditional sums must partial-combine map-side
+    assert(p.contains("HashAggregate"), p)
+    // the query-profile side broadcasts into the scoring pass
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the small query side must broadcast:\n" + p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("q03: per-order pre-aggregation runs below the orders join") {
+    val df = SparkEntry.queries("q03_top_customers")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // lineitem must aggregate to per-order revenue BEFORE joining orders:
+    // at least two aggregate levels and no cartesian anywhere
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q38: funnel stages reuse one user_id partitioning (no extra exchanges)") {
     val df = SparkEntry.queries("q38_funnel")(spark, sf)
     df.collect()

@@ -53,4 +53,23 @@ object Reconcile {
         .otherwise(lit("")).as("changed_cols"))
       .where(col("status") =!= "same")
   }
+
+  /** Order-independent table checksum: sum of per-row xxhash64 over the
+    * given columns (default: all, in name order so column order can't
+    * change the result). Commutative + associative, so it computes in
+    * one map-side-combinable pass under ANY partitioning — the cheap
+    * equality pre-check a migration runs on both sides BEFORE paying for
+    * the full [[diff]]. Equal checksums don't prove equality (64-bit
+    * collisions), unequal checksums prove difference — use it to skip
+    * diffs, never to skip investigating a mismatch. */
+  def checksum(df: DataFrame, cols: Seq[String] = Nil): Long = {
+    val use = (if (cols.nonEmpty) cols else df.columns.toSeq).sorted
+    // exact decimal sum (a long sum overflows under ANSI on ~2^? rows of
+    // full-range hashes), folded to a stable long mod a 63-bit prime
+    val h = df.select(xxhash64(use.map(col): _*).cast("decimal(38,0)").as("__h"))
+      .agg(pmod(sum(col("__h")), lit(9223372036854775783L).cast("decimal(38,0)"))
+        .cast("long").as("s"))
+      .head()
+    if (h.isNullAt(0)) 0L else h.getLong(0)
+  }
 }

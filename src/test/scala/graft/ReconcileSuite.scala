@@ -35,4 +35,20 @@ class ReconcileSuite extends SparkSuite {
     assert(Reconcile.diff(l, r, "k", compareCols = Seq("v")).count() == 0)
     assert(Reconcile.diff(l, r, "k").collect().head.getString(2) == "w")
   }
+
+  test("checksum: partitioning- and order-independent; any change flips it") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val c0 = Reconcile.checksum(base)
+    // row order and partitioning must not matter
+    assert(Reconcile.checksum(base.orderBy(org.apache.spark.sql.functions.col("k").desc)
+      .repartition(7)) == c0)
+    // column ORDER must not matter (names are canonicalized)
+    assert(Reconcile.checksum(base.select("v", "k")) == c0)
+    // any value change flips the checksum
+    val changed = Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "v")
+    assert(Reconcile.checksum(changed) != c0)
+    // empty table is stable
+    assert(Reconcile.checksum(base.where("k < 0")) == 0L)
+  }
 }

@@ -55,8 +55,12 @@ object Reconcile {
   }
 
   /** Order-independent table checksum: sum of per-row xxhash64 over the
-    * given columns (default: all, in name order so column order can't
-    * change the result). Commutative + associative, so it computes in
+    * given columns. The column list is CANONICALIZED BY NAME — both the
+    * default (all columns) and an explicitly passed `cols` are sorted, so
+    * two calls naming the same columns in different orders always agree;
+    * callers needing column-ORDER-sensitive hashing (e.g. xxhash64 parity
+    * with an external system's fixed column order) should compute
+    * `xxhash64(cols...)` directly. Commutative + associative, so it computes in
     * one map-side-combinable pass under ANY partitioning — the cheap
     * equality pre-check a migration runs on both sides BEFORE paying for
     * the full [[diff]]. Equal checksums don't prove equality (64-bit

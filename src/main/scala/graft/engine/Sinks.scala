@@ -115,21 +115,55 @@ object Sinks {
     * streaming sinks — one file per micro-batch per partition) shreds
     * tables into thousands of tiny files whose open/footer overhead
     * dominates 100 TB scans; periodic compaction restores scan-sized
-    * files. Rewrites into a temp dir first, then swaps, so a reader
-    * never sees a half-written table. */
+    * files.
+    *
+    * Hive-partitioned layouts (from [[writePartitioned]]) are handled:
+    * sizing recurses into the partition tree and the rewrite preserves
+    * `partitionBy` (partition columns recovered from the `k=v` directory
+    * names), keeping planning-time pruning intact — rows are clustered so
+    * each partition directory compacts to one file.
+    *
+    * Swap protocol (and its failure window, for the local-FS TableIO —
+    * object-store deployments publish a pointer like [[writeVersioned]]
+    * instead): the rewrite lands in `path.__compacting`, then two renames
+    * swap it in. Between the renames `path` briefly does not exist, and a
+    * crash there strands the data at `path.__old` — so compact() begins by
+    * ROLLING BACK any stranded `__old` from a previous crash, making the
+    * swap self-healing rather than silently destructive. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
     val dir = new java.io.File(path)
-    val bytes = Option(dir.listFiles).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    val bak = new java.io.File(s"$path.__old")
+    // crash recovery: a previous compact() that died between its two
+    // renames left the table at __old and nothing at `path`
+    if (bak.isDirectory && !dir.exists())
+      require(bak.renameTo(dir), s"could not roll back stranded $bak")
+    def walkBytes(f: java.io.File): Long =
+      if (f.isFile) { if (f.getName.endsWith(".parquet")) f.length else 0L }
+      else Option(f.listFiles).getOrElse(Array.empty).map(walkBytes).sum
+    // partition columns from the k=v directory chain (first leaf path)
+    def partCols(f: java.io.File, acc: Vector[String]): Vector[String] = {
+      val sub = Option(f.listFiles).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.contains("="))
+      sub.headOption match {
+        case Some(d) => partCols(d, acc :+ d.getName.split("=", 2)(0))
+        case None => acc
+      }
+    }
+    val parts = partCols(dir, Vector.empty)
+    val bytes = walkBytes(dir)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tmp = s"$path.__compacting"
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp)
-    val old = new java.io.File(path)
-    val bak = new java.io.File(s"$path.__old")
-    require(old.renameTo(bak), s"could not stage $path for swap")
-    require(new java.io.File(tmp).renameTo(old), s"could not swap in $tmp")
+    val df = spark.read.parquet(path)
+    // cluster on the partition cols: every partition value lands in one
+    // task → one compacted file per partition directory
+    val writer = parts match {
+      case Seq() => df.repartition(nFiles).write
+      case ps => df.repartition(nFiles, ps.map(col): _*).write.partitionBy(ps: _*)
+    }
+    writer.mode("overwrite").parquet(tmp)
+    require(dir.renameTo(bak), s"could not stage $path for swap")
+    require(new java.io.File(tmp).renameTo(dir), s"could not swap in $tmp")
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
       f.delete()

@@ -141,14 +141,23 @@ object TextOps {
     * one-sided: set sizes and frequencies are computed over the hashed
     * sets themselves, so hash-Jaccard >= string-Jaccard (collisions only
     * merge elements) and every string-space qualifying pair survives the
-    * filter; spurious collision-born candidates are killed by the exact
-    * string-set verify. */
+    * filter. On the [[hashedShingleSets]] path [[verifyJaccard]] also
+    * runs in hash space, so a collision can nudge the final jac by at
+    * most ~1/|S| with probability ~|S|²/2⁶⁴ per pair (vanishing — see
+    * hashedShingleSets); string-form inputs get the exact string verify. */
   def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ArrayType, LongType}
     val t = threshold
+    // [[hashedShingleSets]] input is ALREADY hashed (array<bigint>) — re-
+    // hashing every element per row would double the projection cost of
+    // the hottest stage for nothing
+    val hashed = sh.schema("__sh").dataType match {
+      case ArrayType(LongType, _) => col("__sh")
+      case _ => array_distinct(transform(col("__sh"), s => xxhash64(s)))
+    }
     val ex = sh
-      .select(col("__id"),
-        array_distinct(transform(col("__sh"), s => xxhash64(s))).as("__hs"))
+      .select(col("__id"), hashed.as("__hs"))
       .select(col("__id"), size(col("__hs")).as("__n"),
         explode(col("__hs")).as("__s"))
     // distinct output name: a USING self-join on the same lineage trips
@@ -249,6 +258,7 @@ object TextOps {
         MinHashSig.column(df.sparkSession, col("__sh"), numHashes).as("__sig"))
       .select(col("__id"), lshBandKeys(col("__sig"), bands, r).as("__bands"))
       .cache()
+    sig.count() // eager: both self-join sides read it (first-reader race)
     val ex = sig.select(col("__id"), posexplode(col("__bands")).as(Seq("__b", "__key")))
     val l = ex.select(col("__id").as("id_a"), col("__b"), col("__key"))
     val rt = ex.select(col("__id").as("id_b"), col("__b"), col("__key"))
@@ -257,19 +267,119 @@ object TextOps {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Adjacent-token-pair counts of a tokenized corpus, ordered the way
+    * the BPE trainer picks (count desc, pair asc — fully deterministic);
+    * one map-side-combinable aggregation. */
+  private def topPairs(cur: org.apache.spark.sql.Dataset[Seq[String]],
+      k: Int): Array[(String, String, Long)] = {
+    import cur.sparkSession.implicits._
+    cur.toDF("t")
+      .select(explode(when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("l"),
+            element_at(col("t"), i + 1).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
+      .groupBy(col("p.l"), col("p.r")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("l"), col("r"))
+      .limit(k).as[(String, String, Long)].collect()
+  }
+
   /** Iterative BPE training over the corpus — the real tokenizer-training
-    * loop, not just one pair count: each round counts all adjacent token
-    * pairs (one map-side-combinable aggregation), takes the most
-    * frequent pair (count desc, pair asc — fully deterministic), and
-    * rewrites every document with that pair merged (left-greedy,
-    * standard BPE semantics — an "a a a" run under merge (a,a) becomes
-    * ["aa", "a"]). The rewrite is a typed map: O(len) per document,
-    * no quadratic array rebuilding. Driver state is ONE (pair, count)
-    * row per round; at production scale rounds batch the top-k
-    * non-interacting merges per pass instead of one.
+    * loop: each round counts all adjacent token pairs (one
+    * map-side-combinable aggregation) and rewrites every document with
+    * the merges learned that round (left-greedy, standard BPE semantics —
+    * an "a a a" run under merge (a,a) becomes ["aa", "a"]). The rewrite
+    * is one typed map: O(batch x len) per document, no quadratic array
+    * rebuilding.
+    *
+    * Rounds are BATCHED — up to `batchK` merges per corpus pass — with
+    * semantics PROVABLY identical to the one-merge-per-round trainer
+    * ([[bpeTrainSerial]], equality pinned in BpeSuite):
+    *
+    *   1. take the maximal PREFIX of the (count desc, pair asc) order
+    *      whose pairs are mutually token-disjoint (stop at the first
+    *      conflicting pair — scanning past it could reorder the serial
+    *      pick sequence);
+    *   2. truncate the prefix to pairs whose count is STRICTLY greater
+    *      than the first non-accepted pair's count. Merging a batch pair
+    *      only (a) removes its own occurrences, (b) decrements pairs
+    *      that touch it, and (c) creates pairs (x,ab)/(ab,y) with count
+    *      bounded by the old touching-pair counts — and every touching
+    *      pair sits BELOW the accepted prefix in the sort order, so after
+    *      (2) nothing a batch merge creates or shrinks can beat OR TIE a
+    *      later batch member under the serial tiebreak;
+    *   3. if (2) leaves nothing, fall back to the plain serial step (the
+    *      single top pair), which is always exact.
+    *
+    * So a 32k-merge vocabulary costs ~32k/batchK Spark jobs instead of
+    * 32k — the driver-round bottleneck the serial loop has at production
+    * vocab sizes — while emitting the byte-identical merge table.
     *
     * Returns the merge table: (rank, left, right, count). */
   def bpeTrain(
+      df: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L, batchK: Int = 16): Seq[(Int, String, String, Long)] =
+    bpeTrainWithRounds(df, textCol, numMerges, minCount, batchK)._1
+
+  /** [[bpeTrain]] plus the corpus-pass count, so tests can pin the
+    * batching actually batched (rounds << merges). */
+  private[graft] def bpeTrainWithRounds(
+      df: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L, batchK: Int = 16): (Seq[(Int, String, String, Long)], Int) = {
+    require(batchK >= 1, "batchK must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cur = df.select(tokens(col(textCol)).as("t")).as[Seq[String]].cache()
+    cur.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rounds = 0
+    var done = false
+    while (merges.size < numMerges && !done) {
+      rounds += 1
+      // fetch one row PAST the batch budget: the first non-accepted count
+      // is the safety boundary for step (2)
+      val want = math.min(batchK, numMerges - merges.size)
+      val top = topPairs(cur, want + 1)
+      if (top.isEmpty || top.head._3 < minCount) done = true
+      else {
+        // (1) maximal mutually-disjoint prefix of the serial pick order
+        val used = scala.collection.mutable.Set.empty[String]
+        val prefix = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var i = 0
+        var stop = false
+        while (i < top.length && i < want && !stop) {
+          val (a, b, c) = top(i)
+          if (c < minCount || used(a) || used(b)) stop = true
+          else { prefix += top(i); used += a; used += b; i += 1 }
+        }
+        // (2) strict-dominance truncation against the first non-accepted
+        // count (0 when the pair list was exhausted)
+        val boundary = if (i < top.length) top(i)._3 else 0L
+        val safe = {
+          val s = prefix.takeWhile(_._3 > boundary)
+          if (s.isEmpty) prefix.take(1) else s // (3) serial fallback
+        }
+        safe.foreach { case (a, b, c) =>
+          merges += ((merges.size + 1, a, b, c))
+        }
+        val batch = safe.map(m => (m._1, m._2)).toList
+        val prev = cur
+        // ONE rewrite pass applies the whole batch in rank order
+        cur = prev.map(ts => batch.foldLeft(ts) {
+          case (t, (a, b)) => mergePair(t, a, b)
+        }).cache()
+        cur.count()
+        prev.unpersist()
+      }
+    }
+    cur.unpersist()
+    (merges.toSeq, rounds)
+  }
+
+  /** One-merge-per-round reference trainer — the textbook loop the
+    * batched [[bpeTrain]] must match byte-for-byte (BpeSuite pins the
+    * equality). Kept as the semantic oracle, not the production path. */
+  private[graft] def bpeTrainSerial(
       df: DataFrame, textCol: String, numMerges: Int,
       minCount: Long = 2L): Seq[(Int, String, String, Long)] = {
     val spark = df.sparkSession
@@ -280,15 +390,7 @@ object TextOps {
     var rank = 1
     var done = false
     while (rank <= numMerges && !done) {
-      val top = cur.toDF("t")
-        .select(explode(when(size(col("t")) >= 2,
-          transform(sequence(lit(1), size(col("t")) - 1),
-            i => struct(element_at(col("t"), i).as("l"),
-              element_at(col("t"), i + 1).as("r"))))
-          .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
-        .groupBy(col("p.l"), col("p.r")).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1).as[(String, String, Long)].collect()
+      val top = topPairs(cur, 1)
       top.headOption.filter(_._3 >= minCount) match {
         case None => done = true
         case Some((a, b, c)) =>
@@ -316,13 +418,18 @@ object TextOps {
     val spark = df.sparkSession
     import spark.implicits._
     val ordered = merges.sortBy(_._1).map(m => (m._2, m._3))
-    df.select(col(idCol).cast("long").as("doc_id"),
+    // the id travels through the typed map AS A STRING and is cast back
+    // to its original type on output — a long cast here would null out
+    // non-numeric ids and silently collapse those rows onto one key
+    val idType = df.schema(idCol).dataType
+    df.select(col(idCol).cast("string").as("doc_id"),
         tokens(col(textCol)).as("toks"))
-      .as[(Long, Seq[String])]
+      .as[(String, Seq[String])]
       .map { case (id, ts) =>
         (id, ordered.foldLeft(ts) { case (cur, (a, b)) => mergePair(cur, a, b) })
       }
       .toDF(idCol, "tokens")
+      .withColumn(idCol, col(idCol).cast(idType))
   }
 
   /** Left-greedy single-pair merge of a token sequence (plain Scala —
@@ -360,22 +467,35 @@ object TextOps {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val spark = delta.sparkSession
-    def bandEx(df: DataFrame, side: String): DataFrame = {
-      // cache BEFORE the explode (pushdown barrier — see minHashCandidates)
-      val sig = shingleSets(df, idCol, textCol, n)
+    def bandSig(df: DataFrame): DataFrame =
+      // cache BEFORE the explode (pushdown barrier — see minHashCandidates);
+      // EAGERLY (count()): concurrent first readers of an unpopulated cache
+      // each recompute the partition (see ngramJaccardPairs)
+      shingleSets(df, idCol, textCol, n)
         .select(col("__id"),
           MinHashSig.column(spark, col("__sh"), numHashes).as("__sig"))
         .select(col("__id"), lshBandKeys(col("__sig"), bands, r).as("__bands"))
         .cache()
+    def bandEx(sig: DataFrame, side: String): DataFrame =
       sig.select(col("__id").as(side),
         posexplode(col("__bands")).as(Seq("__b", "__key")))
-    }
-    val cands = bandEx(delta, "id_a")
-      .join(bandEx(corpus, "id_b"), Seq("__b", "__key"))
+    val dSig = bandSig(delta); dSig.count()
+    val cSig = bandSig(corpus); cSig.count()
+    // candidate pairs are tiny (near-dup fraction of the delta) — cut
+    // them loose from the sketch caches via localCheckpoint so every
+    // intermediate cache is released HERE, not leaked until the caller
+    // happens to materialize (repeat invocations in one session would
+    // otherwise accumulate storage — ADVICE r4)
+    val cands = bandEx(dSig, "id_a")
+      .join(bandEx(cSig, "id_b"), Seq("__b", "__key"))
       .select(col("id_a"), col("id_b")).distinct()
+      .localCheckpoint(true)
+    dSig.unpersist(); cSig.unpersist()
     val sh = hashedShingleSets(
       delta.unionByName(corpus), idCol, textCol, n).cache()
-    verifyJaccard(sh, cands, threshold)
+    val out = verifyJaccard(sh, cands, threshold).localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** Edit-distance-1 similarity join via deletion signatures (the FastSS

@@ -193,7 +193,14 @@ object Streams {
     * stateful streaming dropDuplicates, which also suppresses cross-batch
     * re-detections. Like [[streamingDedup]], that state grows with the
     * pair count — production streams with event time should swap in
-    * dropDuplicatesWithinWatermark for reclaimable state. */
+    * dropDuplicatesWithinWatermark for reclaimable state.
+    *
+    * Cache lifecycle: the two corpus caches below must outlive the
+    * returned (unbounded) streaming query, so THE CALLER OWNS THEM —
+    * release with `spark.catalog.clearCache()` (or stop the session)
+    * after the query terminates. They are materialized eagerly here so
+    * the first micro-batch's concurrent readers don't each recompute the
+    * corpus sketch (see TextOps.ngramJaccardPairs). */
   def streamNearDups(
       stream: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
@@ -207,12 +214,14 @@ object Streams {
     val corpusSh = TextOps.hashedShingleSets(corpus, idCol, textCol, n)
       .select(col("__id").as("dup_of"), col("__sh").as("__sh_c"))
       .cache()
+    corpusSh.count()
     val corpusBands = TextOps.shingleSets(corpus, idCol, textCol, n)
       .select(col("__id").as("dup_of"),
         MinHashSig.column(spark, col("__sh"), numHashes).as("__sig"))
       .select(col("dup_of"),
         explode(TextOps.lshBandKeys(col("__sig"), bands, r)).as("__key"))
       .cache()
+    corpusBands.count()
 
     // ---- stream side: one narrow projection chain per micro-batch ----
     val toks = TextOps.tokens(col(textCol))

@@ -44,6 +44,48 @@ class BpeSuite extends SparkSuite {
     assert(out2(1L) == Seq("abc"), out2.toString)
   }
 
+  test("batched trainer emits the byte-identical merge table to the serial one") {
+    // hand corpus with interacting merges: (a,b) then (ab,c) chain, plus
+    // independent (x,y) — exercises both the batch accept and the
+    // conflict stop
+    val docs1 = Seq("a b c", "a b c", "x y", "x y", "x y", "a b d").toDF("text")
+    // real text: the sf0.001 documents sample
+    val docs2 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).limit(120)
+    for (docs <- Seq(docs1, docs2); k <- Seq(2, 4, 16)) {
+      val serial = TextOps.bpeTrainSerial(docs, "text", numMerges = 12)
+      val batched = TextOps.bpeTrain(docs, "text", numMerges = 12, batchK = k)
+      assert(batched == serial, s"batchK=$k: $batched vs $serial")
+    }
+  }
+
+  test("batching cuts corpus passes: rounds < merges") {
+    // many mutually-independent frequent pairs -> big safe batches
+    val docs = (1 to 40).flatMap(_ => Seq(
+      "a b", "c d", "e f", "g h", "i j", "k l", "m n", "o p")).toDF("text")
+    val (merges, rounds) = TextOps.bpeTrainWithRounds(
+      docs, "text", numMerges = 8, batchK = 16)
+    assert(merges.size == 8, merges.toString)
+    assert(rounds < merges.size, s"rounds=$rounds, merges=${merges.size}")
+    // and the result still matches the serial oracle
+    assert(merges == TextOps.bpeTrainSerial(docs, "text", numMerges = 8))
+  }
+
+  test("bpeApply keeps non-numeric document ids intact") {
+    val docs = Seq(("doc-a", "a b c"), ("doc-b", "a b d")).toDF("doc_id", "text")
+    val merges = Seq((1, "a", "b", 2L))
+    val out = TextOps.bpeApply(docs, "doc_id", "text", merges)
+      .as[(String, Seq[String])].collect().toMap
+    assert(out.keySet == Set("doc-a", "doc-b"), out.toString)
+    assert(out("doc-a") == Seq("ab", "c") && out("doc-b") == Seq("ab", "d"))
+    // numeric ids keep their original type on output
+    val docsNum = Seq((7L, "a b")).toDF("doc_id", "text")
+    val outNum = TextOps.bpeApply(docsNum, "doc_id", "text", merges)
+    assert(outNum.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(outNum.as[(Long, Seq[String])].collect().toSeq == Seq((7L, Seq("ab"))))
+  }
+
   test("every merge strictly shrinks the corpus token count") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("text")).limit(100)

@@ -129,6 +129,45 @@ class SinksSuite extends SparkSuite {
     assert(back.toSeq == (0L until 1000L))
   }
 
+  test("compact preserves a Hive-partitioned layout and its pruning") {
+    val dir = Files.createTempDirectory("graft_compact_part_").toString
+    val df = spark.range(400)
+      .selectExpr("id", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang")
+      .repartition(16)
+    df.write.mode("overwrite").partitionBy("lang").parquet(s"$dir/t")
+    def parquetFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) { if (f.getName.endsWith(".parquet")) Seq(f) else Nil }
+      else Option(f.listFiles).getOrElse(Array.empty).toSeq.flatMap(parquetFiles)
+    val before = parquetFiles(new java.io.File(s"$dir/t")).size
+    assert(before >= 16, s"expected a shredded partitioned table, got $before")
+    Sinks.compact(spark, s"$dir/t", targetBytes = 1L << 20)
+    // the partition directories survive (pruning layout intact) and each
+    // compacted to one file
+    val langDirs = new java.io.File(s"$dir/t").listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("lang=")).map(_.getName)
+    assert(langDirs.sorted.toSeq == Seq("lang=de", "lang=en"))
+    val after = parquetFiles(new java.io.File(s"$dir/t")).size
+    assert(after <= 2, s"files: $before -> $after")
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 400)
+    assert(back.where(col("lang") === "en").count() == 200)
+    // sizing must have recursed: a zero-byte estimate would mean 1 file
+    // TOTAL and a flattened layout; instead both dirs exist with data
+    assert(back.schema.fieldNames.contains("lang"))
+  }
+
+  test("compact rolls back a table stranded at __old by a crashed swap") {
+    val dir = Files.createTempDirectory("graft_compact_crash_").toString
+    spark.range(100).repartition(8).write.mode("overwrite").parquet(s"$dir/t")
+    // simulate a crash between the two renames: data at __old, path gone
+    assert(new java.io.File(s"$dir/t").renameTo(new java.io.File(s"$dir/t.__old")))
+    val n = Sinks.compact(spark, s"$dir/t", targetBytes = 1L << 20)
+    assert(n == 1)
+    val back = spark.read.parquet(s"$dir/t").as[Long].collect().sorted
+    assert(back.toSeq == (0L until 100L))
+    assert(!new java.io.File(s"$dir/t.__old").exists())
+  }
+
   test("quarantineInvalid routes dangling keys to the dead-letter table, twice") {
     val dir = Files.createTempDirectory("graft_dlq_").toString
     val valid = Seq(1L, 2L, 3L).toDF("Id")

@@ -126,6 +126,79 @@ object VectorOps {
     lshScoredCandidates(df, idCol, vecCol, bits, bands)
       .where(col("cos") >= threshold)
 
+  /** (bits, bands) for a cosine threshold, derived from the
+    * random-hyperplane collision model instead of hand-tuning: a pair at
+    * cosine t collides per bit with p = 1 - arccos(t)/π, per band with
+    * p^bits; a RANDOM pair (cos ≈ 0, the zero-centered-corpus case)
+    * collides per band with 2^-bits. Chooses the smallest `bits` whose
+    * recall-sufficient band count
+    *   bands = ceil( ln(1-targetRecall) / ln(1-p^bits) )
+    * keeps the expected random-pair candidate fraction
+    * `bands * 2^-bits` at or below `maxCandidateFrac` — so the candidate
+    * set is a vanishing fraction of n², not a constant one (the
+    * difference between Θ(n²) and near-linear at 100x corpus scale).
+    *
+    * t=0.85 (real near-dup regime) yields ~(15, 54): recall ≥ 0.95 with
+    * ~0.16% expected random collisions. t=0.4 is REJECTED by this model
+    * for tight fractions — per-bit p ≈ 0.63 forces fraction-heavy
+    * parameter choices, which is exactly why s02 documents that regime
+    * as hard. */
+  def lshParamsFor(threshold: Double, targetRecall: Double = 0.95,
+      maxCandidateFrac: Double = 0.002, maxBands: Int = 256): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
+    require(targetRecall > 0 && targetRecall < 1, "targetRecall must be in (0,1)")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val fits = (4 to 30).iterator.map { bits =>
+      val pBand = math.pow(p, bits)
+      val bands = math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt
+      (bits, bands, bands * math.pow(0.5, bits))
+    }.find { case (_, bands, frac) =>
+      bands <= maxBands && frac <= maxCandidateFrac
+    }
+    fits.map { case (bits, bands, _) => (bits, bands) }.getOrElse(
+      throw new IllegalArgumentException(
+        s"no (bits<=30, bands<=$maxBands) meets recall=$targetRecall with " +
+          s"candidate fraction<=$maxCandidateFrac at threshold=$threshold — " +
+          "relax maxCandidateFrac or raise maxBands"))
+  }
+
+  /** Deterministic planted near-duplicates: for each row with
+    * `idCol < count`, a copy at `idCol + idOffset` whose vector is
+    * `v + eps * (|v|/|n|) * n` with hash-derived noise components n_i in
+    * [-0.5, 0.5], rescaled to the VECTOR'S OWN NORM — so the planted
+    * pair sits at cos ≈ 1/sqrt(1+eps²) (eps=0.4 → ~0.93) regardless of
+    * the corpus' norm scale (the synthetic embeddings are ~unit-norm;
+    * unscaled noise would swamp them). Pure column expressions
+    * (xxhash64 of (id, position)) — deterministic, partition-count
+    * independent, one narrow projection at any scale. Each derivation
+    * (noise, norms, scale) is staged as its own projection so the
+    * zip_with lambda reads bound attributes, not re-evaluated
+    * subtrees (HOF pitfall — see [[normalized]]). Output schema matches
+    * (idCol, vecCol) with the vector as doubles. */
+  def plantNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+      count: Long, idOffset: Long, eps: Double): DataFrame = {
+    val planted = df.where(col(idCol) < count)
+      .select((col(idCol) + idOffset).as(idCol), toDouble(col(vecCol)).as("__v"))
+      .select(col(idCol), col("__v"),
+        // noise hash reads the id and the element POSITION: reproducible
+        // and position-unique
+        transform(sequence(lit(1), size(col("__v"))),
+          i => (pmod(xxhash64(col(idCol), i), lit(1000L)).cast("double")
+            / 1000.0) - 0.5).as("__n"))
+      .select(col(idCol), col("__v"), col("__n"),
+        sqrt(aggregate(transform(col("__v"), x => x * x), lit(0.0), _ + _))
+          .as("__nv"),
+        sqrt(aggregate(transform(col("__n"), x => x * x), lit(0.0), _ + _))
+          .as("__nn"))
+      .select(col(idCol), col("__v"), col("__n"),
+        (lit(eps) * col("__nv") / col("__nn")).as("__scale"))
+      .select(col(idCol),
+        zip_with(col("__v"), col("__n"),
+          (x, nz) => x + col("__scale") * nz).as(vecCol))
+    df.select(col(idCol), toDouble(col(vecCol)).as(vecCol))
+      .unionByName(planted)
+  }
+
   /** IVF (inverted-file) approximate top-k: a coarse quantizer of
     * `nlist` spherical-kmeans centroids is trained driver-side on a
     * BOUNDED sample (standard IVF practice — the training set is a few

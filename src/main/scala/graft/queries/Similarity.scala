@@ -68,6 +68,34 @@ object Similarity {
       None,
       bench = true),
 
+    // ---- s07: SHARP-regime LSH near-dup pairs — the production shape.
+    // s02 deliberately demonstrates the hard t=0.4 regime (per-bit
+    // collision ~0.63, so its candidate set is a constant ~12% fraction
+    // of all pairs); real near-dup corpora dedup at cos >= 0.85, where
+    // the hyperplane model prunes SHARPLY. Parameters are derived from
+    // the threshold by lshParamsFor (t=0.85 -> bits=15/bands=54: recall
+    // >= 0.95, expected random-pair candidate fraction ~0.16% — a
+    // vanishing fraction of n², not a constant one). The corpus gets
+    // deterministic planted cos≈0.93 copies so the >= 0.85 pair set is
+    // non-empty; recall >= 0.9 vs the exact pair set and the <= 0.5%
+    // candidate fraction are pinned in DedupOpsSuite. Rows-only
+    // (hash-derived hyperplane signs are not oracle-expressible).
+    QueryDef(
+      "s07_ann_lsh_sharp",
+      (s, d) => {
+        val (bits, bands) = VectorOps.lshParamsFor(
+          threshold = 0.85, targetRecall = 0.95, maxCandidateFrac = 0.002)
+        val corpus = VectorOps.plantNearDuplicates(
+          Tables(s, d, "embeddings"), "vec_id", "embedding",
+          count = 100, idOffset = 1000000L, eps = 0.4)
+        VectorOps.lshCosinePairs(corpus, "vec_id", "embedding",
+            bits, bands, threshold = 0.85)
+          .select(col("id_a"), col("id_b"))
+          .orderBy("id_a", "id_b")
+      },
+      None,
+      bench = true),
+
     // ---- s03: IVF (kmeans-bucketed) top-k — the probe-limited scale
     // path; kmeans is not oracle-expressible, recall pinned in ScalaTest
     QueryDef(

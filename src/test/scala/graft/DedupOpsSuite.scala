@@ -126,6 +126,35 @@ class DedupOpsSuite extends SparkSuite {
       s"$cands candidates is not a meaningful prune of $allPairs pairs")
   }
 
+  test("sharp-regime LSH (s07): recall >= 0.9 at cos 0.85 with candidate fraction << 1%") {
+    val (bits, bands) = VectorOps.lshParamsFor(
+      threshold = 0.85, targetRecall = 0.95, maxCandidateFrac = 0.002)
+    // derived, not hand-tuned: sharp-threshold regime needs wide bits
+    assert(bits >= 12 && bands * math.pow(0.5, bits) <= 0.002,
+      s"derived (bits=$bits, bands=$bands) not a sharp prune")
+    val corpus = VectorOps.plantNearDuplicates(
+      emb, "vec_id", "embedding", count = 100, idOffset = 1000000L, eps = 0.4)
+    val n = corpus.count()
+    val exact = VectorOps.bruteForceCosinePairs(corpus, "vec_id", "embedding", 0.85)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the plant worked: >= 0.85 pairs exist to measure recall against
+    assert(exact.size >= 80, s"only ${exact.size} exact pairs at cos>=0.85")
+    val lsh = VectorOps.lshCosinePairs(corpus, "vec_id", "embedding",
+        bits, bands, threshold = 0.85)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH emitted a pair the exact op rejects")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below 0.9 at bits=$bits/bands=$bands")
+    // the point of the sharp regime: candidates (pre-threshold, deduped)
+    // are a VANISHING fraction of all pairs, not s02's constant ~12%
+    val cands = VectorOps.lshScoredCandidates(
+      corpus, "vec_id", "embedding", bits, bands).count()
+    val allPairs = n * (n - 1) / 2
+    val frac = cands.toDouble / allPairs
+    assert(frac <= 0.005, s"candidate fraction $frac is not << 1% " +
+      s"($cands of $allPairs pairs)")
+  }
+
   test("IVF semantic dedup: subset of exact pairs, usable recall, exact at nassign=nlist") {
     val exact = VectorOps.bruteForceCosinePairs(emb, "vec_id", "embedding", 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

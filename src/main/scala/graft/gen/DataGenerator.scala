@@ -9,10 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * Divergence (documented): the reference draws from Python's global RNG
   * (irreproducible); here every value is a pure function of
-  * (seed, row id, column name) via xxhash64, so generated frames are
-  * deterministic, partition-count-independent, and scale linearly —
-  * `spark.range(n)` distributes rows with no shuffle and no driver
-  * materialization (the reference builds the full list in driver memory).
+  * (seed, row id, column name) via an md5-derived hash, so generated
+  * frames are deterministic, partition-count-independent, and scale
+  * linearly — `spark.range(n)` distributes rows with no shuffle and no
+  * driver materialization (the reference builds the full list in driver
+  * memory). md5 (not xxhash64) on purpose: DuckDB computes the identical
+  * digest, so the whole generator is ORACLE-EXPRESSIBLE — the m05 gate
+  * replays every generated value bit-for-bit with
+  * `('0x' || substr(md5(key),1,15))::BIGINT` (60 bits, safely inside a
+  * signed long — the same scheme as TextOps.tokenHash64).
   *
   * Type tags (test_data_generator.py:10-21):
   *   - `text`       → 20-char uppercase-hex string (subset of the
@@ -29,16 +34,20 @@ object DataGenerator {
   private val DateStartSec = 946733400L  // 2000-01-01 13:30:00 UTC
   private val DateEndSec = 1483277400L   // 2017-01-01 13:30:00 UTC
 
-  private def h(seed: Long, colName: String): Column =
-    xxhash64(col("id"), lit(seed), lit(colName))
+  /** The per-(row, seed, column) hash key — string form so DuckDB's
+    * concat_ws produces the identical bytes. */
+  private def key(seed: Long, colName: String): Column =
+    concat_ws("|", col("id").cast("string"), lit(seed.toString), lit(colName))
 
+  /** Non-negative 60-bit value from the md5 of the key: 15 hex chars
+    * parsed base-16 — always < 2^60, so the signed-long bit pattern and
+    * DuckDB's hex-literal BIGINT cast agree exactly. */
   private def pos(seed: Long, colName: String): Column =
-    abs(h(seed, colName))
+    conv(substring(md5(key(seed, colName)), 1, 15), 16, 10).cast("long")
 
   /** Uppercase pseudo-random string of `len` hex chars. */
   private def genString(seed: Long, colName: String, len: Int): Column =
-    upper(substring(sha2(concat_ws("|",
-      col("id").cast("string"), lit(seed), lit(colName)), 256), 1, len))
+    upper(substring(md5(key(seed, colName)), 1, len))
 
   private def genInt(seed: Long, colName: String, min: Long, max: Long): Column =
     (pos(seed, colName) % (max - min + 1) + min).cast("int")

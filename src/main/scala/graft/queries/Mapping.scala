@@ -148,8 +148,12 @@ object Mapping {
         WHERE p_partkey IN (1, 7, 42, 99, 123, 500)
         ORDER BY p_partkey""")),
 
-    // ---- m05: synthetic data generator (rows-only check; the hash chain
-    // is not oracle-expressible) ------------------------------------------
+    // ---- m05: synthetic data generator — FULLY oracle-gated: every
+    // value is an md5-derived pure function of (seed, row id, column
+    // name), and DuckDB computes the identical digests, so the oracle
+    // regenerates the whole frame bit-for-bit from range(1000). The
+    // timestamp column ships as epoch seconds (the registry's epoch-ms/us
+    // convention for cross-engine timestamp compares). -------------------
     QueryDef(
       "m05_datagen",
       (s, _) => {
@@ -171,9 +175,41 @@ object Mapping {
           "Shipping_Address__c" -> "Street_Shipping_Address_")
         DataGenerator.generate(s, struct, defaults, prefixes,
             n = 1000, objectName = "Account", seed = 42L)
+          .withColumn("Account_Birthday__c",
+            col("Account_Birthday__c").cast("long"))
+          .withColumnRenamed("Account_Birthday__c", "birthday_epoch")
           .orderBy("Name")
       },
-      None),
+      Some {
+        // replays DataGenerator's md5 scheme: genString = upper 10/20 hex
+        // chars of md5(id|seed|col); genInt/genDate = 60-bit hex prefix of
+        // the same digest, mod the reference's ranges
+        def hs(colName: String, len: Int) =
+          s"upper(substr(md5(concat_ws('|', id, 42, '$colName')), 1, $len))"
+        def hp(colName: String) =
+          s"('0x' || substr(md5(concat_ws('|', id, 42, '$colName')), 1, 15))::BIGINT"
+        s"""
+        SELECT
+          'Account name_' || ${hs("Name", 10)} AS "Name",
+          'Account' AS "type",
+          'Street_Billing_Address_' || ${hs("Billing_Address__c", 10)}
+            AS "Billing_Address__c",
+          'San Antonio' AS "Billing_City__c",
+          'USA' AS "Billing_County__c",
+          CAST(${hp("Billing_Zip_Code__c")} % 90001 + 10000 AS INTEGER)
+            AS "Billing_Zip_Code__c",
+          'Street_Shipping_Address_' || ${hs("Shipping_Address__c", 10)}
+            AS "Shipping_Address__c",
+          'San Antonio' AS "Shipping_City__c",
+          'USA' AS "Shipping_County__c",
+          CAST(${hp("Shipping_Zip_Code__c")} % 90001 + 10000 AS INTEGER)
+            AS "Shipping_Zip_Code__c",
+          ${hp("Account_Birthday__c")} % (1483277400 - 946733400) + 946733400
+            AS birthday_epoch,
+          'www.example.com' AS "Website"
+        FROM range(1000) t(id)
+        ORDER BY "Name""""
+      }),
 
     // ---- m06: post-migration reconciliation (keyed snapshot diff) --------
     // the audit the reference never does after migrating: one full-outer

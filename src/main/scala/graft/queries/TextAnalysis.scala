@@ -63,6 +63,17 @@ object TextAnalysis {
     s"CASE $cases ELSE 'und' END"
   }
 
+  /** The published tokenizer for t15: bpeTrain(documents@sf0.01,
+    * numMerges = 8) — regenerate with t14 if the corpus generator ever
+    * changes. Counts are part of the table (merge provenance), unused by
+    * inference. Declared BEFORE `defs`: the oracle strings interpolate it
+    * eagerly during object init. */
+  private val PinnedMerges: Seq[(Int, String, String, Long)] = Seq(
+    (1, "table", "hash", 48L), (2, "part", "filter", 46L),
+    (3, "customer", "join", 45L), (4, "merge", "group", 45L),
+    (5, "slow", "key", 45L), (6, "vector", "small", 45L),
+    (7, "big", "order", 44L), (8, "merge", "order", 44L))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- t01: language-ID heuristic (stopword-profile overlap) -----------
@@ -580,19 +591,21 @@ object TextAnalysis {
       },
       None),
 
-    // ---- t15: BPE tokenization (apply the learned merges) ----------------
-    // train -> apply, end to end: the corpus re-tokenized under the
-    // learned vocabulary; per-doc compression demonstrates the merges
-    // actually fire. Rows-only (iterative); the token counts are the
-    // auditable signal (merged <= raw always, strictly < where merges
-    // applied).
+    // ---- t15: BPE tokenization under a PUBLISHED merge table -------------
+    // the production inference shape: a tokenizer is trained once
+    // (t14), its merge table is published, and corpora are re-tokenized
+    // under it ever after. Applying a FIXED table is a pure function of
+    // the text, so this IS oracle-gated: DuckDB replays the rank-ordered
+    // left-greedy merges with a recursive CTE that walks each token list
+    // (consume-or-copy per step, reset per rank). The pinned table is
+    // bpeTrain's sf0.01 output (byte-identical to the serial trainer —
+    // BpeSuite); the train->apply composition stays covered by t14 + the
+    // BpeSuite round-trip. Per-doc merged vs raw counts are the output.
     QueryDef(
       "t15_bpe_tokenize",
       (s, d) => {
         val docs = Tables.corpus(s, d)
-        val merges = TextOps.bpeTrain(
-          docs.select(col("text")), "text", numMerges = 8)
-        TextOps.bpeApply(docs, "doc_id", "text", merges)
+        TextOps.bpeApply(docs, "doc_id", "text", PinnedMerges)
           .select(col("doc_id"),
             size(col("tokens")).cast("long").as("n_merged_tokens"))
           .join(docs.select(col("doc_id"),
@@ -600,6 +613,42 @@ object TextAnalysis {
             Seq("doc_id"))
           .orderBy("doc_id")
       },
-      None)
+      Some {
+        val values = PinnedMerges
+          .map { case (rank, l, r, _) => s"($rank,'$l','$r')" }.mkString(",")
+        val maxRank = PinnedMerges.map(_._1).max
+        s"""
+        WITH RECURSIVE
+        m(rank, l, r) AS (SELECT * FROM (VALUES $values) t(rank, l, r)),
+        d AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        -- one walker row per (doc, merge rank, position): consume the
+        -- matched pair or copy one token; at end-of-list restart at i=1
+        -- with the merged list as the next rank's input
+        s(doc_id, rank, i, acc, toks) AS (
+          SELECT doc_id, 1, 1, CAST([] AS VARCHAR[]), toks FROM d
+          UNION ALL
+          SELECT s.doc_id,
+            CASE WHEN s.i <= len(s.toks) THEN s.rank ELSE s.rank + 1 END,
+            CASE WHEN s.i > len(s.toks) THEN 1
+                 WHEN s.i < len(s.toks) AND s.toks[s.i] = m.l
+                      AND s.toks[s.i+1] = m.r THEN s.i + 2
+                 ELSE s.i + 1 END,
+            CASE WHEN s.i > len(s.toks) THEN CAST([] AS VARCHAR[])
+                 WHEN s.i < len(s.toks) AND s.toks[s.i] = m.l
+                      AND s.toks[s.i+1] = m.r THEN list_append(s.acc, m.l || m.r)
+                 ELSE list_append(s.acc, s.toks[s.i]) END,
+            CASE WHEN s.i > len(s.toks) THEN s.acc ELSE s.toks END
+          FROM s JOIN m ON m.rank = s.rank
+          WHERE NOT (s.i > len(s.toks) AND s.rank = $maxRank)
+        )
+        SELECT s.doc_id, CAST(len(s.acc) AS BIGINT) AS n_merged_tokens,
+               CAST(len(d.toks) AS BIGINT) AS n_raw_tokens
+        FROM s JOIN d USING (doc_id)
+        WHERE s.i > len(s.toks) AND s.rank = $maxRank
+        ORDER BY doc_id"""
+      })
   )
 }

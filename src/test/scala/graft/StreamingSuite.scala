@@ -348,4 +348,161 @@ class StreamingSuite extends SparkSuite {
       assert(jac == 1.0, s"exact copy must verify at jaccard 1.0, got $jac")
     } finally q.stop()
   }
+
+  test("incremental ingest pages through the Bulk REST wire, exactly once") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.sources.{AuthToken, BulkApiOrg, InMemoryOrg, RemoteOrgRegistry}
+    // the r4 verdict's missing scenario: OrgMicroBatchStream's cursor
+    // loop (data_connector.py:62-66) with every page arriving through
+    // the Bulk REST wire (data_connector.py:313-325) — describe, MAX(Id)
+    // high-water marks, ORDER BY Id LIMIT admission pages and the range
+    // scans all run the create→batch→close→poll→result job lifecycle
+    // against a stateful wire sim that `require`s the protocol order
+    val sch = StructType(Seq(
+      StructField("Id", StringType), StructField("Payload", StringType)))
+    val inner = new InMemoryOrg
+    inner.createTable("Event__c", sch)
+    val sim = new BulkWireSim(inner, Map("Event__c" ->
+      """{"fields": [{"name": "Id", "type": "id"},
+                     {"name": "Payload", "type": "string"}]}"""))
+    val bulkOrg = new BulkApiOrg(
+      AuthToken("TOK-W", "https://bulk.example.org"), sim, sleeper = _ => ())
+    RemoteOrgRegistry.register("bulk_stream_src", bulkOrg)
+    inner.insert("Event__c", (1 to 5).map(i => Row(null, s"p$i")), sch)
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = spark.readStream.format("salesforce-sim")
+      .option("org", "bulk_stream_src").option("sObject", "Event__c")
+      .option("maxRecordsPerBatch", "2").load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ps = batch.select("Payload").collect().map(_.getString(0))
+        seen.synchronized { seen ++= ps }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(seen.sorted.toSeq == (1 to 5).map(i => s"p$i"),
+        s"first backfill not exactly-once: $seen")
+      // late-arriving records ingest incrementally through the same wire
+      inner.insert("Event__c", Seq(Row(null, "p6"), Row(null, "p7")), sch)
+      q.processAllAvailable()
+      assert(seen.sorted.toSeq == (1 to 7).map(i => s"p$i"),
+        s"incremental ingest not exactly-once: $seen")
+    } finally q.stop()
+
+    // every Bulk job ran the complete lifecycle (the sim rejects any
+    // out-of-order request at the wire, so reaching here already proves
+    // sequencing; these pin that nothing was skipped)
+    val jobs = sim.jobs.values.toSeq
+    assert(jobs.nonEmpty && jobs.forall(j =>
+      j.operation == "query" && j.soql.nonEmpty && j.closed && j.polls >= 2),
+      s"incomplete job lifecycle: $jobs")
+    val soqls = jobs.flatMap(_.soql)
+    // admission control paged the cursor org-side, in Id order
+    assert(soqls.exists(s => s.contains("ORDER BY Id") && s.contains("LIMIT 2")),
+      s"no admission page in:\n${soqls.mkString("\n")}")
+    // cursor ranges rode the wire as half-open Id predicates
+    assert(soqls.exists(_.contains("Id > '")), s"no cursor range in:\n${soqls.mkString("\n")}")
+    // 7 rows at maxRecordsPerBatch=2 = 4 non-empty micro-batch scans
+    val scans = soqls.count(s => s.contains("Payload") && !s.contains("LIMIT"))
+    assert(scans == 4, s"expected 4 range-scan jobs, got $scans:\n${soqls.mkString("\n")}")
+  }
+}
+
+/** Stateful Bulk v1 wire sim: speaks the async REST surface
+  * [[graft.sources.BulkApiOrg]] drives (describe, create job, add batch,
+  * close, poll, list results, fetch result) and answers queries by
+  * evaluating the batch's SOQL against a backing
+  * [[graft.sources.InMemoryOrg]] — so the protocol is exercised at the
+  * wire while query semantics come from the shared Soql evaluator. The
+  * job state machine `require`s protocol order: a batch on a closed job,
+  * a close before any batch, a poll before close, or a result fetch
+  * before a Completed poll each fail the test immediately. */
+private[graft] class BulkWireSim(
+    inner: graft.sources.InMemoryOrg,
+    describes: Map[String, String]) extends graft.sources.HttpTransport {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  final class JobState(val operation: String, val obj: String) {
+    @volatile var soql: Option[String] = None
+    @volatile var closed = false
+    @volatile var polls = 0
+    override def toString =
+      s"Job($operation,$obj,closed=$closed,polls=$polls,soql=$soql)"
+  }
+  val jobs = scala.collection.mutable.LinkedHashMap.empty[String, JobState]
+  val calls = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+
+  override def postForm(url: String, params: Map[String, String]): (Int, String) =
+    (200, """{"access_token": "TOK-W", "instance_url": "https://bulk.example.org"}""")
+
+  override def send(method: String, url: String,
+      headers: Map[String, String], body: String): (Int, String) = synchronized {
+    calls += ((method, url))
+    require(headers.contains("X-SFDC-Session"), s"missing session header on $url")
+    val async = "https://bulk.example.org/services/async/47.0"
+    val rest = "https://bulk.example.org/services/data/v47.0"
+    def jobOf(u: String): JobState = {
+      val id = u.stripPrefix(s"$async/job/").takeWhile(_ != '/')
+      jobs.getOrElse(id, sys.error(s"unknown job '$id' in $u"))
+    }
+    (method, url) match {
+      case ("GET", u) if u.startsWith(s"$rest/sobjects/") && u.endsWith("/describe") =>
+        val obj = u.stripPrefix(s"$rest/sobjects/").stripSuffix("/describe")
+        (200, describes.getOrElse(obj, sys.error(s"no describe for $obj")))
+      case ("POST", u) if u == s"$async/job" =>
+        val j = JsonMethods.parse(body)
+        val id = s"J${jobs.size + 1}"
+        jobs(id) = new JobState(
+          (j \ "operation").values.toString, (j \ "object").values.toString)
+        (201, s"""{"id": "$id"}""")
+      case ("POST", u) if u.endsWith("/batch") =>
+        val job = jobOf(u)
+        require(!job.closed, s"batch added to closed job: $u")
+        require(job.operation == "query", "wire sim scripts query jobs only")
+        require(job.soql.isEmpty, "wire sim scripts one batch per job")
+        job.soql = Some(body)
+        (201, s"""{"id": "B1"}""")
+      case ("POST", u) if u.startsWith(s"$async/job/") =>
+        val job = jobOf(u)
+        require(job.soql.nonEmpty, s"close before any batch: $u")
+        job.closed = true
+        (200, """{"state": "Closed"}""")
+      case ("GET", u) if u.endsWith("/result") =>
+        require(jobOf(u).polls >= 2, s"results listed before Completed: $u")
+        (200, """["R1"]""")
+      case ("GET", u) if u.contains("/result/") =>
+        val job = jobOf(u)
+        require(job.polls >= 2, s"result fetched before Completed: $u")
+        val soql = job.soql.get
+        val sel = soql.stripPrefix("SELECT ")
+        val items = sel.substring(0, sel.indexOf(" FROM "))
+          .split(",").map(_.trim).toSeq
+        val recs = inner.query(soql).map { r =>
+          JObject(items.zipWithIndex.map { case (item, i) =>
+            item -> (r.get(i) match {
+              case null => JNull: JValue
+              case s: String => JString(s)
+              case n: Long => JLong(n)
+              case n: Int => JLong(n.toLong)
+              case d: Double => JDouble(d)
+              case b: Boolean => JBool(b)
+              case o => JString(o.toString)
+            })
+          }.toList)
+        }.toList
+        (200, JsonMethods.compact(JsonMethods.render(JArray(recs))))
+      case ("GET", u) if u.contains("/batch/") =>
+        val job = jobOf(u)
+        require(job.closed, s"poll before close: $u")
+        job.polls += 1
+        if (job.polls == 1) (200, """{"state": "InProgress"}""")
+        else (200, """{"state": "Completed"}""")
+      case other => sys.error(s"unexpected request $other")
+    }
+  }
 }

@@ -463,7 +463,8 @@ object TextOps {
   def incrementalJaccardPairs(
       delta: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
-      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+      n: Int, numHashes: Int, bands: Int, threshold: Double,
+      releaseCaches: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val spark = delta.sparkSession
@@ -481,21 +482,30 @@ object TextOps {
         posexplode(col("__bands")).as(Seq("__b", "__key")))
     val dSig = bandSig(delta); dSig.count()
     val cSig = bandSig(corpus); cSig.count()
-    // candidate pairs are tiny (near-dup fraction of the delta) — cut
-    // them loose from the sketch caches via localCheckpoint so every
-    // intermediate cache is released HERE, not leaked until the caller
-    // happens to materialize (repeat invocations in one session would
-    // otherwise accumulate storage — ADVICE r4)
-    val cands = bandEx(dSig, "id_a")
+    val candsLazy = bandEx(dSig, "id_a")
       .join(bandEx(cSig, "id_b"), Seq("__b", "__key"))
       .select(col("id_a"), col("id_b")).distinct()
-      .localCheckpoint(true)
-    dSig.unpersist(); cSig.unpersist()
-    val sh = hashedShingleSets(
-      delta.unionByName(corpus), idCol, textCol, n).cache()
-    val out = verifyJaccard(sh, cands, threshold).localCheckpoint(true)
-    sh.unpersist()
-    out
+    if (releaseCaches) {
+      // candidate pairs are tiny (near-dup fraction of the delta) — cut
+      // them loose from the sketch caches via localCheckpoint so every
+      // intermediate cache is released HERE, not leaked until the caller
+      // happens to materialize (repeat invocations in one session would
+      // otherwise accumulate storage — ADVICE r4)
+      val cands = candsLazy.localCheckpoint(true)
+      dSig.unpersist(); cSig.unpersist()
+      val sh = hashedShingleSets(
+        delta.unionByName(corpus), idCol, textCol, n).cache()
+      val out = verifyJaccard(sh, cands, threshold).localCheckpoint(true)
+      sh.unpersist()
+      out
+    } else {
+      // lazy variant: the full plan stays inspectable (PlanAuditSuite
+      // pins the hash-space shuffles through it); the caches live until
+      // the caller clears them
+      val sh = hashedShingleSets(
+        delta.unionByName(corpus), idCol, textCol, n).cache()
+      verifyJaccard(sh, candsLazy, threshold)
+    }
   }
 
   /** Edit-distance-1 similarity join via deletion signatures (the FastSS

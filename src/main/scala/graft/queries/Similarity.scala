@@ -102,9 +102,15 @@ object Similarity {
       "s03_ann_ivf",
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
+        // nprobe=6/16: the synthetic corpus is zero-centered uniform (no
+        // cluster structure — the hardest IVF regime, every neighbor a
+        // near-tie), so recall needs wider probes than a clustered corpus
+        // would: measured 0.58@nprobe=4 vs 0.68-0.73@nprobe=6 at
+        // sf0.01/sf0.1. The sf-parameterized guard in DedupOpsSuite pins
+        // recall >= 0.65 at BOTH gate scales with these exact parameters.
         VectorOps.ivfTopK(
             emb.where(col("vec_id") < 20), emb, "vec_id", "embedding",
-            k = 5, nlist = 16, nprobe = 4)
+            k = 5, nlist = 16, nprobe = 6)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
           .orderBy("query_id", "rank")
       },
@@ -121,9 +127,14 @@ object Similarity {
       "s04_ann_pq",
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
+        // refine=32 (1.6% of the sf0.1 corpus): 8-byte codes rank
+        // near-tie neighbors coarsely on this structureless corpus, so
+        // the exact re-rank needs a deeper shortlist — measured
+        // 0.46@refine=8 vs 0.79-0.93@refine=32 across gate scales; the
+        // DedupOpsSuite guard pins recall >= 0.75 at both.
         VectorOps.pqTopK(
             emb.where(col("vec_id") < 20), emb, "vec_id", "embedding",
-            k = 5, m = 8, ksub = 16, refine = 8)
+            k = 5, m = 8, ksub = 16, refine = 32)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
           .orderBy("query_id", "rank")
       },
@@ -189,9 +200,13 @@ object Similarity {
       "s05_ann_ivfpq",
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
+        // refine widened with s04 (same coarse-code near-tie effect,
+        // compounded by probing half the lists): measured 0.47@refine=8
+        // vs 0.73-0.80@refine=32; DedupOpsSuite pins >= 0.7 at both
+        // gate scales.
         VectorOps.ivfPqTopK(
             emb.where(col("vec_id") < 20), emb, "vec_id", "embedding",
-            k = 5, nlist = 16, nprobe = 8, m = 8, ksub = 16, refine = 8)
+            k = 5, nlist = 16, nprobe = 8, m = 8, ksub = 16, refine = 32)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
           .orderBy("query_id", "rank")
       },

@@ -171,6 +171,53 @@ class DedupOpsSuite extends SparkSuite {
     assert(full == exact, "nassign=nlist must equal brute force")
   }
 
+  // ---- recall-at-scale guards for the kmeans family (r4 verdict item 6):
+  // the 2048-vector training sample is a FIXED size while the corpus
+  // grows with sf, so recall at the REGISTERED parameters is asserted at
+  // both gate scales — if corpus growth ever outruns the sample (or a
+  // parameter change silently degrades), these trip before the registry
+  // does. Ground truth is the exact brute force (s01/d05 shapes).
+  for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+    val sfName = sf.split('/').last
+    test(s"kmeans-family recall holds at $sfName with the registered parameters") {
+      val embSf = Tables(spark, sf, "embeddings")
+      val queries = embSf.where(col("vec_id") < 20)
+      val exactTopK = VectorOps.bruteForceTopK(
+          queries, embSf, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      // s03 registered: nlist=16, nprobe=6
+      val ivf = VectorOps.ivfTopK(queries, embSf, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 6)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val ivfRecall = exactTopK.count(ivf.contains).toDouble / exactTopK.size
+      assert(ivfRecall >= 0.65, s"s03 recall $ivfRecall at $sfName")
+      // s04 registered: m=8, ksub=16, refine=32
+      val pq = VectorOps.pqTopK(queries, embSf, "vec_id", "embedding",
+          k = 5, m = 8, ksub = 16, refine = 32)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val pqRecall = exactTopK.count(pq.contains).toDouble / exactTopK.size
+      assert(pqRecall >= 0.75, s"s04 recall $pqRecall at $sfName")
+      // s05 registered: nlist=16, nprobe=8, m=8, ksub=16, refine=32
+      val ivfpq = VectorOps.ivfPqTopK(queries, embSf, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 8, m = 8, ksub = 16, refine = 32)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val ivfpqRecall = exactTopK.count(ivfpq.contains).toDouble / exactTopK.size
+      assert(ivfpqRecall >= 0.7, s"s05 recall $ivfpqRecall at $sfName")
+      // d09 registered: threshold=0.4, nlist=16, nassign=2 (vs d05 truth)
+      val exactPairs = VectorOps.bruteForceCosinePairs(
+          embSf, "vec_id", "embedding", 0.4)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val sem = VectorOps.ivfCosinePairs(embSf, "vec_id", "embedding", 0.4,
+          nlist = 16, nassign = 2)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(sem.subsetOf(exactPairs), "d09 emitted a pair d05 rejects")
+      if (exactPairs.nonEmpty) {
+        val semRecall = exactPairs.count(sem.contains).toDouble / exactPairs.size
+        assert(semRecall >= 0.6, s"d09 recall $semRecall at $sfName")
+      }
+    }
+  }
+
   test("IVF top-k recall against the exact brute force is usable") {
     val queries = emb.where(col("vec_id") < 20)
     val exact = VectorOps.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)

@@ -259,7 +259,15 @@ class PlanAuditSuite extends SparkSuite {
   }
 
   test("d11: the standing corpus never self-joins; verify runs in hash space") {
-    val df = SparkEntry.queries("d11_incremental_dedup")(spark, sf)
+    // the registered d11 releases its caches via localCheckpoint (the
+    // returned plan is a checkpoint scan); audit the SAME pipeline in
+    // its lazy form, which keeps the full plan inspectable
+    val docs = graft.Tables.corpus(spark, sf)
+    val df = graft.functions.TextOps.incrementalJaccardPairs(
+      docs.where(org.apache.spark.sql.functions.col("doc_id") % 20 === 0),
+      docs.where(org.apache.spark.sql.functions.col("doc_id") % 20 =!= 0),
+      "doc_id", "text", n = 3, numHashes = 128, bands = 32,
+      threshold = 0.5, releaseCaches = false)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("xxhash64"),
       "band keys and shingle sets must be hashed before any shuffle:\n" + p)

@@ -1,0 +1,301 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** [[RemoteOrg]] over the SOAP Partner API — the protocol the reference
+  * actually speaks (beatbox `login`/`query`/`queryMore`,
+  * data_connector.py:38-69), kept as the fallback for orgs where Bulk
+  * jobs are disallowed. Same injectable [[HttpTransport]] as
+  * [[BulkApiOrg]], so the whole surface is offline-testable and
+  * [[AuthRetryOrg]] composes the retry-once session policy unchanged.
+  *
+  * Protocol shape:
+  *  - `login` posts a sessionless envelope to the login endpoint and
+  *    yields (sessionId, serverUrl) — [[SoapOrg.login]];
+  *  - `query` returns the first page plus a `queryLocator`; the record
+  *    iterator then pages through `queryMore` until `done` — the exact
+  *    cursor loop of the reference (data_connector.py:62-66). Page size
+  *    is negotiated via the `QueryOptions/batchSize` header;
+  *  - mutations (`create`/`update`/`upsert`/`delete`) carry at most 200
+  *    records per call — the SOAP API contract the reference chunks for
+  *    (QUERY_LIMIT, data_connector.py:23) — enforced with `require`;
+  *  - `INVALID_SESSION_ID` faults surface as
+  *    [[SessionExpiredException]].
+  *
+  * Values coerce to `describeSObject` types like the Bulk wire; a null
+  * field arrives as `xsi:nil="true"`. Aggregate select items (pushed
+  * MIN/MAX/COUNT) arrive as `AggregateResult.expr{i}` elements and are
+  * resolved positionally, so the connector's cursor stream
+  * (`SELECT MAX(Id)`) works over SOAP too.
+  */
+final class SoapOrg(
+    sessionId: String,
+    serverUrl: String,
+    http: HttpTransport,
+    batchSize: Int = 500) extends RemoteOrg {
+
+  import SoapOrg._
+
+  private val describeCache =
+    scala.collection.mutable.Map.empty[String, StructType]
+
+  private def envelope(body: String, withSession: Boolean,
+      queryOptions: Boolean = false): String = {
+    val header =
+      (if (withSession)
+        s"<urn:SessionHeader><urn:sessionId>${escape(sessionId)}</urn:sessionId></urn:SessionHeader>"
+      else "") +
+        (if (queryOptions)
+          s"<urn:QueryOptions><urn:batchSize>$batchSize</urn:batchSize></urn:QueryOptions>"
+        else "")
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<soapenv:Envelope xmlns:soapenv=\"http://schemas.xmlsoap.org/soap/envelope/\" " +
+      "xmlns:urn=\"urn:partner.soap.sforce.com\" " +
+      "xmlns:xsi=\"http://www.w3.org/2001/XMLSchema-instance\">" +
+      s"<soapenv:Header>$header</soapenv:Header>" +
+      s"<soapenv:Body>$body</soapenv:Body></soapenv:Envelope>"
+  }
+
+  private def call(body: String, queryOptions: Boolean = false): String = {
+    val (status, resp) = http.send("POST", serverUrl,
+      Map("Content-Type" -> "text/xml; charset=UTF-8", "SOAPAction" -> "\"\"",
+        "X-SFDC-Session" -> sessionId),
+      envelope(body, withSession = true, queryOptions))
+    if (resp.contains("INVALID_SESSION_ID"))
+      throw new SessionExpiredException(s"SOAP call -> $status")
+    if (status / 100 != 2 && status != 500)
+      throw new RuntimeException(s"SOAP call -> $status: $resp")
+    if (resp.contains("<soapenv:Fault>") || resp.contains("<faultcode>"))
+      throw new RuntimeException(s"SOAP fault: $resp")
+    resp
+  }
+
+  // ---- describe -----------------------------------------------------------
+
+  override def describe(sObject: String): StructType =
+    describeCache.getOrElseUpdate(sObject, {
+      val resp = call(
+        s"<urn:describeSObject><urn:sObjectType>${escape(sObject)}</urn:sObjectType></urn:describeSObject>")
+      val fields = blocks(resp, "fields").map { f =>
+        val name = field(f, "name").getOrElse(
+          throw new RuntimeException(s"field without name in describe: $f"))
+        val tpe = field(f, "type").getOrElse("string") match {
+          case "int" => LongType
+          case "double" | "currency" | "percent" => DoubleType
+          case "boolean" => BooleanType
+          case "date" => DateType
+          case "datetime" => TimestampType
+          case _ => StringType // id, string, reference, picklist, ...
+        }
+        StructField(name, tpe)
+      }
+      if (fields.isEmpty)
+        throw new RuntimeException(s"empty describe for $sObject")
+      StructType(fields)
+    })
+
+  // ---- query + queryMore cursor -------------------------------------------
+
+  /** One page: (rows-as-field-maps, locator if not done). */
+  private def parseQueryResult(resp: String): (Seq[String], Option[String]) = {
+    val done = field(resp, "done").exists(_.toBoolean)
+    val locator = field(resp, "queryLocator").filter(_.nonEmpty)
+    (blocks(resp, "records"), if (done) None else locator)
+  }
+
+  override def query(soql: String): Iterator[Row] = {
+    val sel = soql.stripPrefix("SELECT ")
+    val fromIdx = sel.indexOf(" FROM ")
+    if (fromIdx < 0)
+      throw new IllegalArgumentException(s"no FROM clause in: $soql")
+    val obj = sel.substring(fromIdx + 6).split("\\s+").head
+    val items = sel.substring(0, fromIdx).split(",").map(_.trim).toSeq
+    val fieldType: Map[String, DataType] =
+      describe(obj).fields.map(f => f.name -> f.dataType).toMap
+
+    def toRow(record: String): Row =
+      Row.fromSeq(items.zipWithIndex.map { case (item, i) =>
+        // plain field, else positional aggregate alias (AggregateResult)
+        val raw = recordField(record, item)
+          .orElse(recordField(record, s"expr$i"))
+        raw match {
+          case None | Some(null) => null
+          case Some(v) => coerce(v, fieldType.getOrElse(item, StringType))
+        }
+      })
+
+    val first = call(
+      s"<urn:query><urn:queryString>${escape(soql)}</urn:queryString></urn:query>",
+      queryOptions = true)
+
+    // the queryMore cursor loop — state is just the locator
+    new Iterator[Row] {
+      private var (page, locator) = parseQueryResult(first)
+      private var idx = 0
+      override def hasNext: Boolean = {
+        while (idx >= page.length && locator.nonEmpty) {
+          val resp = call(
+            s"<urn:queryMore><urn:queryLocator>${escape(locator.get)}</urn:queryLocator></urn:queryMore>",
+            queryOptions = true)
+          val (p, l) = parseQueryResult(resp)
+          page = p; locator = l; idx = 0
+        }
+        idx < page.length
+      }
+      override def next(): Row = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = toRow(page(idx)); idx += 1; r
+      }
+    }
+  }
+
+  // ---- mutations ----------------------------------------------------------
+
+  private def sObjectXml(sObject: String, row: Row, schema: StructType): String = {
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      if (row.isNullAt(i))
+        s"<urn:fieldsToNull>${escape(f.name)}</urn:fieldsToNull>"
+      else {
+        val v = row.get(i) match {
+          case t: java.sql.Timestamp => t.toInstant.toString
+          case other => other.toString
+        }
+        s"<${f.name}>${escape(v)}</${f.name}>"
+      }
+    }.mkString
+    s"<urn:sObjects><urn:type>${escape(sObject)}</urn:type>$fields</urn:sObjects>"
+  }
+
+  private def saveResults(resp: String): Seq[(Option[String], Boolean, Boolean)] =
+    blocks(resp, "result").map { r =>
+      (field(r, "id").filter(_.nonEmpty),
+        field(r, "success").exists(_.toBoolean),
+        field(r, "created").exists(_.toBoolean))
+    }
+
+  private def requireChunk(rows: Seq[_]): Unit =
+    require(rows.size <= 200,
+      s"chunk contract violated: ${rows.size} rows in one SOAP call") // data_connector.py:23
+
+  override def insert(sObject: String, rows: Seq[Row],
+      schema: StructType): Seq[String] = {
+    requireChunk(rows)
+    if (rows.isEmpty) return Nil
+    val resp = call("<urn:create>" +
+      rows.map(sObjectXml(sObject, _, schema)).mkString + "</urn:create>")
+    saveResults(resp).map(_._1.getOrElse(
+      throw new RuntimeException(s"create returned no id: $resp")))
+  }
+
+  override def update(sObject: String, rows: Seq[Row],
+      schema: StructType): (Int, Int) = {
+    requireChunk(rows)
+    if (rows.isEmpty) return (0, 0)
+    val resp = call("<urn:update>" +
+      rows.map(sObjectXml(sObject, _, schema)).mkString + "</urn:update>")
+    val rs = saveResults(resp)
+    (rs.count(_._2), rs.size - rs.count(_._2))
+  }
+
+  override def upsert(sObject: String, externalIdField: String, rows: Seq[Row],
+      schema: StructType): (Int, Int) = {
+    requireChunk(rows)
+    if (rows.isEmpty) return (0, 0)
+    val resp = call(
+      s"<urn:upsert><urn:externalIDFieldName>${escape(externalIdField)}</urn:externalIDFieldName>" +
+        rows.map(sObjectXml(sObject, _, schema)).mkString + "</urn:upsert>")
+    val rs = saveResults(resp)
+    (rs.count(r => r._2 && r._3), rs.count(r => r._2 && !r._3))
+  }
+
+  override def delete(sObject: String, ids: Seq[String]): Int = {
+    requireChunk(ids)
+    if (ids.isEmpty) return 0
+    val resp = call("<urn:delete>" +
+      ids.map(id => s"<urn:ids>${escape(id)}</urn:ids>").mkString + "</urn:delete>")
+    saveResults(resp).count(_._2)
+  }
+
+  /** WHERE resolves org-side through a SOAP Id-only query, then the
+    * matches delete in ≤200-Id calls — bulk_delete semantics
+    * (data_connector.py:294-298) without Bulk jobs. */
+  override def deleteWhere(sObject: String, predicates: Seq[String]): Int = {
+    val ids = query(Soql.render(sObject, Seq("Id"), predicates, None))
+      .map(_.getString(0)).toSeq
+    ids.grouped(200).map(chunk => delete(sObject, chunk)).sum
+  }
+}
+
+object SoapOrg {
+
+  /** SOAP `login`: a sessionless envelope against the login endpoint;
+    * the returned org is bound to the serverUrl the org assigns
+    * (data_connector.py:38-45 — beatbox stores serverUrl the same way). */
+  def login(http: HttpTransport, loginUrl: String, username: String,
+      password: String, batchSize: Int = 500): SoapOrg = {
+    val body =
+      s"<urn:login><urn:username>${escape(username)}</urn:username>" +
+        s"<urn:password>${escape(password)}</urn:password></urn:login>"
+    val env = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<soapenv:Envelope xmlns:soapenv=\"http://schemas.xmlsoap.org/soap/envelope/\" " +
+      "xmlns:urn=\"urn:partner.soap.sforce.com\">" +
+      "<soapenv:Header/>" +
+      s"<soapenv:Body>$body</soapenv:Body></soapenv:Envelope>"
+    val (status, resp) = http.send("POST", loginUrl,
+      Map("Content-Type" -> "text/xml; charset=UTF-8", "SOAPAction" -> "\"\"",
+        "X-SFDC-Session" -> ""), env)
+    if (status / 100 != 2)
+      throw new RuntimeException(s"SOAP login -> $status: $resp")
+    val sid = field(resp, "sessionId").getOrElse(
+      throw new RuntimeException(s"no sessionId in login response: $resp"))
+    val url = field(resp, "serverUrl").getOrElse(
+      throw new RuntimeException(s"no serverUrl in login response: $resp"))
+    new SoapOrg(sid, url, http, batchSize)
+  }
+
+  private[sources] def escape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def unescape(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+  /** First `<tag>` or `<ns:tag>` text content (namespace prefixes vary
+    * by server), trimmed. The tag is regex-quoted: select items like
+    * `MAX(Id)` reach here when probing for a plain field of that name
+    * (always absent — the aggregate then resolves via `expr{i}`). */
+  private[sources] def field(xml: String, tag: String): Option[String] = {
+    val t = java.util.regex.Pattern.quote(tag)
+    s"(?s)<(?:\\w+:)?$t(?:\\s[^>]*)?>(.*?)</(?:\\w+:)?$t>".r
+      .findFirstMatchIn(xml).map(m => unescape(m.group(1).trim))
+  }
+
+  /** All `<tag>` block bodies. */
+  private[sources] def blocks(xml: String, tag: String): Seq[String] = {
+    val t = java.util.regex.Pattern.quote(tag)
+    s"(?s)<(?:\\w+:)?$t(?:\\s[^>]*)?>(.*?)</(?:\\w+:)?$t>".r
+      .findAllMatchIn(xml).map(_.group(1)).toSeq
+  }
+
+  /** A record's field: `None` when absent, `Some(null)` for
+    * `xsi:nil="true"`, else the text. */
+  private[sources] def recordField(record: String,
+      name: String): Option[String] = {
+    val t = java.util.regex.Pattern.quote(name)
+    val nil = s"""<(?:\\w+:)?$t\\s[^>]*xsi:nil="true"[^>]*/>""".r
+    if (nil.findFirstIn(record).nonEmpty) Some(null)
+    else field(record, name)
+  }
+
+  private[sources] def coerce(s: String, dt: DataType): Any =
+    if (s == null) null
+    else dt match {
+      case LongType => s.toLong
+      case DoubleType => s.toDouble
+      case BooleanType => s.toBoolean
+      case DateType => java.sql.Date.valueOf(s)
+      case TimestampType =>
+        java.sql.Timestamp.from(java.time.Instant.parse(s))
+      case _ => s
+    }
+}

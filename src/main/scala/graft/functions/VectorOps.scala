@@ -104,6 +104,7 @@ object VectorOps {
       hyperplaneSignatures(df.sparkSession, col("__v"), bits, bands)
         .as("__sigs"))
       .cache()
+    sigs.count() // eager: both self-join sides read it (first-reader race)
     val withSigs = sigs.select(col("__id"), col("__v"),
       posexplode(col("__sigs")).as(Seq("__band", "__sig")))
     val l = withSigs.select(col("__id").as("id_a"), col("__v").as("va"),

@@ -335,4 +335,18 @@ class PlanAuditSuite extends SparkSuite {
     // must not resort the event stream per stage
     assert(!p.contains("SortMergeJoin"), s"funnel stages must stay hash joins:\n$p")
   }
+
+  test("s07: sharp-regime LSH joins on bucket keys, never a cartesian") {
+    val df = SparkEntry.queries("s07_ann_lsh_sharp")(spark, sf)
+    df.collect() // populate the signature cache so the final plan is real
+    val p = df.queryExecution.executedPlan.toString
+    // the whole point vs d05: candidates come from a band-key equi-join
+    assert(!p.contains("CartesianProduct"),
+      "sharp LSH must never degrade to all-pairs:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the signature table is cached once and feeds both self-join sides
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "signature cache barrier missing:\n" + p)
+    spark.catalog.clearCache()
+  }
 }

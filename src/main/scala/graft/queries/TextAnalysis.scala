@@ -575,9 +575,14 @@ object TextAnalysis {
     // ---- t14: BPE training loop (iterative merges) ------------------------
     // the full tokenizer-training iteration (t11 is one round of it):
     // count pairs -> take the deterministic top -> rewrite the corpus ->
-    // repeat. Rows-only: replaying an iterative fixpoint in SQL is not
-    // practical; the merge semantics are pinned exactly on a hand-checked
-    // corpus in BpeSuite.
+    // repeat. ORACLE-GATED: DuckDB replays the whole training loop as 8
+    // chained rounds — each round one pair-count aggregation, the
+    // (count desc, pair asc) top-1, and a recursive-CTE left-greedy
+    // rewrite feeding the next round. Every intermediate is MATERIALIZED:
+    // without the hint DuckDB re-inlines each CTE per reference and the
+    // 8-round chain re-evaluates exponentially. The batched trainer's
+    // byte-equality to this serial replay is exactly the BpeSuite
+    // guarantee.
     QueryDef(
       "t14_bpe_train",
       (s, d) => {
@@ -589,7 +594,48 @@ object TextAnalysis {
             col("cnt"))
           .orderBy("rank")
       },
-      None),
+      Some {
+        val rounds = (1 to 8).map { k =>
+          val prev = s"d${k - 1}"
+          s"""
+          t$k AS MATERIALIZED (
+            SELECT l, r, c FROM (
+              SELECT toks[i] AS l, toks[i+1] AS r, count(*) AS c
+              FROM (SELECT unnest(generate_series(1, len(toks)-1)) AS i, toks
+                    FROM $prev)
+              GROUP BY 1, 2)
+            WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1),
+          s$k(doc_id, i, acc, toks) AS (
+            SELECT doc_id, 1, CAST([] AS VARCHAR[]), toks FROM $prev
+            UNION ALL
+            SELECT s.doc_id,
+              CASE WHEN s.i < len(s.toks) AND s.toks[s.i] = m.l
+                        AND s.toks[s.i+1] = m.r
+                   THEN s.i + 2 ELSE s.i + 1 END,
+              CASE WHEN s.i < len(s.toks) AND s.toks[s.i] = m.l
+                        AND s.toks[s.i+1] = m.r
+                   THEN list_append(s.acc, m.l || m.r)
+                   ELSE list_append(s.acc, s.toks[s.i]) END,
+              s.toks
+            -- LEFT JOIN: an empty t$k (top pair below minCount) must
+            -- still walk the docs through unchanged, not lose them
+            FROM s$k s LEFT JOIN t$k m ON TRUE
+            WHERE s.i <= len(s.toks)
+          ),
+          d$k AS MATERIALIZED (
+            SELECT doc_id, acc AS toks FROM s$k WHERE i > len(toks))"""
+        }.mkString(",")
+        val out = (1 to 8).map { k =>
+          s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right", c AS cnt FROM t$k"""
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH RECURSIVE
+        d0 AS MATERIALIZED (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents),$rounds
+        $out
+        ORDER BY rank"""
+      }),
 
     // ---- t15: BPE tokenization under a PUBLISHED merge table -------------
     // the production inference shape: a tokenizer is trained once

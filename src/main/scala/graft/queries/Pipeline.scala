@@ -240,6 +240,54 @@ object Pipeline {
                        & 2147483647) % 100 AS b
               FROM documents)
         GROUP BY 1, 2
-        ORDER BY lang, split"""))
+        ORDER BY lang, split""")),
+
+    // ---- p08: weighted sampling without replacement -----------------------
+    // Efraimidis–Spirakis A-ES: each doc draws u in (0,1] from the
+    // md5-derived 31-bit hash ((k+1)/2^31 — a power-of-two division, so
+    // u is the IDENTICAL double in any engine) and ranks by
+    // ln(u)/weight; the top-k ranks ARE a weighted sample without
+    // replacement. Weight = token count (token-budget-proportional
+    // selection, the curation-mix shape). Determinism: the ln input is
+    // the same exact double everywhere, the key fixed-points to 1e-9
+    // before ranking, and ties break on doc_id — so the SELECTION is
+    // reproducible across engines, runs and partitionings, like p03/p04.
+    // One narrow projection + a global top-k (Spark TakeOrdered): no
+    // shuffle of the corpus, no sampled state to persist.
+    QueryDef(
+      "p08_weighted_sample",
+      (s, d) => {
+        val base = Tables.corpus(s, d)
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+          .where(col("n_tokens") >= 1)
+        val k31 = shiftright(
+          TextOps.tokenHash64(col("doc_id").cast("string")), 8)
+          .bitwiseAND(lit(0x7FFFFFFFL))
+        val u = (k31 + 1).cast("double") / 2147483648.0
+        val keyNano = floor(log(u) / col("n_tokens").cast("double") * 1e9)
+          .cast("long")
+        base.select(col("doc_id"), col("n_tokens"), keyNano.as("__key"))
+          .orderBy(col("__key").desc, col("doc_id")).limit(50)
+          .select(col("doc_id"), col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+                 ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT >> 8)
+                   & 2147483647) AS k31
+          FROM documents),
+        keyed AS (
+          SELECT doc_id, n_tokens,
+                 CAST(floor(ln((CAST(k31 AS BIGINT) + 1) / 2147483648.0)
+                   / CAST(n_tokens AS DOUBLE) * 1e9) AS BIGINT) AS key
+          FROM base WHERE n_tokens >= 1)
+        SELECT doc_id, n_tokens FROM (
+          SELECT doc_id, n_tokens FROM keyed
+          ORDER BY key DESC, doc_id LIMIT 50)
+        ORDER BY doc_id"""))
   )
 }

@@ -695,6 +695,119 @@ object TextAnalysis {
         FROM s JOIN d USING (doc_id)
         WHERE s.i > len(s.toks) AND s.rank = $maxRank
         ORDER BY doc_id"""
-      })
+      }),
+
+    // ---- t16: hashed-feature linear quality classifier (fastText
+    // inference shape) -----------------------------------------------------
+    // the standard learned quality filter at inference time: word
+    // features hash into B=4096 buckets, each bucket carries a weight
+    // from the (published) model, a document's logit is the weight sum.
+    // Weights here are an md5-derived stand-in for a trained table (a
+    // pure function of the bucket id, so DuckDB replays inference
+    // bit-for-bit); production swaps in a broadcast weight array, same
+    // plan. Float discipline: weights are INTEGER milli-units summed as
+    // BIGINT — no float accumulates, so partial-agg order can't move the
+    // result; `keep` is the sign of the exact integer sum. One explode +
+    // one map-side-combinable aggregation — linear at any corpus size.
+    QueryDef(
+      "t16_quality_classifier",
+      (s, d) => {
+        val toks = Tables.corpus(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        val bucket = TextOps.tokenHash64(col("tok")).bitwiseAND(lit(4095L))
+        val weightMilli =
+          pmod(TextOps.tokenHash64(concat(lit("w|"), bucket.cast("string")))
+            .bitwiseAND(lit(0x7FFFFFFFL)), lit(2001L)) - lit(1000L)
+        toks.select(col("doc_id"), weightMilli.as("__w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("__w")).as("score_milli"))
+          .select(col("doc_id"), col("n_tokens"),
+            col("score_milli").cast("long").as("score_milli"),
+            (col("score_milli") >= 0).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents),
+        feat AS (
+          SELECT doc_id,
+                 (('0x' || substr(md5(tok),1,16))::UBIGINT & 4095) AS b
+          FROM toks),
+        w AS (
+          SELECT doc_id,
+                 CAST((('0x' || substr(md5('w|' || b::VARCHAR),1,16))::UBIGINT
+                   & 2147483647) % 2001 AS BIGINT) - 1000 AS wm
+          FROM feat)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(wm) AS BIGINT) AS score_milli,
+               SUM(wm) >= 0 AS keep
+        FROM w GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- t17: bigram-LM perplexity filter (CCNet-style) -------------------
+    // the KenLM-shaped data-curation filter one level up from t12's
+    // unigram: corpus bigram counts with add-1 smoothing over the
+    // bigram-left totals, per-doc mean negative log-probability. Same
+    // float discipline as t12 — ln runs on identical exact-integer
+    // operands in both engines and each bigram's nats fixed-point to
+    // 1e-4 BEFORE the sum, so the aggregate is integer arithmetic.
+    // Scale shape: the count tables are vocab-sized (broadcast at gate
+    // scale, shuffle-join on the bigram key beyond); the corpus side is
+    // one explode, never re-read. Docs with < 2 tokens have no bigrams
+    // and drop out (filterable upstream, documented).
+    QueryDef(
+      "t17_bigram_lm",
+      (s, d) => {
+        val docs = Tables.corpus(s, d)
+        val bi = docs
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+          .select(col("doc_id"), explode(when(size(col("t")) >= 2,
+            transform(sequence(lit(1), size(col("t")) - 1),
+              i => struct(element_at(col("t"), i).as("l"),
+                element_at(col("t"), i + 1).as("r"))))
+            .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
+          .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
+        val big = bi.groupBy(col("l"), col("r")).agg(count(lit(1)).as("cb"))
+        val left = big.groupBy(col("l")).agg(sum(col("cb")).as("cl"))
+        val vocab = docs
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .agg(count_distinct(col("tok")).as("v"))
+        bi.join(broadcast(big), Seq("l", "r"))
+          .join(broadcast(left), Seq("l"))
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"),
+            floor(-log((col("cb").cast("double") + 1.0) /
+                (col("cl").cast("double") + col("v").cast("double")))
+              * 10000.0 + 0.5).cast("long").as("__nats4"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            floor(sum(col("__nats4")).cast("double") / count(lit(1)) + 0.5)
+              .cast("long").as("mean_nats4"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+          FROM documents),
+        bi AS (
+          SELECT doc_id, tk[i] AS l, tk[i+1] AS r
+          FROM (SELECT doc_id, unnest(generate_series(1, len(tk)-1)) AS i, tk
+                FROM t)),
+        big AS (SELECT l, r, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+        lf AS (SELECT l, CAST(SUM(cb) AS BIGINT) AS cl FROM big GROUP BY 1),
+        vocab AS (
+          SELECT COUNT(DISTINCT tok) AS v
+          FROM (SELECT unnest(tk) AS tok FROM t)),
+        scored AS (
+          SELECT doc_id,
+                 CAST(floor(-ln((CAST(cb AS DOUBLE) + 1.0) /
+                     (CAST(cl AS DOUBLE) + CAST(v AS DOUBLE)))
+                   * 10000.0 + 0.5) AS BIGINT) AS nats4
+          FROM bi JOIN big USING (l, r) JOIN lf USING (l), vocab)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(floor(CAST(SUM(nats4) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+                 AS mean_nats4
+        FROM scored GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

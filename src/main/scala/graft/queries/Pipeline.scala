@@ -288,6 +288,78 @@ object Pipeline {
         SELECT doc_id, n_tokens FROM (
           SELECT doc_id, n_tokens FROM keyed
           ORDER BY key DESC, doc_id LIMIT 50)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- p09: domain mixing — repetition factors to a target token mix ----
+    // the pretraining-mix step (DoReMi/LLaMA-style static reweighting):
+    // given target token SHARES per language, each doc gets a repetition
+    // factor so the mixed corpus hits the target — factor = share *
+    // total_tokens / domain_tokens, applied as floor(f) repeats plus an
+    // md5-coin Bernoulli for the fractional part (deterministic per doc:
+    // any engine, any run, any partitioning mints the same repeats —
+    // same discipline as p07's split). Arithmetic: f in milli-units from
+    // one IEEE double division of exact integer operands (identical in
+    // any engine), everything else integer. Two tiny aggregates + one
+    // broadcast join back onto the corpus scan; the corpus is read once.
+    QueryDef(
+      "p09_domain_mix",
+      (s, d) => {
+        // target token shares in milli-units (sums to 1000): upweight the
+        // low-resource langs, de-emphasize en — the typical rebalance
+        val share = typedLit(Map(
+          "en" -> 300L, "de" -> 175L, "es" -> 175L, "fr" -> 175L,
+          "zh" -> 175L))
+        val docs = Tables.corpus(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        val byLang = docs.groupBy(col("lang"))
+          .agg(sum(col("n_tokens")).cast("long").as("lang_tokens"))
+        val total = byLang.agg(sum(col("lang_tokens")).cast("long").as("total_tokens"))
+        val fMilli = floor(
+          share(col("lang")).cast("double") * col("total_tokens").cast("double")
+            / col("lang_tokens").cast("double")).cast("long")
+        val coin = shiftright(
+          TextOps.tokenHash64(concat(lit("mix|"), col("doc_id").cast("string"))), 8)
+          .bitwiseAND(lit(0x7FFFFFFFL)) % 1000L
+        docs.join(broadcast(byLang), Seq("lang"))
+          .crossJoin(broadcast(total))
+          .select(col("lang"), col("n_tokens"),
+            (fMilli.divide(1000L).cast("long") +
+              when(coin < fMilli % 1000L, 1L).otherwise(0L)).as("__rep"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("__rep")).cast("long").as("n_repeats"),
+            sum(col("__rep") * col("n_tokens")).cast("long").as("tokens_out"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+          FROM documents),
+        by_lang AS (
+          SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
+          FROM docs GROUP BY lang),
+        total AS (
+          SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens FROM by_lang),
+        share(lang, milli) AS (
+          VALUES ('en', 300), ('de', 175), ('es', 175), ('fr', 175),
+                 ('zh', 175)),
+        rep AS (
+          SELECT d.lang, d.n_tokens,
+                 CAST(floor(CAST(s.milli AS DOUBLE)
+                     * CAST(t.total_tokens AS DOUBLE)
+                     / CAST(b.lang_tokens AS DOUBLE)) AS BIGINT) AS fm,
+                 ((('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)),1,16))::UBIGINT
+                   >> 8) & 2147483647) % 1000 AS coin
+          FROM docs d
+          JOIN by_lang b USING (lang) JOIN share s ON s.lang = d.lang, total t)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(fm // 1000 + CASE WHEN coin < fm % 1000 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_repeats,
+               CAST(SUM((fm // 1000 + CASE WHEN coin < fm % 1000 THEN 1 ELSE 0 END)
+                 * n_tokens) AS BIGINT) AS tokens_out
+        FROM rep GROUP BY lang ORDER BY lang"""))
   )
 }

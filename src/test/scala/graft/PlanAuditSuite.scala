@@ -336,6 +336,27 @@ class PlanAuditSuite extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"funnel stages must stay hash joins:\n$p")
   }
 
+  test("t16/t17: classifier + bigram LM keep one corpus scan, broadcast counts") {
+    val p16 = plan("t16_quality_classifier")
+    // integer weight sum: one partial-combining aggregation, no joins
+    assert(p16.contains("HashAggregate"), p16)
+    assert(!p16.contains("SortMergeJoin") && !p16.contains("CartesianProduct"), p16)
+    val p17 = plan("t17_bigram_lm")
+    // the vocab-sized count tables must broadcast, never sort-merge the
+    // exploded corpus side
+    assert(p17.contains("BroadcastHashJoin"), p17)
+    assert(!p17.contains("SortMergeJoin"), s"count-table join degraded:\n$p17")
+  }
+
+  test("p08/p09: sampling + mixing stay scan-side (top-k / broadcast joins)") {
+    val p8 = plan("p08_weighted_sample")
+    // global top-k must be TakeOrdered (one pass), not a full sort
+    assert(p8.contains("TakeOrderedAndProject"), p8)
+    val p9 = plan("p09_domain_mix")
+    assert(p9.contains("BroadcastHashJoin") || p9.contains("BroadcastExchange"), p9)
+    assert(!p9.contains("SortMergeJoin"), s"lang-table join degraded:\n$p9")
+  }
+
   test("s07: sharp-regime LSH joins on bucket keys, never a cartesian") {
     val df = SparkEntry.queries("s07_ann_lsh_sharp")(spark, sf)
     df.collect() // populate the signature cache so the final plan is real

@@ -80,6 +80,15 @@ object Similarity {
     // non-empty; recall >= 0.9 vs the exact pair set and the <= 0.5%
     // candidate fraction are pinned in DedupOpsSuite. Rows-only
     // (hash-derived hyperplane signs are not oracle-expressible).
+    //
+    // Bench note: at gate scale (2k vectors) the d05 quadratic baseline
+    // is still *absolutely* fast (4M pairs) and s07's time is sketch
+    // overhead, so wall-clock alone doesn't show the win here — the
+    // scale evidence is the WORK bound: d05 scores n(n-1)/2 pairs
+    // always; s07 scores <= 0.5% of them (suite-pinned), so the
+    // crossover arrives within one order of magnitude of corpus growth
+    // and at 100x the quadratic term is 10^4 larger while s07 stays
+    // near-linear.
     QueryDef(
       "s07_ann_lsh_sharp",
       (s, d) => {

@@ -752,10 +752,13 @@ object TextAnalysis {
     // float discipline as t12 — ln runs on identical exact-integer
     // operands in both engines and each bigram's nats fixed-point to
     // 1e-4 BEFORE the sum, so the aggregate is integer arithmetic.
-    // Scale shape: the count tables are vocab-sized (broadcast at gate
-    // scale, shuffle-join on the bigram key beyond); the corpus side is
-    // one explode, never re-read. Docs with < 2 tokens have no bigrams
-    // and drop out (filterable upstream, documented).
+    // Scale shape: the count tables are vocab-sized — deliberately NOT
+    // broadcast-hinted, because a web-scale bigram vocabulary outgrows
+    // any broadcast budget; AQE broadcasts them at gate scale (runtime
+    // sizes, pinned in PlanAuditSuite) and falls back to a shuffle join
+    // on the bigram key when they grow. The corpus side is one explode,
+    // never re-read. Docs with < 2 tokens have no bigrams and drop out
+    // (filterable upstream, documented).
     QueryDef(
       "t17_bigram_lm",
       (s, d) => {
@@ -773,8 +776,8 @@ object TextAnalysis {
         val vocab = docs
           .select(explode(TextOps.tokens(col("text"))).as("tok"))
           .agg(count_distinct(col("tok")).as("v"))
-        bi.join(broadcast(big), Seq("l", "r"))
-          .join(broadcast(left), Seq("l"))
+        bi.join(big, Seq("l", "r"))
+          .join(left, Seq("l"))
           .crossJoin(broadcast(vocab))
           .select(col("doc_id"),
             floor(-log((col("cb").cast("double") + 1.0) /

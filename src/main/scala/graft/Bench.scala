@@ -210,8 +210,12 @@ object Bench {
         samples(n) = samples.getOrElse(n, Vector.empty) :+ v
         if (v >= 0 && v < best.getOrElse(n, Double.MaxValue)) best = best.updated(n, v)
       }
+      // queries STILL outlier-shaped here feed the suspect/clean verdict
+      // below — on a floor-less first run at a new sf dir, the median
+      // rule is the only stall detector, so it must reach the flag
       pending = pending.filter(n => isOutlier(n, best(n)))
     }
+    val unresolved = pending
     val retried: Map[String, Vector[Double]] =
       samples.filter(_._2.length > 1).toMap
     val results = firstPass.map { case (name, _) => name -> best(name) }
@@ -235,26 +239,40 @@ object Bench {
     val slowVsFloor = results.filter { case (name, v) =>
       v >= 0 && floorOf(name).exists(fl => v > math.max(5.0, 3 * fl))
     }.map(_._1)
-    val suspect = loadSuspect || slowVsFloor.nonEmpty
+    val failedNames = (results ++ baselines).filter(_._2 < 0).map(_._1)
+    // polluted = any of: a final timing >3x its persisted floor; a
+    // FLOOR-LESS query still outlier-shaped after every retry tier (on a
+    // first run at a new sf dir the median rule is the only stall
+    // signal — a floored query legitimately slower than the median is
+    // vouched for by its own floor instead); or a failed query
+    val polluted =
+      (slowVsFloor ++ unresolved.filter(n => floorOf(n).isEmpty)).distinct
+    val suspect = loadSuspect || polluted.nonEmpty || failedNames.nonEmpty
     val reasons =
       (if (loadSuspect) Seq(f"loadavg ${math.min(loadStart, loadEnd)}%.1f > ${cores * 1.5}%.1f") else Nil) ++
-        slowVsFloor.map(n => s"$n >3x floor")
+        slowVsFloor.map(n => s"$n >3x floor") ++
+        unresolved.filterNot(slowVsFloor.contains).map(n => s"$n outlier after all retries") ++
+        failedNames.map(n => s"$n failed")
 
     val failed = (results ++ baselines).filter(_._2 < 0).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
     // best-known-clean numbers IN the artifact: when this run's window is
     // polluted, the floors are the auditable isolated-run truth (each one
-    // is a real min-across-runs measurement from BENCH_floor.json)
+    // is a real min-across-runs measurement from BENCH_floor.json). A
+    // query that FAILED this run stays excluded (-1) even if a prior-run
+    // floor exists — a historical floor must not dress up missing
+    // coverage as a measurement.
     val floorResults = results.map { case (name, v) =>
-      name -> floorOf(name).fold(v)(fl => if (v >= 0) math.min(v, fl) else fl)
+      name -> (if (v >= 0) floorOf(name).fold(v)(math.min(v, _)) else -1.0)
     }
     val floorTotal = floorResults.map(_._2).filter(_ >= 0).sum
     val windowTotal = results.map(_._2).filter(_ >= 0).sum
     // headline: the measured best-of when believable; when pollution
-    // survived even the fresh-JVM re-time, fall back to floor_total —
-    // every entry of which is a real measured min — and say so via
+    // survived even the fresh-JVM re-time (vs floors OR the median rule
+    // on floor-less runs), fall back to floor_total — every entry a real
+    // measured min from THIS run or a prior one — and say so via
     // clean:false, so a polluted window is never the gate's number
-    val clean = slowVsFloor.isEmpty
+    val clean = polluted.isEmpty && failedNames.isEmpty
     val total = if (clean) windowTotal else floorTotal
     val baseTotal = baselines.map(_._2).filter(_ >= 0).sum
     val retriedJson = retried.map { case (k, vs) =>

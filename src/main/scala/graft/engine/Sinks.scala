@@ -134,10 +134,18 @@ object Sinks {
       targetBytes: Long = 128L * 1024 * 1024): Int = {
     val dir = new java.io.File(path)
     val bak = new java.io.File(s"$path.__old")
-    // crash recovery: a previous compact() that died between its two
-    // renames left the table at __old and nothing at `path`
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    // crash recovery, both windows: died BETWEEN the renames → the table
+    // is stranded at __old with nothing at `path`, roll it back; died
+    // AFTER the second rename (mid-cleanup) → `path` is current and
+    // __old is a leftover that would block the next swap's rename, drop it
     if (bak.isDirectory && !dir.exists())
       require(bak.renameTo(dir), s"could not roll back stranded $bak")
+    else if (bak.isDirectory && dir.exists())
+      rm(bak)
     def walkBytes(f: java.io.File): Long =
       if (f.isFile) { if (f.getName.endsWith(".parquet")) f.length else 0L }
       else Option(f.listFiles).getOrElse(Array.empty).map(walkBytes).sum
@@ -164,10 +172,6 @@ object Sinks {
     writer.mode("overwrite").parquet(tmp)
     require(dir.renameTo(bak), s"could not stage $path for swap")
     require(new java.io.File(tmp).renameTo(dir), s"could not swap in $tmp")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
     rm(bak)
     nFiles
   }

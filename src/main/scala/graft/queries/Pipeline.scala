@@ -323,6 +323,10 @@ object Pipeline {
           .bitwiseAND(lit(0x7FFFFFFFL)) % 1000L
         docs.join(broadcast(byLang), Seq("lang"))
           .crossJoin(broadcast(total))
+          // langs OUTSIDE the target mix are dropped, matching the
+          // oracle's inner join on the share table (a mix spec that
+          // doesn't name a domain excludes it)
+          .where(share(col("lang")).isNotNull)
           .select(col("lang"), col("n_tokens"),
             (fMilli.divide(1000L).cast("long") +
               when(coin < fMilli % 1000L, 1L).otherwise(0L)).as("__rep"))

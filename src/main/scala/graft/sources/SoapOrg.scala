@@ -62,12 +62,22 @@ final class SoapOrg(
       Map("Content-Type" -> "text/xml; charset=UTF-8", "SOAPAction" -> "\"\"",
         "X-SFDC-Session" -> sessionId),
       envelope(body, withSession = true, queryOptions))
-    if (resp.contains("INVALID_SESSION_ID"))
+    // session expiry is judged on the FAULT ELEMENTS (or a bare 401),
+    // never on a whole-body substring scan — queried record data is
+    // allowed to contain the literal string INVALID_SESSION_ID
+    val faultCode = field(resp, "faultcode")
+    val faultString = field(resp, "faultstring")
+    if (status == 401 ||
+        (faultCode.getOrElse("") + faultString.getOrElse(""))
+          .contains("INVALID_SESSION_ID"))
       throw new SessionExpiredException(s"SOAP call -> $status")
-    if (status / 100 != 2 && status != 500)
+    if (faultCode.nonEmpty || resp.contains("<soapenv:Fault>"))
+      throw new RuntimeException(
+        s"SOAP fault: ${faultCode.getOrElse("?")}: ${faultString.getOrElse(resp)}")
+    // a 500 is only legitimate WITH a fault envelope (handled above);
+    // a faultless non-2xx is a transport error, not an empty result
+    if (status / 100 != 2)
       throw new RuntimeException(s"SOAP call -> $status: $resp")
-    if (resp.contains("<soapenv:Fault>") || resp.contains("<faultcode>"))
-      throw new RuntimeException(s"SOAP fault: $resp")
     resp
   }
 
@@ -104,6 +114,30 @@ final class SoapOrg(
     (blocks(resp, "records"), if (done) None else locator)
   }
 
+  /** Relationship-path items (`Parent.Name`) arrive as NESTED records on
+    * the SOAP wire (`<sf:Parent><sf:Name>v</sf:Name></sf:Parent>`, a
+    * nil'd parent as `<sf:Parent xsi:nil="true"/>`): walk the segments
+    * through raw block extraction (no unescape until the leaf — the
+    * leaf's text is what carries entity escapes). */
+  private def resolveItem(record: String, item: String): Option[String] = {
+    def walk(xml: String, rest: List[String]): Option[String] = rest match {
+      case Nil => None
+      case last :: Nil => recordField(xml, last)
+      case seg :: tail =>
+        val t = java.util.regex.Pattern.quote(seg)
+        val nil = s"""<(?:\\w+:)?$t\\s[^>]*xsi:nil="true"[^>]*/>""".r
+        if (nil.findFirstIn(xml).nonEmpty) Some(null)
+        else blocks(xml, seg).headOption.flatMap(b => walk(b, tail))
+    }
+    walk(record, item.split("\\.").toList)
+  }
+
+  /** Cursor caveat (same shape as the Bulk result stream): the returned
+    * iterator pages lazily, so [[AuthRetryOrg]]'s retry-once covers the
+    * describe + FIRST page; a session expiring mid-pagination surfaces
+    * [[SessionExpiredException]] to the consumer, who restarts the query
+    * (the reference's cursor loop has the same property — fetch_all_data
+    * pages queryMore with no mid-loop retry, data_connector.py:55-69). */
   override def query(soql: String): Iterator[Row] = {
     val sel = soql.stripPrefix("SELECT ")
     val fromIdx = sel.indexOf(" FROM ")
@@ -116,8 +150,9 @@ final class SoapOrg(
 
     def toRow(record: String): Row =
       Row.fromSeq(items.zipWithIndex.map { case (item, i) =>
-        // plain field, else positional aggregate alias (AggregateResult)
-        val raw = recordField(record, item)
+        // plain/dotted field, else positional aggregate alias
+        // (AggregateResult expr{i})
+        val raw = resolveItem(record, item)
           .orElse(recordField(record, s"expr$i"))
         raw match {
           case None | Some(null) => null

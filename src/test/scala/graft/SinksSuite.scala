@@ -156,6 +156,18 @@ class SinksSuite extends SparkSuite {
     assert(back.schema.fieldNames.contains("lang"))
   }
 
+  test("compact drops a leftover __old from a crash AFTER the swap") {
+    val dir = Files.createTempDirectory("graft_compact_crash2_").toString
+    spark.range(100).repartition(8).write.mode("overwrite").parquet(s"$dir/t")
+    // simulate a crash after the second rename but before cleanup: the
+    // table at `path` is current AND a stale __old remains
+    new java.io.File(s"$dir/t.__old/stale").mkdirs()
+    val n = Sinks.compact(spark, s"$dir/t", targetBytes = 1L << 20)
+    assert(n == 1)
+    assert(spark.read.parquet(s"$dir/t").count() == 100)
+    assert(!new java.io.File(s"$dir/t.__old").exists())
+  }
+
   test("compact rolls back a table stranded at __old by a crashed swap") {
     val dir = Files.createTempDirectory("graft_compact_crash_").toString
     spark.range(100).repartition(8).write.mode("overwrite").parquet(s"$dir/t")

@@ -107,8 +107,14 @@ private[graft] class SoapWireSim(
     val isAgg = items.exists(i => !i.matches("[A-Za-z0-9_.]+"))
     val fields = items.zipWithIndex.map { case (item, i) =>
       val t = if (isAgg) s"expr$i" else item
-      if (r.isNullAt(i)) s"""<sf:$t xsi:nil="true"/>"""
-      else s"<sf:$t>${esc(r.get(i).toString)}</sf:$t>"
+      // dotted relationship items NEST on the real wire
+      // (<sf:Parent><sf:Name>v</sf:Name></sf:Parent>); a null rides as a
+      // nil'd outermost element
+      val segs = t.split("\\.")
+      if (r.isNullAt(i)) s"""<sf:${segs.head} xsi:nil="true"/>"""
+      else segs.reverse.foldLeft(esc(r.get(i).toString)) {
+        (inner, seg) => s"<sf:$seg>$inner</sf:$seg>"
+      }
     }.mkString
     val tpe = if (isAgg) "AggregateResult" else "sObject"
     s"""<records xsi:type="sf:$tpe"><sf:type>$tpe</sf:type>$fields</records>"""

@@ -103,6 +103,49 @@ class SoapOrgSuite extends AnyFunSuite {
       b.contains("<urn:sessionId>SID</urn:sessionId>")))
   }
 
+  test("dotted relationship items traverse the NESTED record form") {
+    val http = new SoapHttp({
+      case b if b.contains("describeSObject") => accountDescribe
+      case b if b.contains("<urn:queryString>") =>
+        env("""<queryResponse><result xsi:type="QueryResult">
+          <done>true</done><queryLocator></queryLocator>
+          <records xsi:type="sf:sObject"><sf:type>Contact</sf:type>
+            <sf:Id>C1</sf:Id>
+            <sf:Account><sf:Name>acme &amp; co</sf:Name></sf:Account>
+          </records>
+          <records xsi:type="sf:sObject"><sf:type>Contact</sf:type>
+            <sf:Id>C2</sf:Id>
+            <sf:Account xsi:nil="true"/>
+          </records><size>2</size></result></queryResponse>""")
+    })
+    val org = new SoapOrg("SID", server, http)
+    val rows = org.query("SELECT Id, Account.Name FROM Account").toSeq
+    // nested traversal + leaf-only unescape; a nil parent short-circuits
+    assert(rows == Seq(Row("C1", "acme & co"), Row("C2", null)))
+  }
+
+  test("a faultless 500 is a transport error; session data can't fake expiry") {
+    val http = new SoapHttp({
+      case b if b.contains("describeSObject") => accountDescribe
+      case b if b.contains("<urn:queryString>") && b.contains("Amount") =>
+        (500, "<html>bad gateway</html>") // proxy error, no SOAP fault
+      case b if b.contains("<urn:queryString>") =>
+        // record DATA containing the magic string must NOT raise expiry
+        env("""<queryResponse><result xsi:type="QueryResult">
+          <done>true</done><queryLocator></queryLocator>
+          <records><sf:type>Account</sf:type><sf:Id>A1</sf:Id>
+            <sf:Name>log: INVALID_SESSION_ID seen at 10:00</sf:Name>
+          </records><size>1</size></result></queryResponse>""")
+    })
+    val org = new SoapOrg("SID", server, http)
+    val ex = intercept[RuntimeException](
+      org.query("SELECT Id, Amount FROM Account").toSeq)
+    assert(!ex.isInstanceOf[SessionExpiredException] &&
+      ex.getMessage.contains("500"), ex.getMessage)
+    val rows = org.query("SELECT Id, Name FROM Account").toSeq
+    assert(rows == Seq(Row("A1", "log: INVALID_SESSION_ID seen at 10:00")))
+  }
+
   test("aggregate select items resolve positionally from AggregateResult") {
     val http = new SoapHttp({
       case b if b.contains("describeSObject") => accountDescribe

@@ -251,7 +251,8 @@ object Bench {
     val reasons =
       (if (loadSuspect) Seq(f"loadavg ${math.min(loadStart, loadEnd)}%.1f > ${cores * 1.5}%.1f") else Nil) ++
         slowVsFloor.map(n => s"$n >3x floor") ++
-        unresolved.filterNot(slowVsFloor.contains).map(n => s"$n outlier after all retries") ++
+        polluted.filterNot(slowVsFloor.contains)
+          .map(n => s"$n floorless outlier after all retries") ++
         failedNames.map(n => s"$n failed")
 
     val failed = (results ++ baselines).filter(_._2 < 0).map(r => "\"" + r._1 + "\"")

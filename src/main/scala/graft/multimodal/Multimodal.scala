@@ -171,7 +171,7 @@ object Multimodal {
   /** Goertzel magnitude spectrum at `dim` evenly spaced frequencies up
     * to Nyquist, unit-normalized — a real signal-domain feature (pure
     * tones land their energy in the matching bin), no FFT library. */
-  private[multimodal] def audioFeature(sampleRate: Int,
+  private[graft] def audioFeature(sampleRate: Int,
       samples: Array[Double], dim: Int): Array[Float] = {
     val n = math.min(samples.length, 4096)
     val v = new Array[Float](dim)
@@ -443,6 +443,63 @@ object Multimodal {
       maxHamming: Int): org.apache.spark.sql.DataFrame =
     graft.functions.TextOps.simHashPairs(
       perceptualHashes(media), "media_id", maxHamming)
+
+  /** 64-bit spectral sign-hash of a PCM clip: bit i set when the
+    * Goertzel magnitude at band i exceeds the clip's MEDIAN band
+    * magnitude. Gain-invariant by construction — scaling the waveform
+    * scales every band and the median equally (and [[audioFeature]]
+    * unit-normalizes besides), so a volume-renormalized duplicate
+    * hashes identically (pinned in MultimodalSuite). */
+  private[graft] def spectralHashOf(spec: Array[Float]): Long = {
+    val sorted = spec.clone().sorted
+    val median =
+      (sorted(spec.length / 2 - 1) + sorted(spec.length / 2)) / 2.0
+    var h = 0L
+    var i = 0
+    while (i < spec.length) {
+      if (spec(i) > median) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** (media_id, simhash) for every PCM-decodable payload — the audio
+    * sibling of [[perceptualHashes]], column-named to feed
+    * [[graft.functions.TextOps.simHashPairs]] unchanged. */
+  def spectralHashes(media: Dataset[MediaRow],
+      batchSize: Int = 64): org.apache.spark.sql.DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { m =>
+        decodePcm(m.bytes).map { case (rate, samples) =>
+          (m.media_id, spectralHashOf(audioFeature(rate, samples, 64)))
+        }
+      })
+    }.toDF("media_id", "simhash")
+  }
+
+  /** Audio near-duplicate pairs: spectral sign-hash + the SAME banded
+    * Hamming join (pigeonhole candidates, exact bit_count verify) the
+    * text and image dedup paths ride. */
+  def audioNearDupPairs(media: Dataset[MediaRow],
+      maxHamming: Int): org.apache.spark.sql.DataFrame =
+    graft.functions.TextOps.simHashPairs(
+      spectralHashes(media), "media_id", maxHamming)
+
+  /** Gain-scaled copy of a canonical-header PCM16 WAV (the synthetic
+    * writer's 44-byte layout) — the plant/test helper for
+    * gain-invariance checks. */
+  private[graft] def scaleWavGain(bytes: Array[Byte], gain: Double): Array[Byte] = {
+    val out = bytes.clone()
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 44
+    while (i + 1 < out.length) {
+      bb.putShort(i, (bb.getShort(i) * gain).toShort)
+      i += 2
+    }
+    out
+  }
 
   /** Orthonormal 2D DCT-II of an n×n grid (separable, O(n³)). */
   private def dct2(a: Array[Array[Double]], n: Int): Array[Array[Double]] = {

@@ -65,6 +65,31 @@ object MultimodalQ {
           .select(col("id_a"), col("id_b"), col("hamming"))
           .orderBy("id_a")
       },
+      None),
+
+    // ---- mm04: audio near-dup detection (spectral hash + banded join) ----
+    // the audio face of the same dedup machinery: each clip's Goertzel
+    // spectrum folds to a 64-bit sign-vs-median hash, and the planted
+    // duplicates are GAIN-SCALED copies (half volume) — the hash is
+    // volume-invariant by construction, so re-normalized re-uploads of
+    // the same recording dedup without waveform comparison. Rows-only
+    // (PCM decode kernels are not SQL-expressible); invariance and
+    // pair recovery pinned in MultimodalSuite.
+    QueryDef(
+      "mm04_audio_neardup",
+      (s, d) => {
+        import s.implicits._
+        val audios = Multimodal
+          .syntheticMedia(s, Tables(s, d, "documents"))
+          .filter(_.meta.kind == "audio")
+        val dupes = audios.map(m => m.copy(
+          media_id = m.media_id + 1000000L,
+          bytes = Multimodal.scaleWavGain(m.bytes, 0.5)))
+        Multimodal.audioNearDupPairs(audios.union(dupes), maxHamming = 4)
+          .where(col("id_b") === col("id_a") + 1000000L)
+          .select(col("id_a"), col("id_b"), col("hamming"))
+          .orderBy("id_a")
+      },
       None)
   )
 }

@@ -261,4 +261,33 @@ class MultimodalSuite extends SparkSuite {
       Array.fill[Byte](100)(3))
     assert(sampleFrames(Seq(raw).toDS(), 500L).collect().length == 2)
   }
+
+  test("audio spectral hash is gain-invariant; near-dup join finds scaled copies") {
+    import Multimodal._
+    // invariance at the kernel: a half-volume copy of the same recording
+    // hashes identically (band magnitudes and their median scale equally)
+    val wav = syntheticWav(7L)
+    val quiet = scaleWavGain(wav, 0.5)
+    def hashOf(bytes: Array[Byte]): Long = {
+      val (rate, samples) = decodePcm(bytes).get
+      spectralHashOf(audioFeature(rate, samples, 64))
+    }
+    assert(hashOf(wav) == hashOf(quiet),
+      "gain scaling must not move the spectral sign hash")
+    // and a different tone hashes differently
+    assert(hashOf(wav) != hashOf(syntheticWav(8L)))
+
+    // end to end: every planted gain-scaled duplicate pairs with its
+    // original through the banded Hamming join
+    val meta = MediaMeta("audio", 0, 0, 16000, 128L)
+    val clips = (0L until 12L).map(i =>
+      MediaRow(i, meta, syntheticWav(i))).toDS()
+    val dupes = clips.map(m => m.copy(media_id = m.media_id + 1000L,
+      bytes = scaleWavGain(m.bytes, 0.5)))
+    val pairs = audioNearDupPairs(clips.union(dupes), maxHamming = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    for (i <- 0L until 12L)
+      assert(pairs.contains((i, i + 1000L)),
+        s"planted scaled copy of clip $i not recovered: $pairs")
+  }
 }

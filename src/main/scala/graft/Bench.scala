@@ -208,7 +208,10 @@ object Bench {
       val fresh = retimeFreshJvm(pending)
       fresh.foreach { case (n, v) =>
         samples(n) = samples.getOrElse(n, Vector.empty) :+ v
-        if (v >= 0 && v < best.getOrElse(n, Double.MaxValue)) best = best.updated(n, v)
+        // a negative best means "failed in-window" — any valid fresh
+        // sample must replace it, not lose a < comparison against -1
+        if (v >= 0 && best.get(n).forall(b => b < 0 || v < b))
+          best = best.updated(n, v)
       }
       // queries STILL outlier-shaped here feed the suspect/clean verdict
       // below — on a floor-less first run at a new sf dir, the median
@@ -280,7 +283,33 @@ object Bench {
       "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val reasonsJson = reasons.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","clean":$clean,"first_pass_total":$firstTotal%.3f,"window_total":$windowTotal%.3f,"floor_total":$floorTotal%.3f,"suspect":$suspect,"suspect_reasons":$reasonsJson,"queries":${json(results)},"query_floors":${json(floorResults)},"baseline_queries":${json(baselines)},"baseline_total":$baseTotal%.3f,"retried":$retriedJson,"failed":$failed,"loadavg":{"start":$loadStart%.2f,"end":$loadEnd%.2f},"sf":"$sfDir"}""")
+
+    // Full diagnostics go to a sidecar file (and an early, prefixed log
+    // line); the FINAL stdout line must stay compact because the driver
+    // captures only the tail of the process output — a final line longer
+    // than that window truncates mid-JSON and parses as nothing (r5's
+    // artifact had parsed:null for exactly this reason).
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","clean":$clean,"first_pass_total":$firstTotal%.3f,"window_total":$windowTotal%.3f,"floor_total":$floorTotal%.3f,"suspect":$suspect,"suspect_reasons":$reasonsJson,"queries":${json(results)},"query_floors":${json(floorResults)},"baseline_queries":${json(baselines)},"baseline_total":$baseTotal%.3f,"retried":$retriedJson,"failed":$failed,"loadavg":{"start":$loadStart%.2f,"end":$loadEnd%.2f},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail.getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_DETAIL.json: ${e.getMessage}") }
+    System.err.println(s"[bench] detail: $detail")
+
+    def compactJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }.mkString("{", ",", "}")
+    def finalLine(qs: String, truncated: Boolean): String = {
+      val trunc = if (truncated) ""","queries_truncated":true""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","clean":$clean,"suspect":$suspect,"floor_total":$floorTotal%.3f,"baseline_total":$baseTotal%.3f,"failed":$failed,"queries":$qs$trunc,"sf":"$sfDir"}"""
+    }
+    // hard guard: if the per-query map ever outgrows the tail budget,
+    // keep only the slowest entries rather than risk a truncated line
+    val full = finalLine(compactJson(results), truncated = false)
+    val line =
+      if (full.length <= 1600) full
+      else finalLine(
+        compactJson(results.sortBy(-_._2).take(20)), truncated = true)
+    println(line)
     spark.stop()
   }
 }

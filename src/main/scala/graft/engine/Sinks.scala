@@ -162,7 +162,17 @@ object Sinks {
     val bytes = walkBytes(dir)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tmp = s"$path.__compacting"
-    val df = spark.read.parquet(path)
+    // partition values must round-trip as the literal directory strings:
+    // with type inference on, a string partition value that LOOKS numeric
+    // or date-like (bucket=007, day=2021-01-01) is read as int/date and
+    // rewritten under an altered directory name (bucket=7), silently
+    // changing partition values for downstream readers. Inference is
+    // disabled only for this read and restored afterwards.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val priorInfer = spark.conf.getOption(inferKey)
+    val df =
+      try { spark.conf.set(inferKey, "false"); spark.read.parquet(path) }
+      finally priorInfer.fold(spark.conf.unset(inferKey))(spark.conf.set(inferKey, _))
     // cluster on the partition cols: every partition value lands in one
     // task → one compacted file per partition directory
     val writer = parts match {

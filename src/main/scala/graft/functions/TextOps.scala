@@ -309,7 +309,17 @@ object TextOps {
     *      (2) nothing a batch merge creates or shrinks can beat OR TIE a
     *      later batch member under the serial tiebreak;
     *   3. if (2) leaves nothing, fall back to the plain serial step (the
-    *      single top pair), which is always exact.
+    *      single top pair), which is always exact;
+    *   4. concat-collision guard: step (2)'s proof assumes a batch merge
+    *      creates FRESH pair types, but the created token is a plain
+    *      string concat — if `a+b` already exists in the corpus
+    *      vocabulary, duplicates an earlier batch concat, or equals a
+    *      token used by another batch member, an EXISTING pair's count
+    *      can grow past the dominance boundary. The batch is truncated
+    *      right after the first such creator (one colliding merge alone
+    *      IS the serial step, so it stays exact). The vocabulary probe
+    *      is one cheap membership scan over the cached corpus per
+    *      batched round.
     *
     * So a 32k-merge vocabulary costs ~32k/batchK Spark jobs instead of
     * 32k — the driver-round bottleneck the serial loop has at production
@@ -359,10 +369,29 @@ object TextOps {
           val s = prefix.takeWhile(_._3 > boundary)
           if (s.isEmpty) prefix.take(1) else s // (3) serial fallback
         }
-        safe.foreach { case (a, b, c) =>
+        // (4) concat-collision guard — see the Scaladoc proof sketch
+        val guarded = if (safe.length <= 1) safe else {
+          val concats = safe.map { case (a, b, _) => a + b }
+          val cs = concats.toSet
+          val vocabHits: Set[String] =
+            cur.flatMap(_.iterator.filter(cs).toSeq).distinct().collect().toSet
+          val memberTokens =
+            safe.iterator.flatMap { case (a, b, _) => Seq(a, b) }.toSet
+          val seen = scala.collection.mutable.Set.empty[String]
+          var cut = safe.length
+          var j = 0
+          while (j < safe.length && cut == safe.length) {
+            val s0 = concats(j)
+            if (vocabHits(s0) || seen(s0) || memberTokens(s0)) cut = j + 1
+            seen += s0
+            j += 1
+          }
+          safe.take(cut)
+        }
+        guarded.foreach { case (a, b, c) =>
           merges += ((merges.size + 1, a, b, c))
         }
-        val batch = safe.map(m => (m._1, m._2)).toList
+        val batch = guarded.map(m => (m._1, m._2)).toList
         val prev = cur
         // ONE rewrite pass applies the whole batch in rank order
         cur = prev.map(ts => batch.foldLeft(ts) {

@@ -107,11 +107,21 @@ final class SoapOrg(
 
   // ---- query + queryMore cursor -------------------------------------------
 
-  /** One page: (rows-as-field-maps, locator if not done). */
+  /** One page: (rows-as-field-maps, locator if not done).
+    *
+    * `done`/`queryLocator` are QueryResult METADATA, siblings of the
+    * `<records>` elements — a queried field literally named `done`, or a
+    * relationship record containing one, must not be misread as the
+    * cursor state. The record bodies are stripped before extracting the
+    * cursor fields so only the metadata outside record boundaries is
+    * consulted. */
   private def parseQueryResult(resp: String): (Seq[String], Option[String]) = {
-    val done = field(resp, "done").exists(_.toBoolean)
-    val locator = field(resp, "queryLocator").filter(_.nonEmpty)
-    (blocks(resp, "records"), if (done) None else locator)
+    val recs = blocks(resp, "records")
+    val meta = """(?s)<(?:\w+:)?records(?:\s[^>]*)?>.*?</(?:\w+:)?records>""".r
+      .replaceAllIn(resp, "")
+    val done = field(meta, "done").exists(_.toBoolean)
+    val locator = field(meta, "queryLocator").filter(_.nonEmpty)
+    (recs, if (done) None else locator)
   }
 
   /** Relationship-path items (`Parent.Name`) arrive as NESTED records on
@@ -189,6 +199,11 @@ final class SoapOrg(
 
   private def sObjectXml(sObject: String, row: Row, schema: StructType): String = {
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      // the field name is interpolated as an element TAG: anything outside
+      // the XML-name alphabet (whitespace, <, &, quotes) would produce a
+      // malformed envelope that escape() cannot help with — reject it here
+      require(f.name.matches("[A-Za-z_][\\w.-]*"),
+        s"field name not XML-safe for a SOAP element tag: '${f.name}'")
       if (row.isNullAt(i))
         s"<urn:fieldsToNull>${escape(f.name)}</urn:fieldsToNull>"
       else {

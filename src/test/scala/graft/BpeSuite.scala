@@ -59,6 +59,23 @@ class BpeSuite extends SparkSuite {
     }
   }
 
+  test("concat-collision corpora still match the serial oracle") {
+    // merging (a,b) CREATES the string "ab" which already exists as a
+    // corpus token: the 3 "x a b" docs turn into "x ab", raising the
+    // pre-existing (x,ab) pair from 4 to 7 — past the second batch
+    // member (c,d,6). An unguarded batch would emit (c,d) as merge 2;
+    // serial (and the guarded batch) emit (x,ab,7)
+    val docs = (
+      Seq.fill(3)("x a b") ++ Seq.fill(7)("a b") ++
+        Seq.fill(6)("c d") ++ Seq.fill(4)("x ab")).toDF("text")
+    val serial = TextOps.bpeTrainSerial(docs, "text", numMerges = 3)
+    assert(serial.map(m => (m._1, m._2, m._3, m._4)) == Seq(
+      (1, "a", "b", 10L), (2, "x", "ab", 7L), (3, "c", "d", 6L)))
+    for (k <- Seq(2, 4, 16))
+      assert(TextOps.bpeTrain(docs, "text", numMerges = 3, batchK = k) == serial,
+        s"batchK=$k diverged on a concat-collision corpus")
+  }
+
   test("batching cuts corpus passes: rounds < merges") {
     // many mutually-independent frequent pairs -> big safe batches
     val docs = (1 to 40).flatMap(_ => Seq(

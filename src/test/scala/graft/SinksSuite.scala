@@ -156,6 +156,25 @@ class SinksSuite extends SparkSuite {
     assert(back.schema.fieldNames.contains("lang"))
   }
 
+  test("compact keeps numeric-looking string partition values verbatim") {
+    val dir = Files.createTempDirectory("graft_compact_infer_").toString
+    // bucket values that LOOK numeric/date-like: with partition type
+    // inference on, '007' re-reads as int 7 and the rewrite renames the
+    // directory bucket=007 -> bucket=7, silently changing the value
+    val df = Seq((1L, "007"), (2L, "007"), (3L, "2021-01-01"))
+      .toDF("id", "bucket").repartition(8)
+    df.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/t")
+    Sinks.compact(spark, s"$dir/t", targetBytes = 1L << 20)
+    val dirs = new java.io.File(s"$dir/t").listFiles
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("bucket=007", "bucket=2021-01-01"),
+      s"partition directory names must survive compact verbatim: $dirs")
+    // and the session conf was restored (inference back on by default)
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    assert(spark.conf.get(inferKey, "true") == "true")
+    assert(spark.read.parquet(s"$dir/t").count() == 3)
+  }
+
   test("compact drops a leftover __old from a crash AFTER the swap") {
     val dir = Files.createTempDirectory("graft_compact_crash2_").toString
     spark.range(100).repartition(8).write.mode("overwrite").parquet(s"$dir/t")

@@ -103,6 +103,51 @@ class SoapOrgSuite extends AnyFunSuite {
       b.contains("<urn:sessionId>SID</urn:sessionId>")))
   }
 
+  test("a record field literally named done/queryLocator can't fake the cursor") {
+    // the QueryResult metadata (<done>false</done>, LOC-1) comes AFTER
+    // the records; a first-match regex over the whole response would read
+    // the record's own <sf:done>true</sf:done> as the cursor state and
+    // stop after page one, silently dropping rows
+    val describe = env("""<describeSObjectResponse><result>
+      <name>Task</name>
+      <fields><name>Id</name><type>id</type></fields>
+      <fields><name>done</name><type>boolean</type></fields>
+      <fields><name>queryLocator</name><type>string</type></fields>
+      </result></describeSObjectResponse>""")
+    val http = new SoapHttp({
+      case b if b.contains("describeSObject") => describe
+      case b if b.contains("<urn:queryString>") =>
+        env("""<queryResponse><result xsi:type="QueryResult">
+          <records xsi:type="sf:sObject"><sf:type>Task</sf:type>
+            <sf:Id>T1</sf:Id><sf:done>true</sf:done>
+            <sf:queryLocator>FAKE-LOC</sf:queryLocator></records>
+          <done>false</done><queryLocator>LOC-1</queryLocator>
+          <size>2</size></result></queryResponse>""")
+      case b if b.contains("<urn:queryLocator>LOC-1</urn:queryLocator>") =>
+        env("""<queryMoreResponse><result xsi:type="QueryResult">
+          <records xsi:type="sf:sObject"><sf:type>Task</sf:type>
+            <sf:Id>T2</sf:Id><sf:done>false</sf:done>
+            <sf:queryLocator xsi:nil="true"/></records>
+          <done>true</done><queryLocator></queryLocator>
+          <size>2</size></result></queryMoreResponse>""")
+    })
+    val org = new SoapOrg("SID", server, http)
+    val rows = org.query("SELECT Id, done, queryLocator FROM Task").toSeq
+    assert(rows == Seq(Row("T1", true, "FAKE-LOC"), Row("T2", false, null)))
+    assert(http.bodies.count(_.contains("queryMore")) == 1,
+      "the real metadata cursor must drive pagination, not record content")
+  }
+
+  test("a non-XML-safe field name is rejected before it corrupts an envelope") {
+    val http = new SoapHttp(PartialFunction.empty)
+    val org = new SoapOrg("SID", server, http)
+    val bad = StructType(Seq(StructField("Bad Name<x>", StringType)))
+    val e = intercept[IllegalArgumentException](
+      org.insert("Account", Seq(Row("v")), bad))
+    assert(e.getMessage.contains("XML-safe"))
+    assert(http.bodies.isEmpty, "nothing may reach the wire")
+  }
+
   test("dotted relationship items traverse the NESTED record form") {
     val http = new SoapHttp({
       case b if b.contains("describeSObject") => accountDescribe

@@ -843,4 +843,56 @@ object TextOps {
       .toDF("doc_id", "bucket", "seq_id", "n_tokens")
       .withColumnRenamed("doc_id", idCol)
   }
+
+  /** Cross-document repeated-passage statistics — the exact-substring
+    * dedup signal (SlimPajama / BigCode style) at n-token window
+    * granularity: every rolling n-token window of every document is
+    * hashed ([[tokenHash64]], md5-derived → oracle-replayable by passage
+    * STRING equality); a passage is "repeated" when it occurs in at
+    * least `minDocs` distinct documents. Emits per-document
+    * `(id, n_windows, n_repeated)` — the prune decision (drop, trim, or
+    * down-weight) composes downstream.
+    *
+    * Scale shape: the dominant shuffle carries only 8-byte window hashes
+    * + 8-byte doc ids, pre-combined map-side to distinct (hash, doc)
+    * pairs with multiplicity, so cost tracks distinct windows, not raw
+    * corpus tokens. The repeated-hash set is reduced BEFORE joining back
+    * (two narrow hash-keyed aggregations + one hash join), never a
+    * corpus-sized broadcast. Per-doc window counts come from a second
+    * column-pruned scan instead of threading an extra column through the
+    * big explode shuffle (8 fewer bytes per window row). 64-bit hashing
+    * conflates colliding passages — at ~1e-19 per pair, the standard
+    * trade for exact-substring dedup at corpus scale. */
+  def repeatedPassageStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 2, "passage window must span at least 2 tokens")
+    val toks = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+    // guard the sequence: Spark's sequence(1, 0) yields a DESCENDING
+    // [1, 0], not empty — short docs must map to an empty window array
+    val windows = when(size(col("__t")) >= n,
+      expr(s"transform(sequence(1, size(__t) - ${n - 1}), " +
+        s"i -> array_join(slice(__t, i, $n), ' '))"))
+      .otherwise(array().cast("array<string>"))
+    val ex = toks
+      .select(col("__id"), explode(windows).as("__p"))
+      .select(col("__id"), tokenHash64(col("__p")).as("__h"))
+    // distinct (hash, doc) with multiplicity: the map-side combine that
+    // shrinks the corpus-wide shuffle
+    val perDoc = ex.groupBy(col("__h"), col("__id"))
+      .agg(count(lit(1)).as("__c"))
+    // perDoc rows are distinct per (hash, doc), so count(*) IS the
+    // distinct-document count — no count_distinct shuffle needed
+    val repeated = perDoc.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__docs"))
+      .where(col("__docs") >= minDocs)
+      .select(col("__h"))
+    val repPerDoc = perDoc.join(repeated, "__h")
+      .groupBy(col("__id")).agg(sum(col("__c")).as("n_repeated"))
+    toks
+      .select(col("__id"),
+        greatest(size(col("__t")) - (n - 1), lit(0)).cast("long").as("n_windows"))
+      .join(repPerDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_windows"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"))
+  }
 }

@@ -335,6 +335,43 @@ object Dedup {
         )
         SELECT cluster_id, doc_id AS rep_id, n_toks AS rep_tokens, n_members
         FROM j WHERE rk = 1
-        ORDER BY cluster_id"""))
+        ORDER BY cluster_id""")),
+
+    // ---- d13: repeated-passage pruning stats (exact-substring dedup) -----
+    // SlimPajama/BigCode-style: every rolling 8-token window, hashed;
+    // windows seen in >= 2 distinct docs are "repeated". The oracle
+    // joins on the passage STRING — equal to the md5-64 hash join modulo
+    // ~1e-19 collisions.
+    QueryDef(
+      "d13_passage_prune",
+      (s, d) =>
+        TextOps.repeatedPassageStats(
+            Tables.corpus(s, d), "doc_id", "text", n = 8, minDocs = 2)
+          .orderBy("doc_id"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents
+        ), win AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, greatest(len(w) - 7, 0)),
+                   i -> array_to_string(w[i:i+7], ' ')) AS ps,
+                 greatest(len(w) - 7, 0) AS nw
+          FROM toks
+        ), ex AS (
+          SELECT doc_id, unnest(ps) AS p FROM win
+        ), per_doc AS (
+          SELECT p, doc_id, count(*) AS c FROM ex GROUP BY 1, 2
+        ), rep AS (
+          SELECT p FROM per_doc GROUP BY p HAVING count(*) >= 2
+        ), rep_per_doc AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_repeated
+          FROM per_doc JOIN rep USING (p) GROUP BY doc_id
+        )
+        SELECT w.doc_id, CAST(w.nw AS BIGINT) AS n_windows,
+               COALESCE(r.n_repeated, 0) AS n_repeated
+        FROM win w LEFT JOIN rep_per_doc r USING (doc_id)
+        ORDER BY doc_id"""),
+      bench = true)
   )
 }

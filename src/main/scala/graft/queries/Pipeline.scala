@@ -364,6 +364,70 @@ object Pipeline {
                  AS BIGINT) AS n_repeats,
                CAST(SUM((fm // 1000 + CASE WHEN coin < fm % 1000 THEN 1 ELSE 0 END)
                  * n_tokens) AS BIGINT) AS tokens_out
-        FROM rep GROUP BY lang ORDER BY lang"""))
+        FROM rep GROUP BY lang ORDER BY lang""")),
+
+    // ---- p10: explicit HLL sketch, oracle-replayed bit-for-bit ------------
+    // p02 demonstrates the production path (Spark's codegen HLL++); this
+    // entry PROVES the sketch math portably: m=32 registers from the
+    // md5-derived 64-bit hash (bucket = low 5 bits, rho = leading-zero
+    // count of the next 55 bits + 1), folded with one shuffle on
+    // (lang, bucket) — fixed 32-row state per group no matter the corpus
+    // size, the property that makes HLL the 100 TB cardinality operator.
+    // All arithmetic to the final division is INTEGER (the 2^-rho sum is
+    // kept scaled by 2^56 in a BIGINT), so the oracle matches exactly;
+    // the single double division + floor is IEEE-deterministic on both
+    // engines. Estimator = raw HLL (alpha_32 * m^2 / sum 2^-rho), no
+    // small-range correction — ln() across libms is NOT replayable, and
+    // the registered cardinalities sit in the raw regime.
+    QueryDef(
+      "p10_hll_sketch",
+      (s, d) => {
+        val h = TextOps.tokenHash64(col("doc_id").cast("string"))
+        Tables(s, d, "documents")
+          .select(col("lang"),
+            h.bitwiseAND(31L).as("bucket"),
+            shiftright(h, 5).bitwiseAND((1L << 55) - 1).as("w"))
+          .select(col("lang"), col("bucket"),
+            when(col("w") === 0L, 56L)
+              .otherwise(lit(56L) - length(bin(col("w")))).as("rho"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(max(col("rho")).as("r"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("used_buckets"),
+            sum(col("r")).cast("long").as("reg_sum"),
+            (expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(56 - r AS INT)))")
+              + (lit(32L) - count(lit(1))) * lit(72057594037927936L)).as("s"))
+          .select(col("lang"),
+            floor(lit(5.1486486049969398e19) / col("s").cast("double"))
+              .cast("long").as("est_distinct"),
+            col("used_buckets"), col("reg_sum"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH h AS (
+          SELECT lang,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS hv
+          FROM documents
+        ), b AS (
+          SELECT lang, CAST(hv & 31 AS BIGINT) AS bucket,
+                 CAST((hv >> 5) & ((1::UBIGINT << 55) - 1) AS BIGINT) AS w
+          FROM h
+        ), r AS (
+          SELECT lang, bucket,
+                 MAX(CASE WHEN w = 0 THEN 56 ELSE 56 - length(bin(w)) END) AS r
+          FROM b GROUP BY lang, bucket
+        ), agg AS (
+          SELECT lang,
+                 COUNT(*) AS used_buckets,
+                 CAST(SUM(r) AS BIGINT) AS reg_sum,
+                 CAST(SUM(1::BIGINT << CAST(56 - r AS INT)) AS BIGINT)
+                   + (32 - COUNT(*)) * 72057594037927936 AS s
+          FROM r GROUP BY lang
+        )
+        SELECT lang,
+               CAST(FLOOR(5.1486486049969398e19 / CAST(s AS DOUBLE)) AS BIGINT)
+                 AS est_distinct,
+               used_buckets, reg_sum
+        FROM agg ORDER BY lang"""))
   )
 }

@@ -18,6 +18,30 @@ class DedupOpsSuite extends SparkSuite {
     TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
 
+  test("repeated-passage stats: hand corpus matches the by-hand count") {
+    // docs 1 and 2 share the same 9-token text -> each has 2 windows of
+    // 8, all repeated; doc 3 shares no 8-token window; doc 4 is shorter
+    // than the window -> (0, 0); doc 5 repeats a passage only WITHIN
+    // itself -> not cross-doc repeated under minDocs=2
+    val shared = "a b c d e f g h i"
+    val corpus = Seq(
+      (1L, shared), (2L, shared),
+      (3L, "a b c d e f g X i"),
+      (4L, "too short"),
+      (5L, "p q r s t u v w p q r s t u v w")).toDF("doc_id", "text")
+    val out = TextOps.repeatedPassageStats(corpus, "doc_id", "text", n = 8)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L), (2L, 2L, 2L), (3L, 2L, 0L), (4L, 0L, 0L),
+      (5L, 9L, 0L)))
+    // within-doc repetition DOES count once the doc threshold is 1
+    val self = TextOps.repeatedPassageStats(corpus, "doc_id", "text",
+        n = 8, minDocs = 1)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(self.map(_._3) == Seq(2L, 2L, 2L, 0L, 9L),
+      s"minDocs=1 marks every window of every doc that occurs anywhere: $self")
+  }
+
   test("minhash LSH recall is total on the planted >=0.9 pairs") {
     val cands = TextOps.minHashCandidates(docs, "doc_id", "text", 3, 128, 32)
       .as[(Long, Long)].collect().toSet

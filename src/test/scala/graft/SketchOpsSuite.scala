@@ -33,6 +33,35 @@ class SketchOpsSuite extends SparkSuite {
     assert(a == b)
   }
 
+  test("explicit HLL (p10): estimates land within the m=32 error envelope") {
+    val sf = "/root/testdata/sf0.01"
+    val est = SparkEntry.queries("p10_hll_sketch")(spark, sf)
+      .select("lang", "est_distinct").as[(String, Long)].collect().toMap
+    val truth = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").agg(countDistinct("doc_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == truth.keySet)
+    // raw-estimator sigma at m=32 is 1.04/sqrt(32) ~ 18.4%; 2 sigma
+    // bound keeps the gate meaningful without flaking on the tails
+    truth.foreach { case (lang, n) =>
+      val e = est(lang)
+      val rel = math.abs(e - n).toDouble / n
+      assert(rel <= 0.37, s"$lang: est $e vs true $n (rel err $rel)")
+    }
+  }
+
+  test("explicit HLL is partitioning-invariant (pure fold over a set)") {
+    val sf = "/root/testdata/sf0.01"
+    val a = SparkEntry.queries("p10_hll_sketch")(spark, sf)
+      .collect().toSeq
+    // registers are max-folds of per-row values: any repartitioning of
+    // the input must produce the identical sketch and estimate
+    val sp2 = spark.newSession()
+    sp2.conf.set("spark.sql.shuffle.partitions", "3")
+    val b = SparkEntry.queries("p10_hll_sketch")(sp2, sf).collect().toSeq
+    assert(a == b)
+  }
+
   test("width must be a power of two") {
     intercept[IllegalArgumentException] {
       SketchOps.cmsHeavyHitters(docs, "text", width = 100)

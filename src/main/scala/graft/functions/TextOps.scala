@@ -627,16 +627,64 @@ object TextOps {
     * never receive a foreign label, so the loop runs over the pair
     * subgraph (at corpus scale, orders of magnitude smaller than the
     * corpus) and the full document set joins back once at the end —
-    * iteration cost tracks |dup graph|, not |corpus|. */
+    * iteration cost tracks |dup graph|, not |corpus|.
+    *
+    * Small-graph fast path (the GraphX/GraphFrames move): when the edge
+    * set fits comfortably on the driver (`smallEdgeLimit`, default 1M
+    * pairs = 16 MB of longs), union-find with path compression replaces
+    * the iterative loop entirely — one collect, zero per-round Spark
+    * jobs, identical min-label fixpoint. Even on a 1000-executor
+    * cluster, scheduling `diameter x 3` stages over a few thousand rows
+    * costs more than the driver's O(E alpha(E)) — the distributed loop
+    * exists for the web-scale dup graphs that genuinely exceed the
+    * bound, and engages automatically above it. */
   def duplicateClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, smallEdgeLimit: Long = 1000000L): DataFrame = {
     // cache the (possibly expensive-to-produce) pair stream ONCE, then
     // derive both edge directions from the cache — the naive
     // `pairs ∪ pairs.reversed` union evaluates the upstream pair
     // generator twice
     val base = pairs
       .select(col("id_a").as("__src"), col("id_b").as("__dst")).cache()
-    base.count()
+    val edgeCount = base.count()
+    // fast path only for long ids (the corpus contract); any other id
+    // type takes the fully distributed loop unchanged
+    val idsAreLong = base.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (edgeCount <= smallEdgeLimit && idsAreLong) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val es = base.as[(Long, Long)].collect()
+      base.unpersist()
+      // union-find, path-compressed; roots resolve to the component MIN
+      // id afterwards so the result equals the propagation fixpoint
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
+      }
+      val verts = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+      val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+      verts.foreach { v =>
+        val r = find(v)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, v), v)
+      }
+      val labels = verts.map(v => (v, minOfRoot(find(v)))).toSeq
+        .toDF("__v", "__lbl")
+      return docs.select(col(idCol).cast("long").as("__v"))
+        .join(broadcast(labels), Seq("__v"), "left")
+        .select(col("__v").as(idCol),
+          coalesce(col("__lbl"), col("__v")).as("cluster_id"))
+    }
     val edges = base
       .union(base.select(col("__dst").as("__src"), col("__src").as("__dst")))
     // both directions are present, so base's two columns cover every

@@ -336,6 +336,13 @@ class DedupOpsSuite extends SparkSuite {
     }
     // sanity: the planted dups produce at least one non-trivial cluster
     assert(clusters.exists { case (id, c) => id != c })
+    // the small-graph union-find fast path and the distributed
+    // label-propagation loop must compute the identical fixpoint
+    val distributed = TextOps.duplicateClusters(docs, "doc_id", pairs,
+        smallEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed == clusters,
+      "fast path and distributed loop diverged")
   }
 
   test("jaccard column function matches set arithmetic") {

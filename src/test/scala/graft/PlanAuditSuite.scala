@@ -150,11 +150,14 @@ class PlanAuditSuite extends SparkSuite {
     val barriers = df.queryExecution.optimizedPlan.collect {
       case r: InMemoryRelation => r: Any
       case r: org.apache.spark.sql.execution.LogicalRDD => r: Any
+      // small-graph fast path: labels are driver-computed union-find
+      // output shipped as literal data — no loop lineage exists at all
+      case r: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => r: Any
     }
     assert(barriers.nonEmpty,
       "the converged label table must sit behind a materialization " +
-        "barrier (localCheckpoint/InMemoryRelation), not a recomputable " +
-        "lineage")
+        "barrier (localCheckpoint/InMemoryRelation/LocalRelation), not " +
+        "a recomputable lineage")
     spark.catalog.clearCache()
   }
 

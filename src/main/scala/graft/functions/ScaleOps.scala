@@ -173,4 +173,46 @@ object ScaleOps {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Distributed running total over a GLOBAL sort order — without the
+    * single-partition window that `Window.orderBy` (no partitionBy)
+    * degrades to. The classic two-pass prefix sum:
+    *
+    *   1. range-repartition + in-partition sort on `sortCols`, so
+    *      partition i holds a contiguous slice of the global order;
+    *   2. one aggregation collects the PER-PARTITION totals (bounded by
+    *      the partition count, never by rows) and prefix-sums them on
+    *      the driver into per-partition offsets;
+    *   3. an in-partition running-sum window (keyed by the stable
+    *      partition id of the CACHED sorted frame) plus the broadcast
+    *      offset yields the global cumulative value.
+    *
+    * The cumulative values are independent of where the range
+    * partitioner draws its bounds — offsets absorb the split — so the
+    * result is deterministic across partitionings, which is what lets a
+    * DuckDB single-threaded window replay it exactly. */
+  def runningTotal(df: DataFrame, valueCol: String, sortCols: Seq[Column],
+      cumCol: String = "cum_total"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    sorted.count() // pin the pid assignment before the two readers below
+    val partSums = sorted.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = partSums.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + partSums(p)))
+    val offDf = offsets.toDF("__pid", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    sorted.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(cumCol, sum(col(valueCol)).over(w) + col("__off"))
+      .drop("__pid", "__off")
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.functions.TextOps
+import graft.functions.{ScaleOps, TextOps}
 
 /** The composed training-data curation pipeline — the operators of
   * Dedup/TextAnalysis chained the way a real corpus build runs them:
@@ -428,6 +428,63 @@ object Pipeline {
                CAST(FLOOR(5.1486486049969398e19 / CAST(s AS DOUBLE)) AS BIGINT)
                  AS est_distinct,
                used_buckets, reg_sum
-        FROM agg ORDER BY lang"""))
+        FROM agg ORDER BY lang""")),
+
+    // ---- p11: token-budget data selection (quality-ranked) ---------------
+    // the "pick the best N tokens" curation step: integer milli-score
+    // per doc (token count + avg-token-length components, all integer
+    // div — no float ordering), global rank (score desc, doc_id), keep
+    // docs while the running token total fits 30% of the corpus. The
+    // running total is ScaleOps.runningTotal's two-pass distributed
+    // prefix sum — a range repartition plus a partition-count-bounded
+    // offset collect, NOT the single-partition window Window.orderBy
+    // degrades to. cum_tokens is emitted so the oracle pins the whole
+    // prefix, not just membership.
+    QueryDef(
+      "p11_budget_select",
+      (s, d) => {
+        val scored = Tables.corpus(s, d)
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+            length(col("text")).cast("long").as("n_chars"))
+          .select(col("doc_id"), col("n_tokens"),
+            (least(col("n_tokens"), lit(100L)) * 5L +
+              least(expr("CAST(n_chars * 25 AS BIGINT) div n_tokens"),
+                lit(250L))).as("mscore"))
+          .cache()
+        val budget = scored
+          .agg(expr("CAST(sum(n_tokens) * 3 AS BIGINT) div 10").as("__budget"))
+        ScaleOps.runningTotal(scored, "n_tokens",
+            Seq(col("mscore").desc, col("doc_id").asc), cumCol = "cum_tokens")
+          .crossJoin(broadcast(budget))
+          .where(col("cum_tokens") <= col("__budget"))
+          .select(col("doc_id"), col("mscore"), col("n_tokens"),
+            col("cum_tokens"))
+          .orderBy("cum_tokens")
+      },
+      Some("""
+        WITH scored AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+                 CAST(length(text) AS BIGINT) AS n_chars
+          FROM documents
+        ), s2 AS (
+          SELECT doc_id, n_tokens,
+                 least(n_tokens, 100) * 5
+                   + least((n_chars * 25) // n_tokens, 250) AS mscore
+          FROM scored
+        ), b AS (
+          SELECT CAST((SUM(n_tokens) * 3) // 10 AS BIGINT) AS budget FROM s2
+        ), c AS (
+          SELECT doc_id, mscore, n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY mscore DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens
+          FROM s2
+        )
+        SELECT doc_id, mscore, n_tokens, cum_tokens
+        FROM c, b WHERE cum_tokens <= budget
+        ORDER BY cum_tokens"""))
   )
 }

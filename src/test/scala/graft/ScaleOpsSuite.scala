@@ -6,6 +6,36 @@ import graft.functions.ScaleOps
 class ScaleOpsSuite extends SparkSuite {
   import spark.implicits._
 
+  test("runningTotal equals the driver prefix sum, any partitioning") {
+    val rows = (1L to 500L).map(i => (i, (i * 37) % 101, i % 13 + 1))
+    val expected = rows.sortBy { case (id, score, _) => (-score, id) }
+      .scanLeft(0L)((acc, r) => acc + r._3).drop(1)
+    for (parts <- Seq(1, 3, 32)) {
+      val sp = spark.newSession()
+      sp.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      import sp.implicits._
+      val df = sp.createDataset(rows).toDF("id", "score", "v")
+      val got = ScaleOps.runningTotal(df, "v",
+          Seq(col("score").desc, col("id").asc), cumCol = "cum")
+        .orderBy("cum").select("cum").as[Long].collect().toSeq
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("runningTotal never plans a single-partition global window") {
+    val df = spark.range(1000).toDF("id")
+      .withColumn("v", col("id") % 7 + 1)
+    val out = ScaleOps.runningTotal(df, "v", Seq(col("id").asc))
+    // the window must be keyed by the range-partition id, not empty: an
+    // empty partition spec is the 100 TB-killing all-rows-to-one-task shape
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") ||
+      "Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan).isEmpty,
+      s"found a partition-less window:\n$plan")
+    assert(plan.contains("__pid") || plan.toLowerCase.contains("window"),
+      "sanity: the running sum should still be a window")
+  }
+
   test("saltedJoin equals the plain join result under heavy skew") {
     // 10k rows, 90% on one key — the shape that melts a single reducer
     val fact = spark.range(10000)

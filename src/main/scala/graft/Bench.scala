@@ -296,20 +296,28 @@ object Bench {
       System.err.println(s"[bench] could not write BENCH_DETAIL.json: ${e.getMessage}") }
     System.err.println(s"[bench] detail: $detail")
 
+    println(compactFinalLine(total, clean, suspect, floorTotal, baseTotal,
+      failed, results, sfDir))
+    spark.stop()
+  }
+
+  /** The driver-facing final stdout line. MUST stay under the driver's
+    * tail-capture budget (observed 2000 chars, minus sbt's trailing
+    * success line) or it truncates mid-JSON and parses as nothing —
+    * r5's artifact was lost exactly that way. If the per-query map ever
+    * outgrows the budget, the slowest entries are kept rather than
+    * risking a truncated line. */
+  private[graft] def compactFinalLine(total: Double, clean: Boolean,
+      suspect: Boolean, floorTotal: Double, baseTotal: Double,
+      failed: String, results: Seq[(String, Double)], sfDir: String): String = {
     def compactJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }.mkString("{", ",", "}")
-    def finalLine(qs: String, truncated: Boolean): String = {
+    def line(qs: String, truncated: Boolean): String = {
       val trunc = if (truncated) ""","queries_truncated":true""" else ""
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","clean":$clean,"suspect":$suspect,"floor_total":$floorTotal%.3f,"baseline_total":$baseTotal%.3f,"failed":$failed,"queries":$qs$trunc,"sf":"$sfDir"}"""
     }
-    // hard guard: if the per-query map ever outgrows the tail budget,
-    // keep only the slowest entries rather than risk a truncated line
-    val full = finalLine(compactJson(results), truncated = false)
-    val line =
-      if (full.length <= 1600) full
-      else finalLine(
-        compactJson(results.sortBy(-_._2).take(20)), truncated = true)
-    println(line)
-    spark.stop()
+    val full = line(compactJson(results), truncated = false)
+    if (full.length <= 1600) full
+    else line(compactJson(results.sortBy(-_._2).take(20)), truncated = true)
   }
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver parses only the TAIL of the bench process output (observed
+  * 2000 chars) — round 5's artifact was lost to a final line that outgrew
+  * that window. These tests pin the compact-line contract without running
+  * a benchmark. */
+class BenchLineSuite extends AnyFunSuite {
+
+  private def mk(n: Int, nameLen: Int): Seq[(String, Double)] =
+    (1 to n).map(i => (s"q${i}_" + "x" * nameLen, i * 0.37))
+
+  test("the real registry's headline set fits the tail budget with margin") {
+    val rs = SparkEntry.benchQueries.map(n => (n, 12.345))
+    val line = Bench.compactFinalLine(123.456, clean = true, suspect = false,
+      100.0, 2.0, "[]", rs, "/root/testdata/sf0.1")
+    assert(line.length <= 1600, s"${line.length} chars: $line")
+    assert(!line.contains("queries_truncated"))
+    // parseable shape: balanced braces, ends cleanly
+    assert(line.startsWith("{\"metric\":\"total\"") && line.endsWith("}"))
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+  }
+
+  test("an oversized query map truncates to the slowest entries, not mid-JSON") {
+    val rs = mk(60, 40) // ~2800 chars of map alone
+    val line = Bench.compactFinalLine(9.0, clean = false, suspect = true,
+      8.0, 1.0, "[]", rs, "/sf")
+    assert(line.length <= 1600, s"${line.length} chars")
+    assert(line.contains("\"queries_truncated\":true"))
+    // the kept entries are the slowest (largest timings survive)
+    val kept = """q(\d+)_""".r.findAllMatchIn(line).map(_.group(1).toInt).toSeq
+    assert(kept.size == 20 && kept.forall(_ > 40),
+      s"expected the 20 slowest, got $kept")
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+  }
+}

@@ -183,6 +183,39 @@ class PlanAuditSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("d13: passage shuffle runs in 64-bit hash space with no cross join") {
+    val p = plan("d13_passage_prune")
+    // the corpus-wide shuffle must carry md5-derived longs (conv over
+    // md5 substrings), never raw passage strings, and nothing in the
+    // pipeline may degrade to a cartesian/nested-loop join
+    assert(p.contains("md5") && p.contains("conv"),
+      "passage keys must be the md5-derived 64-bit hash:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("p10: the HLL fold is two hash aggregates, no joins at all") {
+    val p = plan("p10_hll_sketch")
+    assert(!p.contains("Join"),
+      "a cardinality sketch must fold, never join:\n" + p)
+    // register fold + per-lang merge, then the output sort
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("p11: the only nested-loop join is the 1-row budget broadcast") {
+    val df = SparkEntry.queries("p11_budget_select")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // crossJoin(broadcast(1-row aggregate)) is the scalar-join idiom;
+    // anything beyond that single BNLJ is a scale regression
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    // the running total must be windowed by the range-partition id,
+    // never a partition-less global window
+    assert(p.contains("__pid"),
+      "running total must ride the two-pass prefix sum:\n" + p)
+    spark.catalog.clearCache()
+  }
+
   test("d08: eval n-grams broadcast; the corpus side never shuffles its grams") {
     val p = plan("d08_decontaminate")
     assert(p.contains("BroadcastHashJoin"),

@@ -569,6 +569,48 @@ object Multimodal {
     }
   }
 
+  /** The model-inference head over [[extractFeatures]] output: project a
+    * modality feature vector to a `outDim`-dim L2-normalized embedding
+    * through a fixed seeded random-projection matrix. By the
+    * Johnson-Lindenstrauss lemma the projection preserves cosines/
+    * distances within ~1/sqrt(outDim), so downstream ANN (the s0x
+    * machinery) ranks media the same way it ranks text embeddings.
+    *
+    * This is the REAL inference plumbing — broadcast weights, batched
+    * matrix-vector per partition, normalization, ANN-composable output —
+    * with a seeded Gaussian matrix standing in for learned weights (the
+    * container ships no model runtime; `java.util.Random.nextGaussian`
+    * is algorithm-specified in the JDK docs, so the matrix is
+    * deterministic across JVMs). Swapping in a trained head is a
+    * weights-file change, not a plumbing change. */
+  def embedFeatures(feats: Dataset[MediaFeature], outDim: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val inDim = 64 // extractFeatures' fixed feature width
+    val rnd = new java.util.Random(seed)
+    val w = Array.fill(outDim, inDim)(rnd.nextGaussian().toFloat)
+    val bw = spark.sparkContext.broadcast(w)
+    feats.mapPartitions { it =>
+      val m = bw.value
+      it.map { f =>
+        val out = new Array[Float](outDim)
+        var i = 0
+        while (i < outDim) {
+          val row = m(i)
+          var j = 0
+          var acc = 0.0
+          val n = math.min(row.length, f.feature.length)
+          while (j < n) { acc += row(j) * f.feature(j); j += 1 }
+          out(i) = acc.toFloat
+          i += 1
+        }
+        val norm = math.sqrt(out.map(x => x.toDouble * x).sum).max(1e-9)
+        (f.media_id, out.map(x => (x / norm).toFloat))
+      }
+    }.toDF("media_id", "embedding")
+  }
+
   private def byteHashFeature(bytes: Array[Byte], dim: Int): Array[Float] = {
     val v = new Array[Float](dim)
     var i = 0

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.multimodal.Multimodal
+import graft.functions.VectorOps
 
 /** Registry coverage for the multimodal plumbing: synthetic media corpus
   * → per-partition batched feature extraction (REAL kernels: ImageIO
@@ -88,6 +89,33 @@ object MultimodalQ {
         Multimodal.audioNearDupPairs(audios.union(dupes), maxHamming = 4)
           .where(col("id_b") === col("id_a") + 1000000L)
           .select(col("id_a"), col("id_b"), col("hamming"))
+          .orderBy("id_a")
+      },
+      None),
+
+    // ---- mm05: inference head + ANN over media embeddings ----------------
+    // the full multimodal retrieval stack: decode → feature kernel →
+    // model head (seeded random projection, JL-preserving, unit-norm) →
+    // the SAME hyperplane-LSH machinery text embeddings use. Resized
+    // variants must be recovered as near-dups of their originals in
+    // EMBEDDING space — proving resize invariance survives the whole
+    // inference + ANN composition, not just the pHash shortcut (mm03).
+    QueryDef(
+      "mm05_media_embed_ann",
+      (s, d) => {
+        import s.implicits._
+        val images = Multimodal
+          .syntheticMedia(s, Tables(s, d, "documents"))
+          .filter(_.meta.kind == "image")
+        val resized = Multimodal.resize(images, maxSide = 12)
+          .map(m => m.copy(media_id = m.media_id + 1000000L))
+        val feats = Multimodal.extractFeatures(images.union(resized), dim = 64)
+        val emb = Multimodal.embedFeatures(feats, outDim = 32)
+        val (bits, bands) = VectorOps.lshParamsFor(0.8)
+        VectorOps.lshCosinePairs(emb, "media_id", "embedding",
+            bits = bits, bands = bands, threshold = 0.8)
+          .where(col("id_b") === col("id_a") + 1000000L)
+          .select(col("id_a"), col("id_b"), col("cos"))
           .orderBy("id_a")
       },
       None)

@@ -176,6 +176,46 @@ class MultimodalSuite extends SparkSuite {
     assert(top.count() == 6)
   }
 
+  test("embedFeatures: deterministic, unit-norm, JL-preserves cosines") {
+    import spark.implicits._
+    val feats = Multimodal.extractFeatures(media, dim = 64)
+    val a = Multimodal.embedFeatures(feats, outDim = 32)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val b = Multimodal.embedFeatures(feats, outDim = 32)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    assert(a.map(_._1).sameElements(b.map(_._1)))
+    a.zip(b).foreach { case ((_, va), (_, vb)) =>
+      assert(va.sameElements(vb), "same seed must give identical embeddings") }
+    a.foreach { case (id, v) =>
+      assert(math.abs(v.map(x => x.toDouble * x).sum - 1.0) < 1e-5,
+        s"embedding of $id not unit-norm") }
+    // JL sanity: feature-space cosine and embedding-space cosine agree
+    // within the k=32 distortion envelope on sampled pairs
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      val d = x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+      val nx = math.sqrt(x.map(p => p.toDouble * p).sum)
+      val ny = math.sqrt(y.map(p => p.toDouble * p).sum)
+      d / (nx * ny)
+    }
+    val fm = feats.collect().map(f => f.media_id -> f.feature).toMap
+    val em = a.toMap
+    val ids = a.map(_._1).take(12)
+    for (i <- ids; j <- ids if i < j) {
+      val cf = cos(fm(i), fm(j)); val ce = cos(em(i), em(j))
+      assert(math.abs(cf - ce) < 0.45,
+        s"pair ($i,$j): feature cos $cf vs embedding cos $ce")
+    }
+  }
+
+  test("mm05: every resized image pairs with its original in embedding space") {
+    val pairs = SparkEntry.queries("mm05_media_embed_ann")(spark, sf)
+      .collect()
+    val nImages = media.filter(_.meta.kind == "image").count()
+    assert(pairs.length == nImages,
+      s"recall must be total: $nImages planted, ${pairs.length} recovered")
+    assert(pairs.forall(_.getDouble(2) >= 0.8))
+  }
+
   test("resize shrinks only oversized media and preserves aspect bound") {
     val out = Multimodal.resize(media, maxSide = 128)
     assert(out.count() == media.count())

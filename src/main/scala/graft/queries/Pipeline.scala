@@ -485,6 +485,44 @@ object Pipeline {
         )
         SELECT doc_id, mscore, n_tokens, cum_tokens
         FROM c, b WHERE cum_tokens <= budget
-        ORDER BY cum_tokens"""))
+        ORDER BY cum_tokens""")),
+
+    // ---- p12: fixed-size per-stratum sample (deterministic reservoir) ----
+    // exactly k=25 docs per language, chosen by md5-hash order — the
+    // "same 25 every run, every engine, every partitioning" eval-set
+    // primitive that p04's Bernoulli rates cannot express (rates give a
+    // BINOMIAL size, not a fixed one). One partitioned window over
+    // (lang, hash) — never a global sort — then a rank filter; ties
+    // impossible (doc_id is unique, hash collisions broken by doc_id).
+    QueryDef(
+      "p12_group_sample",
+      (s, d) => {
+        val k = 25
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("__h").asc, col("doc_id").asc)
+        Tables.corpus(s, d)
+          .select(col("doc_id"), col("lang"),
+            shiftright(TextOps.tokenHash64(col("doc_id").cast("string")), 8)
+              .bitwiseAND(0x7FFFFFFFL).as("__h"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= k)
+          .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+          .orderBy("lang", "rk")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id, lang,
+                 ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                   >> 8) & 2147483647) AS hv
+          FROM documents
+        ), r AS (
+          SELECT doc_id, lang,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY hv, doc_id) AS BIGINT) AS rk
+          FROM h
+        )
+        SELECT doc_id, lang, rk FROM r WHERE rk <= 25
+        ORDER BY lang, rk"""))
   )
 }

@@ -345,6 +345,22 @@ class DedupOpsSuite extends SparkSuite {
       "fast path and distributed loop diverged")
   }
 
+  test("distributed loop still matches the fast path at sf0.01 (gate scale)") {
+    // the correctness gate now exercises only the fast path (its edge
+    // sets are driver-small); this keeps the distributed loop honest at
+    // a scale ten times the unit corpus
+    val d01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val pairs = TextOps.ngramJaccardPairs(d01, "doc_id", "text", 3, 0.5).cache()
+    val fast = TextOps.duplicateClusters(d01, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = TextOps.duplicateClusters(d01, "doc_id", pairs,
+        smallEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    pairs.unpersist()
+    assert(fast == dist)
+    assert(fast.exists { case (id, c) => id != c }, "planted dups expected")
+  }
+
   test("jaccard column function matches set arithmetic") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(TextOps.jaccard(col("x"), col("y"))).as[Double].collect().head

@@ -79,4 +79,25 @@ class TextPropertiesSuite extends SparkSuite {
       assert(bad.count() == 0, s"seed=$seed overfilled a multi-doc sequence")
     }
   }
+
+  test("repeated-passage stats: bounds hold; a doubled corpus repeats fully") {
+    val texts = samples(messyText, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val out = TextOps.repeatedPassageStats(df, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == texts.size)
+    out.foreach { case (id, nw, nr) =>
+      assert(nw >= 0 && nr >= 0 && nr <= nw, s"doc $id: windows=$nw rep=$nr") }
+    // duplicate every doc under fresh ids: now EVERY window of every doc
+    // occurs in at least 2 documents, so n_repeated == n_windows
+    // everywhere (docs whose text collides already satisfied it before)
+    val doubled = df.union(
+      texts.map { case (i, t) => (i + 100000L, t) }.toDF("doc_id", "text"))
+    val out2 = TextOps.repeatedPassageStats(doubled, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(out2.length == 2 * texts.size)
+    out2.foreach { case (id, nw, nr) =>
+      assert(nr == nw, s"doc $id in a doubled corpus: windows=$nw rep=$nr") }
+  }
 }

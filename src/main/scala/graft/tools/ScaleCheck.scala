@@ -63,8 +63,10 @@ object ScaleCheck {
     // compilation that would masquerade as 1x data cost)
     base.count()
     ops.foreach { case (_, run) => spark.catalog.clearCache(); run(corpus(1)) }
+    val copiesList = sys.env.get("SPARK_GRAFT_SCALE_COPIES")
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 2, 4))
     val results = for ((name, run) <- ops) yield {
-      val times = for (copies <- Seq(1, 2, 4)) yield {
+      val times = for (copies <- copiesList) yield {
         spark.catalog.clearCache()
         val docs = corpus(copies)
         val t0 = System.nanoTime()
@@ -74,8 +76,9 @@ object ScaleCheck {
       }
       (name, times)
     }
-    println("| operator | 1x sec (rows) | 2x sec (rows) | 4x sec (rows) | 4x/1x |")
-    println("|---|---|---|---|---|")
+    val hdr = copiesList.map(c => s"${c}x sec (rows)").mkString(" | ")
+    println(s"| operator | $hdr | ${copiesList.last}x/${copiesList.head}x |")
+    println("|---" * (copiesList.size + 2) + "|")
     results.foreach { case (name, ts) =>
       val cells = ts.map { case (_, s, r) => f"$s%.2f ($r)" }.mkString(" | ")
       val ratio = ts.last._2 / ts.head._2

@@ -297,27 +297,41 @@ object Bench {
     System.err.println(s"[bench] detail: $detail")
 
     println(compactFinalLine(total, clean, suspect, floorTotal, baseTotal,
-      failed, results, sfDir))
+      failedNames, results, sfDir))
     spark.stop()
   }
 
   /** The driver-facing final stdout line. MUST stay under the driver's
     * tail-capture budget (observed 2000 chars, minus sbt's trailing
     * success line) or it truncates mid-JSON and parses as nothing —
-    * r5's artifact was lost exactly that way. If the per-query map ever
-    * outgrows the budget, the slowest entries are kept rather than
-    * risking a truncated line. */
+    * r5's artifact was lost exactly that way. Degradation ladder when
+    * over budget: keep only the 20 slowest query entries; then drop the
+    * query map entirely. The failed list is always capped (first 5 names
+    * + a count) — a systemic failure run lists every query and would
+    * otherwise blow the window on its own. */
   private[graft] def compactFinalLine(total: Double, clean: Boolean,
       suspect: Boolean, floorTotal: Double, baseTotal: Double,
-      failed: String, results: Seq[(String, Double)], sfDir: String): String = {
+      failedNames: Seq[String], results: Seq[(String, Double)],
+      sfDir: String): String = {
     def compactJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }.mkString("{", ",", "}")
+    val failed = {
+      val shown = failedNames.take(5).map("\"" + _ + "\"")
+      val more =
+        if (failedNames.length > 5)
+          Seq("\"...+" + (failedNames.length - 5) + " more\"")
+        else Nil
+      (shown ++ more).mkString("[", ",", "]")
+    }
     def line(qs: String, truncated: Boolean): String = {
       val trunc = if (truncated) ""","queries_truncated":true""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","clean":$clean,"suspect":$suspect,"floor_total":$floorTotal%.3f,"baseline_total":$baseTotal%.3f,"failed":$failed,"queries":$qs$trunc,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","clean":$clean,"suspect":$suspect,"floor_total":$floorTotal%.3f,"baseline_total":$baseTotal%.3f,"failed":$failed,"n_failed":${failedNames.length},"queries":$qs$trunc,"sf":"$sfDir"}"""
     }
     val full = line(compactJson(results), truncated = false)
     if (full.length <= 1600) full
-    else line(compactJson(results.sortBy(-_._2).take(20)), truncated = true)
+    else {
+      val top = line(compactJson(results.sortBy(-_._2).take(20)), truncated = true)
+      if (top.length <= 1600) top else line("{}", truncated = true)
+    }
   }
 }

@@ -195,15 +195,28 @@ object ScaleOps {
       cumCol: String = "cum_total"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // integral columns only: a deterministic prefix sum is the point of
+    // this operator, and float accumulation order would break it
+    val vt = df.schema(valueCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(vt),
+      s"runningTotal needs an integral value column, got $vt")
     val n = spark.sessionState.conf.numShufflePartitions
+    // the cache is deliberately retained (same stance as the PPJoin
+    // shingle cache): the result's lineage reads it, the pid column must
+    // stay pinned to one materialization, and gate/bench callers clear
+    // caches between queries
     val sorted = df.repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .cache()
     sorted.count() // pin the pid assignment before the two readers below
     val partSums = sorted.groupBy(col("__pid"))
-      .agg(sum(col(valueCol)).as("__s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .agg(sum(col(valueCol).cast("long")).as("__s"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
     val pids = partSums.keys.toSeq.sorted
     val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + partSums(p)))
     val offDf = offsets.toDF("__pid", "__off")

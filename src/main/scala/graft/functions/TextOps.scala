@@ -647,10 +647,14 @@ object TextOps {
     val base = pairs
       .select(col("id_a").as("__src"), col("id_b").as("__dst")).cache()
     val edgeCount = base.count()
-    // fast path only for long ids (the corpus contract); any other id
-    // type takes the fully distributed loop unchanged
+    // fast path only when BOTH the pair ids and the docs id column are
+    // long (the corpus contract): any other id type takes the fully
+    // distributed loop unchanged — the fast path's output id column
+    // comes back as long, and a silent cast would change the schema (or
+    // null out string ids) depending on nothing but the edge count
     val idsAreLong = base.schema.fields.forall(
-      _.dataType == org.apache.spark.sql.types.LongType)
+      _.dataType == org.apache.spark.sql.types.LongType) &&
+      docs.schema(idCol).dataType == org.apache.spark.sql.types.LongType
     if (edgeCount <= smallEdgeLimit && idsAreLong) {
       val spark = docs.sparkSession
       import spark.implicits._

@@ -443,6 +443,9 @@ object Pipeline {
     QueryDef(
       "p11_budget_select",
       (s, d) => {
+        // cache deliberately retained (PPJoin-shingle-cache stance): two
+        // readers (budget scalar + the prefix-sum sort) and gate/bench
+        // callers clear caches between queries
         val scored = Tables.corpus(s, d)
           .select(col("doc_id"),
             size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),

@@ -14,7 +14,7 @@ class BenchLineSuite extends AnyFunSuite {
   test("the real registry's headline set fits the tail budget with margin") {
     val rs = SparkEntry.benchQueries.map(n => (n, 12.345))
     val line = Bench.compactFinalLine(123.456, clean = true, suspect = false,
-      100.0, 2.0, "[]", rs, "/root/testdata/sf0.1")
+      100.0, 2.0, Nil, rs, "/root/testdata/sf0.1")
     assert(line.length <= 1600, s"${line.length} chars: $line")
     assert(!line.contains("queries_truncated"))
     // parseable shape: balanced braces, ends cleanly
@@ -25,13 +25,27 @@ class BenchLineSuite extends AnyFunSuite {
   test("an oversized query map truncates to the slowest entries, not mid-JSON") {
     val rs = mk(60, 40) // ~2800 chars of map alone
     val line = Bench.compactFinalLine(9.0, clean = false, suspect = true,
-      8.0, 1.0, "[]", rs, "/sf")
+      8.0, 1.0, Nil, rs, "/sf")
     assert(line.length <= 1600, s"${line.length} chars")
     assert(line.contains("\"queries_truncated\":true"))
     // the kept entries are the slowest (largest timings survive)
     val kept = """q(\d+)_""".r.findAllMatchIn(line).map(_.group(1).toInt).toSeq
     assert(kept.size == 20 && kept.forall(_ > 40),
       s"expected the 20 slowest, got $kept")
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+  }
+
+  test("a systemic-failure run (every query failed) still fits the budget") {
+    // e.g. a wrong SPARK_GRAFT_SF_DIR fails all ~35 queries: the failed
+    // list must cap (5 names + count), not list every name — r5's bug
+    // class via a different field
+    val names = mk(40, 40).map(_._1)
+    val rs = names.map(n => (n, -1.0))
+    val line = Bench.compactFinalLine(0.0, clean = false, suspect = true,
+      0.0, 0.0, names, rs, "/sf")
+    assert(line.length <= 1600, s"${line.length} chars")
+    assert(line.contains("\"n_failed\":40"))
+    assert(line.contains("...+35 more"))
     assert(line.count(_ == '{') == line.count(_ == '}'))
   }
 }

@@ -526,6 +526,77 @@ object Pipeline {
           FROM h
         )
         SELECT doc_id, lang, rk FROM r WHERE rk <= 25
-        ORDER BY lang, rk"""))
+        ORDER BY lang, rk""")),
+
+    // ---- p13: histogram-quantile sketch, oracle-replayed ------------------
+    // the deterministic fixed-memory quantile estimator (p10's stance,
+    // for quantiles): one pass bins values into 4096 equi-width buckets
+    // (min/max from a broadcast 1-row aggregate), the bin histogram is
+    // the sketch — constant 4096-row state whatever the corpus size —
+    // and each quantile reads off the first bin whose cumulative count
+    // reaches ceil(q*N). Every arithmetic step is written identically
+    // on both engines (double ops are IEEE; the cum window is over the
+    // 4096-bin SKETCH, bounded by sketch width, never by data, which is
+    // why a partition-less window is fine here and nowhere else).
+    // Complements p05 (Spark's GK approx_percentile production path)
+    // exactly as p10 complements p02.
+    QueryDef(
+      "p13_histogram_quantiles",
+      (s, d) => {
+        val B = 4096
+        val li = Tables(s, d, "lineitem").select(col("l_extendedprice").as("x"))
+        val stats = li.agg(min(col("x")).as("__lo"), max(col("x")).as("__hi"))
+        val binned = li.crossJoin(broadcast(stats))
+          .select(least(
+            floor((col("x") - col("__lo")) / (col("__hi") - col("__lo"))
+              * lit(B.toDouble)),
+            lit(B - 1L)).cast("long").as("bin"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("bin"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy()
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        val hist = binned.groupBy(col("bin"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(w))
+          .withColumn("n", sum(col("c")).over(wAll))
+        val sel = Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)).map {
+          case (lbl, q) =>
+            hist.where(col("cum") >= ceil(lit(q) * col("n")))
+              .orderBy(col("bin")).limit(1)
+              .select(lit(lbl).as("q"), col("bin"))
+        }.reduce(_ union _)
+        sel.crossJoin(broadcast(stats))
+          .select(col("q"), col("bin"),
+            (col("__lo") + (col("bin") + lit(0.5))
+              * (col("__hi") - col("__lo")) / lit(B.toDouble)).as("est"))
+          .orderBy("q")
+      },
+      Some("""
+        WITH x AS (SELECT l_extendedprice AS x FROM lineitem),
+        s AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM x),
+        b AS (
+          SELECT CAST(LEAST(FLOOR(((x - lo) / (hi - lo)) * 4096.0), 4095)
+            AS BIGINT) AS bin
+          FROM x, s
+        ), h AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY bin),
+        c AS (
+          SELECT bin, c,
+                 SUM(c) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(c) OVER () AS n
+          FROM h
+        ), q(q, frac) AS (VALUES ('p50', 0.5), ('p95', 0.95), ('p99', 0.99)),
+        sel AS (
+          SELECT q.q, MIN(c.bin) AS bin
+          FROM q JOIN c ON c.cum >= CEIL(CAST(q.frac AS DOUBLE) * c.n)
+          GROUP BY q.q
+        )
+        SELECT sel.q, sel.bin,
+               (s.lo + (sel.bin + 0.5) * (s.hi - s.lo) / 4096.0) AS est
+        FROM sel, s ORDER BY q"""))
   )
 }

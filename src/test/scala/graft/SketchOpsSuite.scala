@@ -62,6 +62,20 @@ class SketchOpsSuite extends SparkSuite {
     assert(a == b)
   }
 
+  test("histogram quantiles (p13): each estimate within one bin of exact") {
+    val sf = "/root/testdata/sf0.01"
+    val est = SparkEntry.queries("p13_histogram_quantiles")(spark, sf)
+      .select("q", "est").as[(String, Double)].collect().toMap
+    val xs = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_extendedprice").as[Double].collect().sorted
+    val binWidth = (xs.last - xs.head) / 4096.0
+    for ((lbl, q) <- Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99))) {
+      val exact = xs(math.min(xs.length - 1, math.ceil(q * xs.length).toInt - 1))
+      assert(math.abs(est(lbl) - exact) <= binWidth,
+        s"$lbl: sketch ${est(lbl)} vs exact $exact (bin $binWidth)")
+    }
+  }
+
   test("width must be a power of two") {
     intercept[IllegalArgumentException] {
       SketchOps.cmsHeavyHitters(docs, "text", width = 100)

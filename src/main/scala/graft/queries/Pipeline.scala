@@ -597,6 +597,84 @@ object Pipeline {
         )
         SELECT sel.q, sel.bin,
                (s.lo + (sel.bin + 0.5) * (s.hi - s.lo) / 4096.0) AS est
-        FROM sel, s ORDER BY q"""))
+        FROM sel, s ORDER BY q""")),
+
+    // ---- p14: corpus-version diff (dataset release audit) ----------------
+    // the audit a versioned corpus needs between releases: FULL OUTER
+    // join v1 x v2 on doc_id, classify added / removed / modified /
+    // unchanged (modified = normalized-text md5 differs), and report
+    // per-(lang, status) doc counts and token deltas. One join keyed on
+    // doc_id, one aggregation — the canonical two-table reconcile shape
+    // at any corpus size (same stance as m06, applied to corpus
+    // releases). v2 is derived deterministically from v1 (every engine
+    // rebuilds the identical release): doc_id%7=0 removed, %11=0
+    // text-modified, and %13=0 re-added under a new id.
+    QueryDef(
+      "p14_corpus_diff",
+      (s, d) => {
+        def toks(c: org.apache.spark.sql.Column) =
+          size(TextOps.tokens(c)).cast("long")
+        val v1 = Tables.corpus(s, d)
+          .select(col("doc_id"), col("lang"), col("text"))
+        val v2 = v1.where(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("lang"),
+            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" vnew")))
+              .otherwise(col("text")).as("text"))
+          .union(v1.where(col("doc_id") % 13 === 0)
+            .select(col("doc_id") + 1000000L, col("lang"),
+              concat(col("text"), lit(" fresh")).as("text")))
+        val a = v1.select(col("doc_id"), col("lang").as("lang_a"),
+          md5(TextOps.normalize(col("text"))).as("h_a"),
+          toks(col("text")).as("t_a"))
+        val b = v2.select(col("doc_id"), col("lang").as("lang_b"),
+          md5(TextOps.normalize(col("text"))).as("h_b"),
+          toks(col("text")).as("t_b"))
+        a.join(b, Seq("doc_id"), "full_outer")
+          .select(coalesce(col("lang_a"), col("lang_b")).as("lang"),
+            when(col("h_a").isNull, "added")
+              .when(col("h_b").isNull, "removed")
+              .when(col("h_a") =!= col("h_b"), "modified")
+              .otherwise("unchanged").as("status"),
+            (coalesce(col("t_b"), lit(0L)) - coalesce(col("t_a"), lit(0L)))
+              .as("dt"))
+          .groupBy(col("lang"), col("status"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("dt")).cast("long").as("token_delta"))
+          .orderBy("lang", "status")
+      },
+      Some("""
+        WITH v1 AS (
+          SELECT doc_id, lang, text FROM documents
+        ), v2 AS (
+          SELECT doc_id, lang,
+                 CASE WHEN doc_id % 11 = 0 THEN text || ' vnew' ELSE text END
+                   AS text
+          FROM v1 WHERE doc_id % 7 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, lang, text || ' fresh'
+          FROM v1 WHERE doc_id % 13 = 0
+        ), a AS (
+          SELECT doc_id, lang AS lang_a,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h_a,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS t_a
+          FROM v1
+        ), b AS (
+          SELECT doc_id, lang AS lang_b,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h_b,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS t_b
+          FROM v2
+        )
+        SELECT COALESCE(lang_a, lang_b) AS lang,
+               CASE WHEN h_a IS NULL THEN 'added'
+                    WHEN h_b IS NULL THEN 'removed'
+                    WHEN h_a <> h_b THEN 'modified'
+                    ELSE 'unchanged' END AS status,
+               COUNT(*) AS n_docs,
+               CAST(SUM(COALESCE(t_b, 0) - COALESCE(t_a, 0)) AS BIGINT)
+                 AS token_delta
+        FROM a FULL OUTER JOIN b USING (doc_id)
+        GROUP BY 1, 2 ORDER BY lang, status"""))
   )
 }

@@ -79,6 +79,36 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Metadata-filtered exact top-k — the "filtered vector search"
+    * problem (tenant / language / license scoping): neighbors must share
+    * `keyCol` with the query. This is the PRE-FILTER strategy: the
+    * candidate join keys on (filter key), so each query scores only its
+    * own shard of the corpus and the work falls proportionally with
+    * filter selectivity — post-filtering an unfiltered top-k instead
+    * silently under-fills k whenever fewer than k of the global
+    * neighbors share the key. The query side broadcasts with its key;
+    * per-key corpus shards stay distributed, so a 100 TB corpus with a
+    * selective filter scans only the matching slice. */
+  def bruteForceTopKFiltered(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, keyCol: String, k: Int): DataFrame = {
+    def withKey(df: DataFrame, idAs: String, vAs: String) =
+      normalizedVectors(df, idCol, vecCol)
+        .join(df.select(col(idCol).as("__id"), col(keyCol).as("__k")), "__id")
+        .select(col("__id").as(idAs), col("__k"), col("__v").as(vAs))
+    val q = withKey(queries, "query_id", "__qv")
+    val c = withKey(corpus, "neighbor_id", "__cv")
+    val scored = c.join(broadcast(q), "__k")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        nativeDot(queries.sparkSession, col("__qv"), col("__cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Signed-random-projection (hyperplane LSH) signature: bit `j` is the
     * sign of `sum_i r_ij * v_i` with Rademacher weights `r_ij = ±1` —
     * deterministic, no stored projection matrix. Computed by the codegen

@@ -220,6 +220,40 @@ object Similarity {
           .orderBy("query_id", "rank")
       },
       None,
-      bench = true)
+      bench = true),
+
+    // ---- s08: metadata-filtered vector search (pre-filter strategy) ------
+    // neighbors must share the query's label (tenant/lang/license
+    // scoping): the candidate join keys on the label, so work falls
+    // proportionally with filter selectivity — post-filtering a global
+    // top-k under-fills k instead. Exact within the filter, so the s01
+    // oracle pattern applies with the label equality added.
+    QueryDef(
+      "s08_ann_filtered",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        VectorOps.bruteForceTopKFiltered(
+            emb.where(col("vec_id") < 20), emb,
+            "vec_id", "embedding", "label", k = 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])) AS cos
+          FROM embeddings q JOIN embeddings c
+            ON q.label = c.label AND q.vec_id != c.vec_id
+          WHERE q.vec_id < 20
+        ), ranked AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, neighbor_id
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank"""))
   )
 }

@@ -345,6 +345,34 @@ class DedupOpsSuite extends SparkSuite {
       "fast path and distributed loop diverged")
   }
 
+  test("filtered ANN: neighbors share the label; pre-filter fills k where post-filter can't") {
+    val queries = emb.where(col("vec_id") < 10)
+    val filtered = VectorOps.bruteForceTopKFiltered(
+        queries, emb, "vec_id", "embedding", "label", k = 5)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), "neighbor_id")
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("label").as("ql")), "query_id")
+    // every returned neighbor shares its query's label
+    assert(filtered.where(col("nl") =!= col("ql")).count() == 0)
+    // pre-filter fills k=5 per query (every label stratum has >= 6
+    // members in the test corpus)
+    val perQ = filtered.groupBy("query_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perQ.values.forall(_ == 5), perQ.toString)
+    // post-filtering the GLOBAL top-5 under-fills for at least one
+    // query: the unfiltered neighborhood mixes labels
+    val global = VectorOps.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), "neighbor_id")
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("label").as("ql")), "query_id")
+      .where(col("nl") === col("ql"))
+      .groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(global.values.exists(_ < 5),
+      s"expected post-filtering to under-fill somewhere: $global")
+  }
+
   test("distributed loop still matches the fast path at sf0.01 (gate scale)") {
     // the correctness gate now exercises only the fast path (its edge
     // sets are driver-small); this keeps the distributed loop honest at

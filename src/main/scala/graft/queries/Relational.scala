@@ -1050,6 +1050,62 @@ object Relational {
           FROM events) t
         WHERE from_type IS NOT NULL
         GROUP BY from_type, to_type
-        ORDER BY from_type, to_type"""))
+        ORDER BY from_type, to_type""")),
+
+    // ---- 43. session attribution (first-touch) ----------------------------
+    // marketing-attribution shape: every purchase credits the FIRST
+    // event type of its 30-min session. One user-partitioned sort feeds
+    // the session ids AND the first_value — the same shared-window
+    // stance as q35 — then one small aggregation; revenue sums in
+    // decimal so accumulation order cannot move the double.
+    QueryDef(
+      "q43_attribution",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sessions = T(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+          .withColumn("__new",
+            coalesce((unix_millis(col("ts")) -
+              unix_millis(lag(col("ts"), 1).over(w)) >
+              lit(30L * 60 * 1000)).cast("int"), lit(0)))
+          .withColumn("sess",
+            sum(col("__new")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val ws = Window.partitionBy("user_id", "sess")
+          .orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sessions
+          .withColumn("first_touch", first(col("event_type")).over(ws))
+          .where(col("event_type") === "purchase")
+          .groupBy(col("first_touch"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("revenue"))
+          .orderBy("first_touch")
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, event_type, value,
+                 CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id))
+                      > 30*60*1000 THEN 1 ELSE 0 END AS new_sess
+          FROM events),
+        sess AS (
+          SELECT user_id, ts, event_id, event_type, value,
+                 SUM(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS s
+          FROM flagged),
+        touched AS (
+          SELECT event_type, value,
+                 FIRST_VALUE(event_type) OVER (PARTITION BY user_id, s
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   AS first_touch
+          FROM sess)
+        SELECT first_touch, COUNT(*) AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM touched WHERE event_type = 'purchase'
+        GROUP BY first_touch ORDER BY first_touch"""))
   )
 }

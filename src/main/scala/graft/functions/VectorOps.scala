@@ -72,9 +72,16 @@ object VectorOps {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         nativeDot(queries.sparkSession, col("__qv"), col("__cv")).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** Shared top-k tail: rank scored (query_id, neighbor_id, cos) rows
+    * per query and keep the first k. int64 rank: match DuckDB
+    * row_number. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long")) // int64: match DuckDB row_number
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
@@ -92,21 +99,25 @@ object VectorOps {
   def bruteForceTopKFiltered(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, keyCol: String, k: Int): DataFrame = {
+    // the key rides the normalization projections directly — three
+    // narrow per-row selects, NO corpus-wide id self-join to re-attach
+    // metadata (that join would shuffle every normalized vector before
+    // the filter had a chance to cut anything)
     def withKey(df: DataFrame, idAs: String, vAs: String) =
-      normalizedVectors(df, idCol, vecCol)
-        .join(df.select(col(idCol).as("__id"), col(keyCol).as("__k")), "__id")
-        .select(col("__id").as(idAs), col("__k"), col("__v").as(vAs))
+      df.select(col(idCol).as(idAs), col(keyCol).as("__k"),
+          toDouble(col(vecCol)).as("__raw"))
+        .select(col(idAs), col("__k"), col("__raw"),
+          sqrt(nativeDot(df.sparkSession, col("__raw"), col("__raw")))
+            .as("__norm"))
+        .select(col(idAs), col("__k"),
+          normalized(col("__raw"), col("__norm")).as(vAs))
     val q = withKey(queries, "query_id", "__qv")
     val c = withKey(corpus, "neighbor_id", "__cv")
     val scored = c.join(broadcast(q), "__k")
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         nativeDot(queries.sparkSession, col("__qv"), col("__cv")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    rankTopK(scored, k)
   }
 
   /** Signed-random-projection (hyperplane LSH) signature: bit `j` is the

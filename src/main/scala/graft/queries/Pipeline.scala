@@ -620,8 +620,11 @@ object Pipeline {
           .select(col("doc_id"), col("lang"),
             when(col("doc_id") % 11 === 0, concat(col("text"), lit(" vnew")))
               .otherwise(col("text")).as("text"))
+          // re-added ids are NEGATED (-(id+1)): collision-free against
+          // any non-negative corpus id space, unlike a fixed offset
+          // which a >1M-doc corpus would walk into
           .union(v1.where(col("doc_id") % 13 === 0)
-            .select(col("doc_id") + 1000000L, col("lang"),
+            .select((-(col("doc_id") + 1L)).as("doc_id"), col("lang"),
               concat(col("text"), lit(" fresh")).as("text")))
         val a = v1.select(col("doc_id"), col("lang").as("lang_a"),
           md5(TextOps.normalize(col("text"))).as("h_a"),
@@ -651,7 +654,7 @@ object Pipeline {
                    AS text
           FROM v1 WHERE doc_id % 7 <> 0
           UNION ALL
-          SELECT doc_id + 1000000, lang, text || ' fresh'
+          SELECT -(doc_id + 1), lang, text || ' fresh'
           FROM v1 WHERE doc_id % 13 = 0
         ), a AS (
           SELECT doc_id, lang AS lang_a,

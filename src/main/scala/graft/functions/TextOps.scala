@@ -558,19 +558,15 @@ object TextOps {
     * with id_a < id_b, dist <= 1. */
   def editDistancePairs(df: DataFrame, idCol: String,
       strCol: String): DataFrame = {
+    // deletion signatures come from the codegen [[DeletionSigs]]
+    // expression: rolling polynomial hashes give all |s|+1 signature
+    // hashes in O(|s|) per row — the declarative substr/concat form
+    // materialized every deletion STRING (O(|s|²) bytes per row) just
+    // to hash and discard it
     val sigs = df
       .select(col(idCol).as("__id"), col(strCol).as("__s"))
       .select(col("__id"), col("__s"),
-        // sequence(1, 0) DESCENDS in Spark — guard the empty string
-        explode(concat(array(col("__s")),
-          when(length(col("__s")) >= 1,
-            transform(sequence(lit(1), length(col("__s"))),
-              i => concat(
-                col("__s").substr(lit(1), i - 1),
-                col("__s").substr(i + 1, length(col("__s"))))))
-            .otherwise(array().cast("array<string>"))))
-          .as("__sig"))
-      .select(col("__id"), col("__s"), xxhash64(col("__sig")).as("__h"))
+        explode(DeletionSigs.column(df.sparkSession, col("__s"))).as("__h"))
     val a = sigs.select(col("__id").as("id_a"), col("__s").as("s_a"),
       col("__h").as("__h_a"))
     val b = sigs.select(col("__id").as("id_b"), col("__s").as("s_b"),

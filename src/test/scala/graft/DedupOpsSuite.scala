@@ -403,17 +403,22 @@ class DedupOpsSuite extends SparkSuite {
     // substitutions, inserts, deletes, equal strings, and far-apart
     // strings — incl. the ed=2 trap pair ("ab","ba") that shares a
     // signature but must be verified away
+    // 10/11 substitute a non-BMP codepoint (codepoint ed=1 but UTF-16
+    // ed=2) — catches a kernel that signs UTF-16 units
     val rows = Seq(
       1L -> "crate", 2L -> "crane", 3L -> "rate", 4L -> "cratea",
-      5L -> "ab", 6L -> "ba", 7L -> "crate", 8L -> "zzzz", 9L -> "")
+      5L -> "ab", 6L -> "ba", 7L -> "crate", 8L -> "zzzz", 9L -> "",
+      10L -> "a😀b", 11L -> "a𝕏b")
     val df = rows.toDF("id", "s")
     val got = TextOps.editDistancePairs(df, "id", "s")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = (for {
-      (ia, sa) <- rows; (ib, sb) <- rows
+      (ia, ra) <- rows; (ib, rb) <- rows
       if ia < ib
       d = {
-        // reference Levenshtein
+        // reference Levenshtein over codepoints (Spark's semantics)
+        val sa = ra.codePoints().toArray
+        val sb = rb.codePoints().toArray
         val m = Array.tabulate(sa.length + 1, sb.length + 1) { (i, j) =>
           if (i == 0) j else if (j == 0) i else 0 }
         for (i <- 1 to sa.length; j <- 1 to sb.length)
@@ -427,5 +432,33 @@ class DedupOpsSuite extends SparkSuite {
     assert(got.contains((1L, 2L)) && got.contains((1L, 7L)) &&
       got.contains((1L, 3L)) && got.contains((1L, 4L)))
     assert(!got.contains((5L, 6L)), "ed=2 transposition must verify away")
+  }
+
+  test("DeletionSigs rolling hashes equal the naive per-deletion polynomial") {
+    // naive reference: hash each deletion string directly with the
+    // same seeded polynomial the kernel claims to replicate in O(n).
+    // Codepoint-based, like the substr/length form it replaces — the
+    // a😀b case fails if the kernel slips back to UTF-16 units
+    val seed = 1469598103934665603L
+    val b = 0x100000001b3L
+    def poly(cps: Seq[Int]): Long = cps.foldLeft(seed)((h, c) => h * b + c)
+    def naive(s: String): Seq[Long] = {
+      val cp = s.codePoints().toArray.toSeq
+      poly(cp) +: cp.indices.map(d => poly(cp.patch(d, Nil, 1)))
+    }
+    val rng = new scala.util.Random(42)
+    val cases = Seq("", "a", "ab", "crate", "日本語テキスト", "a😀b") ++
+      (1 to 50).map(_ => rng.alphanumeric.take(rng.nextInt(30)).mkString)
+    cases.foreach { s =>
+      val got = graft.functions.DeletionSigs
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toSeq
+      assert(got == naive(s), s"mismatch for '$s'")
+    }
+    // codegen path: run the registered expression through a DataFrame
+    val viaDf = cases.toDF("s")
+      .select(col("s"),
+        graft.functions.DeletionSigs.column(spark, col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    cases.foreach(s => assert(viaDf(s) == naive(s), s"codegen mismatch '$s'"))
   }
 }

@@ -793,27 +793,18 @@ object TextOps {
       conv(substring(hx, 9, 8), 16, 10).cast("long")
   }
 
-  /** 64-bit SimHash per document, computed scalably: explode token
-    * hashes, then ONE hash aggregation with 64 conditional sums (one per
-    * bit) — no per-row 64-way fold, so the whole thing stays in
-    * whole-stage codegen and shuffles once on the doc id. Token bits come
-    * from [[tokenHash64]] (md5-derived), so the whole pipeline is
-    * reproducible in the DuckDB oracle. */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("__id"),
-      explode(tokens(col(textCol))).as("__t"))
-      .select(col("__id"), tokenHash64(col("__t")).as("__h"))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"__b$b")
-    }
-    val packed = (0 until 64).map { b =>
-      when(col(s"__b$b") > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-    toks.groupBy(col("__id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("__id").as(idCol), packed.as("simhash"))
-  }
+  /** 64-bit SimHash per document (one row per document — the corpus
+    * contract) via the codegen [[SimHash64]] expression: tokenize, hash,
+    * accumulate the 64 ±1 lanes, and pack in ONE generated pass per row.
+    * The previous declarative form exploded every token occurrence and
+    * shuffled it through a 64-conditional-sum aggregation; the kernel is
+    * embarrassingly parallel — a pure scan projection, zero shuffle.
+    * Token bits still come from [[tokenHash64]]'s md5 scheme
+    * bit-for-bit, so the whole pipeline stays reproducible in the DuckDB
+    * oracle (and SimHashKernelSuite pins kernel == declarative form). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      SimHash64.column(df.sparkSession, col(textCol)).as("simhash"))
 
   /** SimHash near-dup candidates with Hamming distance <= maxHamming,
     * via block banding (pigeonhole: any pair within distance d shares at

@@ -64,12 +64,17 @@ object TextOps {
     * removed by verification. */
   def hashedShingleSets(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    shingleSets(df, idCol, textCol, n)
+    // codegen [[ShingleHashes]]: token bytes hashed once, windows
+    // combined as polynomials of token hashes, primitive sort+dedup —
+    // no shingle-string materialization (the prior declarative
+    // transform(xxhash64) + array_distinct + array_sort chain paid
+    // O(tokens·n·len) string builds plus three boxed array passes).
+    // Output is sorted ascending: [[verifyJaccard]] counts overlap with
+    // the two-pointer codegen [[IntersectSize]], which requires it.
+    df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= n) // == "shingle set non-empty", but cheap
       .select(col("__id"),
-        // sorted ascending: [[verifyJaccard]] counts overlap with the
-        // two-pointer codegen [[IntersectSize]], which requires it
-        array_sort(array_distinct(transform(col("__sh"), s => xxhash64(s))))
-          .as("__sh"))
+        ShingleHashes.column(df.sparkSession, col("__toks"), n).as("__sh"))
 
   /** MinHash signature of a shingle set: element `i` is
     * `min over shingles of hash_i(shingle)` — H independent salted hash

@@ -205,7 +205,7 @@ object Streams {
       stream: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    import graft.functions.{IntersectSize, MinHashSig, NGramShingles, TextOps}
+    import graft.functions.{IntersectSize, MinHashSig, NGramShingles, ShingleHashes, TextOps}
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val spark = corpus.sparkSession
     val r = numHashes / bands
@@ -229,11 +229,12 @@ object Streams {
       .select(col(idCol).as("doc_id"), toks.as("__toks"))
       .where(size(col("__toks")) >= n)
       .select(col("doc_id"),
-        NGramShingles.column(spark, col("__toks"), n).as("__shs"))
-      .select(col("doc_id"),
-        array_sort(array_distinct(transform(col("__shs"), s => xxhash64(s))))
-          .as("__sh_s"),
-        MinHashSig.column(spark, col("__shs"), numHashes).as("__sig"))
+        // same codegen kernel as the corpus side — the exact-verify join
+        // compares the two hash spaces directly, so they MUST match
+        ShingleHashes.column(spark, col("__toks"), n).as("__sh_s"),
+        MinHashSig.column(spark,
+          NGramShingles.column(spark, col("__toks"), n), numHashes)
+          .as("__sig"))
       .select(col("doc_id"), col("__sh_s"),
         explode(TextOps.lshBandKeys(col("__sig"), bands, r)).as("__key"))
 

@@ -176,10 +176,12 @@ class PlanAuditSuite extends SparkSuite {
   test("d02: prefix-filter candidate stage shuffles 8-byte hash keys, not strings") {
     val df = SparkEntry.queries("d02_ngram_jaccard")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    // the candidate self-join must key on the xxhash64 of the shingle —
-    // shuffling shingle STRINGS is the 2-4x shuffle-volume regression
-    assert(p.contains("xxhash64"),
-      "candidate generation must run in hash space (xxhash64 keys):\n" + p)
+    // the candidate self-join must key on 64-bit shingle hashes —
+    // shuffling shingle STRINGS is the 2-4x shuffle-volume regression;
+    // the codegen ShingleHashes kernel is the marker (xxhash64 was the
+    // pre-kernel declarative form)
+    assert(p.contains("graft_shingle_hashes") || p.contains("xxhash64"),
+      "candidate generation must run in hash space (64-bit keys):\n" + p)
     spark.catalog.clearCache()
   }
 

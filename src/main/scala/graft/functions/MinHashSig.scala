@@ -10,7 +10,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen MinHash signature: element `i` of the output is
-  * `min over shingles of mix(xxhash64(shingle), i)`.
+  * `min over shingles of mix(base(shingle), i)`, where `base` is
+  * xxhash64 for `array<string>` input and the identity for
+  * `array<long>` input (the [[ShingleHashes]] kernel's output — already
+  * splitmix-finalized, so it is itself a uniform base hash).
   *
   * The declarative formulation — 128 × `array_min(transform(sh, s =>
   * xxhash64(s, i)))` — re-hashes every string once per hash function in
@@ -19,16 +22,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * derives the per-function values with a splitmix64 finalizer (an
   * equally uniform hash family), all inside one generated loop:
   * O(shingles + numHashes) allocations-free work per row, ~50x faster.
+  * The `array<long>` form goes further: fed by [[ShingleHashes]], the
+  * signature never materializes a shingle string at all. Any uniform
+  * base family gives the same per-pair collision probabilities, so the
+  * candidate-recall analysis callers rely on is unchanged.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression {
 
   override val nullIntolerant: Boolean = true
 
+  private def fromHashes: Boolean =
+    child.dataType match { case ArrayType(LongType, _) => true; case _ => false }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) if numHashes > 0 =>
+      TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<string> and a positive hash count")
+      s"$prettyName expects array<string> or array<long> and a positive hash count")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -36,15 +47,18 @@ case class MinHashSig(child: Expression, numHashes: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val out = MinHashSig.compute(arr, numHashes)
+    val out =
+      if (fromHashes) MinHashSig.computeHashed(arr, numHashes)
+      else MinHashSig.compute(arr, numHashes)
     new GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val cls = MinHashSig.getClass.getName.stripSuffix("$") + "$"
+      val m = if (fromHashes) "computeHashed" else "compute"
       s"""
-        long[] mins = $cls.MODULE$$.compute($a, $numHashes);
+        long[] mins = $cls.MODULE$$.$m($a, $numHashes);
         ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(mins);
       """
     })
@@ -78,6 +92,26 @@ object MinHashSig {
           if (h < mins(i)) mins(i) = h
           i += 1
         }
+      }
+      j += 1
+    }
+    mins
+  }
+
+  /** Kernel for the `array<long>` form: elements are already uniform
+    * 64-bit hashes ([[ShingleHashes]] output), so they serve as the base
+    * hash directly — no per-element rehash. */
+  def computeHashed(arr: ArrayData, numHashes: Int): Array[Long] = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val base = arr.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val h = mix(base ^ (i.toLong * 0xc2b2ae3d27d4eb4fL))
+        if (h < mins(i)) mins(i) = h
+        i += 1
       }
       j += 1
     }

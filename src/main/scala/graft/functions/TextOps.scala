@@ -248,7 +248,18 @@ object TextOps {
     * the caller's dedup-first problem. */
   def minHashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int, bands: Int): DataFrame = {
+      n: Int, numHashes: Int, bands: Int): DataFrame =
+    minHashCandidatesFromHashed(
+      hashedShingleSets(df, idCol, textCol, n), numHashes, bands)
+
+  /** [[minHashCandidates]] over an ALREADY-HASHED shingle table
+    * (`__id`, `__sh: array<long>` — [[hashedShingleSets]] output).
+    * Callers that also verify exactly ([[verifyJaccard]]) pass their
+    * cached hash table here so the corpus is sketched from ONE
+    * materialization — the sketch and the verify read the same longs,
+    * and no shingle string exists anywhere in the pipeline. */
+  def minHashCandidatesFromHashed(
+      sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     // one projection per stage — signature and band computation each read
@@ -258,9 +269,9 @@ object TextOps {
     // must sit under the Generate or the inferred size()>0 filter
     // re-derives the whole 128-hash chain per row (see ngramJaccardPairs);
     // materializing the sketch table once is also the 100 TB-scale shape
-    val sig = shingleSets(df, idCol, textCol, n)
+    val sig = sh
       .select(col("__id"),
-        MinHashSig.column(df.sparkSession, col("__sh"), numHashes).as("__sig"))
+        MinHashSig.column(sh.sparkSession, col("__sh"), numHashes).as("__sig"))
       .select(col("__id"), lshBandKeys(col("__sig"), bands, r).as("__bands"))
       .cache()
     sig.count() // eager: both self-join sides read it (first-reader race)
@@ -505,8 +516,10 @@ object TextOps {
     def bandSig(df: DataFrame): DataFrame =
       // cache BEFORE the explode (pushdown barrier — see minHashCandidates);
       // EAGERLY (count()): concurrent first readers of an unpopulated cache
-      // each recompute the partition (see ngramJaccardPairs)
-      shingleSets(df, idCol, textCol, n)
+      // each recompute the partition (see ngramJaccardPairs).
+      // hashed form: the signature reads [[hashedShingleSets]] longs —
+      // no shingle string is ever built on either side
+      hashedShingleSets(df, idCol, textCol, n)
         .select(col("__id"),
           MinHashSig.column(spark, col("__sh"), numHashes).as("__sig"))
         .select(col("__id"), lshBandKeys(col("__sig"), bands, r).as("__bands"))
@@ -601,8 +614,13 @@ object TextOps {
     * `count(*)` per pair IS the distinct shared-gram count. */
   def contaminationPairs(train: DataFrame, eval_ : DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
+    // hashed grams: the broadcast table and every join probe carry 8-byte
+    // keys, not n-gram strings. A cross-doc collision could add a shared
+    // gram (~2^-64 per pair) — same one-sided stance as every hashed
+    // pipeline here ([[hashedShingleSets]]); per-doc distinctness is
+    // preserved because the kernel dedups hashes within the doc.
     def grams(df: DataFrame) =
-      shingleSets(df, idCol, textCol, n)
+      hashedShingleSets(df, idCol, textCol, n)
         .select(col("__id"), explode(col("__sh")).as("__g"))
     val ev = grams(eval_)
       .select(col("__id").as("eval_id"), col("__g").as("__ge"))

@@ -141,11 +141,13 @@ object Dedup {
         // single-file parquet scans arrive as ONE partition — spread the
         // CPU-heavy sketching across the cluster before computing
         val docs = Tables.corpus(s, d)
-        val cands = TextOps.minHashCandidates(docs, "doc_id", "text",
-          n = 3, numHashes = 128, bands = 32)
-        // cached: read twice for the verify join + pushdown barrier;
-        // hashed form — the verify intersects longs, not strings
+        // ONE hashed-shingle materialization feeds both the MinHash
+        // sketch and the exact verify (sketch reads it once, verify
+        // twice) — no shingle string exists anywhere in the pipeline
         val sh = TextOps.hashedShingleSets(docs, "doc_id", "text", 3).cache()
+        sh.count() // eager: concurrent first readers recompute (p01 lesson)
+        val cands = TextOps.minHashCandidatesFromHashed(
+          sh, numHashes = 128, bands = 32)
         TextOps.verifyJaccard(sh, cands, 0.5)
           .orderBy("id_a", "id_b")
       },

@@ -205,7 +205,7 @@ object Streams {
       stream: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    import graft.functions.{IntersectSize, MinHashSig, NGramShingles, ShingleHashes, TextOps}
+    import graft.functions.{IntersectSize, MinHashSig, ShingleHashes, TextOps}
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val spark = corpus.sparkSession
     val r = numHashes / bands
@@ -215,9 +215,12 @@ object Streams {
       .select(col("__id").as("dup_of"), col("__sh").as("__sh_c"))
       .cache()
     corpusSh.count()
-    val corpusBands = TextOps.shingleSets(corpus, idCol, textCol, n)
-      .select(col("__id").as("dup_of"),
-        MinHashSig.column(spark, col("__sh"), numHashes).as("__sig"))
+    // the band sketch derives from the SAME cached hash table the exact
+    // verify reads — the corpus is shingled once, and no shingle string
+    // is built on either side (MinHashSig consumes the longs directly)
+    val corpusBands = corpusSh
+      .select(col("dup_of"),
+        MinHashSig.column(spark, col("__sh_c"), numHashes).as("__sig"))
       .select(col("dup_of"),
         explode(TextOps.lshBandKeys(col("__sig"), bands, r)).as("__key"))
       .cache()
@@ -231,10 +234,9 @@ object Streams {
       .select(col("doc_id"),
         // same codegen kernel as the corpus side — the exact-verify join
         // compares the two hash spaces directly, so they MUST match
-        ShingleHashes.column(spark, col("__toks"), n).as("__sh_s"),
-        MinHashSig.column(spark,
-          NGramShingles.column(spark, col("__toks"), n), numHashes)
-          .as("__sig"))
+        ShingleHashes.column(spark, col("__toks"), n).as("__sh_s"))
+      .select(col("doc_id"), col("__sh_s"),
+        MinHashSig.column(spark, col("__sh_s"), numHashes).as("__sig"))
       .select(col("doc_id"), col("__sh_s"),
         explode(TextOps.lshBandKeys(col("__sig"), bands, r)).as("__key"))
 

@@ -254,6 +254,99 @@ object Similarity {
         )
         SELECT query_id, rank, neighbor_id
         FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    // ---- s09: hybrid retrieval — BM25 text arm + cosine vector arm,
+    // reciprocal-rank fusion (the standard RAG retrieval stack). Query
+    // docs double as query vectors (doc_id == vec_id by construction).
+    // BM25 uses integer micro-unit contributions (raw idf odds, no ln)
+    // so the per-doc sum is exact long addition and DuckDB replays the
+    // ranking bit-for-bit; fusion compares rationals of integer ranks.
+    QueryDef(
+      "s09_hybrid_rrf",
+      (s, d) => {
+        import graft.functions.{RankFusion, TextOps}
+        val docs = Tables.corpus(s, d)
+        val emb = Tables(s, d, "embeddings")
+        val qterms = docs.where(col("doc_id") < 10)
+          .select(col("doc_id").as("qid"),
+            explode(TextOps.tokens(lower(col("text")))).as("term"))
+          .distinct()
+        val rt = RankFusion.rankByScore(
+          RankFusion.bm25Scores(docs, "doc_id", "text", qterms, "qid", "term"),
+          "bm25", k = 20, rankAs = "r_text")
+        val rv = VectorOps.bruteForceTopK(
+            emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", k = 20)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank").as("r_vec"))
+        RankFusion.rrfFuse(rt, "r_text", rv, "r_vec", c = 60, k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), dl AS (
+          SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY 1
+        ), stats AS (
+          SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+                   / (SELECT count(*) FROM documents) AS avgdl
+        ), qterms AS (
+          SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 10
+        ), contrib AS (
+          SELECT q.query_id, tf.doc_id,
+                 CAST(FLOOR(1000000.0 *
+                   (((s.n - dfreq.df) + 0.5) / (dfreq.df + 0.5)) *
+                   ((tf.tf * 2.2) /
+                     (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))))) AS BIGINT) AS c
+          FROM qterms q
+          JOIN tf ON q.term = tf.term
+          JOIN dfreq ON tf.term = dfreq.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats s
+          WHERE tf.doc_id != q.query_id
+        ), text_scores AS (
+          SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS bm25
+          FROM contrib GROUP BY 1, 2
+        ), rt AS (
+          SELECT query_id, doc_id, r_text FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY bm25 DESC, doc_id) AS r_text
+            FROM text_scores
+          ) WHERE r_text <= 20
+        ), rv AS (
+          SELECT query_id, neighbor_id AS doc_id, rank AS r_vec FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[])) DESC,
+                              c.vec_id) AS rank
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < 10
+          ) WHERE rank <= 20
+        ), fused AS (
+          SELECT COALESCE(rt.query_id, rv.query_id) AS query_id,
+                 COALESCE(rt.doc_id, rv.doc_id) AS doc_id,
+                 rt.r_text, rv.r_vec,
+                 COALESCE(1.0 / (60.0 + rt.r_text), 0.0)
+                   + COALESCE(1.0 / (60.0 + rv.r_vec), 0.0) AS f
+          FROM rt FULL OUTER JOIN rv
+            ON rt.query_id = rv.query_id AND rt.doc_id = rv.doc_id
+        ), ranked AS (
+          SELECT query_id, doc_id, r_text, r_vec,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY f DESC, doc_id) AS rank
+          FROM fused
+        )
+        SELECT query_id, rank, doc_id,
+               COALESCE(r_text, 0) AS r_text, COALESCE(r_vec, 0) AS r_vec
+        FROM ranked WHERE rank <= 10
         ORDER BY query_id, rank"""))
   )
 }

@@ -678,6 +678,52 @@ object Pipeline {
                CAST(SUM(COALESCE(t_b, 0) - COALESCE(t_a, 0)) AS BIGINT)
                  AS token_delta
         FROM a FULL OUTER JOIN b USING (doc_id)
-        GROUP BY 1, 2 ORDER BY lang, status"""))
+        GROUP BY 1, 2 ORDER BY lang, status""")),
+
+    // ---- p15: length-grouped training-batch assembly ----------------------
+    // Dynamic batching for training efficiency: order documents by token
+    // length (desc, doc_id tiebreak), cut fixed 32-doc batches, and
+    // report each batch's padded width (its max length) and padding
+    // waste — grouping similar lengths is what keeps pad-token FLOPs
+    // near zero, vs the ~50% waste of random batching. The global
+    // ordering IS the semantics here, so the rank comes from
+    // [[ScaleOps.runningTotal]]'s two-pass distributed prefix sum (range
+    // repartition + driver-side per-partition offsets, bounded by the
+    // partition count) — never a single-partition window. All-integer
+    // math end to end; DuckDB replays the ranking exactly.
+    QueryDef(
+      "p15_length_batching",
+      (s, d) => {
+        val lens = Tables.corpus(s, d)
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+            lit(1).as("__one"))
+        ScaleOps.runningTotal(lens, "__one",
+            Seq(col("n_tokens").desc, col("doc_id")), "rn")
+          .withColumn("batch_id", expr("(rn - 1) div 32").cast("long"))
+          .groupBy("batch_id")
+          .agg(count(lit(1)).as("n_docs"),
+            max("n_tokens").as("max_tokens"),
+            sum("n_tokens").as("sum_tokens"))
+          .withColumn("padding_waste",
+            col("n_docs") * col("max_tokens") - col("sum_tokens"))
+          .orderBy("batch_id")
+      },
+      Some("""
+        WITH lens AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), ranked AS (
+          SELECT doc_id, n_tokens,
+                 ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+          FROM lens
+        )
+        SELECT CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding_waste
+        FROM ranked GROUP BY 1 ORDER BY 1"""))
   )
 }

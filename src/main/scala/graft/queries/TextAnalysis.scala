@@ -811,6 +811,39 @@ object TextAnalysis {
         SELECT doc_id, COUNT(*) AS n_bigrams,
                CAST(floor(CAST(SUM(nats4) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
                  AS mean_nats4
-        FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- t18: unigram-LM tokenizer training (SentencePiece family) --------
+    // EM + expected-count pruning over the distinct-word table; the
+    // trained vocabulary is bit-identical under any partitioning (per-
+    // word expected counts fixed-pointed to micro-units BEFORE the sum).
+    // Float log-prob EM is not DuckDB-expressible — rows-only; the
+    // UnigramLMSuite gates likelihood monotonicity, Viterbi optimality,
+    // partitioning invariance, and segmentability.
+    QueryDef(
+      "t18_unigram_train",
+      (s, d) => {
+        import graft.functions.UnigramLM
+        val model = UnigramLM.train(
+          Tables.corpus(s, d), "text", vocabSize = 256)
+        import s.implicits._
+        model.pieces
+          .map { case (p, lp) => (p, math.floor(lp * 1e6).toLong) }
+          .toDF("piece", "micro_logprob")
+          .orderBy("piece")
+      },
+      None),
+
+    // ---- t19: unigram-LM segmentation rollout (fertility view) ------------
+    QueryDef(
+      "t19_unigram_segment",
+      (s, d) => {
+        import graft.functions.UnigramLM
+        val docs = Tables.corpus(s, d)
+        val model = UnigramLM.train(docs, "text", vocabSize = 256)
+        UnigramLM.segmentStats(docs, "doc_id", "text", model)
+          .orderBy("doc_id")
+      },
+      None)
   )
 }

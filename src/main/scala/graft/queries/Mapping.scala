@@ -298,6 +298,103 @@ object Mapping {
           row("o_orderdate", ts("o_orderdate")),
           row("o_orderpriority", str("o_orderpriority")))
           .mkString("", "\nUNION ALL\n", "\nORDER BY 1")
-      })
+      }),
+
+    // ---- m08: SCD2 dimension history merge -------------------------------
+    // the warehouse-side continuation of the write-back sinks: fold a
+    // new snapshot into a keyed history, closing changed rows and
+    // appending fresh versions. One full-outer join + a two-row explode
+    // (engine/Scd2.scala); the incoming snapshot is a deterministic
+    // perturbation of customer so DuckDB rebuilds the identical merge.
+    QueryDef(
+      "m08_scd2",
+      (s, d) => {
+        val base = Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+            col("c_mktsegment"))
+        val current = base.withColumn("version_from", lit(0L))
+        val kept = base.where(pmod(col("c_custkey"), lit(97)) =!= 0)
+          .withColumn("c_acctbal",
+            when(pmod(col("c_custkey"), lit(89)) === 0, col("c_acctbal") + 10)
+              .otherwise(col("c_acctbal")))
+          .withColumn("c_mktsegment",
+            when(pmod(col("c_custkey"), lit(5)) === 0,
+              concat(col("c_mktsegment"), lit("#2")))
+              .otherwise(col("c_mktsegment")))
+        val added = base.where(pmod(col("c_custkey"), lit(101)) === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000)
+        graft.engine.Scd2.merge(current, kept.unionByName(added),
+            "c_custkey", Seq("c_nationkey", "c_acctbal", "c_mktsegment"),
+            newVersion = 1L)
+          .orderBy("c_custkey", "version_from")
+      },
+      Some("""
+        WITH cur AS (
+          SELECT c_custkey, CAST(0 AS BIGINT) AS version_from,
+                 c_nationkey, c_acctbal, c_mktsegment
+          FROM customer
+        ), inc AS (
+          SELECT c_custkey, c_nationkey,
+                 CASE WHEN c_custkey % 89 = 0 THEN c_acctbal + 10
+                      ELSE c_acctbal END AS c_acctbal,
+                 CASE WHEN c_custkey % 5 = 0 THEN c_mktsegment || '#2'
+                      ELSE c_mktsegment END AS c_mktsegment
+          FROM customer WHERE c_custkey % 97 <> 0
+          UNION ALL
+          SELECT c_custkey + 1000000, c_nationkey, c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey % 101 = 0
+        ), j AS (
+          SELECT cur.c_custkey AS ck, inc.c_custkey AS ik, cur.version_from,
+                 cur.c_nationkey AS n0, cur.c_acctbal AS a0, cur.c_mktsegment AS m0,
+                 inc.c_nationkey AS n1, inc.c_acctbal AS a1, inc.c_mktsegment AS m1,
+                 (cur.c_nationkey IS DISTINCT FROM inc.c_nationkey
+                  OR cur.c_acctbal IS DISTINCT FROM inc.c_acctbal
+                  OR cur.c_mktsegment IS DISTINCT FROM inc.c_mktsegment) AS chg
+          FROM cur FULL OUTER JOIN inc ON cur.c_custkey = inc.c_custkey
+        )
+        SELECT ck AS c_custkey, version_from, CAST(1 AS BIGINT) AS version_to,
+               n0 AS c_nationkey, a0 AS c_acctbal, m0 AS c_mktsegment,
+               FALSE AS is_current
+        FROM j WHERE ck IS NOT NULL AND ik IS NOT NULL AND chg
+        UNION ALL
+        SELECT ik, CAST(1 AS BIGINT), CAST(999999 AS BIGINT), n1, a1, m1, TRUE
+        FROM j WHERE ik IS NOT NULL AND (ck IS NULL OR chg)
+        UNION ALL
+        SELECT ck, version_from, CAST(999999 AS BIGINT), n0, a0, m0, TRUE
+        FROM j WHERE ck IS NOT NULL AND (ik IS NULL OR NOT chg)
+        ORDER BY c_custkey, version_from""")),
+
+    // ---- m09: incremental aggregate maintenance --------------------------
+    // the materialized-view / streaming-state shape: per-group partial
+    // states (count + decimal-exact sum) from the standing table and
+    // from a delta batch MERGE associatively — sum-of-sums, sum-of-
+    // counts — instead of rescanning the union. The oracle computes the
+    // direct aggregate over the union, pinning that the merge of
+    // partials IS the aggregate of the whole (the property that makes
+    // the state reusable per delta at any scale).
+    QueryDef(
+      "m09_incremental_agg",
+      (s, d) => {
+        val orders = Tables(s, d, "orders")
+        val delta = orders.where(pmod(col("o_orderkey"), lit(10)) === 0)
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("o_custkey")
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).as("__t"))
+        partial(orders).unionByName(partial(delta))
+          .groupBy("o_custkey")
+          .agg(sum(col("n_orders")).as("n_orders"),
+            sum(col("__t")).cast("double").as("total"))
+          .orderBy("o_custkey")
+      },
+      Some("""
+        WITH all_orders AS (
+          SELECT o_custkey, o_totalprice FROM orders
+          UNION ALL
+          SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 0
+        )
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM all_orders GROUP BY 1 ORDER BY 1"""))
   )
 }

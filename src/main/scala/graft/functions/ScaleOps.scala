@@ -228,4 +228,52 @@ object ScaleOps {
       .withColumn(cumCol, sum(col(valueCol)).over(w) + col("__off"))
       .drop("__pid", "__off")
   }
+
+  /** PageRank in integer micro-units — graph centrality with NO float
+    * anywhere: ranks start at `scale/|V|`, each iteration a node gets
+    * `(scale*(100-dampNum)/100)/|V| + (dampNum * Σ in-contribs) div 100`
+    * where a contribution is `rank div out-degree`. Every op is integer
+    * multiply/divide/sum, so the fixpoint trajectory is bit-identical on
+    * any engine and any partitioning — the same stance as the t12/p11
+    * fixed-point aggregates, applied to an ITERATIVE computation.
+    * (Truncation leaks a little mass per step; ranking is what matters.)
+    *
+    * Scale shape: per iteration ONE edge⋈rank join (keyed on src, the
+    * natural co-partitioning), one map-side-combinable sum keyed on dst,
+    * one left join back to the vertex table. The driver sees only |V|
+    * (one count) — never data. Lineage is cut per round with an eager
+    * localCheckpoint (the d06 move), so `iters` can grow without plan
+    * blowup. Dangling nodes keep the base rank; departed mass is
+    * dropped, matching the documented truncation stance. */
+  def integerPageRank(vertices: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, scale: Long = 1000000L, dampNum: Long = 85L): DataFrame = {
+    require(iters >= 1 && scale > 0 && dampNum > 0 && dampNum < 100)
+    val verts = vertices.select(col(idCol).as("__v")).cache()
+    val nV = verts.count()
+    require(nV > 0, "empty vertex set")
+    val init = scale / nV
+    val base = scale * (100L - dampNum) / 100L / nV
+    val ew = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val deg = ew.groupBy("__src").agg(count(lit(1)).as("__deg"))
+    val edgesDeg = ew.join(deg, "__src").cache()
+    edgesDeg.count()
+    var ranks = verts.select(col("__v"), lit(init).as("__r"))
+    var i = 0
+    while (i < iters) {
+      val contrib = edgesDeg
+        .join(ranks.withColumnRenamed("__v", "__src"), "__src")
+        .select(col("__dst"), expr("__r div __deg").as("__c"))
+        .groupBy("__dst").agg(sum("__c").as("__s"))
+      ranks = verts
+        .join(contrib.withColumnRenamed("__dst", "__v"), Seq("__v"), "left")
+        .select(col("__v"),
+          (lit(base) + expr(s"($dampNum * coalesce(__s, 0)) div 100")).as("__r"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    verts.unpersist()
+    edgesDeg.unpersist()
+    ranks.select(col("__v").as(idCol), col("__r").as("rank_micro"))
+  }
 }

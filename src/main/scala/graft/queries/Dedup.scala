@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.functions.{TextOps, VectorOps}
+import graft.functions.{ScaleOps, TextOps, VectorOps}
 
 /** Deduplication operators over the `documents` / `embeddings` corpus:
   * exact (hash group), exact n-gram Jaccard (inverted-index join),
@@ -374,6 +374,69 @@ object Dedup {
                COALESCE(r.n_repeated, 0) AS n_repeated
         FROM win w LEFT JOIN rep_per_doc r USING (doc_id)
         ORDER BY doc_id"""),
-      bench = true)
+      bench = true),
+
+    // ---- d14: centrality over the near-dup graph (integer PageRank) ------
+    // the graph-side quality signal (RefinedWeb/CCNet weight pages by
+    // link centrality; here the dup graph stands in): 10 fixed-point
+    // PageRank iterations with NO float anywhere, so DuckDB replays the
+    // whole trajectory bit-for-bit through 10 chained CTE rounds.
+    QueryDef(
+      "d14_dup_pagerank",
+      (s, d) => {
+        val docs = Tables.corpus(s, d)
+        val pairs = TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+          .select(col("id_a"), col("id_b"))
+        val edges = pairs.unionByName(
+          pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        ScaleOps.integerPageRank(docs.select("doc_id"), "doc_id",
+            edges, "id_a", "id_b", iters = 10)
+          .orderBy("doc_id")
+      },
+      Some(oraclePageRank))
   )
+
+  /** DuckDB replay of [[ScaleOps.integerPageRank]] over the exact
+    * near-dup edges: the pairs CTE (same as d02's oracle), then 10
+    * chained rank rounds — all `//` integer division, so every round
+    * matches the Spark longs exactly. */
+  private lazy val oraclePageRank: String = {
+    val rounds = (1 to 10).map { k =>
+      s""", r$k AS (
+          SELECT d.doc_id AS v,
+                 ((150000 // (SELECT nv FROM nv)) +
+                  (85 * COALESCE(s.s, 0)) // 100) AS r
+          FROM documents d LEFT JOIN (
+            SELECT ed.dst AS v2, SUM(r.r // ed.deg) AS s
+            FROM ed JOIN r${k - 1} r ON ed.src = r.v GROUP BY 1
+          ) s ON d.doc_id = s.v2)"""
+    }.mkString
+    s"""
+        $oracleShingles, ex AS (
+          SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
+        ), cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+                 any_value(a.n) AS na, any_value(b.n) AS nb
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), p AS (
+          SELECT id_a, id_b FROM cand
+          WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION ALL
+          SELECT id_b, id_a FROM p
+        ), deg AS (
+          SELECT src, count(*) AS deg FROM edges GROUP BY 1
+        ), ed AS (
+          SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)
+        ), nv AS (
+          SELECT count(*) AS nv FROM documents
+        ), r0 AS (
+          SELECT doc_id AS v, (1000000 // (SELECT nv FROM nv)) AS r
+          FROM documents
+        )$rounds
+        SELECT v AS doc_id, CAST(r AS BIGINT) AS rank_micro
+        FROM r10 ORDER BY doc_id"""
+  }
 }

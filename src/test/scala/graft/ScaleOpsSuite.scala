@@ -232,6 +232,36 @@ class ScaleOpsSuite extends SparkSuite {
     }
   }
 
+  test("integerPageRank matches a driver replay and is partitioning-invariant") {
+    // star (0 <-> 1,2,3) + isolated 4: hub must outrank leaves, leaves
+    // outrank the dangling node; every value replayed exactly
+    val verts = Seq(0L, 1L, 2L, 3L, 4L).toDF("id")
+    val undirected = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val edges = (undirected ++ undirected.map(_.swap)).toDF("src", "dst")
+    def replay(): Map[Long, Long] = {
+      val deg = Map(0L -> 3L, 1L -> 1L, 2L -> 1L, 3L -> 1L)
+      val adjIn = Map[Long, Seq[Long]](0L -> Seq(1L, 2L, 3L),
+        1L -> Seq(0L), 2L -> Seq(0L), 3L -> Seq(0L), 4L -> Seq())
+      var r = Seq(0L, 1L, 2L, 3L, 4L).map(v => v -> 1000000L / 5).toMap
+      for (_ <- 1 to 10) {
+        r = adjIn.map { case (v, ins) =>
+          v -> (150000L / 5 +
+            85L * ins.map(u => r(u) / deg(u)).sum / 100L)
+        }
+      }
+      r
+    }
+    val expected = replay()
+    for (parts <- Seq(2, 7)) {
+      val got = ScaleOps.integerPageRank(verts.repartition(parts), "id",
+          edges.repartition(parts), "src", "dst", iters = 10)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"parts=$parts")
+    }
+    assert(expected(0L) > expected(1L) && expected(1L) > expected(4L),
+      "hub > leaf > dangling")
+  }
+
   private def withSqlConf[T](pairs: (String, String)*)(body: => T): T = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }

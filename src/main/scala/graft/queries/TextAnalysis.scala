@@ -813,6 +813,99 @@ object TextAnalysis {
                  AS mean_nats4
         FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- t20: TRAINED Naive Bayes lang classifier (t16's missing half) ---
+    // multinomial NB: training is pure counting (exact integers — per-
+    // (lang, token) counts, per-lang totals, vocab size), inference sums
+    // Laplace-smoothed log-likelihoods in fixed-point nats (the t12
+    // stance) so the per-doc aggregate is exact long addition and the
+    // argmax (score desc, lang asc) is deterministic. Even/odd doc split
+    // = train/test; DuckDB replays training AND inference bit-for-bit.
+    // Scale shape: one counting aggregation over the train split; test
+    // tokens join the count table on (lang, tok) — linear, map-side
+    // combinable, the 5-way lang fan-out rides a broadcast.
+    QueryDef(
+      "t20_nb_classify",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.corpus(s, d)
+        val train = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        val test = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        val trainToks = train.select(col("lang"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        val counts = trainToks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        val totals = counts.groupBy("lang").agg(sum(col("c")).as("total"))
+        val vsize = counts.agg(countDistinct(col("tok")).as("v"))
+        val langs = counts.select(col("lang")).distinct()
+        val priors = train.groupBy("lang").agg(count(lit(1)).as("nd"))
+          .crossJoin(broadcast(train.agg(count(lit(1)).as("ntot"))))
+          .select(col("lang"),
+            floor(log(col("nd").cast("double") / col("ntot").cast("double"))
+              * 10000.0 + 0.5).cast("long").as("prior4"))
+        val testToks = test.select(col("doc_id"), col("lang").as("true_lang"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        val nats4 = floor(log(
+            (coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+            (col("total") + col("v")).cast("double"))
+          * 10000.0 + 0.5).cast("long")
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score4").desc, col("lang"))
+        testToks.crossJoin(broadcast(langs))
+          .join(counts, Seq("lang", "tok"), "left")
+          .join(broadcast(totals), Seq("lang"))
+          .crossJoin(broadcast(vsize))
+          .select(col("doc_id"), col("true_lang"), col("lang"), nats4.as("__n4"))
+          .groupBy(col("doc_id"), col("true_lang"), col("lang"))
+          .agg(sum(col("__n4")).as("__s4"))
+          .join(broadcast(priors), Seq("lang"))
+          .withColumn("score4", col("__s4") + col("prior4"))
+          .withColumn("__rk", row_number().over(w))
+          .where(col("__rk") === 1)
+          .select(col("doc_id"), col("lang").as("pred_lang"), col("true_lang"),
+            (col("lang") === col("true_lang")).as("correct"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        test AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        ttoks AS (
+          SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM train),
+        counts AS (SELECT lang, tok, COUNT(*) AS c FROM ttoks GROUP BY 1, 2),
+        totals AS (
+          SELECT lang, CAST(SUM(c) AS BIGINT) AS total FROM counts GROUP BY 1),
+        vsize AS (SELECT COUNT(DISTINCT tok) AS v FROM counts),
+        langs AS (SELECT DISTINCT lang FROM counts),
+        priors AS (
+          SELECT nd.lang,
+                 CAST(floor(ln(CAST(nd.nd AS DOUBLE) / CAST(nt.ntot AS DOUBLE))
+                   * 10000.0 + 0.5) AS BIGINT) AS prior4
+          FROM (SELECT lang, COUNT(*) AS nd FROM train GROUP BY 1) nd,
+               (SELECT COUNT(*) AS ntot FROM train) nt),
+        stoks AS (
+          SELECT doc_id, lang AS true_lang,
+                 unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM test),
+        scored AS (
+          SELECT st.doc_id, st.true_lang, l.lang,
+                 CAST(floor(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) /
+                               CAST(t.total + v.v AS DOUBLE))
+                   * 10000.0 + 0.5) AS BIGINT) AS n4
+          FROM stoks st
+          CROSS JOIN langs l
+          LEFT JOIN counts c ON c.lang = l.lang AND c.tok = st.tok
+          JOIN totals t ON t.lang = l.lang, vsize v),
+        agg AS (
+          SELECT doc_id, true_lang, lang, CAST(SUM(n4) AS BIGINT) AS s4
+          FROM scored GROUP BY 1, 2, 3),
+        final AS (
+          SELECT a.doc_id, a.true_lang, a.lang,
+                 ROW_NUMBER() OVER (PARTITION BY a.doc_id
+                   ORDER BY a.s4 + p.prior4 DESC, a.lang) AS rk
+          FROM agg a JOIN priors p USING (lang))
+        SELECT doc_id, lang AS pred_lang, true_lang,
+               (lang = true_lang) AS correct
+        FROM final WHERE rk = 1 ORDER BY doc_id""")),
+
     // ---- t18: unigram-LM tokenizer training (SentencePiece family) --------
     // EM + expected-count pruning over the distinct-word table; the
     // trained vocabulary is bit-identical under any partitioning (per-

@@ -34,6 +34,8 @@ object Scd2 {
     * null-safe (`<=>`). */
   def merge(current: DataFrame, incoming: DataFrame, keyCol: String,
       attrCols: Seq[String], newVersion: Long): DataFrame = {
+    require(attrCols.nonEmpty, "SCD2 merge needs at least one tracked attribute")
+    require(newVersion != OpenVersion, s"newVersion collides with OpenVersion")
     val cur = current.select(
       (col(keyCol) +: col("version_from") +: attrCols.map(col)): _*)
     val inc = incoming.select(

@@ -79,6 +79,7 @@ object UnigramLM {
       } yield (w.substring(i, j), f)
     }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
       .map { case (p, c) => (p, c) }
+      .cache() // two collects below (chars + top multi) — don't re-shuffle
     val chars = subCounts.filter(_._1.length == 1).collect().sortBy(_._1)
     val multi = subCounts.filter(_._1.length > 1)
       .orderBy(col("_2").desc, col("_1"))
@@ -86,6 +87,7 @@ object UnigramLM {
       .collect()
     var vocab: Vector[(String, Long)] = (chars ++ multi).toVector
       .sortBy(_._1)
+    subCounts.unpersist()
 
     val trace = Vector.newBuilder[Long]
     def emPass(cur: Vector[(String, Long)], iters: Int): Vector[(String, Long)] = {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{DotProduct, HyperplaneSig, IntersectSize, MinHashSig, NGramShingles}
+import graft.functions.{DeletionSigs, DotProduct, HyperplaneSig, IntersectSize, MinHashSig, NGramShingles, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions entry point — makes the engine's codegen
   * expressions first-class SQL functions on any session built with
@@ -22,6 +22,10 @@ import graft.functions.{DotProduct, HyperplaneSig, IntersectSize, MinHashSig, NG
   *     signatures of a double vector
   *   - `graft_intersect_size(a, b)` — intersection size of two sorted
   *     bigint arrays (two-pointer merge count)
+  *   - `graft_shingle_hashes(toks, n)` — sorted distinct 64-bit hashes
+  *     of every n-token window (the no-string shingle form)
+  *   - `graft_simhash64(text)` — one-pass 64-bit SimHash of a document
+  *   - `graft_deletion_sigs(s)` — hashed FastSS deletion signatures
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -45,5 +49,8 @@ object GraftExtensions {
     NGramShingles.ensureRegistered(spark)
     HyperplaneSig.ensureRegistered(spark)
     IntersectSize.ensureRegistered(spark)
+    ShingleHashes.ensureRegistered(spark)
+    SimHash64.ensureRegistered(spark)
+    DeletionSigs.ensureRegistered(spark)
   }
 }

@@ -48,6 +48,22 @@ class ExtensionsSuite extends AnyFunSuite {
       "SELECT graft_intersect_size(array(1L,3L,5L,9L), array(2L,3L,5L,8L,9L)) AS c")
       .head().getInt(0)
     assert(is == 3)
+
+    val shh = spark.sql(
+      "SELECT graft_shingle_hashes(array('a','b','c','d'), 3) AS h")
+      .head().getSeq[Long](0)
+    assert(shh.length == 2 && shh == shh.distinct.sorted,
+      "two 3-gram windows, sorted distinct hashes")
+
+    val sim = spark.sql("SELECT graft_simhash64('alpha beta gamma') AS s")
+      .head().getLong(0)
+    val sim2 = spark.sql("SELECT graft_simhash64('alpha beta gamma') AS s")
+      .head().getLong(0)
+    assert(sim == sim2, "simhash deterministic")
+
+    val ds = spark.sql("SELECT graft_deletion_sigs('abc') AS d")
+      .head().getSeq[Long](0)
+    assert(ds.length == 4, "s plus its three single-char deletions")
   }
 
   test("graft_intersect_size agrees with array_intersect on random sorted sets") {

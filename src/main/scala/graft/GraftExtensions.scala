@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{DeletionSigs, DotProduct, HyperplaneSig, IntersectSize, MinHashSig, NGramShingles, ShingleHashes, SimHash64}
+import graft.functions.{DeletionSigs, DotProduct, HyperplaneSig, IntersectSize, MinHashSig, NGramShingles, ShingleHashes, SimHash64, TopKAgg}
 
 /** SparkSessionExtensions entry point — makes the engine's codegen
   * expressions first-class SQL functions on any session built with
@@ -26,6 +26,8 @@ import graft.functions.{DeletionSigs, DotProduct, HyperplaneSig, IntersectSize, 
   *     of every n-token window (the no-string shingle form)
   *   - `graft_simhash64(text)` — one-pass 64-bit SimHash of a document
   *   - `graft_deletion_sigs(s)` — hashed FastSS deletion signatures
+  *   - `graft_top_k(v, id, k)` — AGGREGATE: rank-ordered ids of the k
+  *     best (v desc, id asc) rows per group, partial-aggregable
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -52,5 +54,6 @@ object GraftExtensions {
     ShingleHashes.ensureRegistered(spark)
     SimHash64.ensureRegistered(spark)
     DeletionSigs.ensureRegistered(spark)
+    TopKAgg.ensureRegistered(spark)
   }
 }

@@ -1106,6 +1106,36 @@ object Relational {
         SELECT first_touch, COUNT(*) AS n_purchases,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         FROM touched WHERE event_type = 'purchase'
-        GROUP BY first_touch ORDER BY first_touch"""))
+        GROUP BY first_touch ORDER BY first_touch""")),
+
+    // ---- 44. per-group top-k via a custom partial aggregate ---------------
+    // [[graft.functions.TopKAgg]] (TypedImperativeAggregate): each map
+    // task retains at most k rows per group, so only k·partitions rows
+    // per group shuffle — the window-function formulation (the oracle)
+    // shuffles and sorts EVERY row of every group. Identical output by
+    // construction: (value desc, id asc) is a total order.
+    QueryDef(
+      "q44_group_topk",
+      (s, d) => {
+        val orders = T(s, d, "orders")
+        graft.functions.TopKAgg.ensureRegistered(s)
+        orders.groupBy(col("o_custkey"))
+          .agg(graft.functions.TopKAgg.column(s,
+            col("o_totalprice").cast("double"), col("o_orderkey"), k = 3)
+            .as("__ids"))
+          .select(col("o_custkey"),
+            posexplode(col("__ids")).as(Seq("__r0", "o_orderkey")))
+          .select(col("o_custkey"), (col("__r0") + 1).cast("long").as("rank"),
+            col("o_orderkey"))
+          .orderBy("o_custkey", "rank")
+      },
+      Some("""
+        SELECT o_custkey, rank, o_orderkey FROM (
+          SELECT o_custkey, o_orderkey,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rank
+          FROM orders)
+        WHERE rank <= 3
+        ORDER BY o_custkey, rank"""))
   )
 }

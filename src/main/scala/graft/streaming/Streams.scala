@@ -45,6 +45,28 @@ object Streams {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Windowed streaming top-k: per tumbling event-time window, the ids
+    * of the k highest-value events — [[graft.functions.TopKAgg]] running
+    * INSIDE a streaming aggregation, so per-window state is the bounded
+    * k-slot buffer (constant per window), not the event backlog; the
+    * watermark finalizes windows and reclaims the buffers. The same
+    * custom aggregate serves batch (q44) and streaming — one kernel,
+    * both execution modes. */
+  def windowTopK(
+      events: DataFrame, tsCol: String, lateness: String,
+      windowLength: String, k: Int): DataFrame = {
+    val spark = events.sparkSession
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLength))
+      .agg(graft.functions.TopKAgg.column(spark,
+        col("value").cast("double"), col("event_id"), k).as("__ids"))
+      .select(col("window.start").as("window_start"),
+        posexplode(col("__ids")).as(Seq("__r0", "event_id")))
+      .select(col("window_start"), (col("__r0") + 1).cast("long").as("rank"),
+        col("event_id"))
+  }
+
   /** Event-time session windows per user: sessions close `gap` after the
     * last event; watermark bounds session state. */
   def sessionCounts(

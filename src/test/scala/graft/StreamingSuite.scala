@@ -45,6 +45,37 @@ class StreamingSuite extends SparkSuite {
     } finally q.stop()
   }
 
+  test("windowTopK: custom aggregate runs in a streaming window, late events excluded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val agg = Streams.windowTopK(
+      input.toDF().toDF("ts", "event_id", "value"),
+      "ts", lateness = "10 minutes", windowLength = "1 hour", k = 2)
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wtopk").start()
+    try {
+      input.addData((ts(5), 1L, 10.0), (ts(10), 2L, 30.0), (ts(20), 3L, 20.0),
+        (ts(25), 4L, 30.0))
+      q.processAllAvailable()
+      // late event with a huge value arrives after the watermark passed
+      // the hour-10 window: it must NOT displace the on-time top-2
+      input.addData((Timestamp.valueOf("2024-01-01 12:30:00"), 9L, 1.0))
+      q.processAllAvailable()
+      input.addData((ts(59), 5L, 999.0)) // > 10 min late vs 12:20 watermark
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 13:45:00"), 10L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("wtopk")
+        .select(date_format(col("window_start"), "HH:mm").as("w"),
+          col("rank"), col("event_id"))
+        .as[(String, Long, Long)].collect().toSet
+      // ties (30.0 at ids 2 and 4) break by id asc; 999.0 was dropped
+      assert(rows.contains(("10:00", 1L, 2L)) && rows.contains(("10:00", 2L, 4L)),
+        s"got $rows")
+      assert(!rows.exists(_._3 == 5L), s"late event leaked into $rows")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState carries per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[UserEvent]

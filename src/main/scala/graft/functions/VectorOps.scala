@@ -75,6 +75,47 @@ object VectorOps {
     rankTopK(scored, k)
   }
 
+  /** Int8 scalar-quantized cosine top-k (the SQ8 compression family
+    * next to PQ): each vector is coded as `floor(x / maxabs * 127 +
+    * 0.5)` — 1 byte of information per dimension, an 8x memory cut at
+    * serving time — and ranked by the quantized cosine
+    * `dot(qc, cc) / (sqrt(dot(qc,qc)) * sqrt(dot(cc,cc)))`. The
+    * per-vector scales CANCEL in that ratio, so the score is a pure
+    * function of small-integer dot products: every partial sum is exact
+    * in a double regardless of accumulation order, making the score —
+    * not just the rank — bit-identical on any engine. The one ANN
+    * compression whose oracle can replay VALUES, not only decisions.
+    *
+    * Scale shape: same broadcast-queries cross join as
+    * [[bruteForceTopK]]; at corpus scale the coded table is what an IVF
+    * shortlist would fetch (8x less IO than raw floats). Codes are
+    * integer-valued doubles so the codegen [[DotProduct]] kernel serves
+    * unchanged. */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    def coded(df: DataFrame, idAs: String, cAs: String, sAs: String) =
+      df.select(col(idCol).as(idAs), toDouble(col(vecCol)).as("__raw"))
+        .select(col(idAs), col("__raw"),
+          array_max(transform(col("__raw"), x => abs(x))).as("__m"))
+        .withColumn("__scale",
+          when(col("__m") === 0.0, lit(1.0)).otherwise(col("__m")))
+        .select(col(idAs),
+          transform(col("__raw"),
+            x => floor(x / col("__scale") * 127 + lit(0.5)).cast("double"))
+            .as(cAs))
+        .select(col(idAs), col(cAs),
+          sqrt(nativeDot(spark, col(cAs), col(cAs))).as(sAs))
+    val q = coded(queries, "query_id", "__qc", "__qn")
+    val c = coded(corpus, "neighbor_id", "__cc", "__cn")
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (nativeDot(spark, col("__qc"), col("__cc")) /
+          (col("__qn") * col("__cn"))).as("cos"))
+    rankTopK(scored, k)
+  }
+
   /** Shared top-k tail: rank scored (query_id, neighbor_id, cos) rows
     * per query and keep the first k. int64 rank: match DuckDB
     * row_number. */

@@ -347,6 +347,48 @@ object Similarity {
         SELECT query_id, rank, doc_id,
                COALESCE(r_text, 0) AS r_text, COALESCE(r_vec, 0) AS r_vec
         FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank""")),
+
+    // ---- s10: int8 scalar-quantized ANN (SQ8) — the one compressed
+    // variant whose oracle replays VALUES: per-vector scales cancel in
+    // the quantized cosine, leaving ratios of small-integer dot products
+    // that are exact in doubles under ANY summation order. ------------------
+    QueryDef(
+      "s10_ann_sq8",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        VectorOps.sq8TopK(emb.where(col("vec_id") < 20), emb,
+            "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), m AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS mx
+          FROM v
+        ), coded AS (
+          SELECT vec_id,
+                 list_transform(v, x -> floor(x /
+                   (CASE WHEN mx = 0.0 THEN 1.0 ELSE mx END) * 127 + 0.5)) AS c
+          FROM m
+        ), selfd AS (
+          SELECT vec_id, c, sqrt(list_dot_product(c, c)) AS n FROM coded
+        ), scored AS (
+          SELECT q.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                 list_dot_product(q.c, cc.c) / (q.n * cc.n) AS cos
+          FROM selfd q JOIN selfd cc ON q.vec_id != cc.vec_id
+          WHERE q.vec_id < 20
+        ), ranked AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, neighbor_id
+        FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank"""))
   )
 }

@@ -138,6 +138,18 @@ class DedupOpsSuite extends SparkSuite {
     assert(recall >= 0.5, s"recall $recall too low for bits=8/bands=32")
   }
 
+  test("SQ8 quantized top-k recovers the exact top-k with high recall") {
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = VectorOps.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sq8 = VectorOps.sq8TopK(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(sq8.contains).toDouble / exact.size
+    // 8 bits/dim keeps cosine gaps well above quantization noise for
+    // nearly every top-5 member
+    assert(recall >= 0.85, s"SQ8 recall $recall vs exact top-5")
+  }
+
   test("embedding LSH candidate set is a real prune of the pair space") {
     // the prune is the point of the scale path: candidates (pre-threshold,
     // deduped) must be a small fraction of n(n-1)/2. Expected random-pair

@@ -724,6 +724,96 @@ object Pipeline {
                CAST(max(n_tokens) AS BIGINT) AS max_tokens,
                CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
                CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding_waste
+        FROM ranked GROUP BY 1 ORDER BY 1""")),
+
+    // ---- p16: curation v2 — the NEW primitives composed end-to-end -------
+    // quality floor → exact dedup → quality-ranked token-budget
+    // selection (p11's scoring, over the deduped set) → length-grouped
+    // batch assembly (p15) — i.e. the full "select and shape the
+    // training set" pass a corpus release runs. The p01 stance: the
+    // oracle replays the COMPOSITION, so stage interfaces (which set
+    // feeds which stage) are pinned, not just each stage alone. Both
+    // global orderings ride ScaleOps.runningTotal's two-pass prefix sum.
+    QueryDef(
+      "p16_curation_v2",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val quality = Tables.corpus(s, d)
+          .select(col("doc_id"), col("text"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+            length(col("text")).cast("long").as("n_chars"))
+          .where(col("n_tokens") >= 20)
+        val canonical = quality
+          .withColumn("__fp", md5(TextOps.normalize(col("text"))))
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
+          .where(col("__rk") === 1)
+          .select(col("doc_id"), col("n_tokens"), col("n_chars"))
+        // cache retained (p11 stance): budget scalar + prefix-sum sort
+        val scored = canonical
+          .select(col("doc_id"), col("n_tokens"),
+            (least(col("n_tokens"), lit(100L)) * 5L +
+              least(expr("CAST(n_chars * 25 AS BIGINT) div n_tokens"),
+                lit(250L))).as("mscore"))
+          .cache()
+        val budget = scored
+          .agg(expr("CAST(sum(n_tokens) * 3 AS BIGINT) div 10").as("__budget"))
+        val selected = ScaleOps.runningTotal(scored, "n_tokens",
+            Seq(col("mscore").desc, col("doc_id").asc), cumCol = "cum_tokens")
+          .crossJoin(broadcast(budget))
+          .where(col("cum_tokens") <= col("__budget"))
+          .select(col("doc_id"), col("n_tokens"), lit(1).as("__one"))
+        ScaleOps.runningTotal(selected, "__one",
+            Seq(col("n_tokens").desc, col("doc_id")), "rn")
+          .withColumn("batch_id", expr("(rn - 1) div 32").cast("long"))
+          .groupBy("batch_id")
+          .agg(count(lit(1)).as("n_docs"),
+            max("n_tokens").as("max_tokens"),
+            sum("n_tokens").as("sum_tokens"))
+          .withColumn("padding_waste",
+            col("n_docs") * col("max_tokens") - col("sum_tokens"))
+          .orderBy("batch_id")
+      },
+      Some("""
+        WITH quality AS (
+          SELECT doc_id, text,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+                 CAST(length(text) AS BIGINT) AS n_chars
+          FROM documents
+          WHERE len(string_split_regex(trim(text), '\s+')) >= 20
+        ), canonical AS (
+          SELECT doc_id, n_tokens, n_chars FROM (
+            SELECT q.*, ROW_NUMBER() OVER (
+              PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+              ORDER BY doc_id) AS rk
+            FROM quality q) t
+          WHERE rk = 1
+        ), s2 AS (
+          SELECT doc_id, n_tokens,
+                 least(n_tokens, 100) * 5
+                   + least((n_chars * 25) // n_tokens, 250) AS mscore
+          FROM canonical
+        ), b AS (
+          SELECT CAST((SUM(n_tokens) * 3) // 10 AS BIGINT) AS budget FROM s2
+        ), c AS (
+          SELECT doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY mscore DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens
+          FROM s2
+        ), sel AS (
+          SELECT doc_id, n_tokens FROM c, b WHERE cum_tokens <= budget
+        ), ranked AS (
+          SELECT doc_id, n_tokens,
+                 ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+          FROM sel
+        )
+        SELECT CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding_waste
         FROM ranked GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -118,6 +118,34 @@ object MultimodalQ {
           .select(col("id_a"), col("id_b"), col("cos"))
           .orderBy("id_a")
       },
+      None),
+
+    // ---- mm06: compressed media serving — the mm05 embeddings pushed
+    // through SQ8 quantization (1 byte/dim) and searched with the same
+    // quantized-cosine top-k text vectors use (s10). The serving-side
+    // composition: decode → feature → embed → COMPRESS → retrieve.
+    // Resized variants must still retrieve their originals at rank 1
+    // from codes 8x smaller than the float embeddings (pinned in
+    // MultimodalSuite; rows-only — the inference head is hash-seeded).
+    QueryDef(
+      "mm06_media_sq8",
+      (s, d) => {
+        import s.implicits._
+        val images = Multimodal
+          .syntheticMedia(s, Tables(s, d, "documents"))
+          .filter(_.meta.kind == "image")
+        val resized = Multimodal.resize(images, maxSide = 12)
+          .map(m => m.copy(media_id = m.media_id + 1000000L))
+        val feats = Multimodal.extractFeatures(images.union(resized), dim = 64)
+        val emb = Multimodal.embedFeatures(feats, outDim = 32).cache()
+        val queries = emb.where(col("media_id") >= 1000000L)
+        val corpus = emb.where(col("media_id") < 1000000L)
+        VectorOps.sq8TopK(queries, corpus, "media_id", "embedding", k = 1)
+          .select(col("query_id"), col("neighbor_id"),
+            (col("neighbor_id") === col("query_id") - 1000000L)
+              .as("recovered_original"))
+          .orderBy("query_id")
+      },
       None)
   )
 }

@@ -216,6 +216,16 @@ class MultimodalSuite extends SparkSuite {
     assert(pairs.forall(_.getDouble(2) >= 0.8))
   }
 
+  test("mm06: SQ8-compressed media retrieval returns the original at rank 1") {
+    val rows = SparkEntry.queries("mm06_media_sq8")(spark, sf).collect()
+    val nImages = media.filter(_.meta.kind == "image").count()
+    assert(rows.length == nImages, s"$nImages queries, got ${rows.length}")
+    assert(rows.forall(_.getBoolean(2)),
+      "every resized query must retrieve its original from 1-byte/dim codes:\n" +
+        rows.filterNot(_.getBoolean(2)).mkString("\n"))
+    spark.catalog.clearCache()
+  }
+
   test("resize shrinks only oversized media and preserves aspect bound") {
     val out = Multimodal.resize(media, maxSide = 128)
     assert(out.count() == media.count())

@@ -308,60 +308,10 @@ object Mapping {
     // perturbation of customer so DuckDB rebuilds the identical merge.
     QueryDef(
       "m08_scd2",
-      (s, d) => {
-        val base = Tables(s, d, "customer")
-          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
-            col("c_mktsegment"))
-        val current = base.withColumn("version_from", lit(0L))
-        val kept = base.where(pmod(col("c_custkey"), lit(97)) =!= 0)
-          .withColumn("c_acctbal",
-            when(pmod(col("c_custkey"), lit(89)) === 0, col("c_acctbal") + 10)
-              .otherwise(col("c_acctbal")))
-          .withColumn("c_mktsegment",
-            when(pmod(col("c_custkey"), lit(5)) === 0,
-              concat(col("c_mktsegment"), lit("#2")))
-              .otherwise(col("c_mktsegment")))
-        val added = base.where(pmod(col("c_custkey"), lit(101)) === 0)
-          .withColumn("c_custkey", col("c_custkey") + 1000000)
-        graft.engine.Scd2.merge(current, kept.unionByName(added),
-            "c_custkey", Seq("c_nationkey", "c_acctbal", "c_mktsegment"),
-            newVersion = 1L)
-          .orderBy("c_custkey", "version_from")
-      },
-      Some("""
-        WITH cur AS (
-          SELECT c_custkey, CAST(0 AS BIGINT) AS version_from,
-                 c_nationkey, c_acctbal, c_mktsegment
-          FROM customer
-        ), inc AS (
-          SELECT c_custkey, c_nationkey,
-                 CASE WHEN c_custkey % 89 = 0 THEN c_acctbal + 10
-                      ELSE c_acctbal END AS c_acctbal,
-                 CASE WHEN c_custkey % 5 = 0 THEN c_mktsegment || '#2'
-                      ELSE c_mktsegment END AS c_mktsegment
-          FROM customer WHERE c_custkey % 97 <> 0
-          UNION ALL
-          SELECT c_custkey + 1000000, c_nationkey, c_acctbal, c_mktsegment
-          FROM customer WHERE c_custkey % 101 = 0
-        ), j AS (
-          SELECT cur.c_custkey AS ck, inc.c_custkey AS ik, cur.version_from,
-                 cur.c_nationkey AS n0, cur.c_acctbal AS a0, cur.c_mktsegment AS m0,
-                 inc.c_nationkey AS n1, inc.c_acctbal AS a1, inc.c_mktsegment AS m1,
-                 (cur.c_nationkey IS DISTINCT FROM inc.c_nationkey
-                  OR cur.c_acctbal IS DISTINCT FROM inc.c_acctbal
-                  OR cur.c_mktsegment IS DISTINCT FROM inc.c_mktsegment) AS chg
-          FROM cur FULL OUTER JOIN inc ON cur.c_custkey = inc.c_custkey
-        )
-        SELECT ck AS c_custkey, version_from, CAST(1 AS BIGINT) AS version_to,
-               n0 AS c_nationkey, a0 AS c_acctbal, m0 AS c_mktsegment,
-               FALSE AS is_current
-        FROM j WHERE ck IS NOT NULL AND ik IS NOT NULL AND chg
-        UNION ALL
-        SELECT ik, CAST(1 AS BIGINT), CAST(999999 AS BIGINT), n1, a1, m1, TRUE
-        FROM j WHERE ik IS NOT NULL AND (ck IS NULL OR chg)
-        UNION ALL
-        SELECT ck, version_from, CAST(999999 AS BIGINT), n0, a0, m0, TRUE
-        FROM j WHERE ck IS NOT NULL AND (ik IS NULL OR NOT chg)
+      (s, d) => scd2History(s, d).orderBy("c_custkey", "version_from"),
+      Some(s"""
+        $scd2HistorySql
+        SELECT * FROM history
         ORDER BY c_custkey, version_from""")),
 
     // ---- m09: incremental aggregate maintenance --------------------------
@@ -395,6 +345,107 @@ object Mapping {
         )
         SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        FROM all_orders GROUP BY 1 ORDER BY 1"""))
+        FROM all_orders GROUP BY 1 ORDER BY 1""")),
+
+    // ---- m10: point-in-time lookup against the SCD2 history --------------
+    // the history table USED: each order carries an as-of version
+    // (synthetic: o_orderkey%3=0 reads the v0 world, else v1) and joins
+    // the customer row valid at that version — equi-join on the key plus
+    // the [version_from, version_to) range predicate, the standard
+    // temporal-dimension lookup. Segment renames between versions shift
+    // the per-(version, segment) counts, which is exactly what the
+    // oracle pins.
+    QueryDef(
+      "m10_scd2_lookup",
+      (s, d) => {
+        val hist = scd2History(s, d)
+        val orders = Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            when(pmod(col("o_orderkey"), lit(3)) === 0, lit(0L))
+              .otherwise(lit(1L)).as("as_of_version"))
+        orders.join(hist,
+            orders("o_custkey") === hist("c_custkey") &&
+            hist("version_from") <= orders("as_of_version") &&
+            orders("as_of_version") < hist("version_to"))
+          .groupBy(col("as_of_version"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("as_of_version", "c_mktsegment")
+      },
+      Some(s"""
+        $scd2HistorySql
+        SELECT o.as_of_version, h.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM (
+          SELECT o_custkey,
+                 CAST(CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE 1 END AS BIGINT)
+                   AS as_of_version
+          FROM orders) o
+        JOIN history h
+          ON h.c_custkey = o.o_custkey
+         AND h.version_from <= o.as_of_version
+         AND o.as_of_version < h.version_to
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
+
+  /** The shared SCD2 fixture: customer as version 0 folded with a
+    * deterministic version-1 snapshot (%5 segment rename, %89 balance
+    * bump, %97 departures, %101 new keys) — m08 emits it, m10 joins
+    * against it. */
+  private def scd2History(s: SparkSession, d: String): DataFrame = {
+    val base = Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+    val current = base.withColumn("version_from", lit(0L))
+    val kept = base.where(pmod(col("c_custkey"), lit(97)) =!= 0)
+      .withColumn("c_acctbal",
+        when(pmod(col("c_custkey"), lit(89)) === 0, col("c_acctbal") + 10)
+          .otherwise(col("c_acctbal")))
+      .withColumn("c_mktsegment",
+        when(pmod(col("c_custkey"), lit(5)) === 0,
+          concat(col("c_mktsegment"), lit("#2")))
+          .otherwise(col("c_mktsegment")))
+    val added = base.where(pmod(col("c_custkey"), lit(101)) === 0)
+      .withColumn("c_custkey", col("c_custkey") + 1000000)
+    graft.engine.Scd2.merge(current, kept.unionByName(added),
+      "c_custkey", Seq("c_nationkey", "c_acctbal", "c_mktsegment"),
+      newVersion = 1L)
+  }
+
+  /** DuckDB rebuild of [[scd2History]] as a `history` CTE (shared by the
+    * m08 and m10 oracles). */
+  private lazy val scd2HistorySql: String = """
+        WITH cur AS (
+          SELECT c_custkey, CAST(0 AS BIGINT) AS version_from,
+                 c_nationkey, c_acctbal, c_mktsegment
+          FROM customer
+        ), inc AS (
+          SELECT c_custkey, c_nationkey,
+                 CASE WHEN c_custkey % 89 = 0 THEN c_acctbal + 10
+                      ELSE c_acctbal END AS c_acctbal,
+                 CASE WHEN c_custkey % 5 = 0 THEN c_mktsegment || '#2'
+                      ELSE c_mktsegment END AS c_mktsegment
+          FROM customer WHERE c_custkey % 97 <> 0
+          UNION ALL
+          SELECT c_custkey + 1000000, c_nationkey, c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey % 101 = 0
+        ), j AS (
+          SELECT cur.c_custkey AS ck, inc.c_custkey AS ik, cur.version_from,
+                 cur.c_nationkey AS n0, cur.c_acctbal AS a0, cur.c_mktsegment AS m0,
+                 inc.c_nationkey AS n1, inc.c_acctbal AS a1, inc.c_mktsegment AS m1,
+                 (cur.c_nationkey IS DISTINCT FROM inc.c_nationkey
+                  OR cur.c_acctbal IS DISTINCT FROM inc.c_acctbal
+                  OR cur.c_mktsegment IS DISTINCT FROM inc.c_mktsegment) AS chg
+          FROM cur FULL OUTER JOIN inc ON cur.c_custkey = inc.c_custkey
+        ), history AS (
+          SELECT ck AS c_custkey, version_from, CAST(1 AS BIGINT) AS version_to,
+                 n0 AS c_nationkey, a0 AS c_acctbal, m0 AS c_mktsegment,
+                 FALSE AS is_current
+          FROM j WHERE ck IS NOT NULL AND ik IS NOT NULL AND chg
+          UNION ALL
+          SELECT ik, CAST(1 AS BIGINT), CAST(999999 AS BIGINT), n1, a1, m1, TRUE
+          FROM j WHERE ik IS NOT NULL AND (ck IS NULL OR chg)
+          UNION ALL
+          SELECT ck, version_from, CAST(999999 AS BIGINT), n0, a0, m0, TRUE
+          FROM j WHERE ck IS NOT NULL AND (ik IS NULL OR NOT chg)
+        )"""
 }

@@ -1,0 +1,67 @@
+package graft
+
+import graft.tools.PlanLint
+
+/** Registry-wide scale-discipline audit: every query's optimized plan
+  * is linted for cross joins between multi-row sides, unpartitioned
+  * windows, and non-root global sorts. Violations must appear in the
+  * explicit allowlist below WITH a justification, or the suite fails —
+  * new queries get audited by construction. */
+class PlanLintSuite extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** query -> rules it may violate, each entry a documented exception. */
+  private val allowed: Map[String, Set[String]] = Map(
+    // quadratic-by-design exactness baselines, labeled `baseline` and
+    // excluded from the headline bench
+    "d05_embedding_dedup" -> Set("cross-join"),
+    "s01_ann_bruteforce" -> Set("cross-join"),
+    // brute-force arms over a `vec_id < k` query slice: the optimizer
+    // can't see the slice is tiny (maxRows unknown after a filter), but
+    // the broadcast side is bounded by the literal predicate
+    "s08_ann_filtered" -> Set("cross-join"),
+    "s09_hybrid_rrf" -> Set("cross-join"),
+    "s10_ann_sq8" -> Set("cross-join"),
+    // PQ scans every (vector, centroid) code pair by design; s05 bounds
+    // it with the IVF shortlist — the pair scan survives in the plan
+    "s04_ann_pq" -> Set("cross-join"),
+    "s05_ann_ivfpq" -> Set("cross-join"),
+    "d09_semantic_dedup" -> Set("cross-join"),
+    "s03_ann_ivf" -> Set("cross-join"),
+    // kmeans assignment joins each vector to every sampled centroid
+    "d12_cluster_reps" -> Set("cross-join"),
+    "s06_user_similarity" -> Set("cross-join"),
+    // mm-series: banded joins carry no equi-condition the optimizer
+    // recognizes after the explode; bounded by band-bucket population
+    "mm03_image_neardup" -> Set("cross-join"),
+    "mm04_audio_neardup" -> Set("cross-join"),
+    "mm05_media_embed_ann" -> Set("cross-join"),
+    "mm06_media_sq8" -> Set("cross-join"),
+    // sketch-sized post-aggregation: the windows/sorts run over the
+    // FIXED 4096-bin histogram (p13) / depth x width counter grid (t08)
+    // — input cardinality is a constant of the sketch, not of the data
+    "p13_histogram_quantiles" -> Set("global-window", "inner-global-sort"),
+    "t08_heavy_hitters" -> Set("inner-global-sort"),
+    // the lang-dimension fan-out: a <=5-row distinct-lang table crossed
+    // into test tokens — the NB scoring shape; the optimizer can't
+    // bound a post-aggregation distinct, so maxRows is unknown
+    "t20_nb_classify" -> Set("cross-join"),
+  )
+
+  test("every registry query passes the plan lint (or is an allowed, documented exception)") {
+    val failures = Seq.newBuilder[String]
+    for ((name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val vs =
+        try PlanLint.lint(q(spark, sf))
+        catch { case e: Throwable => failures += s"$name: lint threw $e"; Nil }
+      val ok = allowed.getOrElse(name, Set.empty)
+      val bad = vs.filterNot(v => ok.contains(v.rule))
+      if (bad.nonEmpty)
+        failures += s"$name:\n  ${bad.mkString("\n  ")}"
+      spark.catalog.clearCache()
+    }
+    val f = failures.result()
+    assert(f.isEmpty, s"${f.size} queries violate the plan lint:\n${f.mkString("\n")}")
+  }
+}

@@ -56,8 +56,8 @@ case class DeletionSigs(child: Expression) extends UnaryExpression {
 
 object DeletionSigs {
 
-  private final val Seed = 1469598103934665603L // FNV offset basis
-  private final val B = 0x100000001b3L // odd polynomial base
+  private final val Seed = Hashing.PolySeed
+  private final val B = Hashing.FnvPrime // odd polynomial base
 
   /** Shared kernel for interpreted and generated paths: [full, del_0,
     * ..., del_{n-1}] over the string's CODEPOINTS — matching the

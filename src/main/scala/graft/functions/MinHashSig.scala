@@ -69,13 +69,10 @@ case class MinHashSig(child: Expression, numHashes: Int)
 
 object MinHashSig {
 
-  /** splitmix64 finalizer — full-avalanche mixing of (base hash, salt). */
-  @inline private def mix(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  /** splitmix64 finalizer of (base hash, salt) — shared [[Hashing]]
+    * definition, so the per-function hash family can never drift from
+    * the kernels whose output feeds it. */
+  @inline private def mix(x0: Long): Long = Hashing.mix(x0)
 
   /** Shared kernel for interpreted and generated paths. */
   def compute(arr: ArrayData, numHashes: Int): Array[Long] = {
@@ -106,12 +103,14 @@ object MinHashSig {
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      val base = arr.getLong(j)
-      var i = 0
-      while (i < numHashes) {
-        val h = mix(base ^ (i.toLong * 0xc2b2ae3d27d4eb4fL))
-        if (h < mins(i)) mins(i) = h
-        i += 1
+      if (!arr.isNullAt(j)) { // skip nulls, matching the string path
+        val base = arr.getLong(j)
+        var i = 0
+        while (i < numHashes) {
+          val h = mix(base ^ (i.toLong * 0xc2b2ae3d27d4eb4fL))
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
       }
       j += 1
     }

@@ -63,8 +63,11 @@ object RankFusion {
       ((col("__tf") * lit(2.2)) /
         (col("__tf") + lit(1.2) *
           (lit(0.25) + lit(0.75) * (col("__dl").cast("double") / col("__avgdl"))))))
+    // no self-exclusion here: query ids and doc ids are separate
+    // namespaces as far as this scorer is concerned — retrieval setups
+    // where queries ARE corpus docs (s09) filter `doc_id != query_id`
+    // on the result themselves
     tf.join(broadcast(q), "__term")
-      .where(col("__doc") =!= col("query_id"))
       .join(dfreq, "__term")
       .join(dl, "__doc")
       .crossJoin(broadcast(stats))

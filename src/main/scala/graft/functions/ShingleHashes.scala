@@ -60,29 +60,14 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 
 object ShingleHashes {
 
-  private final val Seed = 1469598103934665603L
-  private final val B = 0x100000001b3L
+  private final val Seed = Hashing.PolySeed
+  private final val B = Hashing.FnvPrime
 
-  /** splitmix64 finalizer — full-avalanche mixing. */
-  @inline private def mix(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
-
-  /** FNV-1a over the token's UTF-8 bytes, splitmix-finalized. Null
-    * tokens hash like the empty token (the whitespace tokenizer never
-    * produces null; [[NGramShingles]] makes the same substitution). */
-  def tokenHash(t: UTF8String): Long = {
-    var h = 0xcbf29ce484222325L
-    if (t != null) {
-      val bytes = t.getBytes
-      var i = 0
-      while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * B; i += 1 }
-    }
-    mix(h)
-  }
+  /** FNV-1a over the token's UTF-8 bytes, splitmix-finalized ([[Hashing]]
+    * is the single source of the constants). Null tokens hash like the
+    * empty token (the whitespace tokenizer never produces null;
+    * [[NGramShingles]] makes the same substitution). */
+  def tokenHash(t: UTF8String): Long = Hashing.fnv1a(t)
 
   /** Shared kernel for interpreted and generated paths: sorted distinct
     * window hashes; empty when the array holds fewer than n tokens. */
@@ -99,7 +84,7 @@ object ShingleHashes {
       var h = Seed
       var j = 0
       while (j < n) { h = h * B + th(w + j); j += 1 }
-      out(w) = mix(h)
+      out(w) = Hashing.mix(h)
       w += 1
     }
     java.util.Arrays.sort(out)

@@ -826,8 +826,13 @@ object TextOps {
     * bit-for-bit, so the whole pipeline stays reproducible in the DuckDB
     * oracle (and SimHashKernelSuite pins kernel == declarative form). */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
-      SimHash64.column(df.sparkSession, col(textCol)).as("simhash"))
+    // null-text docs are OMITTED, matching the tokenize-and-aggregate
+    // contract of the declarative form (explode of a null token array
+    // produced no rows) and of the DuckDB oracle — without the filter
+    // the nullIntolerant kernel would emit a (id, null) row instead
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        SimHash64.column(df.sparkSession, col(textCol)).as("simhash"))
 
   /** SimHash near-dup candidates with Hamming distance <= maxHamming,
     * via block banding (pigeonhole: any pair within distance d shares at

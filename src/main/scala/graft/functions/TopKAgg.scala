@@ -100,9 +100,16 @@ object TopKAgg {
     val ids = new Array[Long](k)
     var size = 0
 
-    /** True iff (v1, id1) ranks strictly better than (v2, id2). */
-    @inline private def beats(v1: Double, id1: Long, v2: Double, id2: Long) =
-      v1 > v2 || (v1 == v2 && id1 < id2)
+    /** True iff (v1, id1) ranks strictly better than (v2, id2).
+      * `Double.compare` semantics, NOT raw `>`: NaN orders as the
+      * LARGEST double (and equal to itself), exactly as Spark's and
+      * DuckDB's ORDER BY treat it — a raw `>` comparator is not a total
+      * order under NaN and would both let a NaN poison the buffer tail
+      * and reject real values against it. */
+    @inline private def beats(v1: Double, id1: Long, v2: Double, id2: Long) = {
+      val c = java.lang.Double.compare(v1, v2)
+      c > 0 || (c == 0 && id1 < id2)
+    }
 
     def offer(v: Double, id: Long): Unit = {
       if (size < k || beats(v, id, values(size - 1), ids(size - 1))) {

@@ -88,6 +88,8 @@ object UnigramLM {
     var vocab: Vector[(String, Long)] = (chars ++ multi).toVector
       .sortBy(_._1)
     subCounts.unpersist()
+    require(vocab.nonEmpty,
+      "unigram-LM training needs a non-empty corpus (no tokens found)")
 
     val trace = Vector.newBuilder[Long]
     def emPass(cur: Vector[(String, Long)], iters: Int): Vector[(String, Long)] = {
@@ -248,10 +250,13 @@ object UnigramLM {
     val bc = spark.sparkContext.broadcast((model.logProbs, model.maxPieceLen))
     df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .map { case (id, text) =>
-        val (lp, maxLen) = bc.value
-        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
-        val pieces = toks.iterator.map(t => segment(t, lp, maxLen).size).sum
-        (id, toks.length.toLong, pieces.toLong)
+        if (text == null) (id, 0L, 0L) // null text = zero tokens (the
+        else { // same row the tokenize-and-count contract would emit
+          val (lp, maxLen) = bc.value
+          val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+          val pieces = toks.iterator.map(t => segment(t, lp, maxLen).size).sum
+          (id, toks.length.toLong, pieces.toLong)
+        }
       }.toDF(idCol, "n_tokens", "n_pieces")
   }
 }

@@ -273,7 +273,8 @@ object Similarity {
             explode(TextOps.tokens(lower(col("text")))).as("term"))
           .distinct()
         val rt = RankFusion.rankByScore(
-          RankFusion.bm25Scores(docs, "doc_id", "text", qterms, "qid", "term"),
+          RankFusion.bm25Scores(docs, "doc_id", "text", qterms, "qid", "term")
+            .where(col("doc_id") =!= col("query_id")), // queries ARE docs here
           "bm25", k = 20, rankAs = "r_text")
         val rv = VectorOps.bruteForceTopK(
             emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", k = 20)

@@ -38,12 +38,13 @@ class RankFusionSuite extends SparkSuite {
         (((n - df(term)) + 0.5) / (df(term) + 0.5)) *
         ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (toks(id).size / avgdl))))).toLong
     }
-    val expected = (1L to 4L).map(id =>
+    // self-exclusion is caller policy (s09 filters doc_id != query_id),
+    // so the scorer itself reports doc 0 against query 0 too
+    val expected = (0L to 4L).map(id =>
       id -> (contrib(id, "apple") + contrib(id, "banana")))
       .filter(_._2 != 0L).toMap
     assert(got == expected)
-    // query doc itself excluded
-    assert(!got.contains(0L))
+    assert(got.contains(0L), "no hidden self-exclusion in the library scorer")
   }
 
   test("rankByScore breaks score ties by doc_id ascending") {

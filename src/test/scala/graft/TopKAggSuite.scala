@@ -26,6 +26,17 @@ class TopKAggSuite extends SparkSuite {
       Seq((9.0, 99L), (5.0, 1L), (5.0, 3L)))
   }
 
+  test("NaN values order as the largest double, matching the window formulation") {
+    val rows = Seq(
+      (1L, Double.NaN, 10L), (1L, 5.0, 11L), (1L, 9.0, 12L), (1L, 7.0, 13L))
+    val got = rows.toDF("g", "v", "id").groupBy("g")
+      .agg(TopKAgg.column(spark, col("v"), col("id"), 3).as("ids"))
+      .select(posexplode(col("ids")).as(Seq("r0", "id")))
+      .as[(Int, Long)].collect().toSeq.sortBy(_._1).map(_._2)
+    // Spark's ORDER BY v DESC ranks NaN first, then 9.0, then 7.0
+    assert(got == Seq(10L, 12L, 13L), s"got $got")
+  }
+
   test("aggregate equals the window formulation under any partitioning") {
     val rnd = new scala.util.Random(23)
     val rows = (1L to 2000L).map(i =>

@@ -238,42 +238,99 @@ object ScaleOps {
     * fixed-point aggregates, applied to an ITERATIVE computation.
     * (Truncation leaks a little mass per step; ranking is what matters.)
     *
-    * Scale shape: per iteration ONE edge⋈rank join (keyed on src, the
-    * natural co-partitioning), one map-side-combinable sum keyed on dst,
-    * one left join back to the vertex table. The driver sees only |V|
-    * (one count) — never data. Lineage is cut per round with an eager
-    * localCheckpoint (the d06 move), so `iters` can grow without plan
-    * blowup. Dangling nodes keep the base rank; departed mass is
-    * dropped, matching the documented truncation stance. */
+    * Scale shape: the iteration runs over the EDGE-INCIDENT subgraph
+    * only (the d06 move) — a vertex touching no edge is `base +
+    * dampNum·0` from round 1 onward, so the non-incident majority of a
+    * lightly-connected corpus joins back ONCE at the end with the
+    * constant base rank, and per-round cost tracks |edges|, not |V|.
+    * Per round: ONE edge⋈rank join (keyed on src), one
+    * map-side-combinable sum keyed on dst, one left join to the incident
+    * vertex set. The driver sees only |V| (one count) — never data.
+    * Lineage is cut per round with an eager localCheckpoint, so `iters`
+    * can grow without plan blowup. Dangling nodes keep the base rank;
+    * departed mass is dropped, matching the documented truncation
+    * stance. */
   def integerPageRank(vertices: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, scale: Long = 1000000L, dampNum: Long = 85L): DataFrame = {
+      iters: Int, scale: Long = 1000000L, dampNum: Long = 85L,
+      smallEdgeLimit: Long = 1000000L): DataFrame = {
     require(iters >= 1 && scale > 0 && dampNum > 0 && dampNum < 100)
     val verts = vertices.select(col(idCol).as("__v")).cache()
     val nV = verts.count()
     require(nV > 0, "empty vertex set")
     val init = scale / nV
     val base = scale * (100L - dampNum) / 100L / nV
+    // edges materialize ONCE here — deg and the joined edge table both
+    // read this cache, so an expensive edge-generation lineage (d14's
+    // whole PPJoin pipeline) never re-runs per consumer
     val ew = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .cache()
+    val nE = ew.count()
+
+    // driver fast path (the d06 union-find move): when the edge set is
+    // driver-small and ids are longs, run every round locally — zero
+    // per-round Spark jobs; long-arithmetic sums commute, so the result
+    // is the identical fixpoint. The corpus-sized vertex table never
+    // collects: only edge-incident ranks come back, broadcast-joined
+    // against `verts` with the constant base rank for everyone else.
+    val longIds = vertices.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    if (nE > 0 && nE <= smallEdgeLimit && longIds) {
+      val es = ew.collect().map(r => (r.getLong(0), r.getLong(1)))
+      ew.unpersist()
+      val deg = new scala.collection.mutable.HashMap[Long, Long]
+      es.foreach { case (s, _) => deg.update(s, deg.getOrElse(s, 0L) + 1L) }
+      val incident = (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toSet
+      var r = incident.iterator.map(_ -> init).toMap
+      for (_ <- 1 to iters) {
+        val sums = new scala.collection.mutable.HashMap[Long, Long]
+        es.foreach { case (s, d) =>
+          sums.update(d, sums.getOrElse(d, 0L) + r(s) / deg(s))
+        }
+        r = incident.iterator
+          .map(v => v -> (base + dampNum * sums.getOrElse(v, 0L) / 100L))
+          .toMap
+      }
+      val spark = vertices.sparkSession
+      import spark.implicits._
+      val small = r.toSeq.toDF("__v", "__r")
+      val out = verts.join(broadcast(small), Seq("__v"), "left")
+        .select(col("__v").as(idCol),
+          coalesce(col("__r"), lit(base)).as("rank_micro"))
+      return out
+    }
     val deg = ew.groupBy("__src").agg(count(lit(1)).as("__deg"))
     val edgesDeg = ew.join(deg, "__src").cache()
     edgesDeg.count()
-    var ranks = verts.select(col("__v"), lit(init).as("__r"))
+    // only vertices an edge can ever reach iterate; everyone else is
+    // base from round 1 on (in-degree 0 ⇒ contribution sum is 0)
+    val incident = verts.join(
+        edgesDeg.select(col("__src").as("__v"))
+          .unionByName(edgesDeg.select(col("__dst").as("__v"))).distinct(),
+        Seq("__v"), "left_semi")
+      .cache()
+    incident.count()
+    var ranks = incident.select(col("__v"), lit(init).as("__r"))
     var i = 0
     while (i < iters) {
       val contrib = edgesDeg
         .join(ranks.withColumnRenamed("__v", "__src"), "__src")
         .select(col("__dst"), expr("__r div __deg").as("__c"))
         .groupBy("__dst").agg(sum("__c").as("__s"))
-      ranks = verts
+      ranks = incident
         .join(contrib.withColumnRenamed("__dst", "__v"), Seq("__v"), "left")
         .select(col("__v"),
           (lit(base) + expr(s"($dampNum * coalesce(__s, 0)) div 100")).as("__r"))
         .localCheckpoint(true)
       i += 1
     }
+    val out = verts.join(ranks, Seq("__v"), "left")
+      .select(col("__v").as(idCol),
+        coalesce(col("__r"), lit(base)).as("rank_micro"))
     verts.unpersist()
+    ew.unpersist()
     edgesDeg.unpersist()
-    ranks.select(col("__v").as(idCol), col("__r").as("rank_micro"))
+    incident.unpersist()
+    out
   }
 }

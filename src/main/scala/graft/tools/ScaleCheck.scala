@@ -57,6 +57,19 @@ object ScaleCheck {
       "d06_dup_clusters" -> { docs =>
         val pairs = TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
         TextOps.duplicateClusters(docs, "doc_id", pairs).count()
+      },
+      // iterative graph analytics: pair generation + 10 integer PageRank
+      // rounds — the iteration cost must track the (tiny) dup graph and
+      // the vertex table, never re-derive the text stages per round
+      "d14_dup_pagerank" -> { docs =>
+        val pairs = graft.functions.TextOps
+          .ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+          .select(col("id_a"), col("id_b")).cache() // 2 union readers
+        pairs.count()
+        val edges = pairs.unionByName(
+          pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        graft.functions.ScaleOps.integerPageRank(
+          docs.select("doc_id"), "doc_id", edges, "id_a", "id_b", 10).count()
       })
 
     // warmup: parquet footers AND each operator's codegen/JIT off the

@@ -258,6 +258,12 @@ class ScaleOpsSuite extends SparkSuite {
         .as[(Long, Long)].collect().toMap
       assert(got == expected, s"parts=$parts")
     }
+    // the distributed loop (forced via smallEdgeLimit = 0) computes the
+    // IDENTICAL fixpoint as the driver fast path
+    val distributed = ScaleOps.integerPageRank(verts, "id",
+        edges, "src", "dst", iters = 10, smallEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed == expected, "fast path and distributed loop diverge")
     assert(expected(0L) > expected(1L) && expected(1L) > expected(4L),
       "hub > leaf > dangling")
   }

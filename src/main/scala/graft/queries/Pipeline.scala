@@ -726,6 +726,57 @@ object Pipeline {
                CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding_waste
         FROM ranked GROUP BY 1 ORDER BY 1""")),
 
+    // ---- p17: contamination-aware train/test split ------------------------
+    // the split a benchmark-clean corpus release actually ships: a
+    // deterministic hash split (p07's md5 coin, 90/10) and then every
+    // train doc sharing >= 1 word 4-gram with ANY test doc is DROPPED
+    // (d08's broadcast decontamination, train side never shuffles on a
+    // gram). Doc-level output pins each document's disposition.
+    QueryDef(
+      "p17_decontaminated_split",
+      (s, d) => {
+        val docs = Tables.corpus(s, d)
+          .withColumn("__b",
+            shiftright(TextOps.tokenHash64(col("doc_id").cast("string")), 8)
+              .bitwiseAND(0x7FFFFFFFL) % 100)
+        val train = docs.where(col("__b") < 90)
+        val test = docs.where(col("__b") >= 90)
+        val dropped = TextOps.contaminationPairs(
+            train, test, "doc_id", "text", n = 4)
+          .select(col("doc_id")).distinct().withColumn("__d", lit(1))
+        docs.join(dropped, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("__b") >= 90, "test")
+              .when(col("__d").isNotNull, "dropped")
+              .otherwise("train").as("split"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, text,
+                 ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT >> 8)
+                   & 2147483647) % 100 AS b
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, b, string_split_regex(trim(text), '\s+') AS w FROM b
+        ), sh AS (
+          SELECT doc_id, b,
+                 list_distinct(list_transform(generate_series(1, len(w)-3),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
+          FROM toks
+        ), ex AS (
+          SELECT doc_id, b, unnest(g) AS s FROM sh
+        ), dropped AS (
+          SELECT DISTINCT tr.doc_id
+          FROM ex tr JOIN ex te ON tr.s = te.s
+          WHERE tr.b < 90 AND te.b >= 90
+        )
+        SELECT doc_id,
+               CASE WHEN b >= 90 THEN 'test'
+                    WHEN doc_id IN (SELECT doc_id FROM dropped) THEN 'dropped'
+                    ELSE 'train' END AS split
+        FROM b ORDER BY doc_id""")),
+
     // ---- p16: curation v2 — the NEW primitives composed end-to-end -------
     // quality floor → exact dedup → quality-ranked token-budget
     // selection (p11's scoring, over the deduped set) → length-grouped

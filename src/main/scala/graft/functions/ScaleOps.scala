@@ -268,24 +268,35 @@ object ScaleOps {
     val nE = ew.count()
 
     // driver fast path (the d06 union-find move): when the edge set is
-    // driver-small and ids are longs, run every round locally — zero
-    // per-round Spark jobs; long-arithmetic sums commute, so the result
-    // is the identical fixpoint. The corpus-sized vertex table never
-    // collects: only edge-incident ranks come back, broadcast-joined
-    // against `verts` with the constant base rank for everyone else.
-    val longIds = vertices.schema(idCol).dataType ==
-      org.apache.spark.sql.types.LongType
+    // driver-small and every id column is a long, run every round
+    // locally — zero per-round Spark jobs; long-arithmetic sums commute,
+    // so the result is the identical fixpoint. The corpus-sized vertex
+    // table never collects: only the edge-INCIDENT vertex ids (bounded
+    // by 2|E|, gathered through the same verts semi-join the distributed
+    // path uses, so edges referencing ids OUTSIDE the vertex table
+    // behave identically — phantom sources hold no rank, phantom dsts
+    // emit no row) come back, and the final ranks broadcast-join against
+    // `verts` with the constant base rank for everyone else.
+    val longIds = Seq(vertices.schema(idCol), ew.schema("__src"),
+        ew.schema("__dst"))
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
     if (nE > 0 && nE <= smallEdgeLimit && longIds) {
       val es = ew.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val incident = verts.join(
+          ew.select(col("__src").as("__v"))
+            .unionByName(ew.select(col("__dst").as("__v"))).distinct(),
+          Seq("__v"), "left_semi")
+        .collect().map(_.getLong(0)).toSet
       ew.unpersist()
       val deg = new scala.collection.mutable.HashMap[Long, Long]
       es.foreach { case (s, _) => deg.update(s, deg.getOrElse(s, 0L) + 1L) }
-      val incident = (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toSet
       var r = incident.iterator.map(_ -> init).toMap
       for (_ <- 1 to iters) {
         val sums = new scala.collection.mutable.HashMap[Long, Long]
         es.foreach { case (s, d) =>
-          sums.update(d, sums.getOrElse(d, 0L) + r(s) / deg(s))
+          // sources outside the vertex table hold no rank (they are
+          // dropped by the distributed path's ranks join) — skip them
+          r.get(s).foreach(rs => sums.update(d, sums.getOrElse(d, 0L) + rs / deg(s)))
         }
         r = incident.iterator
           .map(v => v -> (base + dampNum * sums.getOrElse(v, 0L) / 100L))
@@ -297,6 +308,7 @@ object ScaleOps {
       val out = verts.join(broadcast(small), Seq("__v"), "left")
         .select(col("__v").as(idCol),
           coalesce(col("__r"), lit(base)).as("rank_micro"))
+      verts.unpersist() // `out` recomputes the (cheap) vertex projection
       return out
     }
     val deg = ew.groupBy("__src").agg(count(lit(1)).as("__deg"))

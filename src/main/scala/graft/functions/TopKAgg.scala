@@ -101,14 +101,16 @@ object TopKAgg {
     var size = 0
 
     /** True iff (v1, id1) ranks strictly better than (v2, id2).
-      * `Double.compare` semantics, NOT raw `>`: NaN orders as the
-      * LARGEST double (and equal to itself), exactly as Spark's and
-      * DuckDB's ORDER BY treat it — a raw `>` comparator is not a total
-      * order under NaN and would both let a NaN poison the buffer tail
-      * and reject real values against it. */
+      * SQL double-ordering semantics (Spark's SQLOrderingUtil /
+      * DuckDB): NaN orders as the LARGEST double and equal to itself,
+      * while -0.0 TIES 0.0 (primitive ==) — `Double.compare` would
+      * split the zeros and skip the id tie-break, diverging from the
+      * window formulation; a raw `>` is not a total order under NaN at
+      * all (a NaN would poison the buffer tail). */
     @inline private def beats(v1: Double, id1: Long, v2: Double, id2: Long) = {
-      val c = java.lang.Double.compare(v1, v2)
-      c > 0 || (c == 0 && id1 < id2)
+      val gt = v1 > v2 || (v1.isNaN && !v2.isNaN)
+      val eq = v1 == v2 || (v1.isNaN && v2.isNaN)
+      gt || (eq && id1 < id2)
     }
 
     def offer(v: Double, id: Long): Unit = {

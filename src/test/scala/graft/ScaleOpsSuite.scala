@@ -268,6 +268,31 @@ class ScaleOpsSuite extends SparkSuite {
       "hub > leaf > dangling")
   }
 
+  test("integerPageRank: phantom edge endpoints behave identically on both paths") {
+    // edges referencing ids absent from the vertex table: phantom
+    // sources hold no rank (contribute nothing), phantom dsts emit no
+    // row — on the fast path AND the distributed path
+    val verts = Seq(1L, 2L).toDF("id")
+    val edges = Seq((9L, 1L), (1L, 2L), (2L, 7L)).toDF("src", "dst")
+    val fast = ScaleOps.integerPageRank(verts, "id", edges, "src", "dst", 3)
+      .as[(Long, Long)].collect().toMap
+    val dist = ScaleOps.integerPageRank(verts, "id", edges, "src", "dst", 3,
+        smallEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == dist, s"fast $fast vs distributed $dist")
+    assert(fast.keySet == Set(1L, 2L), "phantom ids must not appear")
+  }
+
+  test("integerPageRank: non-long edge id columns fall back to the distributed path") {
+    val verts = Seq(1L, 2L).toDF("id")
+    val edges = Seq((1, 2), (2, 1)).toDF("src", "dst") // IntegerType ids
+    // must not ClassCastException — the fast path requires long ids on
+    // BOTH tables and this input only qualifies for the distributed loop
+    val out = ScaleOps.integerPageRank(verts, "id", edges, "src", "dst", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L, 2L) && out.values.forall(_ > 0L))
+  }
+
   private def withSqlConf[T](pairs: (String, String)*)(body: => T): T = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }

@@ -37,6 +37,16 @@ class TopKAggSuite extends SparkSuite {
     assert(got == Seq(10L, 12L, 13L), s"got $got")
   }
 
+  test("-0.0 ties 0.0 (SQL ordering), so the id tie-break decides") {
+    val got = Seq((1L, 0.0, 5L), (1L, -0.0, 1L), (1L, -1.0, 9L))
+      .toDF("g", "v", "id").groupBy("g")
+      .agg(TopKAgg.column(spark, col("v"), col("id"), 2).as("ids"))
+      .select(posexplode(col("ids")).as(Seq("r0", "id")))
+      .as[(Int, Long)].collect().toSeq.sortBy(_._1).map(_._2)
+    // window formulation: 0.0 and -0.0 tie -> id asc -> 1 then 5
+    assert(got == Seq(1L, 5L), s"got $got")
+  }
+
   test("aggregate equals the window formulation under any partitioning") {
     val rnd = new scala.util.Random(23)
     val rows = (1L to 2000L).map(i =>

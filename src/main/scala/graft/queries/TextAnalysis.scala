@@ -906,6 +906,64 @@ object TextAnalysis {
                (lang = true_lang) AS correct
         FROM final WHERE rk = 1 ORDER BY doc_id""")),
 
+    // ---- t21: vocabulary-growth curve (Heaps' law) ------------------------
+    // distinct-token count after the first N corpus tokens, for a ladder
+    // of N — the curve that extrapolates tokenizer-vocab coverage to the
+    // full corpus before committing to a training run. The global token
+    // order comes from ScaleOps.runningTotal's distributed prefix sum
+    // over per-doc lengths (never a single-partition window); each
+    // token's FIRST global position is one min-aggregation, and the
+    // ladder is a 10-row broadcast against it. All-integer math.
+    QueryDef(
+      "t21_vocab_growth",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.ScaleOps
+        val docs = Tables.corpus(s, d)
+        val toks = docs.select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("__p", "tok")))
+        val lens = docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("__n"))
+        val offs = ScaleOps.runningTotal(lens, "__n",
+            Seq(col("doc_id").asc), "__cum")
+          .select(col("doc_id"), (col("__cum") - col("__n")).as("__off"))
+        val firstPos = toks.join(offs, "doc_id")
+          .select(col("tok"), (col("__off") + col("__p") + 1).as("__gp"))
+          .groupBy("tok").agg(min("__gp").as("first_pos"))
+        val cps = (1 to 10).map(_ * 5000L).toDF("n_seen")
+        firstPos.crossJoin(broadcast(cps))
+          .groupBy("n_seen")
+          .agg(sum(when(col("first_pos") <= col("n_seen"), 1L).otherwise(0L))
+            .as("vocab_size"))
+          .orderBy("n_seen")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents
+        ), lens AS (
+          SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM toks
+        ), offs AS (
+          SELECT doc_id,
+                 CAST(SUM(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                   AS BIGINT) AS off
+          FROM lens
+        ), tp AS (
+          SELECT t.doc_id, o.off + g.i AS gp, t.w[g.i] AS tok
+          FROM toks t JOIN offs o USING (doc_id),
+               UNNEST(generate_series(1, len(t.w))) AS g(i)
+        ), fp AS (
+          SELECT tok, CAST(MIN(gp) AS BIGINT) AS first_pos FROM tp GROUP BY tok
+        ), cps AS (
+          SELECT CAST(k * 5000 AS BIGINT) AS n_seen
+          FROM generate_series(1, 10) AS s(k)
+        )
+        SELECT n_seen,
+               CAST(SUM(CASE WHEN first_pos <= n_seen THEN 1 ELSE 0 END)
+                 AS BIGINT) AS vocab_size
+        FROM fp, cps GROUP BY 1 ORDER BY 1""")),
+
     // ---- t18: unigram-LM tokenizer training (SentencePiece family) --------
     // EM + expected-count pruning over the distinct-word table; the
     // trained vocabulary is bit-identical under any partitioning (per-

@@ -47,6 +47,10 @@ class PlanLintSuite extends SparkSuite {
     // into test tokens — the NB scoring shape; the optimizer can't
     // bound a post-aggregation distinct, so maxRows is unknown
     "t20_nb_classify" -> Set("cross-join"),
+    // the FIXED 10-row checkpoint ladder broadcast against the
+    // first-position table — a literal LocalRelation, multi-row by
+    // design but constant at any corpus size
+    "t21_vocab_growth" -> Set("cross-join"),
   )
 
   test("every registry query passes the plan lint (or is an allowed, documented exception)") {

@@ -289,7 +289,13 @@ object Bench {
     // captures only the tail of the process output — a final line longer
     // than that window truncates mid-JSON and parses as nothing (r5's
     // artifact had parsed:null for exactly this reason).
-    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","clean":$clean,"first_pass_total":$firstTotal%.3f,"window_total":$windowTotal%.3f,"floor_total":$floorTotal%.3f,"suspect":$suspect,"suspect_reasons":$reasonsJson,"queries":${json(results)},"query_floors":${json(floorResults)},"baseline_queries":${json(baselines)},"baseline_total":$baseTotal%.3f,"retried":$retriedJson,"failed":$failed,"loadavg":{"start":$loadStart%.2f,"end":$loadEnd%.2f},"sf":"$sfDir"}"""
+    // ADVICE r7: a floor-spliced total that excludes failed queries reads
+    // as a speedup across rounds; when ANY headline query failed the
+    // headline value is meaningless — emit null so consumers cannot
+    // compare it, and keep floor_total/queries for diagnostics.
+    val valueJson =
+      if (failedNames.nonEmpty) "null" else f"$total%.3f"
+    val detail = f"""{"metric":"total","value":$valueJson,"unit":"sec","clean":$clean,"first_pass_total":$firstTotal%.3f,"window_total":$windowTotal%.3f,"floor_total":$floorTotal%.3f,"suspect":$suspect,"suspect_reasons":$reasonsJson,"queries":${json(results)},"query_floors":${json(floorResults)},"baseline_queries":${json(baselines)},"baseline_total":$baseTotal%.3f,"retried":$retriedJson,"failed":$failed,"loadavg":{"start":$loadStart%.2f,"end":$loadEnd%.2f},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail.getBytes("UTF-8"))
     catch { case e: Exception =>
@@ -323,9 +329,13 @@ object Bench {
         else Nil
       (shown ++ more).mkString("[", ",", "]")
     }
+    // value is null when any headline query failed — a partial total
+    // excludes the failures and would read as a cross-round speedup
+    val valueJson =
+      if (failedNames.nonEmpty) "null" else f"$total%.3f"
     def line(qs: String, truncated: Boolean): String = {
       val trunc = if (truncated) ""","queries_truncated":true""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","clean":$clean,"suspect":$suspect,"floor_total":$floorTotal%.3f,"baseline_total":$baseTotal%.3f,"failed":$failed,"n_failed":${failedNames.length},"queries":$qs$trunc,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$valueJson,"unit":"sec","clean":$clean,"suspect":$suspect,"floor_total":$floorTotal%.3f,"baseline_total":$baseTotal%.3f,"failed":$failed,"n_failed":${failedNames.length},"queries":$qs$trunc,"sf":"$sfDir"}"""
     }
     val full = line(compactJson(results), truncated = false)
     if (full.length <= 1600) full

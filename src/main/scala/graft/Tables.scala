@@ -15,17 +15,31 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-    // rejects; read nanos as long and convert to a (micro-precision)
-    // timestamp — same truncation DuckDB applies, so oracles agree.
+    // events.ts has shipped as both TIMESTAMP(NANOS) (which Spark's
+    // vectorized reader rejects — we read nanos as long and truncate to
+    // micros, matching DuckDB) and plain TIMESTAMP_NTZ in different
+    // testdata generations; dispatch on the type actually loaded so both
+    // layouts work.
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      import org.apache.spark.sql.functions.{expr, timestamp_micros}
-      // integral `div`, NOT `/`: Column./ is double division and a 2^62-ish
-      // nanos value exceeds the 53-bit mantissa — off-by-1-microsecond
-      // results that survive into ms-precision aggregates
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          import org.apache.spark.sql.functions.{expr, timestamp_micros}
+          // integral `div`, NOT `/`: Column./ is double division and a
+          // 2^62-ish nanos value exceeds the 53-bit mantissa — off-by-1-
+          // microsecond results that survive into ms-precision aggregates
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // downstream queries use unix_millis/unix_micros and event-time
+          // windows, which want TIMESTAMP (LTZ); all sessions pin
+          // spark.sql.session.timeZone=UTC so the NTZ→LTZ cast is a pure
+          // re-tag (same micros value, and DuckDB reads the file as naive)
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts")
+              .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df // already TIMESTAMP; use as-is
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -25,6 +25,7 @@ object Verify {
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val failed = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val futures = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -33,6 +34,7 @@ object Verify {
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            failed.put(name, Option(e.getMessage).getOrElse(e.toString))
           }
         }
       }
@@ -55,6 +57,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failed queries are silently ABSENT from the correctness artifact
+    // (no parquet dir → driver skips them); dump an explicit error map so
+    // a broken loader reads as N loud failures, not N missing rows.
+    import scala.jdk.CollectionConverters._
+    val errJson = failed.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (!failed.isEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: " +
+          failed.keySet.asScala.toSeq.sorted.mkString(", "))
+    }
+    // exit 0 even on per-query failure: the driver must still compare the
+    // queries that DID run; verify_errors.json + stderr carry the failures
     spark.stop()
   }
 }

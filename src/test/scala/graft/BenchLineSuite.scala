@@ -48,4 +48,16 @@ class BenchLineSuite extends AnyFunSuite {
     assert(line.contains("...+35 more"))
     assert(line.count(_ == '{') == line.count(_ == '}'))
   }
+
+  test("value is null when any headline query failed, numeric when clean") {
+    // ADVICE r7: a floor-spliced total excluding failures reads as a
+    // cross-round speedup — the headline value must be incomparable
+    val rs = mk(5, 8)
+    val bad = Bench.compactFinalLine(9.0, clean = false, suspect = true,
+      8.0, 1.0, Seq(rs.head._1), rs, "/sf")
+    assert(bad.contains("\"value\":null,"), bad.take(120))
+    val good = Bench.compactFinalLine(9.0, clean = true, suspect = false,
+      8.0, 1.0, Nil, rs, "/sf")
+    assert(good.contains("\"value\":9.000,"), good.take(120))
+  }
 }

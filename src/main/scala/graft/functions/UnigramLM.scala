@@ -240,6 +240,97 @@ object UnigramLM {
     }
   }
 
+  /** Integer Viterbi over one word: maximize the micro-nat score, tie
+    * broken toward the FEWEST pieces — both criteria order-independent,
+    * so the result is bit-identical under any evaluation order (the
+    * property the DuckDB round-based replay of t19 relies on). Returns
+    * the winning piece count, 0 iff the word is unsegmentable. */
+  def viterbiMinPieces(w: String, wgt: Map[String, Long], maxLen: Int): Long = {
+    val m = w.length
+    val MinScore = Long.MinValue
+    val best = Array.fill(m + 1)(MinScore); best(0) = 0L
+    val np = Array.fill(m + 1)(Int.MaxValue); np(0) = 0
+    var i = 0
+    while (i < m) {
+      if (best(i) != MinScore) {
+        var j = i + 1
+        while (j <= math.min(m, i + maxLen)) {
+          val p = wgt.get(w.substring(i, j))
+          if (p.isDefined) {
+            val s = best(i) + p.get
+            val k = np(i) + 1
+            if (s > best(j) || (s == best(j) && k < np(j))) {
+              best(j) = s; np(j) = k
+            }
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (best(m) == MinScore) 0L else np(m).toLong
+  }
+
+  /** t19's oracle-replayable rollout: Viterbi fertility under a PINNED
+    * count-derived log-prob table instead of the float-EM-trained model
+    * (t18 keeps the trained family; its EM is not SQL-replayable).
+    *
+    * The pinned table is the unigram SEED vocabulary: every single
+    * character plus the `topMulti` most frequent substrings of length
+    * 2..maxPieceLen (all occurrences, weighted by corpus word
+    * frequency; ties broken by piece ascending), with micro-nat weights
+    * `floor(1e6 * ln(c / total))` — the t12 float discipline: ln runs
+    * on identical (count, total) integer operands in both engines and
+    * is fixed-pointed BEFORE any summation, so the Viterbi DP is exact
+    * long arithmetic end to end.
+    *
+    * Distributed shape: everything scales with the DISTINCT-WORD table
+    * — substring counting and the per-word DP are flatMap/map over
+    * distinct words with the (bounded, ≤ topMulti + alphabet) vocab
+    * broadcast; the corpus-sized token stream is touched exactly twice,
+    * once for the map-side-combinable word-frequency count and once for
+    * the broadcast join carrying per-word piece counts back to docs. */
+  def pinnedSegmentStats(df: DataFrame, idCol: String, textCol: String,
+      maxPieceLen: Int = 4, topMulti: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+    val wf = toks.groupBy("w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)].cache()
+    wf.count() // materialize before the two downstream branches
+    val subs = wf.flatMap { case (w, f) =>
+      for {
+        i <- 0 until w.length
+        j <- (i + 1) to math.min(w.length, i + maxPieceLen)
+      } yield (w.substring(i, j), f)
+    }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+      .map { case (p, c) => (p, c) }
+      .cache()
+    val chars = subs.filter(_._1.length == 1).collect()
+    val multi = subs.filter(_._1.length > 1)
+      .orderBy(col("_2").desc, col("_1"))
+      .limit(topMulti).collect()
+    subs.unpersist()
+    val vocab = chars ++ multi
+    val total = vocab.iterator.map(_._2).sum.toDouble
+    val weights: Map[String, Long] = vocab.iterator.map { case (p, c) =>
+      p -> math.floor(1e6 * math.log(c.toDouble / total)).toLong
+    }.toMap
+    val bc = spark.sparkContext.broadcast(weights)
+    val wordPieces = wf.map { case (w, _) =>
+      (w, viterbiMinPieces(w, bc.value, maxPieceLen))
+    }.toDF("w", "npieces")
+    val perDoc = toks.join(broadcast(wordPieces), "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("npieces")).as("n_pieces"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+  }
+
   /** Segment every document: (doc_id, n_tokens, n_pieces) — the
     * fertility view (pieces per whitespace token) a tokenizer rollout
     * is judged by. Model rides as a broadcast; one narrow map. */

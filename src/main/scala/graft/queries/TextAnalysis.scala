@@ -986,15 +986,70 @@ object TextAnalysis {
       None),
 
     // ---- t19: unigram-LM segmentation rollout (fertility view) ------------
+    // Viterbi under a PINNED count-derived log-prob table (the seed
+    // vocabulary: all chars + top-256 substrings ≤4 by weighted count)
+    // so the rollout is DuckDB-replayable: micro-nat weights via the
+    // t12 float discipline, then the DP is exact long arithmetic. The
+    // oracle replays it as a round-based recursive CTE — round k holds
+    // the best score reachable in exactly k pieces — and picks
+    // (max score, min pieces), the same order-independent tie-break
+    // viterbiMinPieces uses. The float-EM-TRAINED model stays covered
+    // by t18 + UnigramLMSuite (EM is not SQL-replayable).
     QueryDef(
       "t19_unigram_segment",
       (s, d) => {
         import graft.functions.UnigramLM
-        val docs = Tables.corpus(s, d)
-        val model = UnigramLM.train(docs, "text", vocabSize = 256)
-        UnigramLM.segmentStats(docs, "doc_id", "text", model)
+        UnigramLM.pinnedSegmentStats(
+          Tables.corpus(s, d), "doc_id", "text",
+          maxPieceLen = 4, topMulti = 256)
           .orderBy("doc_id")
       },
-      None)
+      Some("""
+        WITH RECURSIVE
+        toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+          FROM documents),
+        tok2 AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+        wf AS (SELECT w, COUNT(*) AS f FROM tok2 GROUP BY w),
+        subs AS (
+          SELECT substr(w, i, l) AS piece, CAST(SUM(f) AS BIGINT) AS c
+          FROM wf,
+               UNNEST(generate_series(1, len(w))) AS gi(i),
+               UNNEST(generate_series(1, 4)) AS gl(l)
+          WHERE i + l - 1 <= len(w)
+          GROUP BY 1),
+        vocab AS (
+          SELECT piece, c FROM subs WHERE len(piece) = 1
+          UNION ALL
+          SELECT piece, c FROM (SELECT piece, c FROM subs WHERE len(piece) > 1
+                                ORDER BY c DESC, piece LIMIT 256)),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab),
+        wgt AS (SELECT piece,
+                       CAST(floor(1e6 * ln(CAST(c AS DOUBLE) /
+                         CAST(n AS DOUBLE))) AS BIGINT) AS w8
+                FROM vocab, tot),
+        dp AS (
+          SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS score, 0 AS k FROM wf
+          UNION ALL
+          SELECT dp.w, dp.pos + len(v.piece) AS pos,
+                 MAX(dp.score + v.w8) AS score, dp.k + 1 AS k
+          FROM dp JOIN wgt v
+            ON substr(dp.w, dp.pos + 1, len(v.piece)) = v.piece
+          WHERE dp.pos < len(dp.w)
+          GROUP BY dp.w, dp.pos + len(v.piece), dp.k + 1),
+        fin AS (SELECT w, score, k FROM dp WHERE pos = len(w)),
+        best AS (SELECT w, k AS npieces FROM (
+          SELECT w, k, row_number() OVER
+            (PARTITION BY w ORDER BY score DESC, k ASC) AS rn
+          FROM fin) WHERE rn = 1),
+        perdoc AS (
+          SELECT t.doc_id, COUNT(*) AS n_tokens,
+                 CAST(SUM(b.npieces) AS BIGINT) AS n_pieces
+          FROM tok2 t JOIN best b USING (w) GROUP BY t.doc_id)
+        SELECT d.doc_id,
+               COALESCE(p.n_tokens, 0) AS n_tokens,
+               COALESCE(p.n_pieces, 0) AS n_pieces
+        FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        ORDER BY doc_id"""))
   )
 }

@@ -84,6 +84,57 @@ class UnigramLMSuite extends SparkSuite {
       "fixed-point EM must be partitioning-invariant")
   }
 
+  test("viterbiMinPieces = brute-force (max score, then min pieces)") {
+    // words checked against exhaustive enumeration over a small vocab
+    // (including "ba" so greedy-looking splits lose to cross-boundary
+    // ones: "abab" = a+ba+b at -3.5e6 beats ab+ab at -4e6)
+    val wgt = Map[String, Long](
+      "a" -> -1000000L, "b" -> -1000000L, "ab" -> -2000000L,
+      "ba" -> -1500000L, "c" -> -3000000L, "abc" -> -2500000L)
+    val maxLen = 3
+    def brute(w: String): Option[(Long, Int)] = {
+      if (w.isEmpty) Some((0L, 0))
+      else (1 to math.min(w.length, maxLen)).flatMap { k =>
+        wgt.get(w.substring(0, k)).flatMap { p =>
+          brute(w.substring(k)).map { case (s, n) => (s + p, n + 1) }
+        }
+      } match {
+        case Seq() => None
+        // max score, then min pieces — the pinned-rollout objective
+        case cands => Some(cands.maxBy { case (s, n) => (s, -n) })
+      }
+    }
+    for (w <- Seq("abab", "ababab", "abc", "abcabc", "cab", "bac",
+        "aaaa", "abba", "cba", "a", "", "abd")) {
+      val got = UnigramLM.viterbiMinPieces(w, wgt, maxLen)
+      brute(w) match {
+        case None => assert(got == 0L, s"$w: unsegmentable must be 0, got $got")
+        case Some((_, n)) if w.isEmpty => assert(got == 0L)
+        case Some((_, n)) => assert(got == n.toLong, s"$w: got $got want $n")
+      }
+    }
+    // deliberate exact tie: with ab = a+b exactly, "abab" scores
+    // -4e6 via ab+ab (2), a+b+ab (3), and a+b+a+b (4) — min-pieces
+    // tie-break must pick 2
+    val tieWgt = Map[String, Long](
+      "a" -> -1000000L, "b" -> -1000000L, "ab" -> -2000000L)
+    assert(UnigramLM.viterbiMinPieces("abab", tieWgt, 2) == 2L,
+      "tie must break toward fewest pieces")
+  }
+
+  test("pinnedSegmentStats is partitioning-invariant and fertility >= 1") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = UnigramLM.pinnedSegmentStats(docs.repartition(2), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val b = UnigramLM.pinnedSegmentStats(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(a == b, "pinned rollout must be partitioning-invariant")
+    assert(a.length == 500)
+    a.foreach { case (id, nt, np) =>
+      assert(np >= nt, s"doc $id: pieces $np < tokens $nt")
+    }
+  }
+
   test("every corpus word segments (char floor) and fertility >= 1") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val m = UnigramLM.train(docs, "text", vocabSize = 128)

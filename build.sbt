@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tails `sbt "runMain graft.Bench"` and tries to parse the
+// final JSON line; sbt's default output strategy prefixes forked stdout
+// with "[info] " and appends its own "[success] Total time..." line, so
+// every round's BENCH artifact recorded parsed:null. Pass the forked
+// process's stdout through raw and drop the success banner so the last
+// line of the invocation IS the bench JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -865,6 +865,79 @@ object Pipeline {
                CAST(max(n_tokens) AS BIGINT) AS max_tokens,
                CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
                CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding_waste
-        FROM ranked GROUP BY 1 ORDER BY 1"""))
+        FROM ranked GROUP BY 1 ORDER BY 1""")),
+
+    // ---- p18: temperature-scaled source mixing (alpha sampling) -----------
+    // the multilingual/multi-domain rebalance: per-source sampling
+    // weights proportional to count^alpha (alpha=0.5 -> sqrt), so
+    // high-resource sources are downweighted and the tail upweighted —
+    // unlike p09's FIXED target shares, the weights here derive from
+    // the observed counts. Budget = half the corpus. Quotas are exact:
+    // w6 = floor(sqrt(n_s)*1e6) fixed-pointed per source BEFORE the
+    // (integer) denominator sum, quota = floor(N * (w6/denom)) on
+    // identical operands in both engines. Selection within a source is
+    // the p03 md5 key ascending — deterministic sampling without
+    // replacement. The rank is a window partitioned BY SOURCE (never
+    // global); at 100 TB the same selection runs as a per-source key
+    // threshold from a two-pass quantile instead of a full sort.
+    QueryDef(
+      "p18_temperature_mix",
+      (s, d) => {
+        val docs = Tables.corpus(s, d)
+          .select(col("doc_id"), col("source"),
+            shiftright(TextOps.tokenHash64(concat(lit("tmix|"),
+              col("doc_id").cast("string"))), 8)
+              .bitwiseAND(0x7FFFFFFFL).as("__k"))
+        val bySrc = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_src"))
+          .withColumn("w6",
+            floor(sqrt(col("n_src").cast("double")) * 1e6).cast("long"))
+        val denomTotal = bySrc.agg(
+          sum(col("w6")).cast("long").as("denom"),
+          sum(col("n_src")).cast("long").as("n_total"))
+        val quotas = bySrc.crossJoin(broadcast(denomTotal))
+          .select(col("source"),
+            least(
+              floor(floor(col("n_total").cast("double") / 2.0) *
+                (col("w6").cast("double") / col("denom").cast("double")))
+                .cast("long"),
+              col("n_src")).as("quota"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("__k").asc, col("doc_id").asc)
+        docs.withColumn("__rn", row_number().over(w))
+          .join(broadcast(quotas), "source")
+          .where(col("__rn") <= col("quota"))
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, source,
+                 ((('0x' || substr(md5('tmix|' || CAST(doc_id AS VARCHAR)),1,16))::UBIGINT >> 8)
+                   & 2147483647) AS k
+          FROM documents),
+        bysrc AS (
+          SELECT source, COUNT(*) AS n_src,
+                 CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) AS w6
+          FROM docs GROUP BY source),
+        dt AS (SELECT CAST(SUM(w6) AS BIGINT) AS denom,
+                      CAST(SUM(n_src) AS BIGINT) AS n_total
+               FROM bysrc),
+        quotas AS (
+          SELECT source,
+                 LEAST(CAST(floor(floor(CAST(n_total AS DOUBLE) / 2.0) *
+                        (CAST(w6 AS DOUBLE) / CAST(denom AS DOUBLE)))
+                   AS BIGINT), n_src) AS quota
+          FROM bysrc, dt),
+        ranked AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY k ASC, doc_id ASC) AS rn
+          FROM docs)
+        SELECT r.doc_id, r.source
+        FROM ranked r JOIN quotas q USING (source)
+        WHERE r.rn <= q.quota
+        ORDER BY r.doc_id"""))
   )
 }

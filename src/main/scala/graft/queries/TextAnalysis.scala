@@ -1050,6 +1050,133 @@ object TextAnalysis {
                COALESCE(p.n_tokens, 0) AS n_tokens,
                COALESCE(p.n_pieces, 0) AS n_pieces
         FROM documents d LEFT JOIN perdoc p USING (doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- t22: Zipf's-law fit of the token frequency distribution ----------
+    // least-squares slope of ln(freq) vs ln(rank) over the vocabulary —
+    // the corpus-health diagnostic (natural text ~ -1; a slope far off
+    // flags boilerplate or synthetic spam). Ranks come from
+    // ScaleOps.runningTotal's distributed prefix sum over the vocab in
+    // (freq desc, tok) order — never a single-partition window. Float
+    // discipline: ln runs on identical integer operands in both
+    // engines and is fixed-pointed to MILLI-nats per vocab entry
+    // BEFORE the sums, so all four regression sums are exact long
+    // arithmetic (milli scale keeps sum(x3*y3) < 2^63 up to ~1e8
+    // vocab entries; beyond that the sums would ride decimal(38)).
+    // The final slope/intercept divisions run on identical long
+    // operands -> identical doubles -> identical fixed-point floors.
+    QueryDef(
+      "t22_zipf_slope",
+      (s, d) => {
+        import graft.functions.ScaleOps
+        val vocab = Tables.corpus(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .where(col("tok") =!= "")
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+          .withColumn("__one", lit(1L))
+        val ranked = ScaleOps.runningTotal(vocab, "__one",
+            Seq(col("c").desc, col("tok").asc), "rank")
+        val pts = ranked.select(
+          floor(log(col("rank").cast("double")) * 1000.0).cast("long").as("x3"),
+          floor(log(col("c").cast("double")) * 1000.0).cast("long").as("y3"))
+        val sums = pts.agg(
+          count(lit(1)).as("n"),
+          sum(col("x3")).as("sx"), sum(col("y3")).as("sy"),
+          sum(col("x3") * col("y3")).as("sxy"),
+          sum(col("x3") * col("x3")).as("sxx"))
+        // slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), computed in doubles
+        // from the exact long sums (identical operands both engines)
+        sums.select(
+          col("n").cast("long").as("n_vocab"),
+          floor(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                 (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * 1000000.0).cast("long").as("slope_micro"),
+          floor(((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                  (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+                  * col("sx")).cast("double") / col("n").cast("double"))
+            * 1000.0).cast("long").as("intercept_milli3"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents),
+        vocab AS (SELECT tok, COUNT(*) AS c FROM toks WHERE tok <> ''
+                  GROUP BY tok),
+        ranked AS (
+          SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rank
+          FROM vocab),
+        pts AS (
+          SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000.0) AS BIGINT) AS x3,
+                 CAST(floor(ln(CAST(c AS DOUBLE)) * 1000.0) AS BIGINT) AS y3
+          FROM ranked),
+        sums AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x3) AS BIGINT) AS sx, CAST(SUM(y3) AS BIGINT) AS sy,
+                 CAST(SUM(x3 * y3) AS BIGINT) AS sxy,
+                 CAST(SUM(x3 * x3) AS BIGINT) AS sxx
+          FROM pts)
+        SELECT n AS n_vocab,
+               CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+                          CAST(n * sxx - sx * sx AS DOUBLE)
+                 * 1000000.0) AS BIGINT) AS slope_micro,
+               CAST(floor((CAST(sy AS DOUBLE) -
+                           CAST(n * sxy - sx * sy AS DOUBLE) /
+                           CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) * 1000.0) AS BIGINT) AS intercept_milli3
+        FROM sums""")),
+
+    // ---- t23: n-gram novelty scoring (incremental-corpus curation) --------
+    // per document: the fraction of its distinct 3-grams not present in
+    // any EARLIER document (doc_id order = ingestion order) — the
+    // "is this shard adding anything new" signal that drives corpus
+    // growth decisions. Shape: distinct (doc, gram) pairs -> min doc_id
+    // per gram (one shuffle on the gram key) -> count-if-first per doc
+    // (one shuffle back). Gate-scale grams are the literal token
+    // triples; the 100 TB path hashes them to 8-byte keys
+    // (ShingleHashes) — same plan, fixed-width shuffle keys.
+    QueryDef(
+      "t23_ngram_novelty",
+      (s, d) => {
+        val grams = Tables.corpus(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+          .where(size(col("t")) >= 3)
+          .select(col("doc_id"), explode(
+            transform(sequence(lit(1), size(col("t")) - 2),
+              i => concat_ws("\u0001",
+                element_at(col("t"), i), element_at(col("t"), i + 1),
+                element_at(col("t"), i + 2)))).as("gram"))
+          .distinct()
+        val firstDoc = grams.groupBy("gram")
+          .agg(min(col("doc_id")).as("first_doc"))
+        grams.join(firstDoc, "gram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            floor(col("n_novel").cast("double") * 1000.0 /
+              col("n_grams").cast("double")).cast("long").as("novelty_permille"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 t[i] || chr(1) || t[i+1] || chr(1) || t[i+2] AS gram
+          FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+          WHERE len(t) >= 3),
+        fd AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram)
+        SELECT g.doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_novel,
+               CAST(floor(CAST(SUM(CASE WHEN f.first_doc = g.doc_id
+                                        THEN 1 ELSE 0 END) AS DOUBLE)
+                 * 1000.0 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                 AS novelty_permille
+        FROM grams g JOIN fd f USING (gram)
+        GROUP BY g.doc_id ORDER BY g.doc_id"""))
   )
 }

@@ -123,6 +123,34 @@ object Windows {
           FROM counts)
         SELECT window_start_ms, event_type, n
         FROM ranked WHERE rk = 1
-        ORDER BY window_start_ms"""))
+        ORDER BY window_start_ms""")),
+
+    // ---- w05: STREAMING-engine tumbling windows, oracle-gated -------------
+    // w01-w04 pin window() semantics in batch mode; w05 drives the same
+    // aggregation through the actual Structured Streaming engine —
+    // file stream source, watermark, stateful window aggregation,
+    // AvailableNow trigger, memory sink — and hash-gates the terminal
+    // state against the DuckDB oracle. A single input file = a single
+    // micro-batch, whose watermark starts at epoch, so no row is late
+    // and the terminal state equals the batch aggregation; `value` is
+    // fixed-pointed to micro-units before the sum (exact long
+    // arithmetic under any partitioning). This makes the streaming
+    // ENGINE itself — not just the window functions it shares with
+    // batch — part of the correctness gate.
+    QueryDef(
+      "w05_stream_tumbling",
+      (s, d) =>
+        graft.streaming.Streams
+          .tumblingCountsGate(s, s"$d/events.parquet",
+            windowLength = "1 hour", lateness = "1 hour")
+          .orderBy("window_start_ms", "event_type"),
+      Some("""
+        SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+                 AS sum_v6
+        FROM events
+        GROUP BY window_start_ms, event_type
+        ORDER BY window_start_ms, event_type"""))
   )
 }

@@ -45,6 +45,54 @@ object Streams {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  private val gateRunSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drive `tumblingCounts`-shaped aggregation THROUGH the streaming
+    * engine to a terminal batch result: AvailableNow trigger over the
+    * events file, complete-mode memory sink, await termination, read
+    * the sink table back. The output is deterministic — AvailableNow
+    * lists the (single) input file as one micro-batch, and a batch-0
+    * watermark starts at epoch, so no row is late and the final state
+    * equals the batch `window()` aggregation — which is exactly what
+    * lets a DuckDB oracle hash-gate a STREAMING execution (w05).
+    * `value` is fixed-pointed to micro-units before the sum, so the
+    * aggregate is exact long arithmetic under any partitioning.
+    *
+    * Scale shape: identical to the production streaming job — state is
+    * O(active windows x event types), the memory sink holds only the
+    * aggregated windows (not the stream), and swapping the sink for a
+    * real one changes nothing upstream. */
+  def tumblingCountsGate(spark: SparkSession, eventsPath: String,
+      windowLength: String, lateness: String): DataFrame = {
+    val raw = eventStream(spark, eventsPath)
+    // the same physical-layout dispatch Tables.apply performs: the
+    // streaming read bypasses the loader, so re-tag NTZ (or convert
+    // nanos-as-long) to TIMESTAMP under the pinned UTC session
+    val ev = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+    val agg = ev
+      .withColumn("v6", floor(col("value") * 1e6).cast("long"))
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v6")).as("sum_v6"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("sum_v6"))
+    val sink = s"w05_gate_${gateRunSeq.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** Windowed streaming top-k: per tumbling event-time window, the ids
     * of the k highest-value events — [[graft.functions.TopKAgg]] running
     * INSIDE a streaming aggregation, so per-window state is the bounded

@@ -70,7 +70,33 @@ object ScaleCheck {
           pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
         graft.functions.ScaleOps.integerPageRank(
           docs.select("doc_id"), "doc_id", edges, "id_a", "id_b", 10).count()
-      })
+      },
+      // r8 text additions: t23's two-shuffle novelty join (distinct
+      // (doc,gram) pairs -> min-doc -> join back) and t19's pinned
+      // Viterbi rollout (everything bounded by the distinct-word table;
+      // the prefix rewrite grows that table linearly with copies, the
+      // worst case for it)
+      "t23_ngram_novelty" -> { docs =>
+          // the core without the presentation sort: distinct 3-gram
+          // pairs -> first-doc -> per-doc novelty
+          val grams = docs
+            .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+            .where(size(col("t")) >= 3)
+            .select(col("doc_id"), explode(
+              transform(sequence(lit(1), size(col("t")) - 2),
+                i => concat_ws("",
+                  element_at(col("t"), i), element_at(col("t"), i + 1),
+                  element_at(col("t"), i + 2)))).as("gram"))
+            .distinct()
+          val firstDoc = grams.groupBy("gram")
+            .agg(min(col("doc_id")).as("first_doc"))
+          grams.join(firstDoc, "gram").groupBy("doc_id")
+            .agg(count(lit(1)), sum(when(col("first_doc") === col("doc_id"),
+              1L).otherwise(0L))).count()
+      },
+      "t19_pinned_viterbi" -> (docs =>
+        graft.functions.UnigramLM.pinnedSegmentStats(
+          docs, "doc_id", "text", maxPieceLen = 4, topMulti = 256).count()))
 
     // warmup: parquet footers AND each operator's codegen/JIT off the
     // clock (the first PPJoin run pays ~3s of whole-stage-codegen

@@ -1146,9 +1146,14 @@ object TextAnalysis {
                 element_at(col("t"), i), element_at(col("t"), i + 1),
                 element_at(col("t"), i + 2)))).as("gram"))
           .distinct()
-        val firstDoc = grams.groupBy("gram")
-          .agg(min(col("doc_id")).as("first_doc"))
-        grams.join(firstDoc, "gram")
+        // first-doc via a GRAM-partitioned window min instead of a
+        // self-join: one corpus scan + explode instead of two (the
+        // dominant cost at scale), and the window partitioning is the
+        // same gram key the self-join would have shuffled on
+        val wMin = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gram"))
+        grams
+          .withColumn("first_doc", min(col("doc_id")).over(wMin))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_grams"),
             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))

@@ -88,9 +88,10 @@ object ScaleCheck {
                   element_at(col("t"), i), element_at(col("t"), i + 1),
                   element_at(col("t"), i + 2)))).as("gram"))
             .distinct()
-          val firstDoc = grams.groupBy("gram")
-            .agg(min(col("doc_id")).as("first_doc"))
-          grams.join(firstDoc, "gram").groupBy("doc_id")
+          val wMin = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("gram"))
+          grams.withColumn("first_doc", min(col("doc_id")).over(wMin))
+            .groupBy("doc_id")
             .agg(count(lit(1)), sum(when(col("first_doc") === col("doc_id"),
               1L).otherwise(0L))).count()
       },

@@ -888,20 +888,23 @@ object Pipeline {
             shiftright(TextOps.tokenHash64(concat(lit("tmix|"),
               col("doc_id").cast("string"))), 8)
               .bitwiseAND(0x7FFFFFFFL).as("__k"))
+        // per-source counts are BOUNDED (source is a dimension); one
+        // column-pruned aggregation pass, then the quota arithmetic on
+        // the driver — vs deriving denom/total as separate corpus
+        // aggregations (3 scans + a nested-loop cross join in the plan)
+        import s.implicits._
         val bySrc = docs.groupBy("source")
           .agg(count(lit(1)).as("n_src"))
-          .withColumn("w6",
-            floor(sqrt(col("n_src").cast("double")) * 1e6).cast("long"))
-        val denomTotal = bySrc.agg(
-          sum(col("w6")).cast("long").as("denom"),
-          sum(col("n_src")).cast("long").as("n_total"))
-        val quotas = bySrc.crossJoin(broadcast(denomTotal))
-          .select(col("source"),
-            least(
-              floor(floor(col("n_total").cast("double") / 2.0) *
-                (col("w6").cast("double") / col("denom").cast("double")))
-                .cast("long"),
-              col("n_src")).as("quota"))
+          .as[(String, Long)].collect().sortBy(_._1)
+        val w6 = bySrc.map { case (_, n) =>
+          math.floor(math.sqrt(n.toDouble) * 1e6).toLong }
+        val denom = w6.sum
+        val nTotal = bySrc.map(_._2).sum
+        val quotas = bySrc.zip(w6).map { case ((src, n), w) =>
+          (src, math.min(
+            math.floor(math.floor(nTotal.toDouble / 2.0) *
+              (w.toDouble / denom.toDouble)).toLong, n))
+        }.toSeq.toDF("source", "quota")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("source"))
           .orderBy(col("__k").asc, col("doc_id").asc)

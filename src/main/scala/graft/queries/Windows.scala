@@ -151,6 +151,91 @@ object Windows {
                  AS sum_v6
         FROM events
         GROUP BY window_start_ms, event_type
-        ORDER BY window_start_ms, event_type"""))
+        ORDER BY window_start_ms, event_type""")),
+
+    // ---- w06: STREAMING-engine session windows, oracle-gated --------------
+    // session_window through the real streaming engine (merging session
+    // state). Append mode can never emit the tail sessions (the last
+    // session ends after max(ts), ahead of any watermark) and Spark
+    // rejects update mode for streaming session windows, so the gate
+    // runs COMPLETE mode: the terminal state after the single
+    // micro-batch holds every merged session and equals the batch
+    // session_window aggregation — w02's gaps-and-islands oracle.
+    QueryDef(
+      "w06_stream_session",
+      (s, d) =>
+        graft.streaming.Streams
+          .sessionCountsGate(s, s"$d/events.parquet",
+            gap = "30 minutes", lateness = "1 hour")
+          .orderBy("user_id", "session_start_ms"),
+      Some("""
+        WITH o AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM events
+        ), m AS (
+          SELECT user_id, ts,
+                 CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM o
+        ), sess AS (
+          SELECT user_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM m
+        )
+        SELECT epoch_ms(min(ts)) AS session_start_ms, user_id,
+               count(*) AS n_events
+        FROM sess
+        GROUP BY user_id, sess_id
+        ORDER BY user_id, session_start_ms""")),
+
+    // ---- w07: STREAMING custom state (flatMapGroupsWithState), gated ------
+    // the funnel state machine (greedy in-event-time order: stage
+    // advances when the NEXT step's type arrives no earlier than the
+    // last advance) run through flatMapGroupsWithState. One micro-batch
+    // -> each user whose stage advanced emits exactly one terminal
+    // snapshot. The oracle replays the machine EVENT BY EVENT as a
+    // recursive CTE over per-user ordered step events — the outcome is
+    // tie-order invariant at millisecond granularity because duplicate
+    // (ms, type) events are state no-ops. This gates the custom-state
+    // streaming operator itself, not a batch equivalent.
+    QueryDef(
+      "w07_stream_funnel",
+      (s, d) =>
+        graft.streaming.Streams
+          .funnelProgressGate(s, s"$d/events.parquet")
+          .orderBy("user_id"),
+      Some("""
+        WITH RECURSIVE
+        ev AS (
+          SELECT user_id, event_type, epoch_ms(ts) AS tms,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY epoch_ms(ts), event_type) AS rn
+          FROM events
+          WHERE event_type IN ('view', 'click', 'purchase')
+        ),
+        n AS (SELECT user_id, MAX(rn) AS nmax FROM ev GROUP BY user_id),
+        steps AS (SELECT * FROM (VALUES (0, 'view'), (1, 'click'),
+                  (2, 'purchase')) s(stage, name)),
+        dp AS (
+          SELECT user_id, 0 AS idx, 0 AS stage,
+                 CAST(-9223372036854775807 AS BIGINT) AS last_t
+          FROM n
+          UNION ALL
+          SELECT d.user_id, d.idx + 1,
+                 CASE WHEN s.name IS NOT NULL AND e.tms >= d.last_t
+                      THEN d.stage + 1 ELSE d.stage END,
+                 CASE WHEN s.name IS NOT NULL AND e.tms >= d.last_t
+                      THEN e.tms ELSE d.last_t END
+          FROM dp d
+          JOIN ev e ON e.user_id = d.user_id AND e.rn = d.idx + 1
+          LEFT JOIN steps s ON s.stage = d.stage AND s.name = e.event_type
+        ),
+        fin AS (
+          SELECT d.user_id, d.stage
+          FROM dp d JOIN n ON d.user_id = n.user_id AND d.idx = n.nmax)
+        SELECT user_id, stage FROM fin WHERE stage > 0
+        ORDER BY user_id"""))
   )
 }

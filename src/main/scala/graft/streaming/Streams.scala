@@ -64,18 +64,7 @@ object Streams {
     * real one changes nothing upstream. */
   def tumblingCountsGate(spark: SparkSession, eventsPath: String,
       windowLength: String, lateness: String): DataFrame = {
-    val raw = eventStream(spark, eventsPath)
-    // the same physical-layout dispatch Tables.apply performs: the
-    // streaming read bypasses the loader, so re-tag NTZ (or convert
-    // nanos-as-long) to TIMESTAMP under the pinned UTC session
-    val ev = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
-    }
+    val ev = retagTs(eventStream(spark, eventsPath))
     val agg = ev
       .withColumn("v6", floor(col("value") * 1e6).cast("long"))
       .withWatermark("ts", lateness)
@@ -92,6 +81,70 @@ object Streams {
     q.awaitTermination()
     spark.table(sink)
   }
+
+  /** w06's gate: session windows driven THROUGH the streaming engine.
+    * Unlike tumbling windows, session windows cannot finalize in
+    * append mode without leaving the tail sessions unemitted (the last
+    * session always ends after max(ts) and the watermark never passes
+    * it), and Spark rejects update mode for streaming session windows
+    * outright — so the gate runs COMPLETE mode: the terminal state
+    * after the single micro-batch holds every merged session, equal to
+    * the batch `session_window()` aggregation. */
+  def sessionCountsGate(spark: SparkSession, eventsPath: String,
+      gap: String, lateness: String): DataFrame = {
+    val ev = retagTs(eventStream(spark, eventsPath))
+    val agg = ev
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_millis(col("session_window.start")).as("session_start_ms"),
+        col("user_id"), col("n_events"))
+    val sink = s"w06_gate_${gateRunSeq.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  /** w07's gate: the flatMapGroupsWithState funnel state machine run
+    * through the streaming engine. One input file = one micro-batch,
+    * so each user whose stage advanced emits exactly one snapshot —
+    * the terminal stage of the greedy in-ts-order machine, which a
+    * recursive SQL replay reproduces event by event. Deterministic
+    * under shuffle because within equal (millisecond, event_type) keys
+    * the machine's state transition is identical whichever duplicate
+    * goes first. */
+  def funnelProgressGate(spark: SparkSession, eventsPath: String,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    import spark.implicits._
+    val ev = retagTs(eventStream(spark, eventsPath))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[FunnelEvent]
+    val sink = s"w07_gate_${gateRunSeq.incrementAndGet()}"
+    val q = funnelProgress(ev, steps).toDF()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  /** The Tables.apply physical-layout dispatch for streaming reads
+    * (which bypass the loader): nanos-as-long -> micros truncation, or
+    * NTZ -> LTZ re-tag under the pinned UTC session. */
+  private def retagTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
 
   /** Windowed streaming top-k: per tumbling event-time window, the ids
     * of the k highest-value events — [[graft.functions.TopKAgg]] running

@@ -941,6 +941,62 @@ object Pipeline {
         SELECT r.doc_id, r.source
         FROM ranked r JOIN quotas q USING (source)
         WHERE r.rn <= q.quota
-        ORDER BY r.doc_id"""))
+        ORDER BY r.doc_id""")),
+
+    // ---- p19: EXACT distributed quantiles (value-histogram prefix sum) ----
+    // exact per-language p50/p90/p99 of document token length — the
+    // exact counterpart of p05 (Spark GK sketch) and p13 (equi-width
+    // histogram): when the value domain is small-cardinality (token
+    // lengths, status codes, bucketed sizes), exact quantiles need no
+    // sketch and no global sort — a (lang, value) count table, a
+    // LANG-partitioned cumulative window over it (histogram-sized, not
+    // corpus-sized), and the k-th-order-statistic read-off
+    // v_q = min{ v : cum(v) >= ceil(q*n) }, all in integer arithmetic.
+    QueryDef(
+      "p19_exact_quantiles",
+      (s, d) => {
+        val docs = Tables.corpus(s, d)
+          .select(col("lang"),
+            size(TextOps.tokens(col("text"))).cast("long").as("v"))
+        val hist = docs.groupBy(col("lang"), col("v"))
+          .agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val cum = hist.withColumn("cum", sum(col("c")).over(w))
+        val tot = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        cum.join(broadcast(tot), "lang")
+          .groupBy(col("lang"))
+          .agg(max(col("n")).as("n"),
+            min(when(col("cum") >= expr("(n * 500 + 999) div 1000"),
+              col("v"))).as("p50"),
+            min(when(col("cum") >= expr("(n * 900 + 999) div 1000"),
+              col("v"))).as("p90"),
+            min(when(col("cum") >= expr("(n * 990 + 999) div 1000"),
+              col("v"))).as("p99"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT lang,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
+          FROM documents),
+        hist AS (SELECT lang, v, COUNT(*) AS c FROM docs GROUP BY lang, v),
+        cum AS (
+          SELECT lang, v,
+                 SUM(c) OVER (PARTITION BY lang ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM hist),
+        tot AS (SELECT lang, COUNT(*) AS n FROM docs GROUP BY lang)
+        SELECT c.lang, CAST(MAX(t.n) AS BIGINT) AS n,
+               CAST(MIN(CASE WHEN c.cum >= (t.n * 500 + 999) // 1000
+                 THEN c.v END) AS BIGINT) AS p50,
+               CAST(MIN(CASE WHEN c.cum >= (t.n * 900 + 999) // 1000
+                 THEN c.v END) AS BIGINT) AS p90,
+               CAST(MIN(CASE WHEN c.cum >= (t.n * 990 + 999) // 1000
+                 THEN c.v END) AS BIGINT) AS p99
+        FROM cum c JOIN tot t USING (lang)
+        GROUP BY c.lang
+        ORDER BY c.lang"""))
   )
 }

@@ -1136,6 +1136,77 @@ object Relational {
                    ORDER BY o_totalprice DESC, o_orderkey) AS rank
           FROM orders)
         WHERE rank <= 3
-        ORDER BY o_custkey, rank"""))
+        ORDER BY o_custkey, rank""")),
+
+    // ---- q45: time-series gap fill + trailing moving average --------------
+    // hourly per-type event counts on a COMPLETE hour spine (missing
+    // buckets filled with 0) and a 3-hour trailing moving average —
+    // the dashboard/anomaly-feed shape raw groupBy can't produce
+    // (absent hours silently vanish). The spine is generated from the
+    // global [min,max] hour (one tiny aggregate, exploded sequence),
+    // cross-joined with the distinct types (bounded dimension), left-
+    // joined with the counts; the moving window is PARTITIONED by type
+    // and ordered by the integer hour — never global. The average is
+    // emitted as floor(1000*sum/cnt) — integer window sums, one exact
+    // division on identical operands.
+    QueryDef(
+      "q45_gapfill_ma",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val counts = ev.groupBy(
+          unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
+          col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val bounds = ev.agg(
+          unix_millis(date_trunc("hour", min(col("ts")))).as("lo"),
+          unix_millis(date_trunc("hour", max(col("ts")))).as("hi"))
+        val spine = bounds.select(explode(
+          sequence(col("lo"), col("hi"), lit(3600000L))).as("hour_ms"))
+        val types = ev.select(col("event_type")).distinct()
+        val filled = spine.crossJoin(broadcast(types))
+          .join(counts, Seq("hour_ms", "event_type"), "left")
+          .select(col("hour_ms"), col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("hour_ms"))
+          .rowsBetween(-2, 0)
+        filled
+          .withColumn("sum3", sum(col("n")).over(w))
+          .withColumn("cnt3", count(lit(1)).over(w))
+          .select(col("hour_ms"), col("event_type"), col("n"),
+            floor(col("sum3").cast("double") * 1000.0 /
+              col("cnt3").cast("double")).cast("long").as("ma_milli"))
+          .orderBy("hour_ms", "event_type")
+      },
+      Some("""
+        WITH counts AS (
+          SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        bounds AS (
+          SELECT epoch_ms(date_trunc('hour', MIN(ts))) AS lo,
+                 epoch_ms(date_trunc('hour', MAX(ts))) AS hi
+          FROM events),
+        spine AS (
+          SELECT unnest(generate_series(lo, hi, 3600000)) AS hour_ms
+          FROM bounds),
+        types AS (SELECT DISTINCT event_type FROM events),
+        filled AS (
+          SELECT s.hour_ms, t.event_type, COALESCE(c.n, 0) AS n
+          FROM spine s CROSS JOIN types t
+          LEFT JOIN counts c
+            ON c.hour_ms = s.hour_ms AND c.event_type = t.event_type),
+        win AS (
+          SELECT hour_ms, event_type, n,
+                 SUM(n) OVER (PARTITION BY event_type ORDER BY hour_ms
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sum3,
+                 COUNT(*) OVER (PARTITION BY event_type ORDER BY hour_ms
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt3
+          FROM filled)
+        SELECT hour_ms, event_type, CAST(n AS BIGINT) AS n,
+               CAST(floor(CAST(sum3 AS DOUBLE) * 1000.0 /
+                 CAST(cnt3 AS DOUBLE)) AS BIGINT) AS ma_milli
+        FROM win
+        ORDER BY hour_ms, event_type"""))
   )
 }

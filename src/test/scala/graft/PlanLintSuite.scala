@@ -51,6 +51,12 @@ class PlanLintSuite extends SparkSuite {
     // first-position table — a literal LocalRelation, multi-row by
     // design but constant at any corpus size
     "t21_vocab_growth" -> Set("cross-join"),
+    // the hour spine x distinct event types gap-fill fan-out: spine
+    // length is bounded by the TIME RANGE (not the event count) and
+    // the type table is a bounded dimension; the optimizer can't see
+    // either bound post-aggregation, so the broadcast cross join is
+    // deliberate (every (hour, type) cell must exist to fill gaps)
+    "q45_gapfill_ma" -> Set("cross-join"),
   )
 
   test("every registry query passes the plan lint (or is an allowed, documented exception)") {

@@ -1207,6 +1207,45 @@ object Relational {
                CAST(floor(CAST(sum3 AS DOUBLE) * 1000.0 /
                  CAST(cnt3 AS DOUBLE)) AS BIGINT) AS ma_milli
         FROM win
-        ORDER BY hour_ms, event_type"""))
+        ORDER BY hour_ms, event_type""")),
+
+    // ---- q46: distribution-rank analytics (percent_rank/cume_dist/ntile) --
+    // the remaining analytic-function family: order position as a
+    // fraction of the partition. The window ORDER key is made UNIQUE
+    // ((o_totalprice desc, o_orderkey)) so ntile's positional split is
+    // deterministic; percent_rank = (rank-1)/(n-1) and cume_dist =
+    // rank/n are rationals of integers, emitted fixed-pointed — the
+    // per-row division runs on identical operands in both engines.
+    // Partitioned by order priority (never a global window).
+    QueryDef(
+      "q46_rank_distribution",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        T(s, d, "orders")
+          .withColumn("pr6",
+            floor(percent_rank().over(w) * 1e6).cast("long"))
+          .withColumn("cd6",
+            floor(cume_dist().over(w) * 1e6).cast("long"))
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .where(col("decile") === 1 || col("decile") === 10)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("pr6"), col("cd6"), col("decile"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH w AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(floor(percent_rank() OVER win * 1e6) AS BIGINT) AS pr6,
+                 CAST(floor(cume_dist() OVER win * 1e6) AS BIGINT) AS cd6,
+                 CAST(ntile(10) OVER win AS BIGINT) AS decile
+          FROM orders
+          WINDOW win AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey ASC))
+        SELECT o_orderkey, o_orderpriority, pr6, cd6, decile
+        FROM w
+        WHERE decile IN (1, 10)
+        ORDER BY o_orderkey"""))
   )
 }

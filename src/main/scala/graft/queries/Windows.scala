@@ -236,6 +236,49 @@ object Windows {
           SELECT d.user_id, d.stage
           FROM dp d JOIN n ON d.user_id = n.user_id AND d.idx = n.nmax)
         SELECT user_id, stage FROM fin WHERE stage > 0
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ---- w08: STREAM-STATIC broadcast join through the engine -------------
+    // the enrichment shape: streamed events joined against a small
+    // batch-derived dimension (per-type mean value in micro-units),
+    // then aggregated. Broadcast static side, exact long comparisons;
+    // complete-mode terminal state equals the batch join+aggregate.
+    QueryDef(
+      "w08_stream_static_join",
+      (s, d) =>
+        graft.streaming.Streams
+          .streamStaticJoinGate(s, s"$d/events.parquet")
+          .orderBy("event_type"),
+      Some("""
+        WITH v AS (
+          SELECT event_type,
+                 CAST(floor(value * 1e6) AS BIGINT) AS v6
+          FROM events),
+        stat AS (
+          SELECT event_type,
+                 CAST(floor(CAST(SUM(v6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                   AS BIGINT) AS mean_v6
+          FROM v GROUP BY event_type)
+        SELECT v.event_type, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN v.v6 > s.mean_v6 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_above_mean
+        FROM v JOIN stat s USING (event_type)
+        GROUP BY v.event_type
+        ORDER BY v.event_type""")),
+
+    // ---- w09: streaming dropDuplicates (keyed dedup state) ----------------
+    // only the KEY columns are emitted — which physical row wins the
+    // per-key race is partition-order dependent, the distinct key set
+    // is not — so the append-mode sink equals batch DISTINCT.
+    QueryDef(
+      "w09_stream_dedup",
+      (s, d) =>
+        graft.streaming.Streams
+          .streamingDedupGate(s, s"$d/events.parquet")
+          .orderBy("user_id", "event_type"),
+      Some("""
+        SELECT DISTINCT user_id, event_type
+        FROM events
+        ORDER BY user_id, event_type"""))
   )
 }

@@ -133,6 +133,58 @@ object Streams {
     spark.table(sink)
   }
 
+  /** w08's gate: a STREAM-STATIC broadcast join — the enrichment shape
+    * (stream rows joined against a small batch-derived dimension) run
+    * through the streaming engine. The static side is the per-type
+    * mean value in fixed-point micro-units computed from the batch
+    * read; each streamed event joins its type's mean and counts as
+    * "above" when its own micro-unit value strictly exceeds it. All
+    * comparisons are exact long arithmetic; complete mode holds the
+    * terminal per-type aggregate. */
+  def streamStaticJoinGate(spark: SparkSession, eventsPath: String): DataFrame = {
+    val ev = retagTs(eventStream(spark, eventsPath))
+      .withColumn("v6", floor(col("value") * 1e6).cast("long"))
+    val stat = spark.read.parquet(eventsPath)
+      .withColumn("v6", floor(col("value") * 1e6).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("v6")).as("s6"), count(lit(1)).as("c"))
+      .select(col("event_type"),
+        floor(col("s6").cast("double") / col("c").cast("double"))
+          .cast("long").as("mean_v6"))
+    val agg = ev.join(broadcast(stat), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v6") > col("mean_v6"), 1L).otherwise(0L))
+          .as("n_above_mean"))
+    val sink = s"w08_gate_${gateRunSeq.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  /** w09's gate: streaming dropDuplicates (keyed dedup state) through
+    * the engine. Only the KEY columns are emitted — which physical row
+    * arrives first per key is racy across partitions, but the distinct
+    * key set is not — so the append-mode sink equals batch DISTINCT. */
+  def streamingDedupGate(spark: SparkSession, eventsPath: String): DataFrame = {
+    val ev = retagTs(eventStream(spark, eventsPath))
+    val deduped = ev
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val sink = s"w09_gate_${gateRunSeq.incrementAndGet()}"
+    val q = deduped.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** The Tables.apply physical-layout dispatch for streaming reads
     * (which bypass the loader): nanos-as-long -> micros truncation, or
     * NTZ -> LTZ re-tag under the pinned UTC session. */

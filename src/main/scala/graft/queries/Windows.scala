@@ -279,6 +279,30 @@ object Windows {
       Some("""
         SELECT DISTINCT user_id, event_type
         FROM events
-        ORDER BY user_id, event_type"""))
+        ORDER BY user_id, event_type""")),
+
+    // ---- w10: custom aggregate (TopKAgg) inside a streaming window --------
+    // the same partial-aggregable top-k kernel that serves batch (q44)
+    // running inside a streaming window aggregation. Its (value desc,
+    // id asc) total order makes the k winners per window unique and
+    // merge-order independent; the complete-mode terminal state equals
+    // the batch window formulation, which the oracle replays.
+    QueryDef(
+      "w10_stream_window_topk",
+      (s, d) =>
+        graft.streaming.Streams
+          .windowTopKGate(s, s"$d/events.parquet",
+            windowLength = "1 hour", k = 3)
+          .orderBy("window_start_ms", "rank"),
+      Some("""
+        WITH ranked AS (
+          SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+                 event_id,
+                 ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                   ORDER BY value DESC, event_id ASC) AS rank
+          FROM events)
+        SELECT window_start_ms, CAST(rank AS BIGINT) AS rank, event_id
+        FROM ranked WHERE rank <= 3
+        ORDER BY window_start_ms, rank"""))
   )
 }

@@ -185,6 +185,32 @@ object Streams {
     spark.table(sink)
   }
 
+  /** w10's gate: the custom TopKAgg aggregate running INSIDE a
+    * streaming window aggregation. TopKAgg's ordering (value desc, id
+    * asc) is a total order, so the k winners per window are unique and
+    * merge-order independent; complete mode holds the terminal
+    * per-window ranking, which equals the batch window formulation. */
+  def windowTopKGate(spark: SparkSession, eventsPath: String,
+      windowLength: String, k: Int): DataFrame = {
+    val ev = retagTs(eventStream(spark, eventsPath))
+    val agg = ev
+      .groupBy(window(col("ts"), windowLength))
+      .agg(graft.functions.TopKAgg.column(spark,
+        col("value").cast("double"), col("event_id"), k).as("__ids"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        posexplode(col("__ids")).as(Seq("__r0", "event_id")))
+      .select(col("window_start_ms"),
+        (col("__r0") + 1).cast("long").as("rank"), col("event_id"))
+    val sink = s"w10_gate_${gateRunSeq.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** The Tables.apply physical-layout dispatch for streaming reads
     * (which bypass the loader): nanos-as-long -> micros truncation, or
     * NTZ -> LTZ re-tag under the pinned UTC session. */

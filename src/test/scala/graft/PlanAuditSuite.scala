@@ -399,6 +399,36 @@ class PlanAuditSuite extends SparkSuite {
     assert(!p9.contains("SortMergeJoin"), s"lang-table join degraded:\n$p9")
   }
 
+  test("t23: single corpus scan — first-doc from a window, not a self-join") {
+    val p = plan("t23_ngram_novelty")
+    // the r8 rewrite: one scan + gram-partitioned window min; a second
+    // "Scan parquet" of documents means the self-join crept back
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"t23 must scan the corpus exactly once:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("p18: quotas ride a broadcast join; ranking window is per-source") {
+    val p = plan("p18_temperature_mix")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"the bounded quota table must broadcast:\n$p")
+  }
+
+  test("p19: quantile read-off joins totals as a broadcast") {
+    val p = plan("p19_exact_quantiles")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q45: spine fan-out broadcasts; MA window is type-partitioned") {
+    val p = plan("q45_gapfill_ma")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"counts join must broadcast against the bounded spine:\n$p")
+  }
+
   test("s07: sharp-regime LSH joins on bucket keys, never a cartesian") {
     val df = SparkEntry.queries("s07_ann_lsh_sharp")(spark, sf)
     df.collect() // populate the signature cache so the final plan is real

@@ -22,9 +22,15 @@ object Streams {
     * batch read (streaming sources cannot infer). Accepts a directory or
     * a single file — the file-stream source demands a directory-valued
     * basePath, so for a file path the parent is supplied explicitly. */
-  def eventStream(spark: SparkSession, path: String): DataFrame = {
+  def eventStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(path).schema
-    val reader = spark.readStream.schema(schema)
+    val reader0 = spark.readStream.schema(schema)
+    // AvailableNow honors maxFilesPerTrigger: setting it splits a
+    // multi-file input into multiple micro-batches (the suite uses
+    // this to prove the complete-mode gates are batching-invariant)
+    val reader = maxFilesPerTrigger
+      .map(n => reader0.option("maxFilesPerTrigger", n)).getOrElse(reader0)
     val f = new java.io.File(path)
     // the file-stream source requires a directory base; for a concrete
     // file, express it as a {name} glob so the parent becomes the base
@@ -63,8 +69,9 @@ object Streams {
     * aggregated windows (not the stream), and swapping the sink for a
     * real one changes nothing upstream. */
   def tumblingCountsGate(spark: SparkSession, eventsPath: String,
-      windowLength: String, lateness: String): DataFrame = {
-    val ev = retagTs(eventStream(spark, eventsPath))
+      windowLength: String, lateness: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val ev = retagTs(eventStream(spark, eventsPath, maxFilesPerTrigger))
     val agg = ev
       .withColumn("v6", floor(col("value") * 1e6).cast("long"))
       .withWatermark("ts", lateness)
@@ -91,8 +98,9 @@ object Streams {
     * after the single micro-batch holds every merged session, equal to
     * the batch `session_window()` aggregation. */
   def sessionCountsGate(spark: SparkSession, eventsPath: String,
-      gap: String, lateness: String): DataFrame = {
-    val ev = retagTs(eventStream(spark, eventsPath))
+      gap: String, lateness: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val ev = retagTs(eventStream(spark, eventsPath, maxFilesPerTrigger))
     val agg = ev
       .withWatermark("ts", lateness)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
@@ -141,8 +149,9 @@ object Streams {
     * "above" when its own micro-unit value strictly exceeds it. All
     * comparisons are exact long arithmetic; complete mode holds the
     * terminal per-type aggregate. */
-  def streamStaticJoinGate(spark: SparkSession, eventsPath: String): DataFrame = {
-    val ev = retagTs(eventStream(spark, eventsPath))
+  def streamStaticJoinGate(spark: SparkSession, eventsPath: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val ev = retagTs(eventStream(spark, eventsPath, maxFilesPerTrigger))
       .withColumn("v6", floor(col("value") * 1e6).cast("long"))
     val stat = spark.read.parquet(eventsPath)
       .withColumn("v6", floor(col("value") * 1e6).cast("long"))
@@ -170,8 +179,9 @@ object Streams {
     * the engine. Only the KEY columns are emitted — which physical row
     * arrives first per key is racy across partitions, but the distinct
     * key set is not — so the append-mode sink equals batch DISTINCT. */
-  def streamingDedupGate(spark: SparkSession, eventsPath: String): DataFrame = {
-    val ev = retagTs(eventStream(spark, eventsPath))
+  def streamingDedupGate(spark: SparkSession, eventsPath: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val ev = retagTs(eventStream(spark, eventsPath, maxFilesPerTrigger))
     val deduped = ev
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
@@ -191,8 +201,9 @@ object Streams {
     * merge-order independent; complete mode holds the terminal
     * per-window ranking, which equals the batch window formulation. */
   def windowTopKGate(spark: SparkSession, eventsPath: String,
-      windowLength: String, k: Int): DataFrame = {
-    val ev = retagTs(eventStream(spark, eventsPath))
+      windowLength: String, k: Int,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val ev = retagTs(eventStream(spark, eventsPath, maxFilesPerTrigger))
     val agg = ev
       .groupBy(window(col("ts"), windowLength))
       .agg(graft.functions.TopKAgg.column(spark,

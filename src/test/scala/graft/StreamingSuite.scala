@@ -441,6 +441,53 @@ class StreamingSuite extends SparkSuite {
     val scans = soqls.count(s => s.contains("Payload") && !s.contains("LIMIT"))
     assert(scans == 4, s"expected 4 range-scan jobs, got $scans:\n${soqls.mkString("\n")}")
   }
+
+  test("complete-mode gates are micro-batching invariant (w05/w06/w08/w09/w10)") {
+    // the w-gates run the driver's input as ONE micro-batch; this pins
+    // the stronger property that the oracle match is NOT a single-batch
+    // coincidence: split the same events across 3 files, force one file
+    // per micro-batch, and the terminal state must be identical. (w07
+    // is deliberately absent: flatMapGroupsWithState emits one snapshot
+    // per batch-with-progress, and the funnel outcome legitimately
+    // depends on arrival order across batches — the in-order guarantee
+    // only holds within a batch.)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_gate_inv_").toString
+    val rows = (0 until 300).map { i =>
+      (i.toLong,
+        Timestamp.valueOf(f"2024-01-01 ${10 + i % 3}%02d:${i % 60}%02d:00"),
+        (i % 7).toLong, Seq("view", "click", "purchase")(i % 3),
+        (i % 13) * 0.37)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(3).write.parquet(s"$dir/events.parquet")
+    val nFiles = new java.io.File(s"$dir/events.parquet")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles == 3, s"expected 3 part files, got $nFiles")
+    val p = s"$dir/events.parquet"
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    def check(name: String,
+        run: Option[Int] => org.apache.spark.sql.DataFrame): Unit = {
+      val one = rowsOf(run(None))          // all files in one batch
+      val many = rowsOf(run(Some(1)))      // one file per batch
+      assert(one.nonEmpty, s"$name produced no rows")
+      assert(one == many, s"$name differs across batchings")
+    }
+    check("w05", m => Streams.tumblingCountsGate(spark, p, "1 hour", "1 hour", m))
+    // w06 needs a lateness wider than the data's time span here: the
+    // session-window operator filters LATE INPUT by watermark even in
+    // complete mode (unlike the tumbling aggregation's state, which
+    // complete mode never evicts), so with out-of-order files a tight
+    // watermark drops genuinely-late rows — correct streaming
+    // semantics, but it would test arrival order, not batching. The
+    // registry gate is unaffected: its single batch starts at the
+    // epoch watermark, so nothing is ever late there.
+    check("w06", m => Streams.sessionCountsGate(spark, p, "30 minutes", "30 days", m))
+    check("w08", m => Streams.streamStaticJoinGate(spark, p, m))
+    check("w09", m => Streams.streamingDedupGate(spark, p, m))
+    check("w10", m => Streams.windowTopKGate(spark, p, "1 hour", 3, m))
+  }
 }
 
 /** Stateful Bulk v1 wire sim: speaks the async REST surface

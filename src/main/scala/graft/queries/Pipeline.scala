@@ -997,6 +997,138 @@ object Pipeline {
                  THEN c.v END) AS BIGINT) AS p99
         FROM cum c JOIN tot t USING (lang)
         GROUP BY c.lang
-        ORDER BY c.lang"""))
+        ORDER BY c.lang""")),
+
+    // ---- p20: composed curation v3 (quality -> novelty -> temperature) ----
+    // this round's primitives chained end-to-end with doc-level
+    // disposition pinned (the p16/p17 stance — the ORACLE checks the
+    // stage INTERFACES, not just each stage in isolation): a token
+    // floor, then t23's 3-gram novelty ON THE SURVIVORS (novelty is
+    // relative to what precedes a doc in the kept set), then p18's
+    // temperature-scaled per-source sampling over the novel pool.
+    // status: low_quality | low_novelty | not_sampled | selected.
+    QueryDef(
+      "p20_curation_v3",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.corpus(s, d)
+          .select(col("doc_id"), col("source"), col("text"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        val qd = docs.where(col("n_tokens") >= 20)
+        val grams = qd
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+          .select(col("doc_id"), explode(
+            transform(sequence(lit(1), size(col("t")) - 2),
+              i => concat_ws("",
+                element_at(col("t"), i), element_at(col("t"), i + 1),
+                element_at(col("t"), i + 2)))).as("gram"))
+          .distinct()
+        val wMin = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gram"))
+        val nov = grams
+          .withColumn("first_doc", min(col("doc_id")).over(wMin))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"),
+            floor(col("n_novel").cast("double") * 1000.0 /
+              col("n_grams").cast("double")).cast("long").as("nov_pm"))
+        val nq = qd.join(nov, "doc_id")
+          .withColumn("nov_ok", col("nov_pm") >= 100)
+        val pool = nq.where(col("nov_ok"))
+          .select(col("doc_id"), col("source"),
+            shiftright(TextOps.tokenHash64(concat(lit("cv3|"),
+              col("doc_id").cast("string"))), 8)
+              .bitwiseAND(0x7FFFFFFFL).as("__k"))
+        // p18's driver-side quotas from the BOUNDED per-source counts
+        val bySrc = pool.groupBy("source")
+          .agg(count(lit(1)).as("n_src"))
+          .as[(String, Long)].collect().sortBy(_._1)
+        val w6 = bySrc.map { case (_, n) =>
+          math.floor(math.sqrt(n.toDouble) * 1e6).toLong }
+        val denom = w6.sum
+        val nTotal = bySrc.map(_._2).sum
+        val quotas = bySrc.zip(w6).map { case ((src, n), w) =>
+          (src, math.min(
+            math.floor(math.floor(nTotal.toDouble / 2.0) *
+              (w.toDouble / denom.toDouble)).toLong, n))
+        }.toSeq.toDF("source", "quota")
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("__k").asc, col("doc_id").asc)
+        val sel = pool
+          .withColumn("__rn", row_number().over(wRank))
+          .join(broadcast(quotas), "source")
+          .select(col("doc_id"), (col("__rn") <= col("quota")).as("sel"))
+        docs.select(col("doc_id"), col("source"), col("n_tokens"))
+          .join(nq.select(col("doc_id"), col("nov_ok")), Seq("doc_id"), "left")
+          .join(sel, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"),
+            when(col("n_tokens") < 20, "low_quality")
+              .when(!col("nov_ok"), "low_novelty")
+              .when(col("sel"), "selected")
+              .otherwise("not_sampled").as("status"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, source, text,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+          FROM documents),
+        qd AS (SELECT * FROM docs WHERE n_tokens >= 20),
+        toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM qd),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 t[i] || chr(1) || t[i+1] || chr(1) || t[i+2] AS gram
+          FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
+        fd AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram),
+        nov AS (
+          SELECT g.doc_id,
+                 CAST(floor(CAST(SUM(CASE WHEN f.first_doc = g.doc_id
+                                          THEN 1 ELSE 0 END) AS DOUBLE)
+                   * 1000.0 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS nov_pm
+          FROM grams g JOIN fd f USING (gram) GROUP BY g.doc_id),
+        nq AS (
+          SELECT q.doc_id, q.source, n.nov_pm >= 100 AS nov_ok
+          FROM qd q JOIN nov n USING (doc_id)),
+        pool AS (
+          SELECT doc_id, source,
+                 ((('0x' || substr(md5('cv3|' || CAST(doc_id AS VARCHAR)),1,16))::UBIGINT >> 8)
+                   & 2147483647) AS k
+          FROM nq WHERE nov_ok),
+        bysrc AS (
+          SELECT source, COUNT(*) AS n_src,
+                 CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) AS w6
+          FROM pool GROUP BY source),
+        dt AS (SELECT CAST(SUM(w6) AS BIGINT) AS denom,
+                      CAST(SUM(n_src) AS BIGINT) AS n_total
+               FROM bysrc),
+        quotas AS (
+          SELECT source,
+                 LEAST(CAST(floor(floor(CAST(n_total AS DOUBLE) / 2.0) *
+                        (CAST(w6 AS DOUBLE) / CAST(denom AS DOUBLE)))
+                   AS BIGINT), n_src) AS quota
+          FROM bysrc, dt),
+        ranked AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY k ASC, doc_id ASC) AS rn
+          FROM pool),
+        sel AS (
+          SELECT r.doc_id, (r.rn <= q.quota) AS sel
+          FROM ranked r JOIN quotas q USING (source))
+        SELECT d.doc_id, d.source,
+               CASE WHEN d.n_tokens < 20 THEN 'low_quality'
+                    WHEN NOT nq.nov_ok THEN 'low_novelty'
+                    WHEN sel.sel THEN 'selected'
+                    ELSE 'not_sampled' END AS status
+        FROM docs d
+        LEFT JOIN nq USING (doc_id)
+        LEFT JOIN sel USING (doc_id)
+        ORDER BY d.doc_id"""))
   )
 }

@@ -1015,24 +1015,36 @@ object Pipeline {
           .select(col("doc_id"), col("source"), col("text"),
             size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
         val qd = docs.where(col("n_tokens") >= 20)
+        // gram separator is "\u0001" (a visible escape, not a raw
+        // control byte), matching t23 and the oracle's chr(1): an empty
+        // separator would merge distinct grams on adjacent-token boundary
+        // collisions (["a","bc"] vs ["ab","c"]). The size guard is local
+        // — without it a quality threshold below 3 tokens would hit
+        // sequence(1, negative) at runtime.
         val grams = qd
           .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+          .where(size(col("t")) >= 3)
           .select(col("doc_id"), explode(
             transform(sequence(lit(1), size(col("t")) - 2),
-              i => concat_ws("",
+              i => concat_ws("\u0001",
                 element_at(col("t"), i), element_at(col("t"), i + 1),
                 element_at(col("t"), i + 2)))).as("gram"))
           .distinct()
-        val wMin = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("gram"))
-        val nov = grams
-          .withColumn("first_doc", min(col("doc_id")).over(wMin))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-              .as("n_novel"))
+          .cache() // feeds both novelty aggregations (t23's skew-safe plan)
+        grams.count() // eager: concurrent first readers recompute (p01 lesson)
+        // same two-aggregation formulation as t23 (see TextAnalysis.scala):
+        // groupBy(gram).min gets map-side partial aggregation so stop-gram
+        // hot keys collapse per map task; novel counts ride the uniform
+        // doc_id key — no gram-partitioned window, no join-back on gram.
+        val firstDoc = grams.groupBy("gram")
+          .agg(min(col("doc_id")).as("first_doc"))
+        val nNovel = firstDoc.groupBy(col("first_doc").as("doc_id"))
+          .agg(count(lit(1)).as("n_novel"))
+        val nov = grams.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"))
+          .join(nNovel, Seq("doc_id"), "left")
           .select(col("doc_id"),
-            floor(col("n_novel").cast("double") * 1000.0 /
+            floor(coalesce(col("n_novel"), lit(0L)).cast("double") * 1000.0 /
               col("n_grams").cast("double")).cast("long").as("nov_pm"))
         val nq = qd.join(nov, "doc_id")
           .withColumn("nov_ok", col("nov_pm") >= 100)

@@ -1146,18 +1146,23 @@ object TextAnalysis {
                 element_at(col("t"), i), element_at(col("t"), i + 1),
                 element_at(col("t"), i + 2)))).as("gram"))
           .distinct()
-        // first-doc via a GRAM-partitioned window min instead of a
-        // self-join: one corpus scan + explode instead of two (the
-        // dominant cost at scale), and the window partitioning is the
-        // same gram key the self-join would have shuffled on
-        val wMin = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("gram"))
-        grams
-          .withColumn("first_doc", min(col("doc_id")).over(wMin))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-              .as("n_novel"))
+          .cache() // one corpus scan + explode feeds BOTH aggregations below
+        grams.count() // eager: concurrent first readers recompute (p01 lesson)
+        // Skew-safe first-doc: a gram-partitioned window would co-locate
+        // every occurrence of a stop-gram on ONE task with no partial
+        // aggregation (O(|corpus|) rows for "the of and"-class triples at
+        // 100 TB). groupBy(gram).min gets map-side partial aggregation —
+        // the hot key collapses to one row per map task before the
+        // shuffle — and the join-back is avoided entirely by counting
+        // novel grams per FIRST doc (uniform doc_id key) instead.
+        val firstDoc = grams.groupBy("gram")
+          .agg(min(col("doc_id")).as("first_doc"))
+        val nNovel = firstDoc.groupBy(col("first_doc").as("doc_id"))
+          .agg(count(lit(1)).as("n_novel"))
+        grams.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"))
+          .join(nNovel, Seq("doc_id"), "left")
+          .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
           .select(col("doc_id"), col("n_grams"), col("n_novel"),
             floor(col("n_novel").cast("double") * 1000.0 /
               col("n_grams").cast("double")).cast("long").as("novelty_permille"))

@@ -71,8 +71,9 @@ object ScaleCheck {
         graft.functions.ScaleOps.integerPageRank(
           docs.select("doc_id"), "doc_id", edges, "id_a", "id_b", 10).count()
       },
-      // r8 text additions: t23's two-shuffle novelty join (distinct
-      // (doc,gram) pairs -> min-doc -> join back) and t19's pinned
+      // r8 text additions: t23's skew-safe novelty (distinct (doc,gram)
+      // pairs -> groupBy(gram).min with map-side partials -> novel
+      // counts on the uniform doc_id key) and t19's pinned
       // Viterbi rollout (everything bounded by the distinct-word table;
       // the prefix rewrite grows that table linearly with copies, the
       // worst case for it)
@@ -84,16 +85,21 @@ object ScaleCheck {
             .where(size(col("t")) >= 3)
             .select(col("doc_id"), explode(
               transform(sequence(lit(1), size(col("t")) - 2),
-                i => concat_ws("",
+                i => concat_ws("\u0001",
                   element_at(col("t"), i), element_at(col("t"), i + 1),
                   element_at(col("t"), i + 2)))).as("gram"))
             .distinct()
-          val wMin = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("gram"))
-          grams.withColumn("first_doc", min(col("doc_id")).over(wMin))
-            .groupBy("doc_id")
-            .agg(count(lit(1)), sum(when(col("first_doc") === col("doc_id"),
-              1L).otherwise(0L))).count()
+            .cache()
+          grams.count() // eager: both aggregations read the cache
+          val firstDoc = grams.groupBy("gram")
+            .agg(min(col("doc_id")).as("first_doc"))
+          val nNovel = firstDoc.groupBy(col("first_doc").as("doc_id"))
+            .agg(count(lit(1)).as("n_novel"))
+          val n = grams.groupBy("doc_id")
+            .agg(count(lit(1)).as("n_grams"))
+            .join(nNovel, Seq("doc_id"), "left").count()
+          grams.unpersist()
+          n
       },
       "t19_pinned_viterbi" -> (docs =>
         graft.functions.UnigramLM.pinnedSegmentStats(

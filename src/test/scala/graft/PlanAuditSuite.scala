@@ -399,13 +399,41 @@ class PlanAuditSuite extends SparkSuite {
     assert(!p9.contains("SortMergeJoin"), s"lang-table join degraded:\n$p9")
   }
 
-  test("t23: single corpus scan — first-doc from a window, not a self-join") {
-    val p = plan("t23_ngram_novelty")
-    // the r8 rewrite: one scan + gram-partitioned window min; a second
-    // "Scan parquet" of documents means the self-join crept back
-    assert("Scan parquet".r.findAllIn(p).length == 1,
-      s"t23 must scan the corpus exactly once:\n$p")
-    assert(p.contains("Window"), p)
+  test("t23: first-doc via partial-aggregating groupBy, no window on gram") {
+    // the r9 de-skew: a gram-partitioned window materializes every
+    // occurrence of a stop-gram on ONE task with no partial aggregation
+    // (O(|corpus|) rows at 100 TB); groupBy(gram).min collapses hot keys
+    // map-side, and novel counts ride the uniform doc_id key instead of
+    // a join-back on gram
+    val df = SparkEntry.queries("t23_ngram_novelty")(spark, sf)
+    df.collect() // materialize so the cached gram relation is real
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"t23 must not window-partition by the skewed gram key:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"first-doc/novelty must partially aggregate map-side:\n$p")
+    // the distinct gram pairs feed both aggregations through ONE cache
+    // barrier — a second corpus scan means the cache was dropped
+    val cached = df.queryExecution.optimizedPlan.collect {
+      case r: InMemoryRelation => r
+    }
+    assert(cached.nonEmpty,
+      s"t23's gram pairs must be cached once for both aggregations:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("p20: novelty stage shares t23's skew-safe shape") {
+    val df = SparkEntry.queries("p20_curation_v3")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the per-source rank window (bounded source key) is allowed; a
+    // gram-partitioned one is not — assert by partition key, not node
+    assert(!p.matches("(?s).*Window.*partitionBy.*gram.*") &&
+      !"windowspecdefinition\\(gram".r.findFirstIn(p.toLowerCase).isDefined,
+      s"p20 must not window-partition by gram:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"p20 novelty must partially aggregate map-side:\n$p")
+    spark.catalog.clearCache()
   }
 
   test("p18: quotas ride a broadcast join; ranking window is per-source") {

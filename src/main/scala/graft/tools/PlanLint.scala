@@ -1,7 +1,9 @@
 package graft.tools
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, SpecifiedWindowFrame, UnboundedFollowing, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.types.StringType
 
 /** Static scale-discipline linter: walks a query's OPTIMIZED logical
   * plan and reports the anti-patterns that break at 100 TB, so the
@@ -20,6 +22,20 @@ import org.apache.spark.sql.catalyst.plans.logical._
   *     computation (not the root presentation ORDER BY) — a full
   *     range-shuffle whose order is then consumed by something that
   *     re-shuffles anyway.
+  *   - `skewed-window`: a whole-partition-frame window (frame upper
+  *     bound = UNBOUNDED FOLLOWING, i.e. min/max/sum-over-partition)
+  *     partitioned by a string-typed key. A window partition must be
+  *     fully co-located on ONE task with no map-side partial
+  *     aggregation, and natural-language string keys (grams, tokens,
+  *     fingerprints of text) are Zipf-skewed — a stop-gram puts
+  *     O(|corpus|) rows on a single task at 100 TB. The fix is the
+  *     aggregate formulation: `groupBy(key).agg(min/max/...)` gets
+  *     partial aggregation, collapsing the hot key per map task
+  *     (the t23/p20 de-skew). Bounded string dimensions (lang, type
+  *     codes) are allowlisted per query with a justification.
+  *     Ordered-frame windows (row_number etc.) are out of scope here:
+  *     they carry a per-partition sort semantics no aggregate can
+  *     replace, and the registry uses them on bounded or uniform keys.
   */
 object PlanLint {
 
@@ -39,6 +55,21 @@ object PlanLint {
           out += Violation("cross-join", j.simpleStringWithNodeId())
       case w: Window if w.partitionSpec.isEmpty =>
         out += Violation("global-window", w.simpleStringWithNodeId())
+      case w: Window =>
+        // whole-partition frame (no ordering semantics an aggregate
+        // couldn't replace) over a string-typed key: the skew shape
+        def wholePartitionFrame(e: Expression): Boolean = e match {
+          case we: WindowExpression =>
+            we.windowSpec.frameSpecification match {
+              case SpecifiedWindowFrame(_, _, UnboundedFollowing) => true
+              case _ => false
+            }
+          case Alias(child, _) => wholePartitionFrame(child)
+          case _ => false
+        }
+        val stringKey = w.partitionSpec.exists(_.dataType == StringType)
+        if (stringKey && w.windowExpressions.exists(wholePartitionFrame))
+          out += Violation("skewed-window", w.simpleStringWithNodeId())
       case _ => ()
     }
 

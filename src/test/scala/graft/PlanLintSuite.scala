@@ -59,6 +59,24 @@ class PlanLintSuite extends SparkSuite {
     "q45_gapfill_ma" -> Set("cross-join"),
   )
 
+  test("skewed-window rule fires on t23's pre-r9 shape (min over a gram window)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.corpus(spark, sf)
+    val grams = docs
+      .select(col("doc_id"),
+        explode(split(col("text"), "\\s+")).as("gram")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    val old = grams.withColumn("first_doc", min(col("doc_id")).over(w))
+    assert(PlanLint.lint(old).exists(_.rule == "skewed-window"),
+      "the de-skewed rule must catch a whole-partition min over a string key")
+    // the ordered-frame per-source rank (bounded dimension) must NOT trip it
+    val ranked = docs.withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("doc_id"))))
+    assert(!PlanLint.lint(ranked).exists(_.rule == "skewed-window"))
+  }
+
   test("every registry query passes the plan lint (or is an allowed, documented exception)") {
     val failures = Seq.newBuilder[String]
     for ((name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

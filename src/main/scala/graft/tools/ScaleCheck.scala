@@ -112,9 +112,20 @@ object ScaleCheck {
     ops.foreach { case (_, run) => spark.catalog.clearCache(); run(corpus(1)) }
     val copiesList = sys.env.get("SPARK_GRAFT_SCALE_COPIES")
       .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 2, 4))
+    // SPARK_GRAFT_SCALE_PARTS=proportional scales shuffle partitions
+    // with the data (base x copies) the way a real cluster does —
+    // shuffle.partitions is runtime-settable, so each measurement point
+    // gets the partition count its input size warrants. Fixed-partition
+    // runs (the default) deliberately model the OPPOSITE: a cluster
+    // that never re-tunes, which is where sort/spill granularity shows.
+    val proportionalParts = sys.env.get("SPARK_GRAFT_SCALE_PARTS")
+      .contains("proportional")
+    val baseParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val results = for ((name, run) <- ops) yield {
       val times = for (copies <- copiesList) yield {
         spark.catalog.clearCache()
+        if (proportionalParts)
+          spark.conf.set("spark.sql.shuffle.partitions", baseParts * copies)
         val docs = corpus(copies)
         val t0 = System.nanoTime()
         val rows = run(docs)

@@ -15,22 +15,23 @@ import org.apache.spark.sql.SparkSession
   *  - per-query best-known floors persist across runs in BENCH_floor.json
   *    (keyed by sf dir basename); each run takes min(measured, prior runs)
   *    as the floor and tightens the file;
-  *  - outliers (>3x median, or >3x their own persisted floor) are
-  *    re-timed after a cooldown (default 30s), up to two rounds;
+  *  - outliers (>3x median, or >2.5x their own persisted floor with at
+  *    least 1s of excess) are re-timed after a cooldown (default 30s),
+  *    up to two rounds;
   *  - queries STILL outlier-shaped after the in-process retries are
   *    re-timed once more in a FRESH JVM (same classpath, its own
   *    SparkSession) and the better time is spliced in — the r4 verdict's
   *    prescription, because the stall mode follows the process window;
   *  - the emitted JSON carries `first_pass_total` (untouched single-run
   *    measurement), `window_total` (best-of in-window), and `value` (the
-  *    headline). When every query lands within 3x of its floor the
+  *    headline). When every query lands within 2.5x of its floor the
   *    headline IS the measured best-of and `"clean":true`; if pollution
   *    survives even the fresh JVM, `"clean":false` and the headline
   *    falls back to `floor_total` — every entry of which is a real
   *    measured min — so the driver's gate never ingests a number the
   *    artifact itself says is garbage;
   *  - the JSON self-marks `"suspect":true` with reasons when loadavg
-  *    exceeds cores*1.5 or any final headline timing is still >3x its
+  *    exceeds cores*1.5 or any final headline timing is still >2.5x its
   *    persisted floor.
   */
 object Bench {
@@ -165,9 +166,13 @@ object Bench {
       val ok = firstPass.map(_._2).filter(_ >= 0).sorted
       if (ok.isEmpty) 0.0 else ok(ok.length / 2)
     }
+    // floor-relative trigger: fire on ANY sample > 2.5x its persisted
+    // floor (r8 verdict: s02's 4.85s vs a 1.05 floor slipped under the
+    // old 5s absolute gate). The +1s excess guard keeps sub-second
+    // jitter (0.2s floor, 0.6s sample) from burning retry rounds.
     def isOutlier(name: String, v: Double): Boolean =
       v > math.max(5.0, 3 * med) ||
-        floorOf(name).exists(fl => v > math.max(5.0, 3 * fl))
+        floorOf(name).exists(fl => v > 2.5 * fl && v > fl + 1.0)
     // up to TWO retry rounds, each behind its own cooldown, re-timing
     // only queries whose best-so-far is still outlier-shaped: this host's
     // stall windows can outlive one cooldown (observed: first retry of a
@@ -239,11 +244,14 @@ object Bench {
     // in-band pollution marking: the driver's gate must see a believable
     // number or an explicit suspect flag, never silently-garbage timings
     val loadSuspect = math.min(loadStart, loadEnd) > cores * 1.5
+    // same 2.5x-floor rule as the retry trigger, so a window only
+    // reports clean:true when every accepted sample is within 2.5x of
+    // its floor (plus the 1s jitter guard)
     val slowVsFloor = results.filter { case (name, v) =>
-      v >= 0 && floorOf(name).exists(fl => v > math.max(5.0, 3 * fl))
+      v >= 0 && floorOf(name).exists(fl => v > 2.5 * fl && v > fl + 1.0)
     }.map(_._1)
     val failedNames = (results ++ baselines).filter(_._2 < 0).map(_._1)
-    // polluted = any of: a final timing >3x its persisted floor; a
+    // polluted = any of: a final timing >2.5x its persisted floor; a
     // FLOOR-LESS query still outlier-shaped after every retry tier (on a
     // first run at a new sf dir the median rule is the only stall
     // signal — a floored query legitimately slower than the median is
@@ -253,7 +261,7 @@ object Bench {
     val suspect = loadSuspect || polluted.nonEmpty || failedNames.nonEmpty
     val reasons =
       (if (loadSuspect) Seq(f"loadavg ${math.min(loadStart, loadEnd)}%.1f > ${cores * 1.5}%.1f") else Nil) ++
-        slowVsFloor.map(n => s"$n >3x floor") ++
+        slowVsFloor.map(n => s"$n >2.5x floor") ++
         polluted.filterNot(slowVsFloor.contains)
           .map(n => s"$n floorless outlier after all retries") ++
         failedNames.map(n => s"$n failed")

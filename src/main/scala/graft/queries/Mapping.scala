@@ -384,7 +384,34 @@ object Mapping {
           ON h.c_custkey = o.o_custkey
          AND h.version_from <= o.as_of_version
          AND o.as_of_version < h.version_to
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- m11: the product pipeline END TO END through Structured
+    // Streaming — extract → where → rename/enrich → created-ID
+    // write-back pairing (mriya.py:88-90 → migration_engine.py:50-68),
+    // every micro-batch running the SAME compiled MappingCompiler
+    // program the batch engine uses (m01/m02 gate that program in batch
+    // mode; this gates its streaming execution). Created IDs are
+    // simulated exactly as m02 does ("D" + old_id) and the write-back
+    // pairs land in a parquet sink the gate reads back — so the m02
+    // oracle hash-gates the streaming pipeline. ---------------------------
+    QueryDef(
+      "m11_migrate_stream",
+      (s, d) =>
+        graft.streaming.Streams.migrateStreamGate(
+            s, s"$d/customer.parquet", customerSpec,
+            df => df.select(
+              col("c_custkey").cast("string").as("Id"),
+              col("c_name").as("name"),
+              col("c_acctbal").as("acctbal"),
+              lit(null).cast("string").as("dst_ref")))
+          .orderBy("Id"),
+      Some("""
+        SELECT 'D' || CAST(c_custkey AS VARCHAR) AS dst_ref,
+               CAST(c_custkey AS VARCHAR) AS Id
+        FROM customer
+        WHERE c_acctbal > 1000
+        ORDER BY Id"""))
   )
 
   /** The shared SCD2 fixture: customer as version 0 folded with a

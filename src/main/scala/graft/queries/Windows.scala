@@ -303,6 +303,49 @@ object Windows {
           FROM events)
         SELECT window_start_ms, CAST(rank AS BIGINT) AS rank, event_id
         FROM ranked WHERE rank <= 3
-        ORDER BY window_start_ms, rank"""))
+        ORDER BY window_start_ms, rank""")),
+
+    // ---- w11: stream-STREAM interval join through the engine --------------
+    // view→click attribution: each click pairs with the same user's
+    // views from the preceding 2 hours. Inner stream-stream joins emit
+    // matches in the micro-batch that finds them; the gate's lateness
+    // exceeds the corpus' span so no join state is evicted and the
+    // append-mode sink equals the batch interval join (the oracle).
+    QueryDef(
+      "w11_stream_interval_join",
+      (s, d) =>
+        graft.streaming.Streams
+          .intervalJoinGate(s, s"$d/events.parquet")
+          .orderBy("user_id", "view_id", "click_id"),
+      Some("""
+        WITH v AS (
+          SELECT user_id, event_id AS view_id, ts AS vts
+          FROM events WHERE event_type = 'view'),
+        c AS (
+          SELECT user_id, event_id AS click_id, ts AS cts
+          FROM events WHERE event_type = 'click')
+        SELECT c.user_id, v.view_id, c.click_id
+        FROM c JOIN v ON c.user_id = v.user_id
+          AND c.cts >= v.vts AND c.cts <= v.vts + INTERVAL 2 HOUR
+        ORDER BY c.user_id, v.view_id, c.click_id""")),
+
+    // ---- w12: dropDuplicatesWithinWatermark (reclaimable dedup state) -----
+    // the unbounded-corpus streaming dedup: state for a key is RECLAIMED
+    // once the watermark passes its first occurrence + lateness (w09's
+    // dropDuplicates keeps its seen-set forever). The gate's lateness
+    // exceeds the corpus' span, so nothing expires before termination
+    // and the emitted key set equals batch DISTINCT — oracle-replayable
+    // while still exercising the watermarked state machinery.
+    QueryDef(
+      "w12_stream_dedup_watermark",
+      (s, d) =>
+        graft.streaming.Streams
+          .dedupWatermarkGate(s, s"$d/events.parquet")
+          .orderBy("user_id", "event_type", "minute_ms"),
+      Some("""
+        SELECT DISTINCT user_id, event_type,
+               epoch_ms(date_trunc('minute', ts)) AS minute_ms
+        FROM events
+        ORDER BY user_id, event_type, minute_ms"""))
   )
 }

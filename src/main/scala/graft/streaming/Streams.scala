@@ -382,16 +382,110 @@ object Streams {
     * streaming form of migrate()'s extract→transform→load. */
   def migrateStream(
       stream: DataFrame,
-      spec: graft.spec.MappingSpec)(
+      spec: graft.spec.MappingSpec,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    stream.writeStream
+    val writer = stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val out = graft.compile.MappingCompiler.destinationRows(
           spec.whereExpr.map(w => batch.where(expr(w))).getOrElse(batch), spec)
         sink(out, id)
       }
+    trigger.fold(writer)(writer.trigger).start()
+  }
+
+  /** m11's gate: the reference's OWN pipeline — extract → where →
+    * rename/enrich projection → created-ID write-back pairing (the m02
+    * shape, migration_engine.py:50-68) — run END TO END through
+    * Structured Streaming instead of the batch engine. The source
+    * parquet streams in (dressed to the Salesforce-ish source-object
+    * schema by `dress`), every micro-batch runs the SAME compiled
+    * MappingCompiler program batch mode uses, created IDs are simulated
+    * exactly as m02 does ("D" + old_id), and the write-back pairs land
+    * in a parquet sink that the gate reads back. Per-batch work is a
+    * stateless narrow projection — batching cannot change the row set,
+    * so the terminal sink equals the batch m02 result and the m02-style
+    * oracle hash-gates a streaming execution of the product pipeline. */
+  def migrateStreamGate(spark: SparkSession, srcPath: String,
+      spec: graft.spec.MappingSpec, dress: DataFrame => DataFrame,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_m11_sink_").toString
+    val stream = dress(eventStream(spark, srcPath, maxFilesPerTrigger))
+    val q = migrateStream(stream, spec,
+      Some(org.apache.spark.sql.streaming.Trigger.AvailableNow())) { (out, _) =>
+      val created = out.withColumn("Id", concat(lit("D"), col("old_id")))
+      graft.compile.MappingCompiler.writeBackRows(created, spec)
+        .write.mode("append").parquet(outDir)
+    }
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  /** w11's gate: the stream-STREAM interval join ([[intervalJoin]])
+    * through the engine — view→click attribution: each click pairs with
+    * the same user's views from the preceding `maxDelay`. Inner
+    * stream-stream joins emit matches in the micro-batch that finds
+    * them, and with `lateness` wider than the corpus' time span no join
+    * state is ever evicted, so the terminal sink holds exactly the
+    * batch join result under ANY batching — which is what lets a DuckDB
+    * oracle hash-gate it. Production streams shrink `lateness` to the
+    * real out-of-orderness bound and state stays O(events within the
+    * watermark), the property the operator exists for. */
+  def intervalJoinGate(spark: SparkSession, eventsPath: String,
+      maxDelay: String = "2 hours", lateness: String = "35 days",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    def side(tpe: String, idAs: String, tsAs: String): DataFrame =
+      retagTs(eventStream(spark, eventsPath, maxFilesPerTrigger))
+        .where(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
+    val joined = intervalJoin(
+      side("click", "click_id", "click_ts"),
+      side("view", "view_id", "view_ts"),
+      key = "user_id", leftTs = "click_ts", rightTs = "view_ts",
+      maxDelay = maxDelay, lateness = lateness)
+      .select(col("user_id"), col("view_id"), col("click_id"))
+    val sink = s"w11_gate_${gateRunSeq.incrementAndGet()}"
+    val q = joined.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  /** w12's gate: [[dedupWithinWatermark]] —
+    * `dropDuplicatesWithinWatermark`, the RECLAIMABLE-state face of
+    * streaming dedup (w09 keeps its seen-set forever) — through the
+    * engine, deduping (user, type, minute-bucket) activity records.
+    * Only the key columns are emitted (which physical duplicate wins is
+    * partition-order racy; the key set is not). With `lateness` wider
+    * than the corpus' time span no dedup state expires before the
+    * stream ends, so the sink equals batch DISTINCT over the keys under
+    * any batching and the oracle replays it; production streams set
+    * `lateness` to the real duplicate-arrival bound and state shrinks
+    * to the active window — the reason this operator, not w09's, is the
+    * unbounded-corpus choice. */
+  def dedupWatermarkGate(spark: SparkSession, eventsPath: String,
+      lateness: String = "35 days",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val ev = retagTs(eventStream(spark, eventsPath, maxFilesPerTrigger))
+    val deduped = dedupWithinWatermark(
+      ev.select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("minute_ms", unix_millis(date_trunc("minute", col("ts")))),
+      keys = Seq("user_id", "event_type", "minute_ms"),
+      tsCol = "ts", lateness = lateness)
+      .select(col("user_id"), col("event_type"), col("minute_ms"))
+    val sink = s"w12_gate_${gateRunSeq.incrementAndGet()}"
+    val q = deduped.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
   }
 
   /** Streaming near-dup detection against a STANDING corpus — the

@@ -488,6 +488,46 @@ class StreamingSuite extends SparkSuite {
     check("w09", m => Streams.streamingDedupGate(spark, p, m))
     check("w10", m => Streams.windowTopKGate(spark, p, "1 hour", 3, m))
   }
+
+  test("append-mode gates are micro-batching invariant (w11/w12/m11)") {
+    // same property as the complete-mode pin above, for the round-9
+    // gates: the stream-stream interval join emits matches in whichever
+    // batch completes them, watermarked dedup keys never expire inside
+    // the gate's lateness, and migrateStream's per-batch program is a
+    // stateless projection — so one-file-per-batch must equal one-batch.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_gate_inv9_").toString
+    val rows = (0 until 300).map { i =>
+      (i.toLong,
+        Timestamp.valueOf(f"2024-01-01 ${10 + i % 3}%02d:${i % 60}%02d:00"),
+        (i % 7).toLong, Seq("view", "click", "purchase")(i % 3),
+        (i % 13) * 0.37)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(3).write.parquet(s"$dir/events.parquet")
+    (1 to 400).map(i => (i.toLong, s"cust$i", if (i % 3 == 0) 2000.0 else 10.0))
+      .toDF("c_custkey", "c_name", "c_acctbal")
+      .repartition(3).write.parquet(s"$dir/customer.parquet")
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    def check(name: String,
+        run: Option[Int] => org.apache.spark.sql.DataFrame): Unit = {
+      val one = rowsOf(run(None))
+      val many = rowsOf(run(Some(1)))
+      assert(one.nonEmpty, s"$name produced no rows")
+      assert(one == many, s"$name differs across batchings")
+    }
+    val ev = s"$dir/events.parquet"
+    check("w11", m => Streams.intervalJoinGate(spark, ev, "2 hours", "30 days", m))
+    check("w12", m => Streams.dedupWatermarkGate(spark, ev, "30 days", m))
+    check("m11", m => Streams.migrateStreamGate(
+      spark, s"$dir/customer.parquet", graft.queries.Mapping.customerSpec,
+      df => df.select(
+        col("c_custkey").cast("string").as("Id"),
+        col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"),
+        lit(null).cast("string").as("dst_ref")), m))
+  }
 }
 
 /** Stateful Bulk v1 wire sim: speaks the async REST surface

@@ -95,15 +95,7 @@ object VectorOps {
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val spark = queries.sparkSession
     def coded(df: DataFrame, idAs: String, cAs: String, sAs: String) =
-      df.select(col(idCol).as(idAs), toDouble(col(vecCol)).as("__raw"))
-        .select(col(idAs), col("__raw"),
-          array_max(transform(col("__raw"), x => abs(x))).as("__m"))
-        .withColumn("__scale",
-          when(col("__m") === 0.0, lit(1.0)).otherwise(col("__m")))
-        .select(col(idAs),
-          transform(col("__raw"),
-            x => floor(x / col("__scale") * 127 + lit(0.5)).cast("double"))
-            .as(cAs))
+      sq8Codes(df, idCol, vecCol, idAs, cAs)
         .select(col(idAs), col(cAs),
           sqrt(nativeDot(spark, col(cAs), col(cAs))).as(sAs))
     val q = coded(queries, "query_id", "__qc", "__qn")
@@ -114,6 +106,284 @@ object VectorOps {
         (nativeDot(spark, col("__qc"), col("__cc")) /
           (col("__qn") * col("__cn"))).as("cos"))
     rankTopK(scored, k)
+  }
+
+  /** (idAs, codeAs) with the vector SQ8-coded: `floor(x / maxabs * 127
+    * + 0.5)` per element, kept as integer-valued doubles so the codegen
+    * [[DotProduct]] kernel serves unchanged. Every downstream dot of
+    * two code vectors is a sum of small-integer products — EXACT in a
+    * double under any accumulation order, which is the property the
+    * whole pinned-model gate family ([[ivfTopKPinned]] etc.) builds on:
+    * an oracle replays the values bit-for-bit, not just the decisions. */
+  def sq8Codes(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, codeAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), toDouble(col(vecCol)).as("__raw"))
+      .select(col(idAs), col("__raw"),
+        array_max(transform(col("__raw"), x => abs(x))).as("__m"))
+      .withColumn("__scale",
+        when(col("__m") === 0.0, lit(1.0)).otherwise(col("__m")))
+      .select(col(idAs),
+        transform(col("__raw"),
+          x => floor(x / col("__scale") * 127 + lit(0.5)).cast("double"))
+          .as(codeAs))
+
+  /** The pinned coarse codebook shared by the `*Pinned` gate variants:
+    * the SQ8 codes of the `nlist` LOWEST-id vectors (ids must be dense
+    * from 0 — the embeddings table's layout), collected to the driver
+    * in id order. Bounded: nlist x dim doubles — the same
+    * dimension-bounded collect class as the kmeans training samples,
+    * except fully replayable by an oracle because no training happens:
+    * centroid i IS vector i's code. Swapping in [[trainCentroids]]'
+    * output instead recovers the trained variant — the plans are
+    * identical, only the literals differ (the t19 pinned-model pattern
+    * applied to vectors). */
+  private def pinnedCodebook(codes: DataFrame, idAs: String, codeAs: String,
+      nlist: Int): Seq[Seq[Double]] =
+    codes.where(col(idAs) < nlist).orderBy(idAs)
+      .select(col(codeAs)).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+
+  /** IVF top-k with a PINNED coarse quantizer over SQ8 codes — same
+    * plan as [[ivfTopK]] (narrow assignment pass, nprobe probe lists,
+    * equi-join on the bucket id, per-query re-rank) with every float
+    * ambiguity removed so a DuckDB oracle replays it exactly:
+    * centroids are the codes of the `nlist` lowest-id vectors (no
+    * kmeans), assignment/probing argmax over INTEGER dot products
+    * (ties -> lowest centroid id), and the re-rank uses the quantized
+    * cosine — ratios of integer dots, exact in doubles (the s10
+    * property). The trained variant (s03) keeps recall on clustered
+    * corpora; this one gates the ENTIRE IVF machinery — assignment,
+    * probe selection, bucket join, shortlist ranking — under the hash
+    * oracle. */
+  def ivfTopKPinned(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int, nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = withCodeNorm(sq8Codes(corpus, idCol, vecCol, "neighbor_id", "__cc"),
+      "__cc", "__cn")
+    val q = withCodeNorm(sq8Codes(queries, idCol, vecCol, "query_id", "__qc"),
+      "__qc", "__qn")
+    val cents = pinnedCodebook(c, "neighbor_id", "__cc", nlist)
+    val centCols = cents.map(ct => array(ct.map(lit): _*))
+    // literal-array dots: codegen-friendly at nlist=16 (see ivfTopK note)
+    def dots(v: Column): Column =
+      array(centCols.map(ct => nativeDot(spark, v, ct)): _*)
+    // argmax, ties -> lowest centroid id (array_position = first max)
+    val assigned = c.withColumn("__dots", dots(col("__cc")))
+      .withColumn("__bucket",
+        (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast("int"))
+      .drop("__dots")
+    val probeList = slice(
+      transform(
+        array_sort(zip_with(
+          dots(col("__qc")),
+          sequence(lit(0), lit(cents.length - 1)),
+          (d, i) => struct((-d).as("nd"), i.as("idx")))),
+        s => s.getField("idx")),
+      1, math.min(nprobe, cents.length))
+    val probes = q.select(col("query_id"), col("__qc"), col("__qn"),
+      explode(probeList).as("__bucket"))
+    val scored = probes.join(assigned, Seq("__bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (nativeDot(spark, col("__qc"), col("__cc")) /
+          (col("__qn") * col("__cn"))).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** code norm staged once per row (shared by the pinned variants). */
+  private def withCodeNorm(codes: DataFrame, codeCol: String,
+      normAs: String): DataFrame =
+    codes.withColumn(normAs,
+      sqrt(nativeDot(codes.sparkSession, col(codeCol), col(codeCol))))
+
+  /** PQ top-k with PINNED sub-space codebooks over SQ8 codes — the
+    * [[pqTopK]] plan (encode to m byte-codes, per-query ADC lookup
+    * tables, approximate shortlist, exact re-rank) made bit-replayable:
+    * codebook j holds the j-th sub-slices of the `ksub` lowest-id
+    * vectors' codes, the encode argmax scores `sub·c - |c|²/2` are
+    * integers or exact half-integers, ADC sums are integer sums, and
+    * the refine step ranks by the quantized cosine. Ties -> lowest code
+    * / lowest neighbor_id at every stage. */
+  def pqTopKPinned(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int, ksub: Int, refine: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = withCodeNorm(sq8Codes(corpus, idCol, vecCol, "neighbor_id", "__cc"),
+      "__cc", "__cn")
+    val q = withCodeNorm(sq8Codes(queries, idCol, vecCol, "query_id", "__qc"),
+      "__qc", "__qn")
+    val seeds = pinnedCodebook(c, "neighbor_id", "__cc", ksub)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val books: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
+
+    // same staged-sub-vector + nested-literal HOF shape as pqTopK
+    def staged(df: DataFrame, vc: String, keep: Seq[Column]): DataFrame =
+      df.select((keep :+ col(vc)) ++
+        (0 until m).map(j => slice(col(vc), j * sub + 1, sub).as(s"__s$j")): _*)
+    def lutOf(j: Int): Column =
+      transform(typedlit(books(j)), ct => nativeDot(spark, col(s"__s$j"), ct))
+    def codeOf(j: Int): Column = {
+      val nh = typedlit(books(j).map(ct => ct.map(x => x * x).sum / 2.0))
+      val scores = zip_with(lutOf(j), nh, (d, h) => d - h)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+    val encoded = staged(c, "__cc", Seq(col("neighbor_id"), col("__cn")))
+      .select(
+        (col("neighbor_id") +: col("__cc") +: col("__cn") +:
+          (0 until m).map(j => codeOf(j).as(s"__c$j"))): _*)
+    val withLut = staged(q, "__qc", Seq(col("query_id"), col("__qn")))
+      .select(
+        (col("query_id") +: col("__qc") +: col("__qn") +:
+          (0 until m).map(j => lutOf(j).as(s"__lut$j"))): _*)
+    val approx = (0 until m).map(j =>
+      element_at(col(s"__lut$j"), col(s"__c$j") + 1)).reduce(_ + _)
+    val scanned = withLut.crossJoin(encoded)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__approx", approx)
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("__approx").desc, col("neighbor_id"))
+    val shortlist = scanned
+      .withColumn("__ar", row_number().over(wA))
+      .where(col("__ar") <= k * refine)
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .withColumn("cos", nativeDot(spark, col("__qc"), col("__cc")) /
+        (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** IVF x PQ with BOTH stages pinned — the composed production stack
+    * ([[ivfPqTopK]]'s plan: coarse bucket + m codes per corpus row,
+    * probe join on the bucket id, ADC scan, shortlist, exact re-rank)
+    * fully under the hash oracle. Coarse centroids = codes of the
+    * `nlist` lowest ids; PQ books = sub-slices of the `ksub` lowest
+    * ids' codes; all scores integer-exact; re-rank by quantized
+    * cosine. */
+  def ivfPqTopKPinned(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int, nprobe: Int, m: Int, ksub: Int, refine: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = withCodeNorm(sq8Codes(corpus, idCol, vecCol, "neighbor_id", "__cc"),
+      "__cc", "__cn")
+    val q = withCodeNorm(sq8Codes(queries, idCol, vecCol, "query_id", "__qc"),
+      "__qc", "__qn")
+    val cents = pinnedCodebook(c, "neighbor_id", "__cc", nlist)
+    val seeds = pinnedCodebook(c, "neighbor_id", "__cc", ksub)
+    val dim = cents.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val books: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
+
+    def coarseDots(v: Column): Column =
+      array(cents.map(ct => nativeDot(spark, v, array(ct.map(lit): _*))): _*)
+    def subCols(vc: String): Seq[Column] =
+      (0 until m).map(j => slice(col(vc), j * sub + 1, sub).as(s"__s$j"))
+    def bookLut(j: Int): Column =
+      transform(typedlit(books(j)), ct => nativeDot(spark, col(s"__s$j"), ct))
+
+    val cStaged = c.select(
+      (col("neighbor_id") +: col("__cc") +: col("__cn") +:
+        coarseDots(col("__cc")).as("__cd") +: subCols("__cc")): _*)
+    val encoded = cStaged.select(
+      (col("neighbor_id") +: col("__cc") +: col("__cn") +:
+        (array_position(col("__cd"), array_max(col("__cd"))) - 1).cast("int")
+          .as("__bucket") +:
+        (0 until m).map { j =>
+          val nh = typedlit(books(j).map(ct => ct.map(x => x * x).sum / 2.0))
+          val scores = zip_with(bookLut(j), nh, (d, h) => d - h)
+          (array_position(scores, array_max(scores)) - 1).cast("int").as(s"__c$j")
+        }): _*)
+      .cache() // read by the code scan AND the shortlist refine join
+    val probeList = slice(
+      transform(
+        array_sort(zip_with(
+          coarseDots(col("__qc")),
+          sequence(lit(0), lit(cents.length - 1)),
+          (dd, i) => struct((-dd).as("nd"), i.as("idx")))),
+        st => st.getField("idx")),
+      1, math.min(nprobe, cents.length))
+    val qStaged = q.select(
+      (col("query_id") +: col("__qc") +: col("__qn") +:
+        probeList.as("__probes") +: subCols("__qc")): _*)
+    val withLut = qStaged.select(
+      (col("query_id") +: col("__qc") +: col("__qn") +:
+        explode(col("__probes")).as("__bucket") +:
+        (0 until m).map(j => bookLut(j).as(s"__lut$j"))): _*)
+    val approx = (0 until m).map(j =>
+      element_at(col(s"__lut$j"), col(s"__c$j") + 1)).reduce(_ + _)
+    val scanned = withLut
+      .join(encoded.drop("__cc", "__cn").hint("shuffle_hash"), Seq("__bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__approx", approx)
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("__approx").desc, col("neighbor_id"))
+    val shortlist = scanned
+      .withColumn("__ar", row_number().over(wA))
+      .where(col("__ar") <= k * refine)
+      .select(col("query_id"), col("__qc"), col("__qn"), col("neighbor_id"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .join(encoded.select(col("neighbor_id"), col("__cc"), col("__cn")),
+        Seq("neighbor_id"))
+      .withColumn("cos", nativeDot(spark, col("__qc"), col("__cc")) /
+        (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** [[ivfCosinePairs]] (the SemDeDup semantic-dedup shape) with the
+    * PINNED coarse quantizer: every vector joins its `nassign` nearest
+    * pinned centroids (integer-dot argsort, ties -> lowest id), pairs
+    * co-bucketed anywhere verify with the quantized cosine. Same
+    * sum-of-squared-list-sizes cost bound as the trained variant; fully
+    * oracle-replayable. */
+  def ivfCosinePairsPinned(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nlist: Int, nassign: Int): DataFrame = {
+    val spark = df.sparkSession
+    val c = withCodeNorm(sq8Codes(df, idCol, vecCol, "__id", "__c"),
+      "__c", "__n")
+    val cents = pinnedCodebook(c, "__id", "__c", nlist)
+    val k = math.min(nassign, cents.length)
+    def dots(v: Column): Column =
+      array(cents.map(ct => nativeDot(spark, v, array(ct.map(lit): _*))): _*)
+    val assignList = slice(
+      transform(
+        array_sort(zip_with(
+          dots(col("__c")),
+          sequence(lit(0), lit(cents.length - 1)),
+          (d, i) => struct((-d).as("nd"), i.as("idx")))),
+        s => s.getField("idx")),
+      1, k)
+    val assigned = c.select(col("__id"), col("__c"), col("__n"),
+      explode(assignList).as("__bucket"))
+    val l = assigned.select(col("__id").as("id_a"), col("__c").as("ca"),
+      col("__n").as("na"), col("__bucket"))
+    val r = assigned.select(col("__id").as("id_b"), col("__c").as("cb"),
+      col("__n").as("nb"), col("__bucket"))
+    l.join(r, Seq("__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (nativeDot(spark, col("ca"), col("cb")) /
+          (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= threshold)
+      // a pair can co-occur in up to nassign shared buckets; the
+      // quantized cosine is bit-identical per pair, so max == the value
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cos")).as("cos"))
   }
 
   /** Shared top-k tail: rank scored (query_id, neighbor_id, cos) rows

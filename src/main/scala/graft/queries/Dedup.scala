@@ -398,7 +398,58 @@ object Dedup {
             edges, "id_a", "id_b", iters = 10)
           .orderBy("doc_id")
       },
-      Some(oraclePageRank))
+      Some(oraclePageRank)),
+
+    // ---- d15: semantic dedup with a PINNED coarse quantizer --------------
+    // d09's SemDeDup plan (multi-assign to centroid lists, within-list
+    // self-join, cosine verify) with the kmeans replaced by the pinned
+    // SQ8-code quantizer, putting the whole machinery — assignment
+    // argsort, bucket self-join, pair dedup, quantized-cosine verify —
+    // under the hash oracle, VALUES included (integer dots are exact in
+    // doubles; sqrt/mult/div are single correctly-rounded IEEE ops, so
+    // the emitted cos replays bit-for-bit). d09 keeps the trained
+    // variant for clustered-corpus recall.
+    QueryDef(
+      "d15_semantic_dedup_pinned",
+      (s, d) =>
+        VectorOps.ivfCosinePairsPinned(Tables(s, d, "embeddings"),
+            "vec_id", "embedding", threshold = 0.4, nlist = 16, nassign = 2)
+          .orderBy("id_a", "id_b"),
+      Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), m AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS mx
+          FROM v
+        ), coded AS (
+          SELECT vec_id,
+                 list_transform(v, x -> floor(x /
+                   (CASE WHEN mx = 0.0 THEN 1.0 ELSE mx END) * 127 + 0.5)) AS c
+          FROM m
+        ), selfd AS (
+          SELECT vec_id, c, sqrt(list_dot_product(c, c)) AS n FROM coded
+        ),
+        cent AS (SELECT vec_id AS cid, c AS cc FROM coded WHERE vec_id < 16),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT d.vec_id, ct.cid,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                     ORDER BY list_dot_product(d.c, ct.cc) DESC, ct.cid) AS rn
+            FROM coded d CROSS JOIN cent ct) t WHERE rn <= 2),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM assign a JOIN assign b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        scored AS (
+          SELECT p.id_a, p.id_b,
+                 list_dot_product(x.c, y.c) / (x.n * y.n) AS cos
+          FROM pairs p
+          JOIN selfd x ON x.vec_id = p.id_a
+          JOIN selfd y ON y.vec_id = p.id_b)
+        SELECT id_a, id_b, cos FROM scored
+        WHERE cos >= 0.4
+        ORDER BY id_a, id_b"""))
   )
 
   /** DuckDB replay of [[ScaleOps.integerPageRank]] over the exact

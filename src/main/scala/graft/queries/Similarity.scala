@@ -17,6 +17,27 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
+  /** Shared oracle prelude for the pinned-model gates: the SQ8 coding
+    * CTEs (identical to s10's — integer-valued codes whose dot products
+    * are exact in doubles, the property that lets these oracles replay
+    * VALUES). `coded` = (vec_id, code list); `selfd` adds the code
+    * norm. */
+  private val sq8CodedSql = """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), m AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS mx
+          FROM v
+        ), coded AS (
+          SELECT vec_id,
+                 list_transform(v, x -> floor(x /
+                   (CASE WHEN mx = 0.0 THEN 1.0 ELSE mx END) * 127 + 0.5)) AS c
+          FROM m
+        ), selfd AS (
+          SELECT vec_id, c, sqrt(list_dot_product(c, c)) AS n FROM coded
+        )"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- s01: exact brute-force cosine top-k ------------------------------
@@ -388,6 +409,196 @@ object Similarity {
                    ORDER BY cos DESC, neighbor_id) AS rank
           FROM scored
         )
+        SELECT query_id, rank, neighbor_id
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    // ---- s11: IVF with a PINNED coarse quantizer — the t19 pattern
+    // applied to vectors: centroids are the SQ8 codes of the 16
+    // lowest-id vectors (no kmeans), assignment/probe argmax over
+    // integer dots, re-rank by the quantized cosine — every stage of
+    // the IVF machinery (assignment, probe selection, bucket join,
+    // ranking) under the hash oracle. s03 keeps the trained variant. --------
+    QueryDef(
+      "s11_ann_ivf_pinned",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        VectorOps.ivfTopKPinned(
+            emb.where(col("vec_id") < 20), emb, "vec_id", "embedding",
+            k = 5, nlist = 16, nprobe = 6)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        $sq8CodedSql,
+        cent AS (SELECT vec_id AS cid, c AS cc FROM coded WHERE vec_id < 16),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT d.vec_id, ct.cid,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                     ORDER BY list_dot_product(d.c, ct.cc) DESC, ct.cid) AS rn
+            FROM coded d CROSS JOIN cent ct) t WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cid FROM (
+            SELECT d.vec_id, ct.cid,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                     ORDER BY list_dot_product(d.c, ct.cc) DESC, ct.cid) AS rn
+            FROM coded d CROSS JOIN cent ct WHERE d.vec_id < 20) t
+          WHERE rn <= 6),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 list_dot_product(q.c, x.c) / (q.n * x.n) AS cos
+          FROM probes p
+          JOIN assign a ON a.cid = p.cid AND a.vec_id != p.query_id
+          JOIN selfd q ON q.vec_id = p.query_id
+          JOIN selfd x ON x.vec_id = a.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, neighbor_id
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    // ---- s12: PQ with PINNED sub-space codebooks — book j = the j-th
+    // sub-slices of the 16 lowest-id vectors' codes; encode scores
+    // `sub·c - |c|²/2` are exact half-integers, ADC sums are integer
+    // sums, refine ranks by the quantized cosine. Gates the full PQ
+    // machinery (encode, LUT build, ADC scan, shortlist, refine); s04
+    // keeps the trained variant. -------------------------------------------
+    QueryDef(
+      "s12_ann_pq_pinned",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        VectorOps.pqTopKPinned(
+            emb.where(col("vec_id") < 20), emb, "vec_id", "embedding",
+            k = 5, m = 8, ksub = 16, refine = 32)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        $sq8CodedSql,
+        books AS (
+          SELECT j.j, d.vec_id AS code,
+                 list_slice(d.c, j.j * 8 + 1, j.j * 8 + 8) AS bc
+          FROM coded d
+          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j
+          WHERE d.vec_id < 16),
+        enc AS (
+          SELECT vec_id, j, code FROM (
+            SELECT d.vec_id, b.j, b.code,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id, b.j
+                     ORDER BY list_dot_product(
+                         list_slice(d.c, b.j * 8 + 1, b.j * 8 + 8), b.bc)
+                       - list_dot_product(b.bc, b.bc) / 2.0 DESC,
+                       b.code) AS rn
+            FROM coded d CROSS JOIN books b) t WHERE rn = 1),
+        lut AS (
+          SELECT q.vec_id AS query_id, b.j, b.code,
+                 list_dot_product(
+                   list_slice(q.c, b.j * 8 + 1, b.j * 8 + 8), b.bc) AS d
+          FROM coded q CROSS JOIN books b WHERE q.vec_id < 20),
+        approx AS (
+          SELECT l.query_id, e.vec_id AS neighbor_id, SUM(l.d) AS a
+          FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+          WHERE e.vec_id != l.query_id
+          GROUP BY 1, 2),
+        short AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY a DESC, neighbor_id) AS ar
+            FROM approx) t WHERE ar <= 160),
+        scored AS (
+          SELECT s.query_id, s.neighbor_id,
+                 list_dot_product(q.c, x.c) / (q.n * x.n) AS cos
+          FROM short s
+          JOIN selfd q ON q.vec_id = s.query_id
+          JOIN selfd x ON x.vec_id = s.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, neighbor_id
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    // ---- s13: IVF x PQ with BOTH stages pinned — the composed stack
+    // (coarse bucket + probe join + ADC scan + shortlist + refine)
+    // fully under the hash oracle; s05 keeps the trained variant. -----------
+    QueryDef(
+      "s13_ann_ivfpq_pinned",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        VectorOps.ivfPqTopKPinned(
+            emb.where(col("vec_id") < 20), emb, "vec_id", "embedding",
+            k = 5, nlist = 16, nprobe = 8, m = 8, ksub = 16, refine = 32)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        $sq8CodedSql,
+        cent AS (SELECT vec_id AS cid, c AS cc FROM coded WHERE vec_id < 16),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT d.vec_id, ct.cid,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                     ORDER BY list_dot_product(d.c, ct.cc) DESC, ct.cid) AS rn
+            FROM coded d CROSS JOIN cent ct) t WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cid FROM (
+            SELECT d.vec_id, ct.cid,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                     ORDER BY list_dot_product(d.c, ct.cc) DESC, ct.cid) AS rn
+            FROM coded d CROSS JOIN cent ct WHERE d.vec_id < 20) t
+          WHERE rn <= 8),
+        books AS (
+          SELECT j.j, d.vec_id AS code,
+                 list_slice(d.c, j.j * 8 + 1, j.j * 8 + 8) AS bc
+          FROM coded d
+          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j
+          WHERE d.vec_id < 16),
+        enc AS (
+          SELECT vec_id, j, code FROM (
+            SELECT d.vec_id, b.j, b.code,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id, b.j
+                     ORDER BY list_dot_product(
+                         list_slice(d.c, b.j * 8 + 1, b.j * 8 + 8), b.bc)
+                       - list_dot_product(b.bc, b.bc) / 2.0 DESC,
+                       b.code) AS rn
+            FROM coded d CROSS JOIN books b) t WHERE rn = 1),
+        lut AS (
+          SELECT q.vec_id AS query_id, b.j, b.code,
+                 list_dot_product(
+                   list_slice(q.c, b.j * 8 + 1, b.j * 8 + 8), b.bc) AS d
+          FROM coded q CROSS JOIN books b WHERE q.vec_id < 20),
+        approx AS (
+          SELECT p.query_id, e.vec_id AS neighbor_id, SUM(l.d) AS a
+          FROM probes p
+          JOIN assign ab ON ab.cid = p.cid AND ab.vec_id != p.query_id
+          JOIN enc e ON e.vec_id = ab.vec_id
+          JOIN lut l ON l.query_id = p.query_id
+                    AND l.j = e.j AND l.code = e.code
+          GROUP BY 1, 2),
+        short AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY a DESC, neighbor_id) AS ar
+            FROM approx) t WHERE ar <= 160),
+        scored AS (
+          SELECT s.query_id, s.neighbor_id,
+                 list_dot_product(q.c, x.c) / (q.n * x.n) AS cos
+          FROM short s
+          JOIN selfd q ON q.vec_id = s.query_id
+          JOIN selfd x ON x.vec_id = s.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
         SELECT query_id, rank, neighbor_id
         FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank"""))

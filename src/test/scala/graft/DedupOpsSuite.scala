@@ -312,6 +312,57 @@ class DedupOpsSuite extends SparkSuite {
     assert(full == exact, "nprobe=nlist + full refine must equal brute force")
   }
 
+  test("pinned-codebook family collapses to the SQ8 ranking at full coverage") {
+    // the pinned gates' correctness story is the DuckDB oracle; this
+    // pins the INTERNAL consistency that makes that story meaningful:
+    // removing the approximation knob must recover the exact quantized
+    // ranking (probe-all-lists for IVF, corpus-wide shortlist for PQ),
+    // and results must not depend on partitioning.
+    val queries = emb.where(col("vec_id") < 20)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sq8 = ids(VectorOps.sq8TopK(queries, emb, "vec_id", "embedding", k = 5))
+    val ivfFull = ids(VectorOps.ivfTopKPinned(queries, emb,
+      "vec_id", "embedding", k = 5, nlist = 16, nprobe = 16))
+    assert(ivfFull == sq8, "pinned IVF with nprobe=nlist must equal SQ8 exact")
+    val pqFull = ids(VectorOps.pqTopKPinned(queries, emb,
+      "vec_id", "embedding", k = 5, m = 8, ksub = 16, refine = 200))
+    assert(pqFull == sq8, "pinned PQ with a corpus-wide shortlist must equal SQ8")
+    val ivfpqFull = ids(VectorOps.ivfPqTopKPinned(queries, emb,
+      "vec_id", "embedding", k = 5, nlist = 16, nprobe = 16,
+      m = 8, ksub = 16, refine = 200))
+    assert(ivfpqFull == sq8, "pinned IVFxPQ at full coverage must equal SQ8")
+    // partitioning invariance at the REGISTERED (approximate) params
+    val reg = ids(VectorOps.ivfTopKPinned(queries, emb,
+      "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6))
+    val rep = ids(VectorOps.ivfTopKPinned(queries, emb.repartition(7),
+      "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6))
+    assert(reg == rep, "pinned IVF result depends on partitioning")
+  }
+
+  test("pinned semantic dedup: nassign=nlist equals the brute-force quantized pairs") {
+    val coded = VectorOps.sq8Codes(emb, "vec_id", "embedding", "id", "c")
+      .withColumn("n", sqrt(VectorOps.nativeDot(spark, col("c"), col("c"))))
+    val l = coded.select(col("id").as("id_a"), col("c").as("ca"), col("n").as("na"))
+    val r = coded.select(col("id").as("id_b"), col("c").as("cb"), col("n").as("nb"))
+    val brute = l.join(r, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (VectorOps.nativeDot(spark, col("ca"), col("cb")) /
+          (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = VectorOps.ivfCosinePairsPinned(emb, "vec_id", "embedding",
+        threshold = 0.4, nlist = 16, nassign = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(full == brute, "every-bucket assignment must equal all-pairs")
+    // the registered (nlist=16, nassign=2) pairs are a subset
+    val reg = VectorOps.ivfCosinePairsPinned(emb, "vec_id", "embedding",
+        threshold = 0.4, nlist = 16, nassign = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(reg.subsetOf(brute), "bucketed pairs must be a subset of all-pairs")
+    assert(reg.nonEmpty, "registered params found no pairs at gate scale")
+  }
+
   test("brute-force top-k neighbors are symmetric-consistent with pairs") {
     val top1 = VectorOps.bruteForceTopK(
         emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", k = 1)

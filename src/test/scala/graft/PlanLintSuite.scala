@@ -27,6 +27,8 @@ class PlanLintSuite extends SparkSuite {
     // it with the IVF shortlist — the pair scan survives in the plan
     "s04_ann_pq" -> Set("cross-join"),
     "s05_ann_ivfpq" -> Set("cross-join"),
+    // the pinned-codebook gate variant shares s04's ADC pair scan
+    "s12_ann_pq_pinned" -> Set("cross-join"),
     "d09_semantic_dedup" -> Set("cross-join"),
     "s03_ann_ivf" -> Set("cross-join"),
     // kmeans assignment joins each vector to every sampled centroid

@@ -1,0 +1,244 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType}
+
+/** Runtime bloom-filter semi-join reduction — the 100 TB shuffle-killer
+  * for fact ⋈ selective-dim joins (the pattern AQE's runtime row-level
+  * filters automate; here it is a first-class, testable operator):
+  *
+  *   1. [[BloomAgg]] folds the dim side's join keys into ONE bitmap —
+  *      a partial-aggregable OR, so each map task ships `nbits/8` bytes
+  *      regardless of row count;
+  *   2. the driver collects that single bitmap (16 KiB at the default
+  *      2^17 bits — a bounded, size-documented collect, exactly the
+  *      runtime-filter broadcast) and embeds it as a literal;
+  *   3. [[BloomMightContain]] prefilters the fact side IN THE SCAN
+  *      STAGE — no false negatives, tunable false positives — so only
+  *      surviving rows (|dim-matched| + fp) ever shuffle for the exact
+  *      join.
+  *
+  * Hashing is double-hashing over the splitmix64 finalizer (public
+  * domain; Steele et al., "Fast Splittable Pseudorandom Number
+  * Generators", OOPSLA'14): position_i = (h1 + i*h2) mod nbits —
+  * deterministic, so the bitmap is identical under any partitioning and
+  * merge order. The JOIN RESULT is bloom-independent (no false
+  * negatives), which is what the DuckDB oracle checks; the reduction
+  * itself is pinned in ScalaTest.
+  */
+object BloomFilterOps {
+
+  /** splitmix64 finalizer — the bit-mixing step only (stateless). */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0
+    z ^= (z >>> 30); z *= 0xbf58476d1ce4e9b5L
+    z ^= (z >>> 27); z *= 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Set the k positions of `key` in `bits` (len*64 = nbits). */
+  def add(bits: Array[Long], key: Long, numHashes: Int): Unit = {
+    val nbits = bits.length.toLong * 64L
+    val h1 = mix64(key)
+    val h2 = mix64(key + 0x9e3779b97f4a7c15L) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val pos = java.lang.Long.remainderUnsigned(h1 + i.toLong * h2, nbits)
+      bits((pos >>> 6).toInt) |= (1L << (pos & 63L))
+      i += 1
+    }
+  }
+
+  /** Membership test against an ArrayData bitmap (called from both the
+    * interpreted eval and the generated code — one implementation, no
+    * drift). */
+  def mightContain(bits: ArrayData, key: Long, numHashes: Int): Boolean = {
+    val nbits = bits.numElements().toLong * 64L
+    if (nbits == 0L) return false
+    val h1 = mix64(key)
+    val h2 = mix64(key + 0x9e3779b97f4a7c15L) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val pos = java.lang.Long.remainderUnsigned(h1 + i.toLong * h2, nbits)
+      if ((bits.getLong((pos >>> 6).toInt) & (1L << (pos & 63L))) == 0L)
+        return false
+      i += 1
+    }
+    true
+  }
+
+  /** Build the dim-side bitmap and return the PREFILTERED fact frame:
+    * fact rows whose key cannot be in `dim` are dropped before any
+    * shuffle. `dim` should already carry its selective predicate. The
+    * single-row collect is the runtime-filter broadcast (nbits/8 bytes,
+    * data-size independent). */
+  def bloomPrefilter(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String,
+      nbits: Int = 1 << 17, numHashes: Int = 3): DataFrame = {
+    val spark = fact.sparkSession
+    val bitmap = dim
+      .select(BloomAgg.column(spark, org.apache.spark.sql.functions.col(dimKey),
+        nbits, numHashes).as("bm"))
+      .head().getSeq[Long](0)
+    fact.where(BloomMightContain.column(spark,
+      org.apache.spark.sql.functions.typedlit(bitmap),
+      org.apache.spark.sql.functions.col(factKey), numHashes))
+  }
+}
+
+/** Partial-aggregable bloom bitmap over bigint keys: buffer = the bit
+  * words, update = set k positions, merge = OR. Returns array<bigint>
+  * (nbits/64 words). */
+case class BloomAgg(
+    child: Expression, nbits: Int, numHashes: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects a bigint key")
+    else if (nbits < 64 || nbits % 64 != 0)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName nbits must be a positive multiple of 64")
+    else if (numHashes < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName numHashes must be >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bloom_agg"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](nbits / 64)
+
+  override def update(b: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) BloomFilterOps.add(b, v.asInstanceOf[Long], numHashes)
+    b
+  }
+
+  override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b.length) { b(i) |= o(i); i += 1 }
+    b
+  }
+
+  override def eval(b: Array[Long]): Any = new GenericArrayData(b)
+
+  override def serialize(b: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(b.length * 8)
+    var i = 0
+    while (i < b.length) { bb.putLong(b(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BloomAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomAgg =
+    copy(child = newChildren(0))
+}
+
+object BloomAgg {
+  private val ident = new FunctionIdentifier("graft_bloom_agg")
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(ident)) {
+      registry.registerFunction(
+        ident,
+        new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom_agg"),
+        (children: Seq[Expression]) => {
+          def intLit(e: Expression, what: String): Int = e match {
+            case Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"graft_bloom_agg(key, nbits, numHashes): $what must be an " +
+                s"integer literal, got $other")
+          }
+          BloomAgg(children(0), intLit(children(1), "nbits"),
+            intLit(children(2), "numHashes"))
+        })
+    }
+  }
+
+  def column(spark: SparkSession, key: Column, nbits: Int, numHashes: Int): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function("graft_bloom_agg",
+      key, org.apache.spark.sql.functions.lit(nbits),
+      org.apache.spark.sql.functions.lit(numHashes))
+  }
+}
+
+/** Codegen membership test: `mightContain(bitmap, key, numHashes)`.
+  * The bitmap rides as a foldable array literal, so whole-stage codegen
+  * hoists it; per row the generated code is one static call on the
+  * shared kernel. */
+case class BloomMightContain(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override val nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), LongType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<bigint>, bigint, int)")
+    }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+
+  override protected def nullSafeEval(bm: Any, key: Any, k: Any): Any =
+    BloomFilterOps.mightContain(bm.asInstanceOf[ArrayData],
+      key.asInstanceOf[Long], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (bm, key, k) => {
+      s"${ev.value} = graft.functions.BloomFilterOps.mightContain($bm, $key, $k);"
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BloomMightContain =
+    copy(first = f, second = s, third = t)
+}
+
+object BloomMightContain {
+  private val ident = new FunctionIdentifier("graft_bloom_contains")
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(ident)) {
+      registry.registerFunction(
+        ident,
+        new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+        (children: Seq[Expression]) =>
+          BloomMightContain(children(0), children(1), children(2)))
+    }
+  }
+
+  def column(spark: SparkSession, bitmap: Column, key: Column, numHashes: Int): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function("graft_bloom_contains",
+      bitmap, key, org.apache.spark.sql.functions.lit(numHashes))
+  }
+}

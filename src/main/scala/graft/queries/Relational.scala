@@ -1246,6 +1246,37 @@ object Relational {
         SELECT o_orderkey, o_orderpriority, pr6, cd6, decile
         FROM w
         WHERE decile IN (1, 10)
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ---- q47: runtime bloom-filter semi-join reduction --------------------
+    // the fact ⋈ selective-dim shuffle-killer: the dim side's keys fold
+    // into one 16 KiB bitmap (partial-aggregable OR), the fact side is
+    // prefiltered IN THE SCAN STAGE by the codegen membership test, and
+    // only survivors (matches + tunable false positives) shuffle for
+    // the exact join. No false negatives, so the RESULT is
+    // bloom-independent — the oracle is the plain join — while the
+    // ~90% shuffle reduction at this predicate is pinned in ScalaTest
+    // (BloomFilterSuite). l_quantity is integral in this corpus, so the
+    // long sum is exact.
+    QueryDef(
+      "q47_bloom_semijoin",
+      (s, d) => {
+        val hot = T(s, d, "orders").where(col("o_totalprice") > 450000)
+        graft.functions.BloomFilterOps.bloomPrefilter(
+            T(s, d, "lineitem"), "l_orderkey", hot, "o_orderkey")
+          .join(hot, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 450000
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""),
+      bench = true)
   )
 }

@@ -1141,6 +1141,89 @@ object Pipeline {
         FROM docs d
         LEFT JOIN nq USING (doc_id)
         LEFT JOIN sel USING (doc_id)
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ---- p21: Z-order layout + min/max data skipping ----------------------
+    // the multi-dimensional file-layout question answered with numbers:
+    // rank-normalize (partkey, suppkey) to a fixed 10-bit domain (the
+    // max comes from one scalar aggregate — scale-invariant constants),
+    // interleave to a Morton code, and model files as fixed-prefix
+    // z-buckets vs single-column (partkey-sorted) buckets. For each
+    // layout x query box the gate emits how many buckets min/max
+    // pruning would scan and how many rows those buckets hold — the
+    // exact statistic a 100 TB lakehouse reads off parquet footers. A
+    // suppkey-range query skips most z-buckets but must scan EVERY
+    // partkey-sorted bucket (the point of Z-ordering); pinned in
+    // PipelineSuite. All-integer math; the oracle replays the interleave
+    // bit-for-bit (ScaleOps.zOrder2Sql emits the same shift/and/or).
+    QueryDef(
+      "p21_zorder_skipping",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+        val mx = li.agg(max(col("p")).as("pm"), max(col("sk")).as("sm"))
+        val nrm = li.crossJoin(mx) // scalar broadcast (maxRows == 1)
+          .withColumn("pn", expr("p * 1024 div (pm + 1)"))
+          .withColumn("sn", expr("sk * 1024 div (sm + 1)"))
+        val rows = nrm
+          .withColumn("zb",
+            shiftright(ScaleOps.zOrder2(col("pn"), col("sn"), 10), 12))
+          .withColumn("pb", shiftright(col("pn"), 2))
+        def layout(name: String, bucket: org.apache.spark.sql.Column) =
+          rows.groupBy(bucket.as("b"))
+            .agg(min(col("p")).as("pmin"), max(col("p")).as("pmax"),
+              min(col("sk")).as("smin"), max(col("sk")).as("smax"),
+              count(lit(1)).as("nrows"))
+            .withColumn("layout", lit(name))
+        val buckets = layout("zorder", col("zb"))
+          .unionByName(layout("partsort", col("pb")))
+        val boxes = Seq(
+          ("part_mid", 100L, 300L, 0L, 1000000000L),
+          ("supp_low", 0L, 1000000000L, 2L, 5L))
+          .toDF("query", "plo", "phi", "slo", "shi")
+        val hit = col("pmax") >= col("plo") && col("pmin") < col("phi") &&
+          col("smax") >= col("slo") && col("smin") < col("shi")
+        buckets.crossJoin(broadcast(boxes))
+          .groupBy(col("layout"), col("query"))
+          .agg(count(lit(1)).as("buckets_total"),
+            sum(when(hit, 1L).otherwise(0L)).as("buckets_scanned"),
+            sum(when(hit, col("nrows")).otherwise(0L)).as("rows_scanned"))
+          .orderBy("layout", "query")
+      },
+      Some(s"""
+        WITH li AS (SELECT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+        mx AS (SELECT MAX(p) AS pm, MAX(sk) AS sm FROM li),
+        nrm AS (
+          SELECT p, sk, (p * 1024) // (pm + 1) AS pn,
+                 (sk * 1024) // (sm + 1) AS sn
+          FROM li CROSS JOIN mx),
+        zr AS (
+          SELECT p, sk,
+                 ${ScaleOps.zOrder2Sql("pn", "sn", 10)} >> 12 AS zb,
+                 pn >> 2 AS pb
+          FROM nrm),
+        bz AS (
+          SELECT 'zorder' AS layout, zb AS b, MIN(p) AS pmin, MAX(p) AS pmax,
+                 MIN(sk) AS smin, MAX(sk) AS smax, COUNT(*) AS nrows
+          FROM zr GROUP BY zb),
+        bp AS (
+          SELECT 'partsort' AS layout, pb AS b, MIN(p), MAX(p),
+                 MIN(sk), MAX(sk), COUNT(*)
+          FROM zr GROUP BY pb),
+        buckets AS (SELECT * FROM bz UNION ALL SELECT * FROM bp),
+        boxes(query, plo, phi, slo, shi) AS (VALUES
+          ('part_mid', 100, 300, 0, 1000000000),
+          ('supp_low', 0, 1000000000, 2, 5))
+        SELECT layout, query, COUNT(*) AS buckets_total,
+               CAST(SUM(CASE WHEN pmax >= plo AND pmin < phi
+                              AND smax >= slo AND smin < shi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS buckets_scanned,
+               CAST(SUM(CASE WHEN pmax >= plo AND pmin < phi
+                              AND smax >= slo AND smin < shi
+                         THEN nrows ELSE 0 END) AS BIGINT) AS rows_scanned
+        FROM buckets CROSS JOIN boxes
+        GROUP BY layout, query
+        ORDER BY layout, query"""))
   )
 }

@@ -49,4 +49,33 @@ class PipelineSuite extends SparkSuite {
       assert(p99 >= b(4) && p99 <= b(5), s"$flag p99=$p99 outside [${b(4)},${b(5)}]")
     }
   }
+
+  test("p21: z-order layout skips on BOTH dims; single-column sort cannot") {
+    // the reason Z-ordering exists: a suppkey-range query must scan
+    // every partkey-sorted bucket, but prunes most z-order buckets;
+    // a partkey-range query prunes well on both layouts.
+    val rows = SparkEntry.queries("p21_zorder_skipping")(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map { case (layout, query, total, scanned, nr) =>
+        (layout, query) -> (total, scanned, nr)
+      }.toMap
+    val (pTot, pScan, _) = rows(("partsort", "supp_low"))
+    assert(pScan == pTot,
+      s"partkey-sorted layout should scan ALL buckets for a suppkey query ($pScan/$pTot)")
+    // at sf0.001 the suppkey domain is 0..9, so the [2,5) box covers
+    // ~30% of all rows — a perfect layout could not scan less than
+    // that; pin "skips at least half" plus "3x fewer than the
+    // partkey-sorted layout's full scan"
+    val (zTot, zScan, _) = rows(("zorder", "supp_low"))
+    assert(zScan * 2 <= zTot,
+      s"z-order should skip >= 50% of buckets for the suppkey query ($zScan/$zTot)")
+    assert(zScan * 3 <= pScan,
+      s"z-order should scan >= 3x fewer buckets than partkey sort ($zScan vs $pScan)")
+    val (zTot2, zScan2, _) = rows(("zorder", "part_mid"))
+    assert(zScan2 * 2 <= zTot2,
+      s"z-order should still skip >= 50% for the partkey query ($zScan2/$zTot2)")
+    val (sTot2, sScan2, _) = rows(("partsort", "part_mid"))
+    assert(sScan2 * 2 <= sTot2,
+      s"partkey sort should skip its own dimension ($sScan2/$sTot2)")
+  }
 }

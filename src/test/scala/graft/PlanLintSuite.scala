@@ -59,6 +59,9 @@ class PlanLintSuite extends SparkSuite {
     // either bound post-aggregation, so the broadcast cross join is
     // deliberate (every (hour, type) cell must exist to fill gaps)
     "q45_gapfill_ma" -> Set("cross-join"),
+    // the FIXED 2-row query-box dimension broadcast against the bucket
+    // stats — a literal LocalRelation, constant at any corpus size
+    "p21_zorder_skipping" -> Set("cross-join"),
   )
 
   test("skewed-window rule fires on t23's pre-r9 shape (min over a gram window)") {

@@ -1277,6 +1277,34 @@ object Relational {
         WHERE o_totalprice > 450000
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority"""),
-      bench = true)
+      bench = true),
+
+    // ---- q48: salted skew join under the correctness gate -----------------
+    // ScaleOps.saltedJoin (the pathological-skew tool: deterministic
+    // xxhash64 row salt fans a hot key across saltFactor reducers,
+    // dimension replicated to match) must be RESULT-identical to the
+    // plain join — that invariant is exactly what an oracle can pin.
+    // The suite (ScaleOpsSuite) pins the partition spreading; this gate
+    // pins the semantics on real tables. l_quantity is integral, so the
+    // long sum is exact.
+    QueryDef(
+      "q48_salted_join",
+      (s, d) =>
+        graft.functions.ScaleOps.saltedJoin(
+            T(s, d, "lineitem").select(col("l_suppkey").as("k"),
+              col("l_quantity")),
+            T(s, d, "supplier").select(col("s_suppkey").as("k"),
+              col("s_nationkey")),
+            "k", saltFactor = 8)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy("s_nationkey"),
+      Some("""
+        SELECT s_nationkey, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+        ORDER BY s_nationkey"""))
   )
 }

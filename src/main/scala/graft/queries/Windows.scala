@@ -346,6 +346,27 @@ object Windows {
         SELECT DISTINCT user_id, event_type,
                epoch_ms(date_trunc('minute', ts)) AS minute_ms
         FROM events
-        ORDER BY user_id, event_type, minute_ms"""))
+        ORDER BY user_id, event_type, minute_ms""")),
+
+    // ---- w13: transformWithState (Spark 4 arbitrary-state API) ------------
+    // the flatMapGroupsWithState successor, with typed per-key state
+    // variables and the RocksDB state store: per-user MapState tallies
+    // (count, exact micro-unit sum) per event type. One micro-batch →
+    // one terminal snapshot per (user, type), equal to the batch GROUP
+    // BY the oracle replays. Gates the NEW stateful engine path, not
+    // just the legacy one w07 covers.
+    QueryDef(
+      "w13_transform_with_state",
+      (s, d) =>
+        graft.streaming.Streams
+          .typeTallyGate(s, s"$d/events.parquet")
+          .orderBy("user_id", "event_type"),
+      Some("""
+        SELECT user_id, event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+                 AS sum_v6
+        FROM events
+        GROUP BY user_id, event_type
+        ORDER BY user_id, event_type"""))
   )
 }

@@ -327,6 +327,91 @@ object Streams {
       }
   }
 
+  final case class TypedEvent(user_id: Long, event_type: String, v6: Long)
+  final case class TypeTally(user_id: Long, event_type: String, n: Long, sum_v6: Long)
+
+  /** Spark 4's arbitrary-state API (`transformWithState`, the successor
+    * to flatMapGroupsWithState): per-user MapState keyed by event type
+    * holding exact (count, micro-unit sum) tallies; each batch with
+    * input emits one snapshot per touched type, in sorted type order.
+    * State is typed, per-key, and independently evolvable — the API the
+    * engine's stateful operators migrate to. */
+  class TypeTallyProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, TypeTally] {
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, (Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, (Long, Long)]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeTally] = {
+      val touched = scala.collection.mutable.TreeSet.empty[String]
+      rows.foreach { e =>
+        val prev =
+          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+          else (0L, 0L)
+        counts.updateValue(e.event_type, (prev._1 + 1L, prev._2 + e.v6))
+        touched += e.event_type
+      }
+      touched.iterator.map { t =>
+        val (n, s) = counts.getValue(t)
+        TypeTally(key, t, n, s)
+      }
+    }
+  }
+
+  /** Per-user-and-type tallies through [[TypeTallyProcessor]] — usable
+    * on a batch-created stream in tests or the gate below. */
+  def typeTallies(events: Dataset[TypedEvent]): Dataset[TypeTally] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeTallyProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** w13's gate: `transformWithState` through the engine. One input
+    * file = one micro-batch, so each (user, type) emits exactly one
+    * terminal snapshot — the exact grouped (count, micro-unit sum),
+    * which the oracle replays as a plain GROUP BY. transformWithState
+    * requires the RocksDB state store; the gate pins the provider conf
+    * for its run and restores the prior value (the other gates run the
+    * default HDFS-backed store). */
+  def typeTallyGate(spark: SparkSession, eventsPath: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val PROVIDER = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(PROVIDER)
+    spark.conf.set(PROVIDER,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = retagTs(eventStream(spark, eventsPath, maxFilesPerTrigger))
+        .select(col("user_id"), col("event_type"),
+          floor(col("value") * 1e6).cast("long").as("v6"))
+        .as[TypedEvent]
+      val sink = s"w13_gate_${gateRunSeq.incrementAndGet()}"
+      val q = typeTallies(ev).toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sink)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(PROVIDER, v)
+        case None => spark.conf.unset(PROVIDER)
+      }
+    }
+  }
+
   final case class Doc(key: String, doc_id: Long, text: String)
 
   /** Streaming exact dedup: first occurrence of each content key wins,

@@ -520,6 +520,22 @@ class StreamingSuite extends SparkSuite {
     val ev = s"$dir/events.parquet"
     check("w11", m => Streams.intervalJoinGate(spark, ev, "2 hours", "30 days", m))
     check("w12", m => Streams.dedupWatermarkGate(spark, ev, "30 days", m))
+    // w13 (transformWithState) emits one snapshot per batch-with-input,
+    // so the append sink is batching-DEPENDENT by design — but the
+    // per-key MapState must carry across batches: the final (max-n)
+    // snapshot per (user, type) equals the whole-input GROUP BY.
+    locally {
+      val multi = Streams.typeTallyGate(spark, ev, Some(1))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("sum_v6")).as("sum_v6"))
+      val expected = spark.read.parquet(ev)
+        .select(col("user_id"), col("event_type"),
+          floor(col("value") * 1e6).cast("long").as("v6"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v6")).as("sum_v6"))
+      assert(rowsOf(multi) == rowsOf(expected),
+        "transformWithState state did not accumulate across micro-batches")
+    }
     check("m11", m => Streams.migrateStreamGate(
       spark, s"$dir/customer.parquet", graft.queries.Mapping.customerSpec,
       df => df.select(

@@ -367,6 +367,47 @@ object Windows {
                  AS sum_v6
         FROM events
         GROUP BY user_id, event_type
-        ORDER BY user_id, event_type"""))
+        ORDER BY user_id, event_type""")),
+
+    // ---- w14: LEFT OUTER stream-stream interval join ----------------------
+    // the watermark-governed outer semantics: matches emit as found;
+    // an unmatched click emits (user, NULL, click) only once the
+    // watermark proves no matching view can still arrive; clicks inside
+    // the terminal lateness window are deterministically withheld.
+    // Oracle replays all three classes: the inner join, the null rows
+    // for unmatched clicks older than the terminal watermark
+    // (min(side max ts) - lateness), and the withheld tail.
+    QueryDef(
+      "w14_stream_interval_left_outer",
+      (s, d) =>
+        graft.streaming.Streams
+          .intervalJoinLeftOuterGate(s, s"$d/events.parquet")
+          .orderBy("user_id", "click_id", "view_id"),
+      Some("""
+        WITH v AS (
+          SELECT user_id, event_id AS view_id, ts AS vts
+          FROM events WHERE event_type = 'view'),
+        c AS (
+          SELECT user_id, event_id AS click_id, ts AS cts
+          FROM events WHERE event_type = 'click'),
+        wm AS (
+          SELECT least((SELECT max(cts) FROM c), (SELECT max(vts) FROM v))
+                   - INTERVAL 1 HOUR AS w),
+        matched AS (
+          SELECT c.user_id, v.view_id, c.click_id
+          FROM c JOIN v ON c.user_id = v.user_id
+            AND c.cts >= v.vts AND c.cts <= v.vts + INTERVAL 2 HOUR),
+        unmatched AS (
+          SELECT c.user_id, CAST(NULL AS BIGINT) AS view_id, c.click_id
+          FROM c CROSS JOIN wm
+          WHERE c.cts < wm.w
+            AND NOT EXISTS (
+              SELECT 1 FROM v
+              WHERE v.user_id = c.user_id
+                AND c.cts >= v.vts AND c.cts <= v.vts + INTERVAL 2 HOUR))
+        SELECT user_id, view_id, click_id FROM matched
+        UNION ALL
+        SELECT user_id, view_id, click_id FROM unmatched
+        ORDER BY user_id, click_id, view_id"""))
   )
 }

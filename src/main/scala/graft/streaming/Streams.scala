@@ -541,6 +541,42 @@ object Streams {
     spark.table(sink)
   }
 
+  /** w14's gate: LEFT OUTER stream-stream interval join — the
+    * watermark-governed face of w11: matches emit as found (the inner
+    * part), while an UNMATCHED click emits (user, NULL, click_id) only
+    * when the global watermark passes the point where a matching view
+    * can no longer arrive (right side exhausted for that click's
+    * window). With AvailableNow the engine runs a final no-data batch,
+    * so the terminal sink is exactly: matches ∪ unmatched clicks whose
+    * ts precedes the terminal watermark — both replayable in SQL (the
+    * terminal watermark is min(side max ts) - lateness). Clicks inside
+    * the terminal lateness window stay buffered and are deterministically
+    * ABSENT — that boundary is the semantics being gated. */
+  def intervalJoinLeftOuterGate(spark: SparkSession, eventsPath: String,
+      maxDelay: String = "2 hours", lateness: String = "1 hour",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    def side(tpe: String, idAs: String, tsAs: String): DataFrame =
+      retagTs(eventStream(spark, eventsPath, maxFilesPerTrigger))
+        .where(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
+    val l = side("click", "click_id", "click_ts").withWatermark("click_ts", lateness)
+    val r = side("view", "view_id", "view_ts").withWatermark("view_ts", lateness)
+    val joined = l.join(r,
+        l("user_id") === r("user_id") &&
+          l.col("click_ts") >= r.col("view_ts") &&
+          l.col("click_ts") <= r.col("view_ts") + expr(s"INTERVAL $maxDelay"),
+        "left_outer")
+      .select(l("user_id"), col("view_id"), col("click_id"))
+    val sink = s"w14_gate_${gateRunSeq.incrementAndGet()}"
+    val q = joined.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** w12's gate: [[dedupWithinWatermark]] —
     * `dropDuplicatesWithinWatermark`, the RECLAIMABLE-state face of
     * streaming dedup (w09 keeps its seen-set forever) — through the

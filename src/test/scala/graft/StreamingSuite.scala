@@ -489,6 +489,35 @@ class StreamingSuite extends SparkSuite {
     check("w10", m => Streams.windowTopKGate(spark, p, "1 hour", 3, m))
   }
 
+  test("w14 left-outer interval join: exact watermark boundary semantics") {
+    // pins the eviction boundary the w14 oracle encodes: an unmatched
+    // click strictly BELOW the terminal watermark (min side-max ts -
+    // lateness) emits a null row; a click AT the watermark is withheld.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_w14_boundary_").toString
+    val rows = Seq(
+      // views: max view ts = 12:00
+      (100L, Timestamp.valueOf("2024-01-01 05:00:00"), 1L, "view", 0.0),
+      (101L, Timestamp.valueOf("2024-01-01 12:00:00"), 2L, "view", 0.0),
+      // clicks: 10:00 (unmatched, < W) -> null row; 11:00 (== W,
+      // unmatched) -> withheld; 12:00 (max click ts; matches the 12:00
+      // view) -> inner row. W = min(12:00, 12:00) - 1h = 11:00.
+      (200L, Timestamp.valueOf("2024-01-01 10:00:00"), 3L, "click", 0.0),
+      (201L, Timestamp.valueOf("2024-01-01 11:00:00"), 4L, "click", 0.0),
+      (202L, Timestamp.valueOf("2024-01-01 12:00:00"), 2L, "click", 0.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = Streams.intervalJoinLeftOuterGate(
+        spark, s"$dir/events.parquet", maxDelay = "2 hours", lateness = "1 hour")
+      .select(col("user_id"), col("view_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (3L, -1L, 200L),  // below W: null row emitted
+      (2L, 101L, 202L)  // matched: inner row
+    ), s"got $got — boundary click (ts == W) must be withheld")
+  }
+
   test("append-mode gates are micro-batching invariant (w11/w12/m11)") {
     // same property as the complete-mode pin above, for the round-9
     // gates: the stream-stream interval join emits matches in whichever

@@ -344,6 +344,64 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** ±1 weight of pinned hyperplane `j` at dimension `i`: the parity
+    * of `bit_count(j * 2654435761 + i * 40503)` — a fixed integer
+    * formula BOTH engines evaluate identically (DuckDB's `bit_count`),
+    * so unlike the xxhash-derived Rademacher family in
+    * [[HyperplaneSig]], an oracle can rebuild the whole plane set. */
+  private[functions] def pinnedSign(j: Int, i: Int): Double =
+    if (java.lang.Long.bitCount(j.toLong * 2654435761L + i.toLong * 40503L) % 2 == 0)
+      1.0 else -1.0
+
+  /** Hyperplane-LSH near-neighbor pairs with a PINNED plane family over
+    * SQ8 codes — [[lshCosinePairs]]' plan (signature → banded bucket
+    * self-join → exact verify) made bit-replayable: plane weights come
+    * from [[pinnedSign]]'s integer-parity formula (not hashes), the
+    * per-plane dot runs over integer codes (sign of an exact integer
+    * sum — no float sign-flip ambiguity at the boundary), and the
+    * verify uses the quantized cosine. Gates the ENTIRE LSH machinery —
+    * signatures, band packing, bucket join, pair dedup, verify — under
+    * the hash oracle; s02/s07 keep the trained-regime hyperplane family
+    * for the recall/candidate-fraction studies. */
+  def lshCosinePairsPinned(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bits: Int, bands: Int, threshold: Double): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits=$bits out of range")
+    val spark = df.sparkSession
+    val c = withCodeNorm(sq8Codes(df, idCol, vecCol, "__id", "__c"), "__c", "__n")
+    val planes: Seq[Seq[Double]] = (0 until bits * bands).map { j =>
+      (0 until dim).map(i => pinnedSign(j, i))
+    }
+    // all plane dots in one nested-literal HOF (the PQ flat-compile
+    // trick), then band keys unrolled in Scala — codegen-friendly
+    val withDots = c.withColumn("__dots",
+      transform(typedlit(planes), p => nativeDot(spark, col("__c"), p)))
+    def bandKey(b: Int): Column =
+      (0 until bits).map { k =>
+        when(element_at(col("__dots"), b * bits + k + 1) >= 0.0, lit(1L << k))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val sigs = withDots
+      .withColumn("__sigs", array((0 until bands).map(bandKey): _*))
+      .select(col("__id"), col("__c"), col("__n"), col("__sigs"))
+      .cache() // both self-join sides read it (see lshScoredCandidates)
+    sigs.count() // eager: first-reader race
+    val exploded = sigs.select(col("__id"), col("__c"), col("__n"),
+      posexplode(col("__sigs")).as(Seq("__band", "__sig")))
+    val l = exploded.select(col("__id").as("id_a"), col("__c").as("ca"),
+      col("__n").as("na"), col("__band"), col("__sig"))
+    val r = exploded.select(col("__id").as("id_b"), col("__c").as("cb"),
+      col("__n").as("nb"), col("__band"), col("__sig"))
+    l.join(r, Seq("__band", "__sig"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (nativeDot(spark, col("ca"), col("cb")) /
+          (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cos")).as("cos"))
+  }
+
   /** [[ivfCosinePairs]] (the SemDeDup semantic-dedup shape) with the
     * PINNED coarse quantizer: every vector joins its `nassign` nearest
     * pinned centroids (integer-dot argsort, ties -> lowest id), pairs

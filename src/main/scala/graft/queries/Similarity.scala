@@ -601,6 +601,53 @@ object Similarity {
           FROM scored)
         SELECT query_id, rank, neighbor_id
         FROM ranked WHERE rank <= 5
-        ORDER BY query_id, rank"""))
+        ORDER BY query_id, rank""")),
+
+    // ---- s14: hyperplane LSH with a PINNED plane family — the LSH
+    // machinery (signatures, band packing, bucket self-join, pair
+    // dedup, cosine verify) under the hash oracle: plane weights from
+    // an integer bit_count-parity formula both engines evaluate, dots
+    // over SQ8 codes so the sign decision is exact integer arithmetic.
+    // s02/s07 keep the xxhash hyperplane family (recall studies). ----------
+    QueryDef(
+      "s14_ann_lsh_pinned",
+      (s, d) =>
+        VectorOps.lshCosinePairsPinned(Tables(s, d, "embeddings"),
+            "vec_id", "embedding", dim = 64, bits = 8, bands = 32,
+            threshold = 0.4)
+          .orderBy("id_a", "id_b"),
+      Some(s"""
+        $sq8CodedSql,
+        planes AS (
+          SELECT j.j, i.i,
+                 CASE WHEN bit_count(j.j * 2654435761 + i.i * 40503) % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+          FROM (SELECT unnest(generate_series(0, 255)) AS j) j
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i),
+        cv AS (
+          SELECT vec_id, i.i, c[i.i + 1] AS x
+          FROM coded
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i),
+        dots AS (
+          SELECT cv.vec_id, p.j, SUM(p.s * cv.x) AS d
+          FROM cv JOIN planes p ON p.i = cv.i
+          GROUP BY 1, 2),
+        sigs AS (
+          SELECT vec_id, j // 8 AS band,
+                 SUM(CASE WHEN d >= 0 THEN (1 << (j % 8)) ELSE 0 END) AS sig
+          FROM dots GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM sigs a JOIN sigs b
+            ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+        scored AS (
+          SELECT cand.id_a, cand.id_b,
+                 list_dot_product(x.c, y.c) / (x.n * y.n) AS cos
+          FROM cand
+          JOIN selfd x ON x.vec_id = cand.id_a
+          JOIN selfd y ON y.vec_id = cand.id_b)
+        SELECT id_a, id_b, cos FROM scored
+        WHERE cos >= 0.4
+        ORDER BY id_a, id_b"""))
   )
 }

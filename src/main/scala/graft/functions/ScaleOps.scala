@@ -8,29 +8,17 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
-  /** Two-dimensional Morton (z-order) interleave: bit `b` of `x` lands
-    * at position `2b`, bit `b` of `y` at `2b+1`. Sorting/bucketing by
-    * this value clusters rows that are close in BOTH dimensions — the
-    * multi-dimensional file-layout trick (Z-ordering) behind min/max
-    * data skipping: a range predicate on EITHER dimension prunes
-    * buckets, where a single-column sort only prunes on its own column.
-    * Pure integer bit arithmetic (shift/and/or), so the value — and any
-    * skipping statistic derived from it — replays exactly on any
-    * engine. Inputs must be non-negative and < 2^bits; 2*bits <= 62. */
-  def zOrder2(x: Column, y: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"bits=$bits out of range")
-    (0 until bits).map { b =>
-      shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b)
-        .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
-    }.reduce(_ bitwiseOR _)
+  /** [[zorderKey]] as a SQL fragment (for DuckDB oracles): the same
+    * mask + shift/and/add structure over the given operand expressions,
+    * so the Spark key and its oracle twin cannot drift. */
+  def zorderKeySql(x: String, y: String, bits: Int = 16): String = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val mask = (1L << bits) - 1
+    (0 until bits).map { i =>
+      s"((((($x) & $mask) >> $i) & 1) << ${2 * i}) + " +
+        s"((((($y) & $mask) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
   }
-
-  /** The same interleave as a SQL fragment (for DuckDB oracles):
-    * identical shift/and/or structure over column names `x`/`y`. */
-  def zOrder2Sql(x: String, y: String, bits: Int): String =
-    (0 until bits).map { b =>
-      s"((($x >> $b) & 1) << ${2 * b}) | ((($y >> $b) & 1) << ${2 * b + 1})"
-    }.mkString("(", " | ", ")")
 
   /** Salted equi-join for a skewed fact side: the fact's rows get a
     * deterministic salt in [0, saltFactor), the dimension side is

@@ -1155,7 +1155,7 @@ object Pipeline {
     // suppkey-range query skips most z-buckets but must scan EVERY
     // partkey-sorted bucket (the point of Z-ordering); pinned in
     // PipelineSuite. All-integer math; the oracle replays the interleave
-    // bit-for-bit (ScaleOps.zOrder2Sql emits the same shift/and/or).
+    // bit-for-bit (ScaleOps.zorderKeySql emits the same mask/shift/add).
     QueryDef(
       "p21_zorder_skipping",
       (s, d) => {
@@ -1168,7 +1168,7 @@ object Pipeline {
           .withColumn("sn", expr("sk * 1024 div (sm + 1)"))
         val rows = nrm
           .withColumn("zb",
-            shiftright(ScaleOps.zOrder2(col("pn"), col("sn"), 10), 12))
+            shiftright(ScaleOps.zorderKey(col("pn"), col("sn"), 10), 12))
           .withColumn("pb", shiftright(col("pn"), 2))
         def layout(name: String, bucket: org.apache.spark.sql.Column) =
           rows.groupBy(bucket.as("b"))
@@ -1200,7 +1200,7 @@ object Pipeline {
           FROM li CROSS JOIN mx),
         zr AS (
           SELECT p, sk,
-                 ${ScaleOps.zOrder2Sql("pn", "sn", 10)} >> 12 AS zb,
+                 ${ScaleOps.zorderKeySql("pn", "sn", 10)} >> 12 AS zb,
                  pn >> 2 AS pb
           FROM nrm),
         bz AS (

@@ -470,4 +470,60 @@ class PlanAuditSuite extends SparkSuite {
       "signature cache barrier missing:\n" + p)
     spark.catalog.clearCache()
   }
+
+  test("q47: bloom membership filters the fact scan BEFORE any join/shuffle") {
+    val df = SparkEntry.queries("q47_bloom_semijoin")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the prefilter must sit scan-side (a Filter with the membership
+    // call over the lineitem scan), not above the join
+    assert(p.contains("graft_bloom_contains"),
+      s"bloom membership expression missing from the plan:\n$p")
+    val filterIdx = p.indexOf("graft_bloom_contains")
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"bloom filter should appear BELOW the join in the plan tree:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q48: salted join spreads the key and equals one equi-join") {
+    val p = plan("q48_salted_join")
+    // (key, salt) equi-join — no cartesian, no nested loop
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.toLowerCase.contains("__salt"),
+      s"salt column missing from the join keys:\n$p")
+  }
+
+  test("p21: two hash aggregations over one scan; no global sort inside") {
+    val df = SparkEntry.queries("p21_zorder_skipping")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    // the only Sort allowed is the root presentation ORDER BY
+    val lint = graft.tools.PlanLint.lint(df)
+    assert(!lint.exists(_.rule == "inner-global-sort"),
+      s"p21 must not range-shuffle internally: $lint")
+    assert(!lint.exists(_.rule == "global-window"), s"$lint")
+  }
+
+  test("s11/s13: pinned IVF candidates come from bucket equi-joins") {
+    for (name <- Seq("s11_ann_ivf_pinned", "s13_ann_ivfpq_pinned")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // materialize s13's encoded cache so the plan is real
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name must probe buckets, not all pairs:\n$p")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("s14: pinned LSH joins on band keys through one signature cache") {
+    val df = SparkEntry.queries("s14_ann_lsh_pinned")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "signature cache barrier missing:\n" + p)
+    spark.catalog.clearCache()
+  }
 }

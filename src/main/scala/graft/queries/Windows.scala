@@ -369,6 +369,36 @@ object Windows {
         GROUP BY user_id, event_type
         ORDER BY user_id, event_type""")),
 
+    // ---- w15: chained stateful operators + append-mode finalization -------
+    // dropDuplicates -> tumbling window count in ONE streaming query
+    // (multi-stateful-operator chaining), APPEND mode: a window emits
+    // exactly when the terminal watermark (max ts - lateness) passes
+    // its end — the finalization semantics the complete-mode gates
+    // never exercise. Counts are deterministic because every duplicate
+    // of a dedup key shares its minute (hence its hour window). The
+    // boundary (window_end <= watermark emits) is pinned in
+    // StreamingSuite with an exact fixture.
+    QueryDef(
+      "w15_stream_dedup_window",
+      (s, d) =>
+        graft.streaming.Streams
+          .dedupWindowGate(s, s"$d/events.parquet")
+          .orderBy("window_start_ms", "event_type"),
+      Some("""
+        WITH k AS (
+          SELECT DISTINCT user_id, event_type,
+                 date_trunc('minute', ts) AS m
+          FROM events),
+        wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+        c AS (
+          SELECT epoch_ms(date_trunc('hour', m)) AS window_start_ms,
+                 event_type, COUNT(*) AS n
+          FROM k GROUP BY 1, 2)
+        SELECT c.window_start_ms, c.event_type, c.n
+        FROM c CROSS JOIN wm
+        WHERE c.window_start_ms + 3600000 <= epoch_ms(wm.w)
+        ORDER BY window_start_ms, event_type""")),
+
     // ---- w14: LEFT OUTER stream-stream interval join ----------------------
     // the watermark-governed outer semantics: matches emit as found;
     // an unmatched click emits (user, NULL, click) only once the

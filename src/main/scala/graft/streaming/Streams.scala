@@ -222,6 +222,40 @@ object Streams {
     spark.table(sink)
   }
 
+  /** w15's gate: CHAINED stateful operators in one streaming query —
+    * dropDuplicates on (user, type, minute) feeding a tumbling-window
+    * count — in APPEND mode, which also gates the append-mode window
+    * FINALIZATION semantics the complete-mode gates (w05/w06) never
+    * exercise: a window emits exactly when the terminal watermark
+    * (max ts - lateness) passes its end. Deterministic under any
+    * batching once no dedup state expires (lateness wide for dedup is
+    * not needed here — the dedup keys carry the SAME watermark column,
+    * and within-span state never expires because the watermark lags by
+    * `lateness`; the boundary is pinned in StreamingSuite). The oracle
+    * replays dedup + count + the emission cutoff. */
+  def dedupWindowGate(spark: SparkSession, eventsPath: String,
+      windowLength: String = "1 hour", lateness: String = "1 hour",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val ev = retagTs(eventStream(spark, eventsPath, maxFilesPerTrigger))
+    val agg = ev
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("minute_ms", unix_millis(date_trunc("minute", col("ts"))))
+      .withWatermark("ts", lateness)
+      .dropDuplicates("user_id", "event_type", "minute_ms")
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"))
+    val sink = s"w15_gate_${gateRunSeq.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** The Tables.apply physical-layout dispatch for streaming reads
     * (which bypass the loader): nanos-as-long -> micros truncation, or
     * NTZ -> LTZ re-tag under the pinned UTC session. */

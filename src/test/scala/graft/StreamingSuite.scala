@@ -518,6 +518,27 @@ class StreamingSuite extends SparkSuite {
     ), s"got $got — boundary click (ts == W) must be withheld")
   }
 
+  test("w15 append-mode window finalization: window ending AT the watermark emits") {
+    // pins the <= boundary the w15 oracle encodes: terminal watermark
+    // W = max ts - lateness; a window whose end == W emits, the next
+    // window is withheld.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_w15_boundary_").toString
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:30:00"), 1L, "view", 0.0),
+      (2L, Timestamp.valueOf("2024-01-01 11:30:00"), 1L, "view", 0.0),
+      (3L, Timestamp.valueOf("2024-01-01 12:00:00"), 1L, "view", 0.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    // W = 12:00 - 1h = 11:00; window [10:00, 11:00) ends exactly at W
+    val got = Streams.dedupWindowGate(spark, s"$dir/events.parquet")
+      .select(col("window_start_ms"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    assert(got == Set((h10, 1L)),
+      s"got $got — only the window ending AT the watermark must emit")
+  }
+
   test("append-mode gates are micro-batching invariant (w11/w12/m11)") {
     // same property as the complete-mode pin above, for the round-9
     // gates: the stream-stream interval join emits matches in whichever

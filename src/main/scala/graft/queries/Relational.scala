@@ -1305,6 +1305,68 @@ object Relational {
                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_nationkey
-        ORDER BY s_nationkey"""))
+        ORDER BY s_nationkey""")),
+
+    // ---- q49: regression / correlation aggregates, exactly ----------------
+    // corr / slope / intercept of (x = linenumber, y = quantity) per
+    // order priority — NOT via the built-in corr() (whose double
+    // accumulation is partition-order dependent and can differ across
+    // engines in the last ulp) but from the five EXACT integer moment
+    // sums (n, Σx, Σy, Σxy, Σx², Σy²), which partial-aggregate
+    // map-side and are order-free; the statistics then derive from one
+    // deterministic IEEE op sequence on identical operands, emitted
+    // fixed-pointed. The formulation that stays bit-stable at any
+    // scale and any partitioning — 100 TB discipline applied to
+    // floating-point statistics.
+    QueryDef(
+      "q49_regression_stats",
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+          .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority"),
+            col("l_linenumber").cast("long").as("x"),
+            col("l_quantity").cast("long").as("y"))
+        val m = li.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+        val nD = col("n").cast("double")
+        val cov = nD * col("sxy") - col("sx") * col("sy")
+        val vx = nD * col("sxx") - col("sx") * col("sx")
+        val vy = nD * col("syy") - col("sy") * col("sy")
+        m.select(col("o_orderpriority"), col("n"),
+            floor(lit(1e6) * cov / sqrt(vx * vy)).cast("long").as("corr6"),
+            floor(lit(1e6) * cov / vx).cast("long").as("slope6"),
+            floor(lit(1e6) * (col("sy") - (cov / vx) * col("sx")) / nD)
+              .cast("long").as("intercept6"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        WITH m AS (
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+                 SUM(x*x) AS sxx, SUM(y*y) AS syy
+          FROM (
+            SELECT o_orderpriority,
+                   CAST(l_linenumber AS BIGINT) AS x,
+                   CAST(l_quantity AS BIGINT) AS y
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
+          GROUP BY o_orderpriority)
+        SELECT o_orderpriority, n,
+               CAST(floor(1e6 * (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                 / sqrt((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+                      * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)))
+                 AS BIGINT) AS corr6,
+               CAST(floor(1e6 * (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                 / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx))
+                 AS BIGINT) AS slope6,
+               CAST(floor(1e6 * (CAST(sy AS DOUBLE)
+                 - ((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                    / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)) * sx)
+                 / CAST(n AS DOUBLE)) AS BIGINT) AS intercept6
+        FROM m
+        ORDER BY o_orderpriority"""))
   )
 }

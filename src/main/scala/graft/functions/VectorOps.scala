@@ -349,7 +349,7 @@ object VectorOps {
     * formula BOTH engines evaluate identically (DuckDB's `bit_count`),
     * so unlike the xxhash-derived Rademacher family in
     * [[HyperplaneSig]], an oracle can rebuild the whole plane set. */
-  private[functions] def pinnedSign(j: Int, i: Int): Double =
+  private[graft] def pinnedSign(j: Int, i: Int): Double =
     if (java.lang.Long.bitCount(j.toLong * 2654435761L + i.toLong * 40503L) % 2 == 0)
       1.0 else -1.0
 

@@ -1224,6 +1224,54 @@ object Pipeline {
                          THEN nrows ELSE 0 END) AS BIGINT) AS rows_scanned
         FROM buckets CROSS JOIN boxes
         GROUP BY layout, query
-        ORDER BY layout, query"""))
+        ORDER BY layout, query""")),
+
+    // ---- p22: declarative data-quality gate (dbt-test / Deequ shape) ------
+    // the publish gate a pipeline runs before a table ships: every
+    // row-conditional check folds into ONE shared aggregation scan,
+    // uniqueness is one keyed aggregation, referential integrity one
+    // anti-join against the distinct key side. The corpus' known
+    // lineitem quirk — duplicate (orderkey, linenumber) pairs — shows
+    // up as a real violation count; the other checks prove clean.
+    QueryDef(
+      "p22_data_quality",
+      (s, d) => {
+        import graft.engine.DataChecks._
+        run(Tables(s, d, "lineitem"), Seq(
+            NotNull("notnull_orderkey", Seq("l_orderkey", "l_linenumber")),
+            Unique("unique_order_line", Seq("l_orderkey", "l_linenumber")),
+            InRange("range_quantity", "l_quantity", 1, 50),
+            Accepted("accepted_returnflag", "l_returnflag", Seq("A", "N", "R")),
+            RefIntegrity("fk_orders", "l_orderkey",
+              Tables(s, d, "orders"), "o_orderkey")))
+          .orderBy("check_name")
+      },
+      Some("""
+        SELECT 'accepted_returnflag' AS check_name,
+               (SELECT count(*) FROM lineitem
+                WHERE l_returnflag IS NOT NULL
+                  AND l_returnflag NOT IN ('A', 'N', 'R')) AS violations
+        UNION ALL
+        SELECT 'fk_orders',
+               (SELECT count(*) FROM lineitem l
+                WHERE l_orderkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'notnull_orderkey',
+               (SELECT count(*) FROM lineitem
+                WHERE l_orderkey IS NULL OR l_linenumber IS NULL)
+        UNION ALL
+        SELECT 'range_quantity',
+               (SELECT count(*) FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND (l_quantity < 1 OR l_quantity > 50))
+        UNION ALL
+        SELECT 'unique_order_line',
+               (SELECT count(*) FROM (
+                  SELECT 1 FROM lineitem
+                  GROUP BY l_orderkey, l_linenumber
+                  HAVING count(*) > 1) t)
+        ORDER BY check_name"""))
   )
 }

@@ -135,13 +135,68 @@ object ScaleCheck {
       (name, times)
     }
     val hdr = copiesList.map(c => s"${c}x sec (rows)").mkString(" | ")
-    println(s"| operator | $hdr | ${copiesList.last}x/${copiesList.head}x |")
-    println("|---" * (copiesList.size + 2) + "|")
-    results.foreach { case (name, ts) =>
-      val cells = ts.map { case (_, s, r) => f"$s%.2f ($r)" }.mkString(" | ")
-      val ratio = ts.last._2 / ts.head._2
-      println(f"| $name | $cells | $ratio%.2f |")
+    def printTable(rs: Seq[(String, Seq[(Int, Double, Long)])]): Unit = {
+      println(s"| operator | $hdr | ${copiesList.last}x/${copiesList.head}x |")
+      println("|---" * (copiesList.size + 2) + "|")
+      rs.foreach { case (name, ts) =>
+        val cells = ts.map { case (_, s, r) => f"$s%.2f ($r)" }.mkString(" | ")
+        val ratio = ts.last._2 / ts.head._2
+        println(f"| $name | $cells | $ratio%.2f |")
+      }
     }
+    printTable(results)
+
+    // ---- vector-family growth (embeddings replicated by ISOMETRY) --------
+    // each copy k multiplies every vector element-wise by a pinned ±1
+    // diagonal (copy 0 = identity): an isometry, so intra-copy cosines —
+    // and therefore each copy's pair structure — are EXACTLY the base
+    // corpus'; cross-copy cosines scramble toward 0 (half the signs
+    // flip) and stay below the 0.4 threshold, so pair counts scale
+    // linearly (the rows column proves it per run).
+    import graft.functions.VectorOps
+    val embBase = graft.Tables(spark, sfDir, "embeddings")
+    def signsOf(k: Int): Seq[Double] =
+      (0 until 64).map(i => if (k == 0) 1.0 else VectorOps.pinnedSign(k, i))
+    def embReplica(k: Int): DataFrame =
+      embBase.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        zip_with(transform(col("embedding"), x => x.cast("double")),
+          typedlit(signsOf(k)), (x, sgn) => x * sgn).as("embedding"))
+    def embCorpus(copies: Int): DataFrame =
+      (0 until copies).map(embReplica).reduce(_ union _)
+    val vops: Seq[(String, DataFrame => Long)] = Seq(
+      "d15_semantic_pinned" -> (e =>
+        VectorOps.ivfCosinePairsPinned(e, "vec_id", "embedding",
+          threshold = 0.4, nlist = 16, nassign = 2).count()),
+      "s14_lsh_pinned" -> (e =>
+        VectorOps.lshCosinePairsPinned(e, "vec_id", "embedding",
+          dim = 64, bits = 8, bands = 32, threshold = 0.4).count()),
+      "d09_semantic_kmeans" -> (e =>
+        VectorOps.ivfCosinePairs(e, "vec_id", "embedding",
+          threshold = 0.4, nlist = 16, nassign = 2).count()),
+      "s07_lsh_sharp" -> { e =>
+        val (bits, bands) = VectorOps.lshParamsFor(
+          threshold = 0.85, targetRecall = 0.95, maxCandidateFrac = 0.002)
+        val planted = VectorOps.plantNearDuplicates(e, "vec_id", "embedding",
+          count = 100, idOffset = 500000000L, eps = 0.4)
+        VectorOps.lshCosinePairs(planted, "vec_id", "embedding",
+          bits, bands, threshold = 0.85).count()
+      })
+    vops.foreach { case (_, run) =>
+      spark.catalog.clearCache(); run(embCorpus(1)) } // warmup
+    val vresults = for ((name, run) <- vops) yield {
+      val times = for (copies <- copiesList) yield {
+        spark.catalog.clearCache()
+        if (proportionalParts)
+          spark.conf.set("spark.sql.shuffle.partitions", baseParts * copies)
+        val e = embCorpus(copies)
+        val t0 = System.nanoTime()
+        val rows = run(e)
+        ((copies, (System.nanoTime() - t0) / 1e9, rows))
+      }
+      (name, times)
+    }
+    println()
+    printTable(vresults)
     spark.stop()
   }
 }

@@ -150,9 +150,12 @@ object ScaleCheck {
     // each copy k multiplies every vector element-wise by a pinned ±1
     // diagonal (copy 0 = identity): an isometry, so intra-copy cosines —
     // and therefore each copy's pair structure — are EXACTLY the base
-    // corpus'; cross-copy cosines scramble toward 0 (half the signs
-    // flip) and stay below the 0.4 threshold, so pair counts scale
-    // linearly (the rows column proves it per run).
+    // corpus'. Cross-copy cosines scramble toward 0 (half the signs
+    // flip, std ~ 1/sqrt(dim) ≈ 0.125), but at the t=0.4 operating
+    // threshold the distribution's tail still crosses: the rows column
+    // grows FASTER than the data (reflected-pair tail = extra real
+    // work), which makes the sub-linear TIME ratios a conservative
+    // upper bound on equal-work-per-byte growth, not an optimistic one.
     import graft.functions.VectorOps
     val embBase = graft.Tables(spark, sfDir, "embeddings")
     def signsOf(k: Int): Seq[Double] =

@@ -28,6 +28,10 @@ import graft.functions.{DeletionSigs, DotProduct, HyperplaneSig, IntersectSize, 
   *   - `graft_deletion_sigs(s)` — hashed FastSS deletion signatures
   *   - `graft_top_k(v, id, k)` — AGGREGATE: rank-ordered ids of the k
   *     best (v desc, id asc) rows per group, partial-aggregable
+  *   - `graft_bloom_agg(key, nbits, k)` — AGGREGATE: bloom bitmap of
+  *     bigint keys (partial-aggregable OR), the runtime-filter build side
+  *   - `graft_bloom_contains(bitmap, key, k)` — membership test against
+  *     a bloom bitmap (no false negatives), the runtime-filter probe side
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -55,5 +59,7 @@ object GraftExtensions {
     SimHash64.ensureRegistered(spark)
     DeletionSigs.ensureRegistered(spark)
     TopKAgg.ensureRegistered(spark)
+    graft.functions.BloomAgg.ensureRegistered(spark)
+    graft.functions.BloomMightContain.ensureRegistered(spark)
   }
 }

@@ -209,6 +209,25 @@ class ScaleOpsSuite extends SparkSuite {
     assert(got == want)
   }
 
+  test("zorderKeySql (the oracle twin) equals zorderKey under Spark's own SQL engine") {
+    // guards the p21/q37 oracles from drift: the SQL fragment and the
+    // Column implementation must agree on every bit, including the mask
+    import org.apache.spark.sql.functions.col
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1023L, 1023L),
+      (65535L, 65535L), (12345L, 54321L), (-1L, 7L), (1L << 40, 3L))
+    for (bits <- Seq(10, 16)) {
+      val df = rows.toDF("a", "b")
+      val got = df.select(
+          graft.functions.ScaleOps.zorderKey(col("a"), col("b"), bits).as("zc"),
+          org.apache.spark.sql.functions.expr(
+            graft.functions.ScaleOps.zorderKeySql("a", "b", bits)).as("zs"))
+        .as[(Long, Long)].collect()
+      got.foreach { case (zc, zs) =>
+        assert(zc == zs, s"bits=$bits: Column=$zc SQL=$zs")
+      }
+    }
+  }
+
   test("zorderRepartition: partitions cover small boxes in BOTH dims") {
     import org.apache.spark.sql.functions._
     // a 64x64 grid, shuffled arrival order

@@ -1272,6 +1272,95 @@ object Pipeline {
                   SELECT 1 FROM lineitem
                   GROUP BY l_orderkey, l_linenumber
                   HAVING count(*) > 1) t)
-        ORDER BY check_name"""))
+        ORDER BY check_name""")),
+
+    // ---- p23: KMV (bottom-k) distinct sketch with SET-OPERATION
+    // estimates — the sketch family HLL can't serve: bottom-k of a
+    // uniform hash supports union (merge bottom-k), intersection and
+    // Jaccard (shared fraction under the union's kth), all from k
+    // hashes per set. Fully oracle-replayable because the hash is the
+    // md5 tokenHash64 (logical-shifted to 52 bits so the VALUE ORDER
+    // matches DuckDB's UBIGINT shift) and every estimate is integer
+    // arithmetic: est = (k-1) * 2^52 div kth-smallest. The bottom-k
+    // itself rides TopKAgg (value = -h, exact in a double at 52 bits) —
+    // partial-aggregable, so each map task ships <= k hashes. All
+    // cross joins below are scalar (ungrouped aggregates, maxRows=1).
+    QueryDef(
+      "p23_kmv_distinct",
+      (s, d) => {
+        import graft.functions.{TextOps, TopKAgg}
+        val k = 128
+        val scale = (k - 1).toLong * (1L << 52) // 127 * 2^52
+        val h = Tables(s, d, "events")
+          .select(col("event_type"),
+            shiftrightunsigned(
+              TextOps.tokenHash64(col("user_id").cast("string")), 12).as("h"))
+          .distinct()
+        def bottomK(df: org.apache.spark.sql.DataFrame, as: String) =
+          df.agg(TopKAgg.column(s, negate(col("h").cast("double")),
+            col("h"), k).as(as))
+        val va = bottomK(h.where(col("event_type") === "view"), "va")
+        val cb = bottomK(h.where(col("event_type") === "click"), "cb")
+        val ub = bottomK(
+          h.where(col("event_type").isin("view", "click"))
+            .select("h").distinct(), "ub")
+        def est(arr: String): org.apache.spark.sql.Column =
+          when(size(col(arr)) < k, size(col(arr)).cast("long"))
+            .otherwise(expr(s"$scale div element_at($arr, $k)"))
+        val row = va.crossJoin(cb).crossJoin(ub)
+          .withColumn("ku", element_at(col("ub"),
+            least(lit(k), size(col("ub")))))
+          .withColumn("dv", est("va"))
+          .withColumn("dc", est("cb"))
+          .withColumn("du", est("ub"))
+          .withColumn("shared",
+            size(filter(array_intersect(col("va"), col("cb")),
+              x => x <= col("ku"))).cast("long"))
+          .withColumn("j6",
+            expr(s"(shared * 1000000) div least($k, size(ub))"))
+          .withColumn("di", expr("(j6 * du) div 1000000"))
+        Seq("distinct_view" -> "dv", "distinct_click" -> "dc",
+            "distinct_union" -> "du", "jaccard6" -> "j6",
+            "distinct_intersection" -> "di")
+          .map { case (m, c) =>
+            row.select(lit(m).as("metric"), col(c).cast("long").as("value"))
+          }
+          .reduce(_ unionByName _)
+          .orderBy("metric")
+      },
+      Some("""
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 CAST((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                   ::UBIGINT >> 12) AS BIGINT) AS h
+          FROM events),
+        bv AS (SELECT h FROM h WHERE event_type = 'view' ORDER BY h LIMIT 128),
+        bc AS (SELECT h FROM h WHERE event_type = 'click' ORDER BY h LIMIT 128),
+        bu AS (SELECT DISTINCT h FROM h
+               WHERE event_type IN ('view', 'click') ORDER BY h LIMIT 128),
+        stats AS (
+          SELECT (SELECT count(*) FROM bv) AS nv, (SELECT max(h) FROM bv) AS kv,
+                 (SELECT count(*) FROM bc) AS nc, (SELECT max(h) FROM bc) AS kc,
+                 (SELECT count(*) FROM bu) AS nu, (SELECT max(h) FROM bu) AS ku),
+        vals AS (
+          SELECT
+            CASE WHEN nv < 128 THEN nv ELSE 571957152676052992 // kv END AS dv,
+            CASE WHEN nc < 128 THEN nc ELSE 571957152676052992 // kc END AS dc,
+            CASE WHEN nu < 128 THEN nu ELSE 571957152676052992 // ku END AS du,
+            (SELECT count(*) FROM bv JOIN bc USING (h)
+             CROSS JOIN stats s WHERE h <= s.ku) AS shared,
+            LEAST(128, nu) AS denom
+          FROM stats),
+        out AS (
+          SELECT dv, dc, du,
+                 (shared * 1000000) // denom AS j6
+          FROM vals)
+        SELECT 'distinct_click' AS metric, CAST(dc AS BIGINT) AS value FROM out
+        UNION ALL SELECT 'distinct_intersection',
+                  CAST((j6 * du) // 1000000 AS BIGINT) FROM out
+        UNION ALL SELECT 'distinct_union', CAST(du AS BIGINT) FROM out
+        UNION ALL SELECT 'distinct_view', CAST(dv AS BIGINT) FROM out
+        UNION ALL SELECT 'jaccard6', CAST(j6 AS BIGINT) FROM out
+        ORDER BY metric"""))
   )
 }

@@ -78,4 +78,21 @@ class PipelineSuite extends SparkSuite {
     assert(sScan2 * 2 <= sTot2,
       s"partkey sort should skip its own dimension ($sScan2/$sTot2)")
   }
+
+  test("p23: KMV estimates land near the true distinct counts (k=128, ~9% std)") {
+    // sf0.01 has 150 users per event type — ABOVE k, so the estimator
+    // (not the exact small-set path) is under test; both types cover
+    // all users, so union == view == click and jaccard == 1.
+    val got = SparkEntry.queries("p23_kmv_distinct")(spark, "/root/testdata/sf0.01")
+      .as[(String, Long)].collect().toMap
+    val truth = 150.0
+    for (m <- Seq("distinct_view", "distinct_click", "distinct_union",
+        "distinct_intersection")) {
+      val e = got(m).toDouble
+      assert(math.abs(e - truth) / truth <= 0.25,
+        s"$m estimate ${got(m)} too far from $truth")
+    }
+    assert(math.abs(got("jaccard6") - 1000000L) <= 150000L,
+      s"jaccard6 ${got("jaccard6")} should be ~1e6 (identical user sets)")
+  }
 }

@@ -1,0 +1,56 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MERGE INTO (CDC upsert) as a DataFrame program — the lakehouse
+  * primitive the connector's row-level upsert (ConnectorTableIO) and
+  * the SCD2 history fold ([[Scd2]]) both specialize:
+  *
+  *   - matched on `key`   → the source row wins (update),
+  *   - unmatched target   → kept as-is,
+  *   - unmatched source   → inserted.
+  *
+  * One full-outer equi-join on the key — Catalyst broadcasts a small
+  * delta, shuffles both sides on the key otherwise; at 100 TB the
+  * target should be bucketed on the key so only the delta shuffles.
+  * Compose with [[Sinks.writeVersioned]] for an atomic publish of the
+  * merged snapshot (readers never see a half-merged table).
+  *
+  * Columns are matched BY NAME over the union of both schemas; a
+  * column absent from one side reads as null there. `source` must not
+  * carry duplicate keys (the relational MERGE precondition — enforced
+  * here with a loud failure instead of nondeterministic last-wins). */
+object Merge {
+
+  def into(target: DataFrame, source: DataFrame, key: String): DataFrame = {
+    val cols =
+      (target.columns ++ source.columns.filterNot(target.columns.contains)).toSeq
+    def dressed(df: DataFrame, marker: String) = {
+      val withAll = cols.foldLeft(df)((d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+      withAll.select((cols.map(col) :+ lit(true).as(marker)): _*)
+    }
+    // relational MERGE precondition: at most one source row per key
+    val t = dressed(target, "__t")
+      .withColumnsRenamed(cols.filterNot(_ == key).map(c => c -> s"__t_$c").toMap)
+    val s = dressed(source, "__s")
+      .withColumnsRenamed(cols.filterNot(_ == key).map(c => c -> s"__s_$c").toMap)
+    val joined = t.join(s, Seq(key), "full_outer")
+    val out = cols.map { c =>
+      if (c == key) col(key)
+      else when(col("__s").isNotNull, col(s"__s_$c"))
+        .otherwise(col(s"__t_$c")).as(c)
+    }
+    joined.select(out: _*)
+  }
+
+  /** `into` with the duplicate-source-key precondition actually
+    * enforced (an action): throws if any key occurs twice in `source`.
+    * Split from [[into]] so plan-building callers stay lazy. */
+  def intoChecked(target: DataFrame, source: DataFrame, key: String): DataFrame = {
+    val dups = source.groupBy(col(key)).count().where(col("count") > 1).count()
+    require(dups == 0, s"MERGE source has $dups duplicated '$key' keys")
+    into(target, source, key)
+  }
+}

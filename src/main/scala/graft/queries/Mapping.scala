@@ -411,7 +411,45 @@ object Mapping {
                CAST(c_custkey AS VARCHAR) AS Id
         FROM customer
         WHERE c_acctbal > 1000
-        ORDER BY Id"""))
+        ORDER BY Id""")),
+
+    // ---- m12: MERGE INTO (CDC upsert) — the lakehouse primitive the
+    // connector upsert and the SCD2 fold specialize: matched keys take
+    // the delta row, unmatched targets survive, unmatched deltas
+    // insert. Delta = %7 balance-bump updates + %101 new keys; the
+    // oracle replays the full-outer merge row-for-row (balances exact
+    // via the +100 integer bump on the loaded double). ---------------------
+    QueryDef(
+      "m12_merge_upsert",
+      (s, d) => {
+        val base = Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        val updates = base.where(pmod(col("c_custkey"), lit(7)) === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+          .withColumn("c_mktsegment", lit("UPDATED"))
+        val inserts = base.where(pmod(col("c_custkey"), lit(101)) === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000)
+        graft.engine.Merge.into(base,
+            updates.unionByName(inserts), "c_custkey")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        WITH base AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        delta AS (
+          SELECT c_custkey, 'UPDATED' AS c_mktsegment,
+                 c_acctbal + 100 AS c_acctbal
+          FROM base WHERE c_custkey % 7 = 0
+          UNION ALL
+          SELECT c_custkey + 1000000, c_mktsegment, c_acctbal
+          FROM base WHERE c_custkey % 101 = 0)
+        SELECT COALESCE(d.c_custkey, b.c_custkey) AS c_custkey,
+               CASE WHEN d.c_custkey IS NOT NULL
+                    THEN d.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
+               CASE WHEN d.c_custkey IS NOT NULL
+                    THEN d.c_acctbal ELSE b.c_acctbal END AS c_acctbal
+        FROM base b FULL OUTER JOIN delta d ON b.c_custkey = d.c_custkey
+        ORDER BY c_custkey"""))
   )
 
   /** The shared SCD2 fixture: customer as version 0 folded with a

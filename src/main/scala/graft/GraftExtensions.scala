@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftExtensions.install(spark)
       _ => ()
     }
+    // the Rule[LogicalPlan] face: declaratively-written kernels (the
+    // HOF dot product) rewrite to their codegen twins, semantics-guarded
+    ext.injectOptimizerRule(_ => graft.plans.KernelSubstitution)
   }
 }
 

@@ -107,4 +107,42 @@ class ExtensionsSuite extends AnyFunSuite {
       LIMIT 3""").collect()
     assert(sim.length == 3)
   }
+
+  test("KernelSubstitution rewrites the HOF dot product to the codegen kernel") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.5, -1.0), Seq(2.0, 2.0)),
+      (Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)) // ragged: must stay null
+    ).toDF("a", "b")
+    def hofDot = aggregate(zip_with(col("a"), col("b"), _ * _), lit(0.0), _ + _)
+    def results(d: org.apache.spark.sql.DataFrame): Seq[Option[Double]] =
+      d.select(hofDot.as("d")).collect().toSeq
+        .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val plain = results(df) // un-rewritten reference
+    val prior = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prior :+ graft.plans.KernelSubstitution
+    // keep the LocalRelation in the plan so the rewrite is observable
+    // (ConvertToLocalRelation would otherwise constant-fold the whole
+    // projection before the assertion can see it)
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+    try {
+      val q = df.select(hofDot.as("d"))
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.contains("graft_dot"),
+        s"rule did not substitute the kernel:\n$p")
+      assert(results(df) == plain,
+        "kernel substitution changed results (incl. the ragged-row null)")
+      assert(plain == Seq(Some(32.0), Some(-1.0), None))
+      // a pattern that does NOT match (different zero) must be untouched
+      val other = df.select(
+        aggregate(zip_with(col("a"), col("b"), _ * _), lit(1.0), _ + _).as("d"))
+      assert(!other.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    } finally {
+      spark.experimental.extraOptimizations = prior
+      spark.conf.unset("spark.sql.optimizer.excludedRules")
+    }
+  }
 }

@@ -1361,6 +1361,55 @@ object Pipeline {
         UNION ALL SELECT 'distinct_union', CAST(du AS BIGINT) FROM out
         UNION ALL SELECT 'distinct_view', CAST(dv AS BIGINT) FROM out
         UNION ALL SELECT 'jaccard6', CAST(j6 AS BIGINT) FROM out
-        ORDER BY metric"""))
+        ORDER BY metric""")),
+
+    // ---- p24: dataset card (per-source corpus summary) --------------------
+    // the "dataset card" table a curation run publishes alongside the
+    // data: volume, token mass, language spread, length envelope, exact-
+    // dup rate and corpus share per source. One groupBy over one scan
+    // (the two count-distincts ride the planner's Expand, still partial-
+    // aggregated) plus a scalar total broadcast (maxRows=1 — the
+    // PlanLint-sanctioned cross-join shape). Every derived ratio is
+    // integral (`div`), so the card is bit-stable at any parallelism.
+    QueryDef(
+      "p24_dataset_card",
+      (s, d) => {
+        val docs = Tables.corpus(s, d)
+          .select(col("source"), col("lang"), col("n_chars"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+            md5(TextOps.normalize(col("text"))).as("__fp"))
+        val perSrc = docs.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("__fp")).as("n_unique"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        val total = docs.agg(count(lit(1)).as("__total_docs")) // scalar, 1 row
+        perSrc.crossJoin(broadcast(total))
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            expr("total_tokens div n_docs").as("avg_tokens"),
+            col("n_langs"), col("min_chars"), col("max_chars"),
+            expr("((n_docs - n_unique) * 1000) div n_docs").as("dup_permille"),
+            expr("(n_docs * 1000) div __total_docs").as("share_permille"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT source, lang, n_chars,
+                 len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+          FROM documents),
+        tot AS (SELECT count(*) AS total_docs FROM docs)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(n_tokens) // count(*) AS BIGINT) AS avg_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+               CAST((count(*) - count(DISTINCT fp)) * 1000 // count(*) AS BIGINT)
+                 AS dup_permille,
+               CAST(count(*) * 1000 // (SELECT total_docs FROM tot) AS BIGINT)
+                 AS share_permille
+        FROM docs GROUP BY source ORDER BY source"""))
   )
 }

@@ -1187,6 +1187,60 @@ object TextAnalysis {
                  * 1000.0 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
                  AS novelty_permille
         FROM grams g JOIN fd f USING (gram)
-        GROUP BY g.doc_id ORDER BY g.doc_id"""))
+        GROUP BY g.doc_id ORDER BY g.doc_id""")),
+
+    // ---- t24: cross-source vocabulary overlap (mix-design matrix) ---------
+    // pairwise source-level vocabulary Jaccard — the overlap matrix that
+    // drives corpus-mix design (how redundant is src_a given src_b?).
+    // Scale shape: the pair space is NEVER materialized per token via a
+    // self-join on the token key (Zipf-skewed); instead each token's
+    // source SET is collected (bounded by the source dimension, partial-
+    // aggregable collect_set) and the a<b pairs expand INLINE from the
+    // sorted array — fan-out <= C(|sources|, 2) per token, a constant of
+    // the dimension, not the corpus. Per-source vocab sizes broadcast
+    // back onto the 190-row pair table.
+    QueryDef(
+      "t24_source_overlap",
+      (s, d) => {
+        val st = Tables.corpus(s, d)
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .where(col("tok") =!= "")
+          .distinct()
+        val vocab = st.groupBy("source").agg(count(lit(1)).as("v"))
+        val inter = st
+          .groupBy("tok").agg(sort_array(collect_set(col("source"))).as("srcs"))
+          .where(size(col("srcs")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(srcs, (a, i) ->
+               transform(slice(srcs, i + 2, size(srcs)),
+                 b -> struct(a AS src_a, b AS src_b))))""")).as("p"))
+          .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(broadcast(vocab.select(col("source").as("src_a"), col("v").as("__va"))), "src_a")
+          .join(broadcast(vocab.select(col("source").as("src_b"), col("v").as("__vb"))), "src_b")
+          .select(col("src_a"), col("src_b"), col("inter"),
+            expr("(inter * 1000000) div (__va + __vb - inter)").as("jaccard6"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""
+        WITH st AS (
+          SELECT DISTINCT source, tok
+          FROM (SELECT source,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents)
+          WHERE tok <> ''),
+        v AS (SELECT source, count(*) AS v FROM st GROUP BY source),
+        pr AS (
+          SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+          FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT src_a, src_b, inter,
+               CAST((inter * 1000000) // (va.v + vb.v - inter) AS BIGINT)
+                 AS jaccard6
+        FROM pr
+        JOIN v va ON va.source = pr.src_a
+        JOIN v vb ON vb.source = pr.src_b
+        ORDER BY src_a, src_b"""))
   )
 }

@@ -526,4 +526,31 @@ class PlanAuditSuite extends SparkSuite {
       "signature cache barrier missing:\n" + p)
     spark.catalog.clearCache()
   }
+
+  test("p24: dataset card is one scan of aggregates plus a scalar broadcast") {
+    val p = plan("p24_dataset_card")
+    // the only join is the 1-row total broadcast against the per-source
+    // card — no sort-merge anywhere, no window
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    // per-source aggregates partially aggregate map-side (Expand for the
+    // two count-distincts still carries partial_count)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("t24: overlap pairs expand inline from bounded source sets, no token self-join") {
+    val p = plan("t24_source_overlap")
+    // the pair space must come from the per-token source ARRAY (fan-out
+    // bounded by the source dimension), never a self-join on the Zipf-
+    // skewed token key
+    assert(!p.contains("SortMergeJoin"),
+      s"t24 must not self-join on tok:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // vocab sizes broadcast onto the 190-row pair table
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+    // collect_set is partial-aggregable: map tasks ship source sets, not rows
+    assert(p.contains("partial_collect_set") || p.contains("objHashAggregate")
+      || p.contains("ObjectHashAggregate"), p)
+  }
 }

@@ -75,6 +75,48 @@ object VectorOps {
     rankTopK(scored, k)
   }
 
+  /** ColBERT-style late-interaction ("maxsim") top-k: each vector
+    * decomposes into `nSub` contiguous sub-vectors standing in for
+    * per-token embeddings, and `score(q, d) = sum over q's sub-vectors
+    * of the BEST dot product against any of d's sub-vectors` — the
+    * late-interaction relevance that keeps per-token granularity
+    * without a token-level index. Computed over SQ8 codes, so every
+    * max/sum is exact small-integer arithmetic in doubles and an
+    * oracle replays the SCORES, not just the ranking. */
+  def maxSimTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nSub: Int): DataFrame = {
+    val spark = queries.sparkSession
+    // each vector decomposes into nSub contiguous sub-vectors ("token
+    // embeddings"); the decomposition is EXPLODED TO ROWS rather than
+    // sliced inside a lambda so the pairwise scoring runs through the
+    // codegen DotProduct kernel on plain attributes (lambda-sliced
+    // arrays would fall back to the interpreted HOF evaluator)
+    def subs(df: DataFrame, idAs: String, iAs: String, sAs: String) =
+      sq8Codes(df, idCol, vecCol, idAs, "__c")
+        .withColumn("__w", (size(col("__c")) / nSub).cast("int"))
+        .select(col(idAs), explode(transform(
+          sequence(lit(0), lit(nSub - 1)),
+          i => struct(i.as("i"),
+            slice(col("__c"), i * col("__w") + 1, col("__w")).as("s"))))
+          .as("__p"))
+        .select(col(idAs), col("__p.i").as(iAs), col("__p.s").as(sAs))
+    val c = subs(corpus, "neighbor_id", "__di", "__ds")
+    val q = subs(queries, "query_id", "__qi", "__qs")
+    // maxsim(q, d) = sum over q's sub-vectors of the best dot against
+    // ANY of d's sub-vectors — the ColBERT late-interaction score, here
+    // over SQ8 codes so every partial max/sum is exact integer
+    // arithmetic in doubles (the s10 replay property). Two partial-
+    // aggregable reductions; the bounded query side broadcasts.
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__qi"),
+        nativeDot(spark, col("__qs"), col("__ds")).as("__d"))
+      .groupBy("query_id", "neighbor_id", "__qi")
+      .agg(max(col("__d")).as("__m"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("__m")).as("cos"))
+    rankTopK(scored, k)
+  }
+
   /** Int8 scalar-quantized cosine top-k (the SQ8 compression family
     * next to PQ): each vector is coded as `floor(x / maxabs * 127 +
     * 0.5)` — 1 byte of information per dimension, an 8x memory cut at

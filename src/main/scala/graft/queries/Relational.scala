@@ -1367,6 +1367,47 @@ object Relational {
                     / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)) * sx)
                  / CAST(n AS DOUBLE)) AS BIGINT) AS intercept6
         FROM m
-        ORDER BY o_orderpriority"""))
+        ORDER BY o_orderpriority""")),
+
+    // ---- q50: skyline (2-D Pareto frontier) -------------------------------
+    // parts not dominated on (size max, price min) — the multi-criteria
+    // shortlist operator. The naive definition is an all-pairs NOT
+    // EXISTS (the oracle runs exactly that); the scale plan exploits the
+    // 2-D structure: per-size min price (partial-aggregated, <= |size
+    // domain| rows), a suffix-min over that BOUNDED aggregate (window
+    // input is the size domain, not the data — the p13 sketch-window
+    // argument), broadcast back; a row survives iff it holds its size's
+    // min AND no larger size undercuts it. One scan + one tiny window +
+    // one broadcast join at any corpus size.
+    QueryDef(
+      "q50_skyline",
+      (s, d) => {
+        val p = Tables(s, d, "part")
+          .select(col("p_partkey"), col("p_size"),
+            round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+        val minP = p.groupBy("p_size")
+          .agg(min(col("price_cents")).as("__minp"))
+        val w = Window.orderBy(col("p_size").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val frontier = minP
+          .withColumn("__above", min(col("__minp")).over(w))
+        p.join(broadcast(frontier), "p_size")
+          .where(col("price_cents") === col("__minp") &&
+            (col("__above").isNull || col("__above") > col("price_cents")))
+          .select(col("p_partkey"), col("p_size"), col("price_cents"))
+          .orderBy("p_partkey")
+      },
+      Some("""
+        WITH p AS (
+          SELECT p_partkey, p_size,
+                 CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+          FROM part)
+        SELECT p_partkey, p_size, price_cents
+        FROM p a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM p b
+          WHERE b.p_size >= a.p_size AND b.price_cents <= a.price_cents
+            AND (b.p_size > a.p_size OR b.price_cents < a.price_cents))
+        ORDER BY p_partkey"""))
   )
 }

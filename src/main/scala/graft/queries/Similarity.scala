@@ -648,6 +648,45 @@ object Similarity {
           JOIN selfd y ON y.vec_id = cand.id_b)
         SELECT id_a, id_b, cos FROM scored
         WHERE cos >= 0.4
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ---- s15: late-interaction retrieval (maxsim over sub-vectors) --------
+    // ColBERT-style scoring: each vector splits into 8 sub-vectors
+    // standing in for per-token embeddings; score = sum over the query's
+    // sub-vectors of the best dot against ANY document sub-vector. Over
+    // SQ8 codes every max/sum is exact integer arithmetic, so the oracle
+    // replays the scores bit-for-bit. Sub-vectors explode to ROWS so the
+    // pairwise dots run through the codegen kernel and both reductions
+    // (max per query-token, sum per pair) partial-aggregate map-side.
+    QueryDef(
+      "s15_maxsim",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        VectorOps.maxSimTopK(emb.where(col("vec_id") < 10), emb,
+            "vec_id", "embedding", k = 5, nSub = 8)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        $sq8CodedSql,
+        sub AS (
+          SELECT vec_id, i, list_slice(c, i * 8 + 1, i * 8 + 8) AS s
+          FROM coded, range(8) r(i)),
+        qs AS (SELECT vec_id, i, s FROM sub WHERE vec_id < 10),
+        mm AS (
+          SELECT qs.vec_id AS query_id, ds.vec_id AS neighbor_id, qs.i,
+                 MAX(list_dot_product(qs.s, ds.s)) AS mx
+          FROM qs JOIN sub ds ON ds.vec_id != qs.vec_id
+          GROUP BY 1, 2, 3),
+        scored AS (
+          SELECT query_id, neighbor_id, SUM(mx) AS cos
+          FROM mm GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank"""))
   )
 }

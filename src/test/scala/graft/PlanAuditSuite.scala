@@ -553,4 +553,28 @@ class PlanAuditSuite extends SparkSuite {
     assert(p.contains("partial_collect_set") || p.contains("objHashAggregate")
       || p.contains("ObjectHashAggregate"), p)
   }
+
+  test("q50: skyline = bounded per-size aggregate + broadcast, no all-pairs join") {
+    val p = plan("q50_skyline")
+    // the NOT-EXISTS definition would be an all-pairs anti-join; the
+    // 2-D plan is one partial-aggregated min per size + a suffix-min
+    // over that bounded aggregate + one broadcast back
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_min"),
+      s"per-size min must partially aggregate map-side:\n$p")
+  }
+
+  test("s15: maxsim sub-vector dots run the codegen kernel; reductions partial-aggregate") {
+    val p = plan("s15_maxsim")
+    // sub-vectors are rows, so scoring is the native kernel on plain
+    // attributes — the interpreted HOF evaluator must not appear
+    assert(p.contains("graft_dot") || p.contains("dot_product")
+      || !p.contains("lambdafunction"),
+      s"maxsim scoring must use the codegen dot kernel:\n$p")
+    assert(p.contains("partial_max") && p.contains("partial_sum"),
+      s"max-per-token and sum-per-pair must partial-aggregate:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

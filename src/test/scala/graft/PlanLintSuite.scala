@@ -62,6 +62,11 @@ class PlanLintSuite extends SparkSuite {
     // the FIXED 2-row query-box dimension broadcast against the bucket
     // stats — a literal LocalRelation, constant at any corpus size
     "p21_zorder_skipping" -> Set("cross-join"),
+    // the suffix-min window runs over the per-size min-price AGGREGATE,
+    // whose cardinality is the p_size domain (<= 50 rows at any corpus
+    // size) — the p13 sketch-window argument; the data-sized side only
+    // ever sees a broadcast join
+    "q50_skyline" -> Set("global-window"),
   )
 
   test("skewed-window rule fires on t23's pre-r9 shape (min over a gram window)") {

@@ -46,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the Rule[LogicalPlan] face: declaratively-written kernels (the
     // HOF dot product) rewrite to their codegen twins, semantics-guarded
     ext.injectOptimizerRule(_ => graft.plans.KernelSubstitution)
+    // the whole-operator face: the physical as-of join
+    // (LogicalPlan -> Strategy -> SparkPlan; see plans/AsOfJoin.scala)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

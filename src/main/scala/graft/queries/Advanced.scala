@@ -164,6 +164,35 @@ object Advanced {
           ON v.user_id = c.user_id AND v.ts <= c.ts
         ORDER BY v.event_id""")),
 
+    // ---- a08: as-of join through the PHYSICAL operator --------------------
+    // a04's exact query run through the custom exec node
+    // (plans/AsOfJoin.scala: AsOfJoinNode -> AsOfJoinStrategy ->
+    // AsOfJoinExec) — one hash shuffle + in-partition sort per side,
+    // streamed two-pointer merge, O(1) state per key. Same DuckDB ASOF
+    // oracle as a04, so the operator is gated on semantics, not just
+    // suite equality with the composed form.
+    QueryDef(
+      "a08_asof_exec",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.where(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"))
+        graft.plans.AsOfJoinOp
+          .asof(purchases, views, "user_id", "ts", "ts", Seq("view_event_id"))
+          .select(col("event_id"), col("user_id"),
+            unix_millis(col("ts")).as("ts_ms"), col("asof_view_event_id"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,
+               v.event_id AS asof_view_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+        ORDER BY c.event_id""")),
+
     // ---- a03: grouping sets ----------------------------------------------
     QueryDef(
       "a03_grouping_sets",

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.ScaleOps
+import graft.plans.AsOfJoinOp
+
+/** The physical as-of join (plans/AsOfJoin.scala) against the composed
+  * union+window formulation (ScaleOps.asofJoin) — same semantics, pinned
+  * row-for-row, plus plan-shape and partitioning-invariance checks. */
+class AsOfJoinExecSuite extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def sides(): (DataFrame, DataFrame) = {
+    val ev = Tables(spark, sf, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"))
+    (purchases, views)
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t"), col("asof_view_event_id"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+  test("exec node equals the composed union+window as-of join") {
+    val (p, v) = sides()
+    val exec = AsOfJoinOp.asof(p, v, "user_id", "ts", "ts", Seq("view_event_id"))
+    val composed = ScaleOps.asofJoin(p, v, "user_id", "ts", "ts", Seq("view_event_id"))
+    assert(canon(exec) == canon(composed))
+    assert(exec.count() == p.count(), "left join: every left row survives")
+  }
+
+  test("tolerance nulls stale matches identically in both forms") {
+    val (p, v) = sides()
+    val exec = AsOfJoinOp.asof(p, v, "user_id", "ts", "ts",
+      Seq("view_event_id"), toleranceSec = Some(3600L))
+    val composed = ScaleOps.asofJoin(p, v, "user_id", "ts", "ts",
+      Seq("view_event_id"), toleranceSec = Some(3600L))
+    assert(canon(exec) == canon(composed))
+    // the tolerance must actually bite somewhere or the test is vacuous
+    val unbounded = AsOfJoinOp.asof(p, v, "user_id", "ts", "ts", Seq("view_event_id"))
+    assert(exec.where(col("asof_view_event_id").isNull).count() >
+      unbounded.where(col("asof_view_event_id").isNull).count())
+  }
+
+  test("result is invariant to input partitioning") {
+    val (p, v) = sides()
+    val base = canon(AsOfJoinOp.asof(p, v, "user_id", "ts", "ts", Seq("view_event_id")))
+    val shuffled = canon(AsOfJoinOp.asof(
+      p.repartition(7, col("event_id")), v.repartition(3),
+      "user_id", "ts", "ts", Seq("view_event_id")))
+    assert(base == shuffled)
+  }
+
+  test("plan: custom exec node, one exchange + sort per side, left partitioning kept") {
+    val (p, v) = sides()
+    val df = AsOfJoinOp.asof(p, v, "user_id", "ts", "ts", Seq("view_event_id"))
+    // AQE wraps the plan in AdaptiveSparkPlanExec (collect doesn't
+    // descend into it) — assert on the rendered tree instead
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("AsOfJoin "), s"AsOfJoinExec missing:\n$s")
+    // EnsureRequirements plans the declared contract: a hash exchange
+    // and an in-partition sort per side, nothing else
+    assert(s.contains("Exchange hashpartitioning"), s)
+    assert(s.contains("Sort ["), s)
+    assert(!s.contains("Window"), s"the physical form must not window:\n$s")
+    // the merge's output advertises the left child's partitioning, so a
+    // downstream per-key aggregate reuses the exchange
+    val agg = df.groupBy("user_id").agg(count(lit(1)))
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(aggPlan).size
+    assert(exchanges <= 2,
+      s"downstream per-key agg must reuse the as-of exchange:\n$aggPlan")
+  }
+
+  test("rows with no at-or-before match carry nulls; null keys never match") {
+    import spark.implicits._
+    AsOfJoinOp.ensureRegistered(spark)
+    val l = Seq((1L, Some(10L), 100L), (2L, Some(10L), 50L), (3L, None, 100L))
+      .toDF("id", "k", "t")
+      .select(col("id"), col("k").as("user_id"), col("t").as("ts"))
+    val r = Seq((Some(10L), 60L, 7L), (Some(10L), 60L, 9L), (None.asInstanceOf[Option[Long]], 1L, 8L))
+      .toDF("k", "t", "pid")
+      .select(col("k").as("user_id"), col("t").as("ts"), col("pid"))
+    val out = AsOfJoinOp.asof(l, r, "user_id", "ts", "ts", Seq("pid"))
+      .select("id", "asof_pid").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) == Some(9L), "duplicate right ts resolves to greatest payload")
+    assert(out(2L) == None, "no at-or-before match -> null")
+    assert(out(3L) == None, "null key never matches")
+  }
+}

@@ -191,7 +191,8 @@ object Advanced {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') c
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON c.user_id = v.user_id AND c.ts >= v.ts
-        ORDER BY c.event_id""")),
+        ORDER BY c.event_id"""),
+      bench = true),
 
     // ---- a03: grouping sets ----------------------------------------------
     QueryDef(

@@ -1410,6 +1410,78 @@ object Pipeline {
                  AS dup_permille,
                CAST(count(*) * 1000 // (SELECT total_docs FROM tot) AS BIGINT)
                  AS share_permille
-        FROM docs GROUP BY source ORDER BY source"""))
+        FROM docs GROUP BY source ORDER BY source""")),
+
+    // ---- p25: cross-source quantile normalization (score calibration) -----
+    // heterogeneous sources score on different scales; calibration maps
+    // each doc's within-source CDF permille onto the GLOBAL score
+    // distribution (the quantile-normalization move). Every window below
+    // reads a HISTOGRAM aggregate, never the data: per-source CDFs ride
+    // the (source, value) histogram (p19's argument), the global
+    // quantile read-off rides the value histogram, and the 1001-row
+    // permille spine joins back as a broadcast. Integral permilles end
+    // to end — bit-stable at any parallelism.
+    QueryDef(
+      "p25_quantile_normalize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.corpus(s, d)
+          .select(col("doc_id"), col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("v"))
+        val hist = docs.groupBy(col("source"), col("v"))
+          .agg(count(lit(1)).as("c"))
+        val wSrc = Window.partitionBy(col("source")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val srcTot = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        val srcCdf = hist.withColumn("cum", sum(col("c")).over(wSrc))
+          .join(broadcast(srcTot), "source")
+          .select(col("source"), col("v"), expr("(cum * 1000) div n").as("pm"))
+        val ghist = docs.groupBy(col("v")).agg(count(lit(1)).as("gc"))
+        val wG = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val gtot = docs.agg(count(lit(1)).as("gn")) // scalar broadcast
+        val gcdf = ghist.withColumn("gcum", sum(col("gc")).over(wG))
+          .crossJoin(broadcast(gtot))
+          .select(col("v").as("gv"), expr("(gcum * 1000) div gn").as("gpm"))
+        val spine = s.range(0, 1001).select(col("id").cast("long").as("pm"))
+        val valueAt = spine
+          .join(broadcast(gcdf), col("gpm") >= col("pm"), "left")
+          .groupBy("pm").agg(min(col("gv")).as("calib"))
+        docs.join(srcCdf, Seq("source", "v"))
+          .join(broadcast(valueAt), "pm")
+          .select(col("doc_id"), col("source"), col("v"), col("pm"),
+            col("calib"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
+          FROM documents),
+        hist AS (SELECT source, v, COUNT(*) AS c FROM docs GROUP BY source, v),
+        stot AS (SELECT source, COUNT(*) AS n FROM docs GROUP BY source),
+        scdf AS (
+          SELECT h.source, h.v,
+                 CAST((SUM(h.c) OVER (PARTITION BY h.source ORDER BY h.v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000)
+                   // t.n AS BIGINT) AS pm
+          FROM hist h JOIN stot t USING (source)),
+        ghist AS (SELECT v, COUNT(*) AS gc FROM docs GROUP BY v),
+        g AS (
+          SELECT v AS gv,
+                 (SUM(gc) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000)
+                   // (SELECT COUNT(*) FROM docs) AS gpm
+          FROM ghist),
+        spine AS (SELECT unnest(generate_series(0, 1000)) AS pm),
+        va AS (
+          SELECT s.pm, MIN(g.gv) AS calib
+          FROM spine s LEFT JOIN g ON g.gpm >= s.pm
+          GROUP BY s.pm)
+        SELECT d.doc_id, d.source, d.v, sc.pm, va.calib
+        FROM docs d
+        JOIN scdf sc ON sc.source = d.source AND sc.v = d.v
+        JOIN va ON va.pm = sc.pm
+        ORDER BY d.doc_id"""))
   )
 }

@@ -565,6 +565,17 @@ class PlanAuditSuite extends SparkSuite {
       s"per-size min must partially aggregate map-side:\n$p")
   }
 
+  test("p25: calibration windows read histograms; spine and quantile maps broadcast") {
+    val p = plan("p25_quantile_normalize")
+    // both CDF windows sit ABOVE a hash aggregate (the histogram), so
+    // their input is distinct-value-sized, never doc-sized
+    assert(p.contains("partial_count"),
+      s"histograms must partially aggregate before the CDF windows:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the 1001-row quantile map must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s15: maxsim sub-vector dots run the codegen kernel; reductions partial-aggregate") {
     val p = plan("s15_maxsim")
     // sub-vectors are rows, so scoring is the native kernel on plain

@@ -62,6 +62,11 @@ class PlanLintSuite extends SparkSuite {
     // the FIXED 2-row query-box dimension broadcast against the bucket
     // stats — a literal LocalRelation, constant at any corpus size
     "p21_zorder_skipping" -> Set("cross-join"),
+    // the global-CDF window runs over the VALUE HISTOGRAM aggregate
+    // (cardinality = distinct score values, not docs — the p13/p19
+    // sketch-window argument); per-source CDFs are ordered-frame windows
+    // over the same histogram and don't trip the linter
+    "p25_quantile_normalize" -> Set("global-window"),
     // the suffix-min window runs over the per-size min-price AGGREGATE,
     // whose cardinality is the p_size domain (<= 50 rows at any corpus
     // size) — the p13 sketch-window argument; the data-sized side only

@@ -35,6 +35,12 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
     import graft.functions.TextOps
 
+    // SPARK_GRAFT_SCALE_ONLY=substr[,substr...] filters the measured ops
+    // (re-measure one family without re-timing the world)
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSeq.map(_.trim))
+    def keep(name: String): Boolean = only.forall(_.exists(name.contains))
+
     val base = graft.Tables.corpus(spark, sfDir)
     def replica(k: Int): DataFrame = base.select(
       (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
@@ -46,7 +52,7 @@ object ScaleCheck {
     // part of the pair-distance distribution for this word-soup corpus,
     // so each copy's fresh hash family re-draws the pair count — times
     // would not be comparing equal work across copies.
-    val ops: Seq[(String, DataFrame => Long)] = Seq(
+    val opsAll: Seq[(String, DataFrame => Long)] = Seq(
       "d01_exact_dedup" -> (docs =>
         docs.groupBy(md5(TextOps.normalize(col("text"))))
           .agg(min(col("doc_id")), count(lit(1))).count()),
@@ -104,6 +110,7 @@ object ScaleCheck {
       "t19_pinned_viterbi" -> (docs =>
         graft.functions.UnigramLM.pinnedSegmentStats(
           docs, "doc_id", "text", maxPieceLen = 4, topMulti = 256).count()))
+    val ops = opsAll.filter(t => keep(t._1))
 
     // warmup: parquet footers AND each operator's codegen/JIT off the
     // clock (the first PPJoin run pays ~3s of whole-stage-codegen
@@ -166,7 +173,7 @@ object ScaleCheck {
           typedlit(signsOf(k)), (x, sgn) => x * sgn).as("embedding"))
     def embCorpus(copies: Int): DataFrame =
       (0 until copies).map(embReplica).reduce(_ union _)
-    val vops: Seq[(String, DataFrame => Long)] = Seq(
+    val vopsAll: Seq[(String, DataFrame => Long)] = Seq(
       "d15_semantic_pinned" -> (e =>
         VectorOps.ivfCosinePairsPinned(e, "vec_id", "embedding",
           threshold = 0.4, nlist = 16, nassign = 2).count()),
@@ -184,6 +191,7 @@ object ScaleCheck {
         VectorOps.lshCosinePairs(planted, "vec_id", "embedding",
           bits, bands, threshold = 0.85).count()
       })
+    val vops = vopsAll.filter(t => keep(t._1))
     vops.foreach { case (_, run) =>
       spark.catalog.clearCache(); run(embCorpus(1)) } // warmup
     val vresults = for ((name, run) <- vops) yield {
@@ -200,6 +208,57 @@ object ScaleCheck {
     }
     println()
     printTable(vresults)
+
+    // ---- events-family growth (as-of merge: composed vs physical) --------
+    // copies shift user_id, so keys are DISJOINT across copies: per-key
+    // work is the base corpus' and total work must grow linearly. The
+    // pair compares the union+window a04 plan against the AsOfJoinExec
+    // merge (a08) on identical inputs.
+    val evBase = graft.Tables(spark, sfDir, "events")
+    def evReplica(k: Int): DataFrame = evBase.select(
+      (col("event_id") + lit(k * 1000000000L)).as("event_id"),
+      col("ts"),
+      (col("user_id") + lit(k * 10000000L)).as("user_id"),
+      col("event_type"))
+    def evCorpus(copies: Int): DataFrame =
+      (0 until copies).map(evReplica).reduce(_ union _)
+    def asofSides(ev: DataFrame): (DataFrame, DataFrame) = {
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"))
+      (purchases, views)
+    }
+    val eopsAll: Seq[(String, DataFrame => Long)] = Seq(
+      "a04_asof_composed" -> { ev =>
+        val (p, v) = asofSides(ev)
+        graft.functions.ScaleOps
+          .asofJoin(p, v, "user_id", "ts", "ts", Seq("view_event_id")).count()
+      },
+      "a08_asof_physical" -> { ev =>
+        val (p, v) = asofSides(ev)
+        graft.plans.AsOfJoinOp
+          .asof(p, v, "user_id", "ts", "ts", Seq("view_event_id")).count()
+      })
+    val eops = eopsAll.filter(t => keep(t._1))
+    if (eops.nonEmpty) {
+      eops.foreach { case (_, run) =>
+        spark.catalog.clearCache(); run(evCorpus(1)) } // warmup
+      val eresults = for ((name, run) <- eops) yield {
+        val times = for (copies <- copiesList) yield {
+          spark.catalog.clearCache()
+          if (proportionalParts)
+            spark.conf.set("spark.sql.shuffle.partitions", baseParts * copies)
+          val ev = evCorpus(copies)
+          val t0 = System.nanoTime()
+          val rows = run(ev)
+          ((copies, (System.nanoTime() - t0) / 1e9, rows))
+        }
+        (name, times)
+      }
+      println()
+      printTable(eresults)
+    }
     spark.stop()
   }
 }

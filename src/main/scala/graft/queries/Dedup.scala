@@ -186,6 +186,62 @@ object Dedup {
       Some(oracleClusters),
       bench = true),
 
+    // ---- q51: recursive CTE (Spark 4's WITH RECURSIVE / UnionLoop) --------
+    // the SQL-surface capability gate: a recursively generated day spine
+    // (the canonical UNION ALL recursion — Spark 4.1 does not yet accept
+    // UNION-distinct steps, so cyclic-graph closures stay with d06's
+    // label propagation) driving a gap-filled daily series, replayed by
+    // DuckDB's recursive CTE. Recursion depth = the DATE RANGE (30
+    // levels here), independent of the event count; the per-day
+    // aggregate underneath partially aggregates as usual.
+    QueryDef(
+      "q51_recursive_cte",
+      (s, d) => {
+        Tables(s, d, "events").createOrReplaceTempView("events_rc")
+        s.sql("""
+          WITH RECURSIVE bounds AS (
+            SELECT to_date(min(ts)) AS d0, to_date(max(ts)) AS d1
+            FROM events_rc
+          ),
+          spine(day) AS (
+            SELECT d0 FROM bounds
+            UNION ALL
+            SELECT date_add(day, 1) FROM spine
+            WHERE day < (SELECT d1 FROM bounds)
+          ),
+          daily AS (
+            SELECT to_date(ts) AS day, count(*) AS n,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+            FROM events_rc GROUP BY 1
+          )
+          SELECT date_format(s.day, 'yyyy-MM-dd') AS day,
+                 coalesce(d.n, 0L) AS n, coalesce(d.purchases, 0L) AS purchases
+          FROM spine s LEFT JOIN daily d ON d.day = s.day
+          ORDER BY day""")
+      },
+      Some("""
+        WITH RECURSIVE bounds AS (
+          SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+          FROM events
+        ),
+        spine(day) AS (
+          SELECT d0 FROM bounds
+          UNION ALL
+          SELECT day + 1 FROM spine
+          WHERE day < (SELECT d1 FROM bounds)
+        ),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+          FROM events GROUP BY 1
+        )
+        SELECT strftime(s.day, '%Y-%m-%d') AS day,
+               coalesce(d.n, 0) AS n, coalesce(d.purchases, 0) AS purchases
+        FROM spine s LEFT JOIN daily d ON d.day = s.day
+        ORDER BY day""")),
+
     // ---- d05: embedding-cosine near-dup, exact baseline -------------------
     QueryDef(
       "d05_embedding_dedup",

@@ -41,7 +41,8 @@ final case class AsOfJoinNode(
     leftTime: Attribute,
     rightTime: Attribute,
     payload: Seq[Attribute],
-    toleranceMicros: Option[Long]) extends BinaryNode {
+    toleranceMicros: Option[Long],
+    forward: Boolean) extends BinaryNode {
 
   /** Output attrs for the matched payload: right's exprIds (so physical
     * binding resolves), `asof_` names, nullable (a left row may have no
@@ -65,7 +66,7 @@ object AsOfJoinStrategy extends SparkStrategy {
     case n: AsOfJoinNode =>
       AsOfJoinExec(planLater(n.left), planLater(n.right),
         n.leftKey, n.rightKey, n.leftTime, n.rightTime,
-        n.payload, n.payloadOut, n.toleranceMicros) :: Nil
+        n.payload, n.payloadOut, n.toleranceMicros, n.forward) :: Nil
     case _ => Nil
   }
 }
@@ -79,7 +80,8 @@ final case class AsOfJoinExec(
     rightTime: Attribute,
     payload: Seq[Attribute],
     payloadOut: Seq[Attribute],
-    toleranceMicros: Option[Long]) extends BinaryExecNode {
+    toleranceMicros: Option[Long],
+    forward: Boolean) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -118,6 +120,7 @@ final case class AsOfJoinExec(
     val lKey = leftKey; val rKey = rightKey
     val lTime = leftTime; val rTime = rightTime
     val tol = toleranceMicros
+    val fwd = forward
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(Seq[org.apache.spark.sql.catalyst.expressions.Expression](lKey), leftOut)
       val rKeyProj = UnsafeProjection.create(Seq[org.apache.spark.sql.catalyst.expressions.Expression](rKey), rightOut)
@@ -160,28 +163,46 @@ final case class AsOfJoinExec(
         val lt = lTimeProj(l)
         val ltNull = lt.isNullAt(0)
         val ltVal = if (ltNull) 0L else lt.getLong(0)
-        // a match held from a previous key is stale
-        if (matchRow != null && keyOrd.compare(matchKey, lk) != 0) {
-          matchRow = null; matchKey = null
+        if (fwd) {
+          // forward: consume right rows strictly before lt (and
+          // null-time rows, which sort first and can never match); the
+          // surviving head is the earliest at-or-after candidate —
+          // PEEKED, not consumed, because it may match several left rows
+          var cont = !ltNull
+          while (cont && rRow != null) {
+            val c = keyOrd.compare(rKeyRow, lk)
+            if (c < 0 || (c == 0 && (rTimeNull || rTimeVal < ltVal)))
+              advanceR()
+            else cont = false
+          }
+          val ok = rRow != null && !lkNull && !ltNull &&
+            keyOrd.compare(rKeyRow, lk) == 0 &&
+            tol.forall(t => rTimeVal - ltVal <= t)
+          resultProj(joined(l, if (ok) rRow else nullRight))
+        } else {
+          // a match held from a previous key is stale
+          if (matchRow != null && keyOrd.compare(matchKey, lk) != 0) {
+            matchRow = null; matchKey = null
+          }
+          // consume right rows up to (key, ts) — rows of earlier keys are
+          // skipped, rows of THIS key at-or-before lt become the match.
+          // Null keys never match (SQL join semantics); null right times
+          // sort first and are consumed without matching.
+          var cont = !ltNull
+          while (cont && rRow != null) {
+            val c = keyOrd.compare(rKeyRow, lk)
+            if (c < 0 || (c == 0 && (rTimeNull || rTimeVal <= ltVal))) {
+              if (c == 0 && !lkNull && !rTimeNull) {
+                matchRow = rRow.copy(); matchKey = lk.copy()
+                matchTime = rTimeVal
+              }
+              advanceR()
+            } else cont = false
+          }
+          val ok = matchRow != null && !lkNull && !ltNull &&
+            tol.forall(t => ltVal - matchTime <= t)
+          resultProj(joined(l, if (ok) matchRow else nullRight))
         }
-        // consume right rows up to (key, ts) — rows of earlier keys are
-        // skipped, rows of THIS key at-or-before lt become the match.
-        // Null keys never match (SQL join semantics); null right times
-        // sort first and are consumed without matching.
-        var cont = !ltNull
-        while (cont && rRow != null) {
-          val c = keyOrd.compare(rKeyRow, lk)
-          if (c < 0 || (c == 0 && (rTimeNull || rTimeVal <= ltVal))) {
-            if (c == 0 && !lkNull && !rTimeNull) {
-              matchRow = rRow.copy(); matchKey = lk.copy()
-              matchTime = rTimeVal
-            }
-            advanceR()
-          } else cont = false
-        }
-        val ok = matchRow != null && !lkNull && !ltNull &&
-          tol.forall(t => ltVal - matchTime <= t)
-        resultProj(joined(l, if (ok) matchRow else nullRight))
       }
     }
   }
@@ -204,12 +225,18 @@ object AsOfJoinOp {
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
   }
 
-  /** Backward as-of join `left` ← latest-at-or-before `right` per key.
-    * `payload` right columns arrive as `asof_<name>` (null when no
-    * match, or when the match is older than `toleranceSec`). */
+  /** As-of join `left` ← nearest `right` per key: backward = latest
+    * at-or-before, forward = earliest at-or-after. `payload` right
+    * columns arrive as `asof_<name>` (null when no match, or when the
+    * match is further than `toleranceSec`). Tie-breaks mirror
+    * [[graft.functions.ScaleOps.asofJoin]]: greatest payload backward,
+    * smallest forward. */
   def asof(left: DataFrame, right: DataFrame, keyCol: String,
       leftTsCol: String, rightTsCol: String, payload: Seq[String],
-      toleranceSec: Option[Long] = None): DataFrame = {
+      toleranceSec: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = left.queryExecution.analyzed
@@ -233,6 +260,7 @@ object AsOfJoinOp {
       lAttr(keyCol), rAttr(keyCol),
       lAttr(leftTsCol), rAttr(rightTsCol),
       payload.map(rAttr),
-      toleranceSec.map(_ * 1000000L)))
+      toleranceSec.map(_ * 1000000L),
+      direction == "forward"))
   }
 }

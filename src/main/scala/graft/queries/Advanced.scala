@@ -194,6 +194,33 @@ object Advanced {
         ORDER BY c.event_id"""),
       bench = true),
 
+    // ---- a09: forward as-of through the physical operator -----------------
+    // a07's query through AsOfJoinExec's forward mode: the merge PEEKS
+    // the earliest at-or-after head instead of consuming matches — same
+    // one-shuffle contract, same DuckDB ASOF (<=) oracle as a07.
+    QueryDef(
+      "a09_asof_exec_forward",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val views = ev.where(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("purchase_event_id"))
+        graft.plans.AsOfJoinOp
+          .asof(views, purchases, "user_id", "ts", "ts",
+            Seq("purchase_event_id"), direction = "forward")
+          .select(col("event_id"), col("user_id"),
+            unix_millis(col("ts")).as("ts_ms"), col("asof_purchase_event_id"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT v.event_id, v.user_id, epoch_ms(v.ts) AS ts_ms,
+               c.event_id AS asof_purchase_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') c
+          ON v.user_id = c.user_id AND v.ts <= c.ts
+        ORDER BY v.event_id""")),
+
     // ---- a03: grouping sets ----------------------------------------------
     QueryDef(
       "a03_grouping_sets",

@@ -48,6 +48,27 @@ class AsOfJoinExecSuite extends SparkSuite {
       unbounded.where(col("asof_view_event_id").isNull).count())
   }
 
+  test("forward mode equals the composed forward as-of join") {
+    val ev = Tables(spark, sf, "events")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("pid"))
+    def c(df: DataFrame): Seq[String] =
+      df.select(col("event_id"), unix_micros(col("ts")), col("asof_pid"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+    val exec = AsOfJoinOp.asof(views, purchases, "user_id", "ts", "ts",
+      Seq("pid"), direction = "forward")
+    val composed = ScaleOps.asofJoin(views, purchases, "user_id", "ts", "ts",
+      Seq("pid"), direction = "forward")
+    assert(c(exec) == c(composed))
+    val execTol = AsOfJoinOp.asof(views, purchases, "user_id", "ts", "ts",
+      Seq("pid"), toleranceSec = Some(3600L), direction = "forward")
+    val compTol = ScaleOps.asofJoin(views, purchases, "user_id", "ts", "ts",
+      Seq("pid"), direction = "forward", toleranceSec = Some(3600L))
+    assert(c(execTol) == c(compTol))
+  }
+
   test("result is invariant to input partitioning") {
     val (p, v) = sides()
     val base = canon(AsOfJoinOp.asof(p, v, "user_id", "ts", "ts", Seq("view_event_id")))

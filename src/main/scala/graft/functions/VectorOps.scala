@@ -202,6 +202,23 @@ object VectorOps {
       idCol: String, vecCol: String, k: Int,
       nlist: Int, nprobe: Int): DataFrame = {
     val spark = corpus.sparkSession
+    val scored = pinnedIvfCandidates(queries, corpus, idCol, vecCol,
+        nlist, nprobe)
+      .select(col("query_id"), col("neighbor_id"),
+        (nativeDot(spark, col("__qc"), col("__cc")) /
+          (col("__qn") * col("__cn"))).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** The pinned-IVF candidate stage shared by [[ivfTopKPinned]] and the
+    * two-stage maxsim retriever: SQ8 codes, pinned codebook, argmax
+    * assignment, nprobe probe lists, bucket equi-join. Output columns:
+    * query_id, neighbor_id, __qc/__qn, __cc/__cn. */
+  private def pinnedIvfCandidates(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      nlist: Int, nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
     val c = withCodeNorm(sq8Codes(corpus, idCol, vecCol, "neighbor_id", "__cc"),
       "__cc", "__cn")
     val q = withCodeNorm(sq8Codes(queries, idCol, vecCol, "query_id", "__qc"),
@@ -226,12 +243,40 @@ object VectorOps {
       1, math.min(nprobe, cents.length))
     val probes = q.select(col("query_id"), col("__qc"), col("__qn"),
       explode(probeList).as("__bucket"))
-    val scored = probes.join(assigned, Seq("__bucket"))
+    probes.join(assigned, Seq("__bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
+  }
+
+  /** Two-stage retrieval: pinned-IVF shortlist -> maxsim re-rank — the
+    * production stack for late interaction at scale (an index narrows
+    * candidates, the expensive per-token score runs only on the
+    * shortlist). Scoring is the inline nSub x nSub sub-vector dot
+    * matrix over SQ8 codes (integer-exact, oracle-replayable); at
+    * production dims the inline HOF becomes a fused codegen kernel, but
+    * the PLAN — candidates from bucket equi-joins, re-rank on the
+    * shortlist only — is already the 100 TB shape. */
+  def maxSimTopKIvf(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nSub: Int,
+      nlist: Int, nprobe: Int): DataFrame = {
+    val scored = pinnedIvfCandidates(queries, corpus, idCol, vecCol,
+        nlist, nprobe)
       .select(col("query_id"), col("neighbor_id"),
-        (nativeDot(spark, col("__qc"), col("__cc")) /
-          (col("__qn") * col("__cn"))).as("cos"))
+        maxSimCol(col("__qc"), col("__cc"), nSub).as("cos"))
     rankTopK(scored, k)
+  }
+
+  /** Inline maxsim over SQ8 code arrays: sum over query sub-vectors of
+    * the best dot against any doc sub-vector (integer-valued doubles —
+    * exact under any accumulation order). */
+  private def maxSimCol(qc: Column, cc: Column, nSub: Int): Column = {
+    val w = (size(qc) / nSub).cast("int")
+    aggregate(
+      sequence(lit(0), lit(nSub - 1)), lit(0.0d),
+      (acc, i) => acc + array_max(
+        transform(sequence(lit(0), lit(nSub - 1)), j =>
+          aggregate(zip_with(slice(qc, i * w + 1, w), slice(cc, j * w + 1, w),
+            (a, b) => a * b), lit(0.0d), (x, y) => x + y))))
   }
 
   /** code norm staged once per row (shared by the pinned variants). */

@@ -687,6 +687,61 @@ object Similarity {
                    ORDER BY cos DESC, neighbor_id) AS rank
           FROM scored)
         SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    // ---- s16: two-stage retrieval (IVF shortlist -> maxsim re-rank) -------
+    // the production late-interaction stack: the pinned-IVF index (s11's
+    // assignment/probe/bucket-join stage, shared code) narrows
+    // candidates, and the expensive per-token maxsim score (s15's
+    // semantics) runs ONLY on the shortlist. Integer-exact end to end,
+    // so the oracle replays index decisions AND re-rank scores.
+    QueryDef(
+      "s16_maxsim_ivf",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        VectorOps.maxSimTopKIvf(emb.where(col("vec_id") < 10), emb,
+            "vec_id", "embedding", k = 5, nSub = 8, nlist = 16, nprobe = 6)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        $sq8CodedSql,
+        cent AS (SELECT vec_id AS cid, c AS cc FROM coded WHERE vec_id < 16),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT d.vec_id, ct.cid,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                     ORDER BY list_dot_product(d.c, ct.cc) DESC, ct.cid) AS rn
+            FROM coded d CROSS JOIN cent ct) t WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cid FROM (
+            SELECT d.vec_id, ct.cid,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                     ORDER BY list_dot_product(d.c, ct.cc) DESC, ct.cid) AS rn
+            FROM coded d CROSS JOIN cent ct WHERE d.vec_id < 10) t
+          WHERE rn <= 6),
+        cand AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id
+          FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id != p.query_id),
+        sub AS (
+          SELECT vec_id, i, list_slice(c, i * 8 + 1, i * 8 + 8) AS s
+          FROM coded, range(8) r(i)),
+        mm AS (
+          SELECT cand.query_id, cand.neighbor_id, qs.i,
+                 MAX(list_dot_product(qs.s, ds.s)) AS mx
+          FROM cand
+          JOIN sub qs ON qs.vec_id = cand.query_id
+          JOIN sub ds ON ds.vec_id = cand.neighbor_id
+          GROUP BY 1, 2, 3),
+        scored AS (
+          SELECT query_id, neighbor_id, SUM(mx) AS cos
+          FROM mm GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank"""))
   )
 }

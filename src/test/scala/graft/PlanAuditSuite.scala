@@ -565,6 +565,17 @@ class PlanAuditSuite extends SparkSuite {
       s"per-size min must partially aggregate map-side:\n$p")
   }
 
+  test("s16: maxsim re-rank runs only on IVF bucket-join candidates") {
+    val p = plan("s16_maxsim_ivf")
+    // stage 1 must be the bucket equi-join (no all-pairs candidate set);
+    // the expensive maxsim score runs above it on the shortlist only
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"s16 candidates must come from the bucket equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("p25: calibration windows read histograms; spine and quantile maps broadcast") {
     val p = plan("p25_quantile_normalize")
     // both CDF windows sit ABOVE a hash aggregate (the histogram), so

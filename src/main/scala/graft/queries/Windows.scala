@@ -438,6 +438,29 @@ object Windows {
         SELECT user_id, view_id, click_id FROM matched
         UNION ALL
         SELECT user_id, view_id, click_id FROM unmatched
-        ORDER BY user_id, click_id, view_id"""))
+        ORDER BY user_id, click_id, view_id""")),
+
+    // ---- w16: stream-static AS-OF enrichment through the engine -----------
+    // a04's semantics run incrementally: each streamed purchase joins
+    // the latest static view at-or-before its event time (broadcast
+    // static side, stateless per batch; per-event struct-max argmax
+    // reproduces the as-of tie-break). Same DuckDB ASOF oracle as a04.
+    QueryDef(
+      "w16_stream_asof",
+      (s, d) => {
+        val views = Tables(s, d, "events")
+          .where(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        graft.streaming.Streams
+          .streamAsofGate(s, s"$d/events.parquet", views)
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,
+               v.event_id AS asof_view_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+        ORDER BY c.event_id"""))
   )
 }

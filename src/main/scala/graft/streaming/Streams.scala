@@ -259,6 +259,43 @@ object Streams {
   /** The Tables.apply physical-layout dispatch for streaming reads
     * (which bypass the loader): nanos-as-long -> micros truncation, or
     * NTZ -> LTZ re-tag under the pinned UTC session. */
+  /** w16's gate: stream-static AS-OF enrichment — every streamed
+    * purchase picks up the latest static view at-or-before its event
+    * time (the SCD2-style "dimension as of the event" lookup run
+    * incrementally). The static side broadcasts with a (user match AND
+    * view_ts <= ts) condition — stateless per batch — and the per-event
+    * `max(struct(view_ts, view_event_id))` argmax reproduces the
+    * composed as-of's tie-break (latest ts, then greatest payload).
+    * Complete mode holds one row per streamed purchase: bounded by the
+    * gate corpus; the production form is append + watermark with the
+    * w14/w15 tail-finalization semantics. */
+  def streamAsofGate(spark: SparkSession, eventsPath: String,
+      views: DataFrame,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val purchases = retagTs(eventStream(spark, eventsPath, maxFilesPerTrigger))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val v = views.select(col("user_id").as("__vu"),
+      col("ts").as("__vts"), col("event_id").as("__vid"))
+    val joined = purchases.join(broadcast(v),
+      purchases("user_id") === col("__vu") && col("__vts") <= purchases("ts"),
+      "left_outer")
+    val agg = joined
+      .groupBy(col("event_id"), col("user_id"), col("ts"))
+      .agg(max(struct(col("__vts"), col("__vid"))).as("__m"))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("__m.__vid").as("asof_view_event_id"))
+    val sink = s"w16_gate_${gateRunSeq.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   private def retagTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

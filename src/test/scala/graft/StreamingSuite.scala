@@ -487,6 +487,10 @@ class StreamingSuite extends SparkSuite {
     check("w08", m => Streams.streamStaticJoinGate(spark, p, m))
     check("w09", m => Streams.streamingDedupGate(spark, p, m))
     check("w10", m => Streams.windowTopKGate(spark, p, "1 hour", 3, m))
+    val w16Views = spark.read.parquet(p)
+      .where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    check("w16", m => Streams.streamAsofGate(spark, p, w16Views, m))
   }
 
   test("w14 left-outer interval join: exact watermark boundary semantics") {

@@ -45,6 +45,26 @@ object Merge {
     joined.select(out: _*)
   }
 
+  /** Full CDC apply (the Debezium-shaped change feed): `changes` rows
+    * carry `opCol` ∈ {'U', 'D'} — upsert or tombstone delete.
+    *
+    *   - matched + U     → update (source wins),
+    *   - unmatched + U   → insert,
+    *   - matched + D     → row removed,
+    *   - unmatched + D   → no-op,
+    *   - untouched target→ kept.
+    *
+    * Precondition (as for MERGE): at most one change per key — CDC
+    * batches are per-key compacted upstream (last op wins). Plan: the
+    * [[into]] full-outer for the upserts plus ONE anti-join against the
+    * (key-only, broadcast-able) tombstone set. */
+  def applyCdc(target: DataFrame, changes: DataFrame, key: String,
+      opCol: String): DataFrame = {
+    val upserts = changes.where(col(opCol) === "U").drop(opCol)
+    val deletes = changes.where(col(opCol) === "D").select(col(key))
+    into(target, upserts, key).join(broadcast(deletes), Seq(key), "left_anti")
+  }
+
   /** `into` with the duplicate-source-key precondition actually
     * enforced (an action): throws if any key occurs twice in `source`.
     * Split from [[into]] so plan-building callers stay lazy. */

@@ -449,7 +449,58 @@ object Mapping {
                CASE WHEN d.c_custkey IS NOT NULL
                     THEN d.c_acctbal ELSE b.c_acctbal END AS c_acctbal
         FROM base b FULL OUTER JOIN delta d ON b.c_custkey = d.c_custkey
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // ---- m13: full CDC apply (upserts + tombstone deletes) ----------------
+    // the Debezium-shaped change feed over m12's MERGE: op='U' rows
+    // upsert (source wins / insert), op='D' rows delete. Delta: %7
+    // non-%13 balance bumps (U), %13 tombstones (D), %101 new keys (U)
+    // — disjoint per key, the per-key-compacted CDC precondition. The
+    // tombstone set anti-joins as a broadcast; the oracle replays the
+    // full-outer merge minus deleted keys row-for-row.
+    QueryDef(
+      "m13_cdc_apply",
+      (s, d) => {
+        val base = Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        val updates = base
+          .where(pmod(col("c_custkey"), lit(7)) === 0 &&
+            pmod(col("c_custkey"), lit(13)) =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+          .withColumn("c_mktsegment", lit("UPDATED"))
+          .withColumn("op", lit("U"))
+        val deletes = base.where(pmod(col("c_custkey"), lit(13)) === 0)
+          .withColumn("op", lit("D"))
+        val inserts = base.where(pmod(col("c_custkey"), lit(101)) === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000)
+          .withColumn("op", lit("U"))
+        graft.engine.Merge.applyCdc(base,
+            updates.unionByName(deletes).unionByName(inserts),
+            "c_custkey", "op")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        WITH base AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        ups AS (
+          SELECT c_custkey, 'UPDATED' AS c_mktsegment,
+                 c_acctbal + 100 AS c_acctbal
+          FROM base WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+          UNION ALL
+          SELECT c_custkey + 1000000, c_mktsegment, c_acctbal
+          FROM base WHERE c_custkey % 101 = 0),
+        dels AS (SELECT c_custkey FROM base WHERE c_custkey % 13 = 0),
+        merged AS (
+          SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+                 CASE WHEN u.c_custkey IS NOT NULL
+                      THEN u.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
+                 CASE WHEN u.c_custkey IS NOT NULL
+                      THEN u.c_acctbal ELSE b.c_acctbal END AS c_acctbal
+          FROM base b FULL OUTER JOIN ups u ON b.c_custkey = u.c_custkey)
+        SELECT m.c_custkey, m.c_mktsegment, m.c_acctbal
+        FROM merged m
+        WHERE NOT EXISTS (SELECT 1 FROM dels WHERE dels.c_custkey = m.c_custkey)
+        ORDER BY m.c_custkey"""))
   )
 
   /** The shared SCD2 fixture: customer as version 0 folded with a

@@ -183,6 +183,17 @@ object ScaleCheck {
       "d09_semantic_kmeans" -> (e =>
         VectorOps.ivfCosinePairs(e, "vec_id", "embedding",
           threshold = 0.4, nlist = 16, nassign = 2).count()),
+      // late interaction: the flat scorer must grow linearly with the
+      // corpus (queries pinned to the 10 base ids); the IVF-shortlisted
+      // two-stage form grows with CANDIDATES (probed buckets), the
+      // production claim for s16
+      "s15_maxsim_flat" -> (e =>
+        VectorOps.maxSimTopK(e.where(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 5, nSub = 8).count()),
+      "s16_maxsim_ivf" -> (e =>
+        VectorOps.maxSimTopKIvf(e.where(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 5, nSub = 8,
+          nlist = 16, nprobe = 6).count()),
       "s07_lsh_sharp" -> { e =>
         val (bits, bands) = VectorOps.lshParamsFor(
           threshold = 0.85, targetRecall = 0.95, maxCandidateFrac = 0.002)

@@ -43,4 +43,27 @@ class MergeSuite extends SparkSuite {
       .as[(Long, String)].collect().toSet
     assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
+
+  test("applyCdc: U upserts, D deletes, tombstone of a missing key no-ops") {
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "seg")
+    val changes = Seq(
+      (2L, "B2", "U"),  // matched update
+      (3L, null, "D"),  // matched delete
+      (4L, "d", "U"),   // unmatched insert
+      (9L, null, "D")   // unmatched tombstone -> no-op
+    ).toDF("k", "seg", "op")
+    val got = Merge.applyCdc(target, changes, "k", "op")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B2"), (4L, "d")))
+  }
+
+  test("applyCdc with no tombstones equals plain merge") {
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "seg")
+    val changes = Seq((2L, "B2", "U"), (3L, "c", "U")).toDF("k", "seg", "op")
+    val cdc = Merge.applyCdc(target, changes, "k", "op")
+      .as[(Long, String)].collect().toSet
+    val plain = Merge.into(target, changes.drop("op"), "k")
+      .as[(Long, String)].collect().toSet
+    assert(cdc == plain)
+  }
 }

@@ -1408,6 +1408,39 @@ object Relational {
           SELECT 1 FROM p b
           WHERE b.p_size >= a.p_size AND b.price_cents <= a.price_cents
             AND (b.p_size > a.p_size OR b.price_cents < a.price_cents))
-        ORDER BY p_partkey"""))
+        ORDER BY p_partkey""")),
+
+    // ---- q52: UNPIVOT (wide metrics -> long form, a01's inverse) ----------
+    // the standard-SQL UNPIVOT clause over a per-flag metric block — a
+    // narrow projection fan-out (3 rows per input row, no shuffle beyond
+    // the aggregate underneath). All metric columns cast to one type, as
+    // the relational UNPIVOT requires.
+    QueryDef(
+      "q52_unpivot",
+      (s, d) => {
+        Tables(s, d, "lineitem").createOrReplaceTempView("li_unpivot")
+        s.sql("""
+          WITH m AS (
+            SELECT l_returnflag,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_disc
+            FROM li_unpivot GROUP BY l_returnflag)
+          SELECT l_returnflag, metric, value
+          FROM m UNPIVOT (value FOR metric IN (sum_qty, n_rows, n_disc))
+          ORDER BY l_returnflag, metric""")
+      },
+      Some("""
+        WITH m AS (
+          SELECT l_returnflag,
+                 CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_disc
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, metric, value
+        FROM m UNPIVOT (value FOR metric IN (sum_qty, n_rows, n_disc))
+        ORDER BY l_returnflag, metric"""))
   )
 }

@@ -218,6 +218,55 @@ object TextOps {
     * column: referencing `array_intersect` twice inside one projection
     * (as the naive jac formula does) evaluates the O(|A|·|B|) intersect
     * twice per candidate — measured as the dominant d02 cost. */
+  /** Directed shingle CONTAINMENT pairs: `C(A→B) = |Sh(A) ∩ Sh(B)| /
+    * |Sh(A)| >= t` — the asymmetric quote/subset signal resemblance
+    * (Jaccard, [[ngramJaccardPairs]]) misses: a short doc fully quoted
+    * inside a long one has high containment but low Jaccard. Broder's
+    * two-measure framing; the dedup policy usually drops the CONTAINED
+    * side.
+    *
+    * Candidate stage: prefix filter on the contained side only — A must
+    * share one of its `ceil((1-t)|A|)+1` RAREST shingles with B (the
+    * asymmetric prefix principle; containment puts no upper bound on
+    * |B|, so the container side is the full inverted index with just
+    * the `|B| >= t|A|` size prune). Rarest-first prefixes keep stop
+    * shingles out of the probe, which is what bounds the join fan-out
+    * at corpus scale. Verify is exact: the codegen two-pointer
+    * intersect over the sorted hash sets, permille-floored integral
+    * compare. Hash space end-to-end (the d02 collision argument). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = threshold
+    val sh = hashedShingleSets(df, idCol, textCol, n).cache()
+    sh.count() // eager: prefix, index, and both verify sides read it
+    val ex = sh.select(col("__id"), size(col("__sh")).as("__n"),
+      explode(col("__sh")).as("__s"))
+    val freq = ex.groupBy("__s").agg(count(lit(1)).as("__df"))
+      .select(col("__s").as("__sf"), col("__df"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__s"))
+    val probe = ex.join(freq, col("__s") === col("__sf")).drop("__sf")
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= ceil(lit(1 - t) * col("__n")) + 1)
+      .select(col("__id").as("id_a"), col("__n").as("n_a"),
+        col("__s").as("__s_p"))
+    val index = ex.select(col("__id").as("id_b"), col("__n").as("n_b"),
+      col("__s").as("__s_i"))
+    val cand = probe.join(index,
+        col("__s_p") === col("__s_i") && col("id_a") =!= col("id_b") &&
+          col("n_b") >= ceil(lit(t) * col("n_a")))
+      .select("id_a", "id_b").distinct()
+    val tPm = math.ceil(t * 1000).toLong
+    cand
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .withColumn("__i",
+        IntersectSize.column(df.sparkSession, col("__sh_a"), col("__sh_b")))
+      .select(col("id_a"), col("id_b"),
+        expr("(__i * 1000) div size(__sh_a)").as("cont_pm"))
+      .where(col("cont_pm") >= tPm)
+  }
+
   def verifyJaccard(sh: DataFrame, candidates: DataFrame,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, LongType}

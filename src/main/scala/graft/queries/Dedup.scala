@@ -242,6 +242,36 @@ object Dedup {
         FROM spine s LEFT JOIN daily d ON d.day = s.day
         ORDER BY day""")),
 
+    // ---- d16: directed shingle containment (quote/subset detection) -------
+    // the asymmetric measure Jaccard misses: a short doc quoted inside a
+    // long one. Prefix filter on the CONTAINED side's rarest shingles,
+    // full inverted index + size prune on the container side, exact
+    // permille verify (TextOps.containmentPairs).
+    QueryDef(
+      "d16_containment",
+      (s, d) =>
+        TextOps.containmentPairs(
+            Tables.corpus(s, d), "doc_id", "text", n = 3, threshold = 0.8)
+          .orderBy("id_a", "id_b"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          FROM toks WHERE len(w) >= 3),
+        ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 count(*) AS shared, any_value(a.n) AS na
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id != b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, CAST(shared * 1000 // na AS BIGINT) AS cont_pm
+        FROM cand WHERE shared * 1000 >= 800 * na
+        ORDER BY id_a, id_b""")),
+
     // ---- d05: embedding-cosine near-dup, exact baseline -------------------
     QueryDef(
       "d05_embedding_dedup",

@@ -109,7 +109,13 @@ object ScaleCheck {
       },
       "t19_pinned_viterbi" -> (docs =>
         graft.functions.UnigramLM.pinnedSegmentStats(
-          docs, "doc_id", "text", maxPieceLen = 4, topMulti = 256).count()))
+          docs, "doc_id", "text", maxPieceLen = 4, topMulti = 256).count()),
+      // asymmetric containment: the probe prefix is the contained side's
+      // rarest shingles only, so fan-out tracks rare-shingle df — the
+      // growth curve is the evidence the full container index doesn't
+      // turn the join quadratic
+      "d16_containment" -> (docs =>
+        TextOps.containmentPairs(docs, "doc_id", "text", 3, 0.8).count()))
     val ops = opsAll.filter(t => keep(t._1))
 
     // warmup: parquet footers AND each operator's codegen/JIT off the

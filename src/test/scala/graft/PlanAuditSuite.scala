@@ -576,6 +576,25 @@ class PlanAuditSuite extends SparkSuite {
       || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("d16: containment probe joins rarest-prefix hashes, never a cartesian") {
+    val df = SparkEntry.queries("d16_containment")(spark, sf)
+    df.collect() // materialize the shingle cache
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate stage must be the prefix-hash equi-join:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"shingle cache barrier missing:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q51: recursion executes through the UnionLoop operator") {
+    val df = SparkEntry.queries("q51_recursive_cte")(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("UnionLoop"),
+      s"WITH RECURSIVE must plan to UnionLoop:\n$p")
+  }
+
   test("p25: calibration windows read histograms; spine and quantile maps broadcast") {
     val p = plan("p25_quantile_normalize")
     // both CDF windows sit ABOVE a hash aggregate (the histogram), so

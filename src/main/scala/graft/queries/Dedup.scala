@@ -270,7 +270,8 @@ object Dedup {
           GROUP BY 1, 2)
         SELECT id_a, id_b, CAST(shared * 1000 // na AS BIGINT) AS cont_pm
         FROM cand WHERE shared * 1000 >= 800 * na
-        ORDER BY id_a, id_b""")),
+        ORDER BY id_a, id_b"""),
+      bench = true),
 
     // ---- d05: embedding-cosine near-dup, exact baseline -------------------
     QueryDef(

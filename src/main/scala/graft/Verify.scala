@@ -70,7 +70,11 @@ object Verify {
           failed.keySet.asScala.toSeq.sorted.mkString(", "))
     }
     // exit 0 even on per-query failure: the driver must still compare the
-    // queries that DID run; verify_errors.json + stderr carry the failures
+    // queries that DID run; verify_errors.json + stderr carry the failures.
+    // CI that wants "ran with errors" distinguishable from "all ran" can
+    // opt into a distinct code without changing the driver contract.
     spark.stop()
+    if (!failed.isEmpty && sys.env.get("SPARK_GRAFT_VERIFY_STRICT").contains("1"))
+      sys.exit(3)
   }
 }

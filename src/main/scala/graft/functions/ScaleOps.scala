@@ -262,6 +262,76 @@ object ScaleOps {
     * can grow without plan blowup. Dangling nodes keep the base rank;
     * departed mass is dropped, matching the documented truncation
     * stance. */
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", 2014) — the O(log n)-round formulation. Label propagation
+    * ([[graft.functions.TextOps.duplicateClusters]]'s distributed loop)
+    * converges in O(diameter) rounds: fine for the plump near-dup
+    * clusters dedup produces, pathological on chain-shaped components
+    * (citation threads, quote chains). The star rounds double the
+    * "pointer-jumping" reach each iteration, so a 10k-long chain
+    * converges in ~log² n rounds instead of 10k.
+    *
+    * Per round: two grouped min-aggregations (map-side partials — the
+    * hot component min collapses per task) + the emit joins, lineage
+    * cut by eager localCheckpoint; the driver sees only the edge-set
+    * checksum (count + hash sum), never data. Output = (idCol,
+    * cluster_id = component min), identical to the propagation
+    * fixpoint — pinned against [[TextOps.duplicateClusters]] and the
+    * d06 oracle. */
+  def connectedComponentsStar(vertices: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 64): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("__cu"), col("__cv")).as("__cu"),
+        least(col("__cu"), col("__cv")).as("__cv"))
+      .where(col("__cu") =!= col("__cv")).distinct()
+    var e = canon(pairs.select(col(aCol).as("__cu"), col(bCol).as("__cv")))
+      .localCheckpoint(true)
+    def checksum(d: DataFrame): (Long, Long) = {
+      // xor-fold: order-independent, overflow-free (ANSI-safe), and the
+      // edge set is distinct so no element can self-cancel
+      val r = d.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("__cu"), col("__cv"))), lit(0L)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var cs = checksum(e)
+    var done = cs._1 == 0L
+    var it = 0
+    while (!done && it < maxIters) {
+      // large-star over the symmetric neighbor view: every neighbor v
+      // strictly above u re-attaches to m = min(Γ(u) ∪ {u})
+      val s = e.unionByName(
+        e.select(col("__cv").as("__cu"), col("__cu").as("__cv")))
+      val mTab = s.groupBy("__cu").agg(min(col("__cv")).as("__mn"))
+      val ls = s.join(mTab, "__cu")
+        .withColumn("__m", least(col("__mn"), col("__cu")))
+        .where(col("__cv") > col("__cu"))
+        .select(col("__cv").as("__cu"), col("__m").as("__cv"))
+      // small-star over the (hi, lo) orientation: every lo neighbor —
+      // and hi itself — re-attaches to the minimum lo
+      val lsE = canon(ls)
+      val mn2 = lsE.groupBy("__cu").agg(min(col("__cv")).as("__m"))
+      val joined = lsE.join(mn2, "__cu")
+      val ss = joined.select(col("__cv").as("__cu"), col("__m").as("__cv"))
+        .unionByName(joined.select(col("__cu"), col("__m").as("__cv")))
+      e = canon(ss).localCheckpoint(true)
+      val ncs = checksum(e)
+      done = ncs == cs
+      cs = ncs
+      it += 1
+    }
+    require(done, s"star CC did not converge in $maxIters rounds")
+    // converged state is a star per component: (non-min -> min) edges
+    val parent = e.groupBy("__cu").agg(min(col("__cv")).as("cluster_id"))
+      .withColumnRenamed("__cu", "__pid")
+    vertices.select(col(idCol))
+      .join(parent, col(idCol) === col("__pid"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+  }
+
   def integerPageRank(vertices: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, scale: Long = 1000000L, dampNum: Long = 85L,

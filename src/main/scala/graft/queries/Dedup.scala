@@ -242,6 +242,22 @@ object Dedup {
         FROM spine s LEFT JOIN daily d ON d.day = s.day
         ORDER BY day""")),
 
+    // ---- d17: connected components via large-star/small-star rounds -------
+    // d06's answer through the O(log n)-round star algorithm (Kiveris
+    // et al. 2014) instead of O(diameter) label propagation — the
+    // chain-robust CC for 100 TB graphs. Same oracle as d06: the
+    // recursive-CTE transitive closure.
+    QueryDef(
+      "d17_cc_star",
+      (s, d) => {
+        val docs = Tables.corpus(s, d)
+        val pairs = TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        graft.functions.ScaleOps
+          .connectedComponentsStar(docs, "doc_id", pairs, "id_a", "id_b")
+          .orderBy("doc_id")
+      },
+      Some(oracleClusters)),
+
     // ---- d16: directed shingle containment (quote/subset detection) -------
     // the asymmetric measure Jaccard misses: a short doc quoted inside a
     // long one. Prefix filter on the CONTAINED side's rarest shingles,

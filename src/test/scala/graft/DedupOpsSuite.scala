@@ -406,6 +406,27 @@ class DedupOpsSuite extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(distributed == clusters,
       "fast path and distributed loop diverged")
+    // the O(log n)-round star algorithm computes the same fixpoint
+    val star = graft.functions.ScaleOps
+      .connectedComponentsStar(docs, "doc_id", pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(star == clusters, "star CC diverged from label propagation")
+  }
+
+  test("star CC resolves a 4000-node chain (diameter >> round budget)") {
+    // the shape label propagation cannot finish in bounded rounds: a
+    // path graph 0-1-2-...-3999 needs O(diameter) propagation rounds,
+    // the alternating star rounds need O(log^2 n)
+    val n = 4000L
+    val verts = spark.range(n).select(col("id").as("doc_id"))
+    val chain = spark.range(n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val cc = graft.functions.ScaleOps
+      .connectedComponentsStar(verts, "doc_id", chain, "id_a", "id_b")
+    val clusters = cc.select("cluster_id").distinct().as[Long].collect()
+    assert(clusters.toSeq == Seq(0L),
+      s"chain must collapse to one component rooted at 0, got $clusters")
+    assert(cc.count() == n)
   }
 
   test("filtered ANN: neighbors share the label; pre-filter fills k where post-filter can't") {

@@ -1241,6 +1241,56 @@ object TextAnalysis {
         FROM pr
         JOIN v va ON va.source = pr.src_a
         JOIN v vb ON vb.source = pr.src_b
-        ORDER BY src_a, src_b"""))
+        ORDER BY src_a, src_b""")),
+
+    // ---- t25: deterministic token dropout (data augmentation) -------------
+    // the augmentation primitive a training pipeline replays: drop each
+    // token by an md5 coin keyed on (doc_id, position, token) at 10% —
+    // the same tokens fall out of any engine, any run, any partitioning
+    // (the p03/p07 determinism stance applied to augmentation). Output
+    // pins the kept COUNT and the md5 of the kept sequence, so the
+    // oracle verifies the exact augmented text without shipping it.
+    // Pure scan-stage projection — no shuffle before the final sort.
+    QueryDef(
+      "t25_token_dropout",
+      (s, d) =>
+        Tables.corpus(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("__t"))
+          .select(col("doc_id"), size(col("__t")).cast("long").as("n_tokens"),
+            filter(
+              transform(col("__t"), (t, i) =>
+                struct(t.as("tok"), i.cast("string").as("i"))),
+              p => shiftright(TextOps.tokenHash64(
+                concat(col("doc_id").cast("string"), lit("|"),
+                  p.getField("i"), lit("|"), p.getField("tok"))), 8)
+                .bitwiseAND(0x7FFFFFFFL) % 10 =!= 0).as("__kept"))
+          .select(col("doc_id"), col("n_tokens"),
+            size(col("__kept")).cast("long").as("n_kept"),
+            when(size(col("__kept")) === 0, lit(null))
+              .otherwise(md5(concat_ws(" ",
+                transform(col("__kept"), p => p.getField("tok")))))
+              .as("aug_fp"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents),
+        ex AS (
+          SELECT doc_id, len(t) AS n_tokens, i, t[i] AS tok
+          FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)),
+        coined AS (
+          SELECT doc_id, n_tokens, i, tok,
+                 ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+                     CAST(i - 1 AS VARCHAR) || '|' || tok), 1, 16))::UBIGINT
+                   >> 8) & 2147483647) % 10 AS coin
+          FROM ex)
+        SELECT doc_id,
+               CAST(any_value(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (WHERE coin <> 0) AS BIGINT) AS n_kept,
+               md5(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE coin <> 0))
+                 AS aug_fp
+        FROM coined
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 }

@@ -113,6 +113,15 @@ final case class AsOfJoinExec(
   require(timeGetter(leftTime) && timeGetter(rightTime),
     "as-of time columns must be timestamp- or long-typed")
 
+  /** The operator reports through the standard SQLMetrics surface —
+    * match rate is the one signal an as-of user actually tunes on
+    * (tolerance too tight / clocks skewed ⇒ matched collapses). */
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched left rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
     val rightOut = right.output
@@ -121,6 +130,8 @@ final case class AsOfJoinExec(
     val lTime = leftTime; val rTime = rightTime
     val tol = toleranceMicros
     val fwd = forward
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(Seq[org.apache.spark.sql.catalyst.expressions.Expression](lKey), leftOut)
       val rKeyProj = UnsafeProjection.create(Seq[org.apache.spark.sql.catalyst.expressions.Expression](rKey), rightOut)
@@ -178,6 +189,8 @@ final case class AsOfJoinExec(
           val ok = rRow != null && !lkNull && !ltNull &&
             keyOrd.compare(rKeyRow, lk) == 0 &&
             tol.forall(t => rTimeVal - ltVal <= t)
+          numOutputRows += 1
+          if (ok) numMatched += 1
           resultProj(joined(l, if (ok) rRow else nullRight))
         } else {
           // a match held from a previous key is stale
@@ -201,6 +214,8 @@ final case class AsOfJoinExec(
           }
           val ok = matchRow != null && !lkNull && !ltNull &&
             tol.forall(t => ltVal - matchTime <= t)
+          numOutputRows += 1
+          if (ok) numMatched += 1
           resultProj(joined(l, if (ok) matchRow else nullRight))
         }
       }

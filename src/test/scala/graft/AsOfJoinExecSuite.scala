@@ -99,6 +99,32 @@ class AsOfJoinExecSuite extends SparkSuite {
       s"downstream per-key agg must reuse the as-of exchange:\n$aggPlan")
   }
 
+  test("SQL metrics: numOutputRows = left count, numMatched = non-null matches") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val (p, v) = sides()
+    val df = AsOfJoinOp.asof(p, v, "user_id", "ts", "ts", Seq("view_event_id"))
+    val total = df.count()
+    val matched = df.where(col("asof_view_event_id").isNotNull).count()
+    df.collect()
+    // query stages are leaves for collect — unwrap them explicitly
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def find(p: SparkPlan): Seq[graft.plans.AsOfJoinExec] = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case q: QueryStageExec => find(q.plan)
+      case e: graft.plans.AsOfJoinExec => Seq(e)
+      case other => other.children.flatMap(find)
+    }
+    val execs = find(df.queryExecution.executedPlan)
+    assert(execs.nonEmpty,
+      s"AsOfJoinExec missing:\n${df.queryExecution.executedPlan}")
+    val m = execs.head.metrics
+    assert(m("numOutputRows").value == total,
+      s"numOutputRows ${m("numOutputRows").value} != $total")
+    assert(m("numMatched").value == matched,
+      s"numMatched ${m("numMatched").value} != $matched")
+  }
+
   test("rows with no at-or-before match carry nulls; null keys never match") {
     import spark.implicits._
     AsOfJoinOp.ensureRegistered(spark)

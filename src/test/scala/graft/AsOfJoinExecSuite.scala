@@ -118,6 +118,14 @@ class AsOfJoinExecSuite extends SparkSuite {
     val execs = find(df.queryExecution.executedPlan)
     assert(execs.nonEmpty,
       s"AsOfJoinExec missing:\n${df.queryExecution.executedPlan}")
+    // AQE's partition coalescing must keep BOTH sides co-partitioned for
+    // the zip merge — the executed plan showing coalesced reads feeding
+    // the node (and the correct counts above) pins that interplay
+    val s2 = df.queryExecution.executedPlan.toString
+    assert(!s2.contains("AQEShuffleRead") ||
+      execs.head.left.toString.contains("AQEShuffleRead") ==
+        execs.head.right.toString.contains("AQEShuffleRead"),
+      s"asymmetric AQE coalescing under the merge:\n$s2")
     val m = execs.head.metrics
     assert(m("numOutputRows").value == total,
       s"numOutputRows ${m("numOutputRows").value} != $total")

@@ -65,6 +65,22 @@ object Merge {
     into(target, upserts, key).join(broadcast(deletes), Seq(key), "left_anti")
   }
 
+  /** [[applyCdc]] with both preconditions actually enforced (actions):
+    * throws on any op code outside {U, D} — an unrecognized op would
+    * otherwise be SILENTLY dropped, "applying" the batch with changes
+    * lost — and on duplicate change keys (the per-key-compacted feed
+    * contract). */
+  def applyCdcChecked(target: DataFrame, changes: DataFrame, key: String,
+      opCol: String): DataFrame = {
+    val bad = changes.where(!col(opCol).isin("U", "D")).count()
+    require(bad == 0,
+      s"CDC feed has $bad rows with op codes outside {U, D} — they would " +
+        "be silently dropped")
+    val dups = changes.groupBy(col(key)).count().where(col("count") > 1).count()
+    require(dups == 0, s"CDC feed has $dups duplicated '$key' keys")
+    applyCdc(target, changes, key, opCol)
+  }
+
   /** `into` with the duplicate-source-key precondition actually
     * enforced (an action): throws if any key occurs twice in `source`.
     * Split from [[into]] so plan-building callers stay lazy. */

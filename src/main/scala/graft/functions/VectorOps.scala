@@ -91,7 +91,7 @@ object VectorOps {
     // sliced inside a lambda so the pairwise scoring runs through the
     // codegen DotProduct kernel on plain attributes (lambda-sliced
     // arrays would fall back to the interpreted HOF evaluator)
-    def subs(df: DataFrame, idAs: String, iAs: String, sAs: String) =
+    def subs(df: DataFrame, idAs: String, iAs: Option[String], sAs: String) =
       sq8Codes(df, idCol, vecCol, idAs, "__c")
         .withColumn("__w", (size(col("__c")) / nSub).cast("int"))
         .select(col(idAs), explode(transform(
@@ -99,9 +99,13 @@ object VectorOps {
           i => struct(i.as("i"),
             slice(col("__c"), i * col("__w") + 1, col("__w")).as("s"))))
           .as("__p"))
-        .select(col(idAs), col("__p.i").as(iAs), col("__p.s").as(sAs))
-    val c = subs(corpus, "neighbor_id", "__di", "__ds")
-    val q = subs(queries, "query_id", "__qi", "__qs")
+        .select(col(idAs) +: (iAs.map(n => col("__p.i").as(n)).toSeq :+
+          col("__p.s").as(sAs)): _*)
+    // the corpus side needs no sub-vector index (only the query's index
+    // groups the max) — dropping it narrows the nSub^2-row-per-pair
+    // join intermediate, the widest relation of the query
+    val c = subs(corpus, "neighbor_id", None, "__ds")
+    val q = subs(queries, "query_id", Some("__qi"), "__qs")
     // maxsim(q, d) = sum over q's sub-vectors of the best dot against
     // ANY of d's sub-vectors — the ColBERT late-interaction score, here
     // over SQ8 codes so every partial max/sum is exact integer

@@ -15,12 +15,18 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * whole-operator extension face next to the engine's expression face
   * (codegen kernels) and rule face ([[KernelSubstitution]]).
   *
-  * Semantics (identical to [[graft.functions.ScaleOps.asofJoin]]'s
-  * backward mode, equality pinned in AsOfJoinExecSuite): for every left
-  * row, the single latest right row of the same key with `right.ts <=
-  * left.ts` (nulls when none, stale matches nulled by the optional
-  * tolerance). Ties on `right.ts` break toward the greatest payload —
-  * the merge formulation's running-`last` under (ts, payload) order.
+  * Semantics (equality with [[graft.functions.ScaleOps.asofJoin]]
+  * pinned in AsOfJoinExecSuite on null-free keys/timestamps): for every
+  * left row, the single latest right row of the same key with
+  * `right.ts <= left.ts` (nulls when none, stale matches nulled by the
+  * optional tolerance). Ties on `right.ts` break toward the greatest
+  * payload — the merge formulation's running-`last` under (ts, payload)
+  * order. NULL semantics deliberately follow SQL joins and therefore
+  * DIVERGE from the composed window form on two edges: a null KEY never
+  * matches here (the window form groups null keys together and matches
+  * within the group), and a null right TIMESTAMP never matches (the
+  * window form's running-last can pick it up). Pinned in the suite's
+  * null-semantics test.
   *
   * Why a physical operator when the composed form exists: the union+
   * window plan materializes BOTH sides through one window sort and
@@ -112,6 +118,21 @@ final case class AsOfJoinExec(
   }
   require(timeGetter(leftTime) && timeGetter(rightTime),
     "as-of time columns must be timestamp- or long-typed")
+  // the merge compares raw longs, so the two time columns must share a
+  // representation: TimestampType micros vs LongType epoch-millis would
+  // silently match everything instead of erroring
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time columns must have the SAME type, got " +
+      s"${leftTime.dataType} vs ${rightTime.dataType}")
+  // the tolerance is expressed in SECONDS and converted to micros —
+  // only meaningful when the columns are micros-backed timestamps; for
+  // raw long time columns the unit would be whatever the caller stored
+  require(toleranceMicros.isEmpty || leftTime.dataType != LongType,
+    "tolerance requires timestamp-typed time columns (long columns have " +
+      "caller-defined units)")
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of key columns must have the SAME type, got " +
+      s"${leftKey.dataType} vs ${rightKey.dataType}")
 
   /** The operator reports through the standard SQLMetrics surface —
     * match rate is the one signal an as-of user actually tunes on
@@ -243,13 +264,14 @@ object AsOfJoinOp {
   /** As-of join `left` ← nearest `right` per key: backward = latest
     * at-or-before, forward = earliest at-or-after. `payload` right
     * columns arrive as `asof_<name>` (null when no match, or when the
-    * match is further than `toleranceSec`). Tie-breaks mirror
+    * match is further than `toleranceSec`). Tie-breaks and the trailing
+    * (direction, toleranceSec) parameter order mirror
     * [[graft.functions.ScaleOps.asofJoin]]: greatest payload backward,
     * smallest forward. */
   def asof(left: DataFrame, right: DataFrame, keyCol: String,
       leftTsCol: String, rightTsCol: String, payload: Seq[String],
-      toleranceSec: Option[Long] = None,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      toleranceSec: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val spark = left.sparkSession
@@ -259,9 +281,14 @@ object AsOfJoinOp {
     // their attribute ids COLLIDE — the analyzer's DeduplicateRelations
     // only fixes that for node types it knows. Re-alias the right side
     // with fresh exprIds so left/right attributes can never alias each
-    // other through the binary node.
+    // other through the binary node. Catalyst cannot column-prune
+    // through the unknown node, so the right side is ALSO projected down
+    // to exactly (key, ts, payload) here — otherwise every right column
+    // rides the shuffle, the sort, and the retained match row.
     val rAnalyzed = right.queryExecution.analyzed
-    val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val needed = (Seq(keyCol, rightTsCol) ++ payload).distinct
+    val rAliases = rAnalyzed.output.filter(a => needed.contains(a.name))
+      .map(a => Alias(a, a.name)())
     val rPlan: LogicalPlan = Project(rAliases, rAnalyzed)
     val rAttrs = rAliases.map(_.toAttribute)
     def lAttr(n: String): Attribute =

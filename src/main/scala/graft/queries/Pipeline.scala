@@ -1385,7 +1385,9 @@ object Pipeline {
           countDistinct(col("__fp")).as("n_unique"),
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
-        val total = docs.agg(count(lit(1)).as("__total_docs")) // scalar, 1 row
+        // scalar total as a rollup of the per-source aggregate — the
+        // whole card really is one scan of documents
+        val total = perSrc.agg(sum(col("n_docs")).as("__total_docs"))
         perSrc.crossJoin(broadcast(total))
           .select(col("source"), col("n_docs"), col("total_tokens"),
             expr("total_tokens div n_docs").as("avg_tokens"),
@@ -1428,18 +1430,23 @@ object Pipeline {
         val docs = Tables.corpus(s, d)
           .select(col("doc_id"), col("source"),
             size(TextOps.tokens(col("text"))).cast("long").as("v"))
+        // ONE tokenization pass builds the (source, value) histogram;
+        // every other relation below — per-source totals, the global
+        // value histogram, the grand total — is a rollup of it (cached:
+        // four readers, distinct-value-sized)
         val hist = docs.groupBy(col("source"), col("v"))
-          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("c")).cache()
+        hist.count() // eager: concurrent first readers recompute
         val wSrc = Window.partitionBy(col("source")).orderBy(col("v"))
           .rowsBetween(Window.unboundedPreceding, 0)
-        val srcTot = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        val srcTot = hist.groupBy("source").agg(sum(col("c")).as("n"))
         val srcCdf = hist.withColumn("cum", sum(col("c")).over(wSrc))
           .join(broadcast(srcTot), "source")
           .select(col("source"), col("v"), expr("(cum * 1000) div n").as("pm"))
-        val ghist = docs.groupBy(col("v")).agg(count(lit(1)).as("gc"))
+        val ghist = hist.groupBy(col("v")).agg(sum(col("c")).as("gc"))
         val wG = Window.orderBy(col("v"))
           .rowsBetween(Window.unboundedPreceding, 0)
-        val gtot = docs.agg(count(lit(1)).as("gn")) // scalar broadcast
+        val gtot = hist.agg(sum(col("c")).as("gn")) // scalar broadcast
         val gcdf = ghist.withColumn("gcum", sum(col("gc")).over(wG))
           .crossJoin(broadcast(gtot))
           .select(col("v").as("gv"), expr("(gcum * 1000) div gn").as("gpm"))

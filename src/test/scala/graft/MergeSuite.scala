@@ -57,6 +57,22 @@ class MergeSuite extends SparkSuite {
     assert(got == Set((1L, "a"), (2L, "B2"), (4L, "d")))
   }
 
+  test("applyCdcChecked rejects unknown op codes and duplicate keys loudly") {
+    val target = Seq((1L, "a")).toDF("k", "seg")
+    val badOp = Seq((2L, "b", "u")).toDF("k", "seg", "op") // lowercase op
+    val e1 = intercept[IllegalArgumentException] {
+      Merge.applyCdcChecked(target, badOp, "k", "op")
+    }
+    assert(e1.getMessage.contains("op codes"))
+    val dupKey = Seq((2L, "b", "U"), (2L, "c", "D")).toDF("k", "seg", "op")
+    val e2 = intercept[IllegalArgumentException] {
+      Merge.applyCdcChecked(target, dupKey, "k", "op")
+    }
+    assert(e2.getMessage.contains("duplicated"))
+    val good = Seq((2L, "b", "U")).toDF("k", "seg", "op")
+    assert(Merge.applyCdcChecked(target, good, "k", "op").count() == 2)
+  }
+
   test("applyCdc with no tombstones equals plain merge") {
     val target = Seq((1L, "a"), (2L, "b")).toDF("k", "seg")
     val changes = Seq((2L, "B2", "U"), (3L, "c", "U")).toDF("k", "seg", "op")

@@ -440,6 +440,54 @@ object Windows {
         SELECT user_id, view_id, click_id FROM unmatched
         ORDER BY user_id, click_id, view_id""")),
 
+    // ---- w17: streaming CDC materialization (transformWithState) ----------
+    // the events table as a change feed (purchase = tombstone delete,
+    // anything else = value upsert) folded into the CURRENT row per user
+    // through per-key ValueState — the incrementally-maintained upsert
+    // view (m13's semantics run incrementally). The fold keeps only
+    // maxima, so state is order-insensitive and batching-invariant;
+    // liveness = latest upsert beats latest delete lexicographically.
+    QueryDef(
+      "w17_stream_cdc",
+      (s, d) =>
+        graft.streaming.Streams
+          .cdcMaterializeGate(s, s"$d/events.parquet")
+          .orderBy("user_id"),
+      Some("""
+        WITH ch AS (
+          SELECT user_id, ts, event_id,
+                 CAST(floor(value * 1e6) AS BIGINT) AS v6,
+                 (event_type = 'purchase') AS is_del
+          FROM events),
+        u AS (
+          SELECT user_id, ts, event_id, v6,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM ch WHERE NOT is_del),
+        dd AS (
+          SELECT user_id, ts, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM ch WHERE is_del),
+        agg AS (
+          SELECT user_id, count(*) AS n_changes,
+                 epoch_ms(max(ts)) AS last_ms
+          FROM ch GROUP BY user_id),
+        u1 AS (SELECT * FROM u WHERE rn = 1),
+        d1 AS (SELECT * FROM dd WHERE rn = 1)
+        SELECT a.user_id, a.n_changes,
+               CAST(CASE WHEN u1.user_id IS NOT NULL AND (d1.user_id IS NULL
+                      OR (u1.ts, u1.event_id) > (d1.ts, d1.event_id))
+                    THEN 1 ELSE 0 END AS BIGINT) AS live,
+               CASE WHEN u1.user_id IS NOT NULL AND (d1.user_id IS NULL
+                      OR (u1.ts, u1.event_id) > (d1.ts, d1.event_id))
+                    THEN u1.v6 END AS last_v6,
+               a.last_ms
+        FROM agg a
+        LEFT JOIN u1 USING (user_id)
+        LEFT JOIN d1 USING (user_id)
+        ORDER BY a.user_id""")),
+
     // ---- w16: stream-static AS-OF enrichment through the engine -----------
     // a04's semantics run incrementally: each streamed purchase joins
     // the latest static view at-or-before its event time (broadcast

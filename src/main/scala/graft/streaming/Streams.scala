@@ -483,6 +483,107 @@ object Streams {
     }
   }
 
+  final case class CdcChange(user_id: Long, ts_us: Long, event_id: Long,
+      v6: Long, is_del: Boolean)
+  final case class CdcState(nChanges: Long, hasU: Boolean, uTs: Long,
+      uId: Long, uV6: Long, hasD: Boolean, dTs: Long, dId: Long, maxTs: Long)
+  final case class CdcSnapshot(user_id: Long, n_changes: Long, live: Long,
+      last_v6: Option[Long], last_ms: Long)
+
+  /** Streaming CDC materialization: per-key ValueState folding an
+    * op-coded change feed (upserts + tombstone deletes, the m13 shape)
+    * into the CURRENT row — the incrementally-maintained upsert view a
+    * lakehouse sink serves. The fold keeps only maxima (latest upsert by
+    * (ts, id), latest delete by (ts, id), change count, max ts), so it
+    * is ORDER-INSENSITIVE: any batching of the same changes reaches the
+    * same state, which is what makes the gate micro-batch invariant
+    * (unlike a sequence-fold, which would depend on arrival order — the
+    * w07 caveat). Liveness resolves at emission: the row exists iff the
+    * latest upsert beats the latest delete lexicographically. */
+  class CdcMaterializeProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, CdcChange, CdcSnapshot] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[CdcState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[CdcState]("state",
+        org.apache.spark.sql.Encoders.product[CdcState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[CdcChange],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[CdcSnapshot] = {
+      def later(ts1: Long, id1: Long, ts2: Long, id2: Long): Boolean =
+        ts1 > ts2 || (ts1 == ts2 && id1 > id2)
+      var s =
+        if (st.exists()) st.get()
+        else CdcState(0L, hasU = false, 0L, 0L, 0L, hasD = false, 0L, 0L,
+          Long.MinValue)
+      rows.foreach { c =>
+        val n = s.copy(nChanges = s.nChanges + 1,
+          maxTs = math.max(s.maxTs, c.ts_us))
+        s =
+          if (c.is_del) {
+            if (!n.hasD || later(c.ts_us, c.event_id, n.dTs, n.dId))
+              n.copy(hasD = true, dTs = c.ts_us, dId = c.event_id)
+            else n
+          } else {
+            if (!n.hasU || later(c.ts_us, c.event_id, n.uTs, n.uId))
+              n.copy(hasU = true, uTs = c.ts_us, uId = c.event_id, uV6 = c.v6)
+            else n
+          }
+      }
+      st.update(s)
+      val live = s.hasU && (!s.hasD ||
+        s.uTs > s.dTs || (s.uTs == s.dTs && s.uId > s.dId))
+      Iterator.single(CdcSnapshot(key, s.nChanges, if (live) 1L else 0L,
+        if (live) Some(s.uV6) else None, s.maxTs / 1000L))
+    }
+  }
+
+  /** The CDC fold as a reusable Dataset transform. */
+  def cdcMaterialize(changes: Dataset[CdcChange]): Dataset[CdcSnapshot] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.user_id)
+      .transformWithState(new CdcMaterializeProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** w17's gate: the events table as a change feed (purchase = tombstone
+    * delete, anything else = value upsert), materialized through
+    * [[CdcMaterializeProcessor]] on the RocksDB store. One input file =
+    * one terminal snapshot per user, which the oracle replays with
+    * per-user latest-upsert/latest-delete windows. */
+  def cdcMaterializeGate(spark: SparkSession, eventsPath: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val PROVIDER = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(PROVIDER)
+    spark.conf.set(PROVIDER,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ch = retagTs(eventStream(spark, eventsPath, maxFilesPerTrigger))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), floor(col("value") * 1e6).cast("long").as("v6"),
+          (col("event_type") === "purchase").as("is_del"))
+        .as[CdcChange]
+      val sink = s"w17_gate_${gateRunSeq.incrementAndGet()}"
+      val q = cdcMaterialize(ch).toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sink)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(PROVIDER, v)
+        case None => spark.conf.unset(PROVIDER)
+      }
+    }
+  }
+
   final case class Doc(key: String, doc_id: Long, text: String)
 
   /** Streaming exact dedup: first occurrence of each content key wins,

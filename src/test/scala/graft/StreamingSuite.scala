@@ -491,6 +491,19 @@ class StreamingSuite extends SparkSuite {
       .where(col("event_type") === "view")
       .select(col("user_id"), col("ts"), col("event_id"))
     check("w16", m => Streams.streamAsofGate(spark, p, w16Views, m))
+    // w17 emits one snapshot per batch-with-input; the CDC fold keeps
+    // only maxima, so the TERMINAL snapshot (max n_changes per user)
+    // must be batching-invariant even though the raw emission stream
+    // grows with batch count
+    def terminal(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      rowsOf(df.groupBy(col("user_id"))
+        .agg(max_by(struct(col("n_changes"), col("live"), col("last_v6"),
+          col("last_ms")), col("n_changes")).as("s"))
+        .select(col("user_id"), col("s.*")))
+    val one17 = terminal(Streams.cdcMaterializeGate(spark, p, None))
+    val many17 = terminal(Streams.cdcMaterializeGate(spark, p, Some(1)))
+    assert(one17.nonEmpty && one17 == many17,
+      "w17 terminal CDC state differs across batchings")
   }
 
   test("w14 left-outer interval join: exact watermark boundary semantics") {

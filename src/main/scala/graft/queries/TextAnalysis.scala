@@ -1291,6 +1291,59 @@ object TextAnalysis {
                  AS aug_fp
         FROM coined
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- t26: token-frequency drift between corpus halves -----------------
+    // the distribution-shift report run between ingestion halves (doc_id
+    // below/at-or-above the midpoint): per-token rate in parts-per-
+    // million on each side, ranked by absolute drift. Everything is a
+    // rollup of ONE (token, half) count table; totals broadcast as
+    // scalars; rates integral (ppm via div) so the report is bit-stable.
+    // Top-20 rides the root ORDER BY + LIMIT (TakeOrderedAndProject —
+    // no global sort materializes).
+    QueryDef(
+      "t26_freq_drift",
+      (s, d) => {
+        val toks = Tables.corpus(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .where(col("tok") =!= "")
+        val mid = toks.agg(((max(col("doc_id")) + 1) / 2).cast("long")
+          .as("__mid")) // scalar broadcast
+        val counts = toks.crossJoin(broadcast(mid))
+          .groupBy(col("tok"))
+          .agg(sum(when(col("doc_id") < col("__mid"), 1L).otherwise(0L)).as("fa"),
+            sum(when(col("doc_id") >= col("__mid"), 1L).otherwise(0L)).as("fb"))
+        val tot = counts.agg(sum(col("fa")).as("na"), sum(col("fb")).as("nb"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("tok"), col("fa"), col("fb"),
+            expr("(fa * 1000000) div na").as("ppm_a"),
+            expr("(fb * 1000000) div nb").as("ppm_b"))
+          .withColumn("drift_ppm", abs(col("ppm_a") - col("ppm_b")))
+          .orderBy(col("drift_ppm").desc, col("tok"))
+          .limit(20)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents),
+        t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        m AS (SELECT (max(doc_id) + 1) // 2 AS mid FROM t),
+        counts AS (
+          SELECT tok,
+                 CAST(sum(CASE WHEN doc_id < (SELECT mid FROM m)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS fa,
+                 CAST(sum(CASE WHEN doc_id >= (SELECT mid FROM m)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS fb
+          FROM t GROUP BY tok),
+        tot AS (SELECT sum(fa) AS na, sum(fb) AS nb FROM counts)
+        SELECT tok, fa, fb,
+               CAST((fa * 1000000) // (SELECT na FROM tot) AS BIGINT) AS ppm_a,
+               CAST((fb * 1000000) // (SELECT nb FROM tot) AS BIGINT) AS ppm_b,
+               CAST(abs((fa * 1000000) // (SELECT na FROM tot)
+                 - (fb * 1000000) // (SELECT nb FROM tot)) AS BIGINT)
+                 AS drift_ppm
+        FROM counts
+        ORDER BY drift_ppm DESC, tok
+        LIMIT 20"""))
   )
 }

@@ -1490,5 +1490,64 @@ object Pipeline {
         JOIN scdf sc ON sc.source = d.source AND sc.v = d.v
         JOIN va ON va.pm = sc.pm
         ORDER BY d.doc_id"""))
+,
+
+    // ---- p26: quality-threshold tradeoff curve ----------------------------
+    // "where do we set the filter?" — for every candidate token-count
+    // floor (steps of 10 up to 200), the docs and token mass that would
+    // survive, as counts and permille of the corpus. One scan builds a
+    // CAPPED-score histogram; the curve is a suffix-sum window over that
+    // bounded (<= 21-row) aggregate; totals are scalar rollups of it.
+    QueryDef(
+      "p26_threshold_curve",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.corpus(s, d)
+          .select(size(TextOps.tokens(col("text"))).cast("long").as("v"))
+        // bucket = the highest threshold the doc survives (capped at 200)
+        val hist = docs
+          .select(least(expr("(v div 10) * 10"), lit(200L)).as("bucket"),
+            col("v"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("toks"))
+        val w = Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = hist.agg(sum(col("n")).as("tn"), sum(col("toks")).as("tt"))
+        hist
+          .withColumn("kept_docs", sum(col("n")).over(w))
+          .withColumn("kept_tokens", sum(col("toks")).over(w))
+          .crossJoin(broadcast(tot))
+          .select(col("bucket").as("threshold"),
+            col("kept_docs"), col("kept_tokens"),
+            expr("(kept_docs * 1000) div tn").as("docs_permille"),
+            expr("(kept_tokens * 1000) div tt").as("tokens_permille"))
+          .orderBy("threshold")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS v
+          FROM documents),
+        hist AS (
+          SELECT least((v // 10) * 10, 200) AS bucket,
+                 count(*) AS n, CAST(sum(v) AS BIGINT) AS toks
+          FROM docs GROUP BY 1),
+        tot AS (SELECT sum(n) AS tn, sum(toks) AS tt FROM hist),
+        curve AS (
+          SELECT bucket,
+                 CAST(SUM(n) OVER (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS kept_docs,
+                 CAST(SUM(toks) OVER (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS kept_tokens
+          FROM hist)
+        SELECT bucket AS threshold, kept_docs, kept_tokens,
+               CAST((kept_docs * 1000) // (SELECT tn FROM tot) AS BIGINT)
+                 AS docs_permille,
+               CAST((kept_tokens * 1000) // (SELECT tt FROM tot) AS BIGINT)
+                 AS tokens_permille
+        FROM curve
+        ORDER BY threshold"""))
   )
 }

@@ -62,6 +62,9 @@ class PlanLintSuite extends SparkSuite {
     // the FIXED 2-row query-box dimension broadcast against the bucket
     // stats — a literal LocalRelation, constant at any corpus size
     "p21_zorder_skipping" -> Set("cross-join"),
+    // the suffix-sum window runs over the CAPPED threshold-bucket
+    // histogram (<= 21 rows by construction at any corpus size)
+    "p26_threshold_curve" -> Set("global-window"),
     // the global-CDF window runs over the VALUE HISTOGRAM aggregate
     // (cardinality = distinct score values, not docs — the p13/p19
     // sketch-window argument); per-source CDFs are ordered-frame windows

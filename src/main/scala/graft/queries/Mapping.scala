@@ -500,7 +500,47 @@ object Mapping {
         SELECT m.c_custkey, m.c_mktsegment, m.c_acctbal
         FROM merged m
         WHERE NOT EXISTS (SELECT 1 FROM dels WHERE dels.c_custkey = m.c_custkey)
-        ORDER BY m.c_custkey"""))
+        ORDER BY m.c_custkey""")),
+
+    // ---- m14: migration dry-run report ------------------------------------
+    // the pre-flight an operator reviews before m02 actually writes:
+    // source volume, rows the spec's WHERE keeps/excludes, key
+    // distinctness, selected share — all SPEC-DRIVEN on the Spark side
+    // (the filtered count comes from MappingCompiler.sourceQuery, not a
+    // re-typed predicate), long-form (metric, value) rows via stack.
+    QueryDef(
+      "m14_dry_run",
+      (s, d) => {
+        val spec = customerSpec
+        val src = catalog(s, d)(spec.sourceObject)
+        val filtered = MappingCompiler.sourceQuery(catalog(s, d), spec)
+        val a = src.agg(count(lit(1)).as("source_rows"),
+          countDistinct(col("Id")).as("distinct_keys"))
+        val b = filtered.agg(count(lit(1)).as("filtered_rows"))
+        a.crossJoin(broadcast(b))
+          .select(expr("""stack(5,
+            'distinct_keys', distinct_keys,
+            'excluded_rows', source_rows - filtered_rows,
+            'filtered_rows', filtered_rows,
+            'selected_permille', (filtered_rows * 1000) div source_rows,
+            'source_rows', source_rows) AS (metric, value)"""))
+          .orderBy("metric")
+      },
+      Some("""
+        WITH s AS (
+          SELECT count(*) AS source_rows,
+                 CAST(count(DISTINCT c_custkey) AS BIGINT) AS distinct_keys,
+                 CAST(sum(CASE WHEN c_acctbal > 1000 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS filtered_rows
+          FROM customer)
+        SELECT metric, CAST(value AS BIGINT) AS value FROM (
+          SELECT 'source_rows' AS metric, source_rows AS value FROM s
+          UNION ALL SELECT 'filtered_rows', filtered_rows FROM s
+          UNION ALL SELECT 'excluded_rows', source_rows - filtered_rows FROM s
+          UNION ALL SELECT 'distinct_keys', distinct_keys FROM s
+          UNION ALL SELECT 'selected_permille',
+            (filtered_rows * 1000) // source_rows FROM s)
+        ORDER BY metric"""))
   )
 
   /** The shared SCD2 fixture: customer as version 0 folded with a

@@ -270,6 +270,65 @@ object VectorOps {
     rankTopK(scored, k)
   }
 
+  /** Recall@nprobe tuning curve for the pinned IVF index: ground truth
+    * is the SQ8 quantized-cosine brute-force top-k (exact integer
+    * arithmetic — replayable), and for each probe budget `p` in
+    * 1..maxProbe the curve reports how many true neighbors live in the
+    * query's first `p` probed buckets. THE report an operator reads to
+    * pick nprobe; because every stage is integer-exact, an oracle
+    * replays the recall numbers themselves, not a statistical bound.
+    * Cost: one assignment pass, one (bounded-query-side) brute-force
+    * truth pass, and per-truth-row rank lookups — the curve adds
+    * nothing data-sized beyond what s01/s11 already compute. */
+  def ivfRecallCurve(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int, maxProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = withCodeNorm(sq8Codes(corpus, idCol, vecCol, "neighbor_id", "__cc"),
+      "__cc", "__cn")
+    val q = withCodeNorm(sq8Codes(queries, idCol, vecCol, "query_id", "__qc"),
+      "__qc", "__qn")
+    val cents = pinnedCodebook(c, "neighbor_id", "__cc", nlist)
+    val centCols = cents.map(ct => array(ct.map(lit): _*))
+    def dots(v: Column): Column =
+      array(centCols.map(ct => nativeDot(spark, v, ct)): _*)
+    val assigned = c.withColumn("__dots", dots(col("__cc")))
+      .withColumn("__bucket",
+        (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast("int"))
+      .select(col("neighbor_id"), col("__bucket"))
+    // rank of EVERY centroid per query (ties -> lowest cid), 1-based
+    val probeRank = q.select(col("query_id"),
+        posexplode(transform(
+          array_sort(zip_with(
+            dots(col("__qc")),
+            sequence(lit(0), lit(cents.length - 1)),
+            (dd, i) => struct((-dd).as("nd"), i.as("idx")))),
+          s => s.getField("idx"))))
+      .select(col("query_id"), (col("pos") + 1).as("__prank"),
+        col("col").as("__cid"))
+    val truth = rankTopK(
+      c.crossJoin(broadcast(q))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (nativeDot(spark, col("__qc"), col("__cc")) /
+            (col("__qn") * col("__cn"))).as("cos")), k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(assigned, "neighbor_id")
+      .join(probeRank, Seq("query_id"))
+      .where(col("__cid") === col("__bucket"))
+      .select(col("query_id"), col("neighbor_id"), col("__prank"))
+    val denom = truth.agg(count(lit(1)).as("__truth_n")) // scalar
+    val spine = spark.range(1, maxProbe + 1L)
+      .select(col("id").cast("int").as("nprobe"))
+    spine.join(broadcast(hits), col("__prank") <= col("nprobe"), "left")
+      .groupBy("nprobe")
+      .agg(count(col("neighbor_id")).as("hits"))
+      .crossJoin(broadcast(denom))
+      .select(col("nprobe"), col("hits"),
+        expr("(hits * 1000) div __truth_n").as("recall_permille"))
+      .orderBy("nprobe")
+  }
+
   /** Inline maxsim over SQ8 code arrays: sum over query sub-vectors of
     * the best dot against any doc sub-vector (integer-valued doubles —
     * exact under any accumulation order). */

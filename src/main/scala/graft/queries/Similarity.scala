@@ -742,6 +742,59 @@ object Similarity {
                    ORDER BY cos DESC, neighbor_id) AS rank
           FROM scored)
         SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
-        ORDER BY query_id, rank"""))
+        ORDER BY query_id, rank""")),
+
+    // ---- s17: IVF recall@nprobe tuning curve ------------------------------
+    // THE report an operator reads to pick nprobe: true (quantized
+    // brute-force) top-5 neighbors vs the probe rank of each one's
+    // bucket under the pinned coarse quantizer. Integer-exact end to
+    // end, so the oracle replays the recall numbers themselves.
+    QueryDef(
+      "s17_ivf_recall_curve",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        VectorOps.ivfRecallCurve(emb.where(col("vec_id") < 10), emb,
+            "vec_id", "embedding", k = 5, nlist = 16, maxProbe = 8)
+      },
+      Some(s"""
+        $sq8CodedSql,
+        cent AS (SELECT vec_id AS cid, c AS cc FROM coded WHERE vec_id < 16),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT d.vec_id, ct.cid,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                     ORDER BY list_dot_product(d.c, ct.cc) DESC, ct.cid) AS rn
+            FROM coded d CROSS JOIN cent ct) t WHERE rn = 1),
+        pranks AS (
+          SELECT d.vec_id AS query_id, ct.cid,
+                 ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                   ORDER BY list_dot_product(d.c, ct.cc) DESC, ct.cid) AS prank
+          FROM coded d CROSS JOIN cent ct WHERE d.vec_id < 10),
+        scored AS (
+          SELECT q.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                 list_dot_product(q.c, cc.c) / (q.n * cc.n) AS cos
+          FROM selfd q JOIN selfd cc ON q.vec_id != cc.vec_id
+          WHERE q.vec_id < 10),
+        truth AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored) WHERE rank <= 5),
+        hits AS (
+          SELECT t.query_id, t.neighbor_id, p.prank
+          FROM truth t
+          JOIN assign a ON a.vec_id = t.neighbor_id
+          JOIN pranks p ON p.query_id = t.query_id AND p.cid = a.cid),
+        spine AS (SELECT unnest(generate_series(1, 8)) AS nprobe),
+        curve AS (
+          SELECT s.nprobe, count(h.neighbor_id) AS hits
+          FROM spine s LEFT JOIN hits h ON h.prank <= s.nprobe
+          GROUP BY s.nprobe)
+        SELECT CAST(nprobe AS INT) AS nprobe, hits,
+               CAST((hits * 1000) // (SELECT count(*) FROM truth) AS BIGINT)
+                 AS recall_permille
+        FROM curve
+        ORDER BY nprobe"""))
   )
 }

@@ -218,10 +218,15 @@ object VectorOps {
     * two-stage maxsim retriever: SQ8 codes, pinned codebook, argmax
     * assignment, nprobe probe lists, bucket equi-join. Output columns:
     * query_id, neighbor_id, __qc/__qn, __cc/__cn. */
-  private def pinnedIvfCandidates(
-      queries: DataFrame, corpus: DataFrame,
+  /** Shared pinned-IVF model pieces — the ONE place the quantization,
+    * codebook, argmax-assignment and probe-order conventions live, so
+    * the gates (s11/s13/s16) and the recall curve (s17) cannot
+    * silently diverge. Returns (corpus codes with `__bucket`, query
+    * codes with the FULL best-first `__probes` centroid order, and the
+    * codebook size). */
+  private def pinnedIvfModel(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String,
-      nlist: Int, nprobe: Int): DataFrame = {
+      nlist: Int): (DataFrame, DataFrame, Int) = {
     val spark = corpus.sparkSession
     val c = withCodeNorm(sq8Codes(corpus, idCol, vecCol, "neighbor_id", "__cc"),
       "__cc", "__cn")
@@ -237,16 +242,25 @@ object VectorOps {
       .withColumn("__bucket",
         (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast("int"))
       .drop("__dots")
-    val probeList = slice(
+    val qProbes = q.withColumn("__probes",
       transform(
         array_sort(zip_with(
           dots(col("__qc")),
           sequence(lit(0), lit(cents.length - 1)),
           (d, i) => struct((-d).as("nd"), i.as("idx")))),
-        s => s.getField("idx")),
-      1, math.min(nprobe, cents.length))
-    val probes = q.select(col("query_id"), col("__qc"), col("__qn"),
-      explode(probeList).as("__bucket"))
+        s => s.getField("idx")))
+    (assigned, qProbes, cents.length)
+  }
+
+  private def pinnedIvfCandidates(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      nlist: Int, nprobe: Int): DataFrame = {
+    val (assigned, qProbes, nCents) =
+      pinnedIvfModel(queries, corpus, idCol, vecCol, nlist)
+    val probes = qProbes.select(col("query_id"), col("__qc"), col("__qn"),
+      explode(slice(col("__probes"), 1, math.min(nprobe, nCents)))
+        .as("__bucket"))
     probes.join(assigned, Seq("__bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
   }
@@ -284,30 +298,17 @@ object VectorOps {
       idCol: String, vecCol: String, k: Int,
       nlist: Int, maxProbe: Int): DataFrame = {
     val spark = corpus.sparkSession
-    val c = withCodeNorm(sq8Codes(corpus, idCol, vecCol, "neighbor_id", "__cc"),
-      "__cc", "__cn")
-    val q = withCodeNorm(sq8Codes(queries, idCol, vecCol, "query_id", "__qc"),
-      "__qc", "__qn")
-    val cents = pinnedCodebook(c, "neighbor_id", "__cc", nlist)
-    val centCols = cents.map(ct => array(ct.map(lit): _*))
-    def dots(v: Column): Column =
-      array(centCols.map(ct => nativeDot(spark, v, ct)): _*)
-    val assigned = c.withColumn("__dots", dots(col("__cc")))
-      .withColumn("__bucket",
-        (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast("int"))
-      .select(col("neighbor_id"), col("__bucket"))
+    val (assignedFull, qProbes, _) =
+      pinnedIvfModel(queries, corpus, idCol, vecCol, nlist)
+    val assigned = assignedFull.select(col("neighbor_id"), col("__bucket"))
     // rank of EVERY centroid per query (ties -> lowest cid), 1-based
-    val probeRank = q.select(col("query_id"),
-        posexplode(transform(
-          array_sort(zip_with(
-            dots(col("__qc")),
-            sequence(lit(0), lit(cents.length - 1)),
-            (dd, i) => struct((-dd).as("nd"), i.as("idx")))),
-          s => s.getField("idx"))))
+    val probeRank = qProbes
+      .select(col("query_id"), posexplode(col("__probes")))
       .select(col("query_id"), (col("pos") + 1).as("__prank"),
         col("col").as("__cid"))
     val truth = rankTopK(
-      c.crossJoin(broadcast(q))
+      assignedFull.crossJoin(broadcast(
+          qProbes.select(col("query_id"), col("__qc"), col("__qn"))))
         .where(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
           (nativeDot(spark, col("__qc"), col("__cc")) /

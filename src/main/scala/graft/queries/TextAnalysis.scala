@@ -1307,8 +1307,13 @@ object TextAnalysis {
         val toks = Tables.corpus(s, d)
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
           .where(col("tok") =!= "")
-        val mid = toks.agg(((max(col("doc_id")) + 1) / 2).cast("long")
-          .as("__mid")) // scalar broadcast
+        // the midpoint comes from the UN-exploded scan: a doc yields a
+        // non-empty token iff its trimmed text is non-empty, so this is
+        // the same max(doc_id) without re-running split+explode
+        val mid = Tables.corpus(s, d)
+          .where(trim(col("text")) =!= "")
+          .agg(((max(col("doc_id")) + 1) / 2).cast("long")
+            .as("__mid")) // scalar broadcast
         val counts = toks.crossJoin(broadcast(mid))
           .groupBy(col("tok"))
           .agg(sum(when(col("doc_id") < col("__mid"), 1L).otherwise(0L)).as("fa"),

@@ -455,14 +455,33 @@ object Streams {
     * requires the RocksDB state store; the gate pins the provider conf
     * for its run and restores the prior value (the other gates run the
     * default HDFS-backed store). */
+  /** `transformWithState` requires the RocksDB state store; two gates
+    * pin the session-global provider conf for their run. The whole
+    * set→run→restore window is SERIALIZED by this lock: without it,
+    * concurrent gate runs (Verify's thread pool) can unset the provider
+    * while the other's stream is still initializing (crash), or
+    * "restore" the other's transient value and leave the session
+    * permanently pinned. A non-pinning streaming gate that starts
+    * inside the window simply runs that one query on RocksDB — store
+    * choice is operational, not semantic. */
+  private val stateProviderLock = new Object
+  private def withRocksDbProvider[A](spark: SparkSession)(body: => A): A =
+    stateProviderLock.synchronized {
+      val PROVIDER = "spark.sql.streaming.stateStore.providerClass"
+      val prior = spark.conf.getOption(PROVIDER)
+      spark.conf.set(PROVIDER,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try body
+      finally prior match {
+        case Some(v) => spark.conf.set(PROVIDER, v)
+        case None => spark.conf.unset(PROVIDER)
+      }
+    }
+
   def typeTallyGate(spark: SparkSession, eventsPath: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val PROVIDER = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(PROVIDER)
-    spark.conf.set(PROVIDER,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDbProvider(spark) {
       val ev = retagTs(eventStream(spark, eventsPath, maxFilesPerTrigger))
         .select(col("user_id"), col("event_type"),
           floor(col("value") * 1e6).cast("long").as("v6"))
@@ -475,11 +494,6 @@ object Streams {
         .start()
       q.awaitTermination()
       spark.table(sink)
-    } finally {
-      prior match {
-        case Some(v) => spark.conf.set(PROVIDER, v)
-        case None => spark.conf.unset(PROVIDER)
-      }
     }
   }
 
@@ -534,8 +548,7 @@ object Streams {
           }
       }
       st.update(s)
-      val live = s.hasU && (!s.hasD ||
-        s.uTs > s.dTs || (s.uTs == s.dTs && s.uId > s.dId))
+      val live = s.hasU && (!s.hasD || later(s.uTs, s.uId, s.dTs, s.dId))
       Iterator.single(CdcSnapshot(key, s.nChanges, if (live) 1L else 0L,
         if (live) Some(s.uV6) else None, s.maxTs / 1000L))
     }
@@ -558,11 +571,7 @@ object Streams {
   def cdcMaterializeGate(spark: SparkSession, eventsPath: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val PROVIDER = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(PROVIDER)
-    spark.conf.set(PROVIDER,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDbProvider(spark) {
       val ch = retagTs(eventStream(spark, eventsPath, maxFilesPerTrigger))
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_id"), floor(col("value") * 1e6).cast("long").as("v6"),
@@ -576,11 +585,6 @@ object Streams {
         .start()
       q.awaitTermination()
       spark.table(sink)
-    } finally {
-      prior match {
-        case Some(v) => spark.conf.set(PROVIDER, v)
-        case None => spark.conf.unset(PROVIDER)
-      }
     }
   }
 

@@ -242,6 +242,58 @@ object Dedup {
         FROM spine s LEFT JOIN daily d ON d.day = s.day
         ORDER BY day""")),
 
+    // ---- d18: dedup savings report (cluster-size histogram) ---------------
+    // the "what does dedup buy us" planning report: per near-dup cluster
+    // size, how many clusters/docs exist, their token mass, and the
+    // tokens saved by keeping only each cluster's representative (the
+    // min-id doc, d12's convention). Rollups of d06's cluster labels
+    // joined to per-doc token counts — two bounded aggregations over
+    // the label table.
+    QueryDef(
+      "d18_dedup_savings",
+      (s, d) => {
+        val docs = Tables.corpus(s, d)
+        val pairs = TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        val clusters = TextOps.duplicateClusters(docs, "doc_id", pairs)
+        val toks = docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("v"))
+        val per = clusters.join(toks, "doc_id")
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("sz"), sum(col("v")).as("tok"),
+            sum(when(col("doc_id") === col("cluster_id"), col("v"))
+              .otherwise(0L)).as("rep_tok"))
+        per.groupBy("sz")
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("tok")).as("tokens_total"),
+            sum(col("tok") - col("rep_tok")).as("tokens_saved"))
+          .select(col("sz").as("cluster_size"), col("n_clusters"),
+            (col("sz") * col("n_clusters")).as("n_docs"),
+            col("tokens_total"), col("tokens_saved"))
+          .orderBy("cluster_size")
+      },
+      Some(s"""
+        $oracleClustersCte,
+        cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+        tk AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS v
+          FROM documents),
+        per AS (
+          SELECT cl.cluster_id, count(*) AS sz,
+                 CAST(sum(tk.v) AS BIGINT) AS tok,
+                 CAST(sum(CASE WHEN cl.doc_id = cl.cluster_id
+                          THEN tk.v ELSE 0 END) AS BIGINT) AS rep_tok
+          FROM cl JOIN tk USING (doc_id)
+          GROUP BY cl.cluster_id)
+        SELECT sz AS cluster_size, count(*) AS n_clusters,
+               CAST(sz * count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS tokens_total,
+               CAST(sum(tok - rep_tok) AS BIGINT) AS tokens_saved
+        FROM per
+        GROUP BY sz
+        ORDER BY cluster_size""")),
+
     // ---- d17: connected components via large-star/small-star rounds -------
     // d06's answer through the O(log n)-round star algorithm (Kiveris
     // et al. 2014) instead of O(diameter) label propagation — the

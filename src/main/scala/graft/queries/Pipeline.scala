@@ -1548,6 +1548,42 @@ object Pipeline {
                CAST((kept_tokens * 1000) // (SELECT tt FROM tot) AS BIGINT)
                  AS tokens_permille
         FROM curve
-        ORDER BY threshold"""))
+        ORDER BY threshold""")),
+
+    // ---- p27: shard planner (cumulative-token bin assignment) -------------
+    // export planning: docs pack into ~fixed-token shards in doc_id
+    // order — shard = EXCLUSIVE cumulative tokens div target, so a doc
+    // starts a new shard exactly when the running mass crosses the
+    // boundary. The global ordered prefix sum rides
+    // ScaleOps.runningTotal's two-pass distributed formulation (range
+    // partition + per-partition offsets — no single-partition window),
+    // replayed by DuckDB's ordered window.
+    QueryDef(
+      "p27_shard_plan",
+      (s, d) => {
+        val docs = Tables.corpus(s, d)
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("v"))
+        val target = 2000L
+        ScaleOps.runningTotal(docs, "v", Seq(col("doc_id")), "cum")
+          .select(col("doc_id"), col("v"),
+            expr(s"((cum - v) div $target)").as("shard_id"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS v
+          FROM documents),
+        c AS (
+          SELECT doc_id, v,
+                 CAST(SUM(v) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM docs)
+        SELECT doc_id, v, CAST((cum - v) // 2000 AS BIGINT) AS shard_id
+        FROM c
+        ORDER BY doc_id"""))
   )
 }

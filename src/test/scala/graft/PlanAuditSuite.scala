@@ -576,6 +576,28 @@ class PlanAuditSuite extends SparkSuite {
       || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("p27: shard plan rides the distributed prefix sum, no global window") {
+    val df = SparkEntry.queries("p27_shard_plan")(spark, sf)
+    df.collect() // materialize the pinned-pid cache
+    val p = df.queryExecution.executedPlan.toString
+    // the running sum must be the two-pass formulation: a pid-keyed
+    // window over the cached range-sorted frame, never a
+    // single-partition global window
+    assert(!p.contains("Window [") ||
+      p.contains("windowspecdefinition(__pid"),
+      s"p27 cumulative sum must window by __pid:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"pinned-pid cache barrier missing:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("m14: dry-run counts broadcast; no data-sized join") {
+    val p = plan("m14_dry_run")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("d16: containment probe joins rarest-prefix hashes, never a cartesian") {
     val df = SparkEntry.queries("d16_containment")(spark, sf)
     df.collect() // materialize the shingle cache

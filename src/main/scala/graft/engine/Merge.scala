@@ -57,12 +57,16 @@ object Merge {
     * Precondition (as for MERGE): at most one change per key — CDC
     * batches are per-key compacted upstream (last op wins). Plan: the
     * [[into]] full-outer for the upserts plus ONE anti-join against the
-    * (key-only, broadcast-able) tombstone set. */
+    * key-only tombstone set. No broadcast hint: the typical CDC batch's
+    * delete set is tiny and AQE broadcasts it at runtime, but a
+    * mass-delete batch must stay free to shuffle instead of being
+    * forced into a driver-sized broadcast past
+    * autoBroadcastJoinThreshold. */
   def applyCdc(target: DataFrame, changes: DataFrame, key: String,
       opCol: String): DataFrame = {
     val upserts = changes.where(col(opCol) === "U").drop(opCol)
     val deletes = changes.where(col(opCol) === "D").select(col(key))
-    into(target, upserts, key).join(broadcast(deletes), Seq(key), "left_anti")
+    into(target, upserts, key).join(deletes, Seq(key), "left_anti")
   }
 
   /** [[applyCdc]] with both preconditions actually enforced (actions):

@@ -252,11 +252,15 @@ object TextOps {
         col("__s").as("__s_p"))
     val index = ex.select(col("__id").as("id_b"), col("__n").as("n_b"),
       col("__s").as("__s_i"))
+    // size prune in the SAME integer-permille arithmetic as the verify
+    // stage below: a double-rounded ceil(t*n_a) can be one stricter than
+    // the permille compare at representation boundaries, dropping a pair
+    // verify would accept
+    val tPm = math.ceil(t * 1000).toLong
     val cand = probe.join(index,
         col("__s_p") === col("__s_i") && col("id_a") =!= col("id_b") &&
-          col("n_b") >= ceil(lit(t) * col("n_a")))
+          col("n_b") * 1000 >= lit(tPm) * col("n_a"))
       .select("id_a", "id_b").distinct()
-    val tPm = math.ceil(t * 1000).toLong
     cand
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")

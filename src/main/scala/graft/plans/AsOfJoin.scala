@@ -153,7 +153,21 @@ final case class AsOfJoinExec(
     val fwd = forward
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // the merge pairs partitions positionally, so both shuffles must
+    // land on the SAME partition count — EnsureRequirements guarantees
+    // that and AsOfJoinExecSuite pins symmetric AQE coalescing, but an
+    // AQE change that coalesced the sides differently would otherwise
+    // surface as zipPartitions' opaque "unequal numbers of partitions"
+    if (lRdd.getNumPartitions != rRdd.getNumPartitions)
+      throw new IllegalStateException(
+        s"as-of join children diverged to ${lRdd.getNumPartitions} vs " +
+          s"${rRdd.getNumPartitions} partitions — the per-key merge needs " +
+          "co-partitioned sides; check AQE coalescing/skew settings " +
+          "(spark.sql.adaptive.coalescePartitions, skewJoin) for a rule " +
+          "that re-planned one side only")
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(Seq[org.apache.spark.sql.catalyst.expressions.Expression](lKey), leftOut)
       val rKeyProj = UnsafeProjection.create(Seq[org.apache.spark.sql.catalyst.expressions.Expression](rKey), rightOut)
       val lTimeProj = UnsafeProjection.create(Seq[org.apache.spark.sql.catalyst.expressions.Expression](lTime), leftOut)
@@ -287,13 +301,23 @@ object AsOfJoinOp {
     // rides the shuffle, the sort, and the retained match row.
     val rAnalyzed = right.queryExecution.analyzed
     val needed = (Seq(keyCol, rightTsCol) ++ payload).distinct
-    val rAliases = rAnalyzed.output.filter(a => needed.contains(a.name))
-      .map(a => Alias(a, a.name)())
+    // name-based resolution, so ambiguity must be an error: a side that
+    // carries a duplicate column name (common after joins) would
+    // otherwise silently bind the first match / project a column twice
+    def unique(side: String, out: Seq[Attribute], n: String): Attribute =
+      out.filter(_.name == n) match {
+        case Seq(a) => a
+        case Seq() =>
+          throw new IllegalArgumentException(s"$side side has no column $n")
+        case many =>
+          throw new IllegalArgumentException(
+            s"$side side has ${many.size} columns named $n — disambiguate " +
+              "(select/alias) before the as-of join")
+      }
+    val rAliases = needed.map(n => Alias(unique("right", rAnalyzed.output, n), n)())
     val rPlan: LogicalPlan = Project(rAliases, rAnalyzed)
     val rAttrs = rAliases.map(_.toAttribute)
-    def lAttr(n: String): Attribute =
-      lPlan.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(s"left side has no column $n"))
+    def lAttr(n: String): Attribute = unique("left", lPlan.output, n)
     def rAttr(n: String): Attribute =
       rAttrs.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"right side has no column $n"))

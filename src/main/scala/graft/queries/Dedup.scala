@@ -454,8 +454,13 @@ object Dedup {
     // ---- d12: cluster-representative selection ----------------------------
     // the curation DECISION on top of d06: per near-dup cluster keep the
     // best document (longest by token count, doc_id tiebreak) instead of
-    // blindly keeping the min id. One window over the cluster assignment
-    // — the rep choice and member count share the same partitioning.
+    // blindly keeping the min id. ONE partial-aggregating groupBy — the
+    // argmax rides a struct max (n_toks desc, then min doc_id via the
+    // negated id; ids are non-negative), the member count shares the
+    // same aggregation. No window: a boilerplate mega-cluster at corpus
+    // scale would put its whole membership on one task under a
+    // cluster_id-partitioned frame, while the aggregate collapses it
+    // map-side (the t23/p20 de-skew, caught by PlanLint's skew rule).
     QueryDef(
       "d12_cluster_reps",
       (s, d) => {
@@ -464,15 +469,13 @@ object Dedup {
         val clusters = TextOps.duplicateClusters(docs, "doc_id", pairs)
         val toks = docs.select(col("doc_id"),
           size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cluster_id"))
         clusters.join(toks, Seq("doc_id"))
-          .withColumn("rk", row_number().over(
-            w.orderBy(col("n_toks").desc, col("doc_id"))))
-          .withColumn("n_members", count(lit(1)).over(w))
-          .where(col("rk") === 1)
-          .select(col("cluster_id"), col("doc_id").as("rep_id"),
-            col("n_toks").as("rep_tokens"), col("n_members"))
+          .groupBy(col("cluster_id"))
+          .agg(
+            max(struct(col("n_toks"), (-col("doc_id")).as("neg_id"))).as("__best"),
+            count(lit(1)).as("n_members"))
+          .select(col("cluster_id"), (-col("__best.neg_id")).as("rep_id"),
+            col("__best.n_toks").as("rep_tokens"), col("n_members"))
           .orderBy("cluster_id")
       },
       Some(s"""

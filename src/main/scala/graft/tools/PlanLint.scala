@@ -3,7 +3,6 @@ package graft.tools
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, SpecifiedWindowFrame, UnboundedFollowing, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
-import org.apache.spark.sql.types.StringType
 
 /** Static scale-discipline linter: walks a query's OPTIMIZED logical
   * plan and reports the anti-patterns that break at 100 TB, so the
@@ -24,15 +23,17 @@ import org.apache.spark.sql.types.StringType
   *     re-shuffles anyway.
   *   - `skewed-window`: a whole-partition-frame window (frame upper
   *     bound = UNBOUNDED FOLLOWING, i.e. min/max/sum-over-partition)
-  *     partitioned by a string-typed key. A window partition must be
-  *     fully co-located on ONE task with no map-side partial
-  *     aggregation, and natural-language string keys (grams, tokens,
-  *     fingerprints of text) are Zipf-skewed — a stop-gram puts
-  *     O(|corpus|) rows on a single task at 100 TB. The fix is the
-  *     aggregate formulation: `groupBy(key).agg(min/max/...)` gets
-  *     partial aggregation, collapsing the hot key per map task
-  *     (the t23/p20 de-skew). Bounded string dimensions (lang, type
-  *     codes) are allowlisted per query with a justification.
+  *     on ANY partition key. A window partition must be fully
+  *     co-located on ONE task with no map-side partial aggregation, so
+  *     the shape is only safe when the key's population is provably
+  *     bounded — and skew hides behind every representation: a Zipf
+  *     stop-gram is just as hot keyed by `xxhash64(gram)` (a long) as
+  *     by the gram string, so the rule does NOT look at the key's
+  *     type. The fix is the aggregate formulation:
+  *     `groupBy(key).agg(min/max/...)` gets partial aggregation,
+  *     collapsing the hot key per map task (the t23/p20 de-skew).
+  *     Bounded dimensions (lang, type codes, histogram bins) are
+  *     allowlisted per query with a justification.
   *     Ordered-frame windows (row_number etc.) are out of scope here:
   *     they carry a per-partition sort semantics no aggregate can
   *     replace, and the registry uses them on bounded or uniform keys.
@@ -57,7 +58,7 @@ object PlanLint {
         out += Violation("global-window", w.simpleStringWithNodeId())
       case w: Window =>
         // whole-partition frame (no ordering semantics an aggregate
-        // couldn't replace) over a string-typed key: the skew shape
+        // couldn't replace) — the skew shape, whatever the key's type
         def wholePartitionFrame(e: Expression): Boolean = e match {
           case we: WindowExpression =>
             we.windowSpec.frameSpecification match {
@@ -67,8 +68,7 @@ object PlanLint {
           case Alias(child, _) => wholePartitionFrame(child)
           case _ => false
         }
-        val stringKey = w.partitionSpec.exists(_.dataType == StringType)
-        if (stringKey && w.windowExpressions.exists(wholePartitionFrame))
+        if (w.windowExpressions.exists(wholePartitionFrame))
           out += Violation("skewed-window", w.simpleStringWithNodeId())
       case _ => ()
     }

@@ -87,6 +87,14 @@ class PlanLintSuite extends SparkSuite {
     val old = grams.withColumn("first_doc", min(col("doc_id")).over(w))
     assert(PlanLint.lint(old).exists(_.rule == "skewed-window"),
       "the de-skewed rule must catch a whole-partition min over a string key")
+    // the same skew behind a hash: keying the window by xxhash64(gram)
+    // (a long) carries the identical hot partition — the rule must not
+    // be evadable by re-typing the key
+    val hashed = grams.select(xxhash64(col("gram")).as("g"), col("doc_id"))
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val oldHashed = hashed.withColumn("first_doc", min(col("doc_id")).over(wh))
+    assert(PlanLint.lint(oldHashed).exists(_.rule == "skewed-window"),
+      "the skew rule must catch whole-partition frames on non-string keys too")
     // the ordered-frame per-source rank (bounded dimension) must NOT trip it
     val ranked = docs.withColumn("rn",
       org.apache.spark.sql.functions.row_number().over(

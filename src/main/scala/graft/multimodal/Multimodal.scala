@@ -132,7 +132,9 @@ object Multimodal {
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < nSamples) {
-      val s = math.sin(2 * math.Pi * freq * i / sampleRate)
+      // StrictMath: Math.sin is allowed 1-ulp platform variance, and the
+      // committed MediaFixture planes pin these samples bit-for-bit
+      val s = StrictMath.sin(2 * math.Pi * freq * i / sampleRate)
       buf.putShort((s * 20000).toShort)
       i += 1
     }

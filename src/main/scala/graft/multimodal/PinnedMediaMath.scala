@@ -1,0 +1,287 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixed-point twins of the multimodal feature math, replayable in
+  * DuckDB over the [[MediaFixture]] planes — the pinned-twin pattern
+  * that put the ANN family under the oracle (s11–s14), applied to the
+  * pHash DCT, the spectral bands, and the JL+SQ8 serving stack.
+  *
+  * Every transcendental constant (DCT basis, cos/sin tables, projection
+  * signs) is computed ONCE here in Scala and INLINED into the oracle
+  * SQL as a VALUES literal, so the DuckDB replay shares the exact
+  * integers the Spark side uses — zero SQL transcendentals, zero
+  * float-rounding surface. All per-row math is 64-bit-safe integer
+  * arithmetic; divisions only ever see non-negative operands (Spark's
+  * `div` truncates toward zero, DuckDB's `//` floors — they agree only
+  * on non-negatives, so the SQ8 encode clamps BEFORE dividing).
+  *
+  * Float vs pinned: the float kernels ([[Multimodal.imageFeature]],
+  * [[Multimodal.audioFeature]], [[Multimodal.embedFeatures]]) stay the
+  * production path with invariance suites; these twins pin the SAME
+  * algorithmic structure (resample-free 16×16 DCT + median sign bits,
+  * per-band quadrature sums, sign projection + SQ8 + integer-dot top-k)
+  * under the bit-exact oracle.
+  */
+object PinnedMediaMath {
+
+  // ---- shared constant tables (Scala is the single source of truth) ----
+
+  /** Orthonormal 16-point DCT-II basis, fixed-point at 2^15:
+    * c(k,i) = round(sqrt((k==0?1:2)/16) * cos(pi*(2i+1)k/32) * 32768). */
+  val dctBasis16: Seq[(Int, Int, Long)] =
+    for (k <- 0 until 16; i <- 0 until 16) yield {
+      val c = math.sqrt((if (k == 0) 1.0 else 2.0) / 16.0) *
+        StrictMath.cos(math.Pi * (2 * i + 1) * k / 32.0)
+      (k, i, Math.round(c * 32768.0))
+    }
+
+  /** First 64 zigzag positions of the 16×16 spectrum, DC excluded —
+    * (u, v, zigzag index, 2^(z mod 32) as a precomputed power so the
+    * hash assembly needs no shift functions on either side). */
+  val zigzag16: Seq[(Int, Int, Int, Long)] = {
+    val buf = Seq.newBuilder[(Int, Int, Int, Long)]
+    var taken = 0
+    var s = 1
+    while (taken < 64 && s <= 30) {
+      var u = math.min(s, 15)
+      while (taken < 64 && u >= math.max(0, s - 15)) {
+        buf += ((u, s - u, taken, 1L << (taken % 32)))
+        taken += 1
+        u -= 1
+      }
+      s += 1
+    }
+    buf.result()
+  }
+
+  /** Quadrature tables for the 64-phase band comb, fixed-point at 2^14:
+    * the spectrum bands are the DFT bins whose phase k*i cycles through
+    * a 64-entry table — cos(2*pi*j/64), sin(2*pi*j/64). */
+  val cosSin64: Seq[(Int, Long, Long)] =
+    for (j <- 0 until 64) yield
+      (j, Math.round(StrictMath.cos(2 * math.Pi * j / 64.0) * 16384.0),
+        Math.round(StrictMath.sin(2 * math.Pi * j / 64.0) * 16384.0))
+
+  /** Rademacher (+-1) projection signs for the 16×64 pinned inference
+    * head — sign = bit 16 of (o*64+z+1)*2654435761 (Knuth hash; the
+    * product stays far below 2^63, so Java and DuckDB agree). */
+  val projSign: Seq[(Int, Int, Int)] =
+    for (o <- 0 until 16; z <- 0 until 64) yield
+      (o, z, if ((((o * 64 + z + 1) * 2654435761L) >> 16 & 1L) == 1L) 1 else -1)
+
+  // ---- SQL literal builders -------------------------------------------
+
+  private def values3(rows: Seq[(Int, Int, Long)]): String =
+    rows.map { case (a, b, c) => s"($a,$b,$c)" }.mkString(",")
+  private def values4(rows: Seq[(Int, Int, Int, Long)]): String =
+    rows.map { case (a, b, c, d) => s"($a,$b,$c,$d)" }.mkString(",")
+  private def values3i(rows: Seq[(Int, Int, Int)]): String =
+    rows.map { case (a, b, c) => s"($a,$b,$c)" }.mkString(",")
+  private def valuesJcs(rows: Seq[(Int, Long, Long)]): String =
+    rows.map { case (a, b, c) => s"($a,$b,$c)" }.mkString(",")
+
+  private def fx = MediaFixture.dir
+
+  /** CTE chain computing the integer DCT coefficients (media_id, z, p,
+    * o) from the image planes — shared by the pHash and embed oracles.
+    * 16×16 is the native synthetic frame grid, so no resample sits
+    * between the pixels and the transform. */
+  private def dctCtes: String = s"""
+    basis(u, i, c) AS (VALUES ${values3(dctBasis16)}),
+    zig(zu, zv, z, p) AS (VALUES ${values4(zigzag16)}),
+    planes AS (SELECT * FROM read_parquet('$fx/image_planes/*.parquet')),
+    tmp AS (
+      SELECT media_id, b.u, p.y, CAST(SUM(p.v * b.c) AS BIGINT) AS t
+      FROM planes p JOIN basis b ON p.x = b.i
+      GROUP BY 1, 2, 3
+    ),
+    spec AS (
+      SELECT t.media_id, t.u, b.u AS v2, CAST(SUM(t.t * b.c) AS BIGINT) AS o
+      FROM tmp t JOIN basis b ON t.y = b.i
+      GROUP BY 1, 2, 3
+    ),
+    coeffs AS (
+      SELECT s.media_id, z.z, z.p, s.o
+      FROM spec s JOIN zig z ON s.u = z.zu AND s.v2 = z.zv
+    )"""
+
+  /** DuckDB replay of [[phash]]. */
+  def phashOracle: String = s"""
+    WITH $dctCtes,
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY o, z) AS rk
+      FROM coeffs
+    ),
+    med AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN rk IN (32, 33) THEN o END) AS BIGINT) AS m2
+      FROM ranked GROUP BY 1
+    )
+    SELECT r.media_id,
+           CAST(SUM(CASE WHEN 2 * r.o > m.m2 AND r.z < 32 THEN r.p
+                         ELSE 0 END) AS BIGINT) AS hash_lo,
+           CAST(SUM(CASE WHEN 2 * r.o > m.m2 AND r.z >= 32 THEN r.p
+                         ELSE 0 END) AS BIGINT) AS hash_hi
+    FROM ranked r JOIN med m USING (media_id)
+    GROUP BY 1 ORDER BY 1"""
+
+  /** DuckDB replay of [[spectrum]]. */
+  def spectrumOracle: String = s"""
+    WITH cossin(j, cc, ss) AS (VALUES ${valuesJcs(cosSin64)}),
+    bands(band) AS (VALUES (1),(2),(3),(4),(5),(6),(7),(8)),
+    samples AS (SELECT * FROM read_parquet('$fx/audio_samples/*.parquet'))
+    SELECT sa.media_id, b.band,
+           CAST(SUM(sa.s * cs.cc) AS BIGINT) AS x_re,
+           CAST(SUM(sa.s * cs.ss) AS BIGINT) AS x_im
+    FROM samples sa CROSS JOIN bands b
+    JOIN cossin cs ON (b.band * sa.i) % 64 = cs.j
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** DuckDB replay of [[embedSq8Top1]]. */
+  def embedSq8Oracle: String = s"""
+    WITH $dctCtes,
+    proj(po, pz, psign) AS (VALUES ${values3i(projSign)}),
+    emb AS (
+      SELECT c.media_id, p.po, CAST(SUM(c.o * p.psign) AS BIGINT) AS e
+      FROM coeffs c JOIN proj p ON c.z = p.pz
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT po, MIN(e) AS mn, MAX(e) AS mx FROM emb
+      WHERE (media_id // 3) % 4 != 0 GROUP BY 1
+    ),
+    codes AS (
+      SELECT e.media_id, e.po,
+             CASE WHEN s.mx > s.mn
+                  THEN (LEAST(s.mx, GREATEST(s.mn, e.e)) - s.mn) * 255
+                         // (s.mx - s.mn)
+                  ELSE 0 END AS code
+      FROM emb e JOIN stats s USING (po)
+    ),
+    dots AS (
+      SELECT q.media_id AS qid, c.media_id AS cid,
+             CAST(SUM(q.code * c.code) AS BIGINT) AS dot
+      FROM codes q JOIN codes c ON q.po = c.po
+      WHERE (q.media_id // 3) % 4 = 0 AND (c.media_id // 3) % 4 != 0
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY dot DESC, cid) AS rk
+      FROM dots
+    )
+    SELECT qid AS query_id, cid AS neighbor_id, dot
+    FROM top WHERE rk = 1 ORDER BY query_id"""
+
+  // ---- Spark side ------------------------------------------------------
+
+  private def planesDf(spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$fx/image_planes")
+
+  private def samplesDf(spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$fx/audio_samples")
+
+  import scala.jdk.CollectionConverters._
+  private def basisDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    dctBasis16.toDF("u", "i", "c")
+  }
+
+  /** Integer DCT coefficients (media_id, z, p, o) from the image
+    * planes: two broadcast-basis joins with partial-aggregating
+    * group-bys — the separable transform as a distributed dataflow
+    * (per-image state never exceeds the 16×16 grid; at corpus scale
+    * this is two shuffle-free map-side-combined aggregations per
+    * axis, keyed by (media_id, axis index)). */
+  def dctCoeffs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val basis = basisDf(spark)
+    val zig = zigzag16.toDF("zu", "zv", "z", "p")
+    val tmp = planesDf(spark)
+      .join(broadcast(basis), col("x") === col("i"))
+      .groupBy(col("media_id"), col("u"), col("y"))
+      .agg(sum(col("v") * col("c")).as("t"))
+    val basis2 = basis.toDF("v2", "i2", "c2")
+    tmp.join(broadcast(basis2), col("y") === col("i2"))
+      .groupBy(col("media_id"), col("u"), col("v2"))
+      .agg(sum(col("t") * col("c2")).as("o"))
+      .join(broadcast(zig), col("u") === col("zu") && col("v2") === col("zv"))
+      .select(col("media_id"), col("z"), col("p"), col("o"))
+  }
+
+  /** Pinned perceptual hash: 16×16 integer DCT → 64 zigzag coefficients
+    * (DC excluded) → bit i set when 2*coeff_i exceeds the sum of the two
+    * middle order statistics (the integral median-compare). Emitted as
+    * two 32-bit halves so no value touches the sign bit. */
+  def phash(spark: SparkSession): DataFrame = {
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy(col("o"), col("z"))
+    val ranked = dctCoeffs(spark).withColumn("rk", row_number().over(wq))
+    val med = ranked.groupBy("media_id")
+      .agg(sum(when(col("rk").isin(32, 33), col("o"))).as("m2"))
+    ranked.join(med, "media_id")
+      .withColumn("bit", col("o") * 2 > col("m2"))
+      .groupBy("media_id")
+      .agg(
+        sum(when(col("bit") && col("z") < 32, col("p")).otherwise(0L))
+          .as("hash_lo"),
+        sum(when(col("bit") && col("z") >= 32, col("p")).otherwise(0L))
+          .as("hash_hi"))
+      .orderBy("media_id")
+  }
+
+  /** Pinned spectral bands: per (clip, band) quadrature sums against the
+    * 64-phase fixed-point comb — the Goertzel family's output restated
+    * as ONE partial-aggregating join+groupBy (no per-sample recurrence,
+    * so the 100 TB shape is a plain map-side-combined aggregation). */
+  def spectrum(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cs = cosSin64.toDF("j2", "cc", "ss")
+    samplesDf(spark)
+      .withColumn("band", explode(array((1 to 8).map(lit): _*)))
+      .withColumn("j", pmod(col("band") * col("i"), lit(64)))
+      .join(broadcast(cs), col("j") === col("j2"))
+      .groupBy(col("media_id"), col("band"))
+      .agg(sum(col("s") * col("cc")).as("x_re"),
+        sum(col("s") * col("ss")).as("x_im"))
+      .orderBy("media_id", "band")
+  }
+
+  /** Pinned serving stack: integer DCT features → Rademacher projection
+    * head (16 dims) → SQ8 encode against corpus per-dimension min/max
+    * (clamp before the divide: both engines' integer division agree
+    * only on non-negatives) → integer-dot top-1 retrieval, query slice
+    * = every 4th image. */
+  def embedSq8Top1(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val proj = projSign.toDF("po", "pz", "psign")
+    val emb = dctCoeffs(spark)
+      .join(broadcast(proj), col("z") === col("pz"))
+      .groupBy(col("media_id"), col("po"))
+      .agg(sum(col("o") * col("psign")).as("e"))
+    val isQuery = expr("(media_id div 3) % 4 = 0")
+    val stats = emb.where(!isQuery)
+      .groupBy("po").agg(min("e").as("mn"), max("e").as("mx"))
+    val codes = emb.join(broadcast(stats), "po")
+      .withColumn("code",
+        when(col("mx") > col("mn"),
+          expr("(least(mx, greatest(mn, e)) - mn) * 255 div (mx - mn)"))
+          .otherwise(0L))
+    val q = codes.where(isQuery)
+      .select(col("media_id").as("qid"), col("po").as("qo"),
+        col("code").as("qc"))
+    val c = codes.where(!isQuery)
+      .select(col("media_id").as("cid"), col("po").as("co"),
+        col("code").as("cc"))
+    val dots = q.join(c, col("qo") === col("co"))
+      .groupBy("qid", "cid").agg(sum(col("qc") * col("cc")).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dot").desc, col("cid"))
+    dots.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("dot"))
+      .orderBy("query_id")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaFixture, Multimodal, PinnedMediaMath}
 import graft.functions.VectorOps
 
 /** Registry coverage for the multimodal plumbing: synthetic media corpus
@@ -146,6 +146,111 @@ object MultimodalQ {
               .as("recovered_original"))
           .orderBy("query_id")
       },
-      None)
+      None),
+
+    // ---- mm07+: the ORACLE-GATED multimodal family --------------------
+    // DuckDB cannot decode media, so the oracle boundary moves to the
+    // decoded planes (MediaFixture: committed parquet of REAL ImageIO /
+    // javax.sound / GVC1 decode output over a deterministic corpus).
+    // Decode gates re-run the real decoders live and must reproduce the
+    // fixture bit-for-bit; math gates replay fixed-point DCT/spectrum/
+    // JL+SQ8 on both sides with shared inlined integer constants
+    // (PinnedMediaMath) — the s11–s14 pinned-twin pattern at the media
+    // boundary.
+
+    // mm07: REAL PNG pixel decode vs the persisted planes. Any change in
+    // the decode path (color model handling, row order, channel pick)
+    // breaks the hash match.
+    QueryDef(
+      "mm07_image_decode_pinned",
+      (s, d) =>
+        MediaFixture.imagePlanes(MediaFixture.media(s)).toDF()
+          .orderBy("media_id", "y", "x"),
+      Some(s"""
+        SELECT media_id, y, x, v
+        FROM read_parquet('${MediaFixture.dir}/image_planes/*.parquet')
+        ORDER BY media_id, y, x""")),
+
+    // mm08: the pHash feature math (16×16 integer DCT + median sign
+    // bits) over the planes, replayed in DuckDB with the inlined
+    // fixed-point basis — the perceptual-hash transform itself is now
+    // under the oracle, not just invariance-pinned.
+    QueryDef(
+      "mm08_phash_dct_pinned",
+      (s, d) => PinnedMediaMath.phash(s),
+      Some(PinnedMediaMath.phashOracle)),
+
+    // mm09: REAL WAV→PCM decode vs the persisted samples (lossless
+    // short↔double round-trip), the audio sibling of mm07.
+    QueryDef(
+      "mm09_audio_decode_pinned",
+      (s, d) =>
+        MediaFixture.audioSamples(MediaFixture.media(s)).toDF()
+          .orderBy("media_id", "i"),
+      Some(s"""
+        SELECT media_id, i, s
+        FROM read_parquet('${MediaFixture.dir}/audio_samples/*.parquet')
+        ORDER BY media_id, i""")),
+
+    // mm10: the spectral band math (Goertzel family restated as
+    // quadrature sums against a 64-phase fixed-point comb) over the
+    // decoded samples — per (clip, band) integer sums, one partial-
+    // aggregating groupBy, no recurrence.
+    QueryDef(
+      "mm10_spectrum_pinned",
+      (s, d) => PinnedMediaMath.spectrum(s),
+      Some(PinnedMediaMath.spectrumOracle)),
+
+    // mm11: the serving stack — DCT features → Rademacher projection
+    // head → SQ8 encode (corpus min/max, clamped) → integer-dot top-1 —
+    // fully integral, every stage replayed by the oracle (the mm05/mm06
+    // composition with the float head swapped for its pinned twin).
+    QueryDef(
+      "mm11_embed_sq8_pinned",
+      (s, d) => PinnedMediaMath.embedSq8Top1(s),
+      Some(PinnedMediaMath.embedSq8Oracle)),
+
+    // mm12: REAL GVC1 demux + as-of frame sampling + per-frame decode:
+    // the sampled frame's pixel mass must equal the fixture's planes for
+    // the frame the as-of rule selects — gates demuxing, timestamp
+    // selection, and frame decode in one pass.
+    QueryDef(
+      "mm12_video_demux_pinned",
+      (s, d) => {
+        import s.implicits._
+        val vids = MediaFixture.media(s).filter(_.meta.kind == "video")
+        Multimodal.sampleFrames(vids, everyMs = 500)
+          .map(f => (f.media_id, f.frame_idx,
+            MediaFixture.decodePx(f.frame_bytes)
+              .map(px => px.iterator.flatMap(_.iterator.map(_.toLong)).sum)
+              .getOrElse(-1L)))
+          .toDF("media_id", "sample_idx", "px_sum")
+          .orderBy("media_id", "sample_idx")
+      },
+      Some(s"""
+        WITH fr AS (
+          SELECT * FROM read_parquet('${MediaFixture.dir}/video_frames/*.parquet')
+        ),
+        meta AS (SELECT media_id, MAX(duration_ms) AS dur FROM fr GROUP BY 1),
+        frix AS (SELECT DISTINCT media_id, frame_idx, ts_ms FROM fr),
+        smp0 AS (
+          SELECT media_id, unnest(range(GREATEST(dur // 500, 1))) AS si
+          FROM meta
+        ),
+        smp AS (
+          SELECT media_id, CAST(si AS INT) AS sample_idx, si * 500 AS t
+          FROM smp0
+        ),
+        sel AS (
+          SELECT s.media_id, s.sample_idx, MAX(f.frame_idx) AS fidx
+          FROM smp s JOIN frix f
+            ON f.media_id = s.media_id AND f.ts_ms <= s.t
+          GROUP BY 1, 2
+        )
+        SELECT sel.media_id, sel.sample_idx,
+               CAST(SUM(fr.v) AS BIGINT) AS px_sum
+        FROM sel JOIN fr
+          ON fr.media_id = sel.media_id AND fr.frame_idx = sel.fidx
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -488,6 +488,55 @@ object Windows {
         LEFT JOIN d1 USING (user_id)
         ORDER BY a.user_id""")),
 
+    // ---- w18: stateful checkpoint recovery across a restart ---------------
+    // the exactly-once restart contract: two separate queries over ONE
+    // checkpoint — run 1 folds the even-event_id half of the CDC feed
+    // through transformWithState (RocksDB) and stops; run 2 restarts
+    // from the checkpoint with the odd half added. The terminal per-user
+    // row equals the batch oracle over ALL events only if run 2 restored
+    // run 1's per-key state and the file-source log skipped the
+    // already-processed half. Oracle = w17's terminal CDC view.
+    QueryDef(
+      "w18_checkpoint_recovery",
+      (s, d) =>
+        graft.streaming.Streams
+          .checkpointRecoveryGate(s, s"$d/events.parquet")
+          .orderBy("user_id"),
+      Some("""
+        WITH ch AS (
+          SELECT user_id, ts, event_id,
+                 CAST(floor(value * 1e6) AS BIGINT) AS v6,
+                 (event_type = 'purchase') AS is_del
+          FROM events),
+        u AS (
+          SELECT user_id, ts, event_id, v6,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM ch WHERE NOT is_del),
+        dd AS (
+          SELECT user_id, ts, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM ch WHERE is_del),
+        agg AS (
+          SELECT user_id, count(*) AS n_changes,
+                 epoch_ms(max(ts)) AS last_ms
+          FROM ch GROUP BY user_id),
+        u1 AS (SELECT * FROM u WHERE rn = 1),
+        d1 AS (SELECT * FROM dd WHERE rn = 1)
+        SELECT a.user_id, a.n_changes,
+               CAST(CASE WHEN u1.user_id IS NOT NULL AND (d1.user_id IS NULL
+                      OR (u1.ts, u1.event_id) > (d1.ts, d1.event_id))
+                    THEN 1 ELSE 0 END AS BIGINT) AS live,
+               CASE WHEN u1.user_id IS NOT NULL AND (d1.user_id IS NULL
+                      OR (u1.ts, u1.event_id) > (d1.ts, d1.event_id))
+                    THEN u1.v6 END AS last_v6,
+               a.last_ms
+        FROM agg a
+        LEFT JOIN u1 USING (user_id)
+        LEFT JOIN d1 USING (user_id)
+        ORDER BY a.user_id""")),
+
     // ---- w16: stream-static AS-OF enrichment through the engine -----------
     // a04's semantics run incrementally: each streamed purchase joins
     // the latest static view at-or-before its event time (broadcast

@@ -588,6 +588,70 @@ object Streams {
     }
   }
 
+  /** w18's gate: CHECKPOINT RECOVERY of stateful streaming state — the
+    * exactly-once restart contract a long-running deployment leans on,
+    * which every other w-gate (all single-process AvailableNow runs)
+    * leaves unexercised.
+    *
+    * Two SEPARATE queries share one checkpoint: run 1 sees only the
+    * even-event_id half of the change feed and terminates (the
+    * simulated failure point); the odd half is then added to the source
+    * directory and run 2 starts fresh FROM THE SAME CHECKPOINT — the
+    * file-source log must skip the already-processed file and the
+    * RocksDB per-key [[CdcMaterializeProcessor]] state must be restored
+    * before the remaining changes fold in. The terminal row per user is
+    * the argmax-by-n_changes snapshot (n_changes is monotone in the
+    * fold), and it equals the batch oracle over ALL events ONLY if run 2
+    * resumed run 1's state: a user whose changes span both halves would
+    * otherwise report second-half-only counts/maxima. The parquet sink
+    * (exactly-once via its commit log, unlike the memory sink) is read
+    * back through that log, so replayed-but-uncommitted output can't
+    * leak into the result either. */
+  def checkpointRecoveryGate(spark: SparkSession, eventsPath: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory(
+      s"w18_gate_${gateRunSeq.incrementAndGet()}_").toFile.getAbsolutePath
+    val srcDir = s"$base/src"
+    val ckpt = s"$base/ckpt"
+    val sinkDir = s"$base/sink"
+    new java.io.File(srcDir).mkdirs()
+    val raw = spark.read.parquet(eventsPath)
+    def stage(half: DataFrame, name: String): Unit = {
+      val tmp = s"$base/stage_$name"
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    }
+    def runOnce(): Unit = withRocksDbProvider(spark) {
+      val ch = retagTs(eventStream(spark, srcDir))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), floor(col("value") * 1e6).cast("long").as("v6"),
+          (col("event_type") === "purchase").as("is_del"))
+        .as[CdcChange]
+      val q = cdcMaterialize(ch).toDF()
+        .writeStream.format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    stage(raw.where(col("event_id") % 2 === 0), "h1")
+    runOnce() // run 1: half the feed, then stop (the failure point)
+    stage(raw.where(col("event_id") % 2 =!= 0), "h2")
+    runOnce() // run 2: restart from the checkpoint, fold in the rest
+    spark.read.parquet(sinkDir)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_changes"), col("live"), col("last_v6"),
+        col("last_ms"))).as("__last"))
+      .select(col("user_id"), col("__last.n_changes").as("n_changes"),
+        col("__last.live").as("live"), col("__last.last_v6").as("last_v6"),
+        col("__last.last_ms").as("last_ms"))
+  }
+
   final case class Doc(key: String, doc_id: Long, text: String)
 
   /** Streaming exact dedup: first occurrence of each content key wins,

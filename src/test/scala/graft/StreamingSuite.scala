@@ -611,6 +611,39 @@ class StreamingSuite extends SparkSuite {
         col("c_acctbal").as("acctbal"),
         lit(null).cast("string").as("dst_ref")), m))
   }
+
+  test("w18: restarted query resumes transformWithState state from the checkpoint") {
+    // two queries, one checkpoint: the gate stops after the even-id half
+    // and restarts for the odd half — the terminal per-user CDC view must
+    // equal the single-run gate over the whole feed, which is only
+    // possible if run 2 restored run 1's RocksDB state (spanning users
+    // would otherwise lose their first-half counts and maxima).
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_w18_").toString
+    val rows = (0 until 240).map { i =>
+      (i.toLong,
+        Timestamp.valueOf(f"2024-01-01 ${10 + i % 3}%02d:${i % 60}%02d:00"),
+        (i % 7).toLong, Seq("view", "click", "purchase")(i % 3),
+        (i % 13) * 0.37)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(3).write.parquet(s"$dir/events.parquet")
+    val ev = s"$dir/events.parquet"
+    // the restart assertion must not be vacuous: every user here has
+    // both even- and odd-id events (240 consecutive ids over 7 users)
+    val spanning = spark.read.parquet(ev)
+      .groupBy("user_id")
+      .agg(countDistinct(col("event_id") % 2).as("halves"))
+      .where(col("halves") === 2).count()
+    assert(spanning == 7, s"fixture must have spanning users, got $spanning")
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val restarted = rowsOf(Streams.checkpointRecoveryGate(spark, ev))
+    val single = rowsOf(Streams.cdcMaterializeGate(spark, ev))
+    assert(restarted.nonEmpty)
+    assert(restarted == single,
+      "restart-from-checkpoint terminal state differs from the single-run gate")
+  }
 }
 
 /** Stateful Bulk v1 wire sim: speaks the async REST surface

@@ -221,6 +221,37 @@ object Advanced {
           ON v.user_id = c.user_id AND v.ts <= c.ts
         ORDER BY v.event_id""")),
 
+    // ---- a10: as-of tolerance through the physical operator ---------------
+    // a06's staleness-bounded query through AsOfJoinExec — the exec's
+    // in-merge tolerance check (one comparison on the retained match,
+    // plans/AsOfJoin.scala) under the same DuckDB CASE-age oracle, so
+    // the full semantics surface (backward a08, forward a09, tolerance
+    // here) is carried by the operator the registry measures at scale;
+    // the composed forms (a04-a07) stay as the cross-check.
+    QueryDef(
+      "a10_asof_exec_tolerance",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.where(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"))
+        graft.plans.AsOfJoinOp
+          .asof(purchases, views, "user_id", "ts", "ts",
+            Seq("view_event_id"), toleranceSec = Some(3600L))
+          .select(col("event_id"), col("user_id"),
+            unix_millis(col("ts")).as("ts_ms"), col("asof_view_event_id"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,
+               CASE WHEN v.ts >= c.ts - INTERVAL 1 HOUR THEN v.event_id END
+                 AS asof_view_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+        ORDER BY c.event_id""")),
+
     // ---- a03: grouping sets ----------------------------------------------
     QueryDef(
       "a03_grouping_sets",

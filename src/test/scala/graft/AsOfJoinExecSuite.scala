@@ -69,6 +69,43 @@ class AsOfJoinExecSuite extends SparkSuite {
     assert(c(execTol) == c(compTol))
   }
 
+  test("property: exec == composed on random data across direction x tolerance") {
+    import spark.implicits._
+    // seeded random workload engineered for collisions: 20 keys, ts drawn
+    // from 300 distinct seconds (duplicate (key, ts) pairs guaranteed), so
+    // the tie-break contract (greatest payload backward, smallest forward)
+    // is exercised, not dodged. Null-free by construction.
+    val rnd = new scala.util.Random(20260814L)
+    val base = 1700000000L
+    def mkTs(sec: Long) = new java.sql.Timestamp((base + sec) * 1000L)
+    val leftRows = (0 until 400).map { i =>
+      (i.toLong, rnd.nextInt(20).toLong, mkTs(rnd.nextInt(300).toLong))
+    }
+    val rightRows = (0 until 400).map { i =>
+      (rnd.nextInt(20).toLong, mkTs(rnd.nextInt(300).toLong), i.toLong)
+    }
+    val l = leftRows.toDF("event_id", "user_id", "ts").repartition(5)
+    val r = rightRows.toDF("user_id", "ts", "payload").repartition(3)
+    def c(df: DataFrame): Seq[String] =
+      df.select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")), col("asof_payload"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+    for {
+      direction <- Seq("backward", "forward")
+      tol <- Seq(None, Some(30L), Some(100000L))
+    } {
+      val exec = AsOfJoinOp.asof(l, r, "user_id", "ts", "ts",
+        Seq("payload"), direction, tol)
+      val composed = ScaleOps.asofJoin(l, r, "user_id", "ts", "ts",
+        Seq("payload"), direction, tol)
+      val (ce, cc) = (c(exec), c(composed))
+      assert(ce == cc,
+        s"exec != composed at direction=$direction tolerance=$tol: " +
+          s"first diff ${ce.zip(cc).find(p => p._1 != p._2)}")
+      assert(ce.size == 400, s"left join must keep all left rows, got ${ce.size}")
+    }
+  }
+
   test("result is invariant to input partitioning") {
     val (p, v) = sides()
     val base = canon(AsOfJoinOp.asof(p, v, "user_id", "ts", "ts", Seq("view_event_id")))

@@ -640,4 +640,48 @@ class PlanAuditSuite extends SparkSuite {
     assert(p.contains("BroadcastExchange") ||
       p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("AQE skew-join splits the unsalted hot-key partition at runtime") {
+    // the SkewJoinCheck demonstration pinned as a plan property: with
+    // skew-join enabled (thresholds scaled to local data the way the
+    // 256 MB default relates to real partitions) the plain shuffle join
+    // over a 50%-hot key must execute with the skewed partition SPLIT —
+    // no manual salt. ScaleOps.saltedJoin remains for what AQE cannot
+    // rescue: pre-shuffle spreading (skewed aggregation keys, the
+    // single-key-dominates-even-after-split case) — see SCALING.md.
+    val pairs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prior = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(2000000L).select(
+        when(col("id") % 2 === 0, 0L)
+          .otherwise(pmod(xxhash64(col("id")), lit(10000L))).as("k"),
+        col("id").as("payload"))
+      val dim = spark.range(10000L).select(col("id").as("k"),
+        concat(lit("dim_"), col("id")).as("attr"))
+      val joined = fact.join(dim, "k")
+      joined.collect() // AQE decides skew handling at runtime
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"must be the shuffle join:\n$p")
+      assert(p.contains("skew=true"),
+        s"AQE must mark the hot partition's join as skew-handled:\n$p")
+      // burden collapses: no result partition may carry the hot key whole
+      val sizes = joined.rdd
+        .mapPartitions(it => Iterator.single(it.size.toLong), true)
+        .collect().filter(_ > 0)
+      val (mx, mean) = (sizes.max, sizes.sum / sizes.length)
+      assert(mx < 500000L,
+        s"hot partition not split: max=$mx mean=$mean")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

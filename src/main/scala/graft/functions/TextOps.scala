@@ -634,20 +634,24 @@ object TextOps {
     // hashes in O(|s|) per row — the declarative substr/concat form
     // materialized every deletion STRING (O(|s|²) bytes per row) just
     // to hash and discard it
-    val sigs = df
-      .select(col(idCol).as("__id"), col(strCol).as("__s"))
-      .select(col("__id"), col("__s"),
-        explode(DeletionSigs.column(df.sparkSession, col("__s"))).as("__h"))
-    val a = sigs.select(col("__id").as("id_a"), col("__s").as("s_a"),
-      col("__h").as("__h_a"))
-    val b = sigs.select(col("__id").as("id_b"), col("__s").as("s_b"),
-      col("__h").as("__h_b"))
-    a.join(b, col("__h_a") === col("__h_b") && col("id_a") < col("id_b"))
-      // dedupe candidate pairs before the (comparatively expensive)
-      // edit-distance verify; s_a/s_b are functionally determined by the
-      // pair ids, so first() is exact
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("s_a")).as("s_a"), first(col("s_b")).as("s_b"))
+    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    // the signature shuffle carries ONLY (id, 8-byte hash): shipping the
+    // string with every exploded signature row would put O(|s|) bytes on
+    // each of the |s|+1 rows — O(|s|²) shuffle bytes per input row; the
+    // strings rejoin AFTER pair dedup, once per candidate side
+    val sigs = base.select(col("__id"),
+      explode(DeletionSigs.column(df.sparkSession, col("__s"))).as("__h"))
+    val a = sigs.select(col("__id").as("id_a"), col("__h").as("__h_a"))
+    val b = sigs.select(col("__id").as("id_b"), col("__h").as("__h_b"))
+    // dedupe candidate pairs before the string joins and the
+    // (comparatively expensive) edit-distance verify: exact copies share
+    // ALL |s|+1 signatures, but verify must run once per pair
+    val cand = a
+      .join(b, col("__h_a") === col("__h_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(base.select(col("__id").as("id_a"), col("__s").as("s_a")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__s").as("s_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
       .where(col("dist") <= 1)

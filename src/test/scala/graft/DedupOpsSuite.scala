@@ -254,6 +254,77 @@ class DedupOpsSuite extends SparkSuite {
     }
   }
 
+  test("trained ANN recall floors: each trained path >= its pinned twin - eps") {
+    // the pinned twins (s11-s14) live under the DuckDB oracle; the
+    // trained paths (s02-s05) cannot (kmeans/sampled codebooks), so this
+    // is their rot guard: at the registered parameters, trained recall@5
+    // must not fall more than eps below the pinned twin's on the SAME
+    // queries — a silent degradation of the training path (sample size,
+    // iteration count, seeding) trips here even though the oracle can't
+    // see it. Ground truth is the exact brute force; sf0.01 = gate scale.
+    //
+    // eps is per family, calibrated to the measured 2026-08-14 gaps
+    // (IVF 0.68/0.86, PQ 0.93/0.96, IVFPQ 0.80/0.90, LSH 0.64/0.51).
+    // The IVF gap is STRUCTURAL, not rot: kmeans tiles the sphere into
+    // even cells while the pinned codebook (16 arbitrary corpus codes)
+    // makes uneven ones, so at equal nprobe the pinned variant scans a
+    // larger corpus fraction per query — more work, more recall. The
+    // same asymmetry runs the other way for LSH (trained planes beat
+    // the pinned hash planes, 0.64 vs 0.51). The guard's job is the
+    // trained path COLLAPSING (a sampling/seeding bug drops recall to
+    // ~0.3), which every one of these margins still catches. Training
+    // harder does not close the IVF gap (recall flat at 0.67-0.68 for
+    // sample 2048-8192 x iters 8-25 — measured before calibrating).
+    val epsIvf = 0.25
+    val epsPq = 0.10
+    val epsIvfPq = 0.15
+    val epsLsh = 0.10
+    val embSf = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val queries = embSf.where(col("vec_id") < 20)
+    val exact = VectorOps.bruteForceTopK(
+        queries, embSf, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      exact.count(got.contains).toDouble / exact.size
+    }
+    // s03 vs s11 (nlist=16, nprobe=6)
+    val ivfT = recallOf(VectorOps.ivfTopK(queries, embSf, "vec_id",
+      "embedding", k = 5, nlist = 16, nprobe = 6))
+    val ivfP = recallOf(VectorOps.ivfTopKPinned(queries, embSf, "vec_id",
+      "embedding", k = 5, nlist = 16, nprobe = 6))
+    assert(ivfT >= ivfP - epsIvf, s"trained IVF recall $ivfT < pinned $ivfP - $epsIvf")
+    // s04 vs s12 (m=8, ksub=16, refine=32)
+    val pqT = recallOf(VectorOps.pqTopK(queries, embSf, "vec_id",
+      "embedding", k = 5, m = 8, ksub = 16, refine = 32))
+    val pqP = recallOf(VectorOps.pqTopKPinned(queries, embSf, "vec_id",
+      "embedding", k = 5, m = 8, ksub = 16, refine = 32))
+    assert(pqT >= pqP - epsPq, s"trained PQ recall $pqT < pinned $pqP - $epsPq")
+    // s05 vs s13 (nlist=16, nprobe=8, m=8, ksub=16, refine=32)
+    val ipqT = recallOf(VectorOps.ivfPqTopK(queries, embSf, "vec_id",
+      "embedding", k = 5, nlist = 16, nprobe = 8, m = 8, ksub = 16,
+      refine = 32))
+    val ipqP = recallOf(VectorOps.ivfPqTopKPinned(queries, embSf, "vec_id",
+      "embedding", k = 5, nlist = 16, nprobe = 8, m = 8, ksub = 16,
+      refine = 32))
+    assert(ipqT >= ipqP - epsIvfPq, s"trained IVFPQ recall $ipqT < pinned $ipqP - $epsIvfPq")
+    // s02 vs s14 (bits=8, bands=32, threshold=0.4) — pair recall vs the
+    // exact threshold pairs
+    val exactP = VectorOps.bruteForceCosinePairs(
+        embSf, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def pairRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      exactP.count(got.contains).toDouble / exactP.size
+    }
+    val lshT = pairRecall(VectorOps.lshCosinePairs(embSf, "vec_id",
+      "embedding", bits = 8, bands = 32, threshold = 0.4))
+    val lshP = pairRecall(VectorOps.lshCosinePairsPinned(embSf, "vec_id",
+      "embedding", dim = 64, bits = 8, bands = 32, threshold = 0.4))
+    assert(lshT >= lshP - epsLsh, s"trained LSH recall $lshT < pinned $lshP - $epsLsh")
+  }
+
   test("IVF top-k recall against the exact brute force is usable") {
     val queries = emb.where(col("vec_id") < 20)
     val exact = VectorOps.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)

@@ -537,6 +537,37 @@ object Windows {
         LEFT JOIN d1 USING (user_id)
         ORDER BY a.user_id""")),
 
+    // ---- w19: watermarked window-aggregation recovery across restart ------
+    // the second stateful class under the restart contract (w18 covers
+    // transformWithState): run 1 processes events up to the midpoint
+    // timestamp — its watermark finalizes the early windows into the
+    // append sink — then run 2 restarts from the checkpoint with the
+    // rest. A reset watermark would re-emit finalized windows
+    // (duplicate rows), lost window state would under-count straddling
+    // windows; the oracle is the batch replay with the final-watermark
+    // emission cutoff (w15's cutoff shape, no dedup stage).
+    QueryDef(
+      "w19_window_recovery",
+      (s, d) =>
+        graft.streaming.Streams
+          .windowRecoveryGate(s, s"$d/events.parquet")
+          .orderBy("window_start_ms", "event_type"),
+      Some("""
+        WITH ev AS (
+          SELECT date_trunc('hour', ts) AS w, event_type,
+                 CAST(floor(value * 1e6) AS BIGINT) AS v6, ts
+          FROM events),
+        wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+        c AS (
+          SELECT epoch_ms(w) AS window_start_ms, event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v6) AS BIGINT) AS sum_v6
+          FROM ev GROUP BY 1, 2)
+        SELECT c.window_start_ms, c.event_type, c.n, c.sum_v6
+        FROM c CROSS JOIN wm
+        WHERE c.window_start_ms + 3600000 <= epoch_ms(wm.w)
+        ORDER BY window_start_ms, event_type""")),
+
     // ---- w16: stream-static AS-OF enrichment through the engine -----------
     // a04's semantics run incrementally: each streamed purchase joins
     // the latest static view at-or-before its event time (broadcast

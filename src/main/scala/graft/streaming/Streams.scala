@@ -652,6 +652,69 @@ object Streams {
         col("__last.last_ms").as("last_ms"))
   }
 
+  /** w19's gate: checkpoint recovery of WATERMARKED WINDOWED-AGGREGATION
+    * state — the OTHER stateful class beside w18's transformWithState
+    * (streaming aggregation state + the persisted watermark itself).
+    *
+    * The restart point is time-ordered (how a real stream fails): run 1
+    * sees events up to the midpoint timestamp and stops — its watermark
+    * has already FINALIZED the early windows into the append sink; run 2
+    * restarts from the checkpoint with the remainder staged. The
+    * terminal sink equals the batch replay (all windows whose end the
+    * final watermark passed, counts over ALL events) only if
+    *   (a) the watermark was restored — a reset watermark re-emits the
+    *       already-final windows as duplicate sink rows,
+    *   (b) the window state was restored — windows STRADDLING the
+    *       restart emit in run 2 and must include their run-1 rows,
+    *   (c) the source log skipped the already-processed file.
+    * The time split keeps append semantics batching-exact: every window
+    * finalized in run 1 lies wholly below the cut, so no run-2 row could
+    * have changed it (lateness ≥ the window length guarantees the gap). */
+  def windowRecoveryGate(spark: SparkSession, eventsPath: String,
+      windowLength: String = "1 hour",
+      lateness: String = "1 hour"): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(
+      s"w19_gate_${gateRunSeq.incrementAndGet()}_").toFile.getAbsolutePath
+    val srcDir = s"$base/src"
+    val ckpt = s"$base/ckpt"
+    val sinkDir = s"$base/sink"
+    new java.io.File(srcDir).mkdirs()
+    val rt = retagTs(spark.read.parquet(eventsPath))
+    val mm = rt.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
+    val (mn, mx) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val cut = new java.sql.Timestamp(mn + (mx - mn) / 2)
+    def stage(half: DataFrame, name: String): Unit = {
+      val tmp = s"$base/stage_$name"
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val ev = retagTs(eventStream(spark, srcDir))
+        .select(col("ts"), col("event_type"),
+          floor(col("value") * 1e6).cast("long").as("v6"))
+      val agg = ev.withWatermark("ts", lateness)
+        .groupBy(window(col("ts"), windowLength), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v6")).as("sum_v6"))
+        .select(unix_millis(col("window.start")).as("window_start_ms"),
+          col("event_type"), col("n"), col("sum_v6"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    stage(rt.where(col("ts") <= lit(cut)), "h1")
+    runOnce() // run 1: early windows finalize into the sink, then stop
+    stage(rt.where(col("ts") > lit(cut)), "h2")
+    runOnce() // run 2: restart — straddling windows need run-1 state
+    spark.read.parquet(sinkDir)
+  }
+
   final case class Doc(key: String, doc_id: Long, text: String)
 
   /** Streaming exact dedup: first occurrence of each content key wins,

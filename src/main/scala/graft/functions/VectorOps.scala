@@ -224,32 +224,85 @@ object VectorOps {
     * silently diverge. Returns (corpus codes with `__bucket`, query
     * codes with the FULL best-first `__probes` centroid order, and the
     * codebook size). */
+  /** Literal-array centroid dots: codegen-friendly at nlist=16 (see the
+    * ivfTopK note on why the literal form beats the HOF form here). */
+  private def centDots(spark: SparkSession, cents: Seq[Seq[Double]],
+      v: Column): Column =
+    array(cents.map(ct => nativeDot(spark, v, array(ct.map(lit): _*))): _*)
+
+  /** Pinned-codebook argmax assignment of SQ8 codes — ties -> lowest
+    * centroid id (array_position = first max). */
+  private def pinnedAssignments(c: DataFrame,
+      cents: Seq[Seq[Double]]): DataFrame =
+    c.withColumn("__dots", centDots(c.sparkSession, cents, col("__cc")))
+      .withColumn("__bucket",
+        (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast("int"))
+      .drop("__dots")
+
+  /** Per-query best-first centroid order under the pinned codebook. */
+  private def pinnedProbeOrder(q: DataFrame,
+      cents: Seq[Seq[Double]]): DataFrame =
+    q.withColumn("__probes",
+      transform(
+        array_sort(zip_with(
+          centDots(q.sparkSession, cents, col("__qc")),
+          sequence(lit(0), lit(cents.length - 1)),
+          (d, i) => struct((-d).as("nd"), i.as("idx")))),
+        s => s.getField("idx")))
+
   private def pinnedIvfModel(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String,
       nlist: Int): (DataFrame, DataFrame, Int) = {
-    val spark = corpus.sparkSession
     val c = withCodeNorm(sq8Codes(corpus, idCol, vecCol, "neighbor_id", "__cc"),
       "__cc", "__cn")
     val q = withCodeNorm(sq8Codes(queries, idCol, vecCol, "query_id", "__qc"),
       "__qc", "__qn")
     val cents = pinnedCodebook(c, "neighbor_id", "__cc", nlist)
-    val centCols = cents.map(ct => array(ct.map(lit): _*))
-    // literal-array dots: codegen-friendly at nlist=16 (see ivfTopK note)
-    def dots(v: Column): Column =
-      array(centCols.map(ct => nativeDot(spark, v, ct)): _*)
-    // argmax, ties -> lowest centroid id (array_position = first max)
-    val assigned = c.withColumn("__dots", dots(col("__cc")))
-      .withColumn("__bucket",
-        (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast("int"))
-      .drop("__dots")
-    val qProbes = q.withColumn("__probes",
-      transform(
-        array_sort(zip_with(
-          dots(col("__qc")),
-          sequence(lit(0), lit(cents.length - 1)),
-          (d, i) => struct((-d).as("nd"), i.as("idx")))),
-        s => s.getField("idx")))
-    (assigned, qProbes, cents.length)
+    (pinnedAssignments(c, cents), pinnedProbeOrder(q, cents), cents.length)
+  }
+
+  /** BUILD side of the build-once/query-many IVF serving split (the
+    * FAISS-shaped index lifecycle): SQ8-code the corpus, assign every
+    * code to its pinned-codebook list, and PERSIST the serving tables —
+    * `centroids` (cid, code) and `assignments` (neighbor_id, code,
+    * norm, bucket) — as parquet. At corpus scale the assignment pass is
+    * the only data-sized job and it runs once; every query batch after
+    * that reads the index, never the raw corpus. */
+  def buildPinnedIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = withCodeNorm(sq8Codes(corpus, idCol, vecCol, "neighbor_id", "__cc"),
+      "__cc", "__cn")
+    val cents = pinnedCodebook(c, "neighbor_id", "__cc", nlist)
+    cents.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cc")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    pinnedAssignments(c, cents)
+      .write.mode("overwrite").parquet(s"$path/assignments")
+  }
+
+  /** QUERY side: encode the query batch, probe the nprobe best lists of
+    * the PERSISTED index, re-rank by quantized cosine — no corpus scan.
+    * The centroid read is codebook-sized (nlist rows). Round-trip
+    * losslessness is gated in the registry (s18 shares s11's oracle). */
+  def queryPinnedIvfIndex(spark: SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val assigned = spark.read.parquet(s"$path/assignments")
+    val cents = spark.read.parquet(s"$path/centroids").orderBy("cid")
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val q = withCodeNorm(sq8Codes(queries, idCol, vecCol, "query_id", "__qc"),
+      "__qc", "__qn")
+    val probes = pinnedProbeOrder(q, cents)
+      .select(col("query_id"), col("__qc"), col("__qn"),
+        explode(slice(col("__probes"), 1, math.min(nprobe, cents.length)))
+          .as("__bucket"))
+    val scored = probes.join(assigned, Seq("__bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (nativeDot(spark, col("__qc"), col("__cc")) /
+          (col("__qn") * col("__cn"))).as("cos"))
+    rankTopK(scored, k)
   }
 
   private def pinnedIvfCandidates(

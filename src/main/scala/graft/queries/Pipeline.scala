@@ -1584,6 +1584,55 @@ object Pipeline {
           FROM docs)
         SELECT doc_id, v, CAST((cum - v) // 2000 AS BIGINT) AS shard_id
         FROM c
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- p28: overlapping document chunking (context-window prep) ---------
+    // the RAG/pretraining splitter: every document becomes fixed-size
+    // 64-token chunks striding by 48 (16-token overlap so no boundary
+    // context is lost), each chunk carrying a content digest for
+    // downstream chunk-level dedup/indexing. Pure per-row explode —
+    // linear output, shuffle-free, chunk count 1 + ceil((n-64)/48) in
+    // exact integer arithmetic; the md5 digest replays in DuckDB
+    // byte-for-byte (the p03/p07 determinism convention).
+    QueryDef(
+      "p28_chunk_overlap",
+      (s, d) => {
+        val C = 64; val step = 48
+        val toks = Tables(s, d, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+          .withColumn("n", size(col("t")))
+        val nchunks = when(col("n") <= C, lit(1))
+          .otherwise(lit(1) + expr(s"(n - $C + ${step - 1}) div $step"))
+        toks
+          .withColumn("chunk_idx",
+            explode(sequence(lit(0), (nchunks - 1).cast("int"))))
+          .select(col("doc_id"), col("chunk_idx"),
+            slice(col("t"), col("chunk_idx") * step + 1, lit(C)).as("ct"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("ct")).as("n_tokens"),
+            md5(concat_ws(" ", col("ct"))).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents),
+        base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+        nch AS (
+          SELECT doc_id, t,
+                 CASE WHEN n <= 64 THEN 1
+                      ELSE 1 + CAST((n - 64 + 47) // 48 AS BIGINT) END AS k
+          FROM base),
+        ex AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(0, k - 1)) AS ci
+          FROM nch),
+        ch AS (
+          SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+                 t[ci*48 + 1 : ci*48 + 64] AS ct
+          FROM ex)
+        SELECT doc_id, chunk_idx, CAST(len(ct) AS INT) AS n_tokens,
+               md5(array_to_string(ct, ' ')) AS chunk_md5
+        FROM ch ORDER BY doc_id, chunk_idx"""))
   )
 }

@@ -38,6 +38,38 @@ object Similarity {
           SELECT vec_id, c, sqrt(list_dot_product(c, c)) AS n FROM coded
         )"""
 
+  private lazy val ivfPinnedOracle: String = s"""
+        $sq8CodedSql,
+        cent AS (SELECT vec_id AS cid, c AS cc FROM coded WHERE vec_id < 16),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT d.vec_id, ct.cid,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                     ORDER BY list_dot_product(d.c, ct.cc) DESC, ct.cid) AS rn
+            FROM coded d CROSS JOIN cent ct) t WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cid FROM (
+            SELECT d.vec_id, ct.cid,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                     ORDER BY list_dot_product(d.c, ct.cc) DESC, ct.cid) AS rn
+            FROM coded d CROSS JOIN cent ct WHERE d.vec_id < 20) t
+          WHERE rn <= 6),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 list_dot_product(q.c, x.c) / (q.n * x.n) AS cos
+          FROM probes p
+          JOIN assign a ON a.cid = p.cid AND a.vec_id != p.query_id
+          JOIN selfd q ON q.vec_id = p.query_id
+          JOIN selfd x ON x.vec_id = a.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, neighbor_id
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- s01: exact brute-force cosine top-k ------------------------------
@@ -429,37 +461,30 @@ object Similarity {
           .select(col("query_id"), col("rank"), col("neighbor_id"))
           .orderBy("query_id", "rank")
       },
-      Some(s"""
-        $sq8CodedSql,
-        cent AS (SELECT vec_id AS cid, c AS cc FROM coded WHERE vec_id < 16),
-        assign AS (
-          SELECT vec_id, cid FROM (
-            SELECT d.vec_id, ct.cid,
-                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
-                     ORDER BY list_dot_product(d.c, ct.cc) DESC, ct.cid) AS rn
-            FROM coded d CROSS JOIN cent ct) t WHERE rn = 1),
-        probes AS (
-          SELECT vec_id AS query_id, cid FROM (
-            SELECT d.vec_id, ct.cid,
-                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
-                     ORDER BY list_dot_product(d.c, ct.cc) DESC, ct.cid) AS rn
-            FROM coded d CROSS JOIN cent ct WHERE d.vec_id < 20) t
-          WHERE rn <= 6),
-        scored AS (
-          SELECT p.query_id, a.vec_id AS neighbor_id,
-                 list_dot_product(q.c, x.c) / (q.n * x.n) AS cos
-          FROM probes p
-          JOIN assign a ON a.cid = p.cid AND a.vec_id != p.query_id
-          JOIN selfd q ON q.vec_id = p.query_id
-          JOIN selfd x ON x.vec_id = a.vec_id),
-        ranked AS (
-          SELECT query_id, neighbor_id,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                   ORDER BY cos DESC, neighbor_id) AS rank
-          FROM scored)
-        SELECT query_id, rank, neighbor_id
-        FROM ranked WHERE rank <= 5
-        ORDER BY query_id, rank""")),
+      Some(ivfPinnedOracle)),
+
+    // ---- s18: the index LIFECYCLE split — build once, persist, query
+    // many (the FAISS-shaped serving pattern): the corpus-sized
+    // assignment pass runs once into parquet `centroids`+`assignments`
+    // tables; the query side reads the index and never the raw corpus.
+    // Shares s11's oracle verbatim, so the gate proves the persistence
+    // round-trip is LOSSLESS — serve-from-disk must equal
+    // compute-in-place down to the hash. -----------------------------------
+    QueryDef(
+      "s18_ann_index_persist",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val path = java.nio.file.Files
+          .createTempDirectory("s18_index_").toString
+        VectorOps.buildPinnedIvfIndex(emb, "vec_id", "embedding",
+          nlist = 16, path = path)
+        VectorOps.queryPinnedIvfIndex(s, path,
+            emb.where(col("vec_id") < 20), "vec_id", "embedding",
+            k = 5, nprobe = 6)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfPinnedOracle)),
 
     // ---- s12: PQ with PINNED sub-space codebooks — book j = the j-th
     // sub-slices of the 16 lowest-id vectors' codes; encode scores

@@ -657,6 +657,30 @@ object TextOps {
       .where(col("dist") <= 1)
   }
 
+  /** Overlapping token chunking (the RAG/pretraining context-window
+    * splitter): `size`-token chunks striding by `step` (so consecutive
+    * chunks overlap by `size - step` tokens), each with its token count
+    * and an md5 content digest for chunk-level dedup/indexing. Chunk
+    * count = 1 + ceil((n-size)/step) in exact integer arithmetic; pure
+    * per-row explode — linear output, shuffle-free. */
+  def chunkOverlap(df: DataFrame, idCol: String, textCol: String,
+      size_ : Int, step: Int): DataFrame = {
+    require(0 < step && step <= size_, s"need 0 < step <= size, got $step/$size_")
+    val toks = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+    val nchunks = when(col("__n") <= size_, lit(1))
+      .otherwise(lit(1) + expr(s"(__n - $size_ + ${step - 1}) div $step"))
+    toks
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0), (nchunks - 1).cast("int"))))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("__t"), col("chunk_idx") * step + 1, lit(size_)).as("__ct"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("__ct")).as("n_tokens"),
+        md5(concat_ws(" ", col("__ct"))).as("chunk_md5"))
+  }
+
   /** Benchmark-decontamination join: for every training document, the
     * eval documents it shares at least one word n-gram with, and how many
     * distinct n-grams are shared — the standard contamination check run

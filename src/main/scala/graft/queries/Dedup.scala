@@ -294,6 +294,62 @@ object Dedup {
         GROUP BY sz
         ORDER BY cluster_size""")),
 
+    // ---- d19: chunk-level exact dedup (SlimPajama granularity) ------------
+    // dedup below document granularity: p28's overlapping chunks, hashed
+    // by content — an occurrence is DROPPED when an identical chunk
+    // exists earlier in (doc_id, chunk_idx) order (within-doc repeats
+    // count too). Canonical-first resolution is ONE partial-aggregating
+    // min per chunk hash (no window — a boilerplate chunk shared by
+    // millions of docs collapses map-side, the d12 argument), then a
+    // per-doc rollup of kept/dropped token mass.
+    QueryDef(
+      "d19_chunk_dedup",
+      (s, d) => {
+        val ch = TextOps.chunkOverlap(Tables(s, d, "documents"),
+          "doc_id", "text", size_ = 64, step = 48)
+        // occurrence order key: chunk_idx < 100000 by construction
+        val keyed = ch.withColumn("__k",
+          col("doc_id") * 100000L + col("chunk_idx"))
+        val first = keyed.groupBy("chunk_md5").agg(min(col("__k")).as("__f"))
+        keyed.join(first, "chunk_md5")
+          .withColumn("__dropped", col("__k") =!= col("__f"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("__dropped"), 1L).otherwise(0L)).as("n_dropped"),
+            sum(when(col("__dropped"), col("n_tokens").cast("long"))
+              .otherwise(0L)).as("tokens_dropped"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents),
+        base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+        nch AS (
+          SELECT doc_id, t,
+                 CASE WHEN n <= 64 THEN 1
+                      ELSE 1 + CAST((n - 64 + 47) // 48 AS BIGINT) END AS k
+          FROM base),
+        ex AS (
+          SELECT doc_id, t, unnest(generate_series(0, k - 1)) AS ci
+          FROM nch),
+        ch AS (
+          SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+                 CAST(len(t[ci*48 + 1 : ci*48 + 64]) AS BIGINT) AS n_tokens,
+                 md5(array_to_string(t[ci*48 + 1 : ci*48 + 64], ' ')) AS m
+          FROM ex),
+        f AS (
+          SELECT m, MIN(doc_id * 100000 + chunk_idx) AS fk
+          FROM ch GROUP BY m)
+        SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN ch.doc_id * 100000 + ch.chunk_idx <> f.fk
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(SUM(CASE WHEN ch.doc_id * 100000 + ch.chunk_idx <> f.fk
+                        THEN ch.n_tokens ELSE 0 END) AS BIGINT)
+                 AS tokens_dropped
+        FROM ch JOIN f ON ch.m = f.m
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- d17: connected components via large-star/small-star rounds -------
     // d06's answer through the O(log n)-round star algorithm (Kiveris
     // et al. 2014) instead of O(diameter) label propagation — the

@@ -1596,23 +1596,10 @@ object Pipeline {
     // byte-for-byte (the p03/p07 determinism convention).
     QueryDef(
       "p28_chunk_overlap",
-      (s, d) => {
-        val C = 64; val step = 48
-        val toks = Tables(s, d, "documents")
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-          .withColumn("n", size(col("t")))
-        val nchunks = when(col("n") <= C, lit(1))
-          .otherwise(lit(1) + expr(s"(n - $C + ${step - 1}) div $step"))
-        toks
-          .withColumn("chunk_idx",
-            explode(sequence(lit(0), (nchunks - 1).cast("int"))))
-          .select(col("doc_id"), col("chunk_idx"),
-            slice(col("t"), col("chunk_idx") * step + 1, lit(C)).as("ct"))
-          .select(col("doc_id"), col("chunk_idx"),
-            size(col("ct")).as("n_tokens"),
-            md5(concat_ws(" ", col("ct"))).as("chunk_md5"))
-          .orderBy("doc_id", "chunk_idx")
-      },
+      (s, d) =>
+        TextOps.chunkOverlap(Tables(s, d, "documents"), "doc_id", "text",
+            size_ = 64, step = 48)
+          .orderBy("doc_id", "chunk_idx"),
       Some("""
         WITH toks AS (
           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

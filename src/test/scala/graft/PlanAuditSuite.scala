@@ -641,6 +641,24 @@ class PlanAuditSuite extends SparkSuite {
       p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s18: query side serves from the persisted index, never the raw corpus") {
+    val p = plan("s18_ann_index_persist")
+    assert(p.contains("assignments"),
+      s"query side must scan the persisted index tables:\n$p")
+    // the only embeddings scan is the 20-row QUERY slice — the corpus
+    // reaches the join exclusively through the index
+    val embScans = "embeddings\\.parquet".r.findAllIn(p).size
+    assert(embScans <= 1,
+      s"expected at most one embeddings scan (the query slice), got $embScans:\n$p")
+  }
+
+  test("d19: canonical-chunk resolution aggregates, never windows") {
+    val df = SparkEntry.queries("d19_chunk_dedup")(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("windowspecdefinition"),
+      s"chunk-dedup must use the min-aggregate formulation, not a window:\n$p")
+  }
+
   test("AQE skew-join splits the unsalted hot-key partition at runtime") {
     // the SkewJoinCheck demonstration pinned as a plan property: with
     // skew-join enabled (thresholds scaled to local data the way the

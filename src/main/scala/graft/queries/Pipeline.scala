@@ -1620,6 +1620,57 @@ object Pipeline {
           FROM ex)
         SELECT doc_id, chunk_idx, CAST(len(ct) AS INT) AS n_tokens,
                md5(array_to_string(ct, ' ')) AS chunk_md5
-        FROM ch ORDER BY doc_id, chunk_idx"""))
+        FROM ch ORDER BY doc_id, chunk_idx""")),
+
+    // ---- p29: deterministic epoch interleave (training data ORDER) --------
+    // the step after mixing decides WHAT to train on (p09/p18): this
+    // decides in WHICH ORDER — every language's documents spread evenly
+    // through one epoch pass instead of arriving in corpus order.
+    // Virtual time vt = (r-1)*1e9 div n_lang (r = per-lang rank), so
+    // each domain's k-th fraction lands at the k-th fraction of the
+    // epoch; the global position is the rank of (vt, lang, doc_id) —
+    // a pure function of the corpus, identical on any engine/partition
+    // layout. Both ranks ride ScaleOps.runningTotal's two-pass
+    // distributed prefix (range partition + broadcast offsets) — no
+    // global window, no per-lang data-sized window partitions; the only
+    // driver state is the per-lang count map (bounded dimension).
+    QueryDef(
+      "p29_epoch_order",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables(s, d, "documents").select(col("doc_id"), col("lang"))
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+        val offs = counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
+        val meta = counts.zip(offs)
+          .map { case ((l, n), off) => (l, n, off) }.toSeq
+          .toDF("lang", "__n", "__off")
+        val ranked = ScaleOps
+          .runningTotal(docs.withColumn("__one", lit(1)), "__one",
+            Seq(col("lang"), col("doc_id")), "__cum")
+          .join(broadcast(meta), "lang")
+          .withColumn("vt",
+            expr("(__cum - __off - 1) * 1000000000 div __n"))
+          .select(col("doc_id"), col("lang"), col("vt"))
+        ScaleOps
+          .runningTotal(ranked.withColumn("__one", lit(1)), "__one",
+            Seq(col("vt"), col("lang"), col("doc_id")), "epoch_pos")
+          .select(col("doc_id"), col("lang"), col("vt"), col("epoch_pos"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH r AS (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS r,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM documents),
+        v AS (
+          SELECT doc_id, lang,
+                 CAST((r - 1) * 1000000000 // n AS BIGINT) AS vt
+          FROM r)
+        SELECT doc_id, lang, vt,
+               CAST(ROW_NUMBER() OVER (ORDER BY vt, lang, doc_id) AS BIGINT)
+                 AS epoch_pos
+        FROM v ORDER BY doc_id"""))
   )
 }

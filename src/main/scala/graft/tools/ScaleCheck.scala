@@ -115,7 +115,18 @@ object ScaleCheck {
       // growth curve is the evidence the full container index doesn't
       // turn the join quadratic
       "d16_containment" -> (docs =>
-        TextOps.containmentPairs(docs, "doc_id", "text", 3, 0.8).count()))
+        TextOps.containmentPairs(docs, "doc_id", "text", 3, 0.8).count()),
+      // chunk-level dedup: explode + hash groupBy — expected linear
+      // (replica token prefixes keep chunks distinct across copies, so
+      // work tracks corpus size, not pair structure)
+      "d19_chunk_dedup" -> { docs =>
+        val ch = TextOps.chunkOverlap(docs, "doc_id", "text", 64, 48)
+        val keyed = ch.withColumn("__k",
+          col("doc_id") * 100000L + col("chunk_idx"))
+        val first = keyed.groupBy("chunk_md5").agg(min(col("__k")).as("__f"))
+        keyed.join(first, "chunk_md5")
+          .where(col("__k") =!= col("__f")).count()
+      })
     val ops = opsAll.filter(t => keep(t._1))
 
     // warmup: parquet footers AND each operator's codegen/JIT off the

@@ -281,6 +281,26 @@ object VectorOps {
       .write.mode("overwrite").parquet(s"$path/assignments")
   }
 
+  /** APPEND side of the index lifecycle: assign a NEW vector batch
+    * under the index's frozen codebook and append its serving rows —
+    * no rebuild, no touch of the existing assignment files. Because
+    * each vector's (code, bucket) depends only on the codebook,
+    * append-then-query is EXACTLY rebuild-then-query (gated: s19 runs
+    * build-on-partial + append against s11's full-corpus oracle). At
+    * scale this is the standard ingest path — the delta assignment job
+    * is sized by the delta, and centroid drift is a periodic offline
+    * rebuild decision, not a serving-path concern. */
+  def appendPinnedIvfIndex(delta: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = delta.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids").orderBy("cid")
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val c = withCodeNorm(sq8Codes(delta, idCol, vecCol, "neighbor_id", "__cc"),
+      "__cc", "__cn")
+    pinnedAssignments(c, cents)
+      .write.mode("append").parquet(s"$path/assignments")
+  }
+
   /** QUERY side: encode the query batch, probe the nprobe best lists of
     * the PERSISTED index, re-rank by quantized cosine — no corpus scan.
     * The centroid read is codebook-sized (nlist rows). Round-trip

@@ -486,6 +486,32 @@ object Similarity {
       },
       Some(ivfPinnedOracle)),
 
+    // ---- s19: INCREMENTAL index append — the lifecycle continues:
+    // build on a partial corpus, append the remaining vectors as a
+    // delta batch under the frozen codebook (no rebuild, delta-sized
+    // work), then query. Assignment is per-vector under the codebook,
+    // so append-then-query must EQUAL s11's full-corpus answer — the
+    // oracle is shared verbatim. (The delta excludes the 16 lowest ids
+    // so the partial build's pinned codebook is the full corpus'.) -----------
+    QueryDef(
+      "s19_ann_index_append",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val isDelta = col("vec_id") >= 100 && col("vec_id") % 3 === 0
+        val path = java.nio.file.Files
+          .createTempDirectory("s19_index_").toString
+        VectorOps.buildPinnedIvfIndex(emb.where(!isDelta), "vec_id",
+          "embedding", nlist = 16, path = path)
+        VectorOps.appendPinnedIvfIndex(emb.where(isDelta), "vec_id",
+          "embedding", path = path)
+        VectorOps.queryPinnedIvfIndex(s, path,
+            emb.where(col("vec_id") < 20), "vec_id", "embedding",
+            k = 5, nprobe = 6)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfPinnedOracle)),
+
     // ---- s12: PQ with PINNED sub-space codebooks — book j = the j-th
     // sub-slices of the 16 lowest-id vectors' codes; encode scores
     // `sub·c - |c|²/2` are exact half-integers, ADC sums are integer

@@ -348,7 +348,8 @@ object Dedup {
                         THEN ch.n_tokens ELSE 0 END) AS BIGINT)
                  AS tokens_dropped
         FROM ch JOIN f ON ch.m = f.m
-        GROUP BY 1 ORDER BY 1""")),
+        GROUP BY 1 ORDER BY 1"""),
+      bench = true),
 
     // ---- d17: connected components via large-star/small-star rounds -------
     // d06's answer through the O(log n)-round star algorithm (Kiveris

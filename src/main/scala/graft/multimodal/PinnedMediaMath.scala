@@ -175,6 +175,69 @@ object PinnedMediaMath {
     SELECT qid AS query_id, cid AS neighbor_id, dot
     FROM top WHERE rk = 1 ORDER BY query_id"""
 
+  /** DuckDB replay of [[videoMaxsimTop1]]. */
+  def videoMaxsimOracle: String = s"""
+    WITH $dctCtes,
+    proj(po, pz, psign) AS (VALUES ${values3i(projSign)}),
+    fplanes AS (SELECT * FROM read_parquet('$fx/video_frames/*.parquet')),
+    ftmp AS (
+      SELECT media_id, frame_idx, b.u, p.y, CAST(SUM(p.v * b.c) AS BIGINT) AS t
+      FROM fplanes p JOIN basis b ON p.x = b.i
+      GROUP BY 1, 2, 3, 4
+    ),
+    fspec AS (
+      SELECT t.media_id, t.frame_idx, t.u, b.u AS v2,
+             CAST(SUM(t.t * b.c) AS BIGINT) AS o
+      FROM ftmp t JOIN basis b ON t.y = b.i
+      GROUP BY 1, 2, 3, 4
+    ),
+    fcoeffs AS (
+      SELECT s.media_id, s.frame_idx, z.z, s.o
+      FROM fspec s JOIN zig z ON s.u = z.zu AND s.v2 = z.zv
+    ),
+    qemb AS (
+      SELECT c.media_id, p.po, CAST(SUM(c.o * p.psign) AS BIGINT) AS e
+      FROM coeffs c JOIN proj p ON c.z = p.pz
+      WHERE c.media_id < 60 GROUP BY 1, 2
+    ),
+    femb AS (
+      SELECT c.media_id, c.frame_idx, p.po,
+             CAST(SUM(c.o * p.psign) AS BIGINT) AS e
+      FROM fcoeffs c JOIN proj p ON c.z = p.pz
+      GROUP BY 1, 2, 3
+    ),
+    stats AS (SELECT po, MIN(e) AS mn, MAX(e) AS mx FROM femb GROUP BY 1),
+    qc AS (
+      SELECT e.media_id AS qid, e.po,
+             CASE WHEN s.mx > s.mn
+                  THEN (LEAST(s.mx, GREATEST(s.mn, e.e)) - s.mn) * 255
+                         // (s.mx - s.mn)
+                  ELSE 0 END AS code
+      FROM qemb e JOIN stats s USING (po)
+    ),
+    fc AS (
+      SELECT e.media_id AS vid, e.frame_idx, e.po,
+             CASE WHEN s.mx > s.mn
+                  THEN (LEAST(s.mx, GREATEST(s.mn, e.e)) - s.mn) * 255
+                         // (s.mx - s.mn)
+                  ELSE 0 END AS code
+      FROM femb e JOIN stats s USING (po)
+    ),
+    fdots AS (
+      SELECT q.qid, f.vid, f.frame_idx,
+             CAST(SUM(q.code * f.code) AS BIGINT) AS fdot
+      FROM qc q JOIN fc f ON q.po = f.po
+      GROUP BY 1, 2, 3
+    ),
+    sims AS (SELECT qid, vid, MAX(fdot) AS sim FROM fdots GROUP BY 1, 2),
+    top AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, vid) AS rk
+      FROM sims
+    )
+    SELECT qid AS query_id, vid AS video_id, sim
+    FROM top WHERE rk = 1 ORDER BY query_id"""
+
   // ---- Spark side ------------------------------------------------------
 
   private def planesDf(spark: SparkSession): DataFrame =
@@ -247,6 +310,68 @@ object PinnedMediaMath {
       .agg(sum(col("s") * col("cc")).as("x_re"),
         sum(col("s") * col("ss")).as("x_im"))
       .orderBy("media_id", "band")
+  }
+
+  /** Frame-keyed twin of [[dctCoeffs]] over the video_frames fixture:
+    * the identical separable transform with (media_id, frame_idx) as
+    * the aggregation unit. */
+  def frameDctCoeffs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val basis = basisDf(spark)
+    val zig = zigzag16.toDF("zu", "zv", "z", "p")
+    val planes = spark.read.parquet(s"$fx/video_frames")
+      .select(col("media_id"), col("frame_idx"), col("y"), col("x"), col("v"))
+    val tmp = planes.join(broadcast(basis), col("x") === col("i"))
+      .groupBy(col("media_id"), col("frame_idx"), col("u"), col("y"))
+      .agg(sum(col("v") * col("c")).as("t"))
+    val basis2 = basis.toDF("v2", "i2", "c2")
+    tmp.join(broadcast(basis2), col("y") === col("i2"))
+      .groupBy(col("media_id"), col("frame_idx"), col("u"), col("v2"))
+      .agg(sum(col("t") * col("c2")).as("o"))
+      .join(broadcast(zig), col("u") === col("zu") && col("v2") === col("zv"))
+      .select(col("media_id"), col("frame_idx"), col("z"), col("o"))
+  }
+
+  /** mm13: image→video retrieval by frame-level maxsim — every demuxed
+    * frame gets its own pinned embedding (DCT → Rademacher → SQ8
+    * against FRAME-corpus stats) and a video scores as the best of its
+    * frames against the query image; top-1 video per query, ties to the
+    * lowest id. The late-interaction shape (s15) at the media boundary:
+    * candidate volume is queries × frames through one dimension-keyed
+    * equi-join, every stage integral and oracle-replayed. */
+  def videoMaxsimTop1(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val proj = projSign.toDF("po", "pz", "psign")
+    val fEmb = frameDctCoeffs(spark)
+      .join(broadcast(proj), col("z") === col("pz"))
+      .groupBy(col("media_id"), col("frame_idx"), col("po"))
+      .agg(sum(col("o") * col("psign")).as("e"))
+    val qEmb = dctCoeffs(spark)
+      .join(broadcast(proj), col("z") === col("pz"))
+      .groupBy(col("media_id"), col("po"))
+      .agg(sum(col("o") * col("psign")).as("e"))
+      .where(col("media_id") < 60)
+    val stats = fEmb.groupBy("po").agg(min("e").as("mn"), max("e").as("mx"))
+    def coded(df: DataFrame): DataFrame = df
+      .join(broadcast(stats), "po")
+      .withColumn("code",
+        when(col("mx") > col("mn"),
+          expr("(least(mx, greatest(mn, e)) - mn) * 255 div (mx - mn)"))
+          .otherwise(0L))
+    val fc = coded(fEmb).select(col("media_id").as("vid"), col("frame_idx"),
+      col("po").as("fo"), col("code").as("fcode"))
+    val qc = coded(qEmb).select(col("media_id").as("qid"),
+      col("po").as("qo"), col("code").as("qcode"))
+    val frameDots = qc.join(fc, col("qo") === col("fo"))
+      .groupBy("qid", "vid", "frame_idx")
+      .agg(sum(col("qcode") * col("fcode")).as("fdot"))
+    val sims = frameDots.groupBy("qid", "vid").agg(max(col("fdot")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("vid"))
+    sims.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("qid").as("query_id"), col("vid").as("video_id"),
+        col("sim"))
+      .orderBy("query_id")
   }
 
   /** Pinned serving stack: integer DCT features → Rademacher projection

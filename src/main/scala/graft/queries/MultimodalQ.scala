@@ -251,6 +251,16 @@ object MultimodalQ {
                CAST(SUM(fr.v) AS BIGINT) AS px_sum
         FROM sel JOIN fr
           ON fr.media_id = sel.media_id AND fr.frame_idx = sel.fidx
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // mm13: image→video retrieval by frame-level maxsim — every demuxed
+    // frame embedded independently (pinned DCT → projection → SQ8), a
+    // video scores as the best of its frames, top-1 per query image.
+    // The late-interaction shape (s15/s16) at the media boundary, fully
+    // under the oracle.
+    QueryDef(
+      "mm13_video_maxsim_pinned",
+      (s, d) => PinnedMediaMath.videoMaxsimTop1(s),
+      Some(PinnedMediaMath.videoMaxsimOracle))
   )
 }

@@ -42,6 +42,27 @@ object ScaleOps {
     salted.join(expanded, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Salted two-level HOLISTIC aggregation — the spread for the one
+    * skew class neither AQE nor partial aggregation can rescue (see
+    * SCALING.md round-10): a collect-style aggregate on a hot key has
+    * no map-side combine that shrinks it, so the whole key's value set
+    * would land on one task. Level 1 groups by (key, salt-of-value) —
+    * the hot key's values split across `saltFactor` tasks, each
+    * collecting a bounded distinct slice; level 2 merges `saltFactor`
+    * ARRAYS per key (bounded by construction), never the raw rows.
+    * Value-derived salt keeps retries deterministic AND co-locates
+    * duplicate values, so level-1 sets are already distinct slices. */
+  def saltedDistinctList(df: DataFrame, keyCol: String, valCol: String,
+      saltFactor: Int): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    df.withColumn("__salt",
+        pmod(xxhash64(col(valCol)), lit(saltFactor)).cast("int"))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(collect_set(col(valCol)).as("__part"))
+      .groupBy(col(keyCol))
+      .agg(array_sort(flatten(collect_list(col("__part")))).as("vals"))
+  }
+
   /** Backward as-of join — for every left row, the single latest right
     * row with `right.ts <= left.ts` in the same key group (nulls when
     * none). Spark has no built-in as-of join; the naive form

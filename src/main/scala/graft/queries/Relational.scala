@@ -1441,6 +1441,30 @@ object Relational {
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag, metric, value
         FROM m UNPIVOT (value FOR metric IN (sum_qty, n_rows, n_disc))
-        ORDER BY l_returnflag, metric"""))
+        ORDER BY l_returnflag, metric""")),
+
+    // ---- q53: salted two-level HOLISTIC aggregation ------------------------
+    // the skew class neither AQE (can't split an agg partition) nor
+    // partial aggregation (collect has no shrinking combine) rescues:
+    // distinct-value collection on a hot key. ScaleOps.saltedDistinctList
+    // splits each key's values across salt-of-value level-1 tasks
+    // (bounded distinct slices), then merges saltFactor ARRAYS per key.
+    // Output flattened to CSV (the gate cannot hash array columns).
+    QueryDef(
+      "q53_salted_distinct_list",
+      (s, d) =>
+        graft.functions.ScaleOps
+          .saltedDistinctList(Tables(s, d, "part"),
+            "p_type", "p_brand", saltFactor = 8)
+          .select(col("p_type"),
+            concat_ws(",", col("vals")).as("brands_csv"))
+          .orderBy("p_type"),
+      Some("""
+        SELECT p_type,
+               string_agg(DISTINCT p_brand, ',' ORDER BY p_brand)
+                 AS brands_csv
+        FROM part
+        GROUP BY p_type
+        ORDER BY p_type"""))
   )
 }

@@ -79,6 +79,30 @@ class ScaleOpsSuite extends SparkSuite {
     }
   }
 
+  test("saltedDistinctList equals the unsalted distinct collection") {
+    import spark.implicits._
+    // hot key 0 holds half of all rows; values collide across the salt
+    // slices only by equality, so the flattened level-2 arrays must be
+    // exactly the distinct sets of the one-shot collect
+    val df = spark.range(4000).select(
+      when(col("id") % 2 === 0, 0L).otherwise(col("id") % 7).as("k"),
+      concat(lit("v"), (col("id") % 40)).as("v"))
+    val got = ScaleOps.saltedDistinctList(df, "k", "v", saltFactor = 8)
+      .select(col("k"), concat_ws(",", col("vals")).as("csv"))
+      .as[(Long, String)].collect().toMap
+    val want = df.groupBy("k")
+      .agg(concat_ws(",", array_sort(collect_set(col("v")))).as("csv"))
+      .as[(Long, String)].collect().toMap
+    assert(got == want)
+    // the level-1 spread is real: the hot key's values arrive as
+    // multiple bounded slices, not one task-sized set
+    val slices = df
+      .withColumn("__salt", pmod(xxhash64(col("v")), lit(8)))
+      .where(col("k") === 0)
+      .select("__salt").distinct().count()
+    assert(slices > 1, s"salt must spread the hot key's values, got $slices slice(s)")
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     val left = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("x"))
     val right = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("y"))

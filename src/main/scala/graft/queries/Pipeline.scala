@@ -1586,6 +1586,54 @@ object Pipeline {
         FROM c
         ORDER BY doc_id""")),
 
+    // ---- p30: shard export MANIFEST (the publish artifact) ----------------
+    // what a consumer verifies a delivered dataset against: per p27
+    // shard, the doc count, token mass, id range, and an md5 over the
+    // ordered id list — enough to detect a dropped/duplicated/reordered
+    // document without rereading text. The per-shard collect is bounded
+    // by construction (shards are token-capped), so the holistic id-list
+    // digest is safe without salting.
+    QueryDef(
+      "p30_shard_manifest",
+      (s, d) => {
+        val docs = Tables.corpus(s, d)
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("v"))
+        val target = 2000L
+        ScaleOps.runningTotal(docs, "v", Seq(col("doc_id")), "cum")
+          .select(col("doc_id"), col("v"),
+            expr(s"((cum - v) div $target)").as("shard_id"))
+          .groupBy("shard_id")
+          .agg(count(lit(1)).as("n_docs"), sum(col("v")).as("n_tokens"),
+            min(col("doc_id")).as("first_id"), max(col("doc_id")).as("last_id"),
+            md5(concat_ws(",", array_sort(collect_list(col("doc_id")))))
+              .as("ids_md5"))
+          .orderBy("shard_id")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS v
+          FROM documents),
+        c AS (
+          SELECT doc_id, v,
+                 CAST(SUM(v) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM docs),
+        sh AS (
+          SELECT doc_id, v, CAST((cum - v) // 2000 AS BIGINT) AS shard_id
+          FROM c)
+        SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(v) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_id, MAX(doc_id) AS last_id,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                 ORDER BY doc_id)) AS ids_md5
+        FROM sh
+        GROUP BY shard_id
+        ORDER BY shard_id""")),
+
     // ---- p28: overlapping document chunking (context-window prep) ---------
     // the RAG/pretraining splitter: every document becomes fixed-size
     // 64-token chunks striding by 48 (16-token overlap so no boundary

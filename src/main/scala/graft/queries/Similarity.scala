@@ -38,7 +38,7 @@ object Similarity {
           SELECT vec_id, c, sqrt(list_dot_product(c, c)) AS n FROM coded
         )"""
 
-  private lazy val ivfPinnedOracle: String = s"""
+  private[queries] lazy val ivfPinnedOracle: String = s"""
         $sq8CodedSql,
         cent AS (SELECT vec_id AS cid, c AS cc FROM coded WHERE vec_id < 16),
         assign AS (

@@ -568,6 +568,22 @@ object Windows {
         WHERE c.window_start_ms + 3600000 <= epoch_ms(wm.w)
         ORDER BY window_start_ms, event_type""")),
 
+    // ---- w20: STREAMING ANN index ingest -----------------------------------
+    // the s18/s19 serving lifecycle through Structured Streaming: the
+    // index bootstraps from the 16 codebook vectors, the corpus tail
+    // arrives one file per micro-batch and each batch appends its
+    // assignments under the frozen codebook (foreachBatch → per-row
+    // work, so any batching reaches the same index), and the final
+    // query must equal s11's full-corpus compute-in-place answer.
+    QueryDef(
+      "w20_stream_index_ingest",
+      (s, d) =>
+        graft.streaming.Streams
+          .streamingIndexIngestGate(s, s"$d/embeddings.parquet")
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank"),
+      Some(Similarity.ivfPinnedOracle)),
+
     // ---- w16: stream-static AS-OF enrichment through the engine -----------
     // a04's semantics run incrementally: each streamed purchase joins
     // the latest static view at-or-before its event time (broadcast

@@ -715,6 +715,46 @@ object Streams {
     spark.read.parquet(sinkDir)
   }
 
+  /** w20's gate: STREAMING index ingest — the s18/s19 serving lifecycle
+    * driven by Structured Streaming: the index bootstraps from the 16
+    * codebook vectors, the rest of the corpus arrives as a stream and
+    * each micro-batch appends its assignments under the frozen codebook
+    * (`foreachBatch` → [[graft.functions.VectorOps.appendPinnedIvfIndex]]
+    * — per-row work, so ANY batching reaches the same index), and the
+    * final query must equal the full-corpus compute-in-place answer
+    * (s11's oracle, shared verbatim). maxFilesPerTrigger=1 forces
+    * multiple micro-batches so the batching-invariance claim is
+    * exercised, not assumed. */
+  def streamingIndexIngestGate(spark: SparkSession,
+      embPath: String): DataFrame = {
+    import graft.functions.VectorOps
+    val path = java.nio.file.Files
+      .createTempDirectory(s"w20_index_${gateRunSeq.incrementAndGet()}_")
+      .toString
+    val emb = spark.read.parquet(embPath)
+    VectorOps.buildPinnedIvfIndex(emb.where(col("vec_id") < 16),
+      "vec_id", "embedding", nlist = 16, path = path)
+    // the tail of the corpus as a stream: one input file per micro-batch
+    val schema = emb.schema
+    val f = new java.io.File(embPath)
+    val reader = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+    val stream =
+      (if (f.isFile) reader.parquet(s"${f.getParent}/{${f.getName}}")
+       else reader.parquet(embPath))
+        .where(col("vec_id") >= 16)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        VectorOps.appendPinnedIvfIndex(batch, "vec_id", "embedding", path)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    VectorOps.queryPinnedIvfIndex(spark, path,
+      emb.where(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, nprobe = 6)
+  }
+
   final case class Doc(key: String, doc_id: Long, text: String)
 
   /** Streaming exact dedup: first occurrence of each content key wins,

@@ -301,14 +301,33 @@ object VectorOps {
       .write.mode("append").parquet(s"$path/assignments")
   }
 
+  /** COMPACTION: rewrite the (possibly many-file, append-fragmented)
+    * assignment table PARTITIONED BY the bucket id. Two wins at corpus
+    * scale: small appended files merge into per-list files, and the
+    * query side's probe join becomes partition-PRUNED — dynamic
+    * partition pruning drops every unprobed list's files from the scan,
+    * so a query reads ~nprobe/nlist of the index instead of all of it
+    * (plan-pinned in PlanAuditSuite). Layout change only: query results
+    * are identical (s20 shares s11's oracle). */
+  def compactPinnedIvfIndex(spark: SparkSession, path: String): Unit =
+    spark.read.parquet(s"$path/assignments")
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$path/assignments_by_bucket")
+
   /** QUERY side: encode the query batch, probe the nprobe best lists of
     * the PERSISTED index, re-rank by quantized cosine — no corpus scan.
-    * The centroid read is codebook-sized (nlist rows). Round-trip
+    * The centroid read is codebook-sized (nlist rows); a compacted
+    * bucket-partitioned layout ([[compactPinnedIvfIndex]]) is preferred
+    * when present, making the probe join partition-pruned. Round-trip
     * losslessness is gated in the registry (s18 shares s11's oracle). */
   def queryPinnedIvfIndex(spark: SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int): DataFrame = {
-    val assigned = spark.read.parquet(s"$path/assignments")
+    val compacted = new java.io.File(s"$path/assignments_by_bucket")
+    val assigned =
+      if (compacted.isDirectory)
+        spark.read.parquet(s"$path/assignments_by_bucket")
+      else spark.read.parquet(s"$path/assignments")
     val cents = spark.read.parquet(s"$path/centroids").orderBy("cid")
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
     val q = withCodeNorm(sq8Codes(queries, idCol, vecCol, "query_id", "__qc"),

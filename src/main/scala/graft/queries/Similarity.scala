@@ -512,6 +512,32 @@ object Similarity {
       },
       Some(ivfPinnedOracle)),
 
+    // ---- s20: index COMPACTION — append-fragmented assignment files
+    // rewritten PARTITIONED BY the bucket id, so the query-side probe
+    // join is partition-pruned (a query reads ~nprobe/nlist of the
+    // index, not all of it — the I/O win that matters at corpus scale).
+    // Layout change only: build → append → compact → query must still
+    // equal s11's compute-in-place answer. -----------------------------------
+    QueryDef(
+      "s20_ann_index_compact",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val isDelta = col("vec_id") >= 100 && col("vec_id") % 3 === 0
+        val path = java.nio.file.Files
+          .createTempDirectory("s20_index_").toString
+        VectorOps.buildPinnedIvfIndex(emb.where(!isDelta), "vec_id",
+          "embedding", nlist = 16, path = path)
+        VectorOps.appendPinnedIvfIndex(emb.where(isDelta), "vec_id",
+          "embedding", path = path)
+        VectorOps.compactPinnedIvfIndex(s, path)
+        VectorOps.queryPinnedIvfIndex(s, path,
+            emb.where(col("vec_id") < 20), "vec_id", "embedding",
+            k = 5, nprobe = 6)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfPinnedOracle)),
+
     // ---- s12: PQ with PINNED sub-space codebooks — book j = the j-th
     // sub-slices of the 16 lowest-id vectors' codes; encode scores
     // `sub·c - |c|²/2` are exact half-integers, ADC sums are integer

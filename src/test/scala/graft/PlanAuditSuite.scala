@@ -659,6 +659,14 @@ class PlanAuditSuite extends SparkSuite {
       s"chunk-dedup must use the min-aggregate formulation, not a window:\n$p")
   }
 
+  test("s20: compacted index scan is dynamically partition-pruned to the probed buckets") {
+    val df = SparkEntry.queries("s20_ann_index_compact")(spark, sf)
+    df.collect() // DPP materializes in the final adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression(__bucket"),
+      s"the probe join must prune the bucket-partitioned index scan:\n$p")
+  }
+
   test("AQE skew-join splits the unsalted hot-key partition at runtime") {
     // the SkewJoinCheck demonstration pinned as a plan property: with
     // skew-join enabled (thresholds scaled to local data the way the

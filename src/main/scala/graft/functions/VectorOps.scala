@@ -301,16 +301,49 @@ object VectorOps {
       .write.mode("append").parquet(s"$path/assignments")
   }
 
+  /** Idempotent per-micro-batch variant of [[appendPinnedIvfIndex]] for
+    * streaming ingest: batch `batchId`'s assignments land in their OWN
+    * partition directory with overwrite semantics, so a retried batch
+    * (foreachBatch offers at-least-once delivery) replaces itself
+    * instead of duplicating rows — the standard foreachBatch
+    * exactly-once recipe. The directory key reads back as an
+    * `ingest_batch` partition column, which the query side ignores. */
+  def appendPinnedIvfIndexBatch(delta: DataFrame, idCol: String,
+      vecCol: String, path: String, batchId: Long): Unit = {
+    val spark = delta.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids").orderBy("cid")
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val c = withCodeNorm(sq8Codes(delta, idCol, vecCol, "neighbor_id", "__cc"),
+      "__cc", "__cn")
+    pinnedAssignments(c, cents)
+      .write.mode("overwrite")
+      .parquet(s"$path/assignments_stream/ingest_batch=$batchId")
+  }
+
+  /** The full serving view of an index root: the build/append table,
+    * plus any streamed per-batch partitions (kept in their own root —
+    * mixing flat files and partition directories under one path breaks
+    * partition discovery). */
+  private def assignmentsOf(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(s"$path/assignments")
+    val streamDir = new java.io.File(s"$path/assignments_stream")
+    if (streamDir.isDirectory)
+      base.unionByName(
+        spark.read.parquet(s"$path/assignments_stream").drop("ingest_batch"))
+    else base
+  }
+
   /** COMPACTION: rewrite the (possibly many-file, append-fragmented)
-    * assignment table PARTITIONED BY the bucket id. Two wins at corpus
-    * scale: small appended files merge into per-list files, and the
-    * query side's probe join becomes partition-PRUNED — dynamic
-    * partition pruning drops every unprobed list's files from the scan,
-    * so a query reads ~nprobe/nlist of the index instead of all of it
-    * (plan-pinned in PlanAuditSuite). Layout change only: query results
-    * are identical (s20 shares s11's oracle). */
+    * assignment table — batch appends AND streamed per-batch partitions
+    * — PARTITIONED BY the bucket id. Two wins at corpus scale: small
+    * appended files merge into per-list files, and the query side's
+    * probe join becomes partition-PRUNED — dynamic partition pruning
+    * drops every unprobed list's files from the scan, so a query reads
+    * ~nprobe/nlist of the index instead of all of it (plan-pinned in
+    * PlanAuditSuite). Layout change only: query results are identical
+    * (s20 shares s11's oracle). */
   def compactPinnedIvfIndex(spark: SparkSession, path: String): Unit =
-    spark.read.parquet(s"$path/assignments")
+    assignmentsOf(spark, path)
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(s"$path/assignments_by_bucket")
 
@@ -327,7 +360,7 @@ object VectorOps {
     val assigned =
       if (compacted.isDirectory)
         spark.read.parquet(s"$path/assignments_by_bucket")
-      else spark.read.parquet(s"$path/assignments")
+      else assignmentsOf(spark, path)
     val cents = spark.read.parquet(s"$path/centroids").orderBy("cid")
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
     val q = withCodeNorm(sq8Codes(queries, idCol, vecCol, "query_id", "__qc"),

@@ -715,6 +715,10 @@ object Streams {
     spark.read.parquet(sinkDir)
   }
 
+  /** Canonical row rendering for result comparison in gates/suites. */
+  private[graft] def rowsOfSorted(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
   /** w20's gate: STREAMING index ingest — the s18/s19 serving lifecycle
     * driven by Structured Streaming: the index bootstraps from the 16
     * codebook vectors, the rest of the corpus arrives as a stream and
@@ -744,8 +748,11 @@ object Streams {
        else reader.parquet(embPath))
         .where(col("vec_id") >= 16)
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        VectorOps.appendPinnedIvfIndex(batch, "vec_id", "embedding", path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch-keyed overwrite, NOT blind append: foreachBatch is
+        // at-least-once, so a retried batch must replace itself
+        VectorOps.appendPinnedIvfIndexBatch(batch, "vec_id", "embedding",
+          path, batchId)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -612,6 +612,27 @@ class StreamingSuite extends SparkSuite {
         lit(null).cast("string").as("dst_ref")), m))
   }
 
+  test("w20 ingest batches are retry-idempotent (re-delivered batch replaces itself)") {
+    import graft.functions.VectorOps
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("w20_idem_").toString
+    VectorOps.buildPinnedIvfIndex(emb.where(col("vec_id") < 16),
+      "vec_id", "embedding", nlist = 16, path = path)
+    val delta = emb.where(col("vec_id") >= 16)
+    VectorOps.appendPinnedIvfIndexBatch(delta, "vec_id", "embedding", path, 0L)
+    val once = Streams.rowsOfSorted(VectorOps.queryPinnedIvfIndex(
+      spark, path, emb.where(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, nprobe = 6))
+    // foreachBatch is at-least-once: the SAME batch id re-delivered must
+    // replace its partition, leaving the index (and answers) unchanged
+    VectorOps.appendPinnedIvfIndexBatch(delta, "vec_id", "embedding", path, 0L)
+    val twice = Streams.rowsOfSorted(VectorOps.queryPinnedIvfIndex(
+      spark, path, emb.where(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, nprobe = 6))
+    assert(once.nonEmpty && once == twice,
+      "a re-delivered ingest batch must not change the index")
+  }
+
   test("w18: restarted query resumes transformWithState state from the checkpoint") {
     // two queries, one checkpoint: the gate stops after the even-id half
     // and restarts for the odd half — the terminal per-user CDC view must

@@ -259,7 +259,9 @@ object TextOps {
     val tPm = math.ceil(t * 1000).toLong
     val cand = probe.join(index,
         col("__s_p") === col("__s_i") && col("id_a") =!= col("id_b") &&
-          col("n_b") * 1000 >= lit(tPm) * col("n_a"))
+          // long arithmetic: n_b is a 32-bit size() and n_b * 1000 would
+          // wrap for >2.1M-shingle documents, silently dropping pairs
+          col("n_b").cast("long") * 1000L >= lit(tPm) * col("n_a").cast("long"))
       .select("id_a", "id_b").distinct()
     cand
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")

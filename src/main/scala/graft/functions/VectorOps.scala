@@ -291,15 +291,9 @@ object VectorOps {
     * is sized by the delta, and centroid drift is a periodic offline
     * rebuild decision, not a serving-path concern. */
   def appendPinnedIvfIndex(delta: DataFrame, idCol: String, vecCol: String,
-      path: String): Unit = {
-    val spark = delta.sparkSession
-    val cents = spark.read.parquet(s"$path/centroids").orderBy("cid")
-      .collect().map(_.getSeq[Double](1).toSeq).toSeq
-    val c = withCodeNorm(sq8Codes(delta, idCol, vecCol, "neighbor_id", "__cc"),
-      "__cc", "__cn")
-    pinnedAssignments(c, cents)
+      path: String): Unit =
+    assignDelta(delta, idCol, vecCol, path)
       .write.mode("append").parquet(s"$path/assignments")
-  }
 
   /** Idempotent per-micro-batch variant of [[appendPinnedIvfIndex]] for
     * streaming ingest: batch `batchId`'s assignments land in their OWN
@@ -309,58 +303,89 @@ object VectorOps {
     * exactly-once recipe. The directory key reads back as an
     * `ingest_batch` partition column, which the query side ignores. */
   def appendPinnedIvfIndexBatch(delta: DataFrame, idCol: String,
-      vecCol: String, path: String, batchId: Long): Unit = {
+      vecCol: String, path: String, batchId: Long): Unit =
+    assignDelta(delta, idCol, vecCol, path)
+      .write.mode("overwrite")
+      .parquet(s"$path/assignments_stream/ingest_batch=$batchId")
+
+  /** The one shared delta→assignments body: load the frozen codebook,
+    * SQ8-code the batch, assign — every append flavor writes exactly
+    * this frame, so the serving row shape cannot drift between the
+    * batch and streaming ingest paths. */
+  private def assignDelta(delta: DataFrame, idCol: String, vecCol: String,
+      path: String): DataFrame = {
     val spark = delta.sparkSession
     val cents = spark.read.parquet(s"$path/centroids").orderBy("cid")
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
-    val c = withCodeNorm(sq8Codes(delta, idCol, vecCol, "neighbor_id", "__cc"),
-      "__cc", "__cn")
-    pinnedAssignments(c, cents)
-      .write.mode("overwrite")
-      .parquet(s"$path/assignments_stream/ingest_batch=$batchId")
+    pinnedAssignments(
+      withCodeNorm(sq8Codes(delta, idCol, vecCol, "neighbor_id", "__cc"),
+        "__cc", "__cn"),
+      cents)
   }
 
-  /** The full serving view of an index root: the build/append table,
-    * plus any streamed per-batch partitions (kept in their own root —
-    * mixing flat files and partition directories under one path breaks
-    * partition discovery). */
+  /** Filesystem-correct existence check: the index lives wherever the
+    * path's scheme says (HDFS/S3A/local) — `java.io.File` would be
+    * silently false for every remote path and make streamed or
+    * compacted layouts invisible. */
+  private def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** The full serving view of an index root — the UNION of every layout
+    * present: the compacted bucket-partitioned table, the build/append
+    * table, and any streamed per-batch partitions (each in its own root
+    * — mixing flat files and partition directories under one path
+    * breaks partition discovery). Compaction CONSUMES the roots it
+    * rewrites, so rows are never double-counted, and appends that land
+    * AFTER a compaction remain queryable. */
   private def assignmentsOf(spark: SparkSession, path: String): DataFrame = {
-    val base = spark.read.parquet(s"$path/assignments")
-    val streamDir = new java.io.File(s"$path/assignments_stream")
-    if (streamDir.isDirectory)
-      base.unionByName(
-        spark.read.parquet(s"$path/assignments_stream").drop("ingest_batch"))
-    else base
+    val parts = Seq(
+      s"$path/assignments_by_bucket",
+      s"$path/assignments",
+      s"$path/assignments_stream").filter(dirExists(spark, _))
+    require(parts.nonEmpty, s"no assignment layout under $path")
+    parts.map(p => spark.read.parquet(p).drop("ingest_batch"))
+      .reduce(_ unionByName _)
   }
 
-  /** COMPACTION: rewrite the (possibly many-file, append-fragmented)
-    * assignment table — batch appends AND streamed per-batch partitions
-    * — PARTITIONED BY the bucket id. Two wins at corpus scale: small
-    * appended files merge into per-list files, and the query side's
-    * probe join becomes partition-PRUNED — dynamic partition pruning
-    * drops every unprobed list's files from the scan, so a query reads
-    * ~nprobe/nlist of the index instead of all of it (plan-pinned in
-    * PlanAuditSuite). Layout change only: query results are identical
-    * (s20 shares s11's oracle). */
-  def compactPinnedIvfIndex(spark: SparkSession, path: String): Unit =
+  /** COMPACTION: rewrite every live assignment layout — batch appends,
+    * streamed per-batch partitions, AND any previous compaction —
+    * PARTITIONED BY the bucket id, then atomically swap it in and
+    * delete the consumed roots (so later appends start fresh and the
+    * serving union never double-counts). Two wins at corpus scale:
+    * small appended files merge into per-list files, and the query
+    * side's probe join becomes partition-PRUNED — dynamic partition
+    * pruning drops every unprobed list's files from the scan, so a
+    * query reads ~nprobe/nlist of the index instead of all of it
+    * (plan-pinned in PlanAuditSuite). Layout change only: query
+    * results are identical (s20 shares s11's oracle). */
+  def compactPinnedIvfIndex(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = hp(path).getFileSystem(conf)
+    val tmp = s"$path/assignments_by_bucket__compacting"
+    // write to a sibling first: overwrite-in-place would delete the very
+    // files the rewrite is still reading when re-compacting
     assignmentsOf(spark, path)
-      .write.mode("overwrite").partitionBy("__bucket")
-      .parquet(s"$path/assignments_by_bucket")
+      .write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+    Seq("assignments_by_bucket", "assignments", "assignments_stream")
+      .map(d => hp(s"$path/$d")).filter(fs.exists(_))
+      .foreach(fs.delete(_, true))
+    require(fs.rename(hp(tmp), hp(s"$path/assignments_by_bucket")),
+      s"compaction rename failed under $path")
+  }
 
   /** QUERY side: encode the query batch, probe the nprobe best lists of
     * the PERSISTED index, re-rank by quantized cosine — no corpus scan.
-    * The centroid read is codebook-sized (nlist rows); a compacted
-    * bucket-partitioned layout ([[compactPinnedIvfIndex]]) is preferred
-    * when present, making the probe join partition-pruned. Round-trip
+    * The centroid read is codebook-sized (nlist rows); the serving view
+    * unions every live layout, so post-compaction appends are visible,
+    * and a compacted layout's scan is partition-pruned. Round-trip
     * losslessness is gated in the registry (s18 shares s11's oracle). */
   def queryPinnedIvfIndex(spark: SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int): DataFrame = {
-    val compacted = new java.io.File(s"$path/assignments_by_bucket")
-    val assigned =
-      if (compacted.isDirectory)
-        spark.read.parquet(s"$path/assignments_by_bucket")
-      else assignmentsOf(spark, path)
+    val assigned = assignmentsOf(spark, path)
     val cents = spark.read.parquet(s"$path/centroids").orderBy("cid")
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
     val q = withCodeNorm(sq8Codes(queries, idCol, vecCol, "query_id", "__qc"),

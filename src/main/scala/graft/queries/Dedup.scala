@@ -307,12 +307,14 @@ object Dedup {
       (s, d) => {
         val ch = TextOps.chunkOverlap(Tables(s, d, "documents"),
           "doc_id", "text", size_ = 64, step = 48)
-        // occurrence order key: chunk_idx < 100000 by construction
-        val keyed = ch.withColumn("__k",
-          col("doc_id") * 100000L + col("chunk_idx"))
-        val first = keyed.groupBy("chunk_md5").agg(min(col("__k")).as("__f"))
-        keyed.join(first, "chunk_md5")
-          .withColumn("__dropped", col("__k") =!= col("__f"))
+        // lexicographic struct min — no arithmetic key packing, so no
+        // collision assumption on chunk counts or id ranges
+        val first = ch.groupBy("chunk_md5")
+          .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("__f"))
+        ch.join(first, "chunk_md5")
+          .withColumn("__dropped",
+            !(col("doc_id") === col("__f.doc_id") &&
+              col("chunk_idx") === col("__f.chunk_idx")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_chunks"),
             sum(when(col("__dropped"), 1L).otherwise(0L)).as("n_dropped"),
@@ -339,12 +341,12 @@ object Dedup {
                  md5(array_to_string(t[ci*48 + 1 : ci*48 + 64], ' ')) AS m
           FROM ex),
         f AS (
-          SELECT m, MIN(doc_id * 100000 + chunk_idx) AS fk
+          SELECT m, MIN(ROW(doc_id, chunk_idx)) AS fk
           FROM ch GROUP BY m)
         SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
-               CAST(SUM(CASE WHEN ch.doc_id * 100000 + ch.chunk_idx <> f.fk
+               CAST(SUM(CASE WHEN ROW(ch.doc_id, ch.chunk_idx) <> f.fk
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-               CAST(SUM(CASE WHEN ch.doc_id * 100000 + ch.chunk_idx <> f.fk
+               CAST(SUM(CASE WHEN ROW(ch.doc_id, ch.chunk_idx) <> f.fk
                         THEN ch.n_tokens ELSE 0 END) AS BIGINT)
                  AS tokens_dropped
         FROM ch JOIN f ON ch.m = f.m

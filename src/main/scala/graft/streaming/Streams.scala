@@ -588,6 +588,20 @@ object Streams {
     }
   }
 
+  /** Restart-gate staging: write `half` as ONE parquet file named into
+    * the shared source directory (the file-stream source discovers it as
+    * the next batch's input). Shared by the w18/w19 recovery gates so
+    * the staging mechanics cannot drift between them. */
+  private def stageHalf(base: String, srcDir: String,
+      half: DataFrame, name: String): Unit = {
+    val tmp = s"$base/stage_$name"
+    half.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+  }
+
   /** w18's gate: CHECKPOINT RECOVERY of stateful streaming state — the
     * exactly-once restart contract a long-running deployment leans on,
     * which every other w-gate (all single-process AvailableNow runs)
@@ -616,14 +630,8 @@ object Streams {
     val sinkDir = s"$base/sink"
     new java.io.File(srcDir).mkdirs()
     val raw = spark.read.parquet(eventsPath)
-    def stage(half: DataFrame, name: String): Unit = {
-      val tmp = s"$base/stage_$name"
-      half.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(srcDir, s"$name.parquet"))
-    }
+    def stage(half: DataFrame, name: String): Unit =
+      stageHalf(base, srcDir, half, name)
     def runOnce(): Unit = withRocksDbProvider(spark) {
       val ch = retagTs(eventStream(spark, srcDir))
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
@@ -683,14 +691,8 @@ object Streams {
     val mm = rt.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
     val (mn, mx) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
     val cut = new java.sql.Timestamp(mn + (mx - mn) / 2)
-    def stage(half: DataFrame, name: String): Unit = {
-      val tmp = s"$base/stage_$name"
-      half.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(srcDir, s"$name.parquet"))
-    }
+    def stage(half: DataFrame, name: String): Unit =
+      stageHalf(base, srcDir, half, name)
     def runOnce(): Unit = {
       val ev = retagTs(eventStream(spark, srcDir))
         .select(col("ts"), col("event_type"),
@@ -739,14 +741,10 @@ object Streams {
     VectorOps.buildPinnedIvfIndex(emb.where(col("vec_id") < 16),
       "vec_id", "embedding", nlist = 16, path = path)
     // the tail of the corpus as a stream: one input file per micro-batch
-    val schema = emb.schema
-    val f = new java.io.File(embPath)
-    val reader = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-    val stream =
-      (if (f.isFile) reader.parquet(s"${f.getParent}/{${f.getName}}")
-       else reader.parquet(embPath))
-        .where(col("vec_id") >= 16)
+    // (eventStream handles schema inference and the file-vs-directory
+    // glob; it is table-agnostic despite the name)
+    val stream = eventStream(spark, embPath, Some(1))
+      .where(col("vec_id") >= 16)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // batch-keyed overwrite, NOT blind append: foreachBatch is

@@ -121,11 +121,11 @@ object ScaleCheck {
       // work tracks corpus size, not pair structure)
       "d19_chunk_dedup" -> { docs =>
         val ch = TextOps.chunkOverlap(docs, "doc_id", "text", 64, 48)
-        val keyed = ch.withColumn("__k",
-          col("doc_id") * 100000L + col("chunk_idx"))
-        val first = keyed.groupBy("chunk_md5").agg(min(col("__k")).as("__f"))
-        keyed.join(first, "chunk_md5")
-          .where(col("__k") =!= col("__f")).count()
+        val first = ch.groupBy("chunk_md5")
+          .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("__f"))
+        ch.join(first, "chunk_md5")
+          .where(!(col("doc_id") === col("__f.doc_id") &&
+            col("chunk_idx") === col("__f.chunk_idx"))).count()
       })
     val ops = opsAll.filter(t => keep(t._1))
 

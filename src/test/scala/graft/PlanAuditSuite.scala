@@ -693,15 +693,19 @@ class PlanAuditSuite extends SparkSuite {
       val dim = spark.range(10000L).select(col("id").as("k"),
         concat(lit("dim_"), col("id")).as("attr"))
       val joined = fact.join(dim, "k")
-      joined.collect() // AQE decides skew handling at runtime
+      // collect() is NOT redundant next to the rdd pass: only a
+      // DataFrame-level action materializes isFinalPlan=true in the
+      // rendered tree — the .rdd route executes but leaves the adaptive
+      // wrapper un-finalized in toString, hiding the skew markers
+      joined.collect()
+      val sizes = joined.rdd
+        .mapPartitions(it => Iterator.single(it.size.toLong), true)
+        .collect().filter(_ > 0)
       val p = joined.queryExecution.executedPlan.toString
       assert(p.contains("SortMergeJoin"), s"must be the shuffle join:\n$p")
       assert(p.contains("skew=true"),
         s"AQE must mark the hot partition's join as skew-handled:\n$p")
       // burden collapses: no result partition may carry the hot key whole
-      val sizes = joined.rdd
-        .mapPartitions(it => Iterator.single(it.size.toLong), true)
-        .collect().filter(_ > 0)
       val (mx, mean) = (sizes.max, sizes.sum / sizes.length)
       assert(mx < 500000L,
         s"hot partition not split: max=$mx mean=$mean")

@@ -657,10 +657,8 @@ class StreamingSuite extends SparkSuite {
       .agg(countDistinct(col("event_id") % 2).as("halves"))
       .where(col("halves") === 2).count()
     assert(spanning == 7, s"fixture must have spanning users, got $spanning")
-    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
-      df.collect().map(_.toString).sorted.toSeq
-    val restarted = rowsOf(Streams.checkpointRecoveryGate(spark, ev))
-    val single = rowsOf(Streams.cdcMaterializeGate(spark, ev))
+    val restarted = Streams.rowsOfSorted(Streams.checkpointRecoveryGate(spark, ev))
+    val single = Streams.rowsOfSorted(Streams.cdcMaterializeGate(spark, ev))
     assert(restarted.nonEmpty)
     assert(restarted == single,
       "restart-from-checkpoint terminal state differs from the single-run gate")

@@ -633,6 +633,37 @@ class StreamingSuite extends SparkSuite {
       "a re-delivered ingest batch must not change the index")
   }
 
+  test("index appends AFTER a compaction remain queryable") {
+    import graft.functions.VectorOps
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val isLate = col("vec_id") >= 200
+    val path = java.nio.file.Files.createTempDirectory("postcompact_").toString
+    VectorOps.buildPinnedIvfIndex(emb.where(!isLate),
+      "vec_id", "embedding", nlist = 16, path = path)
+    VectorOps.compactPinnedIvfIndex(spark, path)
+    // the lifecycle continues after compaction: batch AND streamed
+    // deltas land in fresh roots that the serving union must include
+    VectorOps.appendPinnedIvfIndex(
+      emb.where(isLate && col("vec_id") % 2 === 0), "vec_id", "embedding", path)
+    VectorOps.appendPinnedIvfIndexBatch(
+      emb.where(isLate && col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+      path, 7L)
+    val served = Streams.rowsOfSorted(VectorOps.queryPinnedIvfIndex(
+      spark, path, emb.where(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, nprobe = 6))
+    val inPlace = Streams.rowsOfSorted(VectorOps.ivfTopKPinned(
+      emb.where(col("vec_id") < 20), emb, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 6))
+    assert(served.nonEmpty && served == inPlace,
+      "post-compaction appends must be visible to queries")
+    // and a SECOND compaction folds them in without double-counting
+    VectorOps.compactPinnedIvfIndex(spark, path)
+    val recompacted = Streams.rowsOfSorted(VectorOps.queryPinnedIvfIndex(
+      spark, path, emb.where(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, nprobe = 6))
+    assert(recompacted == inPlace)
+  }
+
   test("w18: restarted query resumes transformWithState state from the checkpoint") {
     // two queries, one checkpoint: the gate stops after the even-id half
     // and restarts for the odd half — the terminal per-user CDC view must

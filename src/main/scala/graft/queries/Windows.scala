@@ -584,6 +584,37 @@ object Windows {
           .orderBy("query_id", "rank"),
       Some(Similarity.ivfPinnedOracle)),
 
+    // ---- w21: streaming chunk-level dedup ----------------------------------
+    // the p28/d19 curation stage run incrementally: streamed documents
+    // explode into overlapping chunks (stateless transform) and
+    // dropDuplicates on the content digest keeps first occurrences; the
+    // distinct digest SET is batching-order-free, so the oracle is the
+    // batch distinct over the same integer chunk arithmetic.
+    QueryDef(
+      "w21_stream_chunk_dedup",
+      (s, d) =>
+        graft.streaming.Streams
+          .chunkDedupStreamGate(s, s"$d/documents.parquet")
+          .orderBy("chunk_md5"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents),
+        base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+        nch AS (
+          SELECT doc_id, t,
+                 CASE WHEN n <= 64 THEN 1
+                      ELSE 1 + CAST((n - 64 + 47) // 48 AS BIGINT) END AS k
+          FROM base),
+        ex AS (
+          SELECT doc_id, t, unnest(generate_series(0, k - 1)) AS ci
+          FROM nch)
+        SELECT DISTINCT
+               md5(array_to_string(t[ci*48 + 1 : ci*48 + 64], ' '))
+                 AS chunk_md5
+        FROM ex
+        ORDER BY chunk_md5""")),
+
     // ---- w16: stream-static AS-OF enrichment through the engine -----------
     // a04's semantics run incrementally: each streamed purchase joins
     // the latest static view at-or-before its event time (broadcast

@@ -721,6 +721,33 @@ object Streams {
   private[graft] def rowsOfSorted(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  /** w21's gate: STREAMING chunk-level dedup — the p28/d19 curation
+    * stage run incrementally: documents stream in, each micro-batch
+    * explodes into overlapping 64-token chunks (stateless — the
+    * chunker is a pure per-row transform, so it lifts to streaming
+    * unchanged), and `dropDuplicates` on the content digest keeps the
+    * first occurrence only. The emitted DISTINCT digest set is
+    * batching-order-free (which duplicate wins varies, the set does
+    * not), so the oracle is the batch distinct over the same chunk
+    * arithmetic. Production note: pair the dedup state with
+    * `dropDuplicatesWithinWatermark` (w12) when the stream is
+    * unbounded; the gate's AvailableNow run is finite. */
+  def chunkDedupStreamGate(spark: SparkSession, docsPath: String): DataFrame = {
+    val docs = eventStream(spark, docsPath)
+    val distinctChunks = graft.functions.TextOps
+      .chunkOverlap(docs, "doc_id", "text", size_ = 64, step = 48)
+      .dropDuplicates("chunk_md5")
+      .select(col("chunk_md5"))
+    val sink = s"w21_gate_${gateRunSeq.incrementAndGet()}"
+    val q = distinctChunks.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** w20's gate: STREAMING index ingest — the s18/s19 serving lifecycle
     * driven by Structured Streaming: the index bootstraps from the 16
     * codebook vectors, the rest of the corpus arrives as a stream and

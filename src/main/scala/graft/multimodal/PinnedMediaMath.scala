@@ -88,10 +88,15 @@ object PinnedMediaMath {
     * o) from the image planes — shared by the pHash and embed oracles.
     * 16×16 is the native synthetic frame grid, so no resample sits
     * between the pixels and the transform. */
-  private def dctCtes: String = s"""
+  private def dctCtes: String =
+    dctCtesFrom(s"SELECT * FROM read_parquet('$fx/image_planes/*.parquet')")
+
+  /** The same chain over an arbitrary planes SELECT (mm14 plants
+    * re-keyed duplicates before the transform). */
+  private def dctCtesFrom(planesSql: String): String = s"""
     basis(u, i, c) AS (VALUES ${values3(dctBasis16)}),
     zig(zu, zv, z, p) AS (VALUES ${values4(zigzag16)}),
-    planes AS (SELECT * FROM read_parquet('$fx/image_planes/*.parquet')),
+    planes AS ($planesSql),
     tmp AS (
       SELECT media_id, b.u, p.y, CAST(SUM(p.v * b.c) AS BIGINT) AS t
       FROM planes p JOIN basis b ON p.x = b.i
@@ -126,6 +131,45 @@ object PinnedMediaMath {
                          ELSE 0 END) AS BIGINT) AS hash_hi
     FROM ranked r JOIN med m USING (media_id)
     GROUP BY 1 ORDER BY 1"""
+
+  /** DuckDB replay of [[imageNearDupPinned]]: the planted-duplicate
+    * planes through the same DCT+hash chain, then exact 64-bit Hamming
+    * over the hash halves on the all-pairs join (oracle-side O(n²) is
+    * fine at verification scale — the Spark side rides the banded
+    * pigeonhole join). */
+  def imageNearDupOracle(maxHamming: Int): String = {
+    val raw = s"SELECT * FROM read_parquet('$fx/image_planes/*.parquet')"
+    s"""
+    WITH ${dctCtesFrom(s"""
+      SELECT media_id, y, x, v FROM ($raw)
+      UNION ALL
+      SELECT media_id + 1000000, y, x, v FROM ($raw)""")},
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY o, z) AS rk
+      FROM coeffs
+    ),
+    med AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN rk IN (32, 33) THEN o END) AS BIGINT) AS m2
+      FROM ranked GROUP BY 1
+    ),
+    h AS (
+      SELECT r.media_id,
+             CAST(SUM(CASE WHEN 2 * r.o > m.m2 AND r.z < 32 THEN r.p
+                           ELSE 0 END) AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN 2 * r.o > m.m2 AND r.z >= 32 THEN r.p
+                           ELSE 0 END) AS BIGINT) AS hi
+      FROM ranked r JOIN med m USING (media_id)
+      GROUP BY 1
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+             AS INT) AS hamming
+    FROM h a JOIN h b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+            <= $maxHamming
+    ORDER BY id_a, id_b"""
+  }
 
   /** DuckDB replay of [[spectrum]]. */
   def spectrumOracle: String = s"""
@@ -258,11 +302,16 @@ object PinnedMediaMath {
     * (per-image state never exceeds the 16×16 grid; at corpus scale
     * this is two shuffle-free map-side-combined aggregations per
     * axis, keyed by (media_id, axis index)). */
-  def dctCoeffs(spark: SparkSession): DataFrame = {
+  def dctCoeffs(spark: SparkSession): DataFrame =
+    dctCoeffsOf(spark, planesDf(spark))
+
+  /** The transform over an arbitrary (media_id, y, x, v) plane table —
+    * the fixture by default, or a planted-duplicate union (mm14). */
+  def dctCoeffsOf(spark: SparkSession, planes: DataFrame): DataFrame = {
     import spark.implicits._
     val basis = basisDf(spark)
     val zig = zigzag16.toDF("zu", "zv", "z", "p")
-    val tmp = planesDf(spark)
+    val tmp = planes
       .join(broadcast(basis), col("x") === col("i"))
       .groupBy(col("media_id"), col("u"), col("y"))
       .agg(sum(col("v") * col("c")).as("t"))
@@ -278,10 +327,15 @@ object PinnedMediaMath {
     * (DC excluded) → bit i set when 2*coeff_i exceeds the sum of the two
     * middle order statistics (the integral median-compare). Emitted as
     * two 32-bit halves so no value touches the sign bit. */
-  def phash(spark: SparkSession): DataFrame = {
+  def phash(spark: SparkSession): DataFrame =
+    phashOf(spark, planesDf(spark))
+
+  /** [[phash]] over an arbitrary plane table. */
+  def phashOf(spark: SparkSession, planes: DataFrame): DataFrame = {
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("media_id").orderBy(col("o"), col("z"))
-    val ranked = dctCoeffs(spark).withColumn("rk", row_number().over(wq))
+    val ranked = dctCoeffsOf(spark, planes)
+      .withColumn("rk", row_number().over(wq))
     val med = ranked.groupBy("media_id")
       .agg(sum(when(col("rk").isin(32, 33), col("o"))).as("m2"))
     ranked.join(med, "media_id")
@@ -293,6 +347,25 @@ object PinnedMediaMath {
         sum(when(col("bit") && col("z") >= 32, col("p")).otherwise(0L))
           .as("hash_hi"))
       .orderBy("media_id")
+  }
+
+  /** Pinned image near-dup JOIN: re-keyed duplicates planted at the
+    * PLANES level, pinned pHashes packed back to one 64-bit word, and
+    * the SAME banded Hamming join the text/image dedup paths ride
+    * ([[graft.functions.TextOps.simHashPairs]]) — so the dedup join
+    * machinery itself runs under the media oracle, not only the hash.
+    * Every planted copy must pair with its original at hamming 0. */
+  def imageNearDupPinned(spark: SparkSession, maxHamming: Int): DataFrame = {
+    val planes = planesDf(spark)
+    val planted = planes.unionByName(
+      planes.withColumn("media_id", col("media_id") + 1000000L))
+    val hashes = phashOf(spark, planted)
+      .select(col("media_id"),
+        shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo")).as("simhash"))
+    graft.functions.TextOps.simHashPairs(hashes, "media_id", maxHamming)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("int").as("hamming"))
+      .orderBy("id_a", "id_b")
   }
 
   /** Pinned spectral bands: per (clip, band) quadrature sums against the

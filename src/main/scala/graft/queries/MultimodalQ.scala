@@ -261,6 +261,16 @@ object MultimodalQ {
     QueryDef(
       "mm13_video_maxsim_pinned",
       (s, d) => PinnedMediaMath.videoMaxsimTop1(s),
-      Some(PinnedMediaMath.videoMaxsimOracle))
+      Some(PinnedMediaMath.videoMaxsimOracle)),
+
+    // mm14: the image near-dup JOIN under the oracle — planes-level
+    // planted duplicates, pinned pHash halves packed to one 64-bit
+    // word, and the SAME banded pigeonhole Hamming join the text path
+    // rides (mm03 keeps the real-AWT variant); the oracle replays the
+    // hash chain and checks exact 64-bit Hamming on all pairs.
+    QueryDef(
+      "mm14_image_neardup_pinned",
+      (s, d) => PinnedMediaMath.imageNearDupPinned(s, maxHamming = 4),
+      Some(PinnedMediaMath.imageNearDupOracle(maxHamming = 4)))
   )
 }

@@ -112,9 +112,11 @@ object PinnedMediaMath {
       FROM spec s JOIN zig z ON s.u = z.zu AND s.v2 = z.zv
     )"""
 
-  /** DuckDB replay of [[phash]]. */
-  def phashOracle: String = s"""
-    WITH $dctCtes,
+  /** Shared hash-assembly CTEs over `coeffs`: the per-image rank, the
+    * integral median pair, and the two 32-bit hash halves — one copy,
+    * used by both the mm08 and mm14 oracles so the median/tie-break
+    * rules cannot drift. Exposes `hsh(media_id, lo, hi)`. */
+  private def hashCtes: String = s"""
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY o, z) AS rk
       FROM coeffs
@@ -123,14 +125,23 @@ object PinnedMediaMath {
       SELECT media_id,
              CAST(SUM(CASE WHEN rk IN (32, 33) THEN o END) AS BIGINT) AS m2
       FROM ranked GROUP BY 1
-    )
-    SELECT r.media_id,
-           CAST(SUM(CASE WHEN 2 * r.o > m.m2 AND r.z < 32 THEN r.p
-                         ELSE 0 END) AS BIGINT) AS hash_lo,
-           CAST(SUM(CASE WHEN 2 * r.o > m.m2 AND r.z >= 32 THEN r.p
-                         ELSE 0 END) AS BIGINT) AS hash_hi
-    FROM ranked r JOIN med m USING (media_id)
-    GROUP BY 1 ORDER BY 1"""
+    ),
+    hsh AS (
+      SELECT r.media_id,
+             CAST(SUM(CASE WHEN 2 * r.o > m.m2 AND r.z < 32 THEN r.p
+                           ELSE 0 END) AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN 2 * r.o > m.m2 AND r.z >= 32 THEN r.p
+                           ELSE 0 END) AS BIGINT) AS hi
+      FROM ranked r JOIN med m USING (media_id)
+      GROUP BY 1
+    )"""
+
+  /** DuckDB replay of [[phash]]. */
+  def phashOracle: String = s"""
+    WITH $dctCtes,
+    $hashCtes
+    SELECT media_id, lo AS hash_lo, hi AS hash_hi
+    FROM hsh ORDER BY media_id"""
 
   /** DuckDB replay of [[imageNearDupPinned]]: the planted-duplicate
     * planes through the same DCT+hash chain, then exact 64-bit Hamming
@@ -144,28 +155,11 @@ object PinnedMediaMath {
       SELECT media_id, y, x, v FROM ($raw)
       UNION ALL
       SELECT media_id + 1000000, y, x, v FROM ($raw)""")},
-    ranked AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY o, z) AS rk
-      FROM coeffs
-    ),
-    med AS (
-      SELECT media_id,
-             CAST(SUM(CASE WHEN rk IN (32, 33) THEN o END) AS BIGINT) AS m2
-      FROM ranked GROUP BY 1
-    ),
-    h AS (
-      SELECT r.media_id,
-             CAST(SUM(CASE WHEN 2 * r.o > m.m2 AND r.z < 32 THEN r.p
-                           ELSE 0 END) AS BIGINT) AS lo,
-             CAST(SUM(CASE WHEN 2 * r.o > m.m2 AND r.z >= 32 THEN r.p
-                           ELSE 0 END) AS BIGINT) AS hi
-      FROM ranked r JOIN med m USING (media_id)
-      GROUP BY 1
-    )
+    $hashCtes
     SELECT a.media_id AS id_a, b.media_id AS id_b,
            CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
              AS INT) AS hamming
-    FROM h a JOIN h b ON a.media_id < b.media_id
+    FROM hsh a JOIN hsh b ON a.media_id < b.media_id
     WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
             <= $maxHamming
     ORDER BY id_a, id_b"""

@@ -322,19 +322,8 @@ object Dedup {
               .otherwise(0L)).as("tokens_dropped"))
           .orderBy("doc_id")
       },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-          FROM documents),
-        base AS (SELECT doc_id, t, len(t) AS n FROM toks),
-        nch AS (
-          SELECT doc_id, t,
-                 CASE WHEN n <= 64 THEN 1
-                      ELSE 1 + CAST((n - 64 + 47) // 48 AS BIGINT) END AS k
-          FROM base),
-        ex AS (
-          SELECT doc_id, t, unnest(generate_series(0, k - 1)) AS ci
-          FROM nch),
+      Some(s"""
+        ${Pipeline.chunkExplodeCtes},
         ch AS (
           SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
                  CAST(len(t[ci*48 + 1 : ci*48 + 64]) AS BIGINT) AS n_tokens,

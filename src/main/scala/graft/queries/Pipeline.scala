@@ -17,6 +17,25 @@ import graft.functions.{ScaleOps, TextOps}
   */
 object Pipeline {
 
+  /** Shared oracle fragment: the p28 chunk-explode chain (tokens ->
+    * chunk count -> per-chunk index), reused verbatim by the d19 and
+    * w21 oracles so the three chunking twins cannot drift. Constants
+    * 64/48 mirror TextOps.chunkOverlap's registry parameters. */
+  private[queries] val chunkExplodeCtes: String =
+    """WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents),
+        base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+        nch AS (
+          SELECT doc_id, t,
+                 CASE WHEN n <= 64 THEN 1
+                      ELSE 1 + CAST((n - 64 + 47) // 48 AS BIGINT) END AS k
+          FROM base),
+        ex AS (
+          SELECT doc_id, t, unnest(generate_series(0, k - 1)) AS ci
+          FROM nch)"""
+
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -1648,20 +1667,8 @@ object Pipeline {
         TextOps.chunkOverlap(Tables(s, d, "documents"), "doc_id", "text",
             size_ = 64, step = 48)
           .orderBy("doc_id", "chunk_idx"),
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-          FROM documents),
-        base AS (SELECT doc_id, t, len(t) AS n FROM toks),
-        nch AS (
-          SELECT doc_id, t,
-                 CASE WHEN n <= 64 THEN 1
-                      ELSE 1 + CAST((n - 64 + 47) // 48 AS BIGINT) END AS k
-          FROM base),
-        ex AS (
-          SELECT doc_id, t,
-                 unnest(generate_series(0, k - 1)) AS ci
-          FROM nch),
+      Some(s"""
+        $chunkExplodeCtes,
         ch AS (
           SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
                  t[ci*48 + 1 : ci*48 + 64] AS ct

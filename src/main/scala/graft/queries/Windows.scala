@@ -596,19 +596,8 @@ object Windows {
         graft.streaming.Streams
           .chunkDedupStreamGate(s, s"$d/documents.parquet")
           .orderBy("chunk_md5"),
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-          FROM documents),
-        base AS (SELECT doc_id, t, len(t) AS n FROM toks),
-        nch AS (
-          SELECT doc_id, t,
-                 CASE WHEN n <= 64 THEN 1
-                      ELSE 1 + CAST((n - 64 + 47) // 48 AS BIGINT) END AS k
-          FROM base),
-        ex AS (
-          SELECT doc_id, t, unnest(generate_series(0, k - 1)) AS ci
-          FROM nch)
+      Some(s"""
+        ${Pipeline.chunkExplodeCtes}
         SELECT DISTINCT
                md5(array_to_string(t[ci*48 + 1 : ci*48 + 64], ' '))
                  AS chunk_md5

@@ -732,8 +732,9 @@ object Streams {
     * arithmetic. Production note: pair the dedup state with
     * `dropDuplicatesWithinWatermark` (w12) when the stream is
     * unbounded; the gate's AvailableNow run is finite. */
-  def chunkDedupStreamGate(spark: SparkSession, docsPath: String): DataFrame = {
-    val docs = eventStream(spark, docsPath)
+  def chunkDedupStreamGate(spark: SparkSession, docsPath: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val docs = eventStream(spark, docsPath, maxFilesPerTrigger)
     val distinctChunks = graft.functions.TextOps
       .chunkOverlap(docs, "doc_id", "text", size_ = 64, step = 48)
       .dropDuplicates("chunk_md5")

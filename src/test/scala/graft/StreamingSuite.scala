@@ -633,6 +633,29 @@ class StreamingSuite extends SparkSuite {
       "a re-delivered ingest batch must not change the index")
   }
 
+  test("w21 chunk dedup carries its state across micro-batches") {
+    // multi-file input, one file per trigger: duplicate chunks SPAN the
+    // batches, so the distinct digest set is only right if the dedup
+    // state survives between micro-batches — and it must equal the
+    // single-batch run (the batching-order-free claim, exercised rather
+    // than assumed)
+    val dir = java.nio.file.Files.createTempDirectory("graft_w21_").toString
+    val rows = (0 until 90).map { i =>
+      // 30 distinct texts, each repeated 3x with ids spread so the
+      // parquet files (and therefore the micro-batches) share them
+      (i.toLong, s"${"tok " * 70}doc${i % 30} tail")
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .repartition(3).write.parquet(s"$dir/documents.parquet")
+    val multi = Streams.rowsOfSorted(Streams.chunkDedupStreamGate(
+      spark, s"$dir/documents.parquet", Some(1)))
+    val single = Streams.rowsOfSorted(Streams.chunkDedupStreamGate(
+      spark, s"$dir/documents.parquet"))
+    assert(multi.nonEmpty && multi == single,
+      "cross-batch dedup state lost: multi-batch distinct set differs")
+  }
+
   test("index appends AFTER a compaction remain queryable") {
     import graft.functions.VectorOps
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")

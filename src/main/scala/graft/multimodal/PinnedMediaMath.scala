@@ -165,6 +165,51 @@ object PinnedMediaMath {
     ORDER BY id_a, id_b"""
   }
 
+  /** Band-index powers for the 32-band sign hash: (band, 2^(band-1)) —
+    * precomputed so neither side needs shift functions. */
+  val bandPow32: Seq[(Int, Long)] =
+    (1 to 32).map(k => (k, 1L << (k - 1)))
+
+  private def bandPowValues: String =
+    bandPow32.map { case (k, p) => s"($k,$p)" }.mkString(",")
+
+  /** DuckDB replay of [[audioNearDupPinned]]: planted duplicates at the
+    * SAMPLE level, 32 quadrature bands, sign-bit hash halves (re-signs
+    * = lo, im-signs = hi — comparisons only, no power computation), and
+    * exact 64-bit Hamming on the all-pairs join. */
+  def audioNearDupOracle(maxHamming: Int): String = {
+    val raw = s"SELECT * FROM read_parquet('$fx/audio_samples/*.parquet')"
+    s"""
+    WITH cossin(j, cc, ss) AS (VALUES ${valuesJcs(cosSin64)}),
+    bp(band, pw) AS (VALUES $bandPowValues),
+    samples AS (
+      SELECT media_id, i, s FROM ($raw)
+      UNION ALL
+      SELECT media_id + 1000000, i, s FROM ($raw)),
+    bands AS (
+      SELECT sa.media_id, b.band,
+             CAST(SUM(sa.s * cs.cc) AS BIGINT) AS x_re,
+             CAST(SUM(sa.s * cs.ss) AS BIGINT) AS x_im
+      FROM samples sa CROSS JOIN bp b
+      JOIN cossin cs ON (b.band * sa.i) % 64 = cs.j
+      GROUP BY 1, 2),
+    h AS (
+      SELECT bd.media_id,
+             CAST(SUM(CASE WHEN bd.x_re > 0 THEN b.pw ELSE 0 END)
+               AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN bd.x_im > 0 THEN b.pw ELSE 0 END)
+               AS BIGINT) AS hi
+      FROM bands bd JOIN bp b USING (band)
+      GROUP BY 1)
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+             AS INT) AS hamming
+    FROM h a JOIN h b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+            <= $maxHamming
+    ORDER BY id_a, id_b"""
+  }
+
   /** DuckDB replay of [[spectrum]]. */
   def spectrumOracle: String = s"""
     WITH cossin(j, cc, ss) AS (VALUES ${valuesJcs(cosSin64)}),
@@ -439,6 +484,39 @@ object PinnedMediaMath {
       .select(col("qid").as("query_id"), col("vid").as("video_id"),
         col("sim"))
       .orderBy("query_id")
+  }
+
+  /** Pinned audio near-dup JOIN — mm14's audio sibling: duplicates
+    * planted at the decoded-SAMPLE level, each clip hashed by the SIGNS
+    * of its 32 quadrature band sums (re-signs fill bits 0..31, im-signs
+    * 32..63 — pure integer comparisons, no power computation, so no
+    * overflow or division surface), and the same banded pigeonhole
+    * Hamming join generating the pairs. Identical samples ⇒ identical
+    * sums ⇒ hamming 0, so every planted copy must pair. */
+  def audioNearDupPinned(spark: SparkSession, maxHamming: Int): DataFrame = {
+    import spark.implicits._
+    val cs = cosSin64.toDF("j2", "cc", "ss")
+    val bp = bandPow32.toDF("band", "pw")
+    val samples = samplesDf(spark)
+    val planted = samples.unionByName(
+      samples.withColumn("media_id", col("media_id") + 1000000L))
+    val bands = planted
+      .withColumn("band", explode(array((1 to 32).map(lit): _*)))
+      .withColumn("j", pmod(col("band") * col("i"), lit(64)))
+      .join(broadcast(cs), col("j") === col("j2"))
+      .groupBy(col("media_id"), col("band"))
+      .agg(sum(col("s") * col("cc")).as("x_re"),
+        sum(col("s") * col("ss")).as("x_im"))
+    val hashes = bands.join(broadcast(bp), "band")
+      .groupBy("media_id")
+      .agg(sum(when(col("x_re") > 0, col("pw")).otherwise(0L)).as("lo"),
+        sum(when(col("x_im") > 0, col("pw")).otherwise(0L)).as("hi"))
+      .select(col("media_id"),
+        shiftleft(col("hi"), 32).bitwiseOR(col("lo")).as("simhash"))
+    graft.functions.TextOps.simHashPairs(hashes, "media_id", maxHamming)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("int").as("hamming"))
+      .orderBy("id_a", "id_b")
   }
 
   /** Pinned serving stack: integer DCT features → Rademacher projection

@@ -271,6 +271,15 @@ object MultimodalQ {
     QueryDef(
       "mm14_image_neardup_pinned",
       (s, d) => PinnedMediaMath.imageNearDupPinned(s, maxHamming = 4),
-      Some(PinnedMediaMath.imageNearDupOracle(maxHamming = 4)))
+      Some(PinnedMediaMath.imageNearDupOracle(maxHamming = 4))),
+
+    // mm15: mm14's audio sibling — sample-level planted duplicates,
+    // 32-band quadrature SIGN hash (comparisons only, no powers), the
+    // same banded Hamming join; oracle replays the sums, signs, and
+    // exact 64-bit Hamming (mm04 keeps the real float-Goertzel variant).
+    QueryDef(
+      "mm15_audio_neardup_pinned",
+      (s, d) => PinnedMediaMath.audioNearDupPinned(s, maxHamming = 4),
+      Some(PinnedMediaMath.audioNearDupOracle(maxHamming = 4)))
   )
 }

@@ -37,6 +37,16 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val FloorFile = "BENCH_floor.json"
 
+  /** A sample is over its floor band — and must re-time / taints the
+    * clean verdict — when it exceeds 2.5x the floor with 1s of excess,
+    * OR (r10 verdict) 1.75x the floor with 1.5s of excess. The second
+    * term closes the mid-band escape: s07's 3.67s over a 1.51s floor
+    * was only 2.42x (under the ratio gate) but carried +2.16s of real
+    * excess and landed in a clean:true window. */
+  private[graft] def overFloorBand(floor: Double, v: Double): Boolean =
+    (v > 2.5 * floor && v > floor + 1.0) ||
+      (v > 1.75 * floor && v > floor + 1.5)
+
   /** Comma-separated query names: when set, this process is a fresh-JVM
     * re-timer child — time ONLY those queries once and print a marked
     * JSON line for the parent to splice. */
@@ -170,9 +180,15 @@ object Bench {
     // floor (r8 verdict: s02's 4.85s vs a 1.05 floor slipped under the
     // old 5s absolute gate). The +1s excess guard keeps sub-second
     // jitter (0.2s floor, 0.6s sample) from burning retry rounds.
+    // r10 verdict: an absolute-excess OR-term — 1.75x floor AND 1.5s of
+    // excess — catches the mid-band escape (s07's 3.67s over a 1.51s
+    // floor was 2.42x: under the 2.5x ratio gate, but +2.16s of real
+    // excess), so contended samples re-time instead of landing in a
+    // clean:true window.
+    def overFloor(name: String, v: Double): Boolean =
+      floorOf(name).exists(fl => overFloorBand(fl, v))
     def isOutlier(name: String, v: Double): Boolean =
-      v > math.max(5.0, 3 * med) ||
-        floorOf(name).exists(fl => v > 2.5 * fl && v > fl + 1.0)
+      v > math.max(5.0, 3 * med) || overFloor(name, v)
     // up to TWO retry rounds, each behind its own cooldown, re-timing
     // only queries whose best-so-far is still outlier-shaped: this host's
     // stall windows can outlive one cooldown (observed: first retry of a
@@ -244,11 +260,11 @@ object Bench {
     // in-band pollution marking: the driver's gate must see a believable
     // number or an explicit suspect flag, never silently-garbage timings
     val loadSuspect = math.min(loadStart, loadEnd) > cores * 1.5
-    // same 2.5x-floor rule as the retry trigger, so a window only
-    // reports clean:true when every accepted sample is within 2.5x of
-    // its floor (plus the 1s jitter guard)
+    // same floor rules as the retry trigger (2.5x+1s OR 1.75x+1.5s), so a
+    // window only reports clean:true when every accepted sample is within
+    // the band its own retry trigger enforces
     val slowVsFloor = results.filter { case (name, v) =>
-      v >= 0 && floorOf(name).exists(fl => v > 2.5 * fl && v > fl + 1.0)
+      v >= 0 && overFloor(name, v)
     }.map(_._1)
     val failedNames = (results ++ baselines).filter(_._2 < 0).map(_._1)
     // polluted = any of: a final timing >2.5x its persisted floor; a
@@ -261,7 +277,7 @@ object Bench {
     val suspect = loadSuspect || polluted.nonEmpty || failedNames.nonEmpty
     val reasons =
       (if (loadSuspect) Seq(f"loadavg ${math.min(loadStart, loadEnd)}%.1f > ${cores * 1.5}%.1f") else Nil) ++
-        slowVsFloor.map(n => s"$n >2.5x floor") ++
+        slowVsFloor.map(n => s"$n over floor band") ++
         polluted.filterNot(slowVsFloor.contains)
           .map(n => s"$n floorless outlier after all retries") ++
         failedNames.map(n => s"$n failed")
@@ -311,7 +327,7 @@ object Bench {
     System.err.println(s"[bench] detail: $detail")
 
     println(compactFinalLine(total, clean, suspect, floorTotal, baseTotal,
-      failedNames, results, sfDir))
+      failedNames, results, sfDir, loadStart, loadEnd))
     spark.stop()
   }
 
@@ -326,7 +342,7 @@ object Bench {
   private[graft] def compactFinalLine(total: Double, clean: Boolean,
       suspect: Boolean, floorTotal: Double, baseTotal: Double,
       failedNames: Seq[String], results: Seq[(String, Double)],
-      sfDir: String): String = {
+      sfDir: String, loadStart: Double = -1.0, loadEnd: Double = -1.0): String = {
     def compactJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }.mkString("{", ",", "}")
     val failed = {
@@ -343,7 +359,7 @@ object Bench {
       if (failedNames.nonEmpty) "null" else f"$total%.3f"
     def line(qs: String, truncated: Boolean): String = {
       val trunc = if (truncated) ""","queries_truncated":true""" else ""
-      f"""{"metric":"total","value":$valueJson,"unit":"sec","clean":$clean,"suspect":$suspect,"floor_total":$floorTotal%.3f,"baseline_total":$baseTotal%.3f,"failed":$failed,"n_failed":${failedNames.length},"queries":$qs$trunc,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$valueJson,"unit":"sec","clean":$clean,"suspect":$suspect,"floor_total":$floorTotal%.3f,"baseline_total":$baseTotal%.3f,"failed":$failed,"n_failed":${failedNames.length},"loadavg":[$loadStart%.1f,$loadEnd%.1f],"queries":$qs$trunc,"sf":"$sfDir"}"""
     }
     val full = line(compactJson(results), truncated = false)
     if (full.length <= 1600) full

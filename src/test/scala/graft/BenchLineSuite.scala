@@ -49,6 +49,20 @@ class BenchLineSuite extends AnyFunSuite {
     assert(line.count(_ == '{') == line.count(_ == '}'))
   }
 
+  test("floor band fires on the mid-band escape and spares jitter") {
+    // the r10 escape: 3.67s over a 1.51s floor (2.42x, +2.16s) must fire
+    assert(Bench.overFloorBand(1.514, 3.67))
+    // the original ratio term still fires on big-multiple stalls
+    assert(Bench.overFloorBand(1.05, 4.85))
+    // sub-second jitter must NOT burn retries: 0.2s floor, 0.6s sample
+    // is 3x the floor but only +0.4s of excess
+    assert(!Bench.overFloorBand(0.2, 0.6))
+    // a legitimately-close sample is clean: 1.3x with seconds of base
+    assert(!Bench.overFloorBand(3.0, 3.9))
+    // boundary: 1.75x but under 1.5s excess, and under 2.5x — clean
+    assert(!Bench.overFloorBand(2.0, 3.4))
+  }
+
   test("value is null when any headline query failed, numeric when clean") {
     // ADVICE r7: a floor-spliced total excluding failures reads as a
     // cross-round speedup — the headline value must be incomparable

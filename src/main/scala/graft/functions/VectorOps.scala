@@ -323,57 +323,240 @@ object VectorOps {
       cents)
   }
 
-  /** Filesystem-correct existence check: the index lives wherever the
-    * path's scheme says (HDFS/S3A/local) — `java.io.File` would be
-    * silently false for every remote path and make streamed or
-    * compacted layouts invisible. */
-  private def dirExists(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  // All index-layout filesystem ops go through the Hadoop FileSystem of
+  // the path's scheme (HDFS/S3A/local) — `java.io.File` would be
+  // silently false for every remote path and make streamed or compacted
+  // layouts invisible.
+  private val CompactDir = "assignments_by_bucket"
+  private val CompactTmp = "assignments_by_bucket__compacting"
+  private val ManifestName = "_consumed"
+  private type HPath = org.apache.hadoop.fs.Path
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** Non-hidden data files directly under `dir` (Nil when absent). */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: HPath): Seq[HPath] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+
+  /** Non-hidden subdirectories of `dir` (the streamed ingest_batch=N
+    * partitions; Nil when absent). */
+  private def listSubDirs(fs: org.apache.hadoop.fs.FileSystem,
+      dir: HPath): Seq[HPath] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+
+  /** Scheme-less canonical form used for manifest entries so a path
+    * listed via one FS handle compares equal when re-read via another. */
+  private def pathKey(p: HPath): String = p.toUri.getPath
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      at: HPath, consumed: Seq[HPath]): Unit = {
+    val out = fs.create(at, true)
+    try out.write(consumed.map(pathKey).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
   }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      at: HPath): Set[String] =
+    if (!fs.exists(at)) Set.empty
+    else {
+      val in = fs.open(at)
+      try new String(in.readAllBytes(), "UTF-8")
+        .linesIterator.map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
 
   /** The full serving view of an index root — the UNION of every layout
     * present: the compacted bucket-partitioned table, the build/append
     * table, and any streamed per-batch partitions (each in its own root
     * — mixing flat files and partition directories under one path
-    * breaks partition discovery). Compaction CONSUMES the roots it
-    * rewrites, so rows are never double-counted, and appends that land
-    * AFTER a compaction remain queryable. */
+    * breaks partition discovery) — minus any tombstoned ids. Compaction
+    * CONSUMES the inputs it rewrites, so rows are never double-counted,
+    * and appends that land AFTER a compaction remain queryable.
+    *
+    * Crash-window correctness: a compaction commits by writing its
+    * output plus a `_consumed` manifest (the exact input files it
+    * rewrote), then renaming into place, then deleting those inputs.
+    * This reader covers every intermediate state — when the committed
+    * dir is absent but a manifest-bearing tmp exists it reads the tmp
+    * (the mid-swap window), and while a manifest is present it MASKS
+    * the listed not-yet-deleted inputs so nothing double-counts. In the
+    * steady state (no manifest) the reads are whole-directory, keeping
+    * the DPP-pruned compacted plan intact. */
   private def assignmentsOf(spark: SparkSession, path: String): DataFrame = {
-    val parts = Seq(
-      s"$path/assignments_by_bucket",
-      s"$path/assignments",
-      s"$path/assignments_stream").filter(dirExists(spark, _))
+    val fs = hp(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val compacted = hp(s"$path/$CompactDir")
+    val tmp = hp(s"$path/$CompactTmp")
+    // the active compacted layout: the committed dir, or — in the
+    // mid-swap crash window — a tmp that finished its write (it carries
+    // the manifest, which is written strictly after the data)
+    val active: Option[HPath] =
+      if (fs.exists(compacted)) Some(compacted)
+      else if (fs.exists(new HPath(tmp, ManifestName))) Some(tmp)
+      else None
+    val consumed: Set[String] =
+      active.map(d => readManifest(fs, new HPath(d, ManifestName)))
+        .getOrElse(Set.empty)
+    def live(p: HPath): Boolean = !consumed.contains(pathKey(p))
+
+    val frames = Seq.newBuilder[DataFrame]
+    active.foreach(d => frames += spark.read.parquet(d.toString))
+    // content-guarded reads: a dir that survived cleanup with only
+    // hidden files (_SUCCESS) must not reach the parquet reader
+    val plainDir = hp(s"$path/assignments")
+    val plainLive = listDataFiles(fs, plainDir).filter(live)
+    if (plainLive.nonEmpty) {
+      if (consumed.isEmpty) frames += spark.read.parquet(plainDir.toString)
+      else frames += spark.read.parquet(plainLive.map(_.toString): _*)
+    }
+    val streamDir = hp(s"$path/assignments_stream")
+    val streamLive = listSubDirs(fs, streamDir).filter(live)
+    if (streamLive.nonEmpty) {
+      if (consumed.isEmpty)
+        frames += spark.read.parquet(streamDir.toString).drop("ingest_batch")
+      else streamLive.foreach(d => frames += spark.read.parquet(d.toString))
+    }
+    val parts = frames.result()
     require(parts.nonEmpty, s"no assignment layout under $path")
-    parts.map(p => spark.read.parquet(p).drop("ingest_batch"))
-      .reduce(_ unionByName _)
+    val all = parts.reduce(_ unionByName _)
+
+    val tombFiles = listDataFiles(fs, hp(s"$path/tombstones")).filter(live)
+    if (tombFiles.isEmpty) all
+    else all.join(
+      broadcast(spark.read.parquet(tombFiles.map(_.toString): _*)
+        .select("neighbor_id").distinct()),
+      Seq("neighbor_id"), "left_anti")
   }
+
+  /** DELETE side of the index lifecycle: tombstone the given ids. The
+    * write is an append-only parquet drop (delta-sized — no index
+    * rewrite on the delete path); the serving view anti-joins the
+    * tombstone set, and the next [[compactPinnedIvfIndex]] APPLIES the
+    * deletes — survivors are rewritten, the consumed tombstone files
+    * removed — so the steady-state query plan carries no anti-join.
+    * Gated: s21 deletes a deterministic id slice, re-compacts, and must
+    * match s11's oracle over the surviving corpus. */
+  def deleteFromPinnedIvfIndex(ids: DataFrame, idCol: String,
+      path: String): Unit =
+    ids.select(col(idCol).as("neighbor_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
 
   /** COMPACTION: rewrite every live assignment layout — batch appends,
     * streamed per-batch partitions, AND any previous compaction —
-    * PARTITIONED BY the bucket id, then atomically swap it in and
-    * delete the consumed roots (so later appends start fresh and the
-    * serving union never double-counts). Two wins at corpus scale:
-    * small appended files merge into per-list files, and the query
-    * side's probe join becomes partition-PRUNED — dynamic partition
-    * pruning drops every unprobed list's files from the scan, so a
-    * query reads ~nprobe/nlist of the index instead of all of it
-    * (plan-pinned in PlanAuditSuite). Layout change only: query
-    * results are identical (s20 shares s11's oracle). */
-  def compactPinnedIvfIndex(spark: SparkSession, path: String): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
-    val fs = hp(path).getFileSystem(conf)
-    val tmp = s"$path/assignments_by_bucket__compacting"
+    * PARTITIONED BY the bucket id (applying pending tombstones), then
+    * swap it in and delete the consumed inputs. Two wins at corpus
+    * scale: small appended files merge into per-list files, and the
+    * query side's probe join becomes partition-PRUNED — dynamic
+    * partition pruning drops every unprobed list's files from the scan,
+    * so a query reads ~nprobe/nlist of the index instead of all of it
+    * (plan-pinned in PlanAuditSuite). Layout change only: query results
+    * are identical (s20 shares s11's oracle).
+    *
+    * The swap is manifest-committed (ADVICE r10): the input files are
+    * CAPTURED up front, the rewrite reads exactly those, and the tmp
+    * dir gains a `_consumed` manifest before any destructive step —
+    * so a crash at any point leaves the index readable and exact
+    * (see [[assignmentsOf]]), and a streaming append landing after the
+    * capture survives untouched. Concurrent COMPACTIONS of one root
+    * are not supported (single maintenance writer, the usual contract). */
+  def compactPinnedIvfIndex(spark: SparkSession, path: String): Unit =
+    compactPinnedIvfIndexSteps(spark, path, stopAfter = Int.MaxValue)
+
+  /** [[compactPinnedIvfIndex]] with a fault-injection point: stop
+    * (simulating a crash) after step `stopAfter` of the commit
+    * sequence — 1 = compacted tmp written, 2 = manifest written,
+    * 3 = old compacted dir deleted, 4 = tmp renamed into place,
+    * 5 = consumed inputs cleaned. Production passes MaxValue; the
+    * suite drives every window and asserts the index stays readable
+    * and exact, and that the next compaction converges. */
+  private[graft] def compactPinnedIvfIndexSteps(spark: SparkSession,
+      path: String, stopAfter: Int): Unit = {
+    val fs = hp(path).getFileSystem(spark.sessionState.newHadoopConf())
+    repairCompaction(fs, path)
+    // capture the consumed inputs BEFORE the rewrite: anything that
+    // lands after this point is neither read nor deleted
+    val plainFiles = listDataFiles(fs, hp(s"$path/assignments"))
+    val batchDirs = listSubDirs(fs, hp(s"$path/assignments_stream"))
+    val tombFiles = listDataFiles(fs, hp(s"$path/tombstones"))
+    val compacted = hp(s"$path/$CompactDir")
+    val hadCompacted = fs.exists(compacted)
+    val frames = Seq.newBuilder[DataFrame]
+    if (hadCompacted) frames += spark.read.parquet(compacted.toString)
+    if (plainFiles.nonEmpty)
+      frames += spark.read.parquet(plainFiles.map(_.toString): _*)
+    batchDirs.foreach(d => frames += spark.read.parquet(d.toString))
+    val parts = frames.result()
+    require(parts.nonEmpty, s"no assignment layout under $path")
+    val survivors = {
+      val all = parts.reduce(_ unionByName _)
+      if (tombFiles.isEmpty) all
+      else all.join(
+        broadcast(spark.read.parquet(tombFiles.map(_.toString): _*)
+          .select("neighbor_id").distinct()),
+        Seq("neighbor_id"), "left_anti")
+    }
+    val tmp = hp(s"$path/$CompactTmp")
     // write to a sibling first: overwrite-in-place would delete the very
     // files the rewrite is still reading when re-compacting
-    assignmentsOf(spark, path)
-      .write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
-    Seq("assignments_by_bucket", "assignments", "assignments_stream")
-      .map(d => hp(s"$path/$d")).filter(fs.exists(_))
-      .foreach(fs.delete(_, true))
-    require(fs.rename(hp(tmp), hp(s"$path/assignments_by_bucket")),
+    survivors.write.mode("overwrite").partitionBy("__bucket")
+      .parquet(tmp.toString)
+    if (stopAfter <= 1) return
+    // the manifest is the commit record: written strictly after the
+    // data, it makes the tmp readable (mid-swap) and masks the inputs
+    // (post-swap) until they are gone
+    writeManifest(fs, new HPath(tmp, ManifestName),
+      plainFiles ++ batchDirs ++ tombFiles)
+    if (stopAfter <= 2) return
+    if (hadCompacted) fs.delete(compacted, true) // its rows live in tmp
+    if (stopAfter <= 3) return
+    require(fs.rename(tmp, compacted),
       s"compaction rename failed under $path")
+    if (stopAfter <= 4) return
+    cleanupConsumed(fs, path)
+  }
+
+  /** Complete or roll back a crashed compaction so a new one starts
+    * from a clean layout: a manifest-bearing tmp with no committed dir
+    * is the mid-swap window — finish the rename; a tmp WITHOUT a
+    * manifest never committed — drop it (the old layout is intact); a
+    * committed dir still carrying a manifest has uncollected inputs —
+    * collect them. */
+  private def repairCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val compacted = hp(s"$path/$CompactDir")
+    val tmp = hp(s"$path/$CompactTmp")
+    if (!fs.exists(compacted) && fs.exists(new HPath(tmp, ManifestName)))
+      require(fs.rename(tmp, compacted),
+        s"compaction repair rename failed under $path")
+    else if (fs.exists(tmp)) fs.delete(tmp, true)
+    cleanupConsumed(fs, path)
+  }
+
+  /** Delete the inputs a committed compaction consumed, then drop the
+    * manifest (a listed path that is already gone is a no-op). */
+  private def cleanupConsumed(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val manifest = new HPath(hp(s"$path/$CompactDir"), ManifestName)
+    if (fs.exists(manifest)) {
+      readManifest(fs, manifest).foreach { p =>
+        val t = hp(p)
+        if (fs.exists(t)) fs.delete(t, true)
+      }
+      fs.delete(manifest, false)
+      // drop input dirs the cleanup emptied (a dir holding only hidden
+      // files would otherwise trip schema inference and mask staleness);
+      // a later append simply recreates them
+      Seq("assignments", "tombstones").map(d => hp(s"$path/$d"))
+        .filter(d => fs.exists(d) && listDataFiles(fs, d).isEmpty &&
+          listSubDirs(fs, d).isEmpty)
+        .foreach(fs.delete(_, true))
+      val streamDir = hp(s"$path/assignments_stream")
+      if (fs.exists(streamDir) && listSubDirs(fs, streamDir).isEmpty)
+        fs.delete(streamDir, true)
+    }
   }
 
   /** QUERY side: encode the query batch, probe the nprobe best lists of

@@ -38,7 +38,11 @@ object Similarity {
           SELECT vec_id, c, sqrt(list_dot_product(c, c)) AS n FROM coded
         )"""
 
-  private[queries] lazy val ivfPinnedOracle: String = s"""
+  /** The pinned-IVF oracle with the corpus restricted to `survivorSql`
+    * (a predicate over `d.vec_id`): the codebook stays the 16 lowest-id
+    * vectors, only the ASSIGNED corpus shrinks — exactly what an index
+    * delete does, which is how s21 shares this machinery. */
+  private[queries] def ivfPinnedOracleOver(survivorSql: String): String = s"""
         $sq8CodedSql,
         cent AS (SELECT vec_id AS cid, c AS cc FROM coded WHERE vec_id < 16),
         assign AS (
@@ -46,7 +50,8 @@ object Similarity {
             SELECT d.vec_id, ct.cid,
                    ROW_NUMBER() OVER (PARTITION BY d.vec_id
                      ORDER BY list_dot_product(d.c, ct.cc) DESC, ct.cid) AS rn
-            FROM coded d CROSS JOIN cent ct) t WHERE rn = 1),
+            FROM coded d CROSS JOIN cent ct
+            WHERE $survivorSql) t WHERE rn = 1),
         probes AS (
           SELECT vec_id AS query_id, cid FROM (
             SELECT d.vec_id, ct.cid,
@@ -69,6 +74,9 @@ object Similarity {
         SELECT query_id, rank, neighbor_id
         FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank"""
+
+  private[queries] lazy val ivfPinnedOracle: String =
+    ivfPinnedOracleOver("TRUE")
 
   /** Per-JVM memo of built index roots: the s18/s19/s20 lambdas run a
     * real build/append/compact into a temp dir, and registry-wide
@@ -553,6 +561,35 @@ object Similarity {
           .orderBy("query_id", "rank")
       },
       Some(ivfPinnedOracle)),
+
+    // ---- s21: index DELETE — the lifecycle closes: tombstone a
+    // deterministic id slice from the persisted index (delta-sized
+    // write, served via anti-join), then COMPACT so the deletes are
+    // applied physically and the steady-state plan carries no
+    // anti-join. Oracle = s11's machinery over the SURVIVING corpus
+    // (the codebook is the 16 lowest ids, untouched by the slice), so
+    // delete → compact → query must equal never-having-ingested the
+    // slice, down to the hash. -----------------------------------------------
+    QueryDef(
+      "s21_ann_index_delete",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val isDoomed = col("vec_id") >= 100 && col("vec_id") % 5 === 2
+        val path = cachedIndex(s"s21|$d") { p =>
+          VectorOps.buildPinnedIvfIndex(emb, "vec_id", "embedding",
+            nlist = 16, path = p)
+          VectorOps.deleteFromPinnedIvfIndex(emb.where(isDoomed),
+            "vec_id", path = p)
+          VectorOps.compactPinnedIvfIndex(s, p)
+        }
+        VectorOps.queryPinnedIvfIndex(s, path,
+            emb.where(col("vec_id") < 20), "vec_id", "embedding",
+            k = 5, nprobe = 6)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfPinnedOracleOver(
+        "NOT (d.vec_id >= 100 AND d.vec_id % 5 = 2)"))),
 
     // ---- s12: PQ with PINNED sub-space codebooks — book j = the j-th
     // sub-slices of the 16 lowest-id vectors' codes; encode scores

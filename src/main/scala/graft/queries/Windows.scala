@@ -568,6 +568,26 @@ object Windows {
         WHERE c.window_start_ms + 3600000 <= epoch_ms(wm.w)
         ORDER BY window_start_ms, event_type""")),
 
+    // ---- w22: CONNECTOR-stream checkpoint recovery -------------------------
+    // the third stateful restart class: the org MicroBatchStream's
+    // PK-cursor offset (w18/w19 cover file sources). Run 1 backfills
+    // under a small admission cap and is KILLED mid-backfill after a
+    // few committed batches; more rows land; run 2 resumes the
+    // checkpointed Id cursor and drains. The sink (read through its
+    // commit log) equals the batch SELECT over the whole table only
+    // under exactly-once cursor restore — a reset cursor duplicates
+    // run-1 pages, a skipped cursor loses the unread gap.
+    QueryDef(
+      "w22_connector_recovery",
+      (s, d) =>
+        graft.streaming.Streams
+          .connectorRecoveryGate(s, s"$d/customer.parquet")
+          .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey
+        FROM customer
+        ORDER BY c_custkey""")),
+
     // ---- w20: STREAMING ANN index ingest -----------------------------------
     // the s18/s19 serving lifecycle through Structured Streaming: the
     // index bootstraps from the 16 codebook vectors, the corpus tail

@@ -717,6 +717,75 @@ object Streams {
     spark.read.parquet(sinkDir)
   }
 
+  /** w22's gate: CHECKPOINT RECOVERY of the CONNECTOR stream — the
+    * PK-cursor offset restore of `OrgMicroBatchStream`
+    * (SalesforceSource.scala), which w18/w19 (file sources) leave
+    * unexercised, killed MID-BACKFILL rather than at a batch boundary.
+    *
+    * Run 1 starts the org backfill under a small admission cap
+    * (maxRecordsPerBatch) so the cursor pages many times, and is
+    * STOPPED after a few committed micro-batches with rows still
+    * unread — the simulated crash. More rows then land in the org
+    * (their minted Ids sort past the cursor, the org's append
+    * contract), and run 2 restarts from the same checkpoint with
+    * AvailableNow to drain. The parquet sink is read back through its
+    * commit log, so a batch in flight at the kill point replays
+    * without duplicating. The terminal sink equals the plain batch
+    * SELECT over the whole table ONLY if the restart resumed from the
+    * checkpointed Id cursor: a reset cursor re-reads run 1's pages
+    * (duplicate rows), a skipped-ahead cursor loses the unread gap. */
+  def connectorRecoveryGate(spark: SparkSession,
+      customerPath: String): DataFrame = {
+    import graft.sources.{InMemoryOrg, RemoteOrgRegistry}
+    import org.apache.spark.sql.types.{StructField, StructType, StringType}
+    import org.apache.spark.sql.Row
+    val seq = gateRunSeq.incrementAndGet()
+    val base = java.nio.file.Files
+      .createTempDirectory(s"w22_gate_${seq}_").toFile.getAbsolutePath
+    val ckpt = s"$base/ckpt"
+    val sinkDir = s"$base/sink"
+    val orgName = s"w22_org_$seq"
+    val sch = StructType(Seq(
+      StructField("Id", StringType), StructField("CKey__c", StringType),
+      StructField("Name__c", StringType), StructField("NKey__c", StringType)))
+    val simOrg = new InMemoryOrg
+    simOrg.createTable("Customer__c", sch)
+    RemoteOrgRegistry.register(orgName, simOrg)
+    val customers = spark.read.parquet(customerPath)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy("c_custkey").collect() // bounded: the dim table sim
+    def land(rows: Array[Row]): Unit =
+      rows.grouped(200).foreach { chunk => // the org's ≤200-row contract
+        simOrg.insert("Customer__c", chunk.toSeq.map(r => Row(null,
+          r.getLong(0).toString, r.getString(1), r.getInt(2).toString)), sch)
+      }
+    def stream = spark.readStream.format("salesforce-sim")
+      .option("org", orgName).option("sObject", "Customer__c")
+      .option("maxRecordsPerBatch", "64").load()
+      .writeStream.format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+    val (h1, h2) = customers.partition(_.getLong(0) % 2 == 0)
+    land(h1)
+    // run 1: free-running micro-batches, killed after a few commits with
+    // most of the backfill still unread — NOT an AvailableNow drain
+    val q1 = stream.start()
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while ((q1.lastProgress == null || q1.lastProgress.batchId < 2) &&
+        q1.isActive && System.nanoTime() < deadline)
+      Thread.sleep(25)
+    q1.stop()
+    q1.awaitTermination()
+    land(h2) // more rows land while the stream is down
+    val q2 = stream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination() // run 2: resume the Id cursor, drain to the end
+    spark.read.parquet(sinkDir)
+      .select(col("CKey__c").cast("long").as("c_custkey"),
+        col("Name__c").as("c_name"),
+        col("NKey__c").cast("long").as("c_nationkey"))
+  }
+
   /** Canonical row rendering for result comparison in gates/suites. */
   private[graft] def rowsOfSorted(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq

@@ -442,6 +442,67 @@ class StreamingSuite extends SparkSuite {
     assert(scans == 4, s"expected 4 range-scan jobs, got $scans:\n${soqls.mkString("\n")}")
   }
 
+  test("connector stream killed mid-backfill resumes its Id cursor through the Bulk wire") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.sources.{AuthToken, BulkApiOrg, InMemoryOrg, RemoteOrgRegistry}
+    // the r10 verdict's missing scenario (w22's suite face): the
+    // checkpointed PK-cursor offset restore, killed MID-backfill, with
+    // every page riding the Bulk REST wire — run 2's pages must all
+    // carry a non-empty `Id > '…'` cursor predicate (a RESET cursor
+    // issues its first admission page with no cursor predicate at all)
+    val sch = StructType(Seq(
+      StructField("Id", StringType), StructField("Payload", StringType)))
+    val inner = new InMemoryOrg
+    inner.createTable("Event__c", sch)
+    val sim = new BulkWireSim(inner, Map("Event__c" ->
+      """{"fields": [{"name": "Id", "type": "id"},
+                     {"name": "Payload", "type": "string"}]}"""))
+    val bulkOrg = new BulkApiOrg(
+      AuthToken("TOK-R", "https://bulk.example.org"), sim, sleeper = _ => ())
+    RemoteOrgRegistry.register("bulk_restart_src", bulkOrg)
+    inner.insert("Event__c", (1 to 10).map(i => Row(null, f"p$i%02d")), sch)
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_w22_wire_").toString
+    def writer = spark.readStream.format("salesforce-sim")
+      .option("org", "bulk_restart_src").option("sObject", "Event__c")
+      .option("maxRecordsPerBatch", "2").load()
+      .writeStream.format("parquet")
+      .option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode(OutputMode.Append)
+    val q1 = writer.start()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while ((q1.lastProgress == null || q1.lastProgress.batchId < 1) &&
+          q1.isActive && System.nanoTime() < deadline)
+        Thread.sleep(20)
+    } finally { q1.stop(); q1.awaitTermination() }
+    val jobsAfterRun1 = sim.jobs.size
+
+    // rows land while the stream is down; their minted Ids sort past
+    // the cursor (the org's append contract)
+    inner.insert("Event__c", (11 to 14).map(i => Row(null, f"p$i%02d")), sch)
+    val q2 = writer
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+
+    // exactly once: no page replayed (reset cursor), no gap skipped
+    val sunk = spark.read.parquet(s"$base/sink")
+      .select("Payload").collect().map(_.getString(0)).sorted.toSeq
+    assert(sunk == (1 to 14).map(i => f"p$i%02d"),
+      s"restart not exactly-once: $sunk")
+    // the restored cursor rode the wire: every run-2 admission page and
+    // range scan carries a non-empty Id cursor predicate
+    val run2Soqls = sim.jobs.values.toSeq.drop(jobsAfterRun1).flatMap(_.soql)
+    val paged = run2Soqls.filter(s =>
+      s.contains("ORDER BY Id") || (s.contains("Payload") && !s.contains("LIMIT")))
+    assert(paged.nonEmpty, s"run 2 issued no pages:\n${run2Soqls.mkString("\n")}")
+    assert(paged.forall(_.contains("Id > '")),
+      s"a run-2 page lost the restored cursor:\n${paged.mkString("\n")}")
+  }
+
   test("complete-mode gates are micro-batching invariant (w05/w06/w08/w09/w10)") {
     // the w-gates run the driver's input as ONE micro-batch; this pins
     // the stronger property that the oracle match is NOT a single-batch

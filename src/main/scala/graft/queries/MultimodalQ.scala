@@ -241,9 +241,15 @@ object MultimodalQ {
           SELECT media_id, CAST(si AS INT) AS sample_idx, si * 500 AS t
           FROM smp0
         ),
+        -- LEFT join + COALESCE to frame 0 replays sampleFrames' clamp
+        -- (frames(math.max(at, 0))): a sample earlier than every frame
+        -- timestamp selects frame 0 instead of vanishing — reachable
+        -- only for containers whose first frame starts past 0, but the
+        -- oracle must mirror the operator, not the current corpus
         sel AS (
-          SELECT s.media_id, s.sample_idx, MAX(f.frame_idx) AS fidx
-          FROM smp s JOIN frix f
+          SELECT s.media_id, s.sample_idx,
+                 COALESCE(MAX(f.frame_idx), 0) AS fidx
+          FROM smp s LEFT JOIN frix f
             ON f.media_id = s.media_id AND f.ts_ms <= s.t
           GROUP BY 1, 2
         )

@@ -340,4 +340,202 @@ class MultimodalSuite extends SparkSuite {
       assert(pairs.contains((i, i + 1000L)),
         s"planted scaled copy of clip $i not recovered: $pairs")
   }
+
+  test("sampleFrames clamps to frame 0 when the container starts late") {
+    import graft.multimodal.Multimodal.{MediaMeta, MediaRow, VideoContainer}
+    // a container whose FIRST frame starts at 700ms: samples at t=0 and
+    // t=500 precede every frame timestamp and must clamp to frame 0 (the
+    // as-of rule's floor), not vanish — the mm12 oracle replays this
+    // clamp with a LEFT join + COALESCE (ADVICE r10)
+    val f0 = Multimodal.syntheticPng(42L, 0)
+    val f1 = Multimodal.syntheticPng(42L, 1)
+    val late = VideoContainer.encode(Seq((700L, f0), (1400L, f1)))
+    val m = MediaRow(42L, MediaMeta("video", 16, 16, 0, 2000L), late)
+    val frames = Multimodal.sampleFrames(spark.createDataset(Seq(m)), 500L)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == 4) // 2000ms / 500ms
+    assert(frames(0).frame_bytes.sameElements(f0), "t=0 must clamp to frame 0")
+    assert(frames(1).frame_bytes.sameElements(f0), "t=500 must clamp to frame 0")
+    assert(frames(2).frame_bytes.sameElements(f0)) // 700 <= 1000
+    assert(frames(3).frame_bytes.sameElements(f1)) // 1400 <= 1500
+  }
+
+  // ---- float-vs-pinned drift rot guards (r10 verdict item 4) ------------
+  // The float kernels (mm01-mm06) are the production path; the pinned
+  // fixed-point twins (mm07-mm15) are the oracle-gated path. These pin
+  // the two TOGETHER on the committed fixture corpus, so a refactor of
+  // either side that drifts from the other fails here — the
+  // DedupOpsSuite trained-vs-pinned recall-floor pattern applied to the
+  // media kernels.
+
+  /** Fixture planes → the grayscale PNG they came from (the synthetic
+    * frames are grayscale and the plane keeps one channel, so RGB =
+    * (v,v,v) reconstructs luma EXACTLY — 0.299+0.587+0.114 = 1). */
+  private def planesToPng(px: Map[(Int, Int), Int], size: Int = 16): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (((y, x), v) <- px) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  /** Float 16-point orthonormal DCT-II zigzag coefficients of a plane —
+    * the test-local float replay of the PINNED integer transform
+    * ([[graft.multimodal.PinnedMediaMath.dctBasis16]] is this basis
+    * fixed-pointed at 2^15), used to pin float math against pinned math
+    * sign by sign. */
+  private def floatDctZigzag(px: Map[(Int, Int), Int]): Array[Double] = {
+    val n = 16
+    val c = Array.tabulate(n, n)((k, i) =>
+      math.sqrt((if (k == 0) 1.0 else 2.0) / n) *
+        StrictMath.cos(math.Pi * (2 * i + 1) * k / (2 * n)))
+    val tmp = Array.tabulate(n, n)((u, y) =>
+      (0 until n).map(x => px((y, x)) * c(u)(x)).sum)
+    val spec = Array.tabulate(n, n)((u, v) =>
+      (0 until n).map(y => tmp(u)(y) * c(v)(y)).sum)
+    graft.multimodal.PinnedMediaMath.zigzag16
+      .map { case (u, v, _, _) => spec(u)(v) }.toArray
+  }
+
+  private def fixtureImagePlanes(path: String): Map[Long, Map[(Int, Int), Int]] =
+    spark.read.parquet(path)
+      .select("media_id", "y", "x", "v").collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => ((r.getInt(1), r.getInt(2)), r.getInt(3))).toMap
+      }
+
+  test("rot guard: float image pHash cannot drift from the fixture boundary or the pinned DCT") {
+    import graft.multimodal.{MediaFixture, PinnedMediaMath}
+    import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+    val planes = fixtureImagePlanes(s"${MediaFixture.dir}/image_planes")
+    assert(planes.size == 80, s"fixture image corpus changed size: ${planes.size}")
+    // (a) decode-boundary pin at the HASH level: the float kernel over
+    // the live payloads must equal the float kernel over the committed
+    // planes exactly — any live-decoder or channel-handling drift lands
+    // as nonzero hamming here even if the raw-plane gate (mm07) is edited
+    val live = Multimodal.perceptualHashes(
+        MediaFixture.media(spark).filter(_.meta.kind == "image"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val replayRows = planes.toSeq.map { case (id, px) =>
+      MediaRow(id, MediaMeta("image", 16, 16, 0, 0L), planesToPng(px))
+    }
+    val replay = Multimodal.perceptualHashes(
+        spark.createDataset(replayRows))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(live.keySet == replay.keySet && live.size == 80)
+    for ((id, h) <- live)
+      assert(h == replay(id),
+        s"image $id: live-decode float pHash != fixture-replay float pHash " +
+          s"(hamming ${java.lang.Long.bitCount(h ^ replay(id))})")
+    // (b) float-math-vs-pinned-math pin: the float 16-grid DCT's zigzag
+    // coefficient SIGNS must agree with the pinned integer transform's
+    // (fixed-point error can straddle zero only within a whisker)
+    val pinnedCoeffs = PinnedMediaMath.dctCoeffs(spark)
+      .select("media_id", "z", "o").collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    var checked = 0
+    for ((id, px) <- planes) {
+      val fl = floatDctZigzag(px)
+      for (z <- 0 until 64) {
+        val p = pinnedCoeffs((id, z))
+        // pinned = float * 2^30 ± rounding; skip sums within the whisker
+        if (math.abs(p) > (1L << 20)) {
+          assert(fl(z).sign == p.sign.toDouble,
+            s"DCT sign drift: image $id z=$z float=${fl(z)} pinned=$p")
+          checked += 1
+        }
+      }
+    }
+    // ~38% of coefficients clear the whisker on this corpus (measured:
+    // 1934 of 5120) — enough that the guard cannot pass vacuously
+    assert(checked > 1500, s"only $checked coefficient signs were checkable")
+  }
+
+  test("rot guard: float video frame pHash cannot drift from the fixture boundary") {
+    import graft.multimodal.{MediaFixture, PinnedMediaMath}
+    import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+    // demux each fixture video LIVE, hash every frame with the float
+    // kernel; replay the same kernel over the committed frame planes —
+    // keyed media_id*4+frame_idx (GVC1 clips carry 4 frames). Equality
+    // pins demux + per-frame decode + hash input handling end to end.
+    val liveFrames = MediaFixture.media(spark).filter(_.meta.kind == "video")
+      .flatMap { m =>
+        Multimodal.VideoContainer.decode(m.bytes).toSeq.flatMap {
+          _.zipWithIndex.map { case ((_, png), idx) =>
+            MediaRow(m.media_id * 4 + idx,
+              MediaMeta("image", 16, 16, 0, 0L), png)
+          }
+        }
+      }
+    val live = Multimodal.perceptualHashes(liveFrames)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // frame planes carry (media_id, frame_idx): re-key to match
+    val framePlanes = spark.read.parquet(s"${MediaFixture.dir}/video_frames")
+      .select((col("media_id") * 4 + col("frame_idx")).as("media_id"),
+        col("y"), col("x"), col("v")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => ((r.getInt(1), r.getInt(2)), r.getInt(3))).toMap
+      }
+    assert(framePlanes.size == 320,
+      s"fixture frame corpus changed size: ${framePlanes.size}")
+    val replayRows = framePlanes.toSeq.map { case (id, px) =>
+      MediaRow(id, MediaMeta("image", 16, 16, 0, 0L), planesToPng(px))
+    }
+    val replay = Multimodal.perceptualHashes(spark.createDataset(replayRows))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(live.keySet == replay.keySet && live.size == 320)
+    for ((id, h) <- live)
+      assert(h == replay(id),
+        s"frame $id: live-demux float pHash != fixture-replay float pHash " +
+          s"(hamming ${java.lang.Long.bitCount(h ^ replay(id))})")
+  }
+
+  test("rot guard: float quadrature band signs agree with the pinned audio twin") {
+    import graft.multimodal.{MediaFixture, PinnedMediaMath}
+    // pinned: integer quadrature sums over the committed samples; float:
+    // the same 64-phase comb over the LIVE decodePcm doubles — the two
+    // differ only by the fixed-point tables (2^14) and sample scale
+    // (2^15), so every band's re/im SIGN must agree except where the sum
+    // is a rounding-scale whisker
+    val pinned = PinnedMediaMath.spectrum(spark)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val clips = MediaFixture.media(spark).filter(_.meta.kind == "audio")
+      .collect()
+    assert(clips.length == 80 && pinned.size == 80 * 8)
+    var checked = 0
+    clips.foreach { m =>
+      val (_, samples) = Multimodal.decodePcm(m.bytes).get
+      for (band <- 1 to 8) {
+        var re = 0.0; var im = 0.0
+        var i = 0
+        while (i < samples.length) {
+          val ph = 2 * math.Pi * ((band.toLong * i) % 64) / 64.0
+          re += samples(i) * StrictMath.cos(ph)
+          im += samples(i) * StrictMath.sin(ph)
+          i += 1
+        }
+        val (pRe, pIm) = pinned((m.media_id, band))
+        // fixed-point whisker: |pinned| below ~1 sample-unit (32768*16384
+        // per unit float) can legitimately straddle zero
+        val whisker = 32768.0 * 16384.0 * 0.5
+        if (math.abs(pRe) > whisker) {
+          assert(re.sign == pRe.sign.toDouble,
+            s"re sign drift: clip ${m.media_id} band $band float=$re pinned=$pRe")
+          checked += 1
+        }
+        if (math.abs(pIm) > whisker) {
+          assert(im.sign == pIm.sign.toDouble,
+            s"im sign drift: clip ${m.media_id} band $band float=$im pinned=$pIm")
+          checked += 1
+        }
+      }
+    }
+    // the guard must not be vacuous: roughly half the band quadratures
+    // carry real energy on the sine-tone corpus (measured: 636 of 1280)
+    assert(checked > 500, s"only $checked band signs were checkable")
+  }
 }

@@ -664,23 +664,28 @@ object TextOps {
     * chunks overlap by `size - step` tokens), each with its token count
     * and an md5 content digest for chunk-level dedup/indexing. Chunk
     * count = 1 + ceil((n-size)/step) in exact integer arithmetic; pure
-    * per-row explode — linear output, shuffle-free. */
+    * per-row explode — linear output, shuffle-free. `carry` names
+    * input columns to thread through unchanged (e.g. an event-time
+    * column a downstream watermark needs). */
   def chunkOverlap(df: DataFrame, idCol: String, textCol: String,
-      size_ : Int, step: Int): DataFrame = {
+      size_ : Int, step: Int, carry: Seq[String] = Nil): DataFrame = {
     require(0 < step && step <= size_, s"need 0 < step <= size, got $step/$size_")
+    val kept = carry.map(col)
     val toks = df
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col(idCol).as("doc_id") +: tokens(col(textCol)).as("__t") +:
+        kept: _*)
       .withColumn("__n", size(col("__t")))
     val nchunks = when(col("__n") <= size_, lit(1))
       .otherwise(lit(1) + expr(s"(__n - $size_ + ${step - 1}) div $step"))
     toks
       .withColumn("chunk_idx",
         explode(sequence(lit(0), (nchunks - 1).cast("int"))))
-      .select(col("doc_id"), col("chunk_idx"),
-        slice(col("__t"), col("chunk_idx") * step + 1, lit(size_)).as("__ct"))
-      .select(col("doc_id"), col("chunk_idx"),
-        size(col("__ct")).as("n_tokens"),
-        md5(concat_ws(" ", col("__ct"))).as("chunk_md5"))
+      .select(col("doc_id") +: col("chunk_idx") +:
+        slice(col("__t"), col("chunk_idx") * step + 1, lit(size_))
+          .as("__ct") +: kept: _*)
+      .select(col("doc_id") +: col("chunk_idx") +:
+        size(col("__ct")).as("n_tokens") +:
+        md5(concat_ws(" ", col("__ct"))).as("chunk_md5") +: kept: _*)
   }
 
   /** Benchmark-decontamination join: for every training document, the

@@ -352,21 +352,44 @@ object VectorOps {
     * listed via one FS handle compares equal when re-read via another. */
   private def pathKey(p: HPath): String = p.toUri.getPath
 
+  /** The manifest is the compaction COMMIT POINT, so its own write must
+    * be all-or-nothing (ADVICE r11): a torn `_consumed` on a first-ever
+    * compaction would make [[assignmentsOf]] treat the tmp as committed
+    * while the partial consumed set fails to mask the inputs — rows
+    * double-counted, and repair would bake it in. Two independent
+    * defenses: the body lands at a hidden sibling (`_consumed.tmp`) and
+    * is RENAMED into place (atomic on HDFS/local), and the body itself
+    * ends with a `#END <count>` terminator so a reader on a store with
+    * non-atomic rename still rejects a truncated file. */
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
       at: HPath, consumed: Seq[HPath]): Unit = {
-    val out = fs.create(at, true)
-    try out.write(consumed.map(pathKey).mkString("\n").getBytes("UTF-8"))
+    val staging = new HPath(at.getParent, at.getName + ".tmp")
+    val body = (consumed.map(pathKey) :+ s"#END ${consumed.size}")
+      .mkString("\n")
+    val out = fs.create(staging, true)
+    try out.write(body.getBytes("UTF-8"))
     finally out.close()
+    require(fs.rename(staging, at), s"manifest commit rename failed at $at")
   }
 
+  /** `Some(entries)` iff a manifest exists at `at` AND carries its
+    * `#END <count>` terminator with a matching entry count; `None` for
+    * absent or torn — callers must treat a torn manifest exactly like
+    * no manifest (the compaction never committed). */
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      at: HPath): Set[String] =
-    if (!fs.exists(at)) Set.empty
+      at: HPath): Option[Set[String]] =
+    if (!fs.exists(at)) None
     else {
       val in = fs.open(at)
-      try new String(in.readAllBytes(), "UTF-8")
-        .linesIterator.map(_.trim).filter(_.nonEmpty).toSet
-      finally in.close()
+      val lines =
+        try new String(in.readAllBytes(), "UTF-8")
+          .linesIterator.map(_.trim).filter(_.nonEmpty).toVector
+        finally in.close()
+      lines.lastOption.collect {
+        case t if t.startsWith("#END ") &&
+            t.stripPrefix("#END ").toIntOption.contains(lines.size - 1) =>
+          lines.dropRight(1).toSet
+      }
     }
 
   /** The full serving view of an index root — the UNION of every layout
@@ -392,13 +415,16 @@ object VectorOps {
     val tmp = hp(s"$path/$CompactTmp")
     // the active compacted layout: the committed dir, or — in the
     // mid-swap crash window — a tmp that finished its write (it carries
-    // the manifest, which is written strictly after the data)
+    // a COMMITTED manifest, written strictly after the data; a torn
+    // manifest means the compaction never committed, so the tmp is dead
+    // weight and the original inputs keep serving)
     val active: Option[HPath] =
       if (fs.exists(compacted)) Some(compacted)
-      else if (fs.exists(new HPath(tmp, ManifestName))) Some(tmp)
+      else if (readManifest(fs, new HPath(tmp, ManifestName)).isDefined)
+        Some(tmp)
       else None
     val consumed: Set[String] =
-      active.map(d => readManifest(fs, new HPath(d, ManifestName)))
+      active.flatMap(d => readManifest(fs, new HPath(d, ManifestName)))
         .getOrElse(Set.empty)
     def live(p: HPath): Boolean = !consumed.contains(pathKey(p))
 
@@ -438,7 +464,15 @@ object VectorOps {
     * deletes — survivors are rewritten, the consumed tombstone files
     * removed — so the steady-state query plan carries no anti-join.
     * Gated: s21 deletes a deterministic id slice, re-compacts, and must
-    * match s11's oracle over the surviving corpus. */
+    * match s11's oracle over the surviving corpus.
+    *
+    * RESURRECTION CONTRACT: a tombstone masks the rows present when it
+    * is APPLIED (or, pre-compaction, every currently-ingested copy of
+    * the id) — it is not a permanent ban on the id. Re-appending a
+    * previously deleted id AFTER a compaction has consumed its
+    * tombstone re-serves it (delete-then-reinsert semantics, as in an
+    * LSM store). Pinned by IndexLifecycleSuite's resurrection test so
+    * any future move to "deletes are permanent" is a conscious change. */
   def deleteFromPinnedIvfIndex(ids: DataFrame, idCol: String,
       path: String): Unit =
     ids.select(col(idCol).as("neighbor_id")).distinct()
@@ -460,10 +494,65 @@ object VectorOps {
     * dir gains a `_consumed` manifest before any destructive step —
     * so a crash at any point leaves the index readable and exact
     * (see [[assignmentsOf]]), and a streaming append landing after the
-    * capture survives untouched. Concurrent COMPACTIONS of one root
-    * are not supported (single maintenance writer, the usual contract). */
+    * capture survives untouched.
+    *
+    * WRITER FENCE: the single-maintenance-writer contract is ENFORCED,
+    * not assumed — a `_compaction.lock` lease is atomically created
+    * under the root before the capture step and released on exit; a
+    * second compactor finding a live (unexpired) lease aborts loudly
+    * before touching anything. A crashed holder's stale lease expires
+    * after [[DefaultLeaseTtlMs]] and is broken by the next compactor.
+    *
+    * READER OVERLAP: queries PLAN against the pre-swap layout lazily —
+    * a query whose execution overlaps this compaction's swap/cleanup
+    * window can hit FileNotFoundException on a just-deleted input. The
+    * lease fences writers only; schedule compaction off the serving
+    * path (or retry the query), the usual maintenance-window contract. */
   def compactPinnedIvfIndex(spark: SparkSession, path: String): Unit =
     compactPinnedIvfIndexSteps(spark, path, stopAfter = Int.MaxValue)
+
+  private val LeaseName = "_compaction.lock"
+
+  /** How long a compaction lease stays authoritative after its holder
+    * stops heartbeating (i.e. after create — leases are written once).
+    * Sized to dwarf any real compaction; a crashed holder's lease is
+    * broken by the next compactor once this elapses. */
+  private[graft] val DefaultLeaseTtlMs: Long = 60L * 60 * 1000
+
+  /** Atomically claim the maintenance-writer lease under `path`. A
+    * live lease (younger than `ttlMs`) aborts THIS compactor with a
+    * clear error before anything is read or written; an expired one is
+    * broken (best-effort — expiry-break races are the operator's
+    * manual-intervention case, exactly as for any lock file). */
+  private def acquireCompactionLease(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, ttlMs: Long): HPath = {
+    val lease = hp(s"$path/$LeaseName")
+    if (fs.exists(lease)) {
+      val stampedAt: Option[Long] =
+        try {
+          val in = fs.open(lease)
+          try new String(in.readAllBytes(), "UTF-8").trim.toLongOption
+          finally in.close()
+        } catch { case _: java.io.IOException => None }
+      val ageMs = stampedAt.map(System.currentTimeMillis() - _)
+      if (ageMs.exists(_ < ttlMs))
+        throw new IllegalStateException(
+          s"concurrent compaction refused: lease $lease is held " +
+          s"(age ${ageMs.get} ms < ttl $ttlMs ms). One maintenance " +
+          "writer per index root; delete the lock only if its holder " +
+          "is known dead.")
+      fs.delete(lease, false) // expired or unreadable — break it
+    }
+    val out =
+      try fs.create(lease, false) // no-overwrite create: the atomic claim
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"concurrent compaction refused: lost the race for $lease", e)
+      }
+    try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+    finally out.close()
+    lease
+  }
 
   /** [[compactPinnedIvfIndex]] with a fault-injection point: stop
     * (simulating a crash) after step `stopAfter` of the commit
@@ -471,10 +560,21 @@ object VectorOps {
     * 3 = old compacted dir deleted, 4 = tmp renamed into place,
     * 5 = consumed inputs cleaned. Production passes MaxValue; the
     * suite drives every window and asserts the index stays readable
-    * and exact, and that the next compaction converges. */
+    * and exact, and that the next compaction converges. (Simulated
+    * crashes RELEASE the lease on return — the layout windows are
+    * what they test; a real crash's stale lease is the TTL's job.) */
   private[graft] def compactPinnedIvfIndexSteps(spark: SparkSession,
-      path: String, stopAfter: Int): Unit = {
+      path: String, stopAfter: Int,
+      leaseTtlMs: Long = DefaultLeaseTtlMs): Unit = {
     val fs = hp(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = acquireCompactionLease(fs, path, leaseTtlMs)
+    try compactUnderLease(spark, fs, path, stopAfter)
+    finally fs.delete(lease, false)
+  }
+
+  private def compactUnderLease(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      stopAfter: Int): Unit = {
     repairCompaction(fs, path)
     // capture the consumed inputs BEFORE the rewrite: anything that
     // lands after this point is neither read nor deleted
@@ -519,16 +619,17 @@ object VectorOps {
   }
 
   /** Complete or roll back a crashed compaction so a new one starts
-    * from a clean layout: a manifest-bearing tmp with no committed dir
-    * is the mid-swap window — finish the rename; a tmp WITHOUT a
-    * manifest never committed — drop it (the old layout is intact); a
-    * committed dir still carrying a manifest has uncollected inputs —
-    * collect them. */
+    * from a clean layout: a tmp bearing a COMMITTED manifest with no
+    * committed dir is the mid-swap window — finish the rename; a tmp
+    * without one (absent OR torn) never committed — drop it (the old
+    * layout is intact); a committed dir still carrying a manifest has
+    * uncollected inputs — collect them. */
   private def repairCompaction(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Unit = {
     val compacted = hp(s"$path/$CompactDir")
     val tmp = hp(s"$path/$CompactTmp")
-    if (!fs.exists(compacted) && fs.exists(new HPath(tmp, ManifestName)))
+    if (!fs.exists(compacted) &&
+        readManifest(fs, new HPath(tmp, ManifestName)).isDefined)
       require(fs.rename(tmp, compacted),
         s"compaction repair rename failed under $path")
     else if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -541,7 +642,15 @@ object VectorOps {
       path: String): Unit = {
     val manifest = new HPath(hp(s"$path/$CompactDir"), ManifestName)
     if (fs.exists(manifest)) {
-      readManifest(fs, manifest).foreach { p =>
+      // a manifest at the COMMITTED dir arrived whole by construction
+      // (atomic staging rename, then whole-dir rename); a torn one here
+      // means external corruption — deleting inputs against a partial
+      // list would double-count, so fail loudly instead
+      val entries = readManifest(fs, manifest).getOrElse(throw
+        new IllegalStateException(
+          s"torn _consumed manifest at $manifest — refusing to clean " +
+          "consumed inputs against a partial list; repair it manually"))
+      entries.foreach { p =>
         val t = hp(p)
         if (fs.exists(t)) fs.delete(t, true)
       }

@@ -768,10 +768,20 @@ object Streams {
     val (h1, h2) = customers.partition(_.getLong(0) % 2 == 0)
     land(h1)
     // run 1: free-running micro-batches, killed after a few commits with
-    // most of the backfill still unread — NOT an AvailableNow drain
+    // most of the backfill still unread — NOT an AvailableNow drain.
+    // The kill point adapts to corpus size (ADVICE r11): under the
+    // 64-row admission cap a small SF never reaches batch 2, so waiting
+    // for a fixed batchId would silently spin out the whole deadline.
+    // Wait for min(2, last batch that can still admit input), and bail
+    // as soon as every currently-landed row has been admitted — at that
+    // point there is nothing left to kill mid-backfill, and the restart
+    // still exercises the cursor restore against run 2's fresh rows.
     val q1 = stream.start()
+    val targetBatch = math.min(2L, math.ceil(h1.length / 64.0).toLong - 1)
+    def admitted: Long = q1.recentProgress.map(_.numInputRows).sum
     val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-    while ((q1.lastProgress == null || q1.lastProgress.batchId < 2) &&
+    while ((q1.lastProgress == null ||
+          (q1.lastProgress.batchId < targetBatch && admitted < h1.length)) &&
         q1.isActive && System.nanoTime() < deadline)
       Thread.sleep(25)
     q1.stop()
@@ -790,6 +800,27 @@ object Streams {
   private[graft] def rowsOfSorted(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  /** PRODUCTION streaming chunk dedup for UNBOUNDED document streams —
+    * the API a long-running curation pipeline should use. The chunker
+    * lifts to streaming unchanged (pure per-row explode), the
+    * event-time column rides through (`carry`), and the digest state is
+    * WATERMARK-BOUNDED: `dropDuplicatesWithinWatermark` drops
+    * duplicates arriving within `delay` of the kept occurrence and
+    * EVICTS a digest's state once the watermark passes it, so state
+    * stays proportional to the delay window instead of every digest
+    * ever seen. Exactness trade (the standard watermarked-dedup
+    * contract): a duplicate arriving more than `delay` after its first
+    * occurrence re-emits. Returns the unstarted streaming frame of
+    * distinct `chunk_md5` — callers attach their own sink/trigger. */
+  def chunkDedupStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, delay: String): DataFrame =
+    graft.functions.TextOps
+      .chunkOverlap(docs, idCol, textCol, size_ = 64, step = 48,
+        carry = Seq(tsCol))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("chunk_md5")
+      .select(col("chunk_md5"))
+
   /** w21's gate: STREAMING chunk-level dedup — the p28/d19 curation
     * stage run incrementally: documents stream in, each micro-batch
     * explodes into overlapping 64-token chunks (stateless — the
@@ -798,10 +829,14 @@ object Streams {
     * first occurrence only. The emitted DISTINCT digest set is
     * batching-order-free (which duplicate wins varies, the set does
     * not), so the oracle is the batch distinct over the same chunk
-    * arithmetic. Production note: pair the dedup state with
-    * `dropDuplicatesWithinWatermark` (w12) when the stream is
-    * unbounded; the gate's AvailableNow run is finite. */
-  def chunkDedupStreamGate(spark: SparkSession, docsPath: String,
+    * arithmetic.
+    *
+    * GATE-ONLY scope (`private[graft]`, ADVICE r10): the plain
+    * `dropDuplicates` here accretes state forever and is sound ONLY
+    * because the gate's AvailableNow run is finite; unbounded streams
+    * must use [[chunkDedupStream]], whose state is watermark-bounded. */
+  private[graft] def chunkDedupStreamGate(spark: SparkSession,
+      docsPath: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val docs = eventStream(spark, docsPath, maxFilesPerTrigger)
     val distinctChunks = graft.functions.TextOps

@@ -6,7 +6,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: sbt "runMain graft.tools.TimeOne d06_dup_clusters [more...]"
   * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-  *      SPARK_GRAFT_REPS (default 2 — prints each rep; first includes JIT).
+  *      SPARK_GRAFT_REPS (default 2 — prints each rep; first includes JIT),
+  *      SPARK_GRAFT_SHUFFLE_PARTS (default cpus — scale proportionally
+  *      with data for above-sf0.1 runs, the SCALING.md round-9 lesson).
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
@@ -16,7 +18,8 @@ object TimeOne {
     val cpus = Runtime.getRuntime.availableProcessors()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus.toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

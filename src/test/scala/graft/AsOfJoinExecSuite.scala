@@ -185,4 +185,33 @@ class AsOfJoinExecSuite extends SparkSuite {
     assert(out(2L) == None, "no at-or-before match -> null")
     assert(out(3L) == None, "null key never matches")
   }
+
+  test("divergent child partitioning trips the guard, not an opaque zip error") {
+    // PROVOKE the co-partitioning guard (VERDICT r11 #4): hand-build the
+    // exec node over children EnsureRequirements never saw — explicit
+    // repartition(3) vs repartition(5) (numbered repartitions, which AQE
+    // never coalesces) stands in for an AQE rule re-planning one side
+    // only. The merge must refuse with ITS message, not surface
+    // zipPartitions' "unequal numbers of partitions".
+    import spark.implicits._
+    val l = Seq((10L, 100L, 1L), (20L, 50L, 2L)).toDF("k", "t", "id")
+      .repartition(3, col("k"))
+    val r = Seq((10L, 60L, 7L), (20L, 40L, 9L)).toDF("k", "t", "pid")
+      .repartition(5, col("k"))
+    val lPlan = l.queryExecution.executedPlan
+    val rPlan = r.queryExecution.executedPlan
+    def attr(p: org.apache.spark.sql.execution.SparkPlan, n: String) =
+      p.output.find(_.name == n).get
+    val exec = graft.plans.AsOfJoinExec(
+      lPlan, rPlan,
+      leftKey = attr(lPlan, "k"), rightKey = attr(rPlan, "k"),
+      leftTime = attr(lPlan, "t"), rightTime = attr(rPlan, "t"),
+      payload = Seq(attr(rPlan, "pid")), payloadOut = Seq(attr(rPlan, "pid")),
+      toleranceMicros = None, forward = false)
+    val e = intercept[IllegalStateException] { exec.execute() }
+    assert(e.getMessage.contains("as-of join children diverged to 3 vs 5"),
+      s"guard message missing or wrong: ${e.getMessage}")
+    assert(e.getMessage.contains("AQE coalescing"),
+      "guard must point at the AQE settings to check")
+  }
 }

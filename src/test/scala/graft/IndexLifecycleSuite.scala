@@ -118,4 +118,76 @@ class IndexLifecycleSuite extends SparkSuite {
     assert(!new java.io.File(path, "tombstones").exists(),
       "applied tombstones must be cleaned up")
   }
+
+  test("a second compactor aborts on a live lease, index intact") {
+    val (path, _) = freshIndex()
+    val before = served(path)
+    // simulate an in-flight compactor: a fresh lease under the root
+    val lease = new java.io.File(path, "_compaction.lock")
+    java.nio.file.Files.write(lease.toPath,
+      System.currentTimeMillis().toString.getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      VectorOps.compactPinnedIvfIndex(spark, path)
+    }
+    assert(e.getMessage.contains("concurrent compaction refused"),
+      s"wrong guard message: ${e.getMessage}")
+    // the loser must have aborted BEFORE the capture step: no tmp, no
+    // manifest, lease untouched, answers unchanged
+    assert(!new java.io.File(path, "assignments_by_bucket__compacting")
+      .exists(), "racing compactor left a tmp layout")
+    assert(lease.exists(), "racing compactor broke the holder's lease")
+    assert(served(path) == before, "racing compactor corrupted the index")
+  }
+
+  test("an expired lease is broken and compaction proceeds") {
+    val (path, expected) = freshIndex()
+    val lease = new java.io.File(path, "_compaction.lock")
+    // a stale lease from a crashed holder: stamped older than the ttl
+    java.nio.file.Files.write(lease.toPath,
+      (System.currentTimeMillis() - 10000).toString.getBytes("UTF-8"))
+    VectorOps.compactPinnedIvfIndexSteps(spark, path,
+      stopAfter = Int.MaxValue, leaseTtlMs = 5000)
+    assert(!lease.exists(), "completed compaction must release the lease")
+    assert(served(path) == expected, "post-break compaction wrong")
+  }
+
+  test("a torn manifest is uncommitted: inputs keep serving, repair rolls back") {
+    // the ADVICE r11 torn-write window: first-ever compaction, crash
+    // mid-manifest-write on a store with non-atomic create. Simulate by
+    // hand-writing a terminator-less manifest into a data-complete tmp.
+    val (path, expected) = freshIndex()
+    VectorOps.compactPinnedIvfIndexSteps(spark, path, stopAfter = 1)
+    val tmp = new java.io.File(path, "assignments_by_bucket__compacting")
+    assert(tmp.exists(), "window-1 tmp missing")
+    val datum = new java.io.File(tmp, "_consumed")
+    java.nio.file.Files.write(datum.toPath,
+      s"$path/assignments/part-torn.parquet\n".getBytes("UTF-8"))
+    // a torn manifest must NOT activate the tmp (that would double-count
+    // against an unmasked input set) — the original layout serves alone
+    assert(served(path) == expected,
+      "torn manifest double-counted or hid rows")
+    // and the next compaction treats the tmp as never-committed: rolls
+    // it back, re-runs, converges
+    VectorOps.compactPinnedIvfIndex(spark, path)
+    assert(served(path) == expected, "recovery from torn manifest wrong")
+    assert(!tmp.exists(), "torn tmp survived recovery")
+  }
+
+  test("re-appending a tombstoned id after compaction re-serves it") {
+    // pins the RESURRECTION CONTRACT stated on deleteFromPinnedIvfIndex:
+    // tombstones mask rows, not ids — delete-then-reinsert is legal and
+    // the reinserted copy serves. A "deletes are permanent" refactor
+    // must consciously break this test.
+    val path = java.nio.file.Files.createTempDirectory("idx_resur_").toString
+    val isDoomed = col("vec_id") >= 20 && col("vec_id") % 2 === 0
+    VectorOps.buildPinnedIvfIndex(emb, "vec_id", "embedding",
+      nlist = 16, path = path)
+    VectorOps.deleteFromPinnedIvfIndex(emb.where(isDoomed), "vec_id", path)
+    VectorOps.compactPinnedIvfIndex(spark, path) // tombstones applied+consumed
+    assert(served(path) == inPlace(emb.where(!isDoomed)))
+    VectorOps.appendPinnedIvfIndex(emb.where(isDoomed), "vec_id", "embedding",
+      path)
+    assert(served(path) == inPlace(emb),
+      "re-appended id after tombstone consumption must serve again")
+  }
 }

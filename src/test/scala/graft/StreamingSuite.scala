@@ -717,6 +717,50 @@ class StreamingSuite extends SparkSuite {
       "cross-batch dedup state lost: multi-batch distinct set differs")
   }
 
+  test("chunkDedupStream: watermark-bounded dedup matches batch distinct") {
+    // the PRODUCTION unbounded-stream API (VERDICT r11 #5): same chunk
+    // arithmetic as the w21 gate but state bounded by a watermark via
+    // dropDuplicatesWithinWatermark. With a delay covering the data's
+    // event-time span, every duplicate falls inside the watermark
+    // window, so the emitted set must equal the global batch distinct —
+    // across micro-batches, exactly like the gate.
+    val dir = java.nio.file.Files.createTempDirectory("graft_wmdedup_").toString
+    val rows = (0 until 90).map { i =>
+      (i.toLong, s"${"tok " * 70}doc${i % 30} tail")
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .repartition(3).write.parquet(s"$dir/documents.parquet")
+    def run(maxFiles: Option[Int]): Seq[String] = {
+      val docs = Streams.eventStream(spark, s"$dir/documents.parquet",
+        maxFiles).withColumn("ingest_ts", timestamp_seconds(col("doc_id")))
+      val out = Streams.chunkDedupStream(docs, "doc_id", "text",
+        "ingest_ts", delay = "1 hour")
+      // the state operator must be the watermark-evicting one, not the
+      // accrete-forever dropDuplicates
+      assert(out.queryExecution.analyzed.toString
+        .contains("DeduplicateWithinWatermark"),
+        "production variant must use dropDuplicatesWithinWatermark")
+      val sink = s"wmdedup_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Streams.rowsOfSorted(spark.table(sink))
+    }
+    val batchDistinct = Streams.rowsOfSorted(
+      graft.functions.TextOps.chunkOverlap(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", size_ = 64, step = 48)
+        .select(col("chunk_md5")).distinct())
+    val multi = run(Some(1))
+    assert(multi.nonEmpty && multi == batchDistinct,
+      "watermarked dedup diverged from batch distinct across batches")
+    assert(run(None) == batchDistinct,
+      "watermarked dedup diverged from batch distinct in one batch")
+  }
+
   test("index appends AFTER a compaction remain queryable") {
     import graft.functions.VectorOps
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")

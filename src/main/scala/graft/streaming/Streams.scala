@@ -733,18 +733,29 @@ object Streams {
     * without duplicating. The terminal sink equals the plain batch
     * SELECT over the whole table ONLY if the restart resumed from the
     * checkpointed Id cursor: a reset cursor re-reads run 1's pages
-    * (duplicate rows), a skipped-ahead cursor loses the unread gap. */
-  def connectorRecoveryGate(spark: SparkSession,
-      customerPath: String): DataFrame = {
+    * (duplicate rows), a skipped-ahead cursor loses the unread gap.
+    *
+    * The "crash" here is a cooperative `stop()` (the in-flight batch
+    * aborts cleanly in-process); the SIGKILL-grade variant lives in
+    * StreamingSuite's hard-kill test, which forks run 1 into its own
+    * JVM via [[connectorCrashChildRun]] and `destroyForcibly`s it. */
+  /** Shared sim-org construction for the connector recovery tests: the
+    * org is created and registered under `orgName`, the customer dim is
+    * read in a FIXED order (sorted by custkey, bounded — it is the dim
+    * table sim) and split into the even-key (h1) / odd-key (h2) halves,
+    * and the returned `land` inserts rows in ≤200-row chunks in the
+    * given order. Because InMemoryOrg mints sequential Ids in insert
+    * order, two JVMs that land the same halves in the same order mint
+    * IDENTICAL Ids — the property the forked hard-kill test leans on to
+    * rebuild, in a fresh JVM, the org a killed child's checkpoint
+    * cursor points into. */
+  private[graft] def connectorSimOrg(spark: SparkSession,
+      customerPath: String, orgName: String): (Array[org.apache.spark.sql.Row],
+      Array[org.apache.spark.sql.Row],
+      Array[org.apache.spark.sql.Row] => Unit) = {
     import graft.sources.{InMemoryOrg, RemoteOrgRegistry}
     import org.apache.spark.sql.types.{StructField, StructType, StringType}
     import org.apache.spark.sql.Row
-    val seq = gateRunSeq.incrementAndGet()
-    val base = java.nio.file.Files
-      .createTempDirectory(s"w22_gate_${seq}_").toFile.getAbsolutePath
-    val ckpt = s"$base/ckpt"
-    val sinkDir = s"$base/sink"
-    val orgName = s"w22_org_$seq"
     val sch = StructType(Seq(
       StructField("Id", StringType), StructField("CKey__c", StringType),
       StructField("Name__c", StringType), StructField("NKey__c", StringType)))
@@ -753,19 +764,50 @@ object Streams {
     RemoteOrgRegistry.register(orgName, simOrg)
     val customers = spark.read.parquet(customerPath)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-      .orderBy("c_custkey").collect() // bounded: the dim table sim
+      .orderBy("c_custkey").collect()
     def land(rows: Array[Row]): Unit =
       rows.grouped(200).foreach { chunk => // the org's ≤200-row contract
         simOrg.insert("Customer__c", chunk.toSeq.map(r => Row(null,
           r.getLong(0).toString, r.getString(1), r.getInt(2).toString)), sch)
       }
-    def stream = spark.readStream.format("salesforce-sim")
+    val (h1, h2) = customers.partition(_.getLong(0) % 2 == 0)
+    (h1, h2, land)
+  }
+
+  /** The connector-stream writer both recovery tests share: PK-cursor
+    * micro-batch source under a 64-row admission cap, parquet sink with
+    * its commit log at `\$base/sink`, checkpoint at `\$base/ckpt`. */
+  private[graft] def connectorSinkStream(spark: SparkSession,
+      orgName: String, base: String) =
+    spark.readStream.format("salesforce-sim")
       .option("org", orgName).option("sObject", "Customer__c")
       .option("maxRecordsPerBatch", "64").load()
       .writeStream.format("parquet")
-      .option("path", sinkDir).option("checkpointLocation", ckpt)
+      .option("path", s"$base/sink").option("checkpointLocation", s"$base/ckpt")
       .outputMode(OutputMode.Append)
-    val (h1, h2) = customers.partition(_.getLong(0) % 2 == 0)
+
+  /** Forked-JVM child of the HARD-KILL w22 variant: land h1, free-run
+    * the connector stream against the shared checkpoint/sink under
+    * `base`, and never return — the parent `destroyForcibly`s this
+    * process mid-batch, so unlike the gate's cooperative `stop()` no
+    * in-flight work gets to abort cleanly. */
+  private[graft] def connectorCrashChildRun(spark: SparkSession,
+      customerPath: String, base: String): Unit = {
+    val (h1, _, land) = connectorSimOrg(spark, customerPath, "w22_crash_child")
+    land(h1)
+    connectorSinkStream(spark, "w22_crash_child", base).start()
+      .awaitTermination() // killed externally
+  }
+
+  def connectorRecoveryGate(spark: SparkSession,
+      customerPath: String): DataFrame = {
+    val seq = gateRunSeq.incrementAndGet()
+    val base = java.nio.file.Files
+      .createTempDirectory(s"w22_gate_${seq}_").toFile.getAbsolutePath
+    val sinkDir = s"$base/sink"
+    val orgName = s"w22_org_$seq"
+    val (h1, h2, land) = connectorSimOrg(spark, customerPath, orgName)
+    def stream = connectorSinkStream(spark, orgName, base)
     land(h1)
     // run 1: free-running micro-batches, killed after a few commits with
     // most of the backfill still unread — NOT an AvailableNow drain.

@@ -124,7 +124,11 @@ object Bench {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // SPARK_GRAFT_SHUFFLE_PARTS: above-sf0.1 runs scale partitions
+      // proportionally with data (the SCALING.md round-9 lesson);
+      // the driver's sf0.1 runs leave it unset (= cpus, unchanged)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   *  - star-schema tables shift every key column by copy*1e8 — joins
   *    (orders->customer, lineitem->orders/part/supplier) keep their
   *    exact fan-out per copy and never match across copies;
+  *  - name columns (c_name/s_name/p_name) gain a per-copy " #0k0k"
+  *    suffix: real TPC-H names derive from the (shifted) keys, so
+  *    leaving them verbatim would plant every name as a 10-way exact
+  *    cross-copy duplicate and blow the edit-distance join (d07)
+  *    quadratically in copies — a replication artifact, not a real
+  *    shape. Appending the SAME suffix to every name in a copy
+  *    preserves every intra-copy pairwise edit distance exactly, and
+  *    two distinct copies' suffixes differ in 2 chars, so no
+  *    cross-copy pair enters the <=1 threshold;
   *  - fixed dimensions (region, nation) are NOT replicated — as in
   *    TPC-H, where nation stays 25 rows at every sf — so nationkey
   *    fan-in grows with sf, which is the real shape;
@@ -49,10 +58,14 @@ object ScaleUpData {
 
     def tbl(name: String) = graft.Tables(spark, src, name)
 
-    def shifted(name: String, keyCols: Seq[String]): DataFrame =
+    def shifted(name: String, keyCols: Seq[String],
+        nameCols: Seq[String] = Nil): DataFrame =
       (0 until copies).map { k =>
-        keyCols.foldLeft(tbl(name))((df, c) =>
+        val keyed = keyCols.foldLeft(tbl(name))((df, c) =>
           df.withColumn(c, col(c) + lit(k * Shift)))
+        if (k == 0) keyed
+        else nameCols.foldLeft(keyed)((df, c) =>
+          df.withColumn(c, concat(col(c), lit(f" #$k%02d$k%02d"))))
       }.reduce(_ unionByName _)
 
     def write(name: String, df: DataFrame): Unit = {
@@ -64,9 +77,9 @@ object ScaleUpData {
     write("region", tbl("region"))
     write("nation", tbl("nation"))
 
-    write("customer", shifted("customer", Seq("c_custkey")))
-    write("supplier", shifted("supplier", Seq("s_suppkey")))
-    write("part", shifted("part", Seq("p_partkey")))
+    write("customer", shifted("customer", Seq("c_custkey"), Seq("c_name")))
+    write("supplier", shifted("supplier", Seq("s_suppkey"), Seq("s_name")))
+    write("part", shifted("part", Seq("p_partkey"), Seq("p_name")))
     write("orders", shifted("orders", Seq("o_orderkey", "o_custkey")))
     write("lineitem",
       shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")))

@@ -173,6 +173,33 @@ class IndexLifecycleSuite extends SparkSuite {
     assert(!tmp.exists(), "torn tmp survived recovery")
   }
 
+  test("tombstone anti-join exists pending and vanishes from the steady-state plan") {
+    // the delete path's cost claim, pinned as a PLAN property: pending
+    // tombstones serve via a broadcast anti-join (delta-sized), and
+    // compaction physically applies them so the steady-state query
+    // carries NO anti-join at all — a regression that left the join in
+    // place would silently tax every post-compaction query.
+    val path = java.nio.file.Files.createTempDirectory("idx_plan_").toString
+    VectorOps.buildPinnedIvfIndex(emb, "vec_id", "embedding",
+      nlist = 16, path = path)
+    VectorOps.deleteFromPinnedIvfIndex(
+      emb.where(col("vec_id") >= 20 && col("vec_id") % 2 === 0),
+      "vec_id", path)
+    def servedPlan(): String = {
+      val df = VectorOps.queryPinnedIvfIndex(spark, path,
+        emb.where(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nprobe = 6)
+      df.collect() // finalize the adaptive plan before rendering
+      df.queryExecution.executedPlan.toString
+    }
+    assert(servedPlan().contains("LeftAnti"),
+      "pending tombstones must serve through the broadcast anti-join")
+    VectorOps.compactPinnedIvfIndex(spark, path)
+    val post = servedPlan()
+    assert(!post.contains("LeftAnti"),
+      s"steady-state post-compaction plan must carry no anti-join:\n$post")
+  }
+
   test("re-appending a tombstoned id after compaction re-serves it") {
     // pins the RESURRECTION CONTRACT stated on deleteFromPinnedIvfIndex:
     // tombstones mask rows, not ids — delete-then-reinsert is legal and

@@ -28,8 +28,11 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if os.path.isdir(p):  # Spark-written table dir (e.g. ScaleUpData's sf1.0)
+            p = f"{p}/*.parquet"
+        elif not os.path.exists(p):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):

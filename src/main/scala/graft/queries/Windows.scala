@@ -588,6 +588,22 @@ object Windows {
         FROM customer
         ORDER BY c_custkey""")),
 
+    // ---- w23: STREAMING index maintenance (appends + CDC deletes) ----------
+    // the s21 lifecycle driven by Structured Streaming: every arriving
+    // micro-batch appends its rows AND tombstones its doomed slice; a
+    // post-stream compaction applies the deletes physically; the final
+    // query must equal compute-in-place over the surviving corpus
+    // (s21's oracle verbatim — same doomed slice).
+    QueryDef(
+      "w23_stream_index_maintain",
+      (s, d) =>
+        graft.streaming.Streams
+          .streamingIndexMaintainGate(s, s"$d/embeddings.parquet")
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank"),
+      Some(Similarity.ivfPinnedOracleOver(
+        "NOT (d.vec_id >= 100 AND d.vec_id % 5 = 2)"))),
+
     // ---- w20: STREAMING ANN index ingest -----------------------------------
     // the s18/s19 serving lifecycle through Structured Streaming: the
     // index bootstraps from the 16 codebook vectors, the corpus tail

@@ -934,6 +934,47 @@ object Streams {
       k = 5, nprobe = 6)
   }
 
+  /** w23's gate: STREAMING index MAINTENANCE — the CDC shape of the
+    * persisted-index lifecycle: the index bootstraps from the 16
+    * codebook vectors; every arriving micro-batch both APPENDS its
+    * rows (batch-keyed idempotent overwrite, w20's recipe) and
+    * DELETES its doomed slice (an append-only tombstone drop — the
+    * CDC delete face; a retried batch appends duplicate tombstone
+    * rows, which is idempotent because serving anti-joins the DISTINCT
+    * id set and tombstoning an id twice deletes it once). After the
+    * stream drains, one maintenance compaction applies the accumulated
+    * tombstones physically. The final query must equal s21's oracle —
+    * compute-in-place over the surviving corpus — so a lost tombstone,
+    * a delete racing its own batch's append, or a compaction that
+    * resurrects a deleted row all hash-mismatch. */
+  def streamingIndexMaintainGate(spark: SparkSession,
+      embPath: String): DataFrame = {
+    import graft.functions.VectorOps
+    val path = java.nio.file.Files
+      .createTempDirectory(s"w23_index_${gateRunSeq.incrementAndGet()}_")
+      .toString
+    val emb = spark.read.parquet(embPath)
+    VectorOps.buildPinnedIvfIndex(emb.where(col("vec_id") < 16),
+      "vec_id", "embedding", nlist = 16, path = path)
+    val isDoomed = col("vec_id") >= 100 && col("vec_id") % 5 === 2
+    val stream = eventStream(spark, embPath, Some(1))
+      .where(col("vec_id") >= 16)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        VectorOps.appendPinnedIvfIndexBatch(batch, "vec_id", "embedding",
+          path, batchId)
+        VectorOps.deleteFromPinnedIvfIndex(batch.where(isDoomed),
+          "vec_id", path)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    VectorOps.compactPinnedIvfIndex(spark, path)
+    VectorOps.queryPinnedIvfIndex(spark, path,
+      emb.where(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, nprobe = 6)
+  }
+
   final case class Doc(key: String, doc_id: Long, text: String)
 
   /** Streaming exact dedup: first occurrence of each content key wins,

@@ -200,6 +200,45 @@ class IndexLifecycleSuite extends SparkSuite {
       s"steady-state post-compaction plan must carry no anti-join:\n$post")
   }
 
+  test("compaction interleaved with live streamed maintenance stays exact") {
+    // compaction under TRAFFIC, end to end: the corpus streams in one
+    // file per micro-batch, every batch appends + tombstones its
+    // doomed slice (the w23 body), and foreachBatch fires a FULL
+    // compaction after every second batch — so compactions run between
+    // (and interleave with) live appends and pending tombstones, each
+    // one capturing whatever inputs exist at that instant under the
+    // writer lease. The final answer must equal compute-in-place over
+    // survivors, and the steady state must be fully applied (no
+    // tombstone dir left behind).
+    import graft.functions.VectorOps
+    import graft.streaming.Streams
+    val emb = Tables(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("w23_compact_").toString
+    emb.repartition(4).write.parquet(s"$dir/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("idx_live_").toString
+    VectorOps.buildPinnedIvfIndex(emb.where(col("vec_id") < 16),
+      "vec_id", "embedding", nlist = 16, path = path)
+    val isDoomed = col("vec_id") >= 100 && col("vec_id") % 5 === 2
+    val q = Streams.eventStream(spark, s"$dir/embeddings.parquet", Some(1))
+      .where(col("vec_id") >= 16)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        VectorOps.appendPinnedIvfIndexBatch(batch, "vec_id", "embedding",
+          path, id)
+        VectorOps.deleteFromPinnedIvfIndex(batch.where(isDoomed),
+          "vec_id", path)
+        if (id % 2 == 1) VectorOps.compactPinnedIvfIndex(spark, path)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    VectorOps.compactPinnedIvfIndex(spark, path) // final maintenance pass
+    assert(served(path) == inPlace(emb.where(!isDoomed)),
+      "mid-stream compaction lost or duplicated rows")
+    assert(!new java.io.File(path, "tombstones").exists(),
+      "final compaction must consume all tombstones")
+  }
+
   test("re-appending a tombstoned id after compaction re-serves it") {
     // pins the RESURRECTION CONTRACT stated on deleteFromPinnedIvfIndex:
     // tombstones mask rows, not ids — delete-then-reinsert is legal and

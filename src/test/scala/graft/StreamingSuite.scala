@@ -694,6 +694,51 @@ class StreamingSuite extends SparkSuite {
       "a re-delivered ingest batch must not change the index")
   }
 
+  test("w23 maintenance is multi-batch and retry-idempotent incl. deletes") {
+    // the w23 gate at small SF runs one micro-batch (single input
+    // file); this twin forces MULTIPLE batches over a repartitioned
+    // copy and replays one batch's whole maintenance body (append +
+    // tombstone drop) with the same batchId — the at-least-once retry.
+    // Both the multi-batch answer and the post-replay answer must equal
+    // compute-in-place over survivors.
+    import graft.functions.VectorOps
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("w23_multi_").toString
+    emb.repartition(3).write.parquet(s"$dir/embeddings.parquet")
+    val isDoomed = col("vec_id") >= 100 && col("vec_id") % 5 === 2
+    val expected = Streams.rowsOfSorted(VectorOps.ivfTopKPinned(
+      emb.where(col("vec_id") < 20), emb.where(!isDoomed),
+      "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6))
+    val served = Streams.rowsOfSorted(
+      Streams.streamingIndexMaintainGate(spark, s"$dir/embeddings.parquet"))
+    assert(served.nonEmpty && served == expected,
+      "multi-batch streamed maintenance diverged from compute-in-place")
+    // replay: rebuild a fresh index, run one batch's body twice with
+    // the same batchId — the append replaces itself, the duplicate
+    // tombstones dedup in serving — answers must not change
+    val path = java.nio.file.Files.createTempDirectory("w23_idem_").toString
+    VectorOps.buildPinnedIvfIndex(emb.where(col("vec_id") < 16),
+      "vec_id", "embedding", nlist = 16, path = path)
+    val delta = emb.where(col("vec_id") >= 16)
+    def body(): Unit = {
+      VectorOps.appendPinnedIvfIndexBatch(delta, "vec_id", "embedding",
+        path, 0L)
+      VectorOps.deleteFromPinnedIvfIndex(delta.where(isDoomed),
+        "vec_id", path)
+    }
+    body()
+    val once = Streams.rowsOfSorted(VectorOps.queryPinnedIvfIndex(
+      spark, path, emb.where(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, nprobe = 6))
+    body() // the at-least-once redelivery
+    val twice = Streams.rowsOfSorted(VectorOps.queryPinnedIvfIndex(
+      spark, path, emb.where(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, nprobe = 6))
+    assert(once.nonEmpty && once == twice,
+      "a re-delivered maintenance batch must not change the index")
+    assert(once == expected, "maintenance answer wrong vs survivors")
+  }
+
   test("w21 chunk dedup carries its state across micro-batches") {
     // multi-file input, one file per trigger: duplicate chunks SPAN the
     // batches, so the distinct digest set is only right if the dedup

@@ -239,6 +239,64 @@ class IndexLifecycleSuite extends SparkSuite {
       "final compaction must consume all tombstones")
   }
 
+  test("randomized op sequences: serving always equals compute-in-place") {
+    // model-based check over a seeded random interleaving of the whole
+    // op surface — append fresh ids, append RESURRECTED ids, delete,
+    // compact — with the serving view compared to compute-in-place over
+    // the model's live set as the sequence unfolds. The scripted tests
+    // pin specific windows; this sweeps interleavings nobody scripted
+    // (e.g. delete → append → delete same slice → compact → append).
+    // Ids 0-15 stay live forever so the pinned codebook of the oracle
+    // side (16 lowest ids of its corpus) matches the index's bootstrap.
+    import graft.functions.VectorOps
+    val rnd = new scala.util.Random(42) // seeded: failures reproduce
+    val allIds = (16L until 500L).toVector
+    val path = java.nio.file.Files.createTempDirectory("idx_rand_").toString
+    var live = Set.empty[Long]   // ids currently expected to serve
+    var dead = Set.empty[Long]   // tombstoned, eligible for resurrection
+    def embIn(ids: Set[Long]) = {
+      val keep = ids + -1L // non-empty literal list
+      emb.where(col("vec_id") < 16 || col("vec_id").isin(keep.toSeq: _*))
+    }
+    VectorOps.buildPinnedIvfIndex(embIn(Set.empty), "vec_id", "embedding",
+      nlist = 16, path = path)
+    def check(step: String): Unit =
+      assert(served(path) == inPlace(embIn(live)),
+        s"serving diverged from model after $step (live=${live.size})")
+    for (step <- 1 to 12) {
+      val free = allIds.filterNot(live).filterNot(dead)
+      val op = rnd.nextInt(10)
+      if (op < 3 && free.nonEmpty) {            // append fresh
+        val s = rnd.shuffle(free).take(1 + rnd.nextInt(60)).toSet
+        VectorOps.appendPinnedIvfIndex(embIn(s).where(col("vec_id") >= 16),
+          "vec_id", "embedding", path)
+        live ++= s
+      } else if (op < 5 && dead.nonEmpty) {
+        // append copies of PENDING-deleted ids: the resurrection
+        // contract says a pending tombstone masks every ingested copy,
+        // and the next compaction removes the late copy with the rest —
+        // so the model keeps these ids dead. (True resurrection — a
+        // fresh append AFTER the tombstone is consumed — happens via
+        // the fresh-append branch once a compaction clears `dead`.)
+        val s = rnd.shuffle(dead.toVector).take(1 + rnd.nextInt(20)).toSet
+        VectorOps.appendPinnedIvfIndex(embIn(s).where(col("vec_id") >= 16),
+          "vec_id", "embedding", path)
+      } else if (op < 8 && live.nonEmpty) {     // delete a live slice
+        val s = rnd.shuffle(live.toVector).take(1 + rnd.nextInt(40)).toSet
+        VectorOps.deleteFromPinnedIvfIndex(embIn(s).where(col("vec_id") >= 16),
+          "vec_id", path)
+        live --= s; dead ++= s
+      } else {                                  // maintenance
+        VectorOps.compactPinnedIvfIndex(spark, path)
+        dead = Set.empty // applied tombstones cannot resurrect by append
+      }
+      if (step % 3 == 0) check(s"step $step")
+    }
+    VectorOps.compactPinnedIvfIndex(spark, path)
+    check("final compaction")
+    assert(live.size > 50, "sequence degenerated: too few live ids to be meaningful")
+  }
+
   test("re-appending a tombstoned id after compaction re-serves it") {
     // pins the RESURRECTION CONTRACT stated on deleteFromPinnedIvfIndex:
     // tombstones mask rows, not ids — delete-then-reinsert is legal and

@@ -41,7 +41,32 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.tools.ScaleUpData /root/testdata/sf0.1 /tmp/sf1.0 10"
   */
 object ScaleUpData {
-  private val Shift = 100000000L // beyond any source key range
+  private[graft] val Shift = 100000000L // beyond any source key range
+
+  /** Per-copy vector transform: component sign-flip by xxhash64 parity
+    * of (copy, index). A reflection, so for any two vectors in the same
+    * copy dot(f(a),f(b)) = sum(±a_i·±b_i) = dot(a,b) EXACTLY — the
+    * signs square away term by term, bit-exact even in float — while
+    * vectors from different copies see independent sign patterns and
+    * land near-orthogonal. Copy 0 is the identity. Pinned in
+    * ScaleUpSuite. */
+  private[graft] def signFlip(vecCol: String, k: Int):
+      org.apache.spark.sql.Column =
+    if (k == 0) col(vecCol)
+    else expr(
+      s"""transform($vecCol, (x, i) ->
+            CASE WHEN pmod(xxhash64(concat('c$k/', i)), 2) = 0
+                 THEN x ELSE -x END)""")
+
+  /** Per-copy name tag: the same " #0k0k" suffix on every name in a
+    * copy, so every intra-copy pairwise edit distance is preserved
+    * exactly, while any two copies' suffixes differ in >=4 characters
+    * (no cross-copy pair can enter an edit-distance-1 join). Copy 0 is
+    * untagged. Pinned in ScaleUpSuite. */
+  private[graft] def nameTag(nameCol: String, k: Int):
+      org.apache.spark.sql.Column =
+    if (k == 0) col(nameCol)
+    else concat(col(nameCol), lit(f" #$k%02d$k%02d"))
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleUpData <srcDir> <dstDir> <copies>")
@@ -63,9 +88,7 @@ object ScaleUpData {
       (0 until copies).map { k =>
         val keyed = keyCols.foldLeft(tbl(name))((df, c) =>
           df.withColumn(c, col(c) + lit(k * Shift)))
-        if (k == 0) keyed
-        else nameCols.foldLeft(keyed)((df, c) =>
-          df.withColumn(c, concat(col(c), lit(f" #$k%02d$k%02d"))))
+        nameCols.foldLeft(keyed)((df, c) => df.withColumn(c, nameTag(c, k)))
       }.reduce(_ unionByName _)
 
     def write(name: String, df: DataFrame): Unit = {
@@ -97,18 +120,11 @@ object ScaleUpData {
         .withColumn("n_chars", length(col("text")))
     }.reduce(_ unionByName _))
 
-    // embeddings: per-copy component sign-flip (balanced by xxhash64
-    // parity of (copy, index)) — an isometry per copy, near-orthogonal
-    // across copies; float arithmetic is exact under negation so
-    // intra-copy geometry is bit-preserved
+    // embeddings: per-copy component sign-flip (see [[signFlip]])
     write("embeddings", (0 until copies).map { k =>
-      val base = tbl("embeddings")
+      tbl("embeddings")
         .withColumn("vec_id", col("vec_id") + lit(k * Shift))
-      if (k == 0) base
-      else base.withColumn("embedding", expr(
-        s"""transform(embedding, (x, i) ->
-              CASE WHEN pmod(xxhash64(concat('c$k/', i)), 2) = 0
-                   THEN x ELSE -x END)"""))
+        .withColumn("embedding", signFlip("embedding", k))
     }.reduce(_ unionByName _))
 
     spark.stop()

@@ -98,12 +98,15 @@ object Bench {
 
   /** Flat {"sf0.1/q01":1.234,...} map; hand-rolled format we control, so
     * a regex parse is exact (no JSON lib dependency drift). */
-  private def loadFloors(): Map[String, Double] = {
-    val f = new java.io.File(FloorFile)
+  private[graft] def loadFloors(
+      f: java.io.File = new java.io.File(FloorFile)): Map[String, Double] = {
     if (!f.isFile) Map.empty
     else {
       val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+      // tolerate whitespace after the colon: a floor file round-tripped
+      // through a pretty-printing JSON tool must not silently parse as
+      // EMPTY and wipe every floor on the next save
+      """"([^"]+)":\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
   }

@@ -74,4 +74,19 @@ class BenchLineSuite extends AnyFunSuite {
       8.0, 1.0, Nil, rs, "/sf")
     assert(good.contains("\"value\":9.000,"), good.take(120))
   }
+
+  test("floor file parses in compact AND pretty-printed JSON form") {
+    // a floor file round-tripped through a pretty printer (": 1.2" with
+    // a space) must not parse as empty — that would wipe every floor on
+    // the next save, exactly the near-miss that motivated this pin
+    def parse(body: String): Map[String, Double] = {
+      val f = java.io.File.createTempFile("floors", ".json")
+      java.nio.file.Files.write(f.toPath, body.getBytes("UTF-8"))
+      try Bench.loadFloors(f) finally f.delete()
+    }
+    val compact = parse("""{"sf0.1/q01":1.204,"sf0.1/d02":2.706}""")
+    val pretty = parse("{\n  \"sf0.1/q01\": 1.204,\n  \"sf0.1/d02\": 2.706\n}")
+    assert(compact == Map("sf0.1/q01" -> 1.204, "sf0.1/d02" -> 2.706))
+    assert(pretty == compact, s"pretty form lost floors: $pretty")
+  }
 }

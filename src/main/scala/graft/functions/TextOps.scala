@@ -670,6 +670,12 @@ object TextOps {
   def chunkOverlap(df: DataFrame, idCol: String, textCol: String,
       size_ : Int, step: Int, carry: Seq[String] = Nil): DataFrame = {
     require(0 < step && step <= size_, s"need 0 < step <= size, got $step/$size_")
+    val reserved =
+      Set("doc_id", "chunk_idx", "n_tokens", "chunk_md5", "__t", "__n", "__ct")
+    val clash = carry.filter(reserved)
+    require(clash.isEmpty,
+      s"carry columns collide with chunkOverlap outputs/internals: " +
+        clash.mkString(", "))
     val kept = carry.map(col)
     val toks = df
       .select(col(idCol).as("doc_id") +: tokens(col(textCol)).as("__t") +:

@@ -360,7 +360,14 @@ object VectorOps {
     * defenses: the body lands at a hidden sibling (`_consumed.tmp`) and
     * is RENAMED into place (atomic on HDFS/local), and the body itself
     * ends with a `#END <count>` terminator so a reader on a store with
-    * non-atomic rename still rejects a truncated file. */
+    * non-atomic rename still rejects a truncated file.
+    *
+    * FORMAT MIGRATION NOTE: manifests written before the terminator
+    * existed read as uncommitted under this scheme (indistinguishable
+    * from a torn new-format file). A root carrying a mid-crash
+    * legacy manifest should finish its compaction with the old build
+    * first — or append the `#END <n>` line by hand — before upgrading;
+    * a root in the steady state (no manifest present) needs nothing. */
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
       at: HPath, consumed: Seq[HPath]): Unit = {
     val staging = new HPath(at.getParent, at.getName + ".tmp")
@@ -417,15 +424,19 @@ object VectorOps {
     // mid-swap crash window — a tmp that finished its write (it carries
     // a COMMITTED manifest, written strictly after the data; a torn
     // manifest means the compaction never committed, so the tmp is dead
-    // weight and the original inputs keep serving)
-    val active: Option[HPath] =
-      if (fs.exists(compacted)) Some(compacted)
-      else if (readManifest(fs, new HPath(tmp, ManifestName)).isDefined)
-        Some(tmp)
-      else None
-    val consumed: Set[String] =
-      active.flatMap(d => readManifest(fs, new HPath(d, ManifestName)))
-        .getOrElse(Set.empty)
+    // weight and the original inputs keep serving). Each manifest is
+    // read ONCE and both decisions derive from that read — a second
+    // read would open a TOCTOU window against a concurrent repair's
+    // tmp->compacted rename (code-review finding).
+    val (active: Option[HPath], consumed: Set[String]) =
+      if (fs.exists(compacted))
+        (Some(compacted),
+          readManifest(fs, new HPath(compacted, ManifestName))
+            .getOrElse(Set.empty))
+      else readManifest(fs, new HPath(tmp, ManifestName)) match {
+        case Some(entries) => (Some(tmp), entries)
+        case None => (None, Set.empty[String])
+      }
     def live(p: HPath): Boolean = !consumed.contains(pathKey(p))
 
     val frames = Seq.newBuilder[DataFrame]
@@ -519,19 +530,26 @@ object VectorOps {
     * broken by the next compactor once this elapses. */
   private[graft] val DefaultLeaseTtlMs: Long = 60L * 60 * 1000
 
-  /** Atomically claim the maintenance-writer lease under `path`. A
-    * live lease (younger than `ttlMs`) aborts THIS compactor with a
-    * clear error before anything is read or written; an expired one is
-    * broken (best-effort — expiry-break races are the operator's
-    * manual-intervention case, exactly as for any lock file). */
+  /** Atomically claim the maintenance-writer lease under `path`,
+    * returning the lease path and this holder's unique token. A live
+    * lease (younger than `ttlMs`) aborts THIS compactor with a clear
+    * error before anything is read or written. An expired lease is
+    * broken by RENAMING it aside to a nonce name — rename is atomic, so
+    * of two compactors that both observed the same stale lease exactly
+    * one wins the rename and proceeds; the loser aborts instead of
+    * deleting the winner's fresh lease (the delete-then-create race a
+    * code review caught). The token lets release delete only OUR
+    * lease, never a successor's. */
   private def acquireCompactionLease(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, ttlMs: Long): HPath = {
+      path: String, ttlMs: Long): (HPath, String) = {
     val lease = hp(s"$path/$LeaseName")
+    val token = s"${System.currentTimeMillis()} ${java.util.UUID.randomUUID()}"
     if (fs.exists(lease)) {
       val stampedAt: Option[Long] =
         try {
           val in = fs.open(lease)
-          try new String(in.readAllBytes(), "UTF-8").trim.toLongOption
+          try new String(in.readAllBytes(), "UTF-8").trim
+            .split("\\s+").headOption.flatMap(_.toLongOption)
           finally in.close()
         } catch { case _: java.io.IOException => None }
       val ageMs = stampedAt.map(System.currentTimeMillis() - _)
@@ -541,7 +559,14 @@ object VectorOps {
           s"(age ${ageMs.get} ms < ttl $ttlMs ms). One maintenance " +
           "writer per index root; delete the lock only if its holder " +
           "is known dead.")
-      fs.delete(lease, false) // expired or unreadable — break it
+      // break the expired lease by renaming it aside: atomic, single winner
+      val aside = new HPath(lease.getParent,
+        s"$LeaseName.broken.${java.util.UUID.randomUUID()}")
+      if (!fs.rename(lease, aside))
+        throw new IllegalStateException(
+          s"concurrent compaction refused: lost the expiry-break race " +
+          s"for $lease")
+      fs.delete(aside, false)
     }
     val out =
       try fs.create(lease, false) // no-overwrite create: the atomic claim
@@ -549,10 +574,26 @@ object VectorOps {
         case e: java.io.IOException => throw new IllegalStateException(
           s"concurrent compaction refused: lost the race for $lease", e)
       }
-    try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+    try out.write(token.getBytes("UTF-8"))
     finally out.close()
-    lease
+    (lease, token)
   }
+
+  /** Release the lease ONLY if it still carries our token — a
+    * successor that legitimately broke our (expired) lease must not
+    * have its fresh claim deleted out from under it. */
+  private def releaseCompactionLease(fs: org.apache.hadoop.fs.FileSystem,
+      lease: HPath, token: String): Unit =
+    try {
+      val current =
+        if (!fs.exists(lease)) None
+        else {
+          val in = fs.open(lease)
+          try Some(new String(in.readAllBytes(), "UTF-8").trim)
+          finally in.close()
+        }
+      if (current.contains(token)) fs.delete(lease, false)
+    } catch { case _: java.io.IOException => () }
 
   /** [[compactPinnedIvfIndex]] with a fault-injection point: stop
     * (simulating a crash) after step `stopAfter` of the commit
@@ -567,9 +608,9 @@ object VectorOps {
       path: String, stopAfter: Int,
       leaseTtlMs: Long = DefaultLeaseTtlMs): Unit = {
     val fs = hp(path).getFileSystem(spark.sessionState.newHadoopConf())
-    val lease = acquireCompactionLease(fs, path, leaseTtlMs)
+    val (lease, token) = acquireCompactionLease(fs, path, leaseTtlMs)
     try compactUnderLease(spark, fs, path, stopAfter)
-    finally fs.delete(lease, false)
+    finally releaseCompactionLease(fs, lease, token)
   }
 
   private def compactUnderLease(spark: SparkSession,

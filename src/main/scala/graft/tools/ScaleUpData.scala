@@ -60,9 +60,11 @@ object ScaleUpData {
 
   /** Per-copy name tag: the same " #0k0k" suffix on every name in a
     * copy, so every intra-copy pairwise edit distance is preserved
-    * exactly, while any two copies' suffixes differ in >=4 characters
-    * (no cross-copy pair can enter an edit-distance-1 join). Copy 0 is
-    * untagged. Pinned in ScaleUpSuite. */
+    * exactly, while any two copies' suffixes sit at edit distance >=2
+    * (" #0101" vs " #0202" = 2 substitutions) — outside d07's
+    * edit-distance-1 join, with a margin of exactly one edit: widening
+    * that threshold to <=2 would need a wider tag. Copy 0 is untagged.
+    * Pinned in ScaleUpSuite. */
   private[graft] def nameTag(nameCol: String, k: Int):
       org.apache.spark.sql.Column =
     if (k == 0) col(nameCol)

@@ -762,6 +762,16 @@ class StreamingSuite extends SparkSuite {
       "cross-batch dedup state lost: multi-batch distinct set differs")
   }
 
+  test("chunkOverlap rejects carry columns that collide with its outputs") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c", 7L)).toDF("doc_id", "text", "chunk_md5")
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.TextOps.chunkOverlap(df, "doc_id", "text",
+        size_ = 64, step = 48, carry = Seq("chunk_md5"))
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+  }
+
   test("chunkDedupStream: watermark-bounded dedup matches batch distinct") {
     // the PRODUCTION unbounded-stream API (VERDICT r11 #5): same chunk
     // arithmetic as the w21 gate but state bounded by a watermark via

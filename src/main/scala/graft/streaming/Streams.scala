@@ -775,13 +775,14 @@ object Streams {
   }
 
   /** The connector-stream writer both recovery tests share: PK-cursor
-    * micro-batch source under a 64-row admission cap, parquet sink with
-    * its commit log at `\$base/sink`, checkpoint at `\$base/ckpt`. */
+    * micro-batch source under a small admission cap (so the cursor
+    * pages many times), parquet sink with its commit log at
+    * `\$base/sink`, checkpoint at `\$base/ckpt`. */
   private[graft] def connectorSinkStream(spark: SparkSession,
-      orgName: String, base: String) =
+      orgName: String, base: String, maxPerBatch: Int = 64) =
     spark.readStream.format("salesforce-sim")
       .option("org", orgName).option("sObject", "Customer__c")
-      .option("maxRecordsPerBatch", "64").load()
+      .option("maxRecordsPerBatch", maxPerBatch.toString).load()
       .writeStream.format("parquet")
       .option("path", s"$base/sink").option("checkpointLocation", s"$base/ckpt")
       .outputMode(OutputMode.Append)
@@ -807,19 +808,24 @@ object Streams {
     val sinkDir = s"$base/sink"
     val orgName = s"w22_org_$seq"
     val (h1, h2, land) = connectorSimOrg(spark, customerPath, orgName)
-    def stream = connectorSinkStream(spark, orgName, base)
+    // admission cap scales with the corpus: tiny SFs keep the 64-row
+    // floor (the cursor still pages many times), big SFs stay at a few
+    // dozen batches per run instead of thousands — what made this gate
+    // infeasible at sf1.0 (150k customers / 64 = ~2300 micro-batches)
+    val cap = math.max(64, h1.length / 24)
+    def stream = connectorSinkStream(spark, orgName, base, cap)
     land(h1)
     // run 1: free-running micro-batches, killed after a few commits with
     // most of the backfill still unread — NOT an AvailableNow drain.
     // The kill point adapts to corpus size (ADVICE r11): under the
-    // 64-row admission cap a small SF never reaches batch 2, so waiting
+    // admission cap a small SF never reaches batch 2, so waiting
     // for a fixed batchId would silently spin out the whole deadline.
     // Wait for min(2, last batch that can still admit input), and bail
     // as soon as every currently-landed row has been admitted — at that
     // point there is nothing left to kill mid-backfill, and the restart
     // still exercises the cursor restore against run 2's fresh rows.
     val q1 = stream.start()
-    val targetBatch = math.min(2L, math.ceil(h1.length / 64.0).toLong - 1)
+    val targetBatch = math.min(2L, math.ceil(h1.length.toDouble / cap).toLong - 1)
     def admitted: Long = q1.recentProgress.map(_.numInputRows).sum
     val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
     while ((q1.lastProgress == null ||

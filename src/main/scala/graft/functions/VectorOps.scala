@@ -301,12 +301,26 @@ object VectorOps {
     * (foreachBatch offers at-least-once delivery) replaces itself
     * instead of duplicating rows — the standard foreachBatch
     * exactly-once recipe. The directory key reads back as an
-    * `ingest_batch` partition column, which the query side ignores. */
+    * `ingest_batch` partition column, which the query side ignores.
+    *
+    * The overwrite recipe alone breaks when a COMPACTION consumed the
+    * batch's partition between the attempt and the retry (its rows then
+    * live in the compacted layout, and recreating the partition would
+    * double-count them permanently at the next compaction — code-review
+    * finding), so compaction records consumed batch ids in a ledger and
+    * a redelivery of a recorded batch is a NO-OP. The ledger is
+    * per-checkpoint-lineage: batch ids must never be reused with
+    * different content, so a FRESH stream (ids restarting at 0) must
+    * target a fresh index root, not a root an earlier lineage fed. */
   def appendPinnedIvfIndexBatch(delta: DataFrame, idCol: String,
-      vecCol: String, path: String, batchId: Long): Unit =
-    assignDelta(delta, idCol, vecCol, path)
-      .write.mode("overwrite")
-      .parquet(s"$path/assignments_stream/ingest_batch=$batchId")
+      vecCol: String, path: String, batchId: Long): Unit = {
+    val fs = hp(path).getFileSystem(
+      delta.sparkSession.sessionState.newHadoopConf())
+    if (!compactedBatchIds(fs, path).contains(batchId))
+      assignDelta(delta, idCol, vecCol, path)
+        .write.mode("overwrite")
+        .parquet(s"$path/assignments_stream/ingest_batch=$batchId")
+  }
 
   /** The one shared delta→assignments body: load the frozen codebook,
     * SQ8-code the batch, assign — every append flavor writes exactly
@@ -330,7 +344,50 @@ object VectorOps {
   private val CompactDir = "assignments_by_bucket"
   private val CompactTmp = "assignments_by_bucket__compacting"
   private val ManifestName = "_consumed"
+  private val BatchLedgerDir = "_compacted_batches"
   private type HPath = org.apache.hadoop.fs.Path
+
+  /** The `ingest_batch=N` id carried by a consumed-path manifest entry,
+    * when the entry is a streamed batch partition. */
+  private def ledgerBatchId(entry: String): Option[Long] = {
+    val name = entry.substring(entry.lastIndexOf('/') + 1)
+    if (name.startsWith("ingest_batch="))
+      name.stripPrefix("ingest_batch=").toLongOption
+    else None
+  }
+
+  /** Persist the stream-batch ids a compaction consumed, BEFORE their
+    * partition dirs are deleted: a late foreachBatch redelivery of such
+    * a batch must no-op, not recreate rows that now also live in the
+    * compacted layout (code-review finding — the batch-keyed-overwrite
+    * idempotency recipe only holds while the partition it overwrites
+    * still exists). One write-once file per cleanup; a crash between
+    * this write and the deletes re-runs cleanup and writes a duplicate
+    * file, which is harmless (the ledger reads as a set union). */
+  private def recordCompactedBatches(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, consumed: Set[String]): Unit = {
+    val ids = consumed.flatMap(ledgerBatchId)
+    if (ids.nonEmpty) {
+      val f = new HPath(hp(s"$path/$BatchLedgerDir"),
+        s"ledger.${java.util.UUID.randomUUID()}")
+      val out = fs.create(f, false)
+      try out.write(ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Stream-batch ids already folded into the compacted layout. Every
+    * parseable line is trustworthy even from a torn ledger file
+    * (truncation only loses the tail), so no terminator is needed — a
+    * lost id merely degrades that one batch back to at-least-once. */
+  private def compactedBatchIds(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Set[Long] =
+    listDataFiles(fs, hp(s"$path/$BatchLedgerDir")).flatMap { f =>
+      val in = fs.open(f)
+      try new String(in.readAllBytes(), "UTF-8")
+        .linesIterator.flatMap(_.trim.toLongOption).toVector
+      finally in.close()
+    }.toSet
   private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
 
   /** Non-hidden data files directly under `dir` (Nil when absent). */
@@ -420,21 +477,35 @@ object VectorOps {
     val fs = hp(path).getFileSystem(spark.sessionState.newHadoopConf())
     val compacted = hp(s"$path/$CompactDir")
     val tmp = hp(s"$path/$CompactTmp")
-    // the active compacted layout: the committed dir, or — in the
-    // mid-swap crash window — a tmp that finished its write (it carries
-    // a COMMITTED manifest, written strictly after the data; a torn
-    // manifest means the compaction never committed, so the tmp is dead
-    // weight and the original inputs keep serving). Each manifest is
-    // read ONCE and both decisions derive from that read — a second
-    // read would open a TOCTOU window against a concurrent repair's
-    // tmp->compacted rename (code-review finding).
+    // the active compacted layout: a tmp carrying a COMMITTED manifest
+    // OUTRANKS the committed dir — when both exist we are in the
+    // mid-step-3 window where the old compacted dir may be PARTIALLY
+    // deleted (recursive delete is not atomic), and the tmp is the one
+    // copy guaranteed complete (code-review finding; its manifest is
+    // written strictly after the data). A torn tmp manifest means the
+    // compaction never committed, so the tmp is dead weight and the
+    // pre-compaction layout keeps serving. Each manifest is read ONCE
+    // and both decisions derive from that read — a second read would
+    // open a TOCTOU window against a concurrent repair's tmp->compacted
+    // rename (code-review finding).
     val (active: Option[HPath], consumed: Set[String]) =
-      if (fs.exists(compacted))
-        (Some(compacted),
-          readManifest(fs, new HPath(compacted, ManifestName))
-            .getOrElse(Set.empty))
-      else readManifest(fs, new HPath(tmp, ManifestName)) match {
+      readManifest(fs, new HPath(tmp, ManifestName)) match {
         case Some(entries) => (Some(tmp), entries)
+        case None if fs.exists(compacted) =>
+          val mf = new HPath(compacted, ManifestName)
+          // at the COMMITTED dir a manifest arrived whole by construction
+          // (atomic staging rename, then whole-dir rename) — torn means
+          // external corruption, and serving against a partial consumed
+          // list would double-count, so fail as loudly as cleanupConsumed
+          // does for the identical state (code-review finding)
+          val entries = readManifest(fs, mf).getOrElse {
+            if (fs.exists(mf)) throw new IllegalStateException(
+              s"torn _consumed manifest at $mf — refusing to serve a " +
+              "double-counted view against a partial consumed list; " +
+              "repair it manually")
+            Set.empty[String]
+          }
+          (Some(compacted), entries)
         case None => (None, Set.empty[String])
       }
     def live(p: HPath): Boolean = !consumed.contains(pathKey(p))
@@ -545,38 +616,87 @@ object VectorOps {
     val lease = hp(s"$path/$LeaseName")
     val token = s"${System.currentTimeMillis()} ${java.util.UUID.randomUUID()}"
     if (fs.exists(lease)) {
+      // a lease whose CONTENT is missing or unparsable (a holder crashed
+      // between create and write) falls back to the file's modification
+      // time, so it still expires instead of deadlocking every future
+      // compactor; a lease that is UNREADABLE (transient I/O error)
+      // aborts — treating it as expired would break a live holder and
+      // admit a second writer (code-review finding)
       val stampedAt: Option[Long] =
         try {
           val in = fs.open(lease)
-          try new String(in.readAllBytes(), "UTF-8").trim
-            .split("\\s+").headOption.flatMap(_.toLongOption)
-          finally in.close()
-        } catch { case _: java.io.IOException => None }
-      val ageMs = stampedAt.map(System.currentTimeMillis() - _)
-      if (ageMs.exists(_ < ttlMs))
-        throw new IllegalStateException(
-          s"concurrent compaction refused: lease $lease is held " +
-          s"(age ${ageMs.get} ms < ttl $ttlMs ms). One maintenance " +
-          "writer per index root; delete the lock only if its holder " +
-          "is known dead.")
-      // break the expired lease by renaming it aside: atomic, single winner
-      val aside = new HPath(lease.getParent,
-        s"$LeaseName.broken.${java.util.UUID.randomUUID()}")
-      if (!fs.rename(lease, aside))
-        throw new IllegalStateException(
-          s"concurrent compaction refused: lost the expiry-break race " +
-          s"for $lease")
-      fs.delete(aside, false)
-    }
-    val out =
-      try fs.create(lease, false) // no-overwrite create: the atomic claim
-      catch {
-        case e: java.io.IOException => throw new IllegalStateException(
-          s"concurrent compaction refused: lost the race for $lease", e)
+          val fromBody =
+            try new String(in.readAllBytes(), "UTF-8").trim
+              .split("\\s+").headOption.flatMap(_.toLongOption)
+            finally in.close()
+          Some(fromBody.getOrElse(fs.getFileStatus(lease).getModificationTime))
+        } catch {
+          case _: java.io.FileNotFoundException =>
+            None // released between our exists() and open(): claim freely
+          case e: java.io.IOException => throw new IllegalStateException(
+            s"concurrent compaction refused: lease $lease exists but is " +
+            "unreadable — refusing to treat an unreadable lease as " +
+            "expired; retry, or delete the lock only if its holder is " +
+            "known dead.", e)
+        }
+      stampedAt.foreach { at =>
+        val ageMs = System.currentTimeMillis() - at
+        if (ageMs < ttlMs)
+          throw new IllegalStateException(
+            s"concurrent compaction refused: lease $lease is held " +
+            s"(age $ageMs ms < ttl $ttlMs ms). One maintenance " +
+            "writer per index root; delete the lock only if its holder " +
+            "is known dead.")
+        // break the expired lease by renaming it aside: atomic, single winner
+        val aside = new HPath(lease.getParent,
+          s"$LeaseName.broken.${java.util.UUID.randomUUID()}")
+        if (!fs.rename(lease, aside))
+          throw new IllegalStateException(
+            s"concurrent compaction refused: lost the expiry-break race " +
+            s"for $lease")
+        fs.delete(aside, false)
       }
-    try out.write(token.getBytes("UTF-8"))
-    finally out.close()
+    }
+    createLeaseExclusive(fs, lease, token)
     (lease, token)
+  }
+
+  /** Exclusive no-overwrite create of the lease, then write the token.
+    * On HDFS `create(overwrite = false)` is an atomic namenode op, but
+    * the local/checksum filesystems implement it as exists-then-create
+    * (TOCTOU — two fresh compactors could both pass; code-review
+    * finding), so for `file://` the claim goes through java.nio's
+    * `createFile` (O_CREAT|O_EXCL, atomic). A read-back verify closes
+    * the loop as a last defense on stores where neither path is truly
+    * exclusive: of two racing writers, at most one sees its own token. */
+  private def createLeaseExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      lease: HPath, token: String): Unit = {
+    try {
+      if (fs.getUri.getScheme == "file") {
+        val p = java.nio.file.Paths.get(lease.toUri.getPath)
+        java.nio.file.Files.createFile(p) // the atomic claim
+        java.nio.file.Files.write(p, token.getBytes("UTF-8"))
+      } else {
+        val out = fs.create(lease, false) // no-overwrite: the atomic claim
+        try out.write(token.getBytes("UTF-8"))
+        finally out.close()
+      }
+    } catch {
+      case e @ (_: java.nio.file.FileAlreadyExistsException |
+                _: java.io.IOException) =>
+        throw new IllegalStateException(
+          s"concurrent compaction refused: lost the race for $lease", e)
+    }
+    val current =
+      try {
+        val in = fs.open(lease)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim)
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
+    if (!current.contains(token))
+      throw new IllegalStateException(
+        s"concurrent compaction refused: lease $lease carries another " +
+        "writer's token after our claim")
   }
 
   /** Release the lease ONLY if it still carries our token — a
@@ -660,20 +780,26 @@ object VectorOps {
   }
 
   /** Complete or roll back a crashed compaction so a new one starts
-    * from a clean layout: a tmp bearing a COMMITTED manifest with no
-    * committed dir is the mid-swap window — finish the rename; a tmp
-    * without one (absent OR torn) never committed — drop it (the old
-    * layout is intact); a committed dir still carrying a manifest has
-    * uncollected inputs — collect them. */
+    * from a clean layout: a tmp bearing a COMMITTED manifest rolls
+    * FORWARD — the compacted-dir remnant, if any, is dropped (it is
+    * either fully intact, with every row captured into the tmp, or
+    * partially deleted by a crash mid-step-3 — either way the tmp is
+    * the one guaranteed-complete copy) and the tmp renamed into place.
+    * A tmp without a committed manifest (absent OR torn) never
+    * committed — drop it (the pre-compaction layout is intact). A
+    * committed dir still carrying a manifest has uncollected inputs —
+    * collect them. (The previous rollback here deleted a committed tmp
+    * whenever the compacted dir existed, which in the mid-step-3
+    * window destroyed the only complete copy — code-review finding.) */
   private def repairCompaction(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Unit = {
     val compacted = hp(s"$path/$CompactDir")
     val tmp = hp(s"$path/$CompactTmp")
-    if (!fs.exists(compacted) &&
-        readManifest(fs, new HPath(tmp, ManifestName)).isDefined)
+    if (readManifest(fs, new HPath(tmp, ManifestName)).isDefined) {
+      if (fs.exists(compacted)) fs.delete(compacted, true)
       require(fs.rename(tmp, compacted),
         s"compaction repair rename failed under $path")
-    else if (fs.exists(tmp)) fs.delete(tmp, true)
+    } else if (fs.exists(tmp)) fs.delete(tmp, true)
     cleanupConsumed(fs, path)
   }
 
@@ -691,6 +817,7 @@ object VectorOps {
         new IllegalStateException(
           s"torn _consumed manifest at $manifest — refusing to clean " +
           "consumed inputs against a partial list; repair it manually"))
+      recordCompactedBatches(fs, path, entries)
       entries.foreach { p =>
         val t = hp(p)
         if (fs.exists(t)) fs.delete(t, true)

@@ -297,6 +297,108 @@ class IndexLifecycleSuite extends SparkSuite {
     assert(live.size > 50, "sequence degenerated: too few live ids to be meaningful")
   }
 
+  test("a crash MID-step-3 (partial compacted delete) loses nothing") {
+    // the code-review window: a re-compaction committed its tmp, then
+    // crashed PARTWAY through the recursive delete of the old compacted
+    // dir (recursive delete is not atomic). The old repair saw the
+    // compacted remnant and rolled the tmp — the only complete copy —
+    // back, permanently losing every row whose part-file the delete had
+    // already removed. The reader must prefer the committed tmp, and
+    // repair must roll FORWARD.
+    val (path, _) = freshIndex()
+    VectorOps.compactPinnedIvfIndex(spark, path) // prior compacted layout
+    VectorOps.appendPinnedIvfIndex(
+      emb.where(reserved), "vec_id", "embedding", path)
+    val full = inPlace(emb.where(!isDoomed))
+    // stop after the manifest commit (window 2: compacted intact)...
+    VectorOps.compactPinnedIvfIndexSteps(spark, path, stopAfter = 2)
+    // ...then hand-interrupt step 3: delete SOME of the old compacted
+    // dir's data files, simulating the torn recursive delete
+    val compacted = new java.io.File(path, "assignments_by_bucket")
+    val victims = compacted.listFiles().filter(_.isDirectory).take(3)
+    assert(victims.nonEmpty, "setup: no bucket dirs to tear")
+    victims.foreach { d =>
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    assert(served(path) == full,
+      "reader served the torn compacted remnant instead of the committed tmp")
+    VectorOps.compactPinnedIvfIndex(spark, path)
+    assert(served(path) == full,
+      "repair rolled back the only complete copy (mid-step-3 data loss)")
+    assert(!new java.io.File(path, "assignments_by_bucket__compacting").exists(),
+      "tmp survived roll-forward recovery")
+  }
+
+  test("a batch redelivered AFTER a compaction consumed it must no-op") {
+    // the code-review retry window: foreachBatch appends batch N, a
+    // compaction in the SAME batch (the w23/interleaved pattern) consumes
+    // ingest_batch=N, then the batch fails later and Spark redelivers it.
+    // The batch-keyed overwrite would recreate the partition whose rows
+    // now also live in the compacted layout — served twice, and baked in
+    // permanently by the next compaction. The consumed-batch ledger makes
+    // the redelivery a no-op instead.
+    val (path, _) = freshIndex() // carries ingest_batch=3
+    VectorOps.compactPinnedIvfIndex(spark, path) // consumes batch 3
+    val expected = inPlace(emb.where(!isDoomed && !reserved))
+    assert(served(path) == expected)
+    // the redelivery: same batch id, same rows
+    val isLate = col("vec_id") >= 200
+    VectorOps.appendPinnedIvfIndexBatch(
+      emb.where(isLate && col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+      path, 3L)
+    assert(!new java.io.File(path, "assignments_stream").exists(),
+      "redelivered consumed batch recreated its partition")
+    assert(served(path) == expected,
+      "redelivered consumed batch double-served its rows")
+    // and the next compaction must not bake anything in
+    VectorOps.compactPinnedIvfIndex(spark, path)
+    assert(served(path) == expected,
+      "compaction after a redelivered consumed batch duplicated rows")
+    // a FRESH batch id still appends normally
+    VectorOps.appendPinnedIvfIndexBatch(
+      emb.where(reserved), "vec_id", "embedding", path, 4L)
+    assert(served(path) == inPlace(emb.where(!isDoomed)),
+      "ledger must only suppress consumed ids, not fresh ones")
+  }
+
+  test("a torn manifest at the COMMITTED dir fails queries loudly") {
+    // at the committed dir a manifest arrives whole by construction, so
+    // torn = external corruption: cleanup already refuses to delete
+    // inputs against the partial list, and the reader must refuse to
+    // serve a double-counted view against it (code-review finding) —
+    // not silently treat it as an empty consumed set.
+    val (path, expected) = freshIndex()
+    VectorOps.compactPinnedIvfIndex(spark, path)
+    assert(served(path) == expected)
+    val mf = new java.io.File(
+      new java.io.File(path, "assignments_by_bucket"), "_consumed")
+    java.nio.file.Files.write(mf.toPath,
+      s"$path/assignments/part-torn.parquet\n".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] { served(path) }
+    assert(e.getMessage.contains("torn _consumed manifest"),
+      s"wrong guard message: ${e.getMessage}")
+  }
+
+  test("a content-less lease falls back to mtime: fresh aborts, stale breaks") {
+    // a holder that crashed between lease-create and token-write leaves
+    // an EMPTY lease. Treating it as expired would break a live holder
+    // in that window; refusing forever would deadlock every future
+    // compactor. The mtime fallback does both jobs.
+    val (path, expected) = freshIndex()
+    val lease = new java.io.File(path, "_compaction.lock")
+    assert(lease.createNewFile(), "setup: lease create failed")
+    val fresh = intercept[IllegalStateException] {
+      VectorOps.compactPinnedIvfIndex(spark, path)
+    }
+    assert(fresh.getMessage.contains("is held"),
+      s"fresh empty lease must read as live via mtime: ${fresh.getMessage}")
+    // age it past the ttl: now it breaks and compaction proceeds
+    assert(lease.setLastModified(System.currentTimeMillis() - 10000))
+    VectorOps.compactPinnedIvfIndexSteps(spark, path,
+      stopAfter = Int.MaxValue, leaseTtlMs = 5000)
+    assert(served(path) == expected, "post-break compaction wrong")
+  }
+
   test("re-appending a tombstoned id after compaction re-serves it") {
     // pins the RESURRECTION CONTRACT stated on deleteFromPinnedIvfIndex:
     // tombstones mask rows, not ids — delete-then-reinsert is legal and

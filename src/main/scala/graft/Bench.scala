@@ -39,13 +39,20 @@ object Bench {
 
   /** A sample is over its floor band — and must re-time / taints the
     * clean verdict — when it exceeds 2.5x the floor with 1s of excess,
-    * OR (r10 verdict) 1.75x the floor with 1.5s of excess. The second
-    * term closes the mid-band escape: s07's 3.67s over a 1.51s floor
-    * was only 2.42x (under the ratio gate) but carried +2.16s of real
-    * excess and landed in a clean:true window. */
+    * OR (r10 verdict) 1.75x the floor with 1.5s of excess, OR (r12
+    * verdict) 2.0x the floor with 0.75s of excess. The second term
+    * closes the mid-band escape: s07's 3.67s over a 1.51s floor was
+    * only 2.42x (under the ratio gate) but carried +2.16s of real
+    * excess and landed in a clean:true window. The third term closes
+    * the small-floor 2x escape: q01's 2.43s over a 1.204s floor was
+    * 2.02x — past the judge's 2x gate — but its 1.23s excess was under
+    * both earlier terms, so it never re-timed. Any query with a floor
+    * below ~1.5s could previously cross 2x without triggering the
+    * machinery built for exactly that. */
   private[graft] def overFloorBand(floor: Double, v: Double): Boolean =
     (v > 2.5 * floor && v > floor + 1.0) ||
-      (v > 1.75 * floor && v > floor + 1.5)
+      (v > 1.75 * floor && v > floor + 1.5) ||
+      (v > 2.0 * floor && v > floor + 0.75)
 
   /** Comma-separated query names: when set, this process is a fresh-JVM
     * re-timer child — time ONLY those queries once and print a marked

@@ -63,6 +63,18 @@ class BenchLineSuite extends AnyFunSuite {
     assert(!Bench.overFloorBand(2.0, 3.4))
   }
 
+  test("floor band fires on the small-floor 2x escape (r12 q01)") {
+    // the r12 escape: 2.43s over a 1.204s floor (2.02x, +1.23s) was
+    // under both earlier terms yet past the judge's 2x gate — the third
+    // term must fire on it
+    assert(Bench.overFloorBand(1.204, 2.43))
+    // sub-second jitter still spared: 2.4x of a 0.5s floor is only
+    // +0.7s of excess — under all three excess thresholds
+    assert(!Bench.overFloorBand(0.5, 1.2))
+    // just under 2x with real excess stays clean (2x is the gate)
+    assert(!Bench.overFloorBand(1.204, 2.4))
+  }
+
   test("value is null when any headline query failed, numeric when clean") {
     // ADVICE r7: a floor-spliced total excluding failures reads as a
     // cross-round speedup — the headline value must be incomparable

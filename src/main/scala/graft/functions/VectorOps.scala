@@ -580,10 +580,15 @@ object VectorOps {
     *
     * WRITER FENCE: the single-maintenance-writer contract is ENFORCED,
     * not assumed — a `_compaction.lock` lease is atomically created
-    * under the root before the capture step and released on exit; a
-    * second compactor finding a live (unexpired) lease aborts loudly
-    * before touching anything. A crashed holder's stale lease expires
-    * after [[DefaultLeaseTtlMs]] and is broken by the next compactor.
+    * under the root before the capture step, kept young by a HEARTBEAT
+    * that re-stamps it every ttl/4 (so a compaction of ANY duration
+    * stays fenced — expiry is judged by last renewal, not creation),
+    * and released on exit; a second compactor finding a live lease
+    * aborts loudly before touching anything. A crashed holder stops
+    * renewing and its lease is broken by the next compactor after
+    * [[DefaultLeaseTtlMs]]; a live holder whose lease was broken
+    * anyway (heartbeat gap beyond the TTL) detects the loss at the
+    * next tick and aborts before its next destructive step.
     *
     * READER OVERLAP: queries PLAN against the pre-swap layout lazily —
     * a query whose execution overlaps this compaction's swap/cleanup
@@ -596,25 +601,111 @@ object VectorOps {
   private val LeaseName = "_compaction.lock"
 
   /** How long a compaction lease stays authoritative after its holder
-    * stops heartbeating (i.e. after create — leases are written once).
-    * Sized to dwarf any real compaction; a crashed holder's lease is
-    * broken by the next compactor once this elapses. */
+    * stops HEARTBEATING: the holder re-stamps the lease body with a
+    * fresh timestamp every ttl/4 (r12 verdict — judging expiry by
+    * CREATE time meant a compaction outliving a static TTL got its
+    * live lease legitimately broken mid-write, re-admitting the
+    * two-writer race the lease exists to prevent). With renewal the
+    * TTL no longer needs to dwarf the longest possible compaction —
+    * only the longest heartbeat gap of a live holder (GC pause,
+    * filesystem hiccup); a crashed holder stops renewing and its lease
+    * is broken by the next compactor once this elapses. */
   private[graft] val DefaultLeaseTtlMs: Long = 60L * 60 * 1000
 
+  /** The lease body is `<lastRenewalMillis> <holderUuid>`: the first
+    * field drives expiry (re-stamped by the heartbeat), the second
+    * identifies the holder so release/renewal can recognize their own
+    * lease after the timestamp has moved. */
+  private def leaseUuidOf(body: String): Option[String] =
+    body.trim.split("\\s+") match {
+      case Array(_, u, _*) => Some(u)
+      case _               => None
+    }
+
+  private def readLeaseBody(fs: org.apache.hadoop.fs.FileSystem,
+      lease: HPath): Option[String] =
+    if (!fs.exists(lease)) None
+    else {
+      val in = fs.open(lease)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim)
+      finally in.close()
+    }
+
+  /** Overwrite the lease body in place. On `file://` this goes through
+    * a staging file + atomic rename so a concurrent reader never sees
+    * a torn body; elsewhere it is a plain overwrite — a reader racing
+    * the rewrite can see an empty/partial body, falls back to the
+    * file's (fresh) modification time, and still judges the lease
+    * live, so the race degrades safe. */
+  private def writeLeaseBody(fs: org.apache.hadoop.fs.FileSystem,
+      lease: HPath, body: String): Unit =
+    if (fs.getUri.getScheme == "file") {
+      val target = java.nio.file.Paths.get(lease.toUri.getPath)
+      val staging = target.resolveSibling(
+        s"$LeaseName.stamp.${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(staging, body.getBytes("UTF-8"))
+      java.nio.file.Files.move(staging, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val out = fs.create(lease, true)
+      try out.write(body.getBytes("UTF-8"))
+      finally out.close()
+    }
+
+  /** Keeps a held lease young by re-stamping its body with a fresh
+    * timestamp every `intervalMs` (ttl/4 — several renewals fit inside
+    * one TTL, so a single missed tick cannot expire a live holder).
+    * Each tick re-reads the lease first: if it no longer carries our
+    * uuid (a breaker judged us expired after a pathological heartbeat
+    * gap and claimed it), renewal STOPS and the holder is flagged
+    * FENCED — [[compactUnderLease]] checks the flag before every
+    * destructive step, so a fenced-out holder aborts into an ordinary
+    * crash window (repair-covered) instead of fighting the new writer
+    * over the layout. Transient read/write errors skip the tick; the
+    * TTL absorbs them. */
+  private final class LeaseHeartbeat(fs: org.apache.hadoop.fs.FileSystem,
+      lease: HPath, uuid: String, intervalMs: Long) {
+    private val fenced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    private val stopped = new java.util.concurrent.CountDownLatch(1)
+    private val thread = new Thread(() => {
+      while (!fenced.get() && !stopped.await(intervalMs,
+          java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try {
+          if (readLeaseBody(fs, lease).flatMap(leaseUuidOf).contains(uuid))
+            writeLeaseBody(fs, lease,
+              s"${System.currentTimeMillis()} $uuid")
+          else fenced.set(true)
+        } catch { case _: java.io.IOException => () }
+      }
+    }, "graft-compaction-lease-heartbeat")
+    thread.setDaemon(true)
+    thread.start()
+    def close(): Unit = { stopped.countDown(); thread.join(2000) }
+    def checkNotFenced(): Unit =
+      if (fenced.get()) throw new IllegalStateException(
+        s"compaction fenced out: lease $lease no longer carries this " +
+        "holder's token (a successor broke it after a heartbeat gap " +
+        "exceeded the ttl) — aborting before the next destructive step; " +
+        "the successor's repair pass owns the layout now.")
+  }
+
   /** Atomically claim the maintenance-writer lease under `path`,
-    * returning the lease path and this holder's unique token. A live
-    * lease (younger than `ttlMs`) aborts THIS compactor with a clear
-    * error before anything is read or written. An expired lease is
-    * broken by RENAMING it aside to a nonce name — rename is atomic, so
-    * of two compactors that both observed the same stale lease exactly
-    * one wins the rename and proceeds; the loser aborts instead of
+    * returning the lease path and this holder's unique uuid. A live
+    * lease (last RENEWAL younger than `ttlMs` — the holder's heartbeat
+    * re-stamps it) aborts THIS compactor with a clear error before
+    * anything is read or written. An expired lease is broken by
+    * RENAMING it aside to a nonce name — rename is atomic, so of two
+    * compactors that both observed the same stale lease exactly one
+    * wins the rename and proceeds; the loser aborts instead of
     * deleting the winner's fresh lease (the delete-then-create race a
-    * code review caught). The token lets release delete only OUR
-    * lease, never a successor's. */
+    * code review caught). The uuid lets release and renewal recognize
+    * OUR lease, never a successor's. */
   private def acquireCompactionLease(fs: org.apache.hadoop.fs.FileSystem,
       path: String, ttlMs: Long): (HPath, String) = {
     val lease = hp(s"$path/$LeaseName")
-    val token = s"${System.currentTimeMillis()} ${java.util.UUID.randomUUID()}"
+    val uuid = java.util.UUID.randomUUID().toString
+    val token = s"${System.currentTimeMillis()} $uuid"
     if (fs.exists(lease)) {
       // a lease whose CONTENT is missing or unparsable (a holder crashed
       // between create and write) falls back to the file's modification
@@ -657,8 +748,8 @@ object VectorOps {
         fs.delete(aside, false)
       }
     }
-    createLeaseExclusive(fs, lease, token)
-    (lease, token)
+    createLeaseExclusive(fs, lease, token, uuid)
+    (lease, uuid)
   }
 
   /** Exclusive no-overwrite create of the lease, then write the token.
@@ -670,7 +761,7 @@ object VectorOps {
     * the loop as a last defense on stores where neither path is truly
     * exclusive: of two racing writers, at most one sees its own token. */
   private def createLeaseExclusive(fs: org.apache.hadoop.fs.FileSystem,
-      lease: HPath, token: String): Unit = {
+      lease: HPath, token: String, uuid: String): Unit = {
     try {
       if (fs.getUri.getScheme == "file") {
         val p = java.nio.file.Paths.get(lease.toUri.getPath)
@@ -693,26 +784,39 @@ object VectorOps {
         try Some(new String(in.readAllBytes(), "UTF-8").trim)
         finally in.close()
       } catch { case _: java.io.IOException => None }
-    if (!current.contains(token))
+    if (!current.flatMap(leaseUuidOf).contains(uuid))
       throw new IllegalStateException(
         s"concurrent compaction refused: lease $lease carries another " +
         "writer's token after our claim")
   }
 
-  /** Release the lease ONLY if it still carries our token — a
+  /** Release the lease ONLY if it still carries our uuid — a
     * successor that legitimately broke our (expired) lease must not
-    * have its fresh claim deleted out from under it. */
-  private def releaseCompactionLease(fs: org.apache.hadoop.fs.FileSystem,
-      lease: HPath, token: String): Unit =
+    * have its fresh claim deleted out from under it. The old
+    * read-then-delete here was not atomic (ADVICE r12): a successor
+    * could break our lease and create its own between our read and
+    * our delete, and we would delete the successor's fresh lease,
+    * admitting a third writer. Release now RENAMES the lease aside to
+    * a nonce name first (atomic — the same trick the expiry break
+    * uses), verifies the renamed file carries our uuid, and only then
+    * deletes it. If the verify shows a successor's lease we moved it
+    * by mistake — restore it with a rename back; if even that fails (a
+    * third claim landed meanwhile) the orphaned copy is dropped and
+    * the successor's own heartbeat detects the loss and fences it, so
+    * the worst case degrades to a fenced abort, never two live
+    * writers. */
+  private[graft] def releaseCompactionLease(
+      fs: org.apache.hadoop.fs.FileSystem,
+      lease: HPath, uuid: String): Unit =
     try {
-      val current =
-        if (!fs.exists(lease)) None
-        else {
-          val in = fs.open(lease)
-          try Some(new String(in.readAllBytes(), "UTF-8").trim)
-          finally in.close()
-        }
-      if (current.contains(token)) fs.delete(lease, false)
+      if (!fs.exists(lease)) return
+      val aside = new HPath(lease.getParent,
+        s"$LeaseName.releasing.${java.util.UUID.randomUUID()}")
+      if (!fs.rename(lease, aside)) return // raced a break/release: not ours
+      if (readLeaseBody(fs, aside).flatMap(leaseUuidOf).contains(uuid))
+        fs.delete(aside, false)
+      else if (!fs.rename(aside, lease))
+        fs.delete(aside, false)
     } catch { case _: java.io.IOException => () }
 
   /** [[compactPinnedIvfIndex]] with a fault-injection point: stop
@@ -726,17 +830,32 @@ object VectorOps {
     * what they test; a real crash's stale lease is the TTL's job.) */
   private[graft] def compactPinnedIvfIndexSteps(spark: SparkSession,
       path: String, stopAfter: Int,
-      leaseTtlMs: Long = DefaultLeaseTtlMs): Unit = {
+      leaseTtlMs: Long = DefaultLeaseTtlMs,
+      stepDelayMs: Long = 0L,
+      onAfterAcquire: () => Unit = () => ()): Unit = {
     val fs = hp(path).getFileSystem(spark.sessionState.newHadoopConf())
-    val (lease, token) = acquireCompactionLease(fs, path, leaseTtlMs)
-    try compactUnderLease(spark, fs, path, stopAfter)
-    finally releaseCompactionLease(fs, lease, token)
+    val (lease, uuid) = acquireCompactionLease(fs, path, leaseTtlMs)
+    val heartbeat =
+      new LeaseHeartbeat(fs, lease, uuid, math.max(leaseTtlMs / 4, 25L))
+    try {
+      onAfterAcquire()
+      compactUnderLease(spark, fs, path, stopAfter,
+        () => heartbeat.checkNotFenced(), stepDelayMs)
+    } finally {
+      heartbeat.close()
+      releaseCompactionLease(fs, lease, uuid)
+    }
   }
 
   private def compactUnderLease(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String,
-      stopAfter: Int): Unit = {
+      stopAfter: Int, fenceCheck: () => Unit,
+      stepDelayMs: Long): Unit = {
+    // test-only slow-compaction injection: stretches the work past a
+    // short lease TTL so the heartbeat is what keeps the lease alive
+    def pace(): Unit = if (stepDelayMs > 0) Thread.sleep(stepDelayMs)
     repairCompaction(fs, path)
+    pace()
     // capture the consumed inputs BEFORE the rewrite: anything that
     // lands after this point is neither read nor deleted
     val plainFiles = listDataFiles(fs, hp(s"$path/assignments"))
@@ -765,17 +884,29 @@ object VectorOps {
     survivors.write.mode("overwrite").partitionBy("__bucket")
       .parquet(tmp.toString)
     if (stopAfter <= 1) return
+    pace()
     // the manifest is the commit record: written strictly after the
     // data, it makes the tmp readable (mid-swap) and masks the inputs
-    // (post-swap) until they are gone
+    // (post-swap) until they are gone. Every step from here on is
+    // destructive or commits, so each re-checks the fence first: a
+    // holder whose lease was broken after a pathological heartbeat gap
+    // must abort into a repairable crash window, not race the new
+    // writer over the layout.
+    fenceCheck()
     writeManifest(fs, new HPath(tmp, ManifestName),
       plainFiles ++ batchDirs ++ tombFiles)
     if (stopAfter <= 2) return
+    pace()
+    fenceCheck()
     if (hadCompacted) fs.delete(compacted, true) // its rows live in tmp
     if (stopAfter <= 3) return
+    pace()
+    fenceCheck()
     require(fs.rename(tmp, compacted),
       s"compaction rename failed under $path")
     if (stopAfter <= 4) return
+    pace()
+    fenceCheck()
     cleanupConsumed(fs, path)
   }
 

@@ -151,6 +151,83 @@ class IndexLifecycleSuite extends SparkSuite {
     assert(served(path) == expected, "post-break compaction wrong")
   }
 
+  test("a slow compaction outliving the TTL heartbeats its lease and is never fenced out") {
+    // the r12 verdict's scale-killer: with expiry judged by CREATE
+    // time, a compaction longer than the TTL had its live lease
+    // legitimately broken by a rival MID-WRITE. Here the holder runs
+    // with a 400ms TTL and ~250ms of injected delay between every
+    // step (total >> TTL) while a rival hammers claim attempts the
+    // whole time — every attempt must be refused (the heartbeat keeps
+    // the lease young), the holder must complete unfenced, and the
+    // result must be exact.
+    val (path, expected) = freshIndex()
+    val ttl = 400L
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val holderDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val rival = new Thread(() => {
+      started.await()
+      while (!holderDone.get()) {
+        try {
+          VectorOps.compactPinnedIvfIndexSteps(spark, path,
+            stopAfter = Int.MaxValue, leaseTtlMs = ttl)
+          outcomes.add("acquired")
+        } catch {
+          case e: IllegalStateException
+              if e.getMessage.contains("concurrent compaction refused") =>
+            outcomes.add("refused")
+          case e: Throwable => outcomes.add(s"error: $e")
+        }
+        Thread.sleep(60)
+      }
+    }, "rival-compactor")
+    rival.setDaemon(true)
+    rival.start()
+    try {
+      VectorOps.compactPinnedIvfIndexSteps(spark, path,
+        stopAfter = Int.MaxValue, leaseTtlMs = ttl, stepDelayMs = 250L,
+        onAfterAcquire = () => started.countDown())
+    } finally holderDone.set(true)
+    rival.join(5000)
+    val seen = outcomes.toArray(Array.empty[String]).toSeq
+    // the holder held the lease for >= 5 paced steps (~1.25s) against a
+    // 400ms TTL: without renewal the rival would have broken it
+    assert(seen.count(_ == "refused") >= 2,
+      s"rival never contended while the holder was slow: $seen")
+    assert(seen.forall(_ == "refused"),
+      s"rival got past a live heartbeating lease: $seen")
+    assert(served(path) == expected, "slow heartbeating compaction wrong")
+    assert(!new java.io.File(path, "_compaction.lock").exists(),
+      "slow compaction must still release its lease")
+  }
+
+  test("release leaves a successor's lease untouched (atomic rename-aside)") {
+    // ADVICE r12: read-then-delete release could delete a successor's
+    // fresh lease. The release path must verify ownership via the
+    // renamed-aside copy and restore what is not ours.
+    val root = java.nio.file.Files.createTempDirectory("idx_lease_").toString
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val lease = new org.apache.hadoop.fs.Path(s"$root/_compaction.lock")
+    val successorBody =
+      s"${System.currentTimeMillis()} 11111111-2222-3333-4444-555555555555"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/_compaction.lock"),
+      successorBody.getBytes("UTF-8"))
+    // our (stale) holder releases with a DIFFERENT uuid: the
+    // successor's lease must survive, body intact
+    VectorOps.releaseCompactionLease(fs, lease, "deadbeef-our-uuid")
+    val after = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_compaction.lock")), "UTF-8")
+    assert(after == successorBody,
+      s"release touched a successor's lease: '$after'")
+    // and releasing with the OWNING uuid removes it
+    VectorOps.releaseCompactionLease(fs, lease,
+      "11111111-2222-3333-4444-555555555555")
+    assert(!new java.io.File(root, "_compaction.lock").exists(),
+      "owner's release must delete its own lease")
+  }
+
   test("a torn manifest is uncommitted: inputs keep serving, repair rolls back") {
     // the ADVICE r11 torn-write window: first-ever compaction, crash
     // mid-manifest-write on a store with non-atomic create. Simulate by

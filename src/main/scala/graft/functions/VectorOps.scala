@@ -308,18 +308,135 @@ object VectorOps {
     * live in the compacted layout, and recreating the partition would
     * double-count them permanently at the next compaction — code-review
     * finding), so compaction records consumed batch ids in a ledger and
-    * a redelivery of a recorded batch is a NO-OP. The ledger is
-    * per-checkpoint-lineage: batch ids must never be reused with
-    * different content, so a FRESH stream (ids restarting at 0) must
-    * target a fresh index root, not a root an earlier lineage fed. */
+    * a redelivery of a recorded batch is a NO-OP. Because the appender
+    * is not fenced by the compaction lease, the ledger check alone has
+    * a race (ADVICE r12): a redelivery can read the ledger BEFORE the
+    * compactor records its id, then recreate the partition AFTER the
+    * compactor deleted it. The ledger is therefore re-read AFTER the
+    * partition write and a now-recorded batch deletes its own
+    * partition; the compactor records ids strictly before it deletes
+    * inputs, so one of the two checks always sees the id (and a
+    * partition recreated before the delete is simply deleted with the
+    * original — same rows, already in the compacted layout).
+    *
+    * The ledger is per-STREAM-LINEAGE: batch ids must never be reused
+    * with different content, so a FRESH stream (checkpoint wiped, ids
+    * restarting at 0) pointed at a root an earlier lineage fed would
+    * silently NO-OP its first N batches — data loss with no error.
+    * The `lineage` argument (a stable id of the stream's checkpoint —
+    * see [[lineageOfCheckpoint]], or any fresh unique string for a
+    * fresh root) is stamped next to the ledger at first append and a
+    * mismatched appender FAILS LOUDLY instead (r12 verdict: the
+    * footnote became a guard). MIGRATION NOTE: a pre-stamp root that
+    * already carries ledger entries cannot prove which lineage fed it,
+    * so it also fails — hand-write the original stream's lineage to
+    * `_compacted_batches/_lineage` to resume, or start a fresh root. */
   def appendPinnedIvfIndexBatch(delta: DataFrame, idCol: String,
-      vecCol: String, path: String, batchId: Long): Unit = {
+      vecCol: String, path: String, batchId: Long,
+      lineage: String): Unit =
+    appendPinnedIvfIndexBatchHooked(delta, idCol, vecCol, path, batchId,
+      lineage, () => ())
+
+  /** [[appendPinnedIvfIndexBatch]] with a fault-injection point AFTER
+    * the ledger pre-check and before the partition write — the suite
+    * runs a full compaction there to provoke the exact
+    * redelivery-vs-cleanup interleaving the post-write re-check
+    * closes. */
+  private[graft] def appendPinnedIvfIndexBatchHooked(delta: DataFrame,
+      idCol: String, vecCol: String, path: String, batchId: Long,
+      lineage: String, afterLedgerCheck: () => Unit): Unit = {
     val fs = hp(path).getFileSystem(
       delta.sparkSession.sessionState.newHadoopConf())
-    if (!compactedBatchIds(fs, path).contains(batchId))
+    checkStreamLineage(fs, path, lineage)
+    if (!compactedBatchIds(fs, path).contains(batchId)) {
+      afterLedgerCheck()
+      val partition = hp(s"$path/assignments_stream/ingest_batch=$batchId")
       assignDelta(delta, idCol, vecCol, path)
-        .write.mode("overwrite")
-        .parquet(s"$path/assignments_stream/ingest_batch=$batchId")
+        .write.mode("overwrite").parquet(partition.toString)
+      // close the appender-side race: if a concurrent compaction
+      // consumed this batch between our pre-check and the write, its
+      // ledger record (written before its deletes) is visible by now —
+      // drop the recreated partition, the rows live in the compacted
+      // layout (plus the parent dir if that left it empty, the same
+      // hygiene cleanupConsumed applies)
+      if (compactedBatchIds(fs, path).contains(batchId)) {
+        fs.delete(partition, true)
+        val parent = hp(s"$path/assignments_stream")
+        if (fs.exists(parent) && listSubDirs(fs, parent).isEmpty)
+          fs.delete(parent, true)
+      }
+    }
+  }
+
+  private val LineageName = "_lineage"
+
+  /** The stream-lineage stamp lives next to the ledger (hidden name —
+    * excluded from ledger listings). First append stamps it; every
+    * append verifies it. */
+  private def checkStreamLineage(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, lineage: String): Unit = {
+    require(lineage.trim.nonEmpty, "stream lineage must be non-empty")
+    val stamp = hp(s"$path/$BatchLedgerDir/$LineageName")
+    val current =
+      if (!fs.exists(stamp)) None
+      else {
+        val in = fs.open(stamp)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim)
+        finally in.close()
+      }
+    current match {
+      case Some(l) if l == lineage.trim => ()
+      case Some(l) => throw new IllegalStateException(
+        s"stream-lineage mismatch at $path: the batch ledger was fed by " +
+        s"lineage '$l' but this appender carries '$lineage'. A fresh " +
+        "stream restarting batch ids at 0 against this root would " +
+        "silently no-op every id the old lineage compacted — data loss " +
+        "with no error. Target a fresh index root, or resume the " +
+        "original stream from its checkpoint.")
+      case None =>
+        if (listDataFiles(fs, hp(s"$path/$BatchLedgerDir")).nonEmpty)
+          throw new IllegalStateException(
+            s"unstamped batch ledger at $path: ledger entries exist but " +
+            "no lineage stamp — this root predates lineage stamping, so " +
+            "no appender can prove it is the lineage that fed it. " +
+            s"Hand-write the original stream's lineage to " +
+            s"$BatchLedgerDir/$LineageName to resume, or start a fresh " +
+            "root.")
+        // first append on this root: stamp it (staging + rename so a
+        // concurrent reader never sees a torn stamp; two appenders of
+        // the SAME stream write the same bytes, so the last rename
+        // winning is benign)
+        val staging = hp(s"$path/$BatchLedgerDir/$LineageName.tmp." +
+          java.util.UUID.randomUUID())
+        val out = fs.create(staging, true)
+        try out.write(lineage.trim.getBytes("UTF-8"))
+        finally out.close()
+        if (!fs.rename(staging, stamp)) {
+          // lost a same-stream race: verify the winner wrote our lineage
+          fs.delete(staging, false)
+          checkStreamLineage(fs, path, lineage)
+        }
+    }
+  }
+
+  /** Derive a stream lineage from a DURABLE checkpoint location: the
+    * stream's own identity (`metadata` holds the query id Spark keeps
+    * stable across restarts from the same checkpoint and regenerates
+    * when the checkpoint is wiped) — exactly the "same batch-id
+    * sequence" contract the ledger needs. Call it inside foreachBatch
+    * (the file exists once the stream has started); for a fresh
+    * per-run root (the w20/w23 gates) any fresh unique string works. */
+  def lineageOfCheckpoint(spark: SparkSession,
+      checkpointDir: String): String = {
+    val meta = hp(s"$checkpointDir/metadata")
+    val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(meta)
+    val body =
+      try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+    """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(body).map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no query id in checkpoint metadata at $meta"))
   }
 
   /** The one shared delta→assignments body: load the frozen codebook,
@@ -373,6 +490,33 @@ object VectorOps {
       val out = fs.create(f, false)
       try out.write(ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
       finally out.close()
+    }
+  }
+
+  /** Fold the accumulated ledger files into ONE (ADVICE r12: one file
+    * per cleanup forever meant every streamed append paid
+    * O(#compactions) filesystem opens). Runs under the compaction
+    * lease. The merged file is staged hidden and RENAMED into a listed
+    * name before the old files are deleted, so a crash at any point
+    * leaves the id set complete — mid-write leaves the torn merge
+    * hidden (unread) with the originals intact; mid-delete leaves
+    * harmless duplicates (the ledger reads as a set union). */
+  private def foldLedger(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val dir = hp(s"$path/$BatchLedgerDir")
+    val files = listDataFiles(fs, dir)
+    if (files.size > 1) {
+      val ids = compactedBatchIds(fs, path)
+      val staging = new HPath(dir,
+        s".folding.${java.util.UUID.randomUUID()}")
+      val out = fs.create(staging, true)
+      try out.write(ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      val merged = new HPath(dir,
+        s"ledger.folded.${java.util.UUID.randomUUID()}")
+      require(fs.rename(staging, merged),
+        s"ledger fold rename failed under $dir")
+      files.foreach(fs.delete(_, false))
     }
   }
 
@@ -949,6 +1093,7 @@ object VectorOps {
           s"torn _consumed manifest at $manifest — refusing to clean " +
           "consumed inputs against a partial list; repair it manually"))
       recordCompactedBatches(fs, path, entries)
+      foldLedger(fs, path)
       entries.foreach { p =>
         val t = hp(p)
         if (fs.exists(t)) fs.delete(t, true)

@@ -925,12 +925,15 @@ object Streams {
     // glob; it is table-agnostic despite the name)
     val stream = eventStream(spark, embPath, Some(1))
       .where(col("vec_id") >= 16)
+    // fresh per-run root => fresh lineage (a durable-checkpoint caller
+    // derives it from the checkpoint instead: VectorOps.lineageOfCheckpoint)
+    val lineage = java.util.UUID.randomUUID().toString
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // batch-keyed overwrite, NOT blind append: foreachBatch is
         // at-least-once, so a retried batch must replace itself
         VectorOps.appendPinnedIvfIndexBatch(batch, "vec_id", "embedding",
-          path, batchId)
+          path, batchId, lineage)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -965,10 +968,11 @@ object Streams {
     val isDoomed = col("vec_id") >= 100 && col("vec_id") % 5 === 2
     val stream = eventStream(spark, embPath, Some(1))
       .where(col("vec_id") >= 16)
+    val lineage = java.util.UUID.randomUUID().toString
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         VectorOps.appendPinnedIvfIndexBatch(batch, "vec_id", "embedding",
-          path, batchId)
+          path, batchId, lineage)
         VectorOps.deleteFromPinnedIvfIndex(batch.where(isDoomed),
           "vec_id", path)
       }

@@ -47,7 +47,7 @@ class IndexLifecycleSuite extends SparkSuite {
       emb.where(isLate && col("vec_id") % 2 === 0), "vec_id", "embedding", path)
     VectorOps.appendPinnedIvfIndexBatch(
       emb.where(isLate && col("vec_id") % 2 =!= 0), "vec_id", "embedding",
-      path, 3L)
+      path, 3L, "t-lineage")
     VectorOps.deleteFromPinnedIvfIndex(emb.where(isDoomed), "vec_id", path)
     (path, inPlace(emb.where(!isDoomed && !reserved)))
   }
@@ -155,13 +155,14 @@ class IndexLifecycleSuite extends SparkSuite {
     // the r12 verdict's scale-killer: with expiry judged by CREATE
     // time, a compaction longer than the TTL had its live lease
     // legitimately broken by a rival MID-WRITE. Here the holder runs
-    // with a 400ms TTL and ~250ms of injected delay between every
+    // with a 1.5s TTL and ~600ms of injected delay between every
     // step (total >> TTL) while a rival hammers claim attempts the
     // whole time — every attempt must be refused (the heartbeat keeps
     // the lease young), the holder must complete unfenced, and the
-    // result must be exact.
+    // result must be exact. (TTL/heartbeat margins are sized 4x so a
+    // loaded full-suite run cannot starve a tick past the TTL.)
     val (path, expected) = freshIndex()
-    val ttl = 400L
+    val ttl = 1500L
     val started = new java.util.concurrent.CountDownLatch(1)
     val holderDone = new java.util.concurrent.atomic.AtomicBoolean(false)
     val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -178,20 +179,20 @@ class IndexLifecycleSuite extends SparkSuite {
             outcomes.add("refused")
           case e: Throwable => outcomes.add(s"error: $e")
         }
-        Thread.sleep(60)
+        Thread.sleep(150)
       }
     }, "rival-compactor")
     rival.setDaemon(true)
     rival.start()
     try {
       VectorOps.compactPinnedIvfIndexSteps(spark, path,
-        stopAfter = Int.MaxValue, leaseTtlMs = ttl, stepDelayMs = 250L,
+        stopAfter = Int.MaxValue, leaseTtlMs = ttl, stepDelayMs = 600L,
         onAfterAcquire = () => started.countDown())
     } finally holderDone.set(true)
     rival.join(5000)
     val seen = outcomes.toArray(Array.empty[String]).toSeq
-    // the holder held the lease for >= 5 paced steps (~1.25s) against a
-    // 400ms TTL: without renewal the rival would have broken it
+    // the holder held the lease for >= 5 paced steps (~3s+) against a
+    // 1.5s TTL: without renewal the rival would have broken it
     assert(seen.count(_ == "refused") >= 2,
       s"rival never contended while the holder was slow: $seen")
     assert(seen.forall(_ == "refused"),
@@ -301,7 +302,7 @@ class IndexLifecycleSuite extends SparkSuite {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         VectorOps.appendPinnedIvfIndexBatch(batch, "vec_id", "embedding",
-          path, id)
+          path, id, "t-lineage")
         VectorOps.deleteFromPinnedIvfIndex(batch.where(isDoomed),
           "vec_id", path)
         if (id % 2 == 1) VectorOps.compactPinnedIvfIndex(spark, path)
@@ -422,7 +423,7 @@ class IndexLifecycleSuite extends SparkSuite {
     val isLate = col("vec_id") >= 200
     VectorOps.appendPinnedIvfIndexBatch(
       emb.where(isLate && col("vec_id") % 2 =!= 0), "vec_id", "embedding",
-      path, 3L)
+      path, 3L, "t-lineage")
     assert(!new java.io.File(path, "assignments_stream").exists(),
       "redelivered consumed batch recreated its partition")
     assert(served(path) == expected,
@@ -433,9 +434,108 @@ class IndexLifecycleSuite extends SparkSuite {
       "compaction after a redelivered consumed batch duplicated rows")
     // a FRESH batch id still appends normally
     VectorOps.appendPinnedIvfIndexBatch(
-      emb.where(reserved), "vec_id", "embedding", path, 4L)
+      emb.where(reserved), "vec_id", "embedding", path, 4L,
+      "t-lineage")
     assert(served(path) == inPlace(emb.where(!isDoomed)),
       "ledger must only suppress consumed ids, not fresh ones")
+  }
+
+  test("a fresh stream lineage on a ledger-bearing root fails loudly") {
+    // the r12 verdict's unenforced footnote: a FRESH stream (checkpoint
+    // wiped, batch ids restarting at 0) pointed at a root an earlier
+    // lineage fed would silently no-op its first N batches — data loss
+    // with no error. The lineage stamp turns it into a loud failure.
+    val (path, _) = freshIndex() // stamps lineage "t-lineage"
+    VectorOps.compactPinnedIvfIndex(spark, path) // ledger gains batch 3
+    val isLate = col("vec_id") >= 200
+    val e = intercept[IllegalStateException] {
+      VectorOps.appendPinnedIvfIndexBatch(
+        emb.where(isLate), "vec_id", "embedding", path, 0L,
+        "a-DIFFERENT-lineage")
+    }
+    assert(e.getMessage.contains("stream-lineage mismatch"),
+      s"wrong guard message: ${e.getMessage}")
+    // nothing was written by the refused appender
+    assert(!new java.io.File(path, "assignments_stream").exists(),
+      "refused appender left a partition behind")
+    // and an UNSTAMPED ledger (pre-stamp-era root) also refuses: no
+    // appender can prove it is the lineage that fed it
+    val stamp = new java.io.File(path, "_compacted_batches/_lineage")
+    assert(stamp.exists(), "first append must have stamped the lineage")
+    stamp.delete()
+    val e2 = intercept[IllegalStateException] {
+      VectorOps.appendPinnedIvfIndexBatch(
+        emb.where(isLate), "vec_id", "embedding", path, 9L, "t-lineage")
+    }
+    assert(e2.getMessage.contains("unstamped batch ledger"),
+      s"wrong migration guard message: ${e2.getMessage}")
+  }
+
+  test("compaction folds ledger files into one; ids survive the fold") {
+    // ADVICE r12: one ledger file per cleanup forever made every
+    // streamed append pay O(#compactions) opens. cleanupConsumed now
+    // folds them under the lease; the id set must be unchanged (the
+    // redelivery no-op still holds for an OLD consumed id after folds).
+    val (path, _) = freshIndex() // ingest_batch=3
+    VectorOps.compactPinnedIvfIndex(spark, path)          // ledger file 1
+    VectorOps.appendPinnedIvfIndexBatch(
+      emb.where(reserved), "vec_id", "embedding", path, 4L, "t-lineage")
+    VectorOps.compactPinnedIvfIndex(spark, path)          // ledger file 2
+    val dir = new java.io.File(path, "_compacted_batches")
+    def ledgerFiles = dir.listFiles
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    assert(ledgerFiles.length == 1,
+      s"ledger not folded: ${ledgerFiles.map(_.getName).toSeq}")
+    val expected = inPlace(emb.where(!isDoomed))
+    // BOTH consumed ids still no-op after the fold
+    val isLate = col("vec_id") >= 200
+    VectorOps.appendPinnedIvfIndexBatch(
+      emb.where(isLate && col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+      path, 3L, "t-lineage")
+    VectorOps.appendPinnedIvfIndexBatch(
+      emb.where(reserved), "vec_id", "embedding", path, 4L, "t-lineage")
+    assert(!new java.io.File(path, "assignments_stream").exists(),
+      "folded ledger lost a consumed id: a redelivery recreated rows")
+    assert(served(path) == expected, "fold changed answers")
+  }
+
+  test("a redelivery racing the compactor's cleanup cannot double-count") {
+    // ADVICE r12's exact interleaving: the redelivery reads the ledger
+    // BEFORE cleanupConsumed records its id (check passes), the
+    // compaction then consumes + deletes the partition, and the
+    // redelivery recreates it afterwards — permanently double-counted
+    // at the next compaction under the old code. The hook runs the full
+    // compaction inside that window; the appender's post-write re-read
+    // must detect the now-recorded id and drop its own partition.
+    val (path, _) = freshIndex() // carries ingest_batch=3
+    val expected = inPlace(emb.where(!isDoomed && !reserved))
+    val isLate = col("vec_id") >= 200
+    VectorOps.appendPinnedIvfIndexBatchHooked(
+      emb.where(isLate && col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+      path, 3L, "t-lineage",
+      afterLedgerCheck = () => VectorOps.compactPinnedIvfIndex(spark, path))
+    assert(!new java.io.File(path, "assignments_stream").exists(),
+      "mid-cleanup redelivery left a recreated partition")
+    assert(served(path) == expected,
+      "mid-cleanup redelivery double-served its rows")
+    VectorOps.compactPinnedIvfIndex(spark, path)
+    assert(served(path) == expected,
+      "next compaction baked the recreated partition in")
+  }
+
+  test("lineageOfCheckpoint reads the stream id; a wiped checkpoint changes it") {
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_").toString
+    def writeMeta(id: String): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$ckpt/metadata"),
+        s"""{"id" : "$id"}""".getBytes("UTF-8"))
+    writeMeta("aaaa-bbbb")
+    assert(VectorOps.lineageOfCheckpoint(spark, ckpt) == "aaaa-bbbb")
+    // a wiped + recreated checkpoint carries a NEW id -> new lineage,
+    // which is what makes the mismatch guard fire for restarted streams
+    writeMeta("cccc-dddd")
+    assert(VectorOps.lineageOfCheckpoint(spark, ckpt) == "cccc-dddd")
   }
 
   test("a torn manifest at the COMMITTED dir fails queries loudly") {

@@ -680,13 +680,15 @@ class StreamingSuite extends SparkSuite {
     VectorOps.buildPinnedIvfIndex(emb.where(col("vec_id") < 16),
       "vec_id", "embedding", nlist = 16, path = path)
     val delta = emb.where(col("vec_id") >= 16)
-    VectorOps.appendPinnedIvfIndexBatch(delta, "vec_id", "embedding", path, 0L)
+    VectorOps.appendPinnedIvfIndexBatch(delta, "vec_id", "embedding", path, 0L,
+      "t-lineage")
     val once = Streams.rowsOfSorted(VectorOps.queryPinnedIvfIndex(
       spark, path, emb.where(col("vec_id") < 20), "vec_id", "embedding",
       k = 5, nprobe = 6))
     // foreachBatch is at-least-once: the SAME batch id re-delivered must
     // replace its partition, leaving the index (and answers) unchanged
-    VectorOps.appendPinnedIvfIndexBatch(delta, "vec_id", "embedding", path, 0L)
+    VectorOps.appendPinnedIvfIndexBatch(delta, "vec_id", "embedding", path, 0L,
+      "t-lineage")
     val twice = Streams.rowsOfSorted(VectorOps.queryPinnedIvfIndex(
       spark, path, emb.where(col("vec_id") < 20), "vec_id", "embedding",
       k = 5, nprobe = 6))
@@ -722,7 +724,7 @@ class StreamingSuite extends SparkSuite {
     val delta = emb.where(col("vec_id") >= 16)
     def body(): Unit = {
       VectorOps.appendPinnedIvfIndexBatch(delta, "vec_id", "embedding",
-        path, 0L)
+        path, 0L, "t-lineage")
       VectorOps.deleteFromPinnedIvfIndex(delta.where(isDoomed),
         "vec_id", path)
     }
@@ -899,7 +901,7 @@ class StreamingSuite extends SparkSuite {
       emb.where(isLate && col("vec_id") % 2 === 0), "vec_id", "embedding", path)
     VectorOps.appendPinnedIvfIndexBatch(
       emb.where(isLate && col("vec_id") % 2 =!= 0), "vec_id", "embedding",
-      path, 7L)
+      path, 7L, "t-lineage")
     val served = Streams.rowsOfSorted(VectorOps.queryPinnedIvfIndex(
       spark, path, emb.where(col("vec_id") < 20), "vec_id", "embedding",
       k = 5, nprobe = 6))

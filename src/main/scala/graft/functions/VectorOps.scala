@@ -737,10 +737,47 @@ object VectorOps {
     * READER OVERLAP: queries PLAN against the pre-swap layout lazily —
     * a query whose execution overlaps this compaction's swap/cleanup
     * window can hit FileNotFoundException on a just-deleted input. The
-    * lease fences writers only; schedule compaction off the serving
-    * path (or retry the query), the usual maintenance-window contract. */
+    * lease fences writers only. Execute serving queries under
+    * [[withMaintenanceRetry]] — it re-plans once against the post-swap
+    * layout (complete by construction), making reads safe under
+    * maintenance instead of scheduling around it (r12 verdict). */
   def compactPinnedIvfIndex(spark: SparkSession, path: String): Unit =
     compactPinnedIvfIndexSteps(spark, path, stopAfter = Int.MaxValue)
+
+  /** Execute an index read safely under concurrent maintenance: run
+    * `body` — which must both BUILD and EXECUTE the query (e.g.
+    * `rowsOf(queryPinnedIvfIndex(...))`) — and, if execution failed on
+    * a file a concurrent compaction swap/cleanup deleted, run it ONCE
+    * more. The re-run re-lists the root and re-plans, and the
+    * post-commit layout is complete by construction (the manifest
+    * masks every consumed input the moment the compacted data is
+    * readable), so the second attempt sees a consistent view with the
+    * exact same rows. Deliberately NOT baked into
+    * [[queryPinnedIvfIndex]] itself: that API returns a lazy plan
+    * (plan-pinned in the suites — DPP pruning, no steady-state
+    * anti-join) and the failure only surfaces at the caller's action.
+    * `ignoreMissingFiles` was rejected for this (r12 verdict option b):
+    * skipping a swapped-out compacted dir's files would return a
+    * silently EMPTY scan instead of an error. Retries only on
+    * FileNotFoundException-caused failures; anything else rethrows. */
+  def withMaintenanceRetry[T](body: => T): T =
+    try body
+    catch { case e: Throwable if fnfCaused(e) => body }
+
+  /** A failure is retryable iff a FileNotFoundException appears in its
+    * cause chain — including executor-side traces that arrive
+    * stringified into the message rather than as a typed cause. */
+  private[graft] def fnfCaused(e: Throwable): Boolean = {
+    val seen = scala.collection.mutable.Set.empty[Throwable]
+    var t: Throwable = e
+    while (t != null && seen.add(t)) {
+      if (t.isInstanceOf[java.io.FileNotFoundException] ||
+          Option(t.getMessage).exists(_.contains("FileNotFoundException")))
+        return true
+      t = t.getCause
+    }
+    false
+  }
 
   private val LeaseName = "_compaction.lock"
 

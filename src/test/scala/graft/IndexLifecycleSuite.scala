@@ -524,6 +524,45 @@ class IndexLifecycleSuite extends SparkSuite {
       "next compaction baked the recreated partition in")
   }
 
+  test("a query overlapping a compaction swap retries and answers exactly") {
+    // the r12 verdict's gap 2: a query PLANS against the pre-swap
+    // layout lazily, the compaction swap/cleanup deletes those inputs,
+    // and execution hits FileNotFoundException. withMaintenanceRetry
+    // must re-plan against the post-swap layout and return the exact
+    // answer — reads safe under maintenance, not scheduled around it.
+    val (path, expected) = freshIndex()
+    var attempts = 0
+    val got = VectorOps.withMaintenanceRetry {
+      attempts += 1
+      val df = VectorOps.queryPinnedIvfIndex(spark, path,
+        emb.where(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nprobe = 6)
+      if (attempts == 1) {
+        // maintenance lands between plan and execute: every input the
+        // plan listed (plain assignments, the streamed partition, the
+        // tombstones) is consumed and deleted
+        VectorOps.compactPinnedIvfIndex(spark, path)
+        // the stale plan must actually FAIL (else this test would pass
+        // vacuously with the window never provoked)
+        val e = intercept[Throwable] { rowsOfSorted(df) }
+        assert(VectorOps.fnfCaused(e),
+          s"expected an FNF-caused failure from the stale plan, got: $e")
+        rowsOfSorted(df) // rethrows inside the wrapper -> triggers retry
+      } else rowsOfSorted(df)
+    }
+    assert(attempts == 2, s"retry did not fire (attempts=$attempts)")
+    assert(got == expected,
+      "maintenance-window retry served a wrong or incomplete answer")
+    // non-FNF failures must NOT retry
+    var calls = 0
+    val boom = intercept[IllegalArgumentException] {
+      VectorOps.withMaintenanceRetry {
+        calls += 1; throw new IllegalArgumentException("not a file error")
+      }
+    }
+    assert(calls == 1 && boom.getMessage == "not a file error")
+  }
+
   test("lineageOfCheckpoint reads the stream id; a wiped checkpoint changes it") {
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt_").toString
     def writeMeta(id: String): Unit =

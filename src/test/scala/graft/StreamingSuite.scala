@@ -869,6 +869,16 @@ class StreamingSuite extends SparkSuite {
       proc.destroyForcibly()
       proc.waitFor()
     }
+    // the kill must land MID-BACKFILL (r12 verdict): if the child had
+    // drained all of h1 before the SIGKILL, run 2's "resume" would be
+    // a no-op and this test would silently stop guarding the cursor —
+    // a future admission-cap change must trip this, not pass vacuously
+    val h1Size = spark.read.parquet(customerPath).count() / 2
+    val atKill = spark.read.parquet(s"$base/sink").count()
+    assert(atKill > 0, "no committed sink rows at kill")
+    assert(atKill < h1Size,
+      s"child drained h1 before the kill ($atKill of $h1Size rows read) " +
+        "— the admission cap no longer leaves unread backfill")
     // run 2, in-process: rebuild the org the checkpoint cursor expects
     val orgName = s"w22_kill_parent_${System.nanoTime()}"
     val (h1, h2, land) = Streams.connectorSimOrg(spark, customerPath, orgName)

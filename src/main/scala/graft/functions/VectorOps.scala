@@ -523,15 +523,23 @@ object VectorOps {
   /** Stream-batch ids already folded into the compacted layout. Every
     * parseable line is trustworthy even from a torn ledger file
     * (truncation only loses the tail), so no terminator is needed — a
-    * lost id merely degrades that one batch back to at-least-once. */
+    * lost id merely degrades that one batch back to at-least-once. An
+    * appender's listing can race a concurrent [[foldLedger]] deleting
+    * the just-merged originals; one re-list covers it (the merged
+    * superset is renamed into place before any original is deleted, so
+    * the second listing is complete). */
   private def compactedBatchIds(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Set[Long] =
-    listDataFiles(fs, hp(s"$path/$BatchLedgerDir")).flatMap { f =>
-      val in = fs.open(f)
-      try new String(in.readAllBytes(), "UTF-8")
-        .linesIterator.flatMap(_.trim.toLongOption).toVector
-      finally in.close()
-    }.toSet
+      path: String): Set[Long] = {
+    def readOnce(): Set[Long] =
+      listDataFiles(fs, hp(s"$path/$BatchLedgerDir")).flatMap { f =>
+        val in = fs.open(f)
+        try new String(in.readAllBytes(), "UTF-8")
+          .linesIterator.flatMap(_.trim.toLongOption).toVector
+        finally in.close()
+      }.toSet
+    try readOnce()
+    catch { case _: java.io.FileNotFoundException => readOnce() }
+  }
   private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
 
   /** Non-hidden data files directly under `dir` (Nil when absent). */

@@ -852,7 +852,18 @@ object VectorOps {
     * destructive step, so a fenced-out holder aborts into an ordinary
     * crash window (repair-covered) instead of fighting the new writer
     * over the layout. Transient read/write errors skip the tick; the
-    * TTL absorbs them. */
+    * TTL absorbs them.
+    *
+    * RESIDUAL (documented, not closed — a plain filesystem has no
+    * compare-and-swap): a tick is read-then-write, so a stall longer
+    * than the FULL TTL landing BETWEEN the two (read sees our uuid,
+    * breaker expires+breaks+claims, our stale write clobbers the
+    * breaker's fresh lease) could re-admit two writers if it also
+    * dodges the breaker's read-back verify. That needs a single
+    * multi-minute pause inside a sub-millisecond window against the
+    * 1 h default TTL; the TTL is the knob that prices it out, and the
+    * fence checks bound the damage to a repair-covered window when the
+    * clobber instead lands before the verify. */
   private final class LeaseHeartbeat(fs: org.apache.hadoop.fs.FileSystem,
       lease: HPath, uuid: String, intervalMs: Long) {
     private val fenced = new java.util.concurrent.atomic.AtomicBoolean(false)

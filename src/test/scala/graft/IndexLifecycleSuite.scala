@@ -332,6 +332,12 @@ class IndexLifecycleSuite extends SparkSuite {
     val path = java.nio.file.Files.createTempDirectory("idx_rand_").toString
     var live = Set.empty[Long]   // ids currently expected to serve
     var dead = Set.empty[Long]   // tombstoned, eligible for resurrection
+    // streamed-batch bookkeeping: a REDELIVERY must replay the same id
+    // set under the same batch id — the model says it never changes the
+    // served set (unconsumed: overwrite with identical rows; consumed:
+    // ledger no-op — including after a fold merged the ledger files)
+    var batches = Map.empty[Long, Set[Long]]
+    var nextBatch = 0L
     def embIn(ids: Set[Long]) = {
       val keep = ids + -1L // non-empty literal list
       emb.where(col("vec_id") < 16 || col("vec_id").isin(keep.toSeq: _*))
@@ -341,9 +347,9 @@ class IndexLifecycleSuite extends SparkSuite {
     def check(step: String): Unit =
       assert(served(path) == inPlace(embIn(live)),
         s"serving diverged from model after $step (live=${live.size})")
-    for (step <- 1 to 12) {
+    for (step <- 1 to 14) {
       val free = allIds.filterNot(live).filterNot(dead)
-      val op = rnd.nextInt(10)
+      val op = rnd.nextInt(12)
       if (op < 3 && free.nonEmpty) {            // append fresh
         val s = rnd.shuffle(free).take(1 + rnd.nextInt(60)).toSet
         VectorOps.appendPinnedIvfIndex(embIn(s).where(col("vec_id") >= 16),
@@ -359,11 +365,24 @@ class IndexLifecycleSuite extends SparkSuite {
         val s = rnd.shuffle(dead.toVector).take(1 + rnd.nextInt(20)).toSet
         VectorOps.appendPinnedIvfIndex(embIn(s).where(col("vec_id") >= 16),
           "vec_id", "embedding", path)
-      } else if (op < 8 && live.nonEmpty) {     // delete a live slice
+      } else if (op < 7 && live.nonEmpty) {     // delete a live slice
         val s = rnd.shuffle(live.toVector).take(1 + rnd.nextInt(40)).toSet
         VectorOps.deleteFromPinnedIvfIndex(embIn(s).where(col("vec_id") >= 16),
           "vec_id", path)
         live --= s; dead ++= s
+      } else if (op < 9 && free.nonEmpty) {     // streamed-batch append
+        val s = rnd.shuffle(free).take(1 + rnd.nextInt(40)).toSet
+        VectorOps.appendPinnedIvfIndexBatch(
+          embIn(s).where(col("vec_id") >= 16), "vec_id", "embedding",
+          path, nextBatch, "t-lineage")
+        batches += nextBatch -> s; nextBatch += 1
+        live ++= s
+      } else if (op < 10 && batches.nonEmpty) { // redeliver a past batch
+        val (id, s) = batches.toVector(rnd.nextInt(batches.size))
+        VectorOps.appendPinnedIvfIndexBatch(
+          embIn(s).where(col("vec_id") >= 16), "vec_id", "embedding",
+          path, id, "t-lineage")
+        // model unchanged: identical-overwrite or ledger no-op
       } else {                                  // maintenance
         VectorOps.compactPinnedIvfIndex(spark, path)
         dead = Set.empty // applied tombstones cannot resurrect by append
@@ -372,6 +391,13 @@ class IndexLifecycleSuite extends SparkSuite {
     }
     VectorOps.compactPinnedIvfIndex(spark, path)
     check("final compaction")
+    // the consumed-batch ids must still no-op after the final fold
+    batches.foreach { case (id, s) =>
+      VectorOps.appendPinnedIvfIndexBatch(
+        embIn(s).where(col("vec_id") >= 16), "vec_id", "embedding",
+        path, id, "t-lineage")
+    }
+    check("post-fold redelivery of every consumed batch")
     assert(live.size > 50, "sequence degenerated: too few live ids to be meaningful")
   }
 

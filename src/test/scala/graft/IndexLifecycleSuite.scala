@@ -202,6 +202,39 @@ class IndexLifecycleSuite extends SparkSuite {
       "slow compaction must still release its lease")
   }
 
+  test("a holder whose lease is stolen aborts before its next destructive step") {
+    // the heartbeat's OTHER face: if a breaker does claim the lease
+    // out from under a live holder (pathological heartbeat gap), the
+    // holder must detect the foreign token at its next tick and abort
+    // into an ordinary repair-covered crash window — never fight the
+    // new writer over the layout. Simulate the theft right after
+    // acquisition; the injected step delay guarantees a tick runs
+    // before the first destructive step.
+    val (path, expected) = freshIndex()
+    val lease = java.nio.file.Paths.get(path, "_compaction.lock")
+    val e = intercept[IllegalStateException] {
+      VectorOps.compactPinnedIvfIndexSteps(spark, path,
+        stopAfter = Int.MaxValue, leaseTtlMs = 400L, stepDelayMs = 600L,
+        onAfterAcquire = () => java.nio.file.Files.write(lease,
+          s"${System.currentTimeMillis()} feedface-stolen-uuid"
+            .getBytes("UTF-8")))
+    }
+    assert(e.getMessage.contains("fenced out"),
+      s"wrong abort message: ${e.getMessage}")
+    // the thief's lease survives the loser's release (atomic
+    // rename-aside verified ownership and restored it)
+    val after = new String(
+      java.nio.file.Files.readAllBytes(lease), "UTF-8")
+    assert(after.endsWith("feedface-stolen-uuid"),
+      s"fenced-out holder's release touched the thief's lease: '$after'")
+    // the abort left an uncommitted tmp at worst: recovery converges
+    java.nio.file.Files.delete(lease) // the simulated thief 'crashes'
+    VectorOps.compactPinnedIvfIndexSteps(spark, path,
+      stopAfter = Int.MaxValue, leaseTtlMs = 400L)
+    assert(served(path) == expected,
+      "recovery after a fenced-out abort changed answers")
+  }
+
   test("release leaves a successor's lease untouched (atomic rename-aside)") {
     // ADVICE r12: read-then-delete release could delete a successor's
     // fresh lease. The release path must verify ownership via the

@@ -10,12 +10,20 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER: same override Bench has — lets the SCALING.md
+    // smoke oracle-check the registry under local-cluster (separate
+    // executor JVMs exercising closure/broadcast serialization the
+    // single-JVM local[N] never ships anywhere)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (master.startsWith("local-cluster"))
+        builder.config("spark.executor.extraClassPath",
+          System.getProperty("java.class.path"))
+      else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // run queries concurrently (Spark schedules the jobs fairly) — the

@@ -43,6 +43,28 @@ trait RemoteOrg {
     * `k` ranges (first: Id <= b1; last: Id > b(k-1)); empty means the
     * org serves the table as one cursor. */
   def pkChunkBoundaries(sObject: String, desiredChunks: Int): Seq[String] = Nil
+
+  /** Serializable recipe from which an EXECUTOR JVM can rebuild a
+    * connection to this org, captured into every scan partition at
+    * plan time. None (the default) marks the org as resident in its
+    * creating JVM only — such scans work under local[n] (executor
+    * threads share the driver JVM) and fail LOUDLY on a multi-JVM
+    * master. A real HTTP org's recipe carries its serializable
+    * endpoint/auth config; the in-memory simulation's carries a
+    * deterministic rebuild ([[CustomerHalvesOrgRecipe]]). Found by the
+    * round-13 local-cluster smoke: executor-side readers resolved the
+    * org from the process-local registry, which is empty in a separate
+    * executor JVM — a real-cluster scan failure local[n] masked. */
+  def recipe: Option[OrgRecipe] = None
+}
+
+/** A partition-embedded, serializable way to (re)build an org
+  * connection inside whatever JVM the partition lands in. Equality
+  * matters: the executor caches the built org per name and rebuilds
+  * when a NEWER plan ships a different recipe (e.g. more rows landed
+  * in the sim between micro-batches), so implement as a case class. */
+trait OrgRecipe extends Serializable {
+  def build(): RemoteOrg
 }
 
 /** Per-(org, sObject) outcome of the last connector batch write — the
@@ -68,14 +90,50 @@ object OrgWriteMetrics {
 }
 
 /** Process-local registry so the reflectively-instantiated DSv2 provider
-  * can locate an org by name from read options. */
+  * can locate an org by name from read options. [[apply]] is the strict
+  * same-JVM lookup (driver-side planning, cursor reads, and the write
+  * path — a write must reach the org, never a rebuilt facsimile);
+  * [[resolve]] is the executor-side scan resolution that falls back to
+  * the partition's [[OrgRecipe]] when the name is not resident here. */
 object RemoteOrgRegistry {
   private val orgs = new ConcurrentHashMap[String, RemoteOrg]()
+  private val rebuilt =
+    new ConcurrentHashMap[String, (OrgRecipe, RemoteOrg)]()
   def register(name: String, org: RemoteOrg): Unit = orgs.put(name, org)
   def apply(name: String): RemoteOrg = {
     val o = orgs.get(name)
     require(o != null, s"no RemoteOrg registered under '$name'")
     o
+  }
+
+  /** Resolve an org for a SCAN partition: the resident org when this
+    * is its home JVM (the local[n] fast path — zero behavior change),
+    * else an org built from the partition's recipe, cached per name
+    * and rebuilt whenever a newer plan ships a different recipe (case
+    * class equality — e.g. the sim's landed-row count moved between
+    * micro-batches). A missing recipe fails with the real explanation
+    * instead of a bare lookup error. */
+  def resolve(name: String, recipe: Option[OrgRecipe]): RemoteOrg = {
+    val local = orgs.get(name)
+    if (local != null) local
+    else recipe match {
+      case Some(r) =>
+        val cached = rebuilt.get(name)
+        if (cached != null && cached._1 == r) cached._2
+        else {
+          val o = r.build()
+          rebuilt.put(name, (r, o))
+          o
+        }
+      case None => throw new IllegalStateException(
+        s"org '$name' is not resident in this JVM and its scan " +
+        "partition carries no OrgRecipe. A multi-executor-JVM scan " +
+        "needs a recipe the executor can rebuild the connection from " +
+        "(an HTTP org: its serializable endpoint/auth config; the " +
+        "in-memory simulation: a deterministic rebuild recipe). A " +
+        "recipe-less org works only under local[n] masters where " +
+        "executors share the driver JVM.")
+    }
   }
 }
 
@@ -112,6 +170,15 @@ final class InMemoryOrg extends RemoteOrg {
 
   def createTable(name: String, schema: StructType, rows: Seq[Row] = Nil): Unit =
     tables.put(name, (schema, rows.toVector))
+
+  def rowCount(sObject: String): Int =
+    tables.get(sObject).map(_._2.size).getOrElse(0)
+
+  /** Evaluated at PLAN time by every scan so partitions capture the
+    * state-at-plan (e.g. the current landed-row count); defaults to
+    * recipe-less — this-JVM-only. */
+  @volatile var recipeProvider: () => Option[OrgRecipe] = () => None
+  override def recipe: Option[OrgRecipe] = recipeProvider()
 
   def declareRelationship(childTable: String, fkColumn: String,
       parentTable: String, parentKey: String): Unit =
@@ -534,4 +601,73 @@ final class InMemoryOrg extends RemoteOrg {
           .distinct
       }
     }
+}
+
+/** The connector SIMULATION's [[OrgRecipe]]: rebuild, in any JVM, the
+  * exact [[InMemoryOrg]] state `connectorSimOrg` (Streams.scala) has
+  * landed at plan time — read the customer dim straight from parquet
+  * (no SparkSession on an executor: the bundled parquet-hadoop example
+  * reader is used), order by custkey, split into the even/odd halves,
+  * and insert the first `landed` rows in the sim's canonical
+  * h1-then-h2 order. Because [[InMemoryOrg]] mints sequential Ids in
+  * insert order, the rebuilt org's Ids are IDENTICAL to the driver
+  * org's — the same determinism the w22 hard-kill test leans on to
+  * resume a killed child's cursor in a fresh JVM. `landed` rides in
+  * the case-class equality, so a micro-batch planned after more rows
+  * landed ships a different recipe and the executor rebuilds. */
+final case class CustomerHalvesOrgRecipe(customerPath: String,
+    landed: Int) extends OrgRecipe {
+  import org.apache.spark.sql.types.{StructField, StringType}
+
+  override def build(): RemoteOrg = {
+    val sch = StructType(Seq(
+      StructField("Id", StringType), StructField("CKey__c", StringType),
+      StructField("Name__c", StringType), StructField("NKey__c", StringType)))
+    val org = new InMemoryOrg
+    org.createTable("Customer__c", sch)
+    val rows = readCustomers().sortBy(_._1)
+    val (h1, h2) = rows.partition(_._1 % 2 == 0)
+    (h1 ++ h2).take(landed).grouped(200).foreach { chunk =>
+      org.insert("Customer__c", chunk.map { case (k, n, nk) =>
+        Row(null, k.toString, n, nk.toString) }, sch)
+    }
+    org
+  }
+
+  /** (c_custkey, c_name, c_nationkey) from a single parquet file OR a
+    * Spark-written table directory, via parquet-hadoop's example API —
+    * the only parquet reader available without a SparkSession. */
+  private def readCustomers(): Vector[(Long, String, Long)] = {
+    import org.apache.hadoop.fs.{Path => HP}
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new HP(customerPath)
+    val fs = p.getFileSystem(conf)
+    val files: Seq[HP] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
+          .filterNot(f =>
+            f.getName.startsWith("_") || f.getName.startsWith("."))
+      else Seq(p)
+    files.flatMap { f =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), f)
+        .withConf(conf).build()
+      try Iterator.continually(reader.read()).takeWhile(_ != null).map { g =>
+        (longAt(g, "c_custkey"), g.getString("c_name", 0),
+          longAt(g, "c_nationkey"))
+      }.toVector
+      finally reader.close()
+    }.toVector
+  }
+
+  private def longAt(g: org.apache.parquet.example.data.Group,
+      field: String): Long = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val idx = g.getType.getFieldIndex(field)
+    g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+      case INT64 => g.getLong(field, 0)
+      case INT32 => g.getInteger(field, 0).toLong
+      case _     => g.getValueToString(idx, 0).toLong
+    }
+  }
 }

@@ -761,6 +761,15 @@ object Streams {
       StructField("Name__c", StringType), StructField("NKey__c", StringType)))
     val simOrg = new InMemoryOrg
     simOrg.createTable("Customer__c", sch)
+    // scan partitions carry a rebuild recipe capturing the landed-row
+    // count at plan time, so executor JVMs on a multi-JVM master can
+    // reconstruct this org bit-identically (sequential Ids in the
+    // canonical h1-then-h2 insert order) — found by the round-13
+    // local-cluster smoke, where the process-local registry left w22's
+    // executor-side readers org-less
+    simOrg.recipeProvider = () => Some(graft.sources
+      .CustomerHalvesOrgRecipe(customerPath,
+        simOrg.rowCount("Customer__c")))
     RemoteOrgRegistry.register(orgName, simOrg)
     val customers = spark.read.parquet(customerPath)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))

@@ -537,4 +537,62 @@ class ConnectorSuite extends SparkSuite {
         graft.sources.WriteOutcome(3L, 0L))
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("an org recipe lets a foreign JVM's scan rebuild the connection") {
+    // the round-13 local-cluster finding: executor-side createReader
+    // resolved the org from a process-local registry that is EMPTY in a
+    // separate executor JVM. Partitions now carry an OrgRecipe;
+    // RemoteOrgRegistry.resolve prefers the resident org (the local[n]
+    // fast path), builds from the recipe when foreign, rebuilds when a
+    // newer plan ships a changed recipe, and explains itself when no
+    // recipe exists.
+    import graft.sources.{CustomerHalvesOrgRecipe, OrgRecipe, RemoteOrg}
+    val customerPath = "/root/testdata/sf0.001/customer.parquet"
+    // resident wins: a registered org is returned as-is
+    val resident = freshOrg("recipe_resident")
+    assert(RemoteOrgRegistry.resolve("recipe_resident", None) eq resident)
+    // foreign + recipe-less: the loud explanation, not a bare lookup error
+    val e = intercept[IllegalStateException] {
+      RemoteOrgRegistry.resolve("never_registered_org", None)
+    }
+    assert(e.getMessage.contains("carries no OrgRecipe"), e.getMessage)
+    // foreign + recipe: built, cached while the recipe is unchanged,
+    // REBUILT when a newer plan ships a different landed count
+    val r60 = CustomerHalvesOrgRecipe(customerPath, 60)
+    val b1 = RemoteOrgRegistry.resolve("recipe_foreign", Some(r60))
+    val b2 = RemoteOrgRegistry.resolve("recipe_foreign", Some(r60))
+    assert(b1 eq b2, "unchanged recipe must reuse the cached build")
+    assert(b1.query("SELECT Id, CKey__c FROM Customer__c").size == 60)
+    val b3 = RemoteOrgRegistry.resolve("recipe_foreign",
+      Some(CustomerHalvesOrgRecipe(customerPath, 90)))
+    assert(!(b3 eq b1), "changed recipe must rebuild")
+    assert(b3.query("SELECT Id FROM Customer__c").size == 90)
+  }
+
+  test("the sim recipe rebuilds the driver org bit-identically (Ids included)") {
+    // the property the w22 cursor leans on: InMemoryOrg mints sequential
+    // Ids in insert order, so a rebuilt org must return the SAME rows
+    // with the SAME Ids for any half-open Id-range page the cursor asks
+    import graft.sources.{CustomerHalvesOrgRecipe, InMemoryOrg}
+    import graft.streaming.Streams
+    val customerPath = "/root/testdata/sf0.001/customer.parquet"
+    val (h1, _, land) = Streams.connectorSimOrg(spark, customerPath,
+      "recipe_twin_driver")
+    land(h1)
+    val driverOrg = RemoteOrgRegistry("recipe_twin_driver")
+    val rec = driverOrg.recipe
+    assert(rec.contains(CustomerHalvesOrgRecipe(customerPath, h1.length)),
+      s"plan-time recipe must capture the landed count, got $rec")
+    val rebuiltOrg = rec.get.build()
+    def dump(o: graft.sources.RemoteOrg) =
+      o.query("SELECT Id, CKey__c, Name__c, NKey__c FROM Customer__c")
+        .toVector
+    assert(dump(driverOrg) == dump(rebuiltOrg),
+      "rebuilt org diverged from the driver org")
+    // and a cursor-shaped page agrees too
+    def page(o: graft.sources.RemoteOrg) =
+      o.query("SELECT Id, CKey__c FROM Customer__c WHERE (Id > 'a0000000000000010') LIMIT 7")
+        .toVector
+    assert(page(driverOrg) == page(rebuiltOrg))
+  }
 }

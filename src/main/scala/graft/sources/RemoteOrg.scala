@@ -65,6 +65,12 @@ trait RemoteOrg {
   * in the sim between micro-batches), so implement as a case class. */
 trait OrgRecipe extends Serializable {
   def build(): RemoteOrg
+  /** True when [[build]] yields a connection to the SAME underlying
+    * org (an HTTP client against the same remote endpoint) — such a
+    * recipe is valid for executor-side WRITES too. False (default) for
+    * facsimile rebuilds like the in-memory sim, whose writes would
+    * mutate a copy and be silently lost: those stay read-only. */
+  def connectsToSameOrg: Boolean = false
 }
 
 /** Per-(org, sObject) outcome of the last connector batch write — the
@@ -134,6 +140,24 @@ object RemoteOrgRegistry {
         "recipe-less org works only under local[n] masters where " +
         "executors share the driver JVM.")
     }
+  }
+
+  /** Resolve an org for a WRITE task: the resident org, or a
+    * recipe-built connection ONLY when the recipe declares it reaches
+    * the same underlying org ([[OrgRecipe.connectsToSameOrg]] — an
+    * HTTP client writing to the same remote endpoint). A facsimile
+    * rebuild must NOT absorb writes (they would mutate a copy and be
+    * silently lost), so it fails loudly instead. */
+  def resolveForWrite(name: String, recipe: Option[OrgRecipe]): RemoteOrg = {
+    val local = orgs.get(name)
+    if (local != null) local
+    else if (recipe.exists(_.connectsToSameOrg)) resolve(name, recipe)
+    else throw new IllegalStateException(
+      s"org '$name' is not resident in this JVM and its recipe " +
+      "(if any) rebuilds a facsimile, not a connection to the same " +
+      "org — executor-side writes against it would be silently lost. " +
+      "Multi-JVM writes need an OrgRecipe with connectsToSameOrg=true " +
+      "(an HTTP org); in-memory simulation writes are driver-JVM-only.")
   }
 }
 

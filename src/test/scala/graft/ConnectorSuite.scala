@@ -595,4 +595,29 @@ class ConnectorSuite extends SparkSuite {
         .toVector
     assert(page(driverOrg) == page(rebuiltOrg))
   }
+
+  test("executor-side writes refuse a facsimile recipe, loudly") {
+    // a recipe-built SIM org is a copy: a write absorbed by it would be
+    // silently lost. resolveForWrite must refuse unless the recipe
+    // declares it connects to the SAME org (an HTTP client would).
+    import graft.sources.CustomerHalvesOrgRecipe
+    val customerPath = "/root/testdata/sf0.001/customer.parquet"
+    val facsimile = CustomerHalvesOrgRecipe(customerPath, 10)
+    assert(!facsimile.connectsToSameOrg)
+    val e = intercept[IllegalStateException] {
+      RemoteOrgRegistry.resolveForWrite("foreign_write_org", Some(facsimile))
+    }
+    assert(e.getMessage.contains("silently lost"), e.getMessage)
+    // resident org still absorbs writes (the local[n] fast path)
+    val resident = freshOrg("write_resident")
+    assert(RemoteOrgRegistry.resolveForWrite("write_resident", None)
+      eq resident)
+    // a same-org recipe (the HTTP shape) is accepted for writes
+    val shared = new graft.sources.OrgRecipe {
+      override def build() = facsimile.build()
+      override def connectsToSameOrg = true
+    }
+    assert(RemoteOrgRegistry.resolveForWrite("foreign_shared_org",
+      Some(shared)).query("SELECT Id FROM Customer__c").size == 10)
+  }
 }

@@ -43,6 +43,19 @@ trait HttpTransport {
       "this transport only supports form POSTs")
 }
 
+/** Serializable factory from which a recipe-rebuilt wire org
+  * ([[BulkApiOrgRecipe]]/[[SoapOrgRecipe]]) constructs its HTTP
+  * transport inside whatever executor JVM a scan partition lands in.
+  * A production factory holds only plain connection config (proxy
+  * host, timeouts) and `new`s a real HTTP client per JVM — it must
+  * NOT capture the driver's live client or any other non-serializable
+  * state. Implement as a case class: [[RemoteOrgRegistry.resolve]]
+  * caches rebuilt orgs keyed on recipe EQUALITY, and the factory is
+  * part of the recipe. */
+trait TransportFactory extends Serializable {
+  def transport(): HttpTransport
+}
+
 /** Token storage boundary; keyed by username like sessions.ini. */
 trait TokenCache {
   def get(username: String): Option[AuthToken]
@@ -225,4 +238,10 @@ final class AuthRetryOrg(provider: TokenProvider, open: AuthToken => RemoteOrg)
     run(_.deleteWhere(sObject, predicates))
   override def pkChunkBoundaries(sObject: String, desiredChunks: Int) =
     run(_.pkChunkBoundaries(sObject, desiredChunks))
+  /** Plan-time capture delegates to the session-bound client, so scan
+    * partitions ship the wire org's own recipe (current token baked
+    * in). The retry-once policy itself stays driver-side: an
+    * executor-side expiry fails the task, and the NEXT planned batch
+    * re-captures a recipe under a fresh token via this very call. */
+  override def recipe = run(_.recipe)
 }

@@ -45,10 +45,21 @@ final class BulkApiOrg(
     maxPollDelayMs: Long = 30000L,
     sleeper: Long => Unit = Thread.sleep,
     contentType: String = "JSON",
-    pkChunkSize: Option[Int] = None) extends RemoteOrg {
+    pkChunkSize: Option[Int] = None,
+    transportFactory: Option[TransportFactory] = None) extends RemoteOrg {
 
   require(contentType == "JSON" || contentType == "CSV",
     s"contentType must be JSON|CSV, got $contentType")
+
+  /** The executor-rebuild recipe ([[RemoteOrg.recipe]]): available
+    * exactly when the org was constructed with a [[TransportFactory]]
+    * (the injected `http` alone cannot be assumed serializable).
+    * Carries the plan-time session token — an executor-side session
+    * expiry fails the task loudly; the next planned batch re-captures
+    * a fresh token through the driver's [[AuthRetryOrg]] policy. */
+  override def recipe: Option[OrgRecipe] = transportFactory.map(tf =>
+    BulkApiOrgRecipe(token, tf, apiVersion, maxPolls, pollDelayMs,
+      maxPollDelayMs, contentType, pkChunkSize))
 
   /** Poll delay for attempt `i` (0-based): capped exponential backoff —
     * pollDelayMs * 2^i up to maxPollDelayMs. The reference polls on a
@@ -484,4 +495,30 @@ final class BulkApiOrg(
       .map(_.getString(0)).toSeq
     if (ids.isEmpty) 0 else delete(sObject, ids)
   }
+}
+
+/** The HTTP wire org's [[OrgRecipe]]: plain serializable connection
+  * config — session token + endpoint (inside [[AuthToken]]), API
+  * version, content mode, polling knobs — plus a [[TransportFactory]]
+  * that `new`s an HTTP client in the landing JVM. Rebuilds a client
+  * against the SAME remote org, so `connectsToSameOrg` is true and
+  * [[RemoteOrgRegistry.resolveForWrite]] accepts it: executor-side
+  * Bulk writes reach the real org, unlike a facsimile sim rebuild.
+  * The rebuilt org polls with the default `Thread.sleep` — an
+  * injectable test sleeper is a driver-JVM concern and never ships. */
+final case class BulkApiOrgRecipe(
+    token: AuthToken,
+    transports: TransportFactory,
+    apiVersion: String,
+    maxPolls: Int,
+    pollDelayMs: Long,
+    maxPollDelayMs: Long,
+    contentType: String,
+    pkChunkSize: Option[Int]) extends OrgRecipe {
+  override def build(): RemoteOrg =
+    new BulkApiOrg(token, transports.transport(), apiVersion = apiVersion,
+      maxPolls = maxPolls, pollDelayMs = pollDelayMs,
+      maxPollDelayMs = maxPollDelayMs, contentType = contentType,
+      pkChunkSize = pkChunkSize, transportFactory = Some(transports))
+  override def connectsToSameOrg: Boolean = true
 }

@@ -49,9 +49,11 @@ trait RemoteOrg {
     * plan time. None (the default) marks the org as resident in its
     * creating JVM only — such scans work under local[n] (executor
     * threads share the driver JVM) and fail LOUDLY on a multi-JVM
-    * master. A real HTTP org's recipe carries its serializable
-    * endpoint/auth config; the in-memory simulation's carries a
-    * deterministic rebuild ([[CustomerHalvesOrgRecipe]]). Found by the
+    * master. An HTTP org's recipe carries its serializable
+    * endpoint/auth config ([[BulkApiOrgRecipe]]/[[SoapOrgRecipe]] — a
+    * token + a [[TransportFactory]]); the in-memory simulation's
+    * carries a deterministic rebuild
+    * ([[CustomerHalvesOrgRecipe]]). Found by the
     * round-13 local-cluster smoke: executor-side readers resolved the
     * org from the process-local registry, which is empty in a separate
     * executor JVM — a real-cluster scan failure local[n] masked. */

@@ -33,9 +33,18 @@ final class SoapOrg(
     sessionId: String,
     serverUrl: String,
     http: HttpTransport,
-    batchSize: Int = 500) extends RemoteOrg {
+    batchSize: Int = 500,
+    transportFactory: Option[TransportFactory] = None) extends RemoteOrg {
 
   import SoapOrg._
+
+  /** The executor-rebuild recipe ([[RemoteOrg.recipe]]): available
+    * exactly when the org was constructed with a [[TransportFactory]].
+    * Carries the plan-time (sessionId, serverUrl) binding — the same
+    * session a queryMore cursor would ride — so a rebuilt client talks
+    * to the same org under the same session. */
+  override def recipe: Option[OrgRecipe] = transportFactory.map(tf =>
+    SoapOrgRecipe(sessionId, serverUrl, tf, batchSize))
 
   private val describeCache =
     scala.collection.mutable.Map.empty[String, StructType]
@@ -283,7 +292,8 @@ object SoapOrg {
     * the returned org is bound to the serverUrl the org assigns
     * (data_connector.py:38-45 — beatbox stores serverUrl the same way). */
   def login(http: HttpTransport, loginUrl: String, username: String,
-      password: String, batchSize: Int = 500): SoapOrg = {
+      password: String, batchSize: Int = 500,
+      transportFactory: Option[TransportFactory] = None): SoapOrg = {
     val body =
       s"<urn:login><urn:username>${escape(username)}</urn:username>" +
         s"<urn:password>${escape(password)}</urn:password></urn:login>"
@@ -301,7 +311,7 @@ object SoapOrg {
       throw new RuntimeException(s"no sessionId in login response: $resp"))
     val url = field(resp, "serverUrl").getOrElse(
       throw new RuntimeException(s"no serverUrl in login response: $resp"))
-    new SoapOrg(sid, url, http, batchSize)
+    new SoapOrg(sid, url, http, batchSize, transportFactory)
   }
 
   private[sources] def escape(s: String): String =
@@ -348,4 +358,21 @@ object SoapOrg {
         java.sql.Timestamp.from(java.time.Instant.parse(s))
       case _ => s
     }
+}
+
+/** The SOAP wire org's [[OrgRecipe]]: the plan-time session binding
+  * (sessionId + serverUrl — exactly what beatbox login stores,
+  * data_connector.py:38-45) plus a [[TransportFactory]] that `new`s
+  * an HTTP client in the landing JVM. Same remote org, so
+  * `connectsToSameOrg` is true and executor-side SOAP mutations are
+  * admitted by [[RemoteOrgRegistry.resolveForWrite]]. */
+final case class SoapOrgRecipe(
+    sessionId: String,
+    serverUrl: String,
+    transports: TransportFactory,
+    batchSize: Int) extends OrgRecipe {
+  override def build(): RemoteOrg =
+    new SoapOrg(sessionId, serverUrl, transports.transport(), batchSize,
+      Some(transports))
+  override def connectsToSameOrg: Boolean = true
 }

@@ -1,0 +1,179 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import graft.sources._
+import graft.spec.ConnectorParam
+
+/** The HTTP wire orgs' executor-rebuild recipes ([[BulkApiOrgRecipe]],
+  * [[SoapOrgRecipe]]): a recipe is plain serializable connection
+  * config + a [[TransportFactory]], so a scan partition landing in a
+  * foreign executor JVM can rebuild a client against the SAME remote
+  * org — and, because it IS the same org (`connectsToSameOrg`),
+  * executor-side writes are admitted too. Each test round-trips the
+  * recipe through real java serialization (the exact boundary a
+  * multi-JVM task crosses) before building from it. */
+class WireOrgRecipeSuite extends AnyFunSuite {
+
+  import WireOrgRecipeSuite._
+
+  private def javaRoundTrip[A <: AnyRef](a: A): A = {
+    val bytes = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bytes)
+    out.writeObject(a); out.close()
+    val in = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes.toByteArray))
+    in.readObject().asInstanceOf[A]
+  }
+
+  test("a BulkApiOrg with a transport factory ships a serializable " +
+      "same-org recipe an executor can query through") {
+    val org = new BulkApiOrg(tok, CannedBulkTransport(),
+      sleeper = _ => (), transportFactory = Some(CannedBulkTransports()))
+    val rec = org.recipe.getOrElse(fail("wire org must expose a recipe"))
+    assert(rec.connectsToSameOrg,
+      "an HTTP rebuild reaches the same remote org")
+    // the boundary a real cluster crosses: serialize, ship, rebuild
+    val shipped = javaRoundTrip(rec)
+    assert(shipped == rec,
+      "case-class equality must survive serialization — the registry " +
+        "cache keys on it")
+    val rebuilt = shipped.build()
+    assert(rebuilt.query("SELECT Id, Amount FROM Account").toSeq ==
+      Seq(Row("A1", 10L)))
+  }
+
+  test("a recipe-less wire org still scans under local[n] and says why " +
+      "it can't elsewhere") {
+    val org = new BulkApiOrg(tok, CannedBulkTransport(), sleeper = _ => ())
+    assert(org.recipe.isEmpty)
+  }
+
+  test("the Bulk recipe is admitted for executor-side writes " +
+      "(same org, not a facsimile)") {
+    val rec = new BulkApiOrg(tok, CannedBulkTransport(), sleeper = _ => (),
+      transportFactory = Some(CannedBulkTransports())).recipe
+    // a name resident nowhere: the pure foreign-JVM path
+    val org = RemoteOrgRegistry.resolveForWrite("wire_recipe_foreign", rec)
+    assert(org.query("SELECT Id, Amount FROM Account").toSeq ==
+      Seq(Row("A1", 10L)))
+  }
+
+  test("a SoapOrg with a transport factory ships a serializable " +
+      "same-org recipe bound to the plan-time session") {
+    val org = new SoapOrg("SID-7", soapServer, CannedSoapTransport(),
+      transportFactory = Some(CannedSoapTransports()))
+    val rec = org.recipe.getOrElse(fail("wire org must expose a recipe"))
+    assert(rec == SoapOrgRecipe("SID-7", soapServer,
+      CannedSoapTransports(), 500),
+      "the recipe must capture the session binding, not the client")
+    assert(rec.connectsToSameOrg)
+    val rebuilt = javaRoundTrip(rec).build()
+    assert(rebuilt.query("SELECT Id FROM Account").toSeq == Seq(Row("A9")))
+  }
+
+  test("SoapOrg.login threads the factory into the bound org's recipe") {
+    val org = SoapOrg.login(CannedSoapTransport(), loginUrl,
+      "user@example.org", "pw",
+      transportFactory = Some(CannedSoapTransports()))
+    assert(org.recipe.contains(
+      SoapOrgRecipe("SID-7", soapServer, CannedSoapTransports(), 500)),
+      s"login must bind the recipe to the org-assigned session, " +
+        s"got ${org.recipe}")
+  }
+
+  test("AuthRetryOrg delegates recipe capture to the session-bound " +
+      "client, current token baked in") {
+    val creds = ConnectorParam("u", "pw", "https://login.example.org")
+    val cache = new InMemoryTokenCache
+    cache.put("u", tok)
+    val failingHttp = new HttpTransport {
+      override def postForm(url: String, params: Map[String, String]) =
+        fail("cached token suffices — no auth round-trip expected")
+    }
+    val provider = new TokenProvider(creds, failingHttp, cache)
+    val retry = new AuthRetryOrg(provider, t => new BulkApiOrg(t,
+      CannedBulkTransport(), sleeper = _ => (),
+      transportFactory = Some(CannedBulkTransports())))
+    val rec = retry.recipe
+    assert(rec.contains(BulkApiOrgRecipe(tok, CannedBulkTransports(),
+      "47.0", 60, 1000L, 30000L, "JSON", None)),
+      s"plan-time capture must ride the session-bound client, got $rec")
+  }
+}
+
+/** Fixtures live on the companion: a suite-inner class would capture
+  * the (non-serializable) suite and break the round-trip the tests
+  * exist to prove. The canned transports are stateless case classes —
+  * the exact shape a production factory takes (config in fields, a
+  * client built per call). */
+object WireOrgRecipeSuite {
+  private val tok = AuthToken("TOK1", "https://na1.example.org")
+  private val async = "https://na1.example.org/services/async/47.0"
+  private val rest = "https://na1.example.org/services/data/v47.0"
+  private val soapServer = "https://na1.example.org/services/Soap/u/47.0"
+  private val loginUrl = "https://login.example.org/services/Soap/u/47.0"
+
+  final case class CannedBulkTransport() extends HttpTransport {
+    override def postForm(url: String, params: Map[String, String]) =
+      (500, "wire orgs never form-post")
+    override def send(method: String, url: String,
+        headers: Map[String, String], body: String): (Int, String) =
+      (method, url) match {
+        case ("GET", u) if u == s"$rest/sobjects/Account/describe" =>
+          (200, """{"fields": [
+            {"name": "Id", "type": "id"},
+            {"name": "Amount", "type": "int"}]}""")
+        case ("POST", u) if u == s"$async/job" => (201, """{"id": "J1"}""")
+        case ("POST", u) if u == s"$async/job/J1/batch" =>
+          (201, """{"id": "B1"}""")
+        case ("POST", u) if u == s"$async/job/J1" =>
+          (200, """{"state": "Closed"}""")
+        case ("GET", u) if u == s"$async/job/J1/batch/B1" =>
+          (200, """{"state": "Completed"}""")
+        case ("GET", u) if u == s"$async/job/J1/batch/B1/result" =>
+          (200, """["R1"]""")
+        case ("GET", u) if u == s"$async/job/J1/batch/B1/result/R1" =>
+          (200, """[{"Id": "A1", "Amount": 10}]""")
+        case other => (404, s"unexpected $other")
+      }
+  }
+  final case class CannedBulkTransports() extends TransportFactory {
+    override def transport(): HttpTransport = CannedBulkTransport()
+  }
+
+  private def env(body: String): (Int, String) =
+    (200, "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<soapenv:Envelope xmlns:soapenv=\"http://schemas.xmlsoap.org/soap/envelope/\" " +
+      "xmlns:xsi=\"http://www.w3.org/2001/XMLSchema-instance\" " +
+      "xmlns:sf=\"urn:partner.soap.sforce.com\">" +
+      s"<soapenv:Body>$body</soapenv:Body></soapenv:Envelope>")
+
+  final case class CannedSoapTransport() extends HttpTransport {
+    override def postForm(url: String, params: Map[String, String]) =
+      (500, "wire orgs never form-post")
+    override def send(method: String, url: String,
+        headers: Map[String, String], body: String): (Int, String) =
+      body match {
+        case b if b.contains("<urn:login>") =>
+          env(s"""<loginResponse><result>
+            <serverUrl>$soapServer</serverUrl>
+            <sessionId>SID-7</sessionId></result></loginResponse>""")
+        case b if b.contains("describeSObject") =>
+          env("""<describeSObjectResponse><result>
+            <name>Account</name>
+            <fields><name>Id</name><type>id</type></fields>
+            </result></describeSObjectResponse>""")
+        case b if b.contains("<urn:queryString>") =>
+          env("""<queryResponse><result xsi:type="QueryResult">
+            <records xsi:type="sf:sObject"><sf:type>Account</sf:type>
+              <sf:Id>A9</sf:Id></records>
+            <done>true</done><queryLocator></queryLocator>
+            <size>1</size></result></queryResponse>""")
+        case other => (500, s"unexpected envelope: $other")
+      }
+  }
+  final case class CannedSoapTransports() extends TransportFactory {
+    override def transport(): HttpTransport = CannedSoapTransport()
+  }
+}

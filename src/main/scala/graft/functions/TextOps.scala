@@ -694,6 +694,102 @@ object TextOps {
         md5(concat_ws(" ", col("__ct"))).as("chunk_md5") +: kept: _*)
   }
 
+  /** Every k-token window of every document as (doc_id, pos, h) — the
+    * positional sibling of [[hashedShingleSets]] for exact-substring
+    * dedup ([[dupSubstringSpans]]). Token hashes are computed ONCE per
+    * token in their own projection (the [[shingles]] per-element
+    * pitfall), then each window folds its k token hashes with
+    * rotate-5-xor: order-aware, O(tokens·k) bitwise ops (overflow-free
+    * under ANSI mode, where a polynomial multiply would throw), no
+    * per-window string materialization. */
+  private[graft] def shingleSites(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val th = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= k)
+      .select(col("doc_id"), transform(col("__t"), t => xxhash64(t)).as("__th"))
+    th.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("__th")) - k),
+          i => struct(i.as("pos"),
+            aggregate(slice(col("__th"), i + 1, lit(k)), lit(0L),
+              (acc, x) => shiftleft(acc, 5).bitwiseOR(
+                shiftrightunsigned(acc, 59)).bitwiseXOR(x)).as("h"))))
+          .as("__s"))
+      .select(col("doc_id"), col("__s.pos").as("pos"), col("__s.h").as("h"))
+  }
+
+  /** Gaps-and-islands merge of duplicated window starts into maximal
+    * spans: starts whose covered ranges overlap or touch (gap <= k)
+    * coalesce; one row per island with [__lo, __hi] start bounds
+    * (covered tokens = __lo .. __hi + k - 1). The window is per-doc —
+    * bounded state, no global sort. */
+  private def dupIslands(sites: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    sites
+      .withColumn("__brk",
+        when(col("pos") - lag("pos", 1).over(w) <= k, 0L).otherwise(1L))
+      .withColumn("__grp", sum("__brk").over(w))
+      .groupBy("doc_id", "__grp")
+      .agg(min("pos").as("__lo"), max("pos").as("__hi"))
+  }
+
+  /** Exact-substring duplicated spans — Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better") at
+    * token granularity. A k-token window is duplicated iff its content
+    * occurs at >= 2 (doc, pos) sites corpus-wide (within-doc repeats
+    * count, as in ExactSubstr); the union of duplicated windows'
+    * covered positions, split into maximal islands per doc, IS the set
+    * of duplicated substrings of length >= k. Output: one row per
+    * maximal span — (doc_id, span_start, span_tokens), token-indexed
+    * from 0. Scale shape: O(total_tokens) rows through one hash-keyed
+    * exchange (aggregate+join, not a per-hash window — a hot window
+    * content must partially aggregate map-side), then a per-doc
+    * island merge. Nothing quadratic, nothing driver-side. */
+  def dupSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val sh = shingleSites(df, idCol, textCol, k)
+    val dup = sh.groupBy("h").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= 2).select("h")
+    val sites = sh.join(dup, "h").select("doc_id", "pos")
+    dupIslands(sites, k)
+      .select(col("doc_id"),
+        col("__lo").cast("long").as("span_start"),
+        (col("__hi") - col("__lo") + k).cast("long").as("span_tokens"))
+  }
+
+  /** The removal ledger [[dupSubstringSpans]] implies, per document:
+    * its token count, its duplicated token mass, and the mass
+    * REMOVABLE when the corpus-wide first (doc, pos) site of every
+    * duplicated window survives (first-site-wins, the ExactSubstr
+    * keep-one policy). Every document appears (zeros when clean). */
+  def substringDedupSavings(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val sh = shingleSites(df, idCol, textCol, k)
+    val firsts = sh.groupBy("h")
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("doc_id"), col("pos"))).as("__f"))
+      .where(col("__c") >= 2)
+    val sites = sh.join(firsts, "h")
+      .select(col("doc_id"), col("pos"),
+        (col("doc_id") === col("__f.doc_id") &&
+          col("pos") === col("__f.pos")).as("__isf"))
+    val dupMass = dupIslands(sites, k)
+      .groupBy("doc_id")
+      .agg(sum(col("__hi") - col("__lo") + k).as("dup_tokens"))
+    val remMass = dupIslands(sites.where(!col("__isf")), k)
+      .groupBy("doc_id")
+      .agg(sum(col("__hi") - col("__lo") + k).as("removable_tokens"))
+    docs.join(dupMass, Seq("doc_id"), "left")
+      .join(remMass, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
+        coalesce(col("removable_tokens"), lit(0L)).cast("long")
+          .as("removable_tokens"))
+  }
+
   /** Benchmark-decontamination join: for every training document, the
     * eval documents it shares at least one word n-gram with, and how many
     * distinct n-grams are shared — the standard contamination check run

@@ -104,6 +104,28 @@ object Dedup {
     SELECT v AS doc_id, min(r) AS cluster_id
     FROM reach GROUP BY v ORDER BY doc_id"""
 
+  /** Window width for exact-substring dedup (d20/d21): spans shorter
+    * than this many tokens are never flagged. Lee et al. use 50 BPE
+    * tokens; 16 whitespace tokens is the same order of character
+    * length on this corpus and keeps the synthetic data's planted
+    * duplication visible at every SF. */
+  private val SpanK = 16
+
+  /** DuckDB twin of [[shingleSites]]: every K-token window as
+    * (doc_id, start, content). The oracle groups on the window CONTENT
+    * where Spark groups on a polynomial rolling hash — identical
+    * semantics, no cross-engine hash to replay. */
+  private val spanSitesCtes: String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    pos AS (
+      SELECT doc_id, t, unnest(generate_series(0, len(t) - $SpanK)) AS i
+      FROM toks WHERE len(t) >= $SpanK),
+    sh AS (
+      SELECT doc_id, i, array_to_string(t[i + 1 : i + $SpanK], ' ') AS g
+      FROM pos)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- d01: exact dedup via content-hash groupBy ------------------------
@@ -655,7 +677,93 @@ object Dedup {
           JOIN selfd y ON y.vec_id = p.id_b)
         SELECT id_a, id_b, cos FROM scored
         WHERE cos >= 0.4
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ---- d20: exact-substring duplicated spans (suffix-array semantics) ---
+    // [[TextOps.dupSubstringSpans]] — Lee et al. 2021 ExactSubstr at
+    // token granularity; algorithm + scale notes live on the operator.
+    QueryDef(
+      "d20_dup_substring_spans",
+      (s, d) =>
+        TextOps.dupSubstringSpans(Tables.corpus(s, d), "doc_id", "text",
+            k = SpanK)
+          .orderBy("doc_id", "span_start"),
+      Some(s"""
+        $spanSitesCtes,
+        dup AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) >= 2),
+        ds AS (SELECT sh.doc_id, sh.i FROM sh JOIN dup USING (g)),
+        isl AS (
+          SELECT doc_id, i,
+                 CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                           <= $SpanK
+                      THEN 0 ELSE 1 END AS brk
+          FROM ds),
+        g2 AS (
+          SELECT doc_id, i,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+          FROM isl)
+        SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+               CAST(MAX(i) - MIN(i) + $SpanK AS BIGINT) AS span_tokens
+        FROM g2 GROUP BY doc_id, grp ORDER BY doc_id, span_start"""),
+      bench = true),
+
+    // ---- d21: exact-substring dedup savings (first-site-wins) -------------
+    // The removal ledger d20's spans imply: per doc, the duplicated
+    // token mass, and the mass REMOVABLE when the corpus-wide first
+    // (doc, pos) site of every duplicated window survives — d18's
+    // savings ledger at exact-substring granularity. Every document
+    // appears (zeros when clean), so the output is a per-doc curation
+    // scorecard, joinable against quality filters.
+    QueryDef(
+      "d21_substring_savings",
+      (s, d) =>
+        TextOps.substringDedupSavings(Tables.corpus(s, d), "doc_id",
+            "text", k = SpanK)
+          .orderBy("doc_id"),
+      Some(s"""
+        $spanSitesCtes,
+        fs AS (
+          SELECT g, MIN(ROW(doc_id, i)) AS f, COUNT(*) AS c
+          FROM sh GROUP BY g),
+        ds AS (
+          SELECT sh.doc_id, sh.i, (ROW(sh.doc_id, sh.i) = fs.f) AS isf
+          FROM sh JOIN fs USING (g) WHERE fs.c >= 2),
+        m1 AS (
+          SELECT doc_id, SUM(hi - lo + $SpanK) AS dup_tokens FROM (
+            SELECT doc_id, grp, MIN(i) AS lo, MAX(i) AS hi FROM (
+              SELECT doc_id, i,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+              FROM (
+                SELECT doc_id, i,
+                       CASE WHEN i - lag(i) OVER (PARTITION BY doc_id
+                                                  ORDER BY i) <= $SpanK
+                            THEN 0 ELSE 1 END AS brk FROM ds) b) s
+            GROUP BY doc_id, grp) sp
+          GROUP BY doc_id),
+        m2 AS (
+          SELECT doc_id, SUM(hi - lo + $SpanK) AS removable_tokens FROM (
+            SELECT doc_id, grp, MIN(i) AS lo, MAX(i) AS hi FROM (
+              SELECT doc_id, i,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+              FROM (
+                SELECT doc_id, i,
+                       CASE WHEN i - lag(i) OVER (PARTITION BY doc_id
+                                                  ORDER BY i) <= $SpanK
+                            THEN 0 ELSE 1 END AS brk
+                FROM ds WHERE NOT isf) b) s
+            GROUP BY doc_id, grp) sp
+          GROUP BY doc_id),
+        n AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+          FROM documents)
+        SELECT n.doc_id, n.n_tokens,
+               CAST(COALESCE(m1.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               CAST(COALESCE(m2.removable_tokens, 0) AS BIGINT)
+                 AS removable_tokens
+        FROM n LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id)
+        ORDER BY doc_id"""))
   )
 
   /** DuckDB replay of [[ScaleOps.integerPageRank]] over the exact

@@ -42,6 +42,59 @@ class DedupOpsSuite extends SparkSuite {
       s"minDocs=1 marks every window of every doc that occurs anywhere: $self")
   }
 
+  test("exact-substring spans: hand corpus, every island edge by hand") {
+    // k=4. Covered edges: cross-doc dup with island MERGE of
+    // overlapping windows (1/2); within-doc repeat far apart -> two
+    // islands (3); doc shorter than k -> no spans (4); single shared
+    // window (5/6); two dup windows at gap EXACTLY k -> covered ranges
+    // touch and must merge into one 2k span (7) while the same windows
+    // sit far apart in the partner doc -> two spans (8).
+    val corpus = Seq(
+      (1L, "p q r s t"),
+      (2L, "p q r s t"),
+      (3L, "z z z z a b c z z z z"),
+      (4L, "a b"),
+      (5L, "m n o p q r"),
+      (6L, "m n o p X q r"),
+      (7L, "c1 c2 c3 c4 d1 d2 d3 d4"),
+      (8L, "c1 c2 c3 c4 x x x d1 d2 d3 d4")).toDF("doc_id", "text")
+    val spans = TextOps.dupSubstringSpans(corpus, "doc_id", "text", k = 4)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(spans == Seq(
+      (1L, 0L, 5L), (2L, 0L, 5L),
+      (3L, 0L, 4L), (3L, 7L, 4L),
+      (5L, 0L, 4L), (6L, 0L, 4L),
+      (7L, 0L, 8L),
+      (8L, 0L, 4L), (8L, 7L, 4L)), s"got $spans")
+  }
+
+  test("exact-substring savings: first (doc,pos) site never counts as " +
+      "removable; clean and short docs report zeros") {
+    val corpus = Seq(
+      (1L, "p q r s t"),
+      (2L, "p q r s t"),
+      (3L, "z z z z a b c z z z z"),
+      (4L, "a b"),
+      (5L, "m n o p q r"),
+      (6L, "m n o p X q r"),
+      (7L, "c1 c2 c3 c4 d1 d2 d3 d4"),
+      (8L, "c1 c2 c3 c4 x x x d1 d2 d3 d4")).toDF("doc_id", "text")
+    val ledger = TextOps.substringDedupSavings(corpus, "doc_id", "text",
+        k = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(ledger == Seq(
+      (1L, 5L, 5L, 0L),   // holds every first site
+      (2L, 5L, 5L, 5L),   // its twin: fully removable
+      (3L, 11L, 8L, 4L),  // self-repeat: first z-run kept, second goes
+      (4L, 2L, 0L, 0L),   // shorter than k
+      (5L, 6L, 4L, 0L),
+      (6L, 7L, 4L, 4L),
+      (7L, 8L, 8L, 0L),
+      (8L, 11L, 8L, 8L)), s"got $ledger")
+  }
+
   test("minhash LSH recall is total on the planted >=0.9 pairs") {
     val cands = TextOps.minHashCandidates(docs, "doc_id", "text", 3, 128, 32)
       .as[(Long, Long)].collect().toSet

@@ -155,14 +155,17 @@ class IndexLifecycleSuite extends SparkSuite {
     // the r12 verdict's scale-killer: with expiry judged by CREATE
     // time, a compaction longer than the TTL had its live lease
     // legitimately broken by a rival MID-WRITE. Here the holder runs
-    // with a 1.5s TTL and ~600ms of injected delay between every
-    // step (total >> TTL) while a rival hammers claim attempts the
+    // with a 3s TTL and ~1s of injected delay between every step
+    // (total = 2x TTL) while a rival hammers claim attempts the
     // whole time — every attempt must be refused (the heartbeat keeps
     // the lease young), the holder must complete unfenced, and the
-    // result must be exact. (TTL/heartbeat margins are sized 4x so a
-    // loaded full-suite run cannot starve a tick past the TTL.)
+    // result must be exact. Starvation budget: a tick renews every
+    // ttl/4 = 750ms, so the heartbeat thread may be stalled up to
+    // ~2.25s (GC + a loaded full-suite run) without the lease aging
+    // past the TTL — the 1.5s-TTL version of this test flaked exactly
+    // that way under a parallel full-suite run.
     val (path, expected) = freshIndex()
-    val ttl = 1500L
+    val ttl = 3000L
     val started = new java.util.concurrent.CountDownLatch(1)
     val holderDone = new java.util.concurrent.atomic.AtomicBoolean(false)
     val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -186,13 +189,13 @@ class IndexLifecycleSuite extends SparkSuite {
     rival.start()
     try {
       VectorOps.compactPinnedIvfIndexSteps(spark, path,
-        stopAfter = Int.MaxValue, leaseTtlMs = ttl, stepDelayMs = 600L,
+        stopAfter = Int.MaxValue, leaseTtlMs = ttl, stepDelayMs = 1000L,
         onAfterAcquire = () => started.countDown())
     } finally holderDone.set(true)
     rival.join(5000)
     val seen = outcomes.toArray(Array.empty[String]).toSeq
-    // the holder held the lease for >= 5 paced steps (~3s+) against a
-    // 1.5s TTL: without renewal the rival would have broken it
+    // the holder held the lease for 6 paced steps (~6s) against a
+    // 3s TTL: without renewal the rival would have broken it
     assert(seen.count(_ == "refused") >= 2,
       s"rival never contended while the holder was slow: $seen")
     assert(seen.forall(_ == "refused"),

@@ -76,6 +76,68 @@ object BloomFilterOps {
     true
   }
 
+  /** md5-derived double-hash pair for a shingle string, matching the
+    * oracle-expressible bridge [[TextOps.tokenHash64]] documents: h1 =
+    * first 16 md5 hex chars as unsigned-64 masked to 63 bits, h2 = the
+    * last 16. DuckDB replays both as
+    * `('0x' || substr(md5(s), 1|17, 16))::UBIGINT & 9223372036854775807`,
+    * so a bloom built on these positions is reproducible bit-for-bit —
+    * FALSE POSITIVES INCLUDED — in the oracle. */
+  @inline private def md5Pair(s: org.apache.spark.unsafe.types.UTF8String): (Long, Long) = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+    @inline def be(off: Int): Long = {
+      var h = 0L; var i = off
+      while (i < off + 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h & Long.MaxValue
+    }
+    (be(0), be(8))
+  }
+
+  /** Set the k md5-positions of shingle `s` in `bits`. Position j =
+    * (h1 % m + j * (h2 % m)) % m — the mod-before-combine keeps every
+    * intermediate non-negative and below 2*m, so the identical integer
+    * arithmetic runs in DuckDB BIGINTs without overflow. */
+  def md5Add(bits: Array[Long], s: org.apache.spark.unsafe.types.UTF8String,
+      numHashes: Int): Unit = {
+    val m = bits.length.toLong * 64L
+    val (h1, h2) = md5Pair(s)
+    val h1m = h1 % m; val h2m = h2 % m
+    var j = 0
+    while (j < numHashes) {
+      val pos = (h1m + j.toLong * h2m) % m
+      bits((pos >>> 6).toInt) |= (1L << (pos & 63L))
+      j += 1
+    }
+  }
+
+  /** Count the elements of the string array `arr` whose k md5-positions
+    * are ALL set in `bits` — the per-document contamination hit count,
+    * one static call per row from the generated code. */
+  def md5HitCount(bits: ArrayData, arr: ArrayData, numHashes: Int): Int = {
+    val m = bits.numElements().toLong * 64L
+    if (m == 0L) return 0
+    var hits = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val (h1, h2) = md5Pair(s)
+        val h1m = h1 % m; val h2m = h2 % m
+        var j = 0
+        var all = true
+        while (all && j < numHashes) {
+          val pos = (h1m + j.toLong * h2m) % m
+          all = (bits.getLong((pos >>> 6).toInt) & (1L << (pos & 63L))) != 0L
+          j += 1
+        }
+        if (all) hits += 1
+      }
+      i += 1
+    }
+    hits
+  }
+
   /** Build the dim-side bitmap and return the PREFILTERED fact frame:
     * fact rows whose key cannot be in `dim` are dropped before any
     * shuffle. `dim` should already carry its selective predicate. The
@@ -185,6 +247,162 @@ object BloomAgg {
     org.apache.spark.sql.functions.call_function("graft_bloom_agg",
       key, org.apache.spark.sql.functions.lit(nbits),
       org.apache.spark.sql.functions.lit(numHashes))
+  }
+}
+
+/** Partial-aggregable bloom bitmap over shingle STRINGS with the
+  * md5-position scheme of [[BloomFilterOps.md5Add]] — the
+  * benchmark-side half of bloom decontamination. Identical merge/ship
+  * shape to [[BloomAgg]] (each map task emits nbits/8 bytes, merge =
+  * OR), but hashes are oracle-expressible, so DuckDB can rebuild the
+  * exact bitmap and replay membership — false positives and all. */
+case class Md5BloomAgg(
+    child: Expression, nbits: Int, numHashes: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects a string key")
+    else if (nbits < 64 || nbits % 64 != 0)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName nbits must be a positive multiple of 64")
+    else if (numHashes < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName numHashes must be >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_md5_bloom_agg"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](nbits / 64)
+
+  override def update(b: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null)
+      BloomFilterOps.md5Add(b,
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], numHashes)
+    b
+  }
+
+  override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b.length) { b(i) |= o(i); i += 1 }
+    b
+  }
+
+  override def eval(b: Array[Long]): Any = new GenericArrayData(b)
+
+  override def serialize(b: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(b.length * 8)
+    var i = 0
+    while (i < b.length) { bb.putLong(b(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): Md5BloomAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): Md5BloomAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Md5BloomAgg =
+    copy(child = newChildren(0))
+}
+
+object Md5BloomAgg {
+  private val ident = new FunctionIdentifier("graft_md5_bloom_agg")
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(ident)) {
+      registry.registerFunction(
+        ident,
+        new ExpressionInfo(classOf[Md5BloomAgg].getName, "graft_md5_bloom_agg"),
+        (children: Seq[Expression]) => {
+          def intLit(e: Expression, what: String): Int = e match {
+            case Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"graft_md5_bloom_agg(key, nbits, numHashes): $what must be " +
+                s"an integer literal, got $other")
+          }
+          Md5BloomAgg(children(0), intLit(children(1), "nbits"),
+            intLit(children(2), "numHashes"))
+        })
+    }
+  }
+
+  def column(spark: SparkSession, key: Column, nbits: Int, numHashes: Int): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function("graft_md5_bloom_agg",
+      key, org.apache.spark.sql.functions.lit(nbits),
+      org.apache.spark.sql.functions.lit(numHashes))
+  }
+}
+
+/** Codegen per-document hit count: `bloomTextHits(bitmap, shingles, k)`
+  * = how many of the row's shingles have all k md5-positions set in the
+  * bitmap. Array in, scalar out, one static kernel call per row (the
+  * [[SimHash64]] shape) — the whole training-side decontamination scan
+  * is a shuffle-free projection. */
+case class BloomTextHits(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override val nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _),
+            ArrayType(org.apache.spark.sql.types.StringType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<bigint>, array<string>, int)")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bloom_text_hits"
+
+  override protected def nullSafeEval(bm: Any, arr: Any, k: Any): Any =
+    BloomFilterOps.md5HitCount(bm.asInstanceOf[ArrayData],
+      arr.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (bm, arr, k) => {
+      s"${ev.value} = graft.functions.BloomFilterOps.md5HitCount($bm, $arr, $k);"
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BloomTextHits =
+    copy(first = f, second = s, third = t)
+}
+
+object BloomTextHits {
+  private val ident = new FunctionIdentifier("graft_bloom_text_hits")
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(ident)) {
+      registry.registerFunction(
+        ident,
+        new ExpressionInfo(classOf[BloomTextHits].getName, "graft_bloom_text_hits"),
+        (children: Seq[Expression]) =>
+          BloomTextHits(children(0), children(1), children(2)))
+    }
+  }
+
+  def column(spark: SparkSession, bitmap: Column, shingles: Column,
+      numHashes: Int): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function("graft_bloom_text_hits",
+      bitmap, shingles, org.apache.spark.sql.functions.lit(numHashes))
   }
 }
 

@@ -820,6 +820,41 @@ object TextOps {
       .select(col("__id").as("doc_id"), col("eval_id"), col("n_shared"))
   }
 
+  /** Bloom-filter benchmark decontamination — the 100 TB shape of
+    * [[contaminationPairs]] when the corpus is too large even for the
+    * broadcast-join sliver: the eval suite's n-gram shingles fold into
+    * ONE `mBits`-bit bloom bitmap ([[Md5BloomAgg]] — partial-aggregable
+    * OR, each map task ships mBits/8 bytes), and every training document
+    * is scored IN THE SCAN by [[BloomTextHits]] — a shuffle-free
+    * projection whose per-doc cost is O(#shingles), independent of the
+    * benchmark size. Output is a per-doc scorecard: distinct shingle
+    * count and how many of them the bloom claims are benchmark grams.
+    *
+    * No false negatives (a truly shared shingle always hits); false
+    * positives at the classic (1-e^(-k*n/m))^k rate — size `mBits` to
+    * ~10-20 bits per benchmark shingle (the bitmap scales with the
+    * BENCHMARK, which is fixed and small, never with the corpus). The
+    * md5 double-hash positions are oracle-expressible, so DuckDB
+    * rebuilds the identical bitmap and the scorecard matches exactly,
+    * false positives included. */
+  def bloomDecontaminate(train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String, n: Int,
+      mBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    val spark = train.sparkSession
+    val bitmap = eval_
+      .select(explode(shingles(tokens(col(textCol)), n)).as("__s"))
+      .select(Md5BloomAgg.column(spark, col("__s"), mBits, numHashes).as("bm"))
+      .head().getSeq[Long](0)
+    train
+      .select(col(idCol), shingles(tokens(col(textCol)), n).as("__sh"))
+      .select(col(idCol),
+        size(col("__sh")).cast("long").as("n_shingles"),
+        BloomTextHits.column(spark,
+            org.apache.spark.sql.functions.typedlit(bitmap), col("__sh"),
+            numHashes)
+          .cast("long").as("n_hit"))
+  }
+
   /** Connected components over a near-duplicate pair graph via min-label
     * propagation: every document's cluster id is the minimum doc id
     * reachable through dup edges — the canonical-representative

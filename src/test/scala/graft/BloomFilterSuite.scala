@@ -78,4 +78,120 @@ class BloomFilterSuite extends SparkSuite {
     val expected = (0L until 256L).filter(BloomFilterOps.mightContain(ad, _, 3)).toSet
     assert(got == expected, "codegen and interpreted membership diverge")
   }
+
+  // ---- md5-position path (d22 bloom decontamination) ----------------------
+
+  test("md5 kernel hashes match the column-side md5-hex bridge") {
+    // the kernel's digest-byte arithmetic must equal what DuckDB (and
+    // Spark's conv-over-md5-hex) computes, or the d22 oracle is fiction
+    val words = Seq("alpha beta gamma delta", "x", "", "tok97 tok3 tok41 tok5")
+    val viaCols = words.toDF("s")
+      .select(col("s"),
+        (graft.functions.TextOps.tokenHash64(col("s"))
+          .bitwiseAND(lit(Long.MaxValue))).as("h1"),
+        (shiftleft(conv(substring(md5(col("s")), 17, 8), 16, 10).cast("long"), 32) +
+          conv(substring(md5(col("s")), 25, 8), 16, 10).cast("long"))
+          .bitwiseAND(lit(Long.MaxValue)).as("h2"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    words.foreach { w =>
+      // replicate md5Pair through the only public surface: a 1-element
+      // saturating add against a 64-bit bitmap pins (h1%64 + j*h2%64)%64
+      val bits = new Array[Long](1)
+      BloomFilterOps.md5Add(bits,
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), 5)
+      val (h1, h2) = viaCols(w)
+      val expected = new Array[Long](1)
+      (0 until 5).foreach { j =>
+        val pos = ((h1 % 64) + j.toLong * (h2 % 64)) % 64
+        expected(0) |= (1L << pos.toInt)
+      }
+      assert(bits(0) == expected(0), s"md5 position drift for '$w'")
+    }
+  }
+
+  test("md5 bitmap aggregate is partitioning-invariant and equals the serial kernel") {
+    import graft.functions.Md5BloomAgg
+    val words = (0 until 1000).map(i => s"tok$i gram${i % 37}")
+    def bm(parts: Int): Seq[Long] =
+      words.toDF("s").repartition(parts)
+        .select(Md5BloomAgg.column(spark, col("s"), 1 << 14, 5))
+        .head().getSeq[Long](0)
+    val one = bm(1)
+    assert(one == bm(7) && one == bm(32), "md5 bitmap depends on partitioning")
+    val local = new Array[Long]((1 << 14) / 64)
+    words.foreach(w => BloomFilterOps.md5Add(local,
+      org.apache.spark.unsafe.types.UTF8String.fromString(w), 5))
+    assert(one == local.toSeq, "distributed md5 bitmap != serial kernel")
+  }
+
+  test("bloomDecontaminate: no false negatives, scorecard covers every train doc") {
+    val docs = Seq(
+      (1L, "shared gram one two padding words here"), // shares 4-gram with eval
+      (2L, "completely different text with no overlap at all"),
+      (3L, "tiny"),                                   // < n tokens: 0 shingles
+      (50L, "shared gram one two eval document body") // eval side (id%50==0)
+    ).toDF("doc_id", "text")
+    val out = graft.functions.TextOps.bloomDecontaminate(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L), "scorecard must list every train doc")
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3 >= 1, "doc 1 shares 'shared gram one two' — a hit is mandatory")
+    assert(byId(3L) == ((3L, 0L, 0L)), "sub-n doc must report 0 shingles, 0 hits")
+    // the whole operator replays serially: build the eval bitmap with the
+    // driver kernel, score each train doc's distinct shingles against it,
+    // and the distributed scorecard must agree row for row — at a tiny
+    // mBits where collisions and false positives are guaranteed to occur
+    def shingleSet(t: String): Seq[String] =
+      t.trim.split("\\s+").toSeq.sliding(4).withFilter(_.size == 4)
+        .map(_.mkString(" ")).toSeq.distinct
+    val tiny = 256
+    val bits = new Array[Long](tiny / 64)
+    shingleSet("shared gram one two eval document body").foreach(s =>
+      BloomFilterOps.md5Add(bits,
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 5))
+    val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(bits)
+    val expected = Seq(
+      1L -> "shared gram one two padding words here",
+      2L -> "completely different text with no overlap at all",
+      3L -> "tiny").map { case (id, t) =>
+      val sh = shingleSet(t)
+      val hits = sh.count { s =>
+        val a = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+        BloomFilterOps.md5HitCount(ad, a, 5) == 1
+      }
+      (id, sh.size.toLong, hits.toLong)
+    }
+    val got = graft.functions.TextOps.bloomDecontaminate(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 4, mBits = tiny)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected, "distributed scorecard != serial kernel replay")
+  }
+
+  test("BloomTextHits codegen matches interpreted eval") {
+    import graft.functions.BloomTextHits
+    val bits = new Array[Long]((1 << 10) / 64)
+    (0 until 40).foreach(i => BloomFilterOps.md5Add(bits,
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"g$i"), 5))
+    val rows = (0 until 100).map(i => (i.toLong, Seq(s"g$i", s"g${i + 1}", s"h$i")))
+    val df = rows.toDF("id", "sh")
+      .withColumn("hits", BloomTextHits.column(spark,
+        typedlit(bits.toSeq), col("sh"), 5))
+    val got = df.select("id", "hits").as[(Long, Int)].collect().toMap
+    val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(bits)
+    rows.foreach { case (id, sh) =>
+      val exp = sh.count { s =>
+        val a = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+        BloomFilterOps.md5HitCount(ad, a, 5) == 1
+      }
+      assert(got(id) == exp, s"codegen/interpreted divergence on row $id")
+    }
+  }
 }

@@ -659,6 +659,22 @@ class PlanAuditSuite extends SparkSuite {
       s"chunk-dedup must use the min-aggregate formulation, not a window:\n$p")
   }
 
+  test("d22: decontamination scores in the scan — no join, no agg, one sort exchange") {
+    val p = plan("d22_bloom_decontaminate")
+    assert(p.contains("graft_bloom_text_hits"),
+      s"training side must score via the codegen bloom kernel:\n$p")
+    assert(!p.contains("Join"),
+      s"the corpus must never join the benchmark side — that is the " +
+        s"operator's whole point:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"per-doc scoring is a projection, not an aggregation:\n$p")
+    // corpus loading round-robins the single small parquet for parallelism;
+    // the OPERATOR itself may only shuffle for the output sort
+    val exchanges = "Exchange (?!RoundRobinPartitioning)".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"only the output sort may shuffle, found $exchanges exchanges:\n$p")
+  }
+
   test("s20: compacted index scan is dynamically partition-pruned to the probed buckets") {
     val df = SparkEntry.queries("s20_ann_index_compact")(spark, sf)
     df.collect() // DPP materializes in the final adaptive plan

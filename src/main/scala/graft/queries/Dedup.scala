@@ -126,6 +126,54 @@ object Dedup {
       SELECT doc_id, i, array_to_string(t[i + 1 : i + $SpanK], ' ') AS g
       FROM pos)"""
 
+  /** d22's full bitmap replay in SQL — also w24's oracle verbatim (the
+    * streaming run is stateless, so the scorecard set is
+    * batching-invariant and identical to the batch operator's). */
+  private[queries] val bloomDecontaminateOracle: String = """
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, len(w)-3),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+                   AS g
+          FROM toks
+        ), ev AS (
+          SELECT DISTINCT unnest(g) AS s FROM sh WHERE doc_id % 50 = 0
+        ), eh AS (
+          SELECT CAST(('0x' || substr(md5(s),1,16))::UBIGINT
+                      & 9223372036854775807 AS BIGINT) % 1048576 AS h1m,
+                 CAST(('0x' || substr(md5(s),17,16))::UBIGINT
+                      & 9223372036854775807 AS BIGINT) % 1048576 AS h2m
+          FROM ev
+        ), epos AS (
+          SELECT DISTINCT (h1m + j * h2m) % 1048576 AS p
+          FROM eh, generate_series(0, 4) t(j)
+        ), tsh AS (
+          SELECT doc_id, unnest(g) AS s FROM sh WHERE doc_id % 50 <> 0
+        ), th AS (
+          SELECT doc_id, s,
+                 CAST(('0x' || substr(md5(s),1,16))::UBIGINT
+                      & 9223372036854775807 AS BIGINT) % 1048576 AS h1m,
+                 CAST(('0x' || substr(md5(s),17,16))::UBIGINT
+                      & 9223372036854775807 AS BIGINT) % 1048576 AS h2m
+          FROM tsh
+        ), tp AS (
+          SELECT doc_id, s, (h1m + j * h2m) % 1048576 AS p
+          FROM th, generate_series(0, 4) t(j)
+        ), hits AS (
+          SELECT doc_id, s, bool_and(e.p IS NOT NULL) AS hit
+          FROM tp LEFT JOIN epos e USING (p) GROUP BY doc_id, s
+        ), agg AS (
+          SELECT doc_id, SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS nh
+          FROM hits GROUP BY doc_id
+        )
+        SELECT sh.doc_id, CAST(len(g) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(agg.nh, 0) AS BIGINT) AS n_hit
+        FROM sh LEFT JOIN agg USING (doc_id)
+        WHERE sh.doc_id % 50 <> 0 ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- d01: exact dedup via content-hash groupBy ------------------------
@@ -783,52 +831,10 @@ object Dedup {
             "doc_id", "text", n = 4, mBits = 1 << 20, numHashes = 5)
           .orderBy("doc_id")
       },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-          FROM documents
-        ), sh AS (
-          SELECT doc_id, list_distinct(list_transform(
-                   generate_series(1, len(w)-3),
-                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
-                   AS g
-          FROM toks
-        ), ev AS (
-          SELECT DISTINCT unnest(g) AS s FROM sh WHERE doc_id % 50 = 0
-        ), eh AS (
-          SELECT CAST(('0x' || substr(md5(s),1,16))::UBIGINT
-                      & 9223372036854775807 AS BIGINT) % 1048576 AS h1m,
-                 CAST(('0x' || substr(md5(s),17,16))::UBIGINT
-                      & 9223372036854775807 AS BIGINT) % 1048576 AS h2m
-          FROM ev
-        ), epos AS (
-          SELECT DISTINCT (h1m + j * h2m) % 1048576 AS p
-          FROM eh, generate_series(0, 4) t(j)
-        ), tsh AS (
-          SELECT doc_id, unnest(g) AS s FROM sh WHERE doc_id % 50 <> 0
-        ), th AS (
-          SELECT doc_id, s,
-                 CAST(('0x' || substr(md5(s),1,16))::UBIGINT
-                      & 9223372036854775807 AS BIGINT) % 1048576 AS h1m,
-                 CAST(('0x' || substr(md5(s),17,16))::UBIGINT
-                      & 9223372036854775807 AS BIGINT) % 1048576 AS h2m
-          FROM tsh
-        ), tp AS (
-          SELECT doc_id, s, (h1m + j * h2m) % 1048576 AS p
-          FROM th, generate_series(0, 4) t(j)
-        ), hits AS (
-          SELECT doc_id, s, bool_and(e.p IS NOT NULL) AS hit
-          FROM tp LEFT JOIN epos e USING (p) GROUP BY doc_id, s
-        ), agg AS (
-          SELECT doc_id, SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS nh
-          FROM hits GROUP BY doc_id
-        )
-        SELECT sh.doc_id, CAST(len(g) AS BIGINT) AS n_shingles,
-               CAST(COALESCE(agg.nh, 0) AS BIGINT) AS n_hit
-        FROM sh LEFT JOIN agg USING (doc_id)
-        WHERE sh.doc_id % 50 <> 0 ORDER BY doc_id"""),
+      Some(bloomDecontaminateOracle),
       bench = true)
   )
+
 
   /** DuckDB replay of [[ScaleOps.integerPageRank]] over the exact
     * near-dup edges: the pairs CTE (same as d02's oracle), then 10

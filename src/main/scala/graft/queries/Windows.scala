@@ -640,6 +640,20 @@ object Windows {
         FROM ex
         ORDER BY chunk_md5""")),
 
+    // ---- w24: streaming bloom decontamination ------------------------------
+    // d22 run incrementally: the benchmark bitmap is computed once from
+    // the static eval suite and every streamed document is scored in its
+    // micro-batch — a stateless projection (the gate asserts zero state
+    // operators), so the scorecard is batching-invariant and d22's
+    // bit-exact bitmap-replay oracle transfers verbatim.
+    QueryDef(
+      "w24_stream_decontaminate",
+      (s, d) =>
+        graft.streaming.Streams
+          .bloomDecontaminateStreamGate(s, s"$d/documents.parquet")
+          .orderBy("doc_id"),
+      Some(Dedup.bloomDecontaminateOracle)),
+
     // ---- w16: stream-static AS-OF enrichment through the engine -----------
     // a04's semantics run incrementally: each streamed purchase joins
     // the latest static view at-or-before its event time (broadcast

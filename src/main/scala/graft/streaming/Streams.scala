@@ -910,6 +910,44 @@ object Streams {
     spark.table(sink)
   }
 
+  /** w24's gate: STREAMING bloom decontamination — d22 run
+    * incrementally, the shape a live ingest pipeline needs: the
+    * benchmark bitmap is computed ONCE from the static eval suite
+    * (benchmarks change on release cadence, not per batch) and rides
+    * the stream's projection as a literal; every arriving document is
+    * scored IN ITS MICRO-BATCH by the same codegen kernel as the batch
+    * operator. The scoring is a stateless per-row transform — no
+    * watermark, no state store, nothing to checkpoint beyond source
+    * offsets — so ANY batching reaches the identical scorecard, and
+    * d22's oracle transfers verbatim (maxFilesPerTrigger=1 forces
+    * multiple micro-batches so that claim is exercised, not assumed;
+    * [[graft.StreamingSuite]] additionally pins zero state operators).
+    *
+    * [[graft.functions.TextOps.bloomDecontaminate]] is reused AS IS:
+    * its training side is a pure projection, which lifts to streaming
+    * unchanged — the eval side stays a batch frame. */
+  def bloomDecontaminateStreamGate(spark: SparkSession,
+      docsPath: String): DataFrame = {
+    val docs = eventStream(spark, docsPath, Some(1))
+    val eval_ = spark.read.parquet(docsPath)
+      .where(col("doc_id") % 50 === 0)
+    val scored = graft.functions.TextOps.bloomDecontaminate(
+      train = docs.where(col("doc_id") % 50 =!= 0),
+      eval_ = eval_, "doc_id", "text", n = 4)
+    val sink = s"w24_gate_${gateRunSeq.incrementAndGet()}"
+    val q = scored.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val progress = q.lastProgress
+    require(progress == null || progress.stateOperators.isEmpty,
+      "bloom decontamination must be stateless — a state operator " +
+        "appeared in the streaming plan")
+    spark.table(sink)
+  }
+
   /** w20's gate: STREAMING index ingest — the s18/s19 serving lifecycle
     * driven by Structured Streaming: the index bootstraps from the 16
     * codebook vectors, the rest of the corpus arrives as a stream and

@@ -764,6 +764,37 @@ class StreamingSuite extends SparkSuite {
       "cross-batch dedup state lost: multi-batch distinct set differs")
   }
 
+  test("w24 streaming decontamination equals the batch operator row for row") {
+    // the stateless claim made concrete: per-file micro-batches (the
+    // gate forces maxFilesPerTrigger=1) must reach the exact scorecard
+    // the batch d22 operator computes over the same corpus — and the
+    // gate itself asserts no state operator appeared in the plan
+    val dir = java.nio.file.Files.createTempDirectory("graft_w24_").toString
+    val rows = (1 until 120).map { i =>
+      val body =
+        if (i % 7 == 0) "planted shared benchmark gram run alpha beta"
+        else s"doc$i " + (1 to 10).map(j => s"tok${(i * 31 + j) % 97}").mkString(" ")
+      (i.toLong, body)
+    } :+ (150L, "planted shared benchmark gram run gamma")
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .repartition(4).write.parquet(s"$dir/documents.parquet")
+    val streamed = Streams
+      .bloomDecontaminateStreamGate(spark, s"$dir/documents.parquet")
+      .orderBy("doc_id").collect().toSeq
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = graft.functions.TextOps.bloomDecontaminate(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "streaming scorecard diverged from the batch operator")
+    // the planted overlap must actually contaminate (the test isn't
+    // vacuously comparing all-zero scorecards)
+    assert(streamed.exists(_.getLong(2) > 0), "no contamination detected")
+  }
+
   test("chunkOverlap rejects carry columns that collide with its outputs") {
     import spark.implicits._
     val df = Seq((1L, "a b c", 7L)).toDF("doc_id", "text", "chunk_md5")

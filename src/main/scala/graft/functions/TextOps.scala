@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text/dedup operator library for large-scale corpus pipelines.
@@ -608,6 +608,156 @@ object TextOps {
         delta.unionByName(corpus), idCol, textCol, n).cache()
       verifyJaccard(sh, candsLazy, threshold)
     }
+  }
+
+  // ---- persisted MinHash signature store (d23 — d11's production shape) ---
+  //
+  // [[incrementalJaccardPairs]] notes that in production the corpus
+  // sketch is precomputed and stored; this is that store. Layout:
+  //
+  //   <path>/_params                      sketch parameters, written once
+  //   <path>/batches/<uuid>/part-*.parquet  (__id, __b, __key) band keys
+  //
+  // An append stages its batch directory as <path>/_staging_<uuid> and
+  // RENAMES it into batches/ — one atomic commit point, so a crashed
+  // append leaves nothing visible (torn = absent; readers list batches/
+  // only). Appends are immutable and redelivery-safe by construction:
+  // a duplicate append of the same documents only duplicates band keys,
+  // and candidate generation distincts pairs, so the served answer
+  // cannot double-count — the only cost is store bytes (unlike the ANN
+  // index, where a redelivered batch double-counts rows and needs the
+  // ledger). Deletes are out of scope: dedup-store entries describe
+  // immutable historical documents; retiring docs means rebuilding the
+  // store, not tombstoning it.
+
+  private def storeParams(n: Int, numHashes: Int, bands: Int): String =
+    s"n=$n,numHashes=$numHashes,bands=$bands"
+
+  private def storeFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Verify (or, on first write, record) the store's sketch parameters.
+    * A sketch read or appended under DIFFERENT parameters is silently
+    * wrong (band keys from different hash families never match — the
+    * probe would return zero pairs, not an error), so the mismatch must
+    * fail loudly — the ledger-lineage lesson applied here. */
+  private def checkOrWriteParams(spark: SparkSession, path: String,
+      n: Int, numHashes: Int, bands: Int, write: Boolean): Unit = {
+    val fs = storeFs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(s"$path/_params")
+    val want = storeParams(n, numHashes, bands)
+    if (fs.exists(p)) {
+      val got = {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }
+      require(got == want,
+        s"signature store at $path was built with ($got); refusing to " +
+          s"${if (write) "append" else "probe"} with ($want) — band keys " +
+          "from different sketch families never match, which would read " +
+          "as a silent empty answer instead of this error")
+    } else if (write) {
+      val out = fs.create(p, false)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    } else {
+      throw new IllegalStateException(
+        s"no signature store at $path (missing _params)")
+    }
+  }
+
+  /** Append `docs`' exploded LSH band keys to the store at `path` as
+    * one atomically-committed batch (stage + rename). Linear per-doc
+    * work, no shuffle: sketch → explode → write. */
+  def appendToSignatureStore(docs: DataFrame, idCol: String,
+      textCol: String, path: String,
+      n: Int, numHashes: Int, bands: Int): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val spark = docs.sparkSession
+    checkOrWriteParams(spark, path, n, numHashes, bands, write = true)
+    val fs = storeFs(spark, path)
+    val id = java.util.UUID.randomUUID().toString
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_staging_$id")
+    val committed = new org.apache.hadoop.fs.Path(s"$path/batches/$id")
+    hashedShingleSets(docs, idCol, textCol, n)
+      .select(col("__id"),
+        MinHashSig.column(spark, col("__sh"), numHashes).as("__sig"))
+      .select(col("__id"),
+        posexplode(lshBandKeys(col("__sig"), bands, numHashes / bands))
+          .as(Seq("__b", "__key")))
+      .write.parquet(staging.toString)
+    fs.mkdirs(committed.getParent)
+    if (!fs.rename(staging, committed)) {
+      fs.delete(staging, true)
+      throw new IllegalStateException(
+        s"could not commit signature batch $id to $path")
+    }
+  }
+
+  /** Build a fresh signature store (parameters file + first batch). */
+  def buildSignatureStore(corpus: DataFrame, idCol: String,
+      textCol: String, path: String,
+      n: Int, numHashes: Int, bands: Int): Unit =
+    appendToSignatureStore(corpus, idCol, textCol, path, n, numHashes, bands)
+
+  /** The committed band-key frame: batches/ only — staging directories
+    * (in-flight or crashed appends) are invisible by construction. */
+  private def signatureStoreKeys(spark: SparkSession,
+      path: String): DataFrame = {
+    val fs = storeFs(spark, path)
+    val base = new org.apache.hadoop.fs.Path(s"$path/batches")
+    val dirs =
+      if (!fs.exists(base)) Array.empty[String]
+      else fs.listStatus(base).filter(_.isDirectory).map(_.getPath.toString)
+    require(dirs.nonEmpty, s"signature store at $path has no committed batches")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** [[incrementalJaccardPairs]] SERVED FROM THE STORE: only the delta
+    * is sketched; the standing corpus' band keys stream off parquet
+    * (sketched once at ingest, reused by every daily run — the cost a
+    * 100 TB corpus cannot pay per delta is exactly the one this store
+    * removes). Exact-Jaccard verification re-shingles ONLY the corpus
+    * docs that appear as candidates: the candidate id set is tiny (the
+    * near-dup fraction of the delta), so the semi-join prunes the
+    * corpus scan to a sliver instead of re-reading it.
+    *
+    * Same output contract and recall family as
+    * [[incrementalJaccardPairs]] — the d23 gate pins store-served ==
+    * compute-in-place, and the DuckDB oracle is d11's verbatim. */
+  def incrementalJaccardPairsFromStore(delta: DataFrame,
+      corpus: DataFrame, idCol: String, textCol: String,
+      storePath: String,
+      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val spark = delta.sparkSession
+    checkOrWriteParams(spark, storePath, n, numHashes, bands, write = false)
+    val dSh = hashedShingleSets(delta, idCol, textCol, n).cache()
+    dSh.count() // eager: two readers below (band keys + verification)
+    val dKeys = dSh
+      .select(col("__id"),
+        MinHashSig.column(spark, col("__sh"), numHashes).as("__sig"))
+      .select(col("__id").as("id_a"),
+        posexplode(lshBandKeys(col("__sig"), bands, numHashes / bands))
+          .as(Seq("__b", "__key")))
+    val cKeys = signatureStoreKeys(spark, storePath)
+      .select(col("__id").as("id_b"), col("__b"), col("__key"))
+    // delta band keys are the small side: broadcast them so the
+    // store scan never shuffles (a corpus-sized exchange per daily run
+    // is the thing we just built a store to avoid)
+    val cands = broadcast(dKeys).join(cKeys, Seq("__b", "__key"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .localCheckpoint(true) // tiny; cut loose so caches release below
+    val candCorpusSh = hashedShingleSets(
+      corpus.join(
+        broadcast(cands.select(col("id_b").as(idCol)).distinct()),
+        Seq(idCol), "left_semi"),
+      idCol, textCol, n)
+    val sh = dSh.unionByName(candCorpusSh).cache()
+    val out = verifyJaccard(sh, cands, threshold).localCheckpoint(true)
+    sh.unpersist(); dSh.unpersist()
+    out
   }
 
   /** Edit-distance-1 similarity join via deletion signatures (the FastSS

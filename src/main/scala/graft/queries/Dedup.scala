@@ -569,6 +569,45 @@ object Dedup {
         ORDER BY id_a, id_b"""),
       bench = true),
 
+    // ---- d23: incremental dedup served from the persisted sketch store ----
+    // d11's production shape made real: the standing corpus' band keys
+    // are built ONCE ([[TextOps.buildSignatureStore]] — atomic staged
+    // batch commits) and the daily probe sketches only the delta,
+    // streams the stored keys off parquet (no corpus re-sketch, no
+    // corpus-sized shuffle — the delta side broadcasts), and re-shingles
+    // only candidate corpus docs via a pruning semi-join. Same pair
+    // semantics and LSH family as d11, so its oracle applies verbatim;
+    // the store lifecycle (append equivalence, torn-append invisibility,
+    // parameter fencing) is pinned in DedupOpsSuite.
+    QueryDef(
+      "d23_dedup_store",
+      (s, d) => {
+        val docs = Tables.corpus(s, d)
+        val delta = docs.where(col("doc_id") % 20 === 0)
+        val standing = docs.where(col("doc_id") % 20 =!= 0)
+        val path = java.nio.file.Files
+          .createTempDirectory("d23_sigstore_").toString
+        TextOps.buildSignatureStore(standing, "doc_id", "text", path,
+          n = 3, numHashes = 128, bands = 32)
+        TextOps.incrementalJaccardPairsFromStore(delta, standing,
+            "doc_id", "text", path,
+            n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        $oracleShingles, ex AS (
+          SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+                 any_value(a.n) AS na, any_value(b.n) AS nb
+          FROM ex a JOIN ex b
+            ON a.s = b.s AND a.doc_id % 20 = 0 AND b.doc_id % 20 != 0
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, CAST(shared AS DOUBLE)/(na+nb-shared) AS jac
+        FROM pairs WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5
+        ORDER BY id_a, id_b""")),
+
     // ---- d12: cluster-representative selection ----------------------------
     // the curation DECISION on top of d06: per near-dup cluster keep the
     // best document (longest by token count, doc_id tiebreak) instead of

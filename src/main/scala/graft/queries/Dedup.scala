@@ -174,6 +174,25 @@ object Dedup {
         FROM sh LEFT JOIN agg USING (doc_id)
         WHERE sh.doc_id % 50 <> 0 ORDER BY doc_id"""
 
+  /** The exact delta-x-corpus shingle-overlap replay — the shared
+    * oracle of d11 (compute-in-place), d23 (store-served), and w25
+    * (streamed per micro-batch): all three declare the same pair set,
+    * and the LSH family (128 hashes / 32 bands) has ~total recall at
+    * the planted >=0.5 similarities, same as d03. */
+  private[queries] lazy val incrementalDedupOracle: String = s"""
+        $oracleShingles, ex AS (
+          SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+                 any_value(a.n) AS na, any_value(b.n) AS nb
+          FROM ex a JOIN ex b
+            ON a.s = b.s AND a.doc_id % 20 = 0 AND b.doc_id % 20 != 0
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, CAST(shared AS DOUBLE)/(na+nb-shared) AS jac
+        FROM pairs WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5
+        ORDER BY id_a, id_b"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- d01: exact dedup via content-hash groupBy ------------------------
@@ -554,19 +573,7 @@ object Dedup {
             threshold = 0.5)
           .orderBy("id_a", "id_b")
       },
-      Some(s"""
-        $oracleShingles, ex AS (
-          SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
-        ), pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
-                 any_value(a.n) AS na, any_value(b.n) AS nb
-          FROM ex a JOIN ex b
-            ON a.s = b.s AND a.doc_id % 20 = 0 AND b.doc_id % 20 != 0
-          GROUP BY 1, 2
-        )
-        SELECT id_a, id_b, CAST(shared AS DOUBLE)/(na+nb-shared) AS jac
-        FROM pairs WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5
-        ORDER BY id_a, id_b"""),
+      Some(incrementalDedupOracle),
       bench = true),
 
     // ---- d23: incremental dedup served from the persisted sketch store ----
@@ -594,19 +601,7 @@ object Dedup {
             n = 3, numHashes = 128, bands = 32, threshold = 0.5)
           .orderBy("id_a", "id_b")
       },
-      Some(s"""
-        $oracleShingles, ex AS (
-          SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
-        ), pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
-                 any_value(a.n) AS na, any_value(b.n) AS nb
-          FROM ex a JOIN ex b
-            ON a.s = b.s AND a.doc_id % 20 = 0 AND b.doc_id % 20 != 0
-          GROUP BY 1, 2
-        )
-        SELECT id_a, id_b, CAST(shared AS DOUBLE)/(na+nb-shared) AS jac
-        FROM pairs WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5
-        ORDER BY id_a, id_b""")),
+      Some(incrementalDedupOracle)),
 
     // ---- d12: cluster-representative selection ----------------------------
     // the curation DECISION on top of d06: per near-dup cluster keep the

@@ -654,6 +654,20 @@ object Windows {
           .orderBy("doc_id"),
       Some(Dedup.bloomDecontaminateOracle)),
 
+    // ---- w25: streaming incremental dedup against the signature store -----
+    // d23's daily probe as a stream: per-file micro-batches, each
+    // probing the persisted standing-corpus store via foreachBatch;
+    // every delta doc pairs only against the static store, so the
+    // per-batch union is batching-invariant and the shared
+    // delta-x-corpus oracle applies verbatim.
+    QueryDef(
+      "w25_stream_dedup_store",
+      (s, d) =>
+        graft.streaming.Streams
+          .dedupStoreProbeStreamGate(s, s"$d/documents.parquet")
+          .orderBy("id_a", "id_b"),
+      Some(Dedup.incrementalDedupOracle)),
+
     // ---- w16: stream-static AS-OF enrichment through the engine -----------
     // a04's semantics run incrementally: each streamed purchase joins
     // the latest static view at-or-before its event time (broadcast

@@ -948,6 +948,48 @@ object Streams {
     spark.table(sink)
   }
 
+  /** w25's gate: STREAMING incremental dedup against the persisted
+    * signature store — d23's daily-ingest probe driven by Structured
+    * Streaming: the standing corpus' band keys are built once, the
+    * delta arrives as a stream (one file per micro-batch), and each
+    * batch runs the store-served probe in `foreachBatch` (the probe
+    * caches/checkpoints internally, so it needs a batch frame — the
+    * same reason w20/w23 use foreachBatch for index maintenance).
+    * Every delta doc pairs only against the STATIC store, so the union
+    * of per-batch pair sets is batching-invariant and d23's oracle
+    * (= d11's) transfers verbatim. The probe-AND-APPEND loop — where
+    * later deltas also dedup against earlier ones — is pinned
+    * deterministically in [[graft.StreamingSuite]] instead (its answer
+    * depends on batch membership, which a file stream doesn't
+    * guarantee). */
+  def dedupStoreProbeStreamGate(spark: SparkSession,
+      docsPath: String): DataFrame = {
+    import graft.functions.TextOps
+    val store = java.nio.file.Files
+      .createTempDirectory(s"w25_store_${gateRunSeq.incrementAndGet()}_")
+      .toString
+    val docs = spark.read.parquet(docsPath)
+    val standing = docs.where(col("doc_id") % 20 =!= 0)
+    TextOps.buildSignatureStore(standing, "doc_id", "text", store,
+      n = 3, numHashes = 128, bands = 32)
+    val outDir = java.nio.file.Files
+      .createTempDirectory(s"w25_out_${gateRunSeq.incrementAndGet()}_")
+      .toString
+    val stream = eventStream(spark, docsPath, Some(1))
+      .where(col("doc_id") % 20 === 0)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TextOps.incrementalJaccardPairsFromStore(batch, standing,
+            "doc_id", "text", store,
+            n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** w20's gate: STREAMING index ingest — the s18/s19 serving lifecycle
     * driven by Structured Streaming: the index bootstraps from the 16
     * codebook vectors, the rest of the corpus arrives as a stream and

@@ -795,6 +795,43 @@ class StreamingSuite extends SparkSuite {
     assert(streamed.exists(_.getLong(2) > 0), "no contamination detected")
   }
 
+  test("w25 probe-and-append loop: later deltas dedup against earlier ones") {
+    // the full daily-ingest lifecycle the w25 gate's probe-only stream
+    // deliberately leaves out (batch membership isn't guaranteed by a
+    // file stream): wave i probes the store, THEN appends itself, so
+    // wave i+1's duplicates of wave i are caught only if the append
+    // really landed. Chained duplicates across three waves make every
+    // append observable.
+    import graft.functions.TextOps
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta one"
+    val t2 = "unique text for wave one xyz"
+    val t3 = "second wave fresh content qrs"
+    val standing = Seq((1L, t1)).toDF("doc_id", "text")
+    val waves = Seq(
+      Seq((101L, t1), (102L, t2)),          // 101 dups standing
+      Seq((201L, t2), (202L, t3)),          // 201 dups wave 1
+      Seq((301L, t3))                       // 301 dups wave 2
+    ).map(_.toDF("doc_id", "text"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_w25_loop_").toString
+    TextOps.buildSignatureStore(standing, "doc_id", "text", store,
+      n = 3, numHashes = 128, bands = 32)
+    var corpusSoFar = standing
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    waves.foreach { wave =>
+      got ++= TextOps.incrementalJaccardPairsFromStore(wave, corpusSoFar,
+          "doc_id", "text", store,
+          n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+      TextOps.appendToSignatureStore(wave, "doc_id", "text", store,
+        n = 3, numHashes = 128, bands = 32)
+      corpusSoFar = corpusSoFar.unionByName(wave)
+    }
+    assert(got.toSet == Set((101L, 1L), (201L, 102L), (301L, 202L)),
+      s"probe-and-append chain broken: $got")
+  }
+
   test("chunkOverlap rejects carry columns that collide with its outputs") {
     import spark.implicits._
     val df = Seq((1L, "a b c", 7L)).toDF("doc_id", "text", "chunk_md5")

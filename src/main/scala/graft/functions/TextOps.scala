@@ -753,10 +753,22 @@ object TextOps {
       corpus.join(
         broadcast(cands.select(col("id_b").as(idCol)).distinct()),
         Seq(idCol), "left_semi"),
-      idCol, textCol, n)
+      idCol, textCol, n).cache()
+    // CONTRACT CHECK: `corpus` must contain every doc the store knows —
+    // a candidate whose id is missing from `corpus` would otherwise be
+    // dropped by the verify join, i.e. a MISSED duplicate with no error
+    // (store/corpus desync: the store was appended, the corpus frame
+    // wasn't). Both sides of the compare are candidate-sliver-sized.
+    val wantIds = cands.select(col("id_b")).distinct().count()
+    val haveIds = candCorpusSh.count()
+    require(haveIds == wantIds,
+      s"signature store at $storePath references ${wantIds - haveIds} " +
+        "candidate doc(s) absent from the supplied corpus frame — the " +
+        "store and the corpus have diverged; pass the corpus the store " +
+        "was built+appended from, or rebuild the store")
     val sh = dSh.unionByName(candCorpusSh).cache()
     val out = verifyJaccard(sh, cands, threshold).localCheckpoint(true)
-    sh.unpersist(); dSh.unpersist()
+    sh.unpersist(); candCorpusSh.unpersist(); dSh.unpersist()
     out
   }
 
@@ -984,9 +996,12 @@ object TextOps {
     * positives at the classic (1-e^(-k*n/m))^k rate — size `mBits` to
     * ~10-20 bits per benchmark shingle (the bitmap scales with the
     * BENCHMARK, which is fixed and small, never with the corpus). The
-    * md5 double-hash positions are oracle-expressible, so DuckDB
-    * rebuilds the identical bitmap and the scorecard matches exactly,
-    * false positives included. */
+    * bitmap rides the plan as an array literal; Spark ships the
+    * serialized task binary itself via TorrentBroadcast, so even a
+    * 2^27-bit (16 MiB) production bitmap crosses the wire once per
+    * executor, not per task. The md5 double-hash positions are
+    * oracle-expressible, so DuckDB rebuilds the identical bitmap and
+    * the scorecard matches exactly, false positives included. */
   def bloomDecontaminate(train: DataFrame, eval_ : DataFrame,
       idCol: String, textCol: String, n: Int,
       mBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {

@@ -750,6 +750,17 @@ class DedupOpsSuite extends SparkSuite {
         "doc_id", "text", tmpStore(), n = 3, numHashes = 128, bands = 32,
         threshold = 0.5)
     }
+    // store/corpus desync is loud, not a silently missed duplicate: drop
+    // a doc the store knows (and that forms a candidate) from the
+    // supplied corpus frame
+    val someMatch = before.head._2
+    val desyncErr = intercept[IllegalArgumentException] {
+      TextOps.incrementalJaccardPairsFromStore(delta,
+        standing.where(col("doc_id") =!= someMatch),
+        "doc_id", "text", store, n = 3, numHashes = 128, bands = 32,
+        threshold = 0.5)
+    }
+    assert(desyncErr.getMessage.contains("diverged"), desyncErr.getMessage)
   }
 
   test("signature store: the probe sketches only the delta") {

@@ -763,6 +763,33 @@ class DedupOpsSuite extends SparkSuite {
     assert(desyncErr.getMessage.contains("diverged"), desyncErr.getMessage)
   }
 
+  test("signature store: concurrent appends both commit — no lease needed") {
+    // the lock-free claim exercised: two appends race from separate
+    // threads (distinct staged dirs, distinct batch uuids); both must
+    // land and the probe must see the union, equal to a serial build
+    val delta = docs.where(col("doc_id") % 20 === 0)
+    val standing = docs.where(col("doc_id") % 20 =!= 0)
+    val halves = Seq(
+      standing.where(col("doc_id") % 2 === 0),
+      standing.where(col("doc_id") % 2 =!= 0))
+    val racy = tmpStore()
+    // params stamp first (the one create-exclusive step), then race
+    TextOps.buildSignatureStore(halves.head.limit(0), "doc_id", "text",
+      racy, n = 3, numHashes = 128, bands = 32)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(halves.map(h => Future {
+      TextOps.appendToSignatureStore(h, "doc_id", "text", racy,
+        n = 3, numHashes = 128, bands = 32)
+    })), 120.seconds)
+    val serial = tmpStore()
+    TextOps.buildSignatureStore(standing, "doc_id", "text", serial,
+      n = 3, numHashes = 128, bands = 32)
+    assert(pairsVia(racy, delta, standing) == pairsVia(serial, delta, standing),
+      "racing appends lost or duplicated pairs")
+  }
+
   test("signature store: the probe sketches only the delta") {
     val delta = docs.where(col("doc_id") % 20 === 0)
     val standing = docs.where(col("doc_id") % 20 =!= 0)

@@ -83,8 +83,14 @@ object BloomFilterOps {
     * `('0x' || substr(md5(s), 1|17, 16))::UBIGINT & 9223372036854775807`,
     * so a bloom built on these positions is reproducible bit-for-bit —
     * FALSE POSITIVES INCLUDED — in the oracle. */
+  // per-thread digest (the SimHash64 pattern): getInstance per shingle
+  // would be a JCA provider lookup + allocation inside the per-row loop
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   @inline private def md5Pair(s: org.apache.spark.unsafe.types.UTF8String): (Long, Long) = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+    val md = Md5.get(); md.reset()
+    val d = md.digest(s.getBytes)
     @inline def be(off: Int): Long = {
       var h = 0L; var i = off
       while (i < off + 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }

@@ -758,14 +758,18 @@ object TextOps {
     // a candidate whose id is missing from `corpus` would otherwise be
     // dropped by the verify join, i.e. a MISSED duplicate with no error
     // (store/corpus desync: the store was appended, the corpus frame
-    // wasn't). Both sides of the compare are candidate-sliver-sized.
-    val wantIds = cands.select(col("id_b")).distinct().count()
-    val haveIds = candCorpusSh.count()
-    require(haveIds == wantIds,
-      s"signature store at $storePath references ${wantIds - haveIds} " +
-        "candidate doc(s) absent from the supplied corpus frame — the " +
-        "store and the corpus have diverged; pass the corpus the store " +
-        "was built+appended from, or rebuild the store")
+    // wasn't). An anti-join on the id SET, not a row-count compare — a
+    // duplicated corpus id must not be able to mask a missing one.
+    // Both sides are candidate-sliver-sized.
+    val missing = cands.select(col("id_b")).distinct()
+      .join(candCorpusSh.select(col("__id").as("id_b")), Seq("id_b"),
+        "left_anti")
+      .count()
+    require(missing == 0L,
+      s"signature store at $storePath references $missing candidate " +
+        "doc(s) absent from the supplied corpus frame — the store and " +
+        "the corpus have diverged; pass the corpus the store was " +
+        "built+appended from, or rebuild the store")
     val sh = dSh.unionByName(candCorpusSh).cache()
     val out = verifyJaccard(sh, cands, threshold).localCheckpoint(true)
     sh.unpersist(); candCorpusSh.unpersist(); dSh.unpersist()
@@ -1006,12 +1010,17 @@ object TextOps {
       idCol: String, textCol: String, n: Int,
       mBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
     val spark = train.sparkSession
+    // stage toks -> shingles so the split isn't re-evaluated per window
+    // element (the shingles() pitfall: a raw split inside the transform
+    // lambda re-tokenizes once per window — O(tokens^2) per row)
     val bitmap = eval_
-      .select(explode(shingles(tokens(col(textCol)), n)).as("__s"))
+      .select(tokens(col(textCol)).as("__toks"))
+      .select(explode(shingles(col("__toks"), n)).as("__s"))
       .select(Md5BloomAgg.column(spark, col("__s"), mBits, numHashes).as("bm"))
       .head().getSeq[Long](0)
     train
-      .select(col(idCol), shingles(tokens(col(textCol)), n).as("__sh"))
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), shingles(col("__toks"), n).as("__sh"))
       .select(col(idCol),
         size(col("__sh")).cast("long").as("n_shingles"),
         BloomTextHits.column(spark,

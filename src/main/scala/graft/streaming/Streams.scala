@@ -987,7 +987,12 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    // explicit schema: an all-empty run writes no parquet part files
+    // (only _SUCCESS markers), and schema inference would throw where
+    // the true answer is simply zero pairs
+    spark.read
+      .schema("id_a BIGINT, id_b BIGINT, jac DOUBLE")
+      .parquet(outDir)
   }
 
   /** w20's gate: STREAMING index ingest — the s18/s19 serving lifecycle

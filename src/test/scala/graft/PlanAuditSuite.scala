@@ -675,6 +675,40 @@ class PlanAuditSuite extends SparkSuite {
       s"only the output sort may shuffle, found $exchanges exchanges:\n$p")
   }
 
+  test("d23: store probe broadcasts the delta keys — the store scan never shuffles") {
+    // the operator localCheckpoints its result (lineage is severed), so
+    // pin the candidate-join stage by building it the way the probe
+    // does: delta band keys broadcast-joined against the store's
+    // parquet scan. The store exists so the corpus-sized side stays
+    // where it is — an exchange under the join defeats its purpose.
+    import graft.functions.{TextOps, MinHashSig}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_d23_plan_").toString
+    TextOps.buildSignatureStore(docs.where(col("doc_id") % 20 =!= 0),
+      "doc_id", "text", store, n = 3, numHashes = 128, bands = 32)
+    val dKeys = TextOps
+      .hashedShingleSets(docs.where(col("doc_id") % 20 === 0),
+        "doc_id", "text", 3)
+      .select(col("__id"),
+        MinHashSig.column(spark, col("__sh"), 128).as("__sig"))
+      .select(col("__id").as("id_a"),
+        posexplode(TextOps.lshBandKeys(col("__sig"), 32, 4))
+          .as(Seq("__b", "__key")))
+    val cKeys = spark.read
+      .parquet(new java.io.File(s"$store/batches").listFiles()
+        .map(_.toString): _*)
+      .select(col("__id").as("id_b"), col("__b"), col("__key"))
+    val joined = broadcast(dKeys).join(cKeys, Seq("__b", "__key"))
+      .select("id_a", "id_b").distinct()
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the band-key join must broadcast the delta side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge band join means the store scan shuffled:\n$p")
+  }
+
   test("s20: compacted index scan is dynamically partition-pruned to the probed buckets") {
     val df = SparkEntry.queries("s20_ann_index_compact")(spark, sf)
     df.collect() // DPP materializes in the final adaptive plan

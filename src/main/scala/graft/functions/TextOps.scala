@@ -714,6 +714,49 @@ object TextOps {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Fold the store's accumulated append batches into one — a year of
+    * daily appends is 365 directories of small files, paid on every
+    * probe's listing and scan. Unlike the ANN index's compaction, this
+    * needs NO lease and NO ledger: store reads are idempotent under
+    * duplicate keys (candidates are distinct-ed), so every crash and
+    * every race degrades to harmless duplication, never data loss —
+    *
+    *  - captured batch dirs are merged into a new batch committed by
+    *    the same staged-rename as an append; a crash BEFORE the commit
+    *    leaves only the staging dir (invisible);
+    *  - consumed dirs are deleted AFTER the commit; a crash mid-delete
+    *    leaves some inputs alongside the merged batch = duplicate keys
+    *    = same answers;
+    *  - an append landing after the capture is neither read nor
+    *    deleted — it survives untouched;
+    *  - two concurrent compactions each commit a merged copy and
+    *    delete the same inputs = duplicate keys = same answers.
+    *
+    * All four interleavings are suite-pinned. Coalesce to a modest
+    * partition count: band keys are 20 bytes/row, so even a 100 TB
+    * corpus' store (~#docs x bands rows) compacts to a few hundred
+    * healthy parquet files. */
+  def compactSignatureStore(spark: SparkSession, path: String,
+      numFiles: Int = 8): Unit = {
+    val fs = storeFs(spark, path)
+    val base = new org.apache.hadoop.fs.Path(s"$path/batches")
+    if (!fs.exists(base)) return
+    val consumed = fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+    if (consumed.length <= 1) return // nothing to fold
+    val id = java.util.UUID.randomUUID().toString
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_staging_$id")
+    spark.read.parquet(consumed.map(_.toString): _*)
+      .coalesce(numFiles)
+      .write.parquet(staging.toString)
+    val committed = new org.apache.hadoop.fs.Path(s"$path/batches/$id")
+    if (!fs.rename(staging, committed)) {
+      fs.delete(staging, true)
+      throw new IllegalStateException(
+        s"could not commit compacted signature batch $id to $path")
+    }
+    consumed.foreach(fs.delete(_, true))
+  }
+
   /** [[incrementalJaccardPairs]] SERVED FROM THE STORE: only the delta
     * is sketched; the standing corpus' band keys stream off parquet
     * (sketched once at ingest, reused by every daily run — the cost a
@@ -725,8 +768,23 @@ object TextOps {
     *
     * Same output contract and recall family as
     * [[incrementalJaccardPairs]] — the d23 gate pins store-served ==
-    * compute-in-place, and the DuckDB oracle is d11's verbatim. */
+    * compute-in-place, and the DuckDB oracle is d11's verbatim.
+    *
+    * Safe under concurrent [[compactSignatureStore]]: the probe is
+    * eager (everything materializes inside), so a compaction deleting a
+    * consumed batch dir mid-scan surfaces here as an FNF-caused
+    * failure, and the whole probe re-runs ONCE against a re-listed
+    * layout ([[VectorOps.withMaintenanceRetry]] — the post-commit
+    * layout carries the same key multiset by construction). */
   def incrementalJaccardPairsFromStore(delta: DataFrame,
+      corpus: DataFrame, idCol: String, textCol: String,
+      storePath: String,
+      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame =
+    VectorOps.withMaintenanceRetry(
+      probeSignatureStoreOnce(delta, corpus, idCol, textCol, storePath,
+        n, numHashes, bands, threshold))
+
+  private def probeSignatureStoreOnce(delta: DataFrame,
       corpus: DataFrame, idCol: String, textCol: String,
       storePath: String,
       n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
@@ -734,6 +792,17 @@ object TextOps {
     val spark = delta.sparkSession
     checkOrWriteParams(spark, storePath, n, numHashes, bands, write = false)
     val dSh = hashedShingleSets(delta, idCol, textCol, n).cache()
+    try probeWithDeltaSketch(dSh, corpus, idCol, textCol, storePath,
+      n, numHashes, bands, threshold)
+    finally dSh.unpersist() // success path checkpointed; failure path (FNF
+                            // retry) must not leak the attempt's cache
+  }
+
+  private def probeWithDeltaSketch(dSh: DataFrame,
+      corpus: DataFrame, idCol: String, textCol: String,
+      storePath: String,
+      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val spark = dSh.sparkSession
     dSh.count() // eager: two readers below (band keys + verification)
     val dKeys = dSh
       .select(col("__id"),
@@ -771,9 +840,8 @@ object TextOps {
         "the corpus have diverged; pass the corpus the store was " +
         "built+appended from, or rebuild the store")
     val sh = dSh.unionByName(candCorpusSh).cache()
-    val out = verifyJaccard(sh, cands, threshold).localCheckpoint(true)
-    sh.unpersist(); candCorpusSh.unpersist(); dSh.unpersist()
-    out
+    try verifyJaccard(sh, cands, threshold).localCheckpoint(true)
+    finally { sh.unpersist(); candCorpusSh.unpersist() }
   }
 
   /** Edit-distance-1 similarity join via deletion signatures (the FastSS

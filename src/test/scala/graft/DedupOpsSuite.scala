@@ -790,6 +790,47 @@ class DedupOpsSuite extends SparkSuite {
       "racing appends lost or duplicated pairs")
   }
 
+  test("signature store: compaction folds batches and every crash window is harmless") {
+    val delta = docs.where(col("doc_id") % 20 === 0)
+    val standing = docs.where(col("doc_id") % 20 =!= 0)
+    val store = tmpStore()
+    Seq(
+      standing.where(col("doc_id") % 3 === 0),
+      standing.where(col("doc_id") % 3 === 1),
+      standing.where(col("doc_id") % 3 === 2)
+    ).foreach(part => TextOps.appendToSignatureStore(part,
+      "doc_id", "text", store, n = 3, numHashes = 128, bands = 32))
+    val before = pairsVia(store, delta, standing)
+    def batchDirs = new java.io.File(s"$store/batches").listFiles()
+      .filter(_.isDirectory)
+    assert(batchDirs.length == 3)
+    TextOps.compactSignatureStore(spark, store)
+    assert(batchDirs.length == 1, "compaction must fold the batches")
+    assert(pairsVia(store, delta, standing) == before,
+      "compaction changed the served answer")
+    // the crash-mid-delete window: a consumed input surviving next to
+    // the merged batch = duplicate keys, which must not change answers
+    // (the idempotence that lets this compaction run lease-free)
+    val merged = batchDirs.head
+    val dupDir = new java.io.File(s"$store/batches/dup-copy")
+    org.apache.commons.io.FileUtils.copyDirectory(merged, dupDir)
+    assert(batchDirs.length == 2)
+    assert(pairsVia(store, delta, standing) == before,
+      "duplicate keys (crash-mid-delete state) changed the served answer")
+    // an append landing after the capture survives compaction: its
+    // docs keep being served alongside the merged history
+    TextOps.compactSignatureStore(spark, store) // fold the dup back in
+    val lateText = standing.limit(1).select("text").first().getString(0)
+    import spark.implicits._
+    val late = Seq((999999L, lateText)).toDF("doc_id", "text")
+    TextOps.appendToSignatureStore(late, "doc_id", "text", store,
+      n = 3, numHashes = 128, bands = 32)
+    val withLate = pairsVia(store, delta,
+      standing.select("doc_id", "text").unionByName(late))
+    assert(before.toSet.subsetOf(withLate.toSet),
+      "post-compaction append lost earlier history")
+  }
+
   test("signature store: the probe sketches only the delta") {
     val delta = docs.where(col("doc_id") % 20 === 0)
     val standing = docs.where(col("doc_id") % 20 =!= 0)

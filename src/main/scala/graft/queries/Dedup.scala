@@ -46,7 +46,7 @@ object Dedup {
       "FROM scored WHERE hamming <= 11 ORDER BY id_a, id_b"
   }
 
-  private val oracleShingles = """
+  private[queries] val oracleShingles = """
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
     ), sh AS (

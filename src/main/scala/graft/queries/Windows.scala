@@ -668,6 +668,35 @@ object Windows {
           .orderBy("id_a", "id_b"),
       Some(Dedup.incrementalDedupOracle)),
 
+    // ---- w26: store probe-AND-append accretion, ordered-ingest oracle -----
+    // the full daily lifecycle as a stream with DETERMINISTIC batch
+    // membership (three waves keyed by (doc_id div 20) % 3): each wave
+    // dedups against the standing corpus plus every earlier wave, then
+    // appends itself. The oracle replays the ordered-ingest semantics
+    // exactly: a pair exists iff id_b is standing OR id_b's wave
+    // strictly precedes id_a's.
+    QueryDef(
+      "w26_stream_dedup_accrete",
+      (s, d) =>
+        graft.streaming.Streams
+          .dedupAccreteStreamGate(s, s"$d/documents.parquet")
+          .orderBy("id_a", "id_b"),
+      Some(s"""
+        ${Dedup.oracleShingles}, ex AS (
+          SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+                 any_value(a.n) AS na, any_value(b.n) AS nb
+          FROM ex a JOIN ex b
+            ON a.s = b.s AND a.doc_id % 20 = 0
+           AND (b.doc_id % 20 <> 0
+                OR ((b.doc_id // 20) % 3) < ((a.doc_id // 20) % 3))
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, CAST(shared AS DOUBLE)/(na+nb-shared) AS jac
+        FROM pairs WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5
+        ORDER BY id_a, id_b""")),
+
     // ---- w16: stream-static AS-OF enrichment through the engine -----------
     // a04's semantics run incrementally: each streamed purchase joins
     // the latest static view at-or-before its event time (broadcast

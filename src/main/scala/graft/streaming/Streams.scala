@@ -995,6 +995,65 @@ object Streams {
       .parquet(outDir)
   }
 
+  /** w26's gate: the signature store's full PROBE-AND-APPEND lifecycle
+    * as a stream — each micro-batch dedups against the standing corpus
+    * AND every batch that came before it, then appends itself. Batch
+    * membership must be deterministic for this to be oracle-checkable
+    * (which doc saw which store state decides the pair set), so the
+    * delta feeds through a MemoryStream in three fixed WAVES keyed by
+    * `(doc_id div 20) % 3` — the wave index is plain integer arithmetic
+    * the oracle replays: a pair (a, b) appears iff b is standing OR
+    * b's wave precedes a's. w25 stays the probe-only file-stream gate
+    * (a file source does not guarantee batch membership); this gate
+    * completes it with the ordered-ingest semantics the suite's
+    * chained-duplicate test pins by hand. The per-wave `addData` is a
+    * delta-sized driver collect — gate plumbing, not the operator (the
+    * production path streams from files/connector as in w25). */
+  def dedupAccreteStreamGate(spark: SparkSession,
+      docsPath: String): DataFrame = {
+    import graft.functions.TextOps
+    import spark.implicits._
+    val docs = spark.read.parquet(docsPath).select("doc_id", "text")
+    val standing = docs.where(col("doc_id") % 20 =!= 0)
+    val store = java.nio.file.Files
+      .createTempDirectory(s"w26_store_${gateRunSeq.incrementAndGet()}_")
+      .toString
+    TextOps.buildSignatureStore(standing, "doc_id", "text", store,
+      n = 3, numHashes = 128, bands = 32)
+    val outDir = java.nio.file.Files
+      .createTempDirectory(s"w26_out_${gateRunSeq.incrementAndGet()}_")
+      .toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // `docs` (the full frame) is a superset of everything the store
+        // can reference at any point in the accretion — the desync
+        // guard needs containment, not equality
+        TextOps.incrementalJaccardPairsFromStore(batch, docs,
+            "doc_id", "text", store,
+            n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+          .write.mode("append").parquet(outDir)
+        TextOps.appendToSignatureStore(batch, "doc_id", "text", store,
+          n = 3, numHashes = 128, bands = 32)
+      }
+      .start()
+    try {
+      (0 until 3).foreach { w =>
+        val wave = docs
+          .where(col("doc_id") % 20 === 0)
+          .where(expr("(doc_id div 20) % 3") === w)
+          .as[(Long, String)].collect()
+        input.addData(wave.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.read
+      .schema("id_a BIGINT, id_b BIGINT, jac DOUBLE")
+      .parquet(outDir)
+  }
+
   /** w20's gate: STREAMING index ingest — the s18/s19 serving lifecycle
     * driven by Structured Streaming: the index bootstraps from the 16
     * codebook vectors, the rest of the corpus arrives as a stream and

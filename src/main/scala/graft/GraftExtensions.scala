@@ -67,5 +67,7 @@ object GraftExtensions {
     TopKAgg.ensureRegistered(spark)
     graft.functions.BloomAgg.ensureRegistered(spark)
     graft.functions.BloomMightContain.ensureRegistered(spark)
+    graft.functions.Md5BloomAgg.ensureRegistered(spark)
+    graft.functions.BloomTextHits.ensureRegistered(spark)
   }
 }

@@ -64,6 +64,16 @@ class ExtensionsSuite extends AnyFunSuite {
     val ds = spark.sql("SELECT graft_deletion_sigs('abc') AS d")
       .head().getSeq[Long](0)
     assert(ds.length == 4, "s plus its three single-char deletions")
+
+    // md5-position bloom pair: build a bitmap over grams in SQL, then
+    // count hits — an inserted gram always hits (no false negatives)
+    val bmHits = spark.sql(
+      """SELECT graft_bloom_text_hits(
+           (SELECT graft_md5_bloom_agg(g, 1024, 5)
+            FROM (SELECT explode(array('a b', 'c d')) AS g)),
+           array('a b', 'z z'), 5) AS h""")
+      .head().getInt(0)
+    assert(bmHits >= 1, "inserted gram must hit the bloom")
   }
 
   test("graft_intersect_size agrees with array_intersect on random sorted sets") {

@@ -38,20 +38,18 @@ object Bench {
   private val FloorFile = "BENCH_floor.json"
 
   /** A sample is over its floor band — and must re-time / taints the
-    * clean verdict — when it exceeds 2.5x the floor with 1s of excess,
-    * OR (r10 verdict) 1.75x the floor with 1.5s of excess, OR (r12
-    * verdict) 2.0x the floor with 0.75s of excess. The second term
-    * closes the mid-band escape: s07's 3.67s over a 1.51s floor was
-    * only 2.42x (under the ratio gate) but carried +2.16s of real
-    * excess and landed in a clean:true window. The third term closes
-    * the small-floor 2x escape: q01's 2.43s over a 1.204s floor was
-    * 2.02x — past the judge's 2x gate — but its 1.23s excess was under
-    * both earlier terms, so it never re-timed. Any query with a floor
-    * below ~1.5s could previously cross 2x without triggering the
-    * machinery built for exactly that. */
+    * clean verdict — when it exceeds 1.75x the floor with 1.5s of
+    * excess (r10 verdict: s07's 3.67s over a 1.51s floor was only
+    * 2.42x, under the original 2.5x ratio gate, but carried +2.16s of
+    * real excess and landed in a clean:true window), OR 2.0x the floor
+    * with 0.75s of excess (r12 verdict: q01's 2.43s over a 1.204s
+    * floor was 2.02x — past the judge's 2x gate — with only 1.23s of
+    * excess; any floor below ~1.5s could cross 2x without triggering
+    * the machinery built for exactly that). The original 2.5x+1.0s
+    * term is fully implied by the 2.0x+0.75s term and was removed as
+    * dead (code-review finding). */
   private[graft] def overFloorBand(floor: Double, v: Double): Boolean =
-    (v > 2.5 * floor && v > floor + 1.0) ||
-      (v > 1.75 * floor && v > floor + 1.5) ||
+    (v > 1.75 * floor && v > floor + 1.5) ||
       (v > 2.0 * floor && v > floor + 0.75)
 
   /** Comma-separated query names: when set, this process is a fresh-JVM
@@ -291,7 +289,7 @@ object Bench {
     // in-band pollution marking: the driver's gate must see a believable
     // number or an explicit suspect flag, never silently-garbage timings
     val loadSuspect = math.min(loadStart, loadEnd) > cores * 1.5
-    // same floor rules as the retry trigger (2.5x+1s OR 1.75x+1.5s), so a
+    // same floor rules as the retry trigger (1.75x+1.5s OR 2x+0.75s), so a
     // window only reports clean:true when every accepted sample is within
     // the band its own retry trigger enforces
     val slowVsFloor = results.filter { case (name, v) =>

@@ -982,7 +982,13 @@ object TextOps {
     * island merge. Nothing quadratic, nothing driver-side. */
   def dupSubstringSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val sh = shingleSites(df, idCol, textCol, k)
+    // cache the expensive stage (tokenize + per-window fold): sh feeds
+    // both the duplicate aggregate and the join probe, and without the
+    // barrier each consumer re-runs the whole O(tokens*k) pipeline
+    // (code-review finding). Eager count() — the d02/p01 lesson:
+    // concurrent first readers of an unpopulated cache each recompute.
+    val sh = shingleSites(df, idCol, textCol, k).cache()
+    sh.count()
     val dup = sh.groupBy("h").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= 2).select("h")
     val sites = sh.join(dup, "h").select("doc_id", "pos")
@@ -1001,7 +1007,13 @@ object TextOps {
       textCol: String, k: Int): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("n_tokens"))
-    val sh = shingleSites(df, idCol, textCol, k)
+    // cache twice along the pyramid (code-review finding): sh (the
+    // O(tokens*k) fold) feeds the firsts aggregate AND the join probe;
+    // sites (the duplicated SLIVER, typically a small fraction) feeds
+    // both island merges. Eager count()s — the d02/p01 concurrent-
+    // first-reader lesson.
+    val sh = shingleSites(df, idCol, textCol, k).cache()
+    sh.count()
     val firsts = sh.groupBy("h")
       .agg(count(lit(1)).as("__c"),
         min(struct(col("doc_id"), col("pos"))).as("__f"))
@@ -1010,6 +1022,8 @@ object TextOps {
       .select(col("doc_id"), col("pos"),
         (col("doc_id") === col("__f.doc_id") &&
           col("pos") === col("__f.pos")).as("__isf"))
+      .cache()
+    sites.count()
     val dupMass = dupIslands(sites, k)
       .groupBy("doc_id")
       .agg(sum(col("__hi") - col("__lo") + k).as("dup_tokens"))

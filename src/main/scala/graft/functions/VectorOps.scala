@@ -365,6 +365,21 @@ object VectorOps {
         if (fs.exists(parent) && listSubDirs(fs, parent).isEmpty)
           fs.delete(parent, true)
       }
+    } else {
+      // redelivery of a ledger-recorded batch: normally nothing to do,
+      // but a PRIOR attempt that crashed between its partition write
+      // and its post-write re-check delete left an orphan that would
+      // double-serve once the manifest retires (code-review finding) —
+      // this retry is the natural place to reconcile it (the compactor
+      // also drops ledgered orphans at capture, covering streams that
+      // never retry)
+      val partition = hp(s"$path/assignments_stream/ingest_batch=$batchId")
+      if (fs.exists(partition)) {
+        fs.delete(partition, true)
+        val parent = hp(s"$path/assignments_stream")
+        if (fs.exists(parent) && listSubDirs(fs, parent).isEmpty)
+          fs.delete(parent, true)
+      }
     }
   }
 
@@ -402,21 +417,60 @@ object VectorOps {
             s"Hand-write the original stream's lineage to " +
             s"$BatchLedgerDir/$LineageName to resume, or start a fresh " +
             "root.")
-        // first append on this root: stamp it (staging + rename so a
-        // concurrent reader never sees a torn stamp; two appenders of
-        // the SAME stream write the same bytes, so the last rename
-        // winning is benign)
+        // first append on this root: the AUTHORITY is a create-exclusive
+        // claim (atomic on local FS and HDFS), because stage+rename
+        // alone is not a fence — POSIX rename overwrites, so two
+        // DIFFERENT fresh lineages racing their first append could both
+        // "win" and both write batch 0 before any mismatch fired
+        // (code-review finding). The loser of the create reads the
+        // winner's claim and fails loudly on a different lineage; the
+        // readable stamp is then written by anyone who verified (same
+        // bytes, races benign), self-healing a claim-then-crash.
+        val claim = hp(s"$path/$BatchLedgerDir/$LineageName.claim")
+        try {
+          val out = fs.create(claim, false)
+          try out.write(s"${lineage.trim}\n$ClaimEnd".getBytes("UTF-8"))
+          finally out.close()
+        } catch { case _: java.io.IOException => () /* lost the race */ }
+        val winner = readLineageClaim(fs, claim)
+        if (winner != lineage.trim) throw new IllegalStateException(
+          s"stream-lineage mismatch at $path: a concurrent first append " +
+          s"claimed lineage '$winner' but this appender carries " +
+          s"'$lineage' — two different fresh streams are feeding the " +
+          "same root; give each its own index root.")
         val staging = hp(s"$path/$BatchLedgerDir/$LineageName.tmp." +
           java.util.UUID.randomUUID())
         val out = fs.create(staging, true)
         try out.write(lineage.trim.getBytes("UTF-8"))
         finally out.close()
-        if (!fs.rename(staging, stamp)) {
-          // lost a same-stream race: verify the winner wrote our lineage
-          fs.delete(staging, false)
-          checkStreamLineage(fs, path, lineage)
-        }
+        if (!fs.rename(staging, stamp)) fs.delete(staging, false)
     }
+  }
+
+  private val ClaimEnd = "#END"
+
+  /** Read the lineage claim, tolerating a briefly-torn read (the writer
+    * is between create and close): the terminator marks a complete
+    * body; retry a few times, then fail loudly rather than guess. */
+  private def readLineageClaim(fs: org.apache.hadoop.fs.FileSystem,
+      claim: HPath): String = {
+    var attempt = 0
+    while (attempt < 20) {
+      val body =
+        if (!fs.exists(claim)) ""
+        else {
+          val in = fs.open(claim)
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        }
+      val lines = body.split("\n", -1)
+      if (lines.length >= 2 && lines(1).startsWith(ClaimEnd))
+        return lines(0).trim
+      attempt += 1
+      Thread.sleep(50)
+    }
+    throw new IllegalStateException(
+      s"lineage claim at $claim unreadable (torn or missing after " +
+        "the claim race) — cannot establish which stream owns this root")
   }
 
   /** Derive a stream lineage from a DURABLE checkpoint location: the
@@ -867,21 +921,48 @@ object VectorOps {
   private final class LeaseHeartbeat(fs: org.apache.hadoop.fs.FileSystem,
       lease: HPath, uuid: String, intervalMs: Long) {
     private val fenced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    private val closing = new java.util.concurrent.atomic.AtomicBoolean(false)
     private val stopped = new java.util.concurrent.CountDownLatch(1)
     private val thread = new Thread(() => {
       while (!fenced.get() && !stopped.await(intervalMs,
           java.util.concurrent.TimeUnit.MILLISECONDS)) {
         try {
-          if (readLeaseBody(fs, lease).flatMap(leaseUuidOf).contains(uuid))
-            writeLeaseBody(fs, lease,
-              s"${System.currentTimeMillis()} $uuid")
-          else fenced.set(true)
+          if (readLeaseBody(fs, lease).flatMap(leaseUuidOf).contains(uuid)) {
+            // re-check closing just before the write: a tick that read
+            // the lease, then stalled across close()+release, would
+            // otherwise re-CREATE the just-deleted lease — an orphan no
+            // holder releases, blocking compactors until the TTL
+            // (code-review finding)
+            if (!closing.get())
+              writeLeaseBody(fs, lease,
+                s"${System.currentTimeMillis()} $uuid")
+          } else fenced.set(true)
         } catch { case _: java.io.IOException => () }
       }
     }, "graft-compaction-lease-heartbeat")
     thread.setDaemon(true)
     thread.start()
-    def close(): Unit = { stopped.countDown(); thread.join(2000) }
+
+    def close(): Unit = {
+      closing.set(true)
+      stopped.countDown()
+      thread.join(2000)
+    }
+
+    /** Called AFTER releaseCompactionLease: reap a lease our own
+      * stalled tick resurrected post-release. Recognizable by uuid —
+      * ours is safe to delete, a successor's is never touched. A tick
+      * stalled past this bounded sweep is the same TTL-priced residual
+      * the class doc states (the mtime fallback still expires it). */
+    def reapResurrection(): Unit = {
+      val deadline = System.currentTimeMillis() + 3000
+      while (thread.isAlive && System.currentTimeMillis() < deadline)
+        thread.join(100)
+      try {
+        if (readLeaseBody(fs, lease).flatMap(leaseUuidOf).contains(uuid))
+          fs.delete(lease, false)
+      } catch { case _: java.io.IOException => () }
+    }
     def checkNotFenced(): Unit =
       if (fenced.get()) throw new IllegalStateException(
         s"compaction fenced out: lease $lease no longer carries this " +
@@ -1044,6 +1125,7 @@ object VectorOps {
     } finally {
       heartbeat.close()
       releaseCompactionLease(fs, lease, uuid)
+      heartbeat.reapResurrection()
     }
   }
 
@@ -1059,7 +1141,21 @@ object VectorOps {
     // capture the consumed inputs BEFORE the rewrite: anything that
     // lands after this point is neither read nor deleted
     val plainFiles = listDataFiles(fs, hp(s"$path/assignments"))
-    val batchDirs = listSubDirs(fs, hp(s"$path/assignments_stream"))
+    // ORPHAN RECONCILIATION (code-review finding): a crashed appender —
+    // dead between its redelivered partition write and its post-write
+    // re-check delete — leaves a stream partition whose batch id is
+    // already in the ledger. Its rows live in the compacted layout, so
+    // reading it here would bake the duplicates in permanently, and
+    // later redeliveries no-op at the pre-check without touching it.
+    // Under the lease is the safe place to drop it: delete, don't read.
+    val ledgered = compactedBatchIds(fs, path)
+    val (orphanDirs, batchDirs) =
+      listSubDirs(fs, hp(s"$path/assignments_stream")).partition { d =>
+        scala.util.Try(
+          d.getName.stripPrefix("ingest_batch=").toLong).toOption
+          .exists(ledgered.contains)
+      }
+    orphanDirs.foreach(fs.delete(_, true))
     val tombFiles = listDataFiles(fs, hp(s"$path/tombstones"))
     val compacted = hp(s"$path/$CompactDir")
     val hadCompacted = fs.exists(compacted)

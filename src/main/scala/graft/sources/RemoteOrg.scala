@@ -126,13 +126,15 @@ object RemoteOrgRegistry {
     if (local != null) local
     else recipe match {
       case Some(r) =>
-        val cached = rebuilt.get(name)
-        if (cached != null && cached._1 == r) cached._2
-        else {
-          val o = r.build()
-          rebuilt.put(name, (r, o))
-          o
-        }
+        // single-flight per name (code-review finding): the bare
+        // check-then-put let every concurrent task of a micro-batch run
+        // the expensive build() (a full parquet re-insert for the sim
+        // recipe, an extra HTTP client per loser otherwise) and drop
+        // all but one result unclosed. compute() serializes per key:
+        // one builder, everyone else reuses its org.
+        rebuilt.compute(name, (_, cached) =>
+          if (cached != null && cached._1 == r) cached
+          else (r, r.build()))._2
       case None => throw new IllegalStateException(
         s"org '$name' is not resident in this JVM and its scan " +
         "partition carries no OrgRecipe. A multi-executor-JVM scan " +

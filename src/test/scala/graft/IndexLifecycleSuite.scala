@@ -192,13 +192,20 @@ class IndexLifecycleSuite extends SparkSuite {
         stopAfter = Int.MaxValue, leaseTtlMs = ttl, stepDelayMs = 1000L,
         onAfterAcquire = () => started.countDown())
     } finally holderDone.set(true)
-    rival.join(5000)
+    rival.join(15000)
     val seen = outcomes.toArray(Array.empty[String]).toSeq
+    // termination race (code-review finding): a rival iteration that
+    // passed the !holderDone check between the holder's own lease
+    // RELEASE (inside compactPinnedIvfIndexSteps) and the finally
+    // above may legitimately acquire the freed lease — drop trailing
+    // acquisitions, they are post-release, not a fence breach (the
+    // layout stays exact either way: `served` is asserted below)
+    val contended = seen.reverse.dropWhile(_ == "acquired").reverse
     // the holder held the lease for 6 paced steps (~6s) against a
     // 3s TTL: without renewal the rival would have broken it
-    assert(seen.count(_ == "refused") >= 2,
+    assert(contended.count(_ == "refused") >= 2,
       s"rival never contended while the holder was slow: $seen")
-    assert(seen.forall(_ == "refused"),
+    assert(contended.forall(_ == "refused"),
       s"rival got past a live heartbeating lease: $seen")
     assert(served(path) == expected, "slow heartbeating compaction wrong")
     assert(!new java.io.File(path, "_compaction.lock").exists(),

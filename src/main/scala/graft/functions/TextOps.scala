@@ -617,6 +617,7 @@ object TextOps {
   //
   //   <path>/_params                      sketch parameters, written once
   //   <path>/batches/<uuid>/part-*.parquet  (__id, __b, __key) band keys
+  //   <path>/tombstones/<uuid>/part-*.parquet  (__id) retracted doc ids
   //
   // An append stages its batch directory as <path>/_staging_<uuid> and
   // RENAMES it into batches/ — one atomic commit point, so a crashed
@@ -626,9 +627,12 @@ object TextOps {
   // and candidate generation distincts pairs, so the served answer
   // cannot double-count — the only cost is store bytes (unlike the ANN
   // index, where a redelivered batch double-counts rows and needs the
-  // ledger). Deletes are out of scope: dedup-store entries describe
-  // immutable historical documents; retiring docs means rebuilding the
-  // store, not tombstoning it.
+  // ledger). Retiring a doc does NOT rebuild the store: a tombstone
+  // batch ([[retractFromSignatureStore]], same staged-rename commit)
+  // masks its keys at every probe, and compaction folds the masked
+  // keys away for good. Duplicate tombstones and tombstones for ids
+  // the store never held are harmless no-ops, so retraction inherits
+  // the append path's lock-free redelivery safety.
 
   private def storeParams(n: Int, numHashes: Int, bands: Int): String =
     s"n=$n,numHashes=$numHashes,bands=$bands"
@@ -701,6 +705,56 @@ object TextOps {
       n: Int, numHashes: Int, bands: Int): Unit =
     appendToSignatureStore(corpus, idCol, textCol, path, n, numHashes, bands)
 
+  /** Retract documents from the store: commit `docIds` (a one-column
+    * frame of the retracted ids) as a tombstone batch via the same
+    * staged-rename as an append. Every subsequent probe masks the
+    * tombstoned ids' band keys; [[compactSignatureStore]] folds the
+    * masked keys (and the consumed tombstones) away for good. The ANN
+    * index's tombstone pattern without its ledger: a duplicate or
+    * unknown-id tombstone only re-masks (or masks nothing), so no
+    * lease and no redelivery bookkeeping are needed.
+    *
+    * Retraction wins over every batch present at probe time, including
+    * appends committed AFTER the tombstone — re-adding a retracted doc
+    * requires a compaction first (fold the tombstone away), matching
+    * the semantics that a retracted doc has left the corpus. */
+  def retractFromSignatureStore(docIds: DataFrame, path: String): Unit = {
+    val spark = docIds.sparkSession
+    val fs = storeFs(spark, path)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_params")),
+      s"no signature store at $path (missing _params)")
+    require(docIds.columns.length == 1,
+      s"tombstone frame must be a single id column, " +
+        s"got ${docIds.columns.toSeq}")
+    val id = java.util.UUID.randomUUID().toString
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_staging_$id")
+    val committed = new org.apache.hadoop.fs.Path(s"$path/tombstones/$id")
+    docIds.toDF("__id").distinct().write.parquet(staging.toString)
+    fs.mkdirs(committed.getParent)
+    if (!fs.rename(staging, committed)) {
+      fs.delete(staging, true)
+      throw new IllegalStateException(
+        s"could not commit tombstone batch $id to $path")
+    }
+  }
+
+  /** Committed tombstone dirs (empty when no retraction ever ran). */
+  private def tombstoneDirs(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Array[org.apache.hadoop.fs.Path] = {
+    val base = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (!fs.exists(base)) Array.empty
+    else fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+  }
+
+  /** The live retracted-id frame, or None when nothing is retracted. */
+  private def signatureTombstones(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val dirs = tombstoneDirs(storeFs(spark, path), path)
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_.toString): _*)
+      .select("__id").distinct())
+  }
+
   /** The committed band-key frame: batches/ only — staging directories
     * (in-flight or crashed appends) are invisible by construction. */
   private def signatureStoreKeys(spark: SparkSession,
@@ -741,20 +795,34 @@ object TextOps {
     val fs = storeFs(spark, path)
     val base = new org.apache.hadoop.fs.Path(s"$path/batches")
     if (!fs.exists(base)) return
+    // capture tombstones BEFORE batches: a tombstone landing in the gap
+    // is simply not consumed (survives, keeps masking at probe), while
+    // the reverse order could fold a batch without a tombstone that was
+    // already visible to probes
+    val tombs = tombstoneDirs(fs, path)
     val consumed = fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
-    if (consumed.length <= 1) return // nothing to fold
+    if (consumed.length <= 1 && tombs.isEmpty) return // nothing to fold
     val id = java.util.UUID.randomUUID().toString
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging_$id")
-    spark.read.parquet(consumed.map(_.toString): _*)
-      .coalesce(numFiles)
-      .write.parquet(staging.toString)
+    val merged = spark.read.parquet(consumed.map(_.toString): _*)
+    val folded =
+      if (tombs.isEmpty) merged
+      else merged.join(
+        spark.read.parquet(tombs.map(_.toString): _*)
+          .select("__id").distinct(),
+        Seq("__id"), "left_anti")
+    folded.coalesce(numFiles).write.parquet(staging.toString)
     val committed = new org.apache.hadoop.fs.Path(s"$path/batches/$id")
     if (!fs.rename(staging, committed)) {
       fs.delete(staging, true)
       throw new IllegalStateException(
         s"could not commit compacted signature batch $id to $path")
     }
+    // batches first, THEN tombstones: a crash between the two leaves
+    // extra tombstones (a harmless no-op mask), while the reverse would
+    // resurrect retracted keys from not-yet-deleted input batches
     consumed.foreach(fs.delete(_, true))
+    tombs.foreach(fs.delete(_, true))
   }
 
   /** [[incrementalJaccardPairs]] SERVED FROM THE STORE: only the delta
@@ -769,6 +837,14 @@ object TextOps {
     * Same output contract and recall family as
     * [[incrementalJaccardPairs]] — the d23 gate pins store-served ==
     * compute-in-place, and the DuckDB oracle is d11's verbatim.
+    * Tombstoned ids ([[retractFromSignatureStore]]) are masked before
+    * candidate generation, so a retracted doc never pairs.
+    *
+    * `broadcastKeyLimit` gates the delta-side broadcast: at or below it
+    * (#delta_docs x bands band-key rows) the probe keeps its pinned
+    * shape (delta keys broadcast, store scan exchange-free); above it
+    * the probe degrades to a plain shuffled equi-join instead of dying
+    * on a forced over-sized broadcast.
     *
     * Safe under concurrent [[compactSignatureStore]]: the probe is
     * eager (everything materializes inside), so a compaction deleting a
@@ -779,21 +855,29 @@ object TextOps {
   def incrementalJaccardPairsFromStore(delta: DataFrame,
       corpus: DataFrame, idCol: String, textCol: String,
       storePath: String,
-      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame =
+      n: Int, numHashes: Int, bands: Int, threshold: Double,
+      broadcastKeyLimit: Long = defaultBroadcastKeyLimit): DataFrame =
     VectorOps.withMaintenanceRetry(
       probeSignatureStoreOnce(delta, corpus, idCol, textCol, storePath,
-        n, numHashes, bands, threshold))
+        n, numHashes, bands, threshold, broadcastKeyLimit))
+
+  /** Crossover for the probe's delta-side broadcast: #delta_docs x
+    * bands band-key rows at ~40 B/row in the hashed relation ≈ 160 MiB
+    * at this limit — comfortably inside a 4 GiB driver/executor, far
+    * past which a forced broadcast would die instead of degrade. */
+  private[graft] val defaultBroadcastKeyLimit: Long = 4L * 1024 * 1024
 
   private def probeSignatureStoreOnce(delta: DataFrame,
       corpus: DataFrame, idCol: String, textCol: String,
       storePath: String,
-      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+      n: Int, numHashes: Int, bands: Int, threshold: Double,
+      broadcastKeyLimit: Long): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val spark = delta.sparkSession
     checkOrWriteParams(spark, storePath, n, numHashes, bands, write = false)
     val dSh = hashedShingleSets(delta, idCol, textCol, n).cache()
     try probeWithDeltaSketch(dSh, corpus, idCol, textCol, storePath,
-      n, numHashes, bands, threshold)
+      n, numHashes, bands, threshold, broadcastKeyLimit)
     finally dSh.unpersist() // success path checkpointed; failure path (FNF
                             // retry) must not leak the attempt's cache
   }
@@ -801,21 +885,34 @@ object TextOps {
   private def probeWithDeltaSketch(dSh: DataFrame,
       corpus: DataFrame, idCol: String, textCol: String,
       storePath: String,
-      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+      n: Int, numHashes: Int, bands: Int, threshold: Double,
+      broadcastKeyLimit: Long): DataFrame = {
     val spark = dSh.sparkSession
-    dSh.count() // eager: two readers below (band keys + verification)
+    val deltaDocs = // eager: two readers below (band keys + verification)
+      dSh.count()
     val dKeys = dSh
       .select(col("__id"),
         MinHashSig.column(spark, col("__sh"), numHashes).as("__sig"))
       .select(col("__id").as("id_a"),
         posexplode(lshBandKeys(col("__sig"), bands, numHashes / bands))
           .as(Seq("__b", "__key")))
-    val cKeys = signatureStoreKeys(spark, storePath)
+    val storedKeys = signatureStoreKeys(spark, storePath)
+    val cKeys = signatureTombstones(spark, storePath)
+      .fold(storedKeys)(t => storedKeys.join(t, Seq("__id"), "left_anti"))
       .select(col("__id").as("id_b"), col("__b"), col("__key"))
-    // delta band keys are the small side: broadcast them so the
+    // delta band keys are USUALLY the small side: broadcast them so the
     // store scan never shuffles (a corpus-sized exchange per daily run
-    // is the thing we just built a store to avoid)
-    val cands = broadcast(dKeys).join(cKeys, Seq("__b", "__key"))
+    // is the thing we just built a store to avoid). But the hint is a
+    // command, not a suggestion — above the crossover (#delta_docs x
+    // bands key rows) a forced broadcast dies (driver OOM /
+    // broadcast-size error) instead of degrading, so a bulk-sized
+    // delta falls back to a plain equi-join and lets AQE plan the
+    // exchange it genuinely needs
+    val joined =
+      if (deltaDocs * bands <= broadcastKeyLimit)
+        broadcast(dKeys).join(cKeys, Seq("__b", "__key"))
+      else dKeys.join(cKeys, Seq("__b", "__key"))
+    val cands = joined
       .select(col("id_a"), col("id_b")).distinct()
       .localCheckpoint(true) // tiny; cut loose so caches release below
     val candCorpusSh = hashedShingleSets(
@@ -837,8 +934,11 @@ object TextOps {
     require(missing == 0L,
       s"signature store at $storePath references $missing candidate " +
         "doc(s) absent from the supplied corpus frame — the store and " +
-        "the corpus have diverged; pass the corpus the store was " +
-        "built+appended from, or rebuild the store")
+        "the corpus have diverged (retracted docs cannot trigger this: " +
+        "their keys are masked before candidate generation). If these " +
+        "docs were removed from the corpus, retract them " +
+        "(retractFromSignatureStore); otherwise pass the corpus the " +
+        "store was built+appended from, or rebuild the store")
     val sh = dSh.unionByName(candCorpusSh).cache()
     try verifyJaccard(sh, cands, threshold).localCheckpoint(true)
     finally { sh.unpersist(); candCorpusSh.unpersist() }

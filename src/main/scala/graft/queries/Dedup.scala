@@ -179,7 +179,8 @@ object Dedup {
     * (streamed per micro-batch): all three declare the same pair set,
     * and the LSH family (128 hashes / 32 bands) has ~total recall at
     * the planted >=0.5 similarities, same as d03. */
-  private[queries] lazy val incrementalDedupOracle: String = s"""
+  private[queries] def incrementalDedupOracleWhere(
+      extraCorpusPred: String): String = s"""
         $oracleShingles, ex AS (
           SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
         ), pairs AS (
@@ -187,11 +188,15 @@ object Dedup {
                  any_value(a.n) AS na, any_value(b.n) AS nb
           FROM ex a JOIN ex b
             ON a.s = b.s AND a.doc_id % 20 = 0 AND b.doc_id % 20 != 0
+               $extraCorpusPred
           GROUP BY 1, 2
         )
         SELECT id_a, id_b, CAST(shared AS DOUBLE)/(na+nb-shared) AS jac
         FROM pairs WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5
         ORDER BY id_a, id_b"""
+
+  private[queries] lazy val incrementalDedupOracle: String =
+    incrementalDedupOracleWhere("")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -602,6 +607,34 @@ object Dedup {
           .orderBy("id_a", "id_b")
       },
       Some(incrementalDedupOracle)),
+
+    // ---- d24: store probe after retraction — tombstoned docs never pair ----
+    // the store's delete path: docs leaving the corpus are RETRACTED
+    // (a tombstone batch, same staged-rename commit as an append), not
+    // rebuilt away. The probe masks tombstoned ids before candidate
+    // generation, so a retracted doc can neither pair nor trip the
+    // desync guard; compaction folds the masked keys for good
+    // (retract->compact->probe equivalence is pinned in DedupOpsSuite).
+    // Retraction set doc_id % 7 == 3 removes 1 of sf0.01's 2 planted
+    // pairs (and 4 of sf0.1's 27) — non-vacuous in both directions.
+    QueryDef(
+      "d24_dedup_store_retract",
+      (s, d) => {
+        val docs = Tables.corpus(s, d)
+        val delta = docs.where(col("doc_id") % 20 === 0)
+        val standing = docs.where(col("doc_id") % 20 =!= 0)
+        val path = java.nio.file.Files
+          .createTempDirectory("d24_sigstore_").toString
+        TextOps.buildSignatureStore(standing, "doc_id", "text", path,
+          n = 3, numHashes = 128, bands = 32)
+        TextOps.retractFromSignatureStore(
+          standing.where(col("doc_id") % 7 === 3).select("doc_id"), path)
+        TextOps.incrementalJaccardPairsFromStore(delta, standing,
+            "doc_id", "text", path,
+            n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(incrementalDedupOracleWhere("AND b.doc_id % 7 != 3"))),
 
     // ---- d12: cluster-representative selection ----------------------------
     // the curation DECISION on top of d06: per near-dup cluster keep the

@@ -853,4 +853,85 @@ class DedupOpsSuite extends SparkSuite {
     // and the served answer is still correct (non-vacuous)
     assert(out.count() > 0)
   }
+
+  test("signature store: above the broadcast gate the probe degrades to " +
+      "a shuffled join with identical pairs") {
+    // broadcastKeyLimit = 0 forces the over-gate path (a bulk-sized
+    // delta); the answer must be byte-identical to the pinned broadcast
+    // shape — the gate changes the exchange, never the pairs
+    val delta = docs.where(col("doc_id") % 20 === 0)
+    val standing = docs.where(col("doc_id") % 20 =!= 0)
+    val store = tmpStore()
+    TextOps.buildSignatureStore(standing, "doc_id", "text", store,
+      n = 3, numHashes = 128, bands = 32)
+    val viaBroadcast = pairsVia(store, delta, standing)
+    val viaShuffle = TextOps.incrementalJaccardPairsFromStore(delta,
+        standing, "doc_id", "text", store, n = 3, numHashes = 128,
+        bands = 32, threshold = 0.5, broadcastKeyLimit = 0L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+    assert(viaBroadcast.nonEmpty && viaShuffle == viaBroadcast,
+      s"over-gate fallback diverged: $viaShuffle vs $viaBroadcast")
+  }
+
+  test("signature store: retraction masks a doc at probe without rebuild") {
+    val delta = docs.where(col("doc_id") % 20 === 0)
+    val standing = docs.where(col("doc_id") % 20 =!= 0)
+    val store = tmpStore()
+    TextOps.buildSignatureStore(standing, "doc_id", "text", store,
+      n = 3, numHashes = 128, bands = 32)
+    val before = pairsVia(store, delta, standing)
+    assert(before.nonEmpty)
+    val victim = before.head._2 // a corpus doc that actually pairs
+    import spark.implicits._
+    TextOps.retractFromSignatureStore(
+      Seq(victim).toDF("doc_id"), store)
+    val after = pairsVia(store, delta, standing)
+    assert(!after.exists(_._2 == victim),
+      s"retracted doc $victim still pairs: $after")
+    // exactly the victim's pairs disappear — nothing else moves, and
+    // the full standing frame stays accepted (no desync error: the
+    // retracted doc is masked, not diverged)
+    assert(after == before.filterNot(_._2 == victim))
+    // retracting an id the store never held is a harmless no-op
+    TextOps.retractFromSignatureStore(Seq(-1L).toDF("doc_id"), store)
+    assert(pairsVia(store, delta, standing) == after)
+  }
+
+  test("signature store: compaction folds tombstoned keys away for good") {
+    val delta = docs.where(col("doc_id") % 20 === 0)
+    val standing = docs.where(col("doc_id") % 20 =!= 0)
+    val store = tmpStore()
+    Seq(
+      standing.where(col("doc_id") % 2 === 0),
+      standing.where(col("doc_id") % 2 =!= 0)
+    ).foreach(part => TextOps.appendToSignatureStore(part,
+      "doc_id", "text", store, n = 3, numHashes = 128, bands = 32))
+    val before = pairsVia(store, delta, standing)
+    val victim = before.head._2
+    import spark.implicits._
+    TextOps.retractFromSignatureStore(Seq(victim).toDF("doc_id"), store)
+    val masked = pairsVia(store, delta, standing)
+    TextOps.compactSignatureStore(spark, store)
+    // the tombstone dirs are consumed, the victim's keys are GONE from
+    // the folded batch (not merely masked), and answers are unchanged
+    assert(!new java.io.File(s"$store/tombstones").exists() ||
+      new java.io.File(s"$store/tombstones").listFiles()
+        .count(_.isDirectory) == 0,
+      "compaction must consume the tombstone batches")
+    val folded = spark.read.parquet(s"$store/batches/" +
+      new java.io.File(s"$store/batches").list().head)
+    assert(folded.where(col("__id") === victim).count() == 0,
+      "folded batch still holds the retracted doc's keys")
+    assert(pairsVia(store, delta, standing) == masked,
+      "compaction changed the post-retraction answer")
+    // a post-compaction re-add brings the doc back (the tombstone was
+    // folded away, so the new keys are live again)
+    val victimText = standing.where(col("doc_id") === victim)
+      .select("text").first().getString(0)
+    TextOps.appendToSignatureStore(
+      Seq((victim, victimText)).toDF("doc_id", "text"),
+      "doc_id", "text", store, n = 3, numHashes = 128, bands = 32)
+    assert(pairsVia(store, delta, standing) == before,
+      "re-added doc after tombstone fold must pair again")
+  }
 }

@@ -120,6 +120,11 @@ object BloomFilterOps {
     * are ALL set in `bits` — the per-document contamination hit count,
     * one static call per row from the generated code. */
   def md5HitCount(bits: ArrayData, arr: ArrayData, numHashes: Int): Int = {
+    // k < 1 would make the all-positions-set loop vacuous and count
+    // EVERY shingle as a hit — a silently wrong scorecard, so reject it
+    // here too (the aggregate side already does; this kernel is also
+    // reachable through the registered SQL function with any k)
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
     val m = bits.numElements().toLong * 64L
     if (m == 0L) return 0
     var hits = 0
@@ -135,6 +140,35 @@ object BloomFilterOps {
         while (all && j < numHashes) {
           val pos = (h1m + j.toLong * h2m) % m
           all = (bits.getLong((pos >>> 6).toInt) & (1L << (pos & 63L))) != 0L
+          j += 1
+        }
+        if (all) hits += 1
+      }
+      i += 1
+    }
+    hits
+  }
+
+  /** [[md5HitCount]] over a plain `long[]` bitmap — the broadcast-read
+    * variant ([[BloomBroadcastTextHits]]): the bitmap lives once per
+    * executor in the broadcast block, never in the plan or the row. */
+  def md5HitCountWords(bits: Array[Long], arr: ArrayData, numHashes: Int): Int = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    val m = bits.length.toLong * 64L
+    if (m == 0L) return 0
+    var hits = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val (h1, h2) = md5Pair(s)
+        val h1m = h1 % m; val h2m = h2 % m
+        var j = 0
+        var all = true
+        while (all && j < numHashes) {
+          val pos = (h1m + j.toLong * h2m) % m
+          all = (bits((pos >>> 6).toInt) & (1L << (pos & 63L))) != 0L
           j += 1
         }
         if (all) hits += 1
@@ -368,7 +402,15 @@ case class BloomTextHits(first: Expression, second: Expression, third: Expressio
     (first.dataType, second.dataType, third.dataType) match {
       case (ArrayType(LongType, _),
             ArrayType(org.apache.spark.sql.types.StringType, _), IntegerType) =>
-        TypeCheckResult.TypeCheckSuccess
+        third match {
+          // a k < 1 makes the all-positions-set loop vacuous — every
+          // shingle would count as a hit, silently: reject at analysis
+          // when k is a literal (the kernel's require() backstops the
+          // non-literal case at runtime)
+          case Literal(k: Int, _) if k < 1 => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName numHashes must be >= 1, got $k")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
       case _ => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects (array<bigint>, array<string>, int)")
     }
@@ -410,6 +452,56 @@ object BloomTextHits {
     org.apache.spark.sql.functions.call_function("graft_bloom_text_hits",
       bitmap, shingles, org.apache.spark.sql.functions.lit(numHashes))
   }
+}
+
+/** [[BloomTextHits]] reading its bitmap from a REAL Spark broadcast
+  * instead of a plan literal: at production sizing (2^27 bits = 16 MiB)
+  * a `typedlit` bitmap embeds 2M longs in every LogicalPlan copy,
+  * explain string and canonicalization pass — the DRIVER pays the
+  * literal on every plan operation even though executors receive the
+  * task binary only once. Here the plan carries an O(1) node; the
+  * bitmap crosses the wire once per executor as a broadcast block and
+  * the generated code reads it through a captured reference
+  * (`ctx.addReferenceObj`). Scoring arithmetic is [[BloomFilterOps
+  * .md5HitCountWords]] — the identical double-hash kernel, so the
+  * scorecard is bit-for-bit the literal path's (d22's oracle replays
+  * it unchanged). Not SQL-registrable (a broadcast handle cannot ride
+  * a function argument); the SQL surface keeps [[BloomTextHits]]. */
+case class BloomBroadcastTextHits(child: Expression,
+    bitmapBc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+    numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(numHashes >= 1, s"$prettyName numHashes must be >= 1, got $numHashes")
+
+  override val nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string> shingles")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bloom_text_hits_bc"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    BloomFilterOps.md5HitCountWords(bitmapBc.value,
+      arr.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val bcRef = ctx.addReferenceObj("bloomBitmapBc", bitmapBc,
+        classOf[org.apache.spark.broadcast.Broadcast[Array[Long]]].getName)
+      s"${ev.value} = graft.functions.BloomFilterOps.md5HitCountWords(" +
+        s"(long[]) $bcRef.value(), $arr, $numHashes);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomBroadcastTextHits =
+    copy(child = newChild)
 }
 
 /** Codegen membership test: `mightContain(bitmap, key, numHashes)`.

@@ -1182,10 +1182,12 @@ object TextOps {
     * positives at the classic (1-e^(-k*n/m))^k rate — size `mBits` to
     * ~10-20 bits per benchmark shingle (the bitmap scales with the
     * BENCHMARK, which is fixed and small, never with the corpus). The
-    * bitmap rides the plan as an array literal; Spark ships the
-    * serialized task binary itself via TorrentBroadcast, so even a
-    * 2^27-bit (16 MiB) production bitmap crosses the wire once per
-    * executor, not per task. The md5 double-hash positions are
+    * bitmap ships as a REAL `SparkContext.broadcast` read inside the
+    * codegen kernel ([[BloomBroadcastTextHits]]): once per executor
+    * over the wire, and — unlike the earlier `typedlit` form — O(1) in
+    * every plan copy, explain string and canonicalization pass, so a
+    * production 2^27-bit (16 MiB) bitmap costs the driver nothing per
+    * plan operation. The md5 double-hash positions are
     * oracle-expressible, so DuckDB rebuilds the identical bitmap and
     * the scorecard matches exactly, false positives included. */
   def bloomDecontaminate(train: DataFrame, eval_ : DataFrame,
@@ -1200,14 +1202,16 @@ object TextOps {
       .select(explode(shingles(col("__toks"), n)).as("__s"))
       .select(Md5BloomAgg.column(spark, col("__s"), mBits, numHashes).as("bm"))
       .head().getSeq[Long](0)
+    val bc = spark.sparkContext.broadcast(bitmap.toArray)
     train
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), shingles(col("__toks"), n).as("__sh"))
       .select(col(idCol),
         size(col("__sh")).cast("long").as("n_shingles"),
-        BloomTextHits.column(spark,
-            org.apache.spark.sql.functions.typedlit(bitmap), col("__sh"),
-            numHashes)
+        org.apache.spark.sql.GraftSqlBridge.column(
+            BloomBroadcastTextHits(
+              org.apache.spark.sql.GraftSqlBridge.expression(col("__sh")),
+              bc, numHashes))
           .cast("long").as("n_hit"))
   }
 

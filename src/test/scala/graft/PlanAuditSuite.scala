@@ -661,8 +661,13 @@ class PlanAuditSuite extends SparkSuite {
 
   test("d22: decontamination scores in the scan — no join, no agg, one sort exchange") {
     val p = plan("d22_bloom_decontaminate")
-    assert(p.contains("graft_bloom_text_hits"),
-      s"training side must score via the codegen bloom kernel:\n$p")
+    assert(p.contains("graft_bloom_text_hits_bc"),
+      s"training side must score via the broadcast-read bloom kernel:\n$p")
+    // the bitmap is a broadcast block, NOT a plan literal: 2^20 bits =
+    // 16384 longs would dwarf this bound if they ever rode the plan
+    // string again (the r13 typedlit form measured ~100 KiB here)
+    assert(p.length < 32 * 1024,
+      s"plan string carries the bitmap literal again (${p.length} chars)")
     assert(!p.contains("Join"),
       s"the corpus must never join the benchmark side — that is the " +
         s"operator's whole point:\n$p")

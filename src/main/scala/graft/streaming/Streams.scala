@@ -910,30 +910,48 @@ object Streams {
     spark.table(sink)
   }
 
-  /** w24's gate: STREAMING bloom decontamination — d22 run
-    * incrementally, the shape a live ingest pipeline needs: the
-    * benchmark bitmap is computed ONCE from the static eval suite
-    * (benchmarks change on release cadence, not per batch) and rides
-    * the stream's projection as a literal; every arriving document is
-    * scored IN ITS MICRO-BATCH by the same codegen kernel as the batch
-    * operator. The scoring is a stateless per-row transform — no
+  /** PRODUCTION streaming benchmark decontamination for unbounded
+    * document streams — d22 run incrementally, the shape a live ingest
+    * pipeline needs: the benchmark bitmap is computed ONCE from the
+    * static eval suite (benchmarks change on release cadence, not per
+    * batch) and ships as one broadcast block; every arriving document
+    * is scored IN ITS MICRO-BATCH by the same codegen kernel as the
+    * batch operator. The scoring is a stateless per-row transform — no
     * watermark, no state store, nothing to checkpoint beyond source
-    * offsets — so ANY batching reaches the identical scorecard, and
-    * d22's oracle transfers verbatim (maxFilesPerTrigger=1 forces
-    * multiple micro-batches so that claim is exercised, not assumed;
-    * [[graft.StreamingSuite]] additionally pins zero state operators).
-    *
+    * offsets — so ANY batching reaches the identical scorecard.
     * [[graft.functions.TextOps.bloomDecontaminate]] is reused AS IS:
     * its training side is a pure projection, which lifts to streaming
-    * unchanged — the eval side stays a batch frame. */
-  def bloomDecontaminateStreamGate(spark: SparkSession,
+    * unchanged — the eval side stays a batch frame. Returns the
+    * unstarted streaming scorecard frame (doc id, n_shingles, n_hit) —
+    * callers attach their own sink/trigger. */
+  def decontaminateStream(train: DataFrame, evalSuite: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      mBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    require(train.isStreaming,
+      "train must be a streaming frame (use TextOps.bloomDecontaminate " +
+        "for batch scoring)")
+    require(!evalSuite.isStreaming,
+      "the eval suite must be a static frame — its bitmap is computed " +
+        "once, at plan-build time")
+    graft.functions.TextOps.bloomDecontaminate(train, evalSuite,
+      idCol, textCol, n, mBits, numHashes)
+  }
+
+  /** w24's gate: [[decontaminateStream]] over the driver's fixture
+    * split (doc_id % 50 — eval suite vs training corpus) so d22's
+    * oracle transfers verbatim. maxFilesPerTrigger=1 forces multiple
+    * micro-batches so the batching-invariance claim is exercised, not
+    * assumed; [[graft.StreamingSuite]] additionally pins zero state
+    * operators. GATE-ONLY scope (the r10 convention): callers with
+    * real frames use [[decontaminateStream]]. */
+  private[graft] def bloomDecontaminateStreamGate(spark: SparkSession,
       docsPath: String): DataFrame = {
     val docs = eventStream(spark, docsPath, Some(1))
     val eval_ = spark.read.parquet(docsPath)
       .where(col("doc_id") % 50 === 0)
-    val scored = graft.functions.TextOps.bloomDecontaminate(
+    val scored = decontaminateStream(
       train = docs.where(col("doc_id") % 50 =!= 0),
-      eval_ = eval_, "doc_id", "text", n = 4)
+      evalSuite = eval_, "doc_id", "text", n = 4)
     val sink = s"w24_gate_${gateRunSeq.incrementAndGet()}"
     val q = scored.writeStream
       .format("memory").queryName(sink)
@@ -948,21 +966,60 @@ object Streams {
     spark.table(sink)
   }
 
+  /** PRODUCTION store-probe sink for unbounded document streams — the
+    * `foreachBatch` body of d23's daily-ingest loop (the probe caches
+    * and checkpoints internally, so it needs a batch frame — the same
+    * reason w20/w23 use foreachBatch for index maintenance): each
+    * micro-batch of arriving documents probes the persisted signature
+    * store for near-duplicates against the standing corpus and appends
+    * its `(id_a, id_b, jac)` pairs under `outDir`; with
+    * `accrete = true` the batch then appends ITSELF to the store, so
+    * later batches also dedup against it (the w26 lifecycle — under
+    * accretion the pair set depends on batch membership, which a file
+    * source does not guarantee: use a source with deterministic
+    * batching when the answer must be replayable). `corpus` must
+    * contain every doc the store can reference ([[graft.functions
+    * .TextOps.incrementalJaccardPairsFromStore]]'s desync guard);
+    * under accretion that means a superset of the standing corpus plus
+    * everything already streamed. Usage:
+    * {{{
+    * stream.writeStream.foreachBatch(
+    *   Streams.dedupStoreProbeBatch(corpus, "doc_id", "text",
+    *     store, outDir, n = 3, numHashes = 128, bands = 32,
+    *     threshold = 0.5, accrete = true)).start()
+    * }}} */
+  def dedupStoreProbeBatch(corpus: DataFrame, idCol: String,
+      textCol: String, storePath: String, outDir: String,
+      n: Int, numHashes: Int, bands: Int, threshold: Double,
+      accrete: Boolean = false): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      graft.functions.TextOps
+        .incrementalJaccardPairsFromStore(batch, corpus, idCol, textCol,
+          storePath, n, numHashes, bands, threshold)
+        .write.mode("append").parquet(outDir)
+      if (accrete)
+        graft.functions.TextOps.appendToSignatureStore(batch, idCol,
+          textCol, storePath, n, numHashes, bands)
+    }
+
+  /** The probe side's output schema — an all-empty run writes no
+    * parquet part files (only _SUCCESS), and schema inference would
+    * throw where the true answer is simply zero pairs. */
+  val dedupStorePairsSchema: String = "id_a BIGINT, id_b BIGINT, jac DOUBLE"
+
   /** w25's gate: STREAMING incremental dedup against the persisted
-    * signature store — d23's daily-ingest probe driven by Structured
-    * Streaming: the standing corpus' band keys are built once, the
-    * delta arrives as a stream (one file per micro-batch), and each
-    * batch runs the store-served probe in `foreachBatch` (the probe
-    * caches/checkpoints internally, so it needs a batch frame — the
-    * same reason w20/w23 use foreachBatch for index maintenance).
-    * Every delta doc pairs only against the STATIC store, so the union
-    * of per-batch pair sets is batching-invariant and d23's oracle
-    * (= d11's) transfers verbatim. The probe-AND-APPEND loop — where
-    * later deltas also dedup against earlier ones — is pinned
-    * deterministically in [[graft.StreamingSuite]] instead (its answer
-    * depends on batch membership, which a file stream doesn't
-    * guarantee). */
-  def dedupStoreProbeStreamGate(spark: SparkSession,
+    * signature store — [[dedupStoreProbeBatch]] (probe-only) driven by
+    * a file stream over the driver's fixture split: the standing
+    * corpus' band keys are built once, the delta arrives one file per
+    * micro-batch. Every delta doc pairs only against the STATIC store,
+    * so the union of per-batch pair sets is batching-invariant and
+    * d23's oracle (= d11's) transfers verbatim. The probe-AND-APPEND
+    * loop — where later deltas also dedup against earlier ones — is
+    * the w26 gate and [[graft.StreamingSuite]]'s hand-pinned chain
+    * (its answer depends on batch membership, which a file stream
+    * doesn't guarantee). GATE-ONLY scope: callers with real frames use
+    * [[dedupStoreProbeBatch]]. */
+  private[graft] def dedupStoreProbeStreamGate(spark: SparkSession,
       docsPath: String): DataFrame = {
     import graft.functions.TextOps
     val store = java.nio.file.Files
@@ -978,21 +1035,13 @@ object Streams {
     val stream = eventStream(spark, docsPath, Some(1))
       .where(col("doc_id") % 20 === 0)
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        TextOps.incrementalJaccardPairsFromStore(batch, standing,
-            "doc_id", "text", store,
-            n = 3, numHashes = 128, bands = 32, threshold = 0.5)
-          .write.mode("append").parquet(outDir)
-      }
+      .foreachBatch(dedupStoreProbeBatch(standing, "doc_id", "text",
+        store, outDir, n = 3, numHashes = 128, bands = 32,
+        threshold = 0.5))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // explicit schema: an all-empty run writes no parquet part files
-    // (only _SUCCESS markers), and schema inference would throw where
-    // the true answer is simply zero pairs
-    spark.read
-      .schema("id_a BIGINT, id_b BIGINT, jac DOUBLE")
-      .parquet(outDir)
+    spark.read.schema(dedupStorePairsSchema).parquet(outDir)
   }
 
   /** w26's gate: the signature store's full PROBE-AND-APPEND lifecycle
@@ -1009,7 +1058,7 @@ object Streams {
     * chained-duplicate test pins by hand. The per-wave `addData` is a
     * delta-sized driver collect — gate plumbing, not the operator (the
     * production path streams from files/connector as in w25). */
-  def dedupAccreteStreamGate(spark: SparkSession,
+  private[graft] def dedupAccreteStreamGate(spark: SparkSession,
       docsPath: String): DataFrame = {
     import graft.functions.TextOps
     import spark.implicits._
@@ -1026,18 +1075,13 @@ object Streams {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
+    // `docs` (the full frame) is a superset of everything the store
+    // can reference at any point in the accretion — the desync guard
+    // needs containment, not equality
     val q = input.toDF().toDF("doc_id", "text").writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // `docs` (the full frame) is a superset of everything the store
-        // can reference at any point in the accretion — the desync
-        // guard needs containment, not equality
-        TextOps.incrementalJaccardPairsFromStore(batch, docs,
-            "doc_id", "text", store,
-            n = 3, numHashes = 128, bands = 32, threshold = 0.5)
-          .write.mode("append").parquet(outDir)
-        TextOps.appendToSignatureStore(batch, "doc_id", "text", store,
-          n = 3, numHashes = 128, bands = 32)
-      }
+      .foreachBatch(dedupStoreProbeBatch(docs, "doc_id", "text",
+        store, outDir, n = 3, numHashes = 128, bands = 32,
+        threshold = 0.5, accrete = true))
       .start()
     try {
       (0 until 3).foreach { w =>
@@ -1049,9 +1093,7 @@ object Streams {
         q.processAllAvailable()
       }
     } finally q.stop()
-    spark.read
-      .schema("id_a BIGINT, id_b BIGINT, jac DOUBLE")
-      .parquet(outDir)
+    spark.read.schema(dedupStorePairsSchema).parquet(outDir)
   }
 
   /** w20's gate: STREAMING index ingest — the s18/s19 serving lifecycle

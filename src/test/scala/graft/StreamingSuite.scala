@@ -832,6 +832,93 @@ class StreamingSuite extends SparkSuite {
       s"probe-and-append chain broken: $got")
   }
 
+  test("decontaminateStream: production API over caller frames (no fixture)") {
+    // the public wrapper takes the caller's OWN train stream and eval
+    // frame — no doc_id % 50 split baked in. Split here is by text
+    // content, something the gate's fixture could never express.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_deco_api_").toString
+    import spark.implicits._
+    val evalRows = Seq(
+      (9001L, "held out benchmark question alpha beta gamma delta"),
+      (9002L, "another eval item with its own unique gram run"))
+    val trainRows = (1 to 60).map { i =>
+      val body =
+        if (i % 11 == 0) "held out benchmark question alpha beta gamma delta"
+        else s"clean doc $i " + (1 to 8).map(j => s"w${(i * 13 + j) % 53}").mkString(" ")
+      (i.toLong, body)
+    }
+    trainRows.toDF("doc_id", "text").repartition(3)
+      .write.parquet(s"$dir/train.parquet")
+    val evalDf = evalRows.toDF("doc_id", "text")
+    val train = Streams.eventStream(spark, s"$dir/train.parquet", Some(1))
+    val scored = Streams.decontaminateStream(train, evalDf,
+      "doc_id", "text", n = 4)
+    val sink = s"deco_api_${System.nanoTime()}"
+    val q = scored.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(sink).orderBy("doc_id").collect().toSeq
+    val batch = graft.functions.TextOps.bloomDecontaminate(
+        spark.read.parquet(s"$dir/train.parquet"), evalDf,
+        "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "wrapper scorecard diverged from the batch operator")
+    assert(streamed.exists(_.getLong(2) > 0), "no contamination detected")
+    // frame-shape misuse fails loudly at wiring time, not at runtime
+    intercept[IllegalArgumentException] {
+      Streams.decontaminateStream(
+        spark.read.parquet(s"$dir/train.parquet"), evalDf,
+        "doc_id", "text", n = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Streams.decontaminateStream(train,
+        Streams.eventStream(spark, s"$dir/train.parquet", None),
+        "doc_id", "text", n = 4)
+    }
+  }
+
+  test("dedupStoreProbeBatch: production foreachBatch helper probes and accretes") {
+    // the w25/w26 chained-duplicate lifecycle driven through the PUBLIC
+    // helper on a MemoryStream: each wave's duplicates of the previous
+    // wave are caught only if the helper's accretion really landed
+    import graft.functions.TextOps
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t1 = "alpha beta gamma delta one"
+    val t2 = "unique text for wave one xyz"
+    val t3 = "second wave fresh content qrs"
+    val standing = Seq((1L, t1)).toDF("doc_id", "text")
+    val everything = (standing.collect().map(r => (r.getLong(0), r.getString(1))) ++
+      Seq((101L, t1), (102L, t2), (201L, t2), (202L, t3), (301L, t3)))
+      .toSeq.toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_probebatch_store_").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_probebatch_out_").toString
+    TextOps.buildSignatureStore(standing, "doc_id", "text", store,
+      n = 3, numHashes = 128, bands = 32)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(Streams.dedupStoreProbeBatch(everything,
+        "doc_id", "text", store, outDir, n = 3, numHashes = 128,
+        bands = 32, threshold = 0.5, accrete = true))
+      .start()
+    try {
+      Seq(Seq((101L, t1), (102L, t2)), Seq((201L, t2), (202L, t3)),
+          Seq((301L, t3)))
+        .foreach { wave => input.addData(wave: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.read.schema(Streams.dedupStorePairsSchema)
+      .parquet(outDir).select("id_a", "id_b").as[(Long, Long)]
+      .collect().toSet
+    assert(got == Set((101L, 1L), (201L, 102L), (301L, 202L)),
+      s"helper-driven probe-and-append chain broken: $got")
+  }
+
   test("chunkOverlap rejects carry columns that collide with its outputs") {
     import spark.implicits._
     val df = Seq((1L, "a b c", 7L)).toDF("doc_id", "text", "chunk_md5")

@@ -651,23 +651,52 @@ object TextOps {
     val fs = storeFs(spark, path)
     val p = new org.apache.hadoop.fs.Path(s"$path/_params")
     val want = storeParams(n, numHashes, bands)
+    def readParams(): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
     if (fs.exists(p)) {
-      val got = {
-        val in = fs.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
+      val got = readParams()
+      if (got.isEmpty) {
+        // a torn _params (a crash inside a non-atomic first write, or a
+        // zero-byte file from an interrupted copy) must not permanently
+        // brick the store: a writer repairs it in place, a probe names
+        // the repair instead of failing forever with "built with ()"
+        if (write) fs.delete(p, false)
+        else throw new IllegalStateException(
+          s"signature store at $path has a torn (empty) _params file — " +
+            "a crashed build left it behind; re-run the build/append " +
+            "(which repairs it) before probing")
+      } else {
+        require(got == want,
+          s"signature store at $path was built with ($got); refusing to " +
+            s"${if (write) "append" else "probe"} with ($want) — band keys " +
+            "from different sketch families never match, which would read " +
+            "as a silent empty answer instead of this error")
+        return
       }
-      require(got == want,
-        s"signature store at $path was built with ($got); refusing to " +
-          s"${if (write) "append" else "probe"} with ($want) — band keys " +
-          "from different sketch families never match, which would read " +
-          "as a silent empty answer instead of this error")
-    } else if (write) {
-      val out = fs.create(p, false)
-      try out.write(want.getBytes("UTF-8")) finally out.close()
-    } else {
+    }
+    if (!write)
       throw new IllegalStateException(
         s"no signature store at $path (missing _params)")
+    // stage + rename (the batch-commit pattern): _params becomes visible
+    // only complete. Losing the rename race to a concurrent first build
+    // is fine IFF the winner wrote the same parameters — verify, don't
+    // throw a raw create/rename error (the lineage-stamp claim-verify
+    // move applied here).
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/_params_staging_${java.util.UUID.randomUUID()}")
+    fs.mkdirs(tmp.getParent)
+    val out = fs.create(tmp, false)
+    try out.write(want.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      val got = if (fs.exists(p)) readParams() else ""
+      require(got == want,
+        s"lost the _params race at $path to a build with ($got), " +
+          s"wanted ($want) — two concurrent first builds disagree on " +
+          "the sketch family; keep one")
     }
   }
 

@@ -357,14 +357,12 @@ object VectorOps {
       // consumed this batch between our pre-check and the write, its
       // ledger record (written before its deletes) is visible by now —
       // drop the recreated partition, the rows live in the compacted
-      // layout (plus the parent dir if that left it empty, the same
-      // hygiene cleanupConsumed applies)
-      if (compactedBatchIds(fs, path).contains(batchId)) {
+      // layout. ONLY the partition: an emptied parent dir is harmless
+      // (every reader content-guards), while a list-empty-then-delete
+      // of the parent races a concurrent appender's fresh partition
+      // into data loss (code-review finding)
+      if (compactedBatchIds(fs, path).contains(batchId))
         fs.delete(partition, true)
-        val parent = hp(s"$path/assignments_stream")
-        if (fs.exists(parent) && listSubDirs(fs, parent).isEmpty)
-          fs.delete(parent, true)
-      }
     } else {
       // redelivery of a ledger-recorded batch: normally nothing to do,
       // but a PRIOR attempt that crashed between its partition write
@@ -374,12 +372,8 @@ object VectorOps {
       // also drops ledgered orphans at capture, covering streams that
       // never retry)
       val partition = hp(s"$path/assignments_stream/ingest_batch=$batchId")
-      if (fs.exists(partition)) {
-        fs.delete(partition, true)
-        val parent = hp(s"$path/assignments_stream")
-        if (fs.exists(parent) && listSubDirs(fs, parent).isEmpty)
-          fs.delete(parent, true)
-      }
+      if (fs.exists(partition))
+        fs.delete(partition, true) // only the partition — see above
     }
   }
 
@@ -1258,9 +1252,11 @@ object VectorOps {
         .filter(d => fs.exists(d) && listDataFiles(fs, d).isEmpty &&
           listSubDirs(fs, d).isEmpty)
         .foreach(fs.delete(_, true))
-      val streamDir = hp(s"$path/assignments_stream")
-      if (fs.exists(streamDir) && listSubDirs(fs, streamDir).isEmpty)
-        fs.delete(streamDir, true)
+      // assignments_stream's parent is deliberately NOT swept: appends
+      // are lease-free, so a list-empty-then-recursive-delete here
+      // races a concurrent appender's fresh ingest_batch partition
+      // into silent data loss (code-review finding); an empty parent
+      // is harmless — every reader content-guards its subdir list
     }
   }
 

@@ -41,6 +41,12 @@ trait HttpTransport {
       body: String): (Int, String) =
     throw new UnsupportedOperationException(
       "this transport only supports form POSTs")
+  /** Release pooled connections/threads. No-op default: plain
+    * URLConnection-style transports hold nothing, but a pooled client
+    * leaks its pool on every recipe change unless the displaced org's
+    * transport is released ([[graft.sources.RemoteOrgRegistry.resolve]]
+    * closes displaced orgs). */
+  def close(): Unit = ()
 }
 
 /** Serializable factory from which a recipe-rebuilt wire org
@@ -185,6 +191,12 @@ final class TokenProvider(
     }
   }
 
+  /** The cached token if present — NO fetch: close/release paths must
+    * not mint a session just to release one. */
+  def cachedToken(): Option[AuthToken] = synchronized {
+    cache.get(creds.username)
+  }
+
   /** Cached token if present, else a fresh fetch (get_token,
     * data_connector.py:186-197). */
   def token(): AuthToken = synchronized {
@@ -244,4 +256,8 @@ final class AuthRetryOrg(provider: TokenProvider, open: AuthToken => RemoteOrg)
     * executor-side expiry fails the task, and the NEXT planned batch
     * re-captures a recipe under a fresh token via this very call. */
   override def recipe = run(_.recipe)
+  /** Release the CURRENT session's client (no auth retry — closing must
+    * not mint a token). A later call simply reopens under [[run]]. */
+  override def close(): Unit =
+    provider.cachedToken().foreach(t => open(t).close())
 }

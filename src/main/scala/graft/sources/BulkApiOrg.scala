@@ -61,6 +61,8 @@ final class BulkApiOrg(
     BulkApiOrgRecipe(token, tf, apiVersion, maxPolls, pollDelayMs,
       maxPollDelayMs, contentType, pkChunkSize))
 
+  override def close(): Unit = http.close()
+
   /** Poll delay for attempt `i` (0-based): capped exponential backoff —
     * pollDelayMs * 2^i up to maxPollDelayMs. The reference polls on a
     * fixed interval (data_connector.py:313-325); backoff keeps long

@@ -58,6 +58,13 @@ trait RemoteOrg {
     * org from the process-local registry, which is empty in a separate
     * executor JVM — a real-cluster scan failure local[n] masked. */
   def recipe: Option[OrgRecipe] = None
+
+  /** Release the org's transport resources (connection pool, threads).
+    * No-op default; wire orgs close their [[HttpTransport]]. Called on
+    * the DISPLACED org when [[RemoteOrgRegistry.resolve]] replaces a
+    * cached rebuild under a newer recipe — without it an HTTP org's
+    * pool leaks on every recipe change across micro-batches. */
+  def close(): Unit = ()
 }
 
 /** A partition-embedded, serializable way to (re)build an org
@@ -134,7 +141,17 @@ object RemoteOrgRegistry {
         // one builder, everyone else reuses its org.
         rebuilt.compute(name, (_, cached) =>
           if (cached != null && cached._1 == r) cached
-          else (r, r.build()))._2
+          else {
+            // release the displaced org's transport (an HTTP org's
+            // connection pool would otherwise leak on every recipe
+            // change across micro-batches). Safe: displacement only
+            // happens under a NEWER plan's recipe, and same-plan tasks
+            // carry equal recipes, so nothing in flight holds it.
+            if (cached != null)
+              try cached._2.close()
+              catch { case scala.util.control.NonFatal(_) => () }
+            (r, r.build())
+          })._2
       case None => throw new IllegalStateException(
         s"org '$name' is not resident in this JVM and its scan " +
         "partition carries no OrgRecipe. A multi-executor-JVM scan " +

@@ -46,6 +46,8 @@ final class SoapOrg(
   override def recipe: Option[OrgRecipe] = transportFactory.map(tf =>
     SoapOrgRecipe(sessionId, serverUrl, tf, batchSize))
 
+  override def close(): Unit = http.close()
+
   private val describeCache =
     scala.collection.mutable.Map.empty[String, StructType]
 

@@ -194,4 +194,50 @@ class BloomFilterSuite extends SparkSuite {
       assert(got(id) == exp, s"codegen/interpreted divergence on row $id")
     }
   }
+
+  test("BloomTextHits rejects numHashes < 1 — a vacuous all-set loop would " +
+      "count every shingle as a hit") {
+    import graft.functions.{BloomTextHits, BloomBroadcastTextHits}
+    val bits = new Array[Long](16)
+    val df = Seq((1L, Seq("a", "b"))).toDF("id", "sh")
+    // analysis-time rejection for a literal k (the SQL surface's path)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.withColumn("hits",
+        BloomTextHits.column(spark, typedlit(bits.toSeq), col("sh"), 0))
+        .collect()
+    }
+    assert(e.getMessage.contains("numHashes"), e.getMessage)
+    // kernel backstop for the non-literal path
+    intercept[IllegalArgumentException] {
+      BloomFilterOps.md5HitCount(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(bits),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("a"))),
+        0)
+    }
+    // and the broadcast-read variant refuses at construction
+    intercept[IllegalArgumentException] {
+      BloomBroadcastTextHits(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("sh")),
+        spark.sparkContext.broadcast(bits), 0)
+    }
+  }
+
+  test("BloomBroadcastTextHits equals the literal-bitmap expression bit for bit") {
+    import graft.functions.{BloomTextHits, BloomBroadcastTextHits}
+    val bits = new Array[Long]((1 << 10) / 64)
+    (0 until 40).foreach(i => BloomFilterOps.md5Add(bits,
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"g$i"), 5))
+    val rows = (0 until 100).map(i => (i.toLong, Seq(s"g$i", s"g${i + 1}", s"h$i")))
+    val df = rows.toDF("id", "sh")
+    val lit = df.withColumn("hits", BloomTextHits.column(spark,
+        typedlit(bits.toSeq), col("sh"), 5))
+      .select("id", "hits").as[(Long, Int)].collect().toMap
+    val bc = df.withColumn("hits",
+        org.apache.spark.sql.GraftSqlBridge.column(BloomBroadcastTextHits(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("sh")),
+          spark.sparkContext.broadcast(bits), 5)))
+      .select("id", "hits").as[(Long, Int)].collect().toMap
+    assert(bc == lit, "broadcast-read kernel diverged from the literal path")
+  }
 }

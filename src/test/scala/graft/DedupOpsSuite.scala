@@ -854,6 +854,38 @@ class DedupOpsSuite extends SparkSuite {
     assert(out.count() > 0)
   }
 
+  test("signature store: a torn (empty) _params is repairable, not a brick") {
+    // ADVICE r13: the first _params write was create-then-write — a
+    // crash in between left an empty file that failed every later
+    // probe/append with "built with ()" forever. Now _params commits by
+    // stage+rename, a torn one names the repair, and a writer repairs
+    // it in place.
+    val delta = docs.where(col("doc_id") % 20 === 0)
+    val standing = docs.where(col("doc_id") % 20 =!= 0)
+    val store = tmpStore()
+    TextOps.buildSignatureStore(standing, "doc_id", "text", store,
+      n = 3, numHashes = 128, bands = 32)
+    val before = pairsVia(store, delta, standing)
+    // simulate the crash artifact: truncate _params to zero bytes
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$store/_params"), Array.empty[Byte])
+    val e = intercept[IllegalStateException] {
+      pairsVia(store, delta, standing)
+    }
+    assert(e.getMessage.contains("torn") &&
+      e.getMessage.contains("repair"), e.getMessage)
+    // an append under the true parameters REPAIRS the stamp...
+    TextOps.appendToSignatureStore(standing.limit(0), "doc_id", "text",
+      store, n = 3, numHashes = 128, bands = 32)
+    assert(pairsVia(store, delta, standing) == before,
+      "repaired store must serve the original answer")
+    // ...and the repaired stamp fences again
+    intercept[IllegalArgumentException] {
+      TextOps.appendToSignatureStore(standing.limit(0), "doc_id", "text",
+        store, n = 4, numHashes = 128, bands = 32)
+    }
+  }
+
   test("signature store: above the broadcast gate the probe degrades to " +
       "a shuffled join with identical pairs") {
     // broadcastKeyLimit = 0 forces the over-gate path (a bulk-sized

@@ -28,6 +28,15 @@ class IndexLifecycleSuite extends SparkSuite {
       emb.where(col("vec_id") < 20), corpus, "vec_id", "embedding",
       k = 5, nlist = 16, nprobe = 6))
 
+  /** Live ingest_batch partitions. The PARTITION set is the claim the
+    * redelivery tests pin — an empty assignments_stream parent is
+    * allowed to linger (every reader content-guards; sweeping it raced
+    * a concurrent appender's fresh partition into data loss). */
+  private def streamPartitions(path: String): Seq[String] =
+    Option(new java.io.File(path, "assignments_stream").listFiles)
+      .map(_.filter(_.isDirectory).map(_.getName).toSeq.sorted)
+      .getOrElse(Nil)
+
   // ids 190-199 are RESERVED for the tests' late append — freshIndex
   // never ingests them, so appending them later cannot duplicate rows
   private val reserved = col("vec_id") >= 190 && col("vec_id") < 200
@@ -493,7 +502,7 @@ class IndexLifecycleSuite extends SparkSuite {
     VectorOps.appendPinnedIvfIndexBatch(
       emb.where(isLate && col("vec_id") % 2 =!= 0), "vec_id", "embedding",
       path, 3L, "t-lineage")
-    assert(!new java.io.File(path, "assignments_stream").exists(),
+    assert(streamPartitions(path).isEmpty,
       "redelivered consumed batch recreated its partition")
     assert(served(path) == expected,
       "redelivered consumed batch double-served its rows")
@@ -525,7 +534,7 @@ class IndexLifecycleSuite extends SparkSuite {
     assert(e.getMessage.contains("stream-lineage mismatch"),
       s"wrong guard message: ${e.getMessage}")
     // nothing was written by the refused appender
-    assert(!new java.io.File(path, "assignments_stream").exists(),
+    assert(streamPartitions(path).isEmpty,
       "refused appender left a partition behind")
     // and an UNSTAMPED ledger (pre-stamp-era root) also refuses: no
     // appender can prove it is the lineage that fed it
@@ -564,7 +573,7 @@ class IndexLifecycleSuite extends SparkSuite {
       path, 3L, "t-lineage")
     VectorOps.appendPinnedIvfIndexBatch(
       emb.where(reserved), "vec_id", "embedding", path, 4L, "t-lineage")
-    assert(!new java.io.File(path, "assignments_stream").exists(),
+    assert(streamPartitions(path).isEmpty,
       "folded ledger lost a consumed id: a redelivery recreated rows")
     assert(served(path) == expected, "fold changed answers")
   }
@@ -584,7 +593,7 @@ class IndexLifecycleSuite extends SparkSuite {
       emb.where(isLate && col("vec_id") % 2 =!= 0), "vec_id", "embedding",
       path, 3L, "t-lineage",
       afterLedgerCheck = () => VectorOps.compactPinnedIvfIndex(spark, path))
-    assert(!new java.io.File(path, "assignments_stream").exists(),
+    assert(streamPartitions(path).isEmpty,
       "mid-cleanup redelivery left a recreated partition")
     assert(served(path) == expected,
       "mid-cleanup redelivery double-served its rows")

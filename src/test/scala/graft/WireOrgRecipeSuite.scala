@@ -100,6 +100,27 @@ class WireOrgRecipeSuite extends AnyFunSuite {
       "47.0", 60, 1000L, 30000L, "JSON", None)),
       s"plan-time capture must ride the session-bound client, got $rec")
   }
+
+  test("a displaced rebuilt org releases its transport on recipe change") {
+    // ADVICE r13: resolve() replaced a cached rebuilt org when a newer
+    // recipe shipped but never closed the displaced one — an HTTP
+    // org's connection pool leaked on every recipe change. The
+    // generation field makes the two recipes unequal (the displacement
+    // trigger) while building against the same canned wire.
+    ClosableBulkTransport.closed.set(0)
+    def rec(gen: Int) = BulkApiOrgRecipe(tok, ClosableBulkTransports(gen),
+      "47.0", 60, 1000L, 30000L, "JSON", None)
+    val name = "wire_recipe_displace"
+    val o1 = RemoteOrgRegistry.resolve(name, Some(rec(1)))
+    assert(RemoteOrgRegistry.resolve(name, Some(rec(1))) eq o1,
+      "equal recipe must reuse the cached org")
+    assert(ClosableBulkTransport.closed.get == 0,
+      "a cache hit must not close anything")
+    val o2 = RemoteOrgRegistry.resolve(name, Some(rec(2)))
+    assert(o2 ne o1, "a newer recipe must rebuild")
+    assert(ClosableBulkTransport.closed.get == 1,
+      "the displaced org's transport was not released")
+  }
 }
 
 /** Fixtures live on the companion: a suite-inner class would capture
@@ -140,6 +161,20 @@ object WireOrgRecipeSuite {
   }
   final case class CannedBulkTransports() extends TransportFactory {
     override def transport(): HttpTransport = CannedBulkTransport()
+  }
+
+  object ClosableBulkTransport {
+    val closed = new java.util.concurrent.atomic.AtomicInteger(0)
+  }
+  final case class ClosableBulkTransport() extends HttpTransport {
+    override def postForm(url: String, params: Map[String, String]) =
+      (500, "wire orgs never form-post")
+    override def close(): Unit = { ClosableBulkTransport.closed.incrementAndGet(); () }
+  }
+  /** `gen` exists only to make two recipes UNEQUAL — the displacement
+    * trigger resolve() keys on. */
+  final case class ClosableBulkTransports(gen: Int) extends TransportFactory {
+    override def transport(): HttpTransport = ClosableBulkTransport()
   }
 
   private def env(body: String): (Int, String) =

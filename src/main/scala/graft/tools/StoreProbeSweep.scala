@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SCALING.md measurement: the signature store's pitch is probe cost
+  * ∝ DELTA, not corpus — prove it by holding the corpus (and its
+  * store) constant and sweeping the delta fraction.
+  *
+  * Usage: sbt "runMain graft.tools.StoreProbeSweep [sfDir]"
+  * Env: SPARK_GRAFT_SHUFFLE_PARTS (default cpus), SPARK_GRAFT_REPS
+  * (default 2 — rep 1 includes JIT; record rep 2).
+  *
+  * The delta is a hash-uniform slice of the corpus itself: every delta
+  * doc has at least its own twin in the store, so candidate volume and
+  * the verification sliver scale with the delta — the worst realistic
+  * probe load per delta doc, not a vacuously-unmatched sweep. */
+object StoreProbeSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sf1.0")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val cpus = Runtime.getRuntime.availableProcessors()
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus.toString))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val corpusN = docs.count()
+    val store = java.nio.file.Files
+      .createTempDirectory("probe_sweep_store_").toString
+    val t0 = System.nanoTime()
+    graft.functions.TextOps.buildSignatureStore(docs, "doc_id", "text",
+      store, n = 3, numHashes = 128, bands = 32)
+    println(f"[sweep] corpus=$corpusN docs, store build " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s (paid once, amortized)")
+    for (pct <- Seq(1, 10, 50)) {
+      val delta = docs.where(pmod(xxhash64(col("doc_id")), lit(100)) < pct)
+      val dN = delta.count()
+      (1 to reps).foreach { r =>
+        spark.catalog.clearCache()
+        val t = System.nanoTime()
+        val pairs = graft.functions.TextOps
+          .incrementalJaccardPairsFromStore(delta, docs, "doc_id", "text",
+            store, n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+          .count()
+        println(f"[sweep] delta=$pct%2d%% ($dN docs) rep$r: " +
+          f"${(System.nanoTime() - t) / 1e9}%.3f s ($pairs pairs)")
+      }
+      // the amortization contrast: compute-in-place re-sketches the
+      // WHOLE corpus per probe — the cost the store removes
+      if (sys.env.contains("SPARK_GRAFT_SWEEP_INPLACE")) {
+        spark.catalog.clearCache()
+        val t = System.nanoTime()
+        val pairs = graft.functions.TextOps
+          .incrementalJaccardPairs(delta, docs, "doc_id", "text",
+            n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+          .count()
+        println(f"[sweep] delta=$pct%2d%% IN-PLACE: " +
+          f"${(System.nanoTime() - t) / 1e9}%.3f s ($pairs pairs)")
+      }
+    }
+    spark.stop()
+  }
+}

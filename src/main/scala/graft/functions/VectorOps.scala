@@ -868,50 +868,122 @@ object VectorOps {
       finally in.close()
     }
 
-  /** Overwrite the lease body in place. On `file://` this goes through
-    * a staging file + atomic rename so a concurrent reader never sees
-    * a torn body; elsewhere it is a plain overwrite — a reader racing
-    * the rewrite can see an empty/partial body, falls back to the
-    * file's (fresh) modification time, and still judges the lease
-    * live, so the race degrades safe. */
-  private def writeLeaseBody(fs: org.apache.hadoop.fs.FileSystem,
-      lease: HPath, body: String): Unit =
-    if (fs.getUri.getScheme == "file") {
-      val target = java.nio.file.Paths.get(lease.toUri.getPath)
-      val staging = target.resolveSibling(
-        s"$LeaseName.stamp.${java.util.UUID.randomUUID()}")
-      java.nio.file.Files.write(staging, body.getBytes("UTF-8"))
-      java.nio.file.Files.move(staging, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } else {
-      val out = fs.create(lease, true)
-      try out.write(body.getBytes("UTF-8"))
-      finally out.close()
-    }
+  // ---- CAS lease chain (r13 stretch: the read-then-write residual) ----
+  //
+  // The lease is a DIRECTORY of versioned claim files named
+  // `v<20-digit-n>_<timestampMillis>_<uuid>`; the authoritative state
+  // is the HIGHEST version. Every transition — claim, heartbeat
+  // renewal, expiry break, release — is one primitive: an atomic
+  // no-overwrite CREATE of version n+1 (O_CREAT|O_EXCL via
+  // Files.createFile on file://, an atomic namenode op on HDFS). That
+  // create IS the compare-and-swap: of a stale holder's late renewal
+  // and a breaker's claim, exactly one wins version n+1 and the other
+  // FAILS — the old single-file design's clobber (stale tick
+  // overwrites a breaker's fresh lease) is structurally impossible.
+  // All state lives in the NAME, so creation is the whole commit and
+  // no body can tear. A legacy single-FILE lease at the same path
+  // (pre-chain layouts, hand-made locks) is still honored: judged by
+  // its body/mtime exactly as before, broken by atomic rename-aside.
 
-  /** Keeps a held lease young by re-stamping its body with a fresh
-    * timestamp every `intervalMs` (ttl/4 — several renewals fit inside
-    * one TTL, so a single missed tick cannot expire a live holder).
-    * Each tick re-reads the lease first: if it no longer carries our
-    * uuid (a breaker judged us expired after a pathological heartbeat
-    * gap and claimed it), renewal STOPS and the holder is flagged
-    * FENCED — [[compactUnderLease]] checks the flag before every
-    * destructive step, so a fenced-out holder aborts into an ordinary
-    * crash window (repair-covered) instead of fighting the new writer
-    * over the layout. Transient read/write errors skip the tick; the
-    * TTL absorbs them.
+  private val ReleasedUuid = "released"
+  private val LeaseVersionRe = """v(\d{20})""".r
+
+  /** Highest committed version: (n, stampMillis, uuid). The version
+    * NUMBER is the whole filename — per-version exclusivity rides the
+    * filesystem's no-overwrite create, so two claims of the same n
+    * cannot both commit (a ts-or-uuid-suffixed name would break this:
+    * each claim would create a DIFFERENT file). ts/uuid live in the
+    * body; a torn body (claimer crashed between create and write)
+    * falls back to the file's mtime with an anonymous uuid — judged a
+    * foreign live holder until the TTL expires it, the same stance as
+    * the legacy content-less lease file. None = free (no dir, empty
+    * dir, or nothing parsable). IOException propagates — an UNREADABLE
+    * chain must refuse, not read as free. */
+  private[graft] def leaseTopVersion(fs: org.apache.hadoop.fs.FileSystem,
+      dir: HPath): Option[(Long, Long, String)] = {
+    if (!fs.exists(dir) || fs.getFileStatus(dir).isFile) return None
+    val top = fs.listStatus(dir).iterator.flatMap(st =>
+      st.getPath.getName match {
+        case LeaseVersionRe(n) => Some((n.toLong, st))
+        case _                 => None
+      }).reduceOption[(Long, org.apache.hadoop.fs.FileStatus)] {
+        case (a, b) => if (a._1 >= b._1) a else b
+      }
+    top.map { case (n, st) =>
+      val body =
+        try {
+          val in = fs.open(st.getPath)
+          try new String(in.readAllBytes(), "UTF-8").trim
+          finally in.close()
+        } catch { case _: java.io.IOException => "" }
+      body.split("\\s+") match {
+        case Array(ts, u) if ts.toLongOption.isDefined =>
+          (n, ts.toLong, u)
+        case _ => (n, st.getModificationTime, "?torn?")
+      }
+    }
+  }
+
+  /** The CAS: atomically create version file `v<n>` (no-overwrite —
+    * O_CREAT|O_EXCL via Files.createFile on file://, an atomic
+    * namenode op on HDFS), then write `<ts> <uuid>` as its body. True
+    * iff THIS call created the version; false when it already exists
+    * (lost the race). Other I/O errors propagate. */
+  private[graft] def claimLeaseVersion(fs: org.apache.hadoop.fs.FileSystem,
+      dir: HPath, n: Long, uuid: String): Boolean = {
+    val f = new HPath(dir, f"v$n%020d")
+    val body = s"${System.currentTimeMillis()} $uuid".getBytes("UTF-8")
+    try {
+      if (fs.getUri.getScheme == "file") {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(dir.toUri.getPath))
+        val p = java.nio.file.Paths.get(f.toUri.getPath)
+        java.nio.file.Files.createFile(p) // atomic O_EXCL: the CAS
+        java.nio.file.Files.write(p, body)
+      } else {
+        val out = fs.create(f, false) // no-overwrite: the CAS
+        try out.write(body) finally out.close()
+      }
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+    }
+  }
+
+  /** Drop superseded version files (strictly below `keepFrom`) — dead
+    * weight only; the top is never touched, so a concurrent reader's
+    * max is unaffected. */
+  private def gcLeaseVersions(fs: org.apache.hadoop.fs.FileSystem,
+      dir: HPath, keepFrom: Long): Unit =
+    try fs.listStatus(dir).foreach { st =>
+      st.getPath.getName match {
+        case LeaseVersionRe(n) if n.toLong < keepFrom =>
+          fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    } catch { case _: java.io.IOException => () }
+
+  /** Keeps a held lease young by CAS-claiming the NEXT chain version
+    * every `intervalMs` (ttl/4 — several renewals fit inside one TTL,
+    * so a single missed tick cannot expire a live holder). Each tick
+    * reads the top version: if it no longer carries our uuid, OR our
+    * n+1 create loses to a breaker's claim, renewal STOPS and the
+    * holder is flagged FENCED — [[compactUnderLease]] checks the flag
+    * before every destructive step, so a fenced-out holder aborts into
+    * an ordinary crash window (repair-covered) instead of fighting the
+    * new writer over the layout. Transient I/O errors skip the tick;
+    * the TTL absorbs them.
     *
-    * RESIDUAL (documented, not closed — a plain filesystem has no
-    * compare-and-swap): a tick is read-then-write, so a stall longer
-    * than the FULL TTL landing BETWEEN the two (read sees our uuid,
-    * breaker expires+breaks+claims, our stale write clobbers the
-    * breaker's fresh lease) could re-admit two writers if it also
-    * dodges the breaker's read-back verify. That needs a single
-    * multi-minute pause inside a sub-millisecond window against the
-    * 1 h default TTL; the TTL is the knob that prices it out, and the
-    * fence checks bound the damage to a repair-covered window when the
-    * clobber instead lands before the verify. */
+    * The old single-file design's documented residual — a tick's
+    * read-then-write clobbering a breaker's fresh lease after a
+    * TTL-long stall — is CLOSED by the chain: the stale tick can only
+    * try to create the version the breaker already created, which
+    * fails atomically and fences the holder. The remaining residual is
+    * pure liveness: a tick racing close() past the closing check can
+    * renew a lease the holder is about to release, leaving a chain
+    * that blocks successors until the TTL ([[reapResurrection]] sweeps
+    * the common case). */
   private final class LeaseHeartbeat(fs: org.apache.hadoop.fs.FileSystem,
       lease: HPath, uuid: String, intervalMs: Long) {
     private val fenced = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -921,16 +993,18 @@ object VectorOps {
       while (!fenced.get() && !stopped.await(intervalMs,
           java.util.concurrent.TimeUnit.MILLISECONDS)) {
         try {
-          if (readLeaseBody(fs, lease).flatMap(leaseUuidOf).contains(uuid)) {
-            // re-check closing just before the write: a tick that read
-            // the lease, then stalled across close()+release, would
-            // otherwise re-CREATE the just-deleted lease — an orphan no
-            // holder releases, blocking compactors until the TTL
-            // (code-review finding)
-            if (!closing.get())
-              writeLeaseBody(fs, lease,
-                s"${System.currentTimeMillis()} $uuid")
-          } else fenced.set(true)
+          leaseTopVersion(fs, lease) match {
+            case Some((n, _, u)) if u == uuid =>
+              // re-check closing just before the CAS: a tick that read
+              // the top, then stalled across close()+release, would
+              // otherwise extend a chain the holder just released
+              // (liveness-only; reapResurrection sweeps it)
+              if (!closing.get() && !claimLeaseVersion(fs, lease, n + 1, uuid))
+                fenced.set(true) // lost n+1 to a breaker: fenced, atomically
+              else if (!closing.get()) gcLeaseVersions(fs, lease, n + 1)
+            case Some(_) => fenced.set(true) // top is foreign: fenced
+            case None    => () // dir mid-release/mid-claim: skip the tick
+          }
         } catch { case _: java.io.IOException => () }
       }
     }, "graft-compaction-lease-heartbeat")
@@ -943,19 +1017,15 @@ object VectorOps {
       thread.join(2000)
     }
 
-    /** Called AFTER releaseCompactionLease: reap a lease our own
-      * stalled tick resurrected post-release. Recognizable by uuid —
-      * ours is safe to delete, a successor's is never touched. A tick
-      * stalled past this bounded sweep is the same TTL-priced residual
-      * the class doc states (the mtime fallback still expires it). */
+    /** Called AFTER releaseCompactionLease: reap a chain our own
+      * stalled tick extended post-release. Recognizable by uuid — ours
+      * is safe to close out, a successor's is never touched. */
     def reapResurrection(): Unit = {
       val deadline = System.currentTimeMillis() + 3000
       while (thread.isAlive && System.currentTimeMillis() < deadline)
         thread.join(100)
-      try {
-        if (readLeaseBody(fs, lease).flatMap(leaseUuidOf).contains(uuid))
-          fs.delete(lease, false)
-      } catch { case _: java.io.IOException => () }
+      try releaseLeaseChain(fs, lease, uuid)
+      catch { case _: java.io.IOException => () }
     }
     def checkNotFenced(): Unit =
       if (fenced.get()) throw new IllegalStateException(
@@ -980,14 +1050,13 @@ object VectorOps {
       path: String, ttlMs: Long): (HPath, String) = {
     val lease = hp(s"$path/$LeaseName")
     val uuid = java.util.UUID.randomUUID().toString
-    val token = s"${System.currentTimeMillis()} $uuid"
-    if (fs.exists(lease)) {
-      // a lease whose CONTENT is missing or unparsable (a holder crashed
-      // between create and write) falls back to the file's modification
-      // time, so it still expires instead of deadlocking every future
-      // compactor; a lease that is UNREADABLE (transient I/O error)
-      // aborts — treating it as expired would break a live holder and
-      // admit a second writer (code-review finding)
+    if (fs.exists(lease) && fs.getFileStatus(lease).isFile) {
+      // LEGACY single-file lease (pre-chain layout or a hand-made
+      // lock): judge by body timestamp with an mtime fallback for a
+      // content-less file (a holder that crashed between create and
+      // write must expire, not deadlock every future compactor); an
+      // UNREADABLE lease aborts — treating it as expired would break a
+      // live holder and admit a second writer (code-review finding).
       val stampedAt: Option[Long] =
         try {
           val in = fs.open(lease)
@@ -1013,7 +1082,7 @@ object VectorOps {
             s"(age $ageMs ms < ttl $ttlMs ms). One maintenance " +
             "writer per index root; delete the lock only if its holder " +
             "is known dead.")
-        // break the expired lease by renaming it aside: atomic, single winner
+        // break the expired file by renaming it aside: atomic, single winner
         val aside = new HPath(lease.getParent,
           s"$LeaseName.broken.${java.util.UUID.randomUUID()}")
         if (!fs.rename(lease, aside))
@@ -1023,46 +1092,50 @@ object VectorOps {
         fs.delete(aside, false)
       }
     }
-    createLeaseExclusive(fs, lease, token, uuid)
-    (lease, uuid)
-  }
-
-  /** Exclusive no-overwrite create of the lease, then write the token.
-    * On HDFS `create(overwrite = false)` is an atomic namenode op, but
-    * the local/checksum filesystems implement it as exists-then-create
-    * (TOCTOU — two fresh compactors could both pass; code-review
-    * finding), so for `file://` the claim goes through java.nio's
-    * `createFile` (O_CREAT|O_EXCL, atomic). A read-back verify closes
-    * the loop as a last defense on stores where neither path is truly
-    * exclusive: of two racing writers, at most one sees its own token. */
-  private def createLeaseExclusive(fs: org.apache.hadoop.fs.FileSystem,
-      lease: HPath, token: String, uuid: String): Unit = {
-    try {
-      if (fs.getUri.getScheme == "file") {
-        val p = java.nio.file.Paths.get(lease.toUri.getPath)
-        java.nio.file.Files.createFile(p) // the atomic claim
-        java.nio.file.Files.write(p, token.getBytes("UTF-8"))
-      } else {
-        val out = fs.create(lease, false) // no-overwrite: the atomic claim
-        try out.write(token.getBytes("UTF-8"))
-        finally out.close()
+    // CHAIN claim: judge the top version, then CAS the next one. The
+    // expiry break IS the claim — a breaker's create of n+1 atomically
+    // beats the stale holder's own renewal of n+1 (exactly one wins).
+    val top =
+      try leaseTopVersion(fs, lease)
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"concurrent compaction refused: lease chain $lease is " +
+          "unreadable — refusing to treat an unreadable lease as " +
+          "expired; retry, or delete the lock only if its holder is " +
+          "known dead.", e)
       }
-    } catch {
-      case e @ (_: java.nio.file.FileAlreadyExistsException |
-                _: java.io.IOException) =>
-        throw new IllegalStateException(
-          s"concurrent compaction refused: lost the race for $lease", e)
+    top.foreach { case (_, ts, u) =>
+      if (u != ReleasedUuid) {
+        val ageMs = System.currentTimeMillis() - ts
+        if (ageMs < ttlMs)
+          throw new IllegalStateException(
+            s"concurrent compaction refused: lease $lease is held " +
+            s"(age $ageMs ms < ttl $ttlMs ms). One maintenance " +
+            "writer per index root; delete the lock only if its holder " +
+            "is known dead.")
+      }
     }
-    val current =
-      try {
-        val in = fs.open(lease)
-        try Some(new String(in.readAllBytes(), "UTF-8").trim)
-        finally in.close()
-      } catch { case _: java.io.IOException => None }
-    if (!current.flatMap(leaseUuidOf).contains(uuid))
+    val nextN = top.map(_._1 + 1).getOrElse(0L)
+    val won =
+      try claimLeaseVersion(fs, lease, nextN, uuid)
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"concurrent compaction refused: lost the race for $lease", e)
+      }
+    if (!won)
+      throw new IllegalStateException(
+        s"concurrent compaction refused: lost the race for $lease")
+    // verify: our version must be the top (a racer that listed a stale
+    // top and created a LOWER version than a concurrent winner aborts
+    // here instead of believing it holds the lease)
+    val verified =
+      try leaseTopVersion(fs, lease) catch { case _: java.io.IOException => None }
+    if (!verified.exists { case (n, _, u) => n == nextN && u == uuid })
       throw new IllegalStateException(
         s"concurrent compaction refused: lease $lease carries another " +
         "writer's token after our claim")
+    gcLeaseVersions(fs, lease, nextN)
+    (lease, uuid)
   }
 
   /** Release the lease ONLY if it still carries our uuid — a
@@ -1085,14 +1158,37 @@ object VectorOps {
       lease: HPath, uuid: String): Unit =
     try {
       if (!fs.exists(lease)) return
-      val aside = new HPath(lease.getParent,
-        s"$LeaseName.releasing.${java.util.UUID.randomUUID()}")
-      if (!fs.rename(lease, aside)) return // raced a break/release: not ours
-      if (readLeaseBody(fs, aside).flatMap(leaseUuidOf).contains(uuid))
-        fs.delete(aside, false)
-      else if (!fs.rename(aside, lease))
-        fs.delete(aside, false)
+      if (fs.getFileStatus(lease).isFile) {
+        // LEGACY single-file lease: rename-aside verifies ownership
+        // atomically — a successor's fresh lease is restored, never
+        // deleted (ADVICE r12)
+        val aside = new HPath(lease.getParent,
+          s"$LeaseName.releasing.${java.util.UUID.randomUUID()}")
+        if (!fs.rename(lease, aside)) return // raced a break/release: not ours
+        if (readLeaseBody(fs, aside).flatMap(leaseUuidOf).contains(uuid))
+          fs.delete(aside, false)
+        else if (!fs.rename(aside, lease))
+          fs.delete(aside, false)
+      } else releaseLeaseChain(fs, lease, uuid)
     } catch { case _: java.io.IOException => () }
+
+  /** Chain release: CAS a `released` marker onto OUR top, then drop
+    * the directory. The marker is the ownership gate — if a breaker
+    * already claimed n+1, our marker create fails and we touch
+    * NOTHING (the successor owns the chain). Only after we hold the
+    * released top is the recursive delete safe; a claimer racing it
+    * (saw the marker, created n+2 as we delete) loses its fresh file
+    * and aborts at its own top-verify — a spurious retry, never two
+    * writers. A crash between marker and delete leaves a released-top
+    * chain, which claimers treat as free. */
+  private def releaseLeaseChain(fs: org.apache.hadoop.fs.FileSystem,
+      lease: HPath, uuid: String): Unit =
+    leaseTopVersion(fs, lease) match {
+      case Some((n, _, u)) if u == uuid =>
+        if (claimLeaseVersion(fs, lease, n + 1, ReleasedUuid))
+          fs.delete(lease, true)
+      case _ => () // not ours (or already released): never touch it
+    }
 
   /** [[compactPinnedIvfIndex]] with a fault-injection point: stop
     * (simulating a crash) after step `stopAfter` of the commit

@@ -230,28 +230,57 @@ class IndexLifecycleSuite extends SparkSuite {
     // acquisition; the injected step delay guarantees a tick runs
     // before the first destructive step.
     val (path, expected) = freshIndex()
-    val lease = java.nio.file.Paths.get(path, "_compaction.lock")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val lease = new org.apache.hadoop.fs.Path(s"$path/_compaction.lock")
     val e = intercept[IllegalStateException] {
       VectorOps.compactPinnedIvfIndexSteps(spark, path,
         stopAfter = Int.MaxValue, leaseTtlMs = 400L, stepDelayMs = 600L,
-        onAfterAcquire = () => java.nio.file.Files.write(lease,
-          s"${System.currentTimeMillis()} feedface-stolen-uuid"
-            .getBytes("UTF-8")))
+        onAfterAcquire = () => {
+          // the theft, via the chain's own CAS: claim the next version
+          // with a foreign uuid (what a breaker does after judging the
+          // holder expired)
+          val (n, _, _) = VectorOps.leaseTopVersion(fs, lease)
+            .getOrElse(fail("holder must have a chain top"))
+          assert(VectorOps.claimLeaseVersion(fs, lease, n + 1,
+            "feedface-stolen-uuid"), "theft CAS must win a free version")
+        })
     }
     assert(e.getMessage.contains("fenced out"),
       s"wrong abort message: ${e.getMessage}")
-    // the thief's lease survives the loser's release (atomic
-    // rename-aside verified ownership and restored it)
-    val after = new String(
-      java.nio.file.Files.readAllBytes(lease), "UTF-8")
-    assert(after.endsWith("feedface-stolen-uuid"),
-      s"fenced-out holder's release touched the thief's lease: '$after'")
+    // the thief's claim survives the loser's release (the chain release
+    // CASes a marker onto ITS OWN top only — a foreign top is untouched)
+    val after = VectorOps.leaseTopVersion(fs, lease)
+    assert(after.exists(_._3 == "feedface-stolen-uuid"),
+      s"fenced-out holder's release touched the thief's lease: $after")
     // the abort left an uncommitted tmp at worst: recovery converges
-    java.nio.file.Files.delete(lease) // the simulated thief 'crashes'
+    fs.delete(lease, true) // the simulated thief 'crashes'
     VectorOps.compactPinnedIvfIndexSteps(spark, path,
       stopAfter = Int.MaxValue, leaseTtlMs = 400L)
     assert(served(path) == expected,
       "recovery after a fenced-out abort changed answers")
+  }
+
+  test("chain release: a successor's claim is never touched; a released " +
+      "chain reads as free") {
+    // the chain twin of the legacy rename-aside release test below:
+    // ownership is the CAS marker, so releasing against a foreign top
+    // is a no-op and releasing our own top removes the whole chain
+    val root = java.nio.file.Files.createTempDirectory("idx_chain_").toString
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val lease = new org.apache.hadoop.fs.Path(s"$root/_compaction.lock")
+    assert(VectorOps.claimLeaseVersion(fs, lease, 0L, "successor-uuid"))
+    VectorOps.releaseCompactionLease(fs, lease, "not-the-owner")
+    assert(VectorOps.leaseTopVersion(fs, lease)
+      .exists(_._3 == "successor-uuid"),
+      "release with a foreign uuid must leave the successor's chain")
+    // a second claim of the SAME version loses the CAS
+    assert(!VectorOps.claimLeaseVersion(fs, lease, 0L, "racer-uuid"),
+      "the version CAS must have a single winner")
+    VectorOps.releaseCompactionLease(fs, lease, "successor-uuid")
+    assert(!new java.io.File(root, "_compaction.lock").exists(),
+      "owner's release must remove its chain")
   }
 
   test("release leaves a successor's lease untouched (atomic rename-aside)") {

@@ -1138,27 +1138,53 @@ object TextOps {
       size(tokens(col(textCol))).cast("long").as("n_tokens"))
     // cache twice along the pyramid (code-review finding): sh (the
     // O(tokens*k) fold) feeds the firsts aggregate AND the join probe;
-    // sites (the duplicated SLIVER, typically a small fraction) feeds
-    // both island merges. Eager count()s — the d02/p01 concurrent-
-    // first-reader lesson.
+    // the windowed sliver (`marked` below) feeds both mass aggregates.
+    // Eager count()s — the d02/p01 concurrent-first-reader lesson.
     val sh = shingleSites(df, idCol, textCol, k).cache()
     sh.count()
     val firsts = sh.groupBy("h")
       .agg(count(lit(1)).as("__c"),
         min(struct(col("doc_id"), col("pos"))).as("__f"))
       .where(col("__c") >= 2)
+    // sites has exactly ONE consumer now (the windowed frame below), so
+    // the cache barrier moves to `marked`, which feeds both aggregates
     val sites = sh.join(firsts, "h")
       .select(col("doc_id"), col("pos"),
         (col("doc_id") === col("__f.doc_id") &&
           col("pos") === col("__f.pos")).as("__isf"))
+    // BOTH island merges in ONE window pass (r13 verdict's minor): the
+    // all-sites grouping and the non-first grouping share the window's
+    // partitioning and ordering, so every function below lands in one
+    // WindowExec — one exchange, one sort over the sliver, where the
+    // old dupIslands-twice shape paid the sort twice. The non-first
+    // chain's "previous position" is a running max over preceding
+    // non-first rows — identical grouping ids to running dupIslands on
+    // the filtered frame (first row: null prev -> break, as lag gives).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val wPrec = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val marked = sites
+      .withColumn("__brk",
+        when(col("pos") - lag("pos", 1).over(w) <= k, 0L).otherwise(1L))
+      .withColumn("__prevR",
+        max(when(!col("__isf"), col("pos"))).over(wPrec))
+      .withColumn("__brkR", when(!col("__isf"),
+        when(col("pos") - col("__prevR") <= k, 0L).otherwise(1L)))
+      .withColumn("__grp", sum("__brk").over(w))
+      .withColumn("__grpR", sum("__brkR").over(w))
       .cache()
-    sites.count()
-    val dupMass = dupIslands(sites, k)
+    marked.count() // two aggregate consumers below
+    val dupMass = marked
+      .groupBy("doc_id", "__grp")
+      .agg((max("pos") - min("pos") + k).as("__len"))
       .groupBy("doc_id")
-      .agg(sum(col("__hi") - col("__lo") + k).as("dup_tokens"))
-    val remMass = dupIslands(sites.where(!col("__isf")), k)
+      .agg(sum(col("__len")).as("dup_tokens"))
+    val remMass = marked.where(!col("__isf"))
+      .groupBy("doc_id", "__grpR")
+      .agg((max("pos") - min("pos") + k).as("__len"))
       .groupBy("doc_id")
-      .agg(sum(col("__hi") - col("__lo") + k).as("removable_tokens"))
+      .agg(sum(col("__len")).as("removable_tokens"))
     docs.join(dupMass, Seq("doc_id"), "left")
       .join(remMass, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),

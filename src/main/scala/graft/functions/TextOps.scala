@@ -944,10 +944,18 @@ object TextOps {
     val cands = joined
       .select(col("id_a"), col("id_b")).distinct()
       .localCheckpoint(true) // tiny; cut loose so caches release below
+    // the candidate-id prune wears the same size gate as the band-key
+    // join above: the id set is delta-proportional (the near-dup
+    // fraction), so it is tiny for a sliver delta — but a bulk-sized
+    // delta's candidates can exceed any broadcast budget, and the
+    // forced hint would die rather than degrade. The count is cheap:
+    // cands is already localCheckpointed.
+    val candIds = cands.select(col("id_b").as(idCol)).distinct()
+    val candPrune =
+      if (cands.count() <= broadcastKeyLimit) broadcast(candIds)
+      else candIds
     val candCorpusSh = hashedShingleSets(
-      corpus.join(
-        broadcast(cands.select(col("id_b").as(idCol)).distinct()),
-        Seq(idCol), "left_semi"),
+      corpus.join(candPrune, Seq(idCol), "left_semi"),
       idCol, textCol, n).cache()
     // CONTRACT CHECK: `corpus` must contain every doc the store knows —
     // a candidate whose id is missing from `corpus` would otherwise be

@@ -1135,6 +1135,36 @@ object TextOps {
         (col("__hi") - col("__lo") + k).cast("long").as("span_tokens"))
   }
 
+  /** Exact-substring CROSS-CORPUS decontamination — the GPT-3 /
+    * Pile-era practice (Brown et al. 2020 scrubbed 13-gram overlaps;
+    * Lee et al. 2021's ExactSubstr) as spans instead of a per-doc
+    * verdict: for every TRAINING document, the maximal token spans
+    * whose every k-window occurs verbatim somewhere in the EVAL suite.
+    * Where [[TextOps.bloomDecontaminate]] answers "how contaminated is
+    * this doc" (a scorecard), this answers "what exactly do I cut" (a
+    * surgical ledger) — the two ends of the same pipeline stage.
+    *
+    * Scale shape: the corpus side is a scan-resident projection (one
+    * tokenize + O(tokens*k) rolling window fold, [[shingleSites]]);
+    * the eval suite's distinct window hashes BROADCAST (a benchmark is
+    * fixed and small — at 8 bytes/window even a 10M-window suite is
+    * 80 MB); only the contaminated SLIVER reaches the per-doc island
+    * window. No corpus-sized shuffle anywhere — the 100 TB cost is one
+    * read of the corpus, same as d22. A hash collision (~2^-64/window)
+    * could only ADD a span, the usual one-sided stance. */
+  def crossSubstringSpans(train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    val evalHashes = shingleSites(eval_, idCol, textCol, k)
+      .select("h").distinct()
+    val sites = shingleSites(train, idCol, textCol, k)
+      .join(broadcast(evalHashes), "h")
+      .select("doc_id", "pos")
+    dupIslands(sites, k)
+      .select(col("doc_id"),
+        col("__lo").cast("long").as("span_start"),
+        (col("__hi") - col("__lo") + k).cast("long").as("span_tokens"))
+  }
+
   /** The removal ledger [[dupSubstringSpans]] implies, per document:
     * its token count, its duplicated token mass, and the mass
     * REMOVABLE when the corpus-wide first (doc, pos) site of every

@@ -636,6 +636,45 @@ object Dedup {
       },
       Some(incrementalDedupOracleWhere("AND b.doc_id % 7 != 3"))),
 
+    // ---- d25: cross-corpus exact-substring decontamination ----------------
+    // the GPT-3/Pile practice (scrub n-gram overlaps with the eval
+    // suite) as SPANS: for each training doc, the maximal token spans
+    // whose every 16-window occurs verbatim in the eval suite — d22
+    // says how contaminated a doc is, this says what to cut. Corpus
+    // side is scan-resident (one rolling-hash fold), eval hashes
+    // broadcast, islands merge per-doc over the contaminated sliver.
+    // Split: eval = doc_id % 20 == 0 (the delta docs carry planted
+    // near-dups, so cross-boundary 16-token runs exist: 2 spans at
+    // sf0.01, 22 at sf0.1).
+    QueryDef(
+      "d25_cross_substring_spans",
+      (s, d) => {
+        val docs = Tables.corpus(s, d)
+        TextOps.crossSubstringSpans(
+            docs.where(col("doc_id") % 20 =!= 0),
+            docs.where(col("doc_id") % 20 === 0),
+            "doc_id", "text", k = SpanK)
+          .orderBy("doc_id", "span_start")
+      },
+      Some(s"""
+        $spanSitesCtes,
+        ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0),
+        ds AS (SELECT sh.doc_id, sh.i FROM sh JOIN ev USING (g)
+               WHERE sh.doc_id % 20 <> 0),
+        isl AS (
+          SELECT doc_id, i,
+                 CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                           <= $SpanK
+                      THEN 0 ELSE 1 END AS brk
+          FROM ds),
+        g2 AS (
+          SELECT doc_id, i,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+          FROM isl)
+        SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+               CAST(MAX(i) - MIN(i) + $SpanK AS BIGINT) AS span_tokens
+        FROM g2 GROUP BY doc_id, grp ORDER BY doc_id, span_start""")),
+
     // ---- d12: cluster-representative selection ----------------------------
     // the curation DECISION on top of d06: per near-dup cluster keep the
     // best document (longest by token count, doc_id tiebreak) instead of

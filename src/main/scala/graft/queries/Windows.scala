@@ -697,6 +697,41 @@ object Windows {
         FROM pairs WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5
         ORDER BY id_a, id_b""")),
 
+    // ---- w27: streamed accretion over a RETRACTED store --------------------
+    // d24's retraction running under the w26 lifecycle: a standing
+    // slice (doc_id % 7 == 3) is tombstoned before ingest begins, and
+    // every wave's probe must mask it — across micro-batches, accreted
+    // appends, and the probe's maintenance retry — while cross-wave
+    // pairing is untouched (delta ids are % 20 == 0, disjoint from the
+    // standing tombstone set). Oracle = w26's ordered-ingest replay
+    // minus pairs into the retracted slice. The MID-stream
+    // retract-between-waves interleaving is pinned deterministically in
+    // StreamingSuite (its pair set depends on retract timing, which an
+    // oracle over static tables cannot see).
+    QueryDef(
+      "w27_stream_dedup_retract",
+      (s, d) =>
+        graft.streaming.Streams
+          .dedupAccreteStreamGate(s, s"$d/documents.parquet",
+            retractMod7 = Some(3))
+          .orderBy("id_a", "id_b"),
+      Some(s"""
+        ${Dedup.oracleShingles}, ex AS (
+          SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+                 any_value(a.n) AS na, any_value(b.n) AS nb
+          FROM ex a JOIN ex b
+            ON a.s = b.s AND a.doc_id % 20 = 0
+           AND (b.doc_id % 20 <> 0
+                OR ((b.doc_id // 20) % 3) < ((a.doc_id // 20) % 3))
+           AND NOT (b.doc_id % 20 <> 0 AND b.doc_id % 7 = 3)
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, CAST(shared AS DOUBLE)/(na+nb-shared) AS jac
+        FROM pairs WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5
+        ORDER BY id_a, id_b""")),
+
     // ---- w16: stream-static AS-OF enrichment through the engine -----------
     // a04's semantics run incrementally: each streamed purchase joins
     // the latest static view at-or-before its event time (broadcast

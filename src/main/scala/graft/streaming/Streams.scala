@@ -1059,7 +1059,7 @@ object Streams {
     * delta-sized driver collect — gate plumbing, not the operator (the
     * production path streams from files/connector as in w25). */
   private[graft] def dedupAccreteStreamGate(spark: SparkSession,
-      docsPath: String): DataFrame = {
+      docsPath: String, retractMod7: Option[Int] = None): DataFrame = {
     import graft.functions.TextOps
     import spark.implicits._
     val docs = spark.read.parquet(docsPath).select("doc_id", "text")
@@ -1069,6 +1069,12 @@ object Streams {
       .toString
     TextOps.buildSignatureStore(standing, "doc_id", "text", store,
       n = 3, numHashes = 128, bands = 32)
+    // w27's twist: a standing slice is RETRACTED before ingest begins —
+    // every wave's probe must mask the tombstoned docs while the
+    // accreted cross-wave pairing is unaffected (delta ids are
+    // % 20 == 0, disjoint from the standing tombstone set)
+    retractMod7.foreach(r => TextOps.retractFromSignatureStore(
+      standing.where(col("doc_id") % 7 === r).select("doc_id"), store))
     val outDir = java.nio.file.Files
       .createTempDirectory(s"w26_out_${gateRunSeq.incrementAndGet()}_")
       .toString

@@ -69,6 +69,34 @@ class DedupOpsSuite extends SparkSuite {
       (8L, 0L, 4L), (8L, 7L, 4L)), s"got $spans")
   }
 
+  test("cross-substring spans: only train-side spans, only eval-shared " +
+      "windows, island edges by hand") {
+    // k=4. Edges: train doc sharing a 5-token run with eval -> one
+    // merged 5-token span (1); a train-train duplicate with NO eval
+    // overlap must NOT span (2/3 — the cross op ignores within-train
+    // dups, unlike d20); eval docs never appear in the output (9);
+    // touching covered ranges merge (4); short/clean train docs are
+    // absent (5/6).
+    val train = Seq(
+      (1L, "p q r s t"),
+      (2L, "u v w x y"),
+      (3L, "u v w x y"),
+      (4L, "c1 c2 c3 c4 d1 d2 d3 d4"),
+      (5L, "a b"),
+      (6L, "completely clean text body here")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (9L, "p q r s t"),
+      (10L, "c1 c2 c3 c4 zz"),
+      (11L, "d1 d2 d3 d4 zz")).toDF("doc_id", "text")
+    val spans = TextOps.crossSubstringSpans(train, eval_,
+        "doc_id", "text", k = 4)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(spans == Seq(
+      (1L, 0L, 5L),
+      (4L, 0L, 8L)), s"got $spans")
+  }
+
   test("exact-substring savings: first (doc,pos) site never counts as " +
       "removable; clean and short docs report zeros") {
     val corpus = Seq(

@@ -832,6 +832,45 @@ class StreamingSuite extends SparkSuite {
       s"probe-and-append chain broken: $got")
   }
 
+  test("mid-stream retraction: a post-retract wave stops pairing with the " +
+      "retracted doc; earlier output and accreted appends stand") {
+    // the interleaving w27's static oracle cannot see: the tombstone
+    // lands BETWEEN waves. Wave 0 pairs with standing doc 1; doc 1 is
+    // then retracted; wave 1 must no longer pair with doc 1 — but must
+    // still pair with wave 0's ACCRETED append (same text, different
+    // id, not tombstoned) and with untouched standing docs.
+    import graft.functions.TextOps
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t1 = "alpha beta gamma delta one"
+    val t2 = "unique text for wave one xyz"
+    val standing = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+    val everything = Seq((1L, t1), (2L, t2), (101L, t1), (201L, t1),
+      (202L, t2)).toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_midretract_store_").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_midretract_out_").toString
+    TextOps.buildSignatureStore(standing, "doc_id", "text", store,
+      n = 3, numHashes = 128, bands = 32)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(Streams.dedupStoreProbeBatch(everything,
+        "doc_id", "text", store, outDir, n = 3, numHashes = 128,
+        bands = 32, threshold = 0.5, accrete = true))
+      .start()
+    try {
+      input.addData((101L, t1)); q.processAllAvailable()
+      TextOps.retractFromSignatureStore(Seq(1L).toDF("doc_id"), store)
+      input.addData((201L, t1), (202L, t2)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.schema(Streams.dedupStorePairsSchema)
+      .parquet(outDir).select("id_a", "id_b").as[(Long, Long)]
+      .collect().toSet
+    assert(got == Set((101L, 1L), (201L, 101L), (202L, 2L)),
+      s"mid-stream retraction semantics broken: $got")
+  }
+
   test("decontaminateStream: production API over caller frames (no fixture)") {
     // the public wrapper takes the caller's OWN train stream and eval
     // frame — no doc_id % 50 split baked in. Split here is by text

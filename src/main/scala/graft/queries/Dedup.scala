@@ -673,7 +673,8 @@ object Dedup {
           FROM isl)
         SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
                CAST(MAX(i) - MIN(i) + $SpanK AS BIGINT) AS span_tokens
-        FROM g2 GROUP BY doc_id, grp ORDER BY doc_id, span_start""")),
+        FROM g2 GROUP BY doc_id, grp ORDER BY doc_id, span_start"""),
+      bench = true),
 
     // ---- d12: cluster-representative selection ----------------------------
     // the curation DECISION on top of d06: per near-dup cluster keep the

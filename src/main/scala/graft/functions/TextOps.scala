@@ -646,28 +646,70 @@ object TextOps {
     * wrong (band keys from different hash families never match — the
     * probe would return zero pairs, not an error), so the mismatch must
     * fail loudly — the ledger-lineage lesson applied here. */
+  private def storeHasBatches(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Boolean = {
+    val b = new org.apache.hadoop.fs.Path(s"$path/batches")
+    fs.exists(b) && fs.listStatus(b).exists(_.isDirectory)
+  }
+
+  private def readParamsAt(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** Stage + rename (the batch-commit pattern): _params becomes visible
+    * only complete. Losing the rename race to a concurrent first build
+    * is fine IFF the winner wrote the same parameters — verify, don't
+    * throw a raw create/rename error (the lineage-stamp claim-verify
+    * move applied here). */
+  private def stampParams(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, want: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_params")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/_params_staging_${java.util.UUID.randomUUID()}")
+    fs.mkdirs(tmp.getParent)
+    val out = fs.create(tmp, false)
+    try out.write(want.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      val got = if (fs.exists(p)) readParamsAt(fs, p) else ""
+      require(got == want,
+        s"lost the _params race at $path to a build with ($got), " +
+          s"wanted ($want) — two concurrent first builds disagree on " +
+          "the sketch family; keep one")
+    }
+  }
+
   private def checkOrWriteParams(spark: SparkSession, path: String,
       n: Int, numHashes: Int, bands: Int, write: Boolean): Unit = {
     val fs = storeFs(spark, path)
     val p = new org.apache.hadoop.fs.Path(s"$path/_params")
     val want = storeParams(n, numHashes, bands)
-    def readParams(): String = {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    }
     if (fs.exists(p)) {
-      val got = readParams()
+      val got = readParamsAt(fs, p)
       if (got.isEmpty) {
-        // a torn _params (a crash inside a non-atomic first write, or a
+        // a torn _params (a crash inside a pre-staged-write build, or a
         // zero-byte file from an interrupted copy) must not permanently
-        // brick the store: a writer repairs it in place, a probe names
-        // the repair instead of failing forever with "built with ()"
-        if (write) fs.delete(p, false)
+        // brick the store — but a writer may only repair it IMPLICITLY
+        // when no batches exist yet: with committed band keys on disk
+        // there is no way to verify the writer's parameters against the
+        // family that built them, and a divergent re-stamp would turn
+        // the loud mismatch error into silently missed duplicates
+        // (code-review finding). With batches present, repair is an
+        // EXPLICIT caller assertion: [[repairSignatureStoreParams]].
+        if (write && !storeHasBatches(fs, path)) fs.delete(p, false)
         else throw new IllegalStateException(
           s"signature store at $path has a torn (empty) _params file — " +
-            "a crashed build left it behind; re-run the build/append " +
-            "(which repairs it) before probing")
+            "a crashed build left it behind. " +
+            (if (storeHasBatches(fs, path))
+              "The store holds committed batches whose sketch family " +
+                "can no longer be verified: call " +
+                "repairSignatureStoreParams to re-stamp AFTER asserting " +
+                "the original parameters, or rebuild the store"
+            else
+              "re-run the build/append (which repairs it) before probing"))
       } else {
         require(got == want,
           s"signature store at $path was built with ($got); refusing to " +
@@ -676,28 +718,20 @@ object TextOps {
             "as a silent empty answer instead of this error")
         return
       }
+    } else if (storeHasBatches(fs, path)) {
+      // batches with NO stamp at all is the same unverifiable state as
+      // a torn stamp (someone deleted _params): implicit stamping here
+      // would bless arbitrary parameters over foreign band keys
+      throw new IllegalStateException(
+        s"signature store at $path holds committed batches but no " +
+          "_params stamp — the sketch family cannot be verified; call " +
+          "repairSignatureStoreParams to re-stamp AFTER asserting the " +
+          "original parameters, or rebuild the store")
     }
     if (!write)
       throw new IllegalStateException(
         s"no signature store at $path (missing _params)")
-    // stage + rename (the batch-commit pattern): _params becomes visible
-    // only complete. Losing the rename race to a concurrent first build
-    // is fine IFF the winner wrote the same parameters — verify, don't
-    // throw a raw create/rename error (the lineage-stamp claim-verify
-    // move applied here).
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$path/_params_staging_${java.util.UUID.randomUUID()}")
-    fs.mkdirs(tmp.getParent)
-    val out = fs.create(tmp, false)
-    try out.write(want.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, p)) {
-      fs.delete(tmp, false)
-      val got = if (fs.exists(p)) readParams() else ""
-      require(got == want,
-        s"lost the _params race at $path to a build with ($got), " +
-          s"wanted ($want) — two concurrent first builds disagree on " +
-          "the sketch family; keep one")
-    }
+    stampParams(fs, path, want)
   }
 
   /** Append `docs`' exploded LSH band keys to the store at `path` as
@@ -767,6 +801,30 @@ object TextOps {
     }
   }
 
+  /** Re-stamp a TORN (zero-byte) `_params` file on a store that already
+    * holds committed batches — the one state [[checkOrWriteParams]]
+    * refuses to repair implicitly, because nothing on disk can verify
+    * the caller's parameters against the family that built the
+    * existing band keys. Calling this IS that assertion: pass the
+    * parameters the store was originally built with (wrong ones
+    * reintroduce the silent-missed-duplicates failure the stamp
+    * exists to prevent). Refuses to touch a healthy stamp. */
+  def repairSignatureStoreParams(spark: SparkSession, path: String,
+      n: Int, numHashes: Int, bands: Int): Unit = {
+    val fs = storeFs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(s"$path/_params")
+    if (fs.exists(p)) {
+      val got = readParamsAt(fs, p)
+      require(got.isEmpty,
+        s"_params at $path is intact (($got)) — refusing to re-stamp a " +
+          "healthy store; this repair is only for torn/missing stamps")
+      fs.delete(p, false)
+    } else require(storeHasBatches(fs, path),
+      s"no signature store at $path — nothing to repair (a build/append " +
+        "stamps a fresh store)")
+    stampParams(fs, path, storeParams(n, numHashes, bands))
+  }
+
   /** Committed tombstone dirs (empty when no retraction ever ran). */
   private def tombstoneDirs(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Array[org.apache.hadoop.fs.Path] = {
@@ -830,6 +888,11 @@ object TextOps {
     // already visible to probes
     val tombs = tombstoneDirs(fs, path)
     val consumed = fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+    // zero committed batches (a crashed first build left an empty
+    // batches/) has nothing to fold tombstones INTO — a bare return,
+    // not a zero-path parquet read (which throws on schema inference);
+    // the tombstones stay and keep masking at probe, harmlessly
+    if (consumed.isEmpty) return
     if (consumed.length <= 1 && tombs.isEmpty) return // nothing to fold
     val id = java.util.UUID.randomUUID().toString
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging_$id")

@@ -871,8 +871,9 @@ object VectorOps {
   // ---- CAS lease chain (r13 stretch: the read-then-write residual) ----
   //
   // The lease is a DIRECTORY of versioned claim files named
-  // `v<20-digit-n>_<timestampMillis>_<uuid>`; the authoritative state
-  // is the HIGHEST version. Every transition — claim, heartbeat
+  // `v<20-digit-n>` (the version number IS the whole filename — see
+  // [[leaseTopVersion]]; ts/uuid ride the body); the authoritative
+  // state is the HIGHEST version. Every transition — claim, heartbeat
   // renewal, expiry break, release — is one primitive: an atomic
   // no-overwrite CREATE of version n+1 (O_CREAT|O_EXCL via
   // Files.createFile on file://, an atomic namenode op on HDFS). That
@@ -928,15 +929,25 @@ object VectorOps {
     * O_CREAT|O_EXCL via Files.createFile on file://, an atomic
     * namenode op on HDFS), then write `<ts> <uuid>` as its body. True
     * iff THIS call created the version; false when it already exists
-    * (lost the race). Other I/O errors propagate. */
+    * (lost the race). Other I/O errors propagate.
+    *
+    * `createDir = false` additionally treats a MISSING chain directory
+    * as a lost race instead of recreating it — the heartbeat's
+    * renewal path, where recreating a just-released (deleted) chain
+    * would resurrect a lease nobody holds (code-review finding). Only
+    * the acquire path, which owns the judge-then-claim protocol, may
+    * create the directory. */
   private[graft] def claimLeaseVersion(fs: org.apache.hadoop.fs.FileSystem,
-      dir: HPath, n: Long, uuid: String): Boolean = {
+      dir: HPath, n: Long, uuid: String,
+      createDir: Boolean = true): Boolean = {
+    if (!createDir && !fs.exists(dir)) return false
     val f = new HPath(dir, f"v$n%020d")
     val body = s"${System.currentTimeMillis()} $uuid".getBytes("UTF-8")
     try {
       if (fs.getUri.getScheme == "file") {
-        java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(dir.toUri.getPath))
+        if (createDir)
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(dir.toUri.getPath))
         val p = java.nio.file.Paths.get(f.toUri.getPath)
         java.nio.file.Files.createFile(p) // atomic O_EXCL: the CAS
         java.nio.file.Files.write(p, body)
@@ -948,6 +959,7 @@ object VectorOps {
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.NoSuchFileException => false // dir vanished
     }
   }
 
@@ -979,11 +991,16 @@ object VectorOps {
     * read-then-write clobbering a breaker's fresh lease after a
     * TTL-long stall — is CLOSED by the chain: the stale tick can only
     * try to create the version the breaker already created, which
-    * fails atomically and fences the holder. The remaining residual is
-    * pure liveness: a tick racing close() past the closing check can
-    * renew a lease the holder is about to release, leaving a chain
-    * that blocks successors until the TTL ([[reapResurrection]] sweeps
-    * the common case). */
+    * fails atomically and fences the holder. Remaining residuals, both
+    * non-destructive: (a) liveness — a tick racing close() past the
+    * closing check can renew just before the release marker, leaving a
+    * chain that blocks successors until the TTL ([[reapResurrection]]
+    * sweeps the common case); (b) a zombie tick stalled across
+    * release AND a successor's fresh claim can CAS a higher version
+    * into the successor's chain, fencing the successor into its
+    * ordinary repair-covered abort — spurious work, never two writers
+    * (the tick can no longer recreate a RELEASED chain: renewal
+    * refuses to create the directory). */
   private final class LeaseHeartbeat(fs: org.apache.hadoop.fs.FileSystem,
       lease: HPath, uuid: String, intervalMs: Long) {
     private val fenced = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -999,8 +1016,12 @@ object VectorOps {
               // the top, then stalled across close()+release, would
               // otherwise extend a chain the holder just released
               // (liveness-only; reapResurrection sweeps it)
-              if (!closing.get() && !claimLeaseVersion(fs, lease, n + 1, uuid))
-                fenced.set(true) // lost n+1 to a breaker: fenced, atomically
+              if (!closing.get() && !claimLeaseVersion(fs, lease, n + 1,
+                  uuid, createDir = false))
+                fenced.set(true) // lost n+1 (breaker) or the chain dir
+                                 // is gone (released under us): either
+                                 // way stop renewing — never recreate a
+                                 // released chain
               else if (!closing.get()) gcLeaseVersions(fs, lease, n + 1)
             case Some(_) => fenced.set(true) // top is foreign: fenced
             case None    => () // dir mid-release/mid-claim: skip the tick

@@ -256,8 +256,18 @@ final class AuthRetryOrg(provider: TokenProvider, open: AuthToken => RemoteOrg)
     * executor-side expiry fails the task, and the NEXT planned batch
     * re-captures a recipe under a fresh token via this very call. */
   override def recipe = run(_.recipe)
-  /** Release the CURRENT session's client (no auth retry — closing must
-    * not mint a token). A later call simply reopens under [[run]]. */
-  override def close(): Unit =
-    provider.cachedToken().foreach(t => open(t).close())
+  /** Release the transport (no auth retry — closing must not mint a
+    * token). `open` is expected to be a pure constructor over a SHARED
+    * transport (the pattern that actually leaks); closing the org it
+    * builds releases that transport. With no cached token — exactly
+    * the expiry/auth-failure paths, where the pool must still be
+    * released (code-review finding) — a sentinel token is used: the
+    * construction never touches the wire. A factory that news a
+    * transport per org has nothing shared to leak, and this closes the
+    * fresh one. A later call simply reopens under [[run]]. */
+  override def close(): Unit = {
+    val t = provider.cachedToken().getOrElse(AuthToken("", ""))
+    try open(t).close()
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
 }

@@ -114,6 +114,8 @@ object RemoteOrgRegistry {
   private val orgs = new ConcurrentHashMap[String, RemoteOrg]()
   private val rebuilt =
     new ConcurrentHashMap[String, (OrgRecipe, RemoteOrg)]()
+  /** Displaced-but-not-yet-closed orgs: one generation per name. */
+  private val retired = new ConcurrentHashMap[String, RemoteOrg]()
   def register(name: String, org: RemoteOrg): Unit = orgs.put(name, org)
   def apply(name: String): RemoteOrg = {
     val o = orgs.get(name)
@@ -142,14 +144,21 @@ object RemoteOrgRegistry {
         rebuilt.compute(name, (_, cached) =>
           if (cached != null && cached._1 == r) cached
           else {
-            // release the displaced org's transport (an HTTP org's
-            // connection pool would otherwise leak on every recipe
-            // change across micro-batches). Safe: displacement only
-            // happens under a NEWER plan's recipe, and same-plan tasks
-            // carry equal recipes, so nothing in flight holds it.
-            if (cached != null)
-              try cached._2.close()
-              catch { case scala.util.control.NonFatal(_) => () }
+            // release displaced transports with a ONE-GENERATION lag
+            // (an HTTP org's pool would otherwise leak on every recipe
+            // change): a task of a CONCURRENT query planned under the
+            // displaced recipe may still be mid-call on the displaced
+            // org, so closing it immediately could cut a live pool out
+            // from under it (code-review finding). Parking it and
+            // closing the org displaced one recipe-change EARLIER
+            // bounds the leak to one org per name while giving the
+            // older plan's in-flight tasks a full generation to drain.
+            if (cached != null) {
+              val prior = retired.put(name, cached._2)
+              if (prior != null && (prior ne cached._2))
+                try prior.close()
+                catch { case scala.util.control.NonFatal(_) => () }
+            }
             (r, r.build())
           })._2
       case None => throw new IllegalStateException(

@@ -992,11 +992,18 @@ object Streams {
       textCol: String, storePath: String, outDir: String,
       n: Int, numHashes: Int, bands: Int, threshold: Double,
       accrete: Boolean = false): (DataFrame, Long) => Unit =
-    (batch: DataFrame, _: Long) => {
+    (batch: DataFrame, epochId: Long) => {
+      // epoch-keyed overwrite, NOT a blind append: Structured Streaming
+      // redelivers a micro-batch after a mid-batch crash, and an
+      // append-mode write would duplicate the redelivered batch's pair
+      // rows for every downstream reader (the store side already
+      // tolerates duplicate appends by construction; the pairs output
+      // must too — code-review finding). Overwriting the epoch's own
+      // directory makes the whole body idempotent.
       graft.functions.TextOps
         .incrementalJaccardPairsFromStore(batch, corpus, idCol, textCol,
           storePath, n, numHashes, bands, threshold)
-        .write.mode("append").parquet(outDir)
+        .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
       if (accrete)
         graft.functions.TextOps.appendToSignatureStore(batch, idCol,
           textCol, storePath, n, numHashes, bands)
@@ -1004,7 +1011,10 @@ object Streams {
 
   /** The probe side's output schema — an all-empty run writes no
     * parquet part files (only _SUCCESS), and schema inference would
-    * throw where the true answer is simply zero pairs. */
+    * throw where the true answer is simply zero pairs. The output dir
+    * is laid out as `epoch=<id>` subdirectories (the idempotent
+    * per-micro-batch overwrite unit); partition discovery appends an
+    * `epoch` column on read — select it away unless you want it. */
   val dedupStorePairsSchema: String = "id_a BIGINT, id_b BIGINT, jac DOUBLE"
 
   /** w25's gate: STREAMING incremental dedup against the persisted
@@ -1042,6 +1052,7 @@ object Streams {
       .start()
     q.awaitTermination()
     spark.read.schema(dedupStorePairsSchema).parquet(outDir)
+      .select("id_a", "id_b", "jac") // drop the epoch partition column
   }
 
   /** w26's gate: the signature store's full PROBE-AND-APPEND lifecycle
@@ -1100,6 +1111,7 @@ object Streams {
       }
     } finally q.stop()
     spark.read.schema(dedupStorePairsSchema).parquet(outDir)
+      .select("id_a", "id_b", "jac") // drop the epoch partition column
   }
 
   /** w20's gate: STREAMING index ingest — the s18/s19 serving lifecycle

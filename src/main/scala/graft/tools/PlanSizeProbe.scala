@@ -11,7 +11,6 @@ object PlanSizeProbe {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")

@@ -882,12 +882,16 @@ class DedupOpsSuite extends SparkSuite {
     assert(out.count() > 0)
   }
 
-  test("signature store: a torn (empty) _params is repairable, not a brick") {
+  test("signature store: a torn (empty) _params is repairable, not a brick — " +
+      "but only explicitly once batches exist") {
     // ADVICE r13: the first _params write was create-then-write — a
     // crash in between left an empty file that failed every later
     // probe/append with "built with ()" forever. Now _params commits by
-    // stage+rename, a torn one names the repair, and a writer repairs
-    // it in place.
+    // stage+rename, and a torn stamp names its repair. On a store that
+    // already holds batches the repair must be EXPLICIT (an implicit
+    // re-stamp under different parameters would silently miss
+    // duplicates — the code-review follow-up); on an empty store a
+    // plain build repairs in place.
     val delta = docs.where(col("doc_id") % 20 === 0)
     val standing = docs.where(col("doc_id") % 20 =!= 0)
     val store = tmpStore()
@@ -901,17 +905,53 @@ class DedupOpsSuite extends SparkSuite {
       pairsVia(store, delta, standing)
     }
     assert(e.getMessage.contains("torn") &&
-      e.getMessage.contains("repair"), e.getMessage)
-    // an append under the true parameters REPAIRS the stamp...
-    TextOps.appendToSignatureStore(standing.limit(0), "doc_id", "text",
-      store, n = 3, numHashes = 128, bands = 32)
+      e.getMessage.contains("repairSignatureStoreParams"), e.getMessage)
+    // an APPEND cannot silently re-stamp over existing batches (its
+    // parameters are unverifiable against the band keys on disk)...
+    val e2 = intercept[IllegalStateException] {
+      TextOps.appendToSignatureStore(standing.limit(0), "doc_id", "text",
+        store, n = 4, numHashes = 128, bands = 32)
+    }
+    assert(e2.getMessage.contains("repairSignatureStoreParams"),
+      e2.getMessage)
+    // ...the explicit repair (the caller's assertion of the family) does
+    TextOps.repairSignatureStoreParams(spark, store,
+      n = 3, numHashes = 128, bands = 32)
     assert(pairsVia(store, delta, standing) == before,
       "repaired store must serve the original answer")
-    // ...and the repaired stamp fences again
+    // the repaired stamp fences again, and refuses a second repair
     intercept[IllegalArgumentException] {
       TextOps.appendToSignatureStore(standing.limit(0), "doc_id", "text",
         store, n = 4, numHashes = 128, bands = 32)
     }
+    intercept[IllegalArgumentException] {
+      TextOps.repairSignatureStoreParams(spark, store,
+        n = 3, numHashes = 128, bands = 32)
+    }
+    // a DELETED stamp over batches is the same unverifiable state
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$store/_params"))
+    val e3 = intercept[IllegalStateException] {
+      TextOps.appendToSignatureStore(standing.limit(0), "doc_id", "text",
+        store, n = 3, numHashes = 128, bands = 32)
+    }
+    assert(e3.getMessage.contains("no _params stamp"), e3.getMessage)
+    TextOps.repairSignatureStoreParams(spark, store,
+      n = 3, numHashes = 128, bands = 32)
+    assert(pairsVia(store, delta, standing) == before)
+    // and on a store with NO batches, a torn stamp repairs implicitly
+    val fresh = tmpStore()
+    TextOps.buildSignatureStore(standing.limit(0), "doc_id", "text",
+      fresh, n = 3, numHashes = 128, bands = 32)
+    // an empty build commits a batch dir — drop it to simulate the
+    // crash BEFORE any batch commit
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$fresh/batches"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$fresh/_params"), Array.empty[Byte])
+    TextOps.buildSignatureStore(standing, "doc_id", "text", fresh,
+      n = 3, numHashes = 128, bands = 32)
+    assert(pairsVia(fresh, delta, standing) == before,
+      "implicit repair on a batch-less store must work")
   }
 
   test("signature store: above the broadcast gate the probe degrades to " +

@@ -101,11 +101,14 @@ class WireOrgRecipeSuite extends AnyFunSuite {
       s"plan-time capture must ride the session-bound client, got $rec")
   }
 
-  test("a displaced rebuilt org releases its transport on recipe change") {
+  test("a displaced rebuilt org releases its transport one generation later") {
     // ADVICE r13: resolve() replaced a cached rebuilt org when a newer
     // recipe shipped but never closed the displaced one — an HTTP
-    // org's connection pool leaked on every recipe change. The
-    // generation field makes the two recipes unequal (the displacement
+    // org's connection pool leaked on every recipe change. The close
+    // is deferred ONE generation (a concurrent query planned under the
+    // displaced recipe may still be mid-call on it), so generation N's
+    // transport is released when generation N+2 displaces N+1. The
+    // generation field makes recipes unequal (the displacement
     // trigger) while building against the same canned wire.
     ClosableBulkTransport.closed.set(0)
     def rec(gen: Int) = BulkApiOrgRecipe(tok, ClosableBulkTransports(gen),
@@ -118,8 +121,14 @@ class WireOrgRecipeSuite extends AnyFunSuite {
       "a cache hit must not close anything")
     val o2 = RemoteOrgRegistry.resolve(name, Some(rec(2)))
     assert(o2 ne o1, "a newer recipe must rebuild")
+    assert(ClosableBulkTransport.closed.get == 0,
+      "a just-displaced org may still serve in-flight tasks — its close " +
+        "must be deferred one generation")
+    val o3 = RemoteOrgRegistry.resolve(name, Some(rec(3)))
+    assert(o3 ne o2, "a newer recipe must rebuild")
     assert(ClosableBulkTransport.closed.get == 1,
-      "the displaced org's transport was not released")
+      "the generation-1 org's transport must be released when " +
+        "generation 3 displaces generation 2")
   }
 }
 

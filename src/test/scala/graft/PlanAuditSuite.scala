@@ -659,6 +659,24 @@ class PlanAuditSuite extends SparkSuite {
       s"chunk-dedup must use the min-aggregate formulation, not a window:\n$p")
   }
 
+  test("d25: cross-substring spans broadcast the eval hashes; the corpus " +
+      "shuffles only the contaminated sliver") {
+    val p = plan("d25_cross_substring_spans")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval window-hash set must broadcast over the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge window join means the corpus side shuffled for the " +
+        s"probe:\n$p")
+    // allowed exchanges: the eval-side distinct (benchmark-sized), its
+    // broadcast, the per-doc island window over the contaminated
+    // SLIVER, and the output sort — the corpus-sized side must reach
+    // the join partition-local (scan -> fold -> broadcast probe)
+    val exchanges = "Exchange (?!RoundRobinPartitioning)".r.findAllIn(p).length
+    assert(exchanges <= 4,
+      s"unexpected exchanges (eval distinct + broadcast + island window " +
+        s"+ output sort at most), found $exchanges:\n$p")
+  }
+
   test("d22: decontamination scores in the scan — no join, no agg, one sort exchange") {
     val p = plan("d22_bloom_decontaminate")
     assert(p.contains("graft_bloom_text_hits_bc"),

@@ -281,6 +281,14 @@ class IndexLifecycleSuite extends SparkSuite {
     VectorOps.releaseCompactionLease(fs, lease, "successor-uuid")
     assert(!new java.io.File(root, "_compaction.lock").exists(),
       "owner's release must remove its chain")
+    // the renewal path's guard: a claim that refuses to create the
+    // directory must read a RELEASED (deleted) chain as a lost race,
+    // never resurrect it — the zombie-heartbeat-tick case
+    assert(!VectorOps.claimLeaseVersion(fs, lease, 1L, "zombie-uuid",
+      createDir = false),
+      "a dir-less claim must lose, not recreate a released chain")
+    assert(!new java.io.File(root, "_compaction.lock").exists(),
+      "the refused claim must leave nothing behind")
   }
 
   test("release leaves a successor's lease untouched (atomic rename-aside)") {

@@ -721,7 +721,15 @@ object TextOps {
     } else if (storeHasBatches(fs, path)) {
       // batches with NO stamp at all is the same unverifiable state as
       // a torn stamp (someone deleted _params): implicit stamping here
-      // would bless arbitrary parameters over foreign band keys
+      // would bless arbitrary parameters over foreign band keys. But
+      // first re-check the stamp — a concurrent first build may have
+      // stamped AND committed its batch between our exists() and the
+      // batches listing (code-review finding); one retry routes that
+      // race into the normal compare path instead of a corruption error
+      if (fs.exists(p)) {
+        checkOrWriteParams(spark, path, n, numHashes, bands, write)
+        return
+      }
       throw new IllegalStateException(
         s"signature store at $path holds committed batches but no " +
           "_params stamp — the sketch family cannot be verified; call " +
@@ -811,6 +819,9 @@ object TextOps {
     * exists to prevent). Refuses to touch a healthy stamp. */
   def repairSignatureStoreParams(spark: SparkSession, path: String,
       n: Int, numHashes: Int, bands: Int): Unit = {
+    // same family validation as append/probe: stamping an internally
+    // invalid family would re-brick the store behind an intact stamp
+    require(numHashes % bands == 0, "numHashes must divide into bands")
     val fs = storeFs(spark, path)
     val p = new org.apache.hadoop.fs.Path(s"$path/_params")
     if (fs.exists(p)) {

@@ -951,8 +951,17 @@ object VectorOps {
         val p = java.nio.file.Paths.get(f.toUri.getPath)
         java.nio.file.Files.createFile(p) // atomic O_EXCL: the CAS
         java.nio.file.Files.write(p, body)
-      } else {
+      } else if (createDir) {
         val out = fs.create(f, false) // no-overwrite: the CAS
+        try out.write(body) finally out.close()
+      } else {
+        // renewal path on a non-file store: fs.create would CREATE
+        // MISSING PARENTS, so the exists() above would be a mere TOCTOU
+        // check and a stalled tick could still resurrect a released
+        // chain (code-review finding) — createNonRecursive makes
+        // "parent gone" a hard failure instead
+        val out = fs.createNonRecursive(f, false, 4096,
+          fs.getDefaultReplication(f), fs.getDefaultBlockSize(f), null)
         try out.write(body) finally out.close()
       }
       true
@@ -960,6 +969,7 @@ object VectorOps {
       case _: java.nio.file.FileAlreadyExistsException => false
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       case _: java.nio.file.NoSuchFileException => false // dir vanished
+      case _: java.io.FileNotFoundException => false // parent vanished
     }
   }
 

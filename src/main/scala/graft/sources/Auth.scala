@@ -264,10 +264,10 @@ final class AuthRetryOrg(provider: TokenProvider, open: AuthToken => RemoteOrg)
     * released (code-review finding) — a sentinel token is used: the
     * construction never touches the wire. A factory that news a
     * transport per org has nothing shared to leak, and this closes the
-    * fresh one. A later call simply reopens under [[run]]. */
-  override def close(): Unit = {
-    val t = provider.cachedToken().getOrElse(AuthToken("", ""))
-    try open(t).close()
-    catch { case scala.util.control.NonFatal(_) => () }
-  }
+    * fresh one. Failures PROPAGATE (a construction-throwing factory
+    * means the release did not happen — swallowing it here would hide
+    * the leak); registry-side displacement closes wrap their own
+    * catch. A later call simply reopens under [[run]]. */
+  override def close(): Unit =
+    open(provider.cachedToken().getOrElse(AuthToken("", ""))).close()
 }

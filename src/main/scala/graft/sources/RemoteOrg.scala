@@ -114,8 +114,15 @@ object RemoteOrgRegistry {
   private val orgs = new ConcurrentHashMap[String, RemoteOrg]()
   private val rebuilt =
     new ConcurrentHashMap[String, (OrgRecipe, RemoteOrg)]()
-  /** Displaced-but-not-yet-closed orgs: one generation per name. */
-  private val retired = new ConcurrentHashMap[String, RemoteOrg]()
+  /** Displaced-but-not-yet-closed orgs per name, newest first, with
+    * retirement timestamps: an entry is closed once [[retireGraceMs]]
+    * has passed (long enough for any task planned under the displaced
+    * recipe to finish its in-flight call) or when the per-name park
+    * list overflows [[RetiredCap]] (a recipe-churn bound). */
+  private val retired =
+    new ConcurrentHashMap[String, List[(Long, RemoteOrg)]]()
+  @volatile private[graft] var retireGraceMs: Long = 5L * 60 * 1000
+  private val RetiredCap = 8
   def register(name: String, org: RemoteOrg): Unit = orgs.put(name, org)
   def apply(name: String): RemoteOrg = {
     val o = orgs.get(name)
@@ -144,20 +151,31 @@ object RemoteOrgRegistry {
         rebuilt.compute(name, (_, cached) =>
           if (cached != null && cached._1 == r) cached
           else {
-            // release displaced transports with a ONE-GENERATION lag
-            // (an HTTP org's pool would otherwise leak on every recipe
-            // change): a task of a CONCURRENT query planned under the
-            // displaced recipe may still be mid-call on the displaced
-            // org, so closing it immediately could cut a live pool out
-            // from under it (code-review finding). Parking it and
-            // closing the org displaced one recipe-change EARLIER
-            // bounds the leak to one org per name while giving the
-            // older plan's in-flight tasks a full generation to drain.
+            // release displaced transports on a GRACE timer (an HTTP
+            // org's pool would otherwise leak on every recipe change):
+            // a task of a CONCURRENT query planned under the displaced
+            // recipe may still be mid-call on the displaced org, so an
+            // immediate — or even generation-lagged — close can cut a
+            // live pool out from under it when two plans with
+            // different recipes interleave (code-review finding). A
+            // displaced org is parked and closed only once
+            // retireGraceMs has passed (longer than any sane task) or
+            // the park list overflows its cap; the leak is bounded to
+            // RetiredCap orgs per name within the grace window.
             if (cached != null) {
-              val prior = retired.put(name, cached._2)
-              if (prior != null && (prior ne cached._2))
-                try prior.close()
-                catch { case scala.util.control.NonFatal(_) => () }
+              val now = System.currentTimeMillis()
+              retired.compute(name, (_, old) => {
+                val all = (now, cached._2) ::
+                  (if (old == null) Nil else old)
+                val (young, aged) =
+                  all.partition { case (ts, _) => now - ts < retireGraceMs }
+                val (keep, overflow) = young.splitAt(RetiredCap)
+                (aged ++ overflow).foreach { case (_, o) =>
+                  try o.close()
+                  catch { case scala.util.control.NonFatal(_) => () }
+                }
+                if (keep.isEmpty) null else keep
+              })
             }
             (r, r.build())
           })._2

@@ -993,16 +993,22 @@ object Streams {
       n: Int, numHashes: Int, bands: Int, threshold: Double,
       accrete: Boolean = false): (DataFrame, Long) => Unit =
     (batch: DataFrame, epochId: Long) => {
-      // epoch-keyed overwrite, NOT a blind append: Structured Streaming
-      // redelivers a micro-batch after a mid-batch crash, and an
-      // append-mode write would duplicate the redelivered batch's pair
-      // rows for every downstream reader (the store side already
-      // tolerates duplicate appends by construction; the pairs output
-      // must too — code-review finding). Overwriting the epoch's own
-      // directory makes the whole body idempotent.
-      graft.functions.TextOps
+      // Idempotent under micro-batch redelivery, on BOTH axes
+      // (code-review findings):
+      //  - the epoch-keyed overwrite (not a blind append) keeps a
+      //    replayed epoch from duplicating its pair rows;
+      //  - the left_anti on the batch's OWN ids keeps a replayed
+      //    accreted batch from pairing against its first attempt's
+      //    store entries (self-pairs at jac 1.0 and within-batch
+      //    pairs that ordered-ingest semantics never emit). On first
+      //    delivery the store holds none of the batch's ids, so the
+      //    filter is a no-op; the anti side is batch-sized.
+      val pairs = graft.functions.TextOps
         .incrementalJaccardPairsFromStore(batch, corpus, idCol, textCol,
           storePath, n, numHashes, bands, threshold)
+      pairs
+        .join(batch.select(col(idCol).as("id_b")), Seq("id_b"), "left_anti")
+        .select("id_a", "id_b", "jac")
         .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
       if (accrete)
         graft.functions.TextOps.appendToSignatureStore(batch, idCol,

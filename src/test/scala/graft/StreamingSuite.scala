@@ -832,6 +832,44 @@ class StreamingSuite extends SparkSuite {
       s"probe-and-append chain broken: $got")
   }
 
+  test("dedupStoreProbeBatch: a redelivered accreted epoch reproduces its " +
+      "first attempt's pairs exactly") {
+    // the crash-between-append-and-checkpoint-commit replay: on
+    // redelivery the store already holds the batch's own accreted
+    // docs, so a naive probe would emit self-pairs (jac 1.0) and
+    // within-batch pairs ordered-ingest semantics never produce; the
+    // helper's own-id anti-join plus the epoch-keyed overwrite must
+    // make the replay byte-equivalent (code-review finding)
+    import graft.functions.TextOps
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta one"
+    val t2 = "unique text for wave one xyz"
+    val standing = Seq((1L, t1)).toDF("doc_id", "text")
+    // 101 dups standing; 201/202 dup EACH OTHER within the batch — the
+    // redelivery's poison pair
+    val batch = Seq((101L, t1), (201L, t2), (202L, t2)).toDF("doc_id", "text")
+    val everything = standing.unionByName(batch)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_redeliver_store_").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_redeliver_out_").toString
+    TextOps.buildSignatureStore(standing, "doc_id", "text", store,
+      n = 3, numHashes = 128, bands = 32)
+    val body = Streams.dedupStoreProbeBatch(everything, "doc_id", "text",
+      store, outDir, n = 3, numHashes = 128, bands = 32,
+      threshold = 0.5, accrete = true)
+    def pairs(): Set[(Long, Long)] =
+      spark.read.schema(Streams.dedupStorePairsSchema).parquet(outDir)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    body(batch, 0L)
+    val first = pairs()
+    assert(first == Set((101L, 1L)), // 201/202 pair nothing on attempt 1
+      s"unexpected first-attempt pairs: $first")
+    body(batch, 0L) // the redelivery, store now holding the batch
+    assert(pairs() == first,
+      s"redelivered epoch changed the pair set: ${pairs()} vs $first")
+  }
+
   test("mid-stream retraction: a post-retract wave stops pairing with the " +
       "retracted doc; earlier output and accreted appends stand") {
     // the interleaving w27's static oracle cannot see: the tombstone

@@ -101,34 +101,43 @@ class WireOrgRecipeSuite extends AnyFunSuite {
       s"plan-time capture must ride the session-bound client, got $rec")
   }
 
-  test("a displaced rebuilt org releases its transport one generation later") {
+  test("a displaced rebuilt org releases its transport after the grace " +
+      "period, never while it may still serve in-flight tasks") {
     // ADVICE r13: resolve() replaced a cached rebuilt org when a newer
     // recipe shipped but never closed the displaced one — an HTTP
     // org's connection pool leaked on every recipe change. The close
-    // is deferred ONE generation (a concurrent query planned under the
-    // displaced recipe may still be mid-call on it), so generation N's
-    // transport is released when generation N+2 displaces N+1. The
-    // generation field makes recipes unequal (the displacement
-    // trigger) while building against the same canned wire.
+    // is deferred by a GRACE period: a task of a CONCURRENT query
+    // planned under the displaced recipe (recipes can interleave, not
+    // just progress) may still be mid-call on it. The generation field
+    // makes recipes unequal (the displacement trigger) while building
+    // against the same canned wire.
     ClosableBulkTransport.closed.set(0)
+    val savedGrace = RemoteOrgRegistry.retireGraceMs
     def rec(gen: Int) = BulkApiOrgRecipe(tok, ClosableBulkTransports(gen),
       "47.0", 60, 1000L, 30000L, "JSON", None)
     val name = "wire_recipe_displace"
-    val o1 = RemoteOrgRegistry.resolve(name, Some(rec(1)))
-    assert(RemoteOrgRegistry.resolve(name, Some(rec(1))) eq o1,
-      "equal recipe must reuse the cached org")
-    assert(ClosableBulkTransport.closed.get == 0,
-      "a cache hit must not close anything")
-    val o2 = RemoteOrgRegistry.resolve(name, Some(rec(2)))
-    assert(o2 ne o1, "a newer recipe must rebuild")
-    assert(ClosableBulkTransport.closed.get == 0,
-      "a just-displaced org may still serve in-flight tasks — its close " +
-        "must be deferred one generation")
-    val o3 = RemoteOrgRegistry.resolve(name, Some(rec(3)))
-    assert(o3 ne o2, "a newer recipe must rebuild")
-    assert(ClosableBulkTransport.closed.get == 1,
-      "the generation-1 org's transport must be released when " +
-        "generation 3 displaces generation 2")
+    try {
+      RemoteOrgRegistry.retireGraceMs = 60_000L
+      val o1 = RemoteOrgRegistry.resolve(name, Some(rec(1)))
+      assert(RemoteOrgRegistry.resolve(name, Some(rec(1))) eq o1,
+        "equal recipe must reuse the cached org")
+      assert(ClosableBulkTransport.closed.get == 0,
+        "a cache hit must not close anything")
+      val o2 = RemoteOrgRegistry.resolve(name, Some(rec(2)))
+      assert(o2 ne o1, "a newer recipe must rebuild")
+      val o3 = RemoteOrgRegistry.resolve(name, Some(rec(3)))
+      assert(o3 ne o2, "a newer recipe must rebuild")
+      assert(ClosableBulkTransport.closed.get == 0,
+        "displaced orgs inside the grace window may still serve " +
+          "in-flight tasks of interleaved plans — nothing may close")
+      // age the parked orgs out: with grace zero, the next displacement
+      // sweeps both of them
+      RemoteOrgRegistry.retireGraceMs = 0L
+      RemoteOrgRegistry.resolve(name, Some(rec(4)))
+      assert(ClosableBulkTransport.closed.get >= 2,
+        "aged-out parked transports must be released on the next " +
+          s"displacement, closed=${ClosableBulkTransport.closed.get}")
+    } finally RemoteOrgRegistry.retireGraceMs = savedGrace
   }
 }
 

@@ -659,26 +659,55 @@ object TextOps {
     finally in.close()
   }
 
-  /** Stage + rename (the batch-commit pattern): _params becomes visible
-    * only complete. Losing the rename race to a concurrent first build
-    * is fine IFF the winner wrote the same parameters — verify, don't
-    * throw a raw create/rename error (the lineage-stamp claim-verify
-    * move applied here). */
-  private def stampParams(fs: org.apache.hadoop.fs.FileSystem,
+  /** Exclusive no-overwrite create (the [[VectorOps.claimLeaseVersion]]
+    * CAS applied to the stamp): of two concurrent first builds exactly
+    * one creates `_params`; the loser reads the winner's stamp back and
+    * verifies family equality. The earlier stage+rename form relied on
+    * rename-onto-existing FAILING, which holds on HDFS but not on
+    * Hadoop's local filesystem (POSIX rename(2) silently replaces), so
+    * on file:// two racing builds with different families could clobber
+    * each other's stamp with no error — the exact silent-missed-
+    * duplicates failure the stamp exists to prevent (ADVICE r14). A
+    * crash between create and write leaves a torn (empty) stamp, the
+    * state [[checkOrWriteParams]] already fences and
+    * [[repairSignatureStoreParams]] repairs — loud, never silent. */
+  private[graft] def stampParams(fs: org.apache.hadoop.fs.FileSystem,
       path: String, want: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_params")
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$path/_params_staging_${java.util.UUID.randomUUID()}")
-    fs.mkdirs(tmp.getParent)
-    val out = fs.create(tmp, false)
-    try out.write(want.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, p)) {
-      fs.delete(tmp, false)
-      val got = if (fs.exists(p)) readParamsAt(fs, p) else ""
+    fs.mkdirs(p.getParent)
+    val created =
+      try {
+        if (fs.getUri.getScheme == "file") {
+          val nio = java.nio.file.Paths.get(p.toUri.getPath)
+          java.nio.file.Files.createFile(nio) // atomic O_EXCL: the CAS
+          java.nio.file.Files.write(nio, want.getBytes("UTF-8"))
+          true
+        } else {
+          val out = fs.create(p, false) // no-overwrite create: the CAS
+          try out.write(want.getBytes("UTF-8")) finally out.close()
+          true
+        }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
+    if (!created) {
+      // lost the race: the winner may still be between its create and
+      // its write, so an empty read-back gets a few brief retries
+      // before it is judged torn rather than in-flight
+      var got = if (fs.exists(p)) readParamsAt(fs, p) else ""
+      var tries = 0
+      while (got.isEmpty && tries < 20) {
+        Thread.sleep(50); tries += 1
+        got = if (fs.exists(p)) readParamsAt(fs, p) else ""
+      }
       require(got == want,
         s"lost the _params race at $path to a build with ($got), " +
           s"wanted ($want) — two concurrent first builds disagree on " +
-          "the sketch family; keep one")
+          "the sketch family; keep one" +
+          (if (got.isEmpty) " (empty: the racer's stamp is torn — " +
+            "repairSignatureStoreParams after asserting the family)"
+          else ""))
     }
   }
 
@@ -744,14 +773,60 @@ object TextOps {
 
   /** Append `docs`' exploded LSH band keys to the store at `path` as
     * one atomically-committed batch (stage + rename). Linear per-doc
-    * work, no shuffle: sketch → explode → write. */
+    * work, no shuffle: sketch → explode → write.
+    *
+    * Retraction wins over later appends by design (see
+    * [[retractFromSignatureStore]]), so an append whose batch
+    * intersects live tombstones would be a SILENT no-op at probe —
+    * the doc looks appended but never pairs. That footgun fails
+    * loudly instead (r14 verdict): compact first (folds the tombstone
+    * away), or pass `unretract = true` to explicitly drop the
+    * intersecting tombstones — the caller's assertion that these docs
+    * are rejoining the corpus. The check costs nothing when no
+    * retraction ever ran (no tombstone dirs = no extra job); with
+    * tombstones present it is one tombstone-sized semi-join. */
   def appendToSignatureStore(docs: DataFrame, idCol: String,
       textCol: String, path: String,
-      n: Int, numHashes: Int, bands: Int): Unit = {
+      n: Int, numHashes: Int, bands: Int,
+      unretract: Boolean = false): Unit = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val spark = docs.sparkSession
     checkOrWriteParams(spark, path, n, numHashes, bands, write = true)
     val fs = storeFs(spark, path)
+    signatureTombstones(spark, path).foreach { tombs =>
+      val batchIds = docs.select(col(idCol).as("__id")).distinct()
+      val nMasked = tombs.join(batchIds, Seq("__id"), "left_semi").count()
+      if (nMasked > 0L) {
+        if (!unretract) throw new IllegalStateException(
+          s"append to $path re-adds $nMasked retracted doc(s): " +
+            "retraction wins over later appends, so this batch would be " +
+            "silently masked at every probe. compactSignatureStore first " +
+            "(folds the tombstones away), or pass unretract = true to " +
+            "drop the intersecting tombstones explicitly")
+        // EXPLICIT unretract: rewrite the tombstone set minus the
+        // batch's ids, committed before the old dirs are dropped — a
+        // crash mid-way leaves a superset of tombstones (the docs stay
+        // retracted, the append below never ran: re-run converges),
+        // never an unmasked key that should be masked
+        val oldDirs = tombstoneDirs(fs, path)
+        val remaining = tombs.join(batchIds, Seq("__id"), "left_anti")
+          .localCheckpoint(true) // materialize BEFORE the source dirs die
+        if (remaining.count() > 0L) {
+          val tid = java.util.UUID.randomUUID().toString
+          val tStaging = new org.apache.hadoop.fs.Path(
+            s"$path/_staging_$tid")
+          val tCommitted = new org.apache.hadoop.fs.Path(
+            s"$path/tombstones/$tid")
+          remaining.write.parquet(tStaging.toString)
+          if (!fs.rename(tStaging, tCommitted)) {
+            fs.delete(tStaging, true)
+            throw new IllegalStateException(
+              s"could not commit rewritten tombstone batch $tid to $path")
+          }
+        }
+        oldDirs.foreach(fs.delete(_, true))
+      }
+    }
     val id = java.util.UUID.randomUUID().toString
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging_$id")
     val committed = new org.apache.hadoop.fs.Path(s"$path/batches/$id")
@@ -786,9 +861,11 @@ object TextOps {
     * lease and no redelivery bookkeeping are needed.
     *
     * Retraction wins over every batch present at probe time, including
-    * appends committed AFTER the tombstone — re-adding a retracted doc
-    * requires a compaction first (fold the tombstone away), matching
-    * the semantics that a retracted doc has left the corpus. */
+    * appends committed AFTER the tombstone — matching the semantics
+    * that a retracted doc has left the corpus. An append that would be
+    * masked this way fails LOUDLY ([[appendToSignatureStore]]): compact
+    * first (fold the tombstone away) or append with
+    * `unretract = true`. */
   def retractFromSignatureStore(docIds: DataFrame, path: String): Unit = {
     val spark = docIds.sparkSession
     val fs = storeFs(spark, path)
@@ -1025,8 +1102,14 @@ object TextOps {
     // forced hint would die rather than degrade. The count is cheap:
     // cands is already localCheckpointed.
     val candIds = cands.select(col("id_b").as(idCol)).distinct()
+    // gate on the DISTINCT candidate-id count — what actually rides the
+    // broadcast — not the pair count: pairs are duplicative (one id_b
+    // can pair with many delta docs), so the pair-count proxy could
+    // demote a perfectly broadcastable prune (r14 verdict minor). The
+    // aggregate is one cheap job over the localCheckpointed cands.
     val candPrune =
-      if (cands.count() <= broadcastKeyLimit) broadcast(candIds)
+      if (cands.agg(countDistinct(col("id_b"))).head().getLong(0)
+          <= broadcastKeyLimit) broadcast(candIds)
       else candIds
     val candCorpusSh = hashedShingleSets(
       corpus.join(candPrune, Seq(idCol), "left_semi"),
@@ -1225,13 +1308,28 @@ object TextOps {
     * 80 MB); only the contaminated SLIVER reaches the per-doc island
     * window. No corpus-sized shuffle anywhere — the 100 TB cost is one
     * read of the corpus, same as d22. A hash collision (~2^-64/window)
-    * could only ADD a span, the usual one-sided stance. */
+    * could only ADD a span, the usual one-sided stance.
+    *
+    * `broadcastKeyLimit` wears the same gate as the store probe's
+    * delta broadcast (r14 verdict): at or below it (distinct window
+    * hashes) the pinned broadcast shape holds; above it — a caller
+    * passing a corpus-sized "eval" frame — the probe degrades to a
+    * shuffled join instead of dying on a forced over-sized broadcast.
+    * The hint is a command, not a suggestion; the same argument that
+    * gated the probe applies verbatim here. The eval hash set is
+    * localCheckpointed (benchmark-sized) so the gate's count and the
+    * join share one materialization. */
   def crossSubstringSpans(train: DataFrame, eval_ : DataFrame,
-      idCol: String, textCol: String, k: Int): DataFrame = {
+      idCol: String, textCol: String, k: Int,
+      broadcastKeyLimit: Long = defaultBroadcastKeyLimit): DataFrame = {
     val evalHashes = shingleSites(eval_, idCol, textCol, k)
       .select("h").distinct()
+      .localCheckpoint(true)
+    val evalProbe =
+      if (evalHashes.count() <= broadcastKeyLimit) broadcast(evalHashes)
+      else evalHashes
     val sites = shingleSites(train, idCol, textCol, k)
-      .join(broadcast(evalHashes), "h")
+      .join(evalProbe, "h")
       .select("doc_id", "pos")
     dupIslands(sites, k)
       .select(col("doc_id"),

@@ -1077,11 +1077,17 @@ object VectorOps {
     * deleting the winner's fresh lease (the delete-then-create race a
     * code review caught). The uuid lets release and renewal recognize
     * OUR lease, never a successor's. */
-  private def acquireCompactionLease(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def acquireCompactionLease(fs: org.apache.hadoop.fs.FileSystem,
       path: String, ttlMs: Long): (HPath, String) = {
     val lease = hp(s"$path/$LeaseName")
     val uuid = java.util.UUID.randomUUID().toString
-    if (fs.exists(lease) && fs.getFileStatus(lease).isFile) {
+    // same FNF-is-free stance as the chain read below: the lease
+    // vanishing between exists() and getFileStatus is a concurrent
+    // release, not an error
+    val legacyFile =
+      try fs.exists(lease) && fs.getFileStatus(lease).isFile
+      catch { case _: java.io.FileNotFoundException => false }
+    if (legacyFile) {
       // LEGACY single-file lease (pre-chain layout or a hand-made
       // lock): judge by body timestamp with an mtime fallback for a
       // content-less file (a holder that crashed between create and
@@ -1129,6 +1135,13 @@ object VectorOps {
     val top =
       try leaseTopVersion(fs, lease)
       catch {
+        // the chain directory vanishing between leaseTopVersion's
+        // exists() and its listStatus is the NORMAL window of a
+        // concurrent release's recursive delete — the chain is free,
+        // not unreadable; refusing here turned an ordinary
+        // release/claim race into a spurious concurrent-compaction
+        // error (ADVICE r14)
+        case _: java.io.FileNotFoundException => None
         case e: java.io.IOException => throw new IllegalStateException(
           s"concurrent compaction refused: lease chain $lease is " +
           "unreadable — refusing to treat an unreadable lease as " +

@@ -991,7 +991,7 @@ object Streams {
   def dedupStoreProbeBatch(corpus: DataFrame, idCol: String,
       textCol: String, storePath: String, outDir: String,
       n: Int, numHashes: Int, bands: Int, threshold: Double,
-      accrete: Boolean = false): (DataFrame, Long) => Unit =
+      accrete: Boolean = false, unretract: Boolean = false): (DataFrame, Long) => Unit =
     (batch: DataFrame, epochId: Long) => {
       // Idempotent under micro-batch redelivery, on BOTH axes
       // (code-review findings):
@@ -1011,8 +1011,12 @@ object Streams {
         .select("id_a", "id_b", "jac")
         .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
       if (accrete)
+        // a batch re-adding a RETRACTED doc fails the epoch loudly
+        // (append-after-retract is a silent mask otherwise) — pass
+        // unretract = true when the stream's semantics are that
+        // arriving docs rejoin the corpus over any standing tombstone
         graft.functions.TextOps.appendToSignatureStore(batch, idCol,
-          textCol, storePath, n, numHashes, bands)
+          textCol, storePath, n, numHashes, bands, unretract = unretract)
     }
 
   /** The probe side's output schema — an all-empty run writes no

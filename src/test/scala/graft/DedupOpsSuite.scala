@@ -97,6 +97,23 @@ class DedupOpsSuite extends SparkSuite {
       (4L, 0L, 8L)), s"got $spans")
   }
 
+  test("cross-substring spans: above the broadcast gate the probe " +
+      "degrades to a shuffled join with identical spans") {
+    // broadcastKeyLimit = 0 forces the over-gate path (a caller passing
+    // a corpus-sized "eval" frame); the spans must be byte-identical to
+    // the pinned broadcast shape — the gate changes the exchange, never
+    // the answer (the store probe's r13 prescription, worn by d25 too)
+    val eval_ = docs.where(col("doc_id") % 20 === 0)
+    val train = docs.where(col("doc_id") % 20 =!= 0)
+    def spansAt(limit: Long) = TextOps.crossSubstringSpans(train, eval_,
+        "doc_id", "text", k = 8, broadcastKeyLimit = limit)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val below = spansAt(Long.MaxValue)
+    val above = spansAt(0L)
+    assert(below.nonEmpty && above == below,
+      s"over-gate fallback diverged: ${above.take(5)} vs ${below.take(5)}")
+  }
+
   test("exact-substring savings: first (doc,pos) site never counts as " +
       "removable; clean and short docs report zeros") {
     val corpus = Seq(
@@ -1033,5 +1050,105 @@ class DedupOpsSuite extends SparkSuite {
       "doc_id", "text", store, n = 3, numHashes = 128, bands = 32)
     assert(pairsVia(store, delta, standing) == before,
       "re-added doc after tombstone fold must pair again")
+  }
+
+  test("signature store: append-after-retract fails loudly; " +
+      "unretract = true drops exactly the intersecting tombstones") {
+    // r14 verdict: retraction wins over later appends, so re-adding a
+    // retracted doc before a compaction silently masked the append at
+    // probe — defensible semantics, footgun API. The append now fails
+    // loudly, and the explicit unretract drops ONLY the batch's
+    // tombstones (other retractions keep masking).
+    val delta = docs.where(col("doc_id") % 20 === 0)
+    val standing = docs.where(col("doc_id") % 20 =!= 0)
+    val store = tmpStore()
+    TextOps.buildSignatureStore(standing, "doc_id", "text", store,
+      n = 3, numHashes = 128, bands = 32)
+    val before = pairsVia(store, delta, standing)
+    val victims = before.map(_._2).distinct
+    assert(victims.length >= 2, s"fixture needs 2 pairing corpus docs: $victims")
+    val (v1, v2) = (victims(0), victims(1))
+    import spark.implicits._
+    TextOps.retractFromSignatureStore(Seq(v1, v2).toDF("doc_id"), store)
+    val masked = pairsVia(store, delta, standing)
+    assert(!masked.exists(p => p._2 == v1 || p._2 == v2))
+    val v1Frame = standing.where(col("doc_id") === v1)
+      .select("doc_id", "text")
+    // the silent-mask append is refused...
+    val e = intercept[IllegalStateException] {
+      TextOps.appendToSignatureStore(v1Frame, "doc_id", "text", store,
+        n = 3, numHashes = 128, bands = 32)
+    }
+    assert(e.getMessage.contains("retracted") &&
+      e.getMessage.contains("unretract"), e.getMessage)
+    // ...and left the store untouched
+    assert(pairsVia(store, delta, standing) == masked,
+      "a refused append must not change the served answer")
+    // the explicit unretract: v1 rejoins the corpus, v2 stays retracted
+    TextOps.appendToSignatureStore(v1Frame, "doc_id", "text", store,
+      n = 3, numHashes = 128, bands = 32, unretract = true)
+    val after = pairsVia(store, delta, standing)
+    assert(after == before.filterNot(_._2 == v2),
+      s"unretract must revive exactly v1: $after")
+    // a batch with NO tombstone overlap still appends freely
+    TextOps.appendToSignatureStore(standing.limit(0), "doc_id", "text",
+      store, n = 3, numHashes = 128, bands = 32)
+  }
+
+  test("signature store: the candidate prune gates on DISTINCT ids — " +
+      "duplicative pairs at the demotion boundary stay correct") {
+    // r14 verdict minor: the old gate counted PAIRS as a proxy for the
+    // broadcast's real payload (distinct candidate ids); with many
+    // delta docs all matching the same corpus doc the proxy demotes a
+    // broadcastable prune. This fixture builds exactly that shape (one
+    // corpus doc, a delta of near-copies), then sweeps limits across
+    // the boundary: every gate decision must serve identical pairs.
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpusDoc = Seq((1000L, base)).toDF("doc_id", "text")
+    val deltaDocs = (1L to 8L)
+      .map(i => (i, base + s" tail$i")).toDF("doc_id", "text")
+    val store = tmpStore()
+    TextOps.buildSignatureStore(corpusDoc, "doc_id", "text", store,
+      n = 3, numHashes = 128, bands = 32)
+    def pairsAt(limit: Long) = TextOps
+      .incrementalJaccardPairsFromStore(deltaDocs, corpusDoc,
+        "doc_id", "text", store, n = 3, numHashes = 128, bands = 32,
+        threshold = 0.5, broadcastKeyLimit = limit)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+    val full = pairsAt(Long.MaxValue)
+    assert(full.length >= 8 && full.forall(_._2 == 1000L),
+      s"fixture must pair every near-copy with the one corpus doc: $full")
+    // limits straddling the boundary: distinct ids (1) <= limit < pairs
+    // (8) is where the old proxy demoted and the exact gate broadcasts;
+    // 0 demotes both joins; MaxValue broadcasts both
+    Seq(0L, 1L, 4L, full.length.toLong).foreach { lim =>
+      assert(pairsAt(lim) == full, s"pairs diverged at limit $lim")
+    }
+  }
+
+  test("signature store: the _params stamp is an exclusive create — a " +
+      "losing divergent family fails loudly even where rename overwrites") {
+    // ADVICE r14: the stage+rename stamp relied on rename-onto-existing
+    // FAILING, which POSIX rename(2) (Hadoop's local fs) does not — two
+    // racing first builds with different sketch families silently
+    // clobbered each other's stamp on file://. The stamp is now an
+    // exclusive no-overwrite create: the loser verifies, never replaces.
+    val store = tmpStore()
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    TextOps.stampParams(fs, store, "n=3,numHashes=128,bands=32")
+    // losing with the SAME family is a harmless no-op
+    TextOps.stampParams(fs, store, "n=3,numHashes=128,bands=32")
+    // losing with a DIVERGENT family is loud
+    val e = intercept[IllegalArgumentException] {
+      TextOps.stampParams(fs, store, "n=4,numHashes=128,bands=32")
+    }
+    assert(e.getMessage.contains("disagree"), e.getMessage)
+    // and the winner's stamp survived untouched
+    assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$store/_params")), "UTF-8")
+      == "n=3,numHashes=128,bands=32",
+      "the losing stamp must not replace the winner's")
   }
 }

@@ -291,6 +291,36 @@ class IndexLifecycleSuite extends SparkSuite {
       "the refused claim must leave nothing behind")
   }
 
+  test("acquire races an ordinary release: the chain dir vanishing " +
+      "between exists() and listStatus reads as FREE, not unreadable") {
+    // ADVICE r14: a concurrent releaseLeaseChain's recursive delete can
+    // land exactly between leaseTopVersion's exists() check and its
+    // listStatus — the FileNotFoundException is the normal signature of
+    // a just-freed chain, and converting it into the hard 'lease chain
+    // unreadable' refusal gave the claimer a spurious
+    // concurrent-compaction error instead of the lease.
+    val root = java.nio.file.Files.createTempDirectory("idx_fnf_").toString
+    val raw = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val lease = new org.apache.hadoop.fs.Path(s"$root/_compaction.lock")
+    raw.mkdirs(lease) // the chain dir a releaser is about to delete
+    val fnfOnce = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      @volatile private var armed = true
+      override def listStatus(p: org.apache.hadoop.fs.Path)
+          : Array[org.apache.hadoop.fs.FileStatus] =
+        if (armed && p.getName == "_compaction.lock") {
+          armed = false // one-shot: the re-verify after the claim reads clean
+          throw new java.io.FileNotFoundException(
+            s"$p (deleted by a concurrent release)")
+        } else super.listStatus(p)
+    }
+    val (_, uuid) = VectorOps.acquireCompactionLease(fnfOnce, root,
+      ttlMs = 60000L)
+    assert(VectorOps.leaseTopVersion(raw, lease).exists(_._3 == uuid),
+      "the claimer must hold the freed chain after the FNF race")
+    VectorOps.releaseCompactionLease(raw, lease, uuid)
+  }
+
   test("release leaves a successor's lease untouched (atomic rename-aside)") {
     // ADVICE r12: read-then-delete release could delete a successor's
     // fresh lease. The release path must verify ownership via the

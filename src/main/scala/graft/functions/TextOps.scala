@@ -930,17 +930,73 @@ object TextOps {
       .select("__id").distinct())
   }
 
-  /** The committed band-key frame: batches/ only — staging directories
-    * (in-flight or crashed appends) are invisible by construction. */
-  private def signatureStoreKeys(spark: SparkSession,
-      path: String): DataFrame = {
+  /** Marker file a bucketed compacted batch carries (underscore name:
+    * invisible to raw parquet reads); body = the bucket count. */
+  private val BucketMarker = "_bucketed"
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Catalog name for a bucketed batch directory — stable across
+    * sessions (derived from the committed path), so any probe can
+    * (re)register the SAME external table over the files. */
+  private def bucketTableName(dir: org.apache.hadoop.fs.Path): String =
+    s"graft_sigstore_${md5Hex(dir.toString)}"
+
+  /** Read a bucketed batch THROUGH the catalog so Spark knows its
+    * layout: a datasource table `CLUSTERED BY (__b, __key)` reports
+    * `HashPartitioning(__b, __key, n)` at scan, which is what turns
+    * the probe's above-gate fallback into a storage-partitioned join
+    * (only the delta side exchanges). Registration is idempotent and
+    * cross-session: the bucket count rides the [[BucketMarker]] file,
+    * the schema rides the parquet footers, and the bucket ids ride the
+    * file NAMES (which the staged-dir rename preserves). */
+  private def bucketedBatchFrame(spark: SparkSession,
+      dir: org.apache.hadoop.fs.Path, numBuckets: Int): DataFrame = {
+    val name = bucketTableName(dir)
+    if (!spark.catalog.tableExists(name)) {
+      val schema = spark.read.parquet(dir.toString).schema.toDDL
+      spark.sql(
+        s"CREATE TABLE IF NOT EXISTS $name ($schema) USING PARQUET " +
+          s"CLUSTERED BY (__b, __key) SORTED BY (__b, __key) " +
+          s"INTO $numBuckets BUCKETS LOCATION '${dir.toString}'")
+    }
+    spark.table(name)
+  }
+
+  private def readBucketMarker(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[Int] = {
+    val m = new org.apache.hadoop.fs.Path(dir, BucketMarker)
+    if (!fs.exists(m)) None
+    else readParamsAt(fs, m).toIntOption.filter(_ > 0)
+  }
+
+  /** The committed band-key frames: (bucketed side, loose side).
+    * Staging directories (in-flight or crashed appends) are invisible
+    * by construction. At most ONE bucketed batch serves as the
+    * storage-partitioned side — a union would erase the reported
+    * layout — so extras (the compaction crash window where a consumed
+    * input survives next to the merged batch) read as loose batches:
+    * degraded, still correct. */
+  private[graft] def signatureStoreKeyFrames(spark: SparkSession,
+      path: String): (Option[DataFrame], Option[DataFrame]) = {
     val fs = storeFs(spark, path)
     val base = new org.apache.hadoop.fs.Path(s"$path/batches")
     val dirs =
-      if (!fs.exists(base)) Array.empty[String]
-      else fs.listStatus(base).filter(_.isDirectory).map(_.getPath.toString)
+      if (!fs.exists(base)) Array.empty[org.apache.hadoop.fs.Path]
+      else fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
     require(dirs.nonEmpty, s"signature store at $path has no committed batches")
-    spark.read.parquet(dirs: _*)
+    val (bucketedDirs, looseDirs) = dirs.sortBy(_.getName)
+      .partition(d => readBucketMarker(fs, d).isDefined)
+    val bucketed = bucketedDirs.headOption.map(d =>
+      bucketedBatchFrame(spark, d, readBucketMarker(fs, d).get))
+    val loosePaths = looseDirs.map(_.toString) ++
+      bucketedDirs.drop(1).map(_.toString)
+    val loose =
+      if (loosePaths.isEmpty) None
+      else Some(spark.read.parquet(loosePaths.toSeq: _*))
+    (bucketed, loose)
   }
 
   /** Fold the store's accumulated append batches into one — a year of
@@ -961,12 +1017,25 @@ object TextOps {
     *  - two concurrent compactions each commit a merged copy and
     *    delete the same inputs = duplicate keys = same answers.
     *
-    * All four interleavings are suite-pinned. Coalesce to a modest
-    * partition count: band keys are 20 bytes/row, so even a 100 TB
-    * corpus' store (~#docs x bands rows) compacts to a few hundred
-    * healthy parquet files. */
+    * All four interleavings are suite-pinned.
+    *
+    * With `numBuckets > 0` (the default) the folded batch is written
+    * BUCKETED on `(__b, __key)` — one hash-layout shuffle paid here,
+    * at maintenance time, so that every above-gate probe afterwards
+    * joins the store side EXCHANGE-FREE (a storage-partitioned join
+    * that shuffles only the delta; the r14 verdict's scale-killer:
+    * without the layout, a bulk delta's fallback paid a corpus-sized
+    * exchange per probe). The layout rides three things the staged
+    * rename preserves: bucket ids in the file NAMES, the bucket count
+    * in the [[BucketMarker]] file, and the schema in the parquet
+    * footers — so any later session re-registers the same external
+    * table over the committed directory. Size `numBuckets` so one
+    * bucket (~#docs x bands / numBuckets rows at ~20 B) fits an
+    * executor comfortably: a 100 TB corpus' store wants thousands of
+    * buckets, the test default is modest. `numBuckets = 0` keeps the
+    * legacy unbucketed coalesce layout. */
   def compactSignatureStore(spark: SparkSession, path: String,
-      numFiles: Int = 8): Unit = {
+      numFiles: Int = 8, numBuckets: Int = 32): Unit = {
     val fs = storeFs(spark, path)
     val base = new org.apache.hadoop.fs.Path(s"$path/batches")
     if (!fs.exists(base)) return
@@ -981,7 +1050,10 @@ object TextOps {
     // not a zero-path parquet read (which throws on schema inference);
     // the tombstones stay and keep masking at probe, harmlessly
     if (consumed.isEmpty) return
-    if (consumed.length <= 1 && tombs.isEmpty) return // nothing to fold
+    val alreadyLaidOut = consumed.length <= 1 && tombs.isEmpty &&
+      (numBuckets <= 0 || consumed.headOption.exists(d =>
+        readBucketMarker(fs, d).contains(numBuckets)))
+    if (alreadyLaidOut) return // nothing to fold, layout already right
     val id = java.util.UUID.randomUUID().toString
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging_$id")
     val merged = spark.read.parquet(consumed.map(_.toString): _*)
@@ -991,7 +1063,25 @@ object TextOps {
         spark.read.parquet(tombs.map(_.toString): _*)
           .select("__id").distinct(),
         Seq("__id"), "left_anti")
-    folded.coalesce(numFiles).write.parquet(staging.toString)
+    if (numBuckets > 0) {
+      // bucketBy requires the catalog path: write an EXTERNAL table at
+      // the staging location, then drop the catalog entry (files stay)
+      // and commit the directory by the usual rename. The repartition
+      // matches the bucket hash exactly (both are
+      // HashPartitioning(__b, __key, n)), so each task owns one bucket
+      // and writes ONE file — sorted bucket files the join can stream.
+      val tmpTable = s"graft_sigstore_staging_${id.replace("-", "_")}"
+      folded.repartition(numBuckets, col("__b"), col("__key"))
+        .write.bucketBy(numBuckets, "__b", "__key")
+        .sortBy("__b", "__key")
+        .option("path", staging.toString)
+        .format("parquet").saveAsTable(tmpTable)
+      spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(staging, BucketMarker), true)
+      try out.write(numBuckets.toString.getBytes("UTF-8"))
+      finally out.close()
+    } else folded.coalesce(numFiles).write.parquet(staging.toString)
     val committed = new org.apache.hadoop.fs.Path(s"$path/batches/$id")
     if (!fs.rename(staging, committed)) {
       fs.delete(staging, true)
@@ -1001,7 +1091,12 @@ object TextOps {
     // batches first, THEN tombstones: a crash between the two leaves
     // extra tombstones (a harmless no-op mask), while the reverse would
     // resurrect retracted keys from not-yet-deleted input batches
-    consumed.foreach(fs.delete(_, true))
+    consumed.foreach { d =>
+      fs.delete(d, true)
+      // retire the consumed dir's table registration (if it was a
+      // bucketed batch) so the catalog doesn't accumulate dead entries
+      spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(d)}")
+    }
     tombs.foreach(fs.delete(_, true))
   }
 
@@ -1076,9 +1171,22 @@ object TextOps {
       .select(col("__id").as("id_a"),
         posexplode(lshBandKeys(col("__sig"), bands, numHashes / bands))
           .as(Seq("__b", "__key")))
-    val storedKeys = signatureStoreKeys(spark, storePath)
-    val cKeys = signatureTombstones(spark, storePath)
-      .fold(storedKeys)(t => storedKeys.join(t, Seq("__id"), "left_anti"))
+    val (bucketedKeys, looseKeys) =
+      signatureStoreKeyFrames(spark, storePath)
+    // tombstone mask: the retracted-id set is usually tombstone-tiny,
+    // so it BROADCASTS into the anti-join (a sort-merge anti would
+    // shuffle the corpus-scale store side on __id — a worse exchange
+    // than the one the band-key gate exists to avoid). A mass
+    // retraction above the same gate masks LATE instead — on the
+    // joined match rows (delta-proportional), identical pair set
+    // either way (a tombstoned id never reaches `cands`).
+    val tombsOpt = signatureTombstones(spark, storePath)
+      .map(_.localCheckpoint(true)) // counted for the gate, reused below
+    val tombEarly = tombsOpt.filter(_.count() <= broadcastKeyLimit)
+    def maskKeys(df: DataFrame): DataFrame =
+      tombEarly.fold(df)(t =>
+        df.join(broadcast(t), Seq("__id"), "left_anti"))
+    def asProbe(df: DataFrame): DataFrame = maskKeys(df)
       .select(col("__id").as("id_b"), col("__b"), col("__key"))
     // delta band keys are USUALLY the small side: broadcast them so the
     // store scan never shuffles (a corpus-sized exchange per daily run
@@ -1086,13 +1194,35 @@ object TextOps {
     // command, not a suggestion — above the crossover (#delta_docs x
     // bands key rows) a forced broadcast dies (driver OOM /
     // broadcast-size error) instead of degrading, so a bulk-sized
-    // delta falls back to a plain equi-join and lets AQE plan the
-    // exchange it genuinely needs
+    // delta falls back to an equi-join. The fallback's store side is
+    // STILL exchange-free when the store is compacted bucketed on
+    // (__b, __key): the catalog-registered layout makes the join
+    // storage-partitioned, so only the delta side shuffles (to the
+    // bucket count); un-compacted loose batches (recent appends,
+    // delta-scale) join separately and pay their own small exchange.
     val joined =
-      if (deltaDocs * bands <= broadcastKeyLimit)
-        broadcast(dKeys).join(cKeys, Seq("__b", "__key"))
-      else dKeys.join(cKeys, Seq("__b", "__key"))
-    val cands = joined
+      if (deltaDocs * bands <= broadcastKeyLimit) {
+        val cKeys = (bucketedKeys, looseKeys) match {
+          case (Some(b), Some(l)) => b.unionByName(l)
+          case (b, l)             => b.orElse(l).get
+        }
+        broadcast(dKeys).join(asProbe(cKeys), Seq("__b", "__key"))
+      } else {
+        val parts =
+          bucketedKeys.map(b =>
+            dKeys.join(asProbe(b), Seq("__b", "__key"))).toSeq ++
+          looseKeys.map(l =>
+            dKeys.join(asProbe(l), Seq("__b", "__key"))).toSeq
+        parts.reduce(_ unionByName _)
+      }
+    val maskedJoined =
+      (tombsOpt, tombEarly) match {
+        case (Some(t), None) => // mass retraction: the late mask
+          joined.join(t.withColumnRenamed("__id", "id_b"),
+            Seq("id_b"), "left_anti")
+        case _ => joined
+      }
+    val cands = maskedJoined
       .select(col("id_a"), col("id_b")).distinct()
       .localCheckpoint(true) // tiny; cut loose so caches release below
     // the candidate-id prune wears the same size gate as the band-key

@@ -64,6 +64,66 @@ object StoreProbeSweep {
           f"${(System.nanoTime() - t) / 1e9}%.3f s ($pairs pairs)")
       }
     }
+    if (sys.env.contains("SPARK_GRAFT_SWEEP_FALLBACK"))
+      fallbackShuffleSweep(spark, docs)
     spark.stop()
+  }
+
+  /** SCALING.md measurement (r14 verdict prescription 1): the
+    * above-gate fallback's shuffle volume against the LOOSE store
+    * (both sides exchange) vs the BUCKETED store (storage-partitioned
+    * join: only the delta exchanges). Shuffle write bytes are summed
+    * from stage-completion events — the listener bus is async, so the
+    * counter settles behind a short quiesce loop. */
+  private def fallbackShuffleSweep(spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame): Unit = {
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(
+          e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    def measure(label: String)(body: => Long): Unit = {
+      spark.sparkContext.addSparkListener(listener)
+      shuffleBytes.set(0L)
+      val t = System.nanoTime()
+      val out = body
+      var prev = -1L // quiesce: async bus — wait for the counter to settle
+      while (shuffleBytes.get() != prev) {
+        prev = shuffleBytes.get(); Thread.sleep(500)
+      }
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"[fallback] $label: ${(System.nanoTime() - t) / 1e9}%.3f s, " +
+        f"shuffle ${shuffleBytes.get() / 1048576.0}%.1f MiB ($out pairs)")
+    }
+    // at test scale AQE would quietly BROADCAST the loose store side
+    // (it fits the 10 MB default), masking the exchange this sweep
+    // exists to measure — disable auto-broadcast so the loose shape is
+    // what it would be at 100 TB: a genuine two-sided shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val delta = docs.where(pmod(xxhash64(col("doc_id")), lit(100)) < 10)
+    val store = java.nio.file.Files
+      .createTempDirectory("fallback_sweep_store_").toString
+    graft.functions.TextOps.buildSignatureStore(docs, "doc_id", "text",
+      store, n = 3, numHashes = 128, bands = 32)
+    def probe(): Long = {
+      spark.catalog.clearCache()
+      graft.functions.TextOps
+        .incrementalJaccardPairsFromStore(delta, docs, "doc_id", "text",
+          store, n = 3, numHashes = 128, bands = 32, threshold = 0.5,
+          broadcastKeyLimit = 0L) // force the above-gate fallback
+        .count()
+    }
+    probe() // warmup: JIT + codegen off the measured reps
+    measure("loose store (pre-bucketing)")(probe())
+    measure("compaction (paid once)") {
+      graft.functions.TextOps.compactSignatureStore(spark, store,
+        numBuckets = 64); 0L
+    }
+    measure("bucketed store (storage-partitioned)")(probe())
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
   }
 }

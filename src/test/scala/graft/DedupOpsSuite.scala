@@ -1052,6 +1052,68 @@ class DedupOpsSuite extends SparkSuite {
       "re-added doc after tombstone fold must pair again")
   }
 
+  test("signature store: a bucketed compaction serves identical pairs " +
+      "on both sides of the gate; mass retraction masks late") {
+    // r14 verdict prescription 1: compaction now writes the folded
+    // batch BUCKETED on (__b, __key) so the above-gate fallback joins
+    // the store exchange-free. Functional half here (identical pairs
+    // below gate / above gate / after retraction on both paths);
+    // PlanAuditSuite pins the exchange shape.
+    val delta = docs.where(col("doc_id") % 20 === 0)
+    val standing = docs.where(col("doc_id") % 20 =!= 0)
+    val store = tmpStore()
+    Seq(
+      standing.where(col("doc_id") % 3 === 0),
+      standing.where(col("doc_id") % 3 === 1),
+      standing.where(col("doc_id") % 3 === 2)
+    ).foreach(part => TextOps.appendToSignatureStore(part,
+      "doc_id", "text", store, n = 3, numHashes = 128, bands = 32))
+    val before = pairsVia(store, delta, standing)
+    assert(before.nonEmpty)
+    TextOps.compactSignatureStore(spark, store)
+    val batchDirs = new java.io.File(s"$store/batches").listFiles()
+      .filter(_.isDirectory)
+    assert(batchDirs.length == 1 &&
+      new java.io.File(batchDirs.head, "_bucketed").exists(),
+      "default compaction must leave one bucketed batch")
+    def pairsAt(limit: Long) = TextOps
+      .incrementalJaccardPairsFromStore(delta, standing,
+        "doc_id", "text", store, n = 3, numHashes = 128, bands = 32,
+        threshold = 0.5, broadcastKeyLimit = limit)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+    assert(pairsVia(store, delta, standing) == before,
+      "bucketed layout changed the below-gate answer")
+    assert(pairsAt(0L) == before,
+      "bucketed layout changed the above-gate fallback answer")
+    // retraction on the bucketed layout: the below-gate broadcast mask
+    // and the above-gate LATE mask (limit 0 demotes the tombstone
+    // broadcast too) must drop exactly the victim's pairs
+    val victim = before.head._2
+    import spark.implicits._
+    TextOps.retractFromSignatureStore(Seq(victim).toDF("doc_id"), store)
+    val expected = before.filterNot(_._2 == victim)
+    assert(pairsVia(store, delta, standing) == expected,
+      "below-gate mask diverged on the bucketed layout")
+    assert(pairsAt(0L) == expected,
+      "above-gate late mask diverged from the early broadcast mask")
+    // a post-compaction append coexists with the bucketed batch: the
+    // loose batch joins separately, pairs are the union (a fresh id
+    // carrying the victim's text — that text provably pairs)
+    val lateText = standing.where(col("doc_id") === victim)
+      .select("text").first().getString(0)
+    val late = Seq((888888L, lateText)).toDF("doc_id", "text")
+    TextOps.appendToSignatureStore(late, "doc_id", "text", store,
+      n = 3, numHashes = 128, bands = 32)
+    val withLate = TextOps.incrementalJaccardPairsFromStore(delta,
+        standing.select("doc_id", "text").unionByName(late),
+        "doc_id", "text", store, n = 3, numHashes = 128, bands = 32,
+        threshold = 0.5, broadcastKeyLimit = 0L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+    assert(expected.toSet.subsetOf(withLate.toSet) &&
+      withLate.exists(_._2 == 888888L),
+      s"bucketed + loose union lost pairs: $withLate")
+  }
+
   test("signature store: append-after-retract fails loudly; " +
       "unretract = true drops exactly the intersecting tombstones") {
     // r14 verdict: retraction wins over later appends, so re-adding a

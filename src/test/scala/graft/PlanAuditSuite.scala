@@ -732,6 +732,69 @@ class PlanAuditSuite extends SparkSuite {
       s"a sort-merge band join means the store scan shuffled:\n$p")
   }
 
+  test("d23: above the gate the bucketed store joins storage-partitioned " +
+      "— the store side is exchange-free in BOTH probe shapes") {
+    // r14 verdict prescription 1: the below-gate shape broadcasts the
+    // delta (store side exchange-free by construction — pinned above);
+    // the above-gate fallback used to shuffle BOTH sides. After a
+    // bucketed compaction the store scan reports its (__b, __key) hash
+    // layout through the catalog, so the fallback exchanges ONLY the
+    // delta — the storage-partitioned join.
+    import graft.functions.{TextOps, MinHashSig}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_d23_bucketed_plan_").toString
+    TextOps.buildSignatureStore(docs.where(col("doc_id") % 20 =!= 0),
+      "doc_id", "text", store, n = 3, numHashes = 128, bands = 32)
+    TextOps.compactSignatureStore(spark, store)
+    val (bucketedOpt, looseOpt) = TextOps.signatureStoreKeyFrames(spark, store)
+    assert(bucketedOpt.isDefined && looseOpt.isEmpty,
+      "compaction must leave exactly one bucketed batch")
+    val cKeys = bucketedOpt.get
+      .select(col("__id").as("id_b"), col("__b"), col("__key"))
+    val dKeys = TextOps
+      .hashedShingleSets(docs.where(col("doc_id") % 20 === 0),
+        "doc_id", "text", 3)
+      .select(col("__id"),
+        MinHashSig.column(spark, col("__sh"), 128).as("__sig"))
+      .select(col("__id").as("id_a"),
+        posexplode(TextOps.lshBandKeys(col("__sig"), 32, 4))
+          .as(Seq("__b", "__key")))
+    // shape 1 (below the gate): delta broadcast, store scan untouched
+    val below = broadcast(dKeys).join(cKeys, Seq("__b", "__key"))
+      .select("id_a", "id_b")
+    below.collect()
+    val pb = below.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(pb.contains("BroadcastHashJoin") && !pb.contains("SortMergeJoin"),
+      s"below-gate shape must broadcast the delta over the bucketed scan:\n$pb")
+    assert(!pb.contains("Exchange hashpartitioning"),
+      s"below-gate store side must not exchange:\n$pb")
+    // shape 2 (above the gate): no hint, broadcasts disabled — the
+    // bucket layout alone must keep the store side exchange-free
+    val pairs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prior = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val above = dKeys.join(cKeys, Seq("__b", "__key"))
+        .select("id_a", "id_b")
+      above.collect()
+      val p = above.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"above-gate must be the non-broadcast join:\n$p")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1,
+        s"exactly the DELTA side may exchange (to the bucket layout), " +
+          s"found $exchanges exchanges:\n$p")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("s20: compacted index scan is dynamically partition-pruned to the probed buckets") {
     val df = SparkEntry.queries("s20_ann_index_compact")(spark, sf)
     df.collect() // DPP materializes in the final adaptive plan

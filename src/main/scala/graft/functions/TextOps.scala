@@ -1133,8 +1133,34 @@ object TextOps {
       n: Int, numHashes: Int, bands: Int, threshold: Double,
       broadcastKeyLimit: Long = defaultBroadcastKeyLimit): DataFrame =
     VectorOps.withMaintenanceRetry(
-      probeSignatureStoreOnce(delta, corpus, idCol, textCol, storePath,
+      probeSignatureStoreOnce(delta,
+        ids => corpus.join(ids, Seq(idCol), "left_semi"),
+        idCol, textCol, storePath,
         n, numHashes, bands, threshold, broadcastKeyLimit))
+
+  /** [[incrementalJaccardPairsFromStore]] with a caller-supplied
+    * CANDIDATE LOADER instead of a full corpus frame — the r14
+    * verdict's second scale-honesty point: the default overload's
+    * semi-join prune is a SCAN-SIDE filter, so while only the
+    * candidate sliver is re-shingled, every probe still pays a full
+    * corpus READ (id + text columns) to find it. At 100 TB the honest
+    * contract is id-addressable: the loader receives the distinct
+    * candidate-id frame (one column named `idCol`, delta-proportional
+    * by construction) and returns `(idCol, textCol)` rows covering
+    * those ids — from a corpus bucketed/sorted by id with pushdown, a
+    * key-value side store, or any other point-read path the caller
+    * owns. Returning extra docs wastes shingle work but cannot change
+    * pairs (verification joins on candidate ids); MISSING docs fail
+    * the same loud desync guard as the default path. */
+  def incrementalJaccardPairsFromStoreWith(delta: DataFrame,
+      candidateLoader: DataFrame => DataFrame,
+      idCol: String, textCol: String,
+      storePath: String,
+      n: Int, numHashes: Int, bands: Int, threshold: Double,
+      broadcastKeyLimit: Long = defaultBroadcastKeyLimit): DataFrame =
+    VectorOps.withMaintenanceRetry(
+      probeSignatureStoreOnce(delta, candidateLoader, idCol, textCol,
+        storePath, n, numHashes, bands, threshold, broadcastKeyLimit))
 
   /** Crossover for the probe's delta-side broadcast: #delta_docs x
     * bands band-key rows at ~40 B/row in the hashed relation ≈ 160 MiB
@@ -1143,7 +1169,8 @@ object TextOps {
   private[graft] val defaultBroadcastKeyLimit: Long = 4L * 1024 * 1024
 
   private def probeSignatureStoreOnce(delta: DataFrame,
-      corpus: DataFrame, idCol: String, textCol: String,
+      candidateLoader: DataFrame => DataFrame,
+      idCol: String, textCol: String,
       storePath: String,
       n: Int, numHashes: Int, bands: Int, threshold: Double,
       broadcastKeyLimit: Long): DataFrame = {
@@ -1151,14 +1178,15 @@ object TextOps {
     val spark = delta.sparkSession
     checkOrWriteParams(spark, storePath, n, numHashes, bands, write = false)
     val dSh = hashedShingleSets(delta, idCol, textCol, n).cache()
-    try probeWithDeltaSketch(dSh, corpus, idCol, textCol, storePath,
+    try probeWithDeltaSketch(dSh, candidateLoader, idCol, textCol, storePath,
       n, numHashes, bands, threshold, broadcastKeyLimit)
     finally dSh.unpersist() // success path checkpointed; failure path (FNF
                             // retry) must not leak the attempt's cache
   }
 
   private def probeWithDeltaSketch(dSh: DataFrame,
-      corpus: DataFrame, idCol: String, textCol: String,
+      candidateLoader: DataFrame => DataFrame,
+      idCol: String, textCol: String,
       storePath: String,
       n: Int, numHashes: Int, bands: Int, threshold: Double,
       broadcastKeyLimit: Long): DataFrame = {
@@ -1242,27 +1270,29 @@ object TextOps {
           <= broadcastKeyLimit) broadcast(candIds)
       else candIds
     val candCorpusSh = hashedShingleSets(
-      corpus.join(candPrune, Seq(idCol), "left_semi"),
+      candidateLoader(candPrune),
       idCol, textCol, n).cache()
-    // CONTRACT CHECK: `corpus` must contain every doc the store knows —
-    // a candidate whose id is missing from `corpus` would otherwise be
-    // dropped by the verify join, i.e. a MISSED duplicate with no error
-    // (store/corpus desync: the store was appended, the corpus frame
-    // wasn't). An anti-join on the id SET, not a row-count compare — a
-    // duplicated corpus id must not be able to mask a missing one.
-    // Both sides are candidate-sliver-sized.
+    // CONTRACT CHECK: the candidate source must cover every doc the
+    // store knows — a candidate whose id is missing from the loaded
+    // frame would otherwise be dropped by the verify join, i.e. a
+    // MISSED duplicate with no error (store/corpus desync: the store
+    // was appended, the corpus wasn't — or an id-addressable loader
+    // that can't serve an id the store references). An anti-join on
+    // the id SET, not a row-count compare — a duplicated corpus id
+    // must not be able to mask a missing one. Both sides are
+    // candidate-sliver-sized.
     val missing = cands.select(col("id_b")).distinct()
       .join(candCorpusSh.select(col("__id").as("id_b")), Seq("id_b"),
         "left_anti")
       .count()
     require(missing == 0L,
       s"signature store at $storePath references $missing candidate " +
-        "doc(s) absent from the supplied corpus frame — the store and " +
-        "the corpus have diverged (retracted docs cannot trigger this: " +
-        "their keys are masked before candidate generation). If these " +
-        "docs were removed from the corpus, retract them " +
-        "(retractFromSignatureStore); otherwise pass the corpus the " +
-        "store was built+appended from, or rebuild the store")
+        "doc(s) absent from the supplied corpus frame/loader — the " +
+        "store and the corpus have diverged (retracted docs cannot " +
+        "trigger this: their keys are masked before candidate " +
+        "generation). If these docs were removed from the corpus, " +
+        "retract them (retractFromSignatureStore); otherwise pass the " +
+        "corpus the store was built+appended from, or rebuild the store")
     val sh = dSh.unionByName(candCorpusSh).cache()
     try verifyJaccard(sh, cands, threshold).localCheckpoint(true)
     finally { sh.unpersist(); candCorpusSh.unpersist() }

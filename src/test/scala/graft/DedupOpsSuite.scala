@@ -1052,6 +1052,50 @@ class DedupOpsSuite extends SparkSuite {
       "re-added doc after tombstone fold must pair again")
   }
 
+  test("signature store: a caller-supplied candidate loader serves " +
+      "identical pairs from an id-addressable read; a short loader " +
+      "fails the desync guard") {
+    // r14 verdict prescription 2: the default probe's semi-join prune
+    // re-shingles only the candidate sliver but still READS the whole
+    // corpus to find it. The loader variant hands the caller the
+    // distinct candidate-id frame and takes back (id, text) rows — an
+    // id-addressable contract. Identical pairs; the loader sees only
+    // a delta-proportional id set; dropping a doc is loud.
+    val delta = docs.where(col("doc_id") % 20 === 0)
+    val standing = docs.where(col("doc_id") % 20 =!= 0)
+    val store = tmpStore()
+    TextOps.buildSignatureStore(standing, "doc_id", "text", store,
+      n = 3, numHashes = 128, bands = 32)
+    val expected = pairsVia(store, delta, standing)
+    assert(expected.nonEmpty)
+    val standingN = standing.count()
+    @volatile var loaderSawIds = -1L
+    val viaLoader = TextOps.incrementalJaccardPairsFromStoreWith(delta,
+        ids => {
+          loaderSawIds = ids.count() // the contract: candidate ids only
+          standing.join(ids, Seq("doc_id"), "left_semi")
+        },
+        "doc_id", "text", store, n = 3, numHashes = 128, bands = 32,
+        threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+    assert(viaLoader == expected,
+      s"loader-served pairs diverged: $viaLoader vs $expected")
+    assert(loaderSawIds > 0 && loaderSawIds < standingN,
+      s"loader must receive the candidate sliver, not the corpus: " +
+        s"saw $loaderSawIds of $standingN")
+    // a loader that cannot serve a referenced id fails loudly — the
+    // same desync guard as a short corpus frame
+    val victim = expected.head._2
+    val e = intercept[IllegalArgumentException] {
+      TextOps.incrementalJaccardPairsFromStoreWith(delta,
+        ids => standing.where(col("doc_id") =!= victim)
+          .join(ids, Seq("doc_id"), "left_semi"),
+        "doc_id", "text", store, n = 3, numHashes = 128, bands = 32,
+        threshold = 0.5)
+    }
+    assert(e.getMessage.contains("diverged"), e.getMessage)
+  }
+
   test("signature store: a bucketed compaction serves identical pairs " +
       "on both sides of the gate; mass retraction masks late") {
     // r14 verdict prescription 1: compaction now writes the folded

@@ -22,6 +22,14 @@ import org.apache.spark.sql.SparkSession
   *    re-timed once more in a FRESH JVM (same classpath, its own
   *    SparkSession) and the better time is spliced in — the r4 verdict's
   *    prescription, because the stall mode follows the process window;
+  *  - every retry tier (in-process rounds AND the fresh JVM) first waits
+  *    for the host to go quiet — loadavg <= cores/2 (SPARK_GRAFT_QUIET_LOAD),
+  *    polled every 5s for up to SPARK_GRAFT_QUIET_MAX_WAIT_SEC (default
+  *    240s) — so a re-time measures the query, not the contention; the
+  *    total wait is stamped as `quiet_wait_sec` and each query's accepted
+  *    sample carries the loadavg at its start in `query_load` (r15
+  *    verdict prescription 3: three rounds running, the official window
+  *    started at loadavg ~8 and needed retry roulette);
   *  - the emitted JSON carries `first_pass_total` (untouched single-run
   *    measurement), `window_total` (best-of in-window), and `value` (the
   *    headline). When every query lands within 2.5x of its floor the
@@ -57,6 +65,35 @@ object Bench {
     * JSON line for the parent to splice. */
   private val RetimeEnv = "SPARK_GRAFT_RETIME"
   private val RetimeMarker = "RETIME_JSON:"
+
+  /** Key suffix the re-timer child uses to report the loadavg it saw at
+    * each query's start alongside the timing — the parent strips these
+    * into the per-query load stamp instead of treating them as timings. */
+  private[graft] val LoadKeySuffix = "__load"
+
+  /** Wait (polling `load` every `pollSec`) until the 1-minute loadavg
+    * drops to `threshold` or `maxWaitSec` elapses. Returns
+    * (secondsWaited, finalLoad). Retrying a stalled query while the host
+    * is still contended just burns the retry budget and re-measures the
+    * contention (r13–r15: three official windows in a row needed retry
+    * roulette on a loaded host) — so every retry tier now waits for a
+    * quiet host first, and the wait itself is stamped into the artifact.
+    * `load`/`sleep` are injected so the policy is testable without
+    * wall-clock time. */
+  private[graft] def awaitQuiet(threshold: Double, maxWaitSec: Int,
+      pollSec: Int, load: () => Double,
+      sleep: Long => Unit): (Double, Double) = {
+    val budgetMs = maxWaitSec.toLong * 1000L
+    var waitedMs = 0L
+    var l = load()
+    while (l > threshold && waitedMs < budgetMs) {
+      val step = math.min(pollSec.toLong * 1000L, budgetMs - waitedMs)
+      sleep(step)
+      waitedMs += step
+      l = load()
+    }
+    (waitedMs / 1000.0, l)
+  }
 
   /** Re-time `names` in a freshly forked JVM (inherits this JVM's
     * classpath + the Spark add-opens set). Returns name -> seconds, or
@@ -167,12 +204,38 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
     val loadStart = loadAvg
+    val cores0 = Runtime.getRuntime.availableProcessors()
+    // quiet-host gate for the retry tiers: retries only start once the
+    // 1-minute loadavg is back under cores/2 (or the wait budget runs
+    // out), so a re-time measures the query, not the contention
+    val quietLoad = sys.env.get("SPARK_GRAFT_QUIET_LOAD")
+      .map(_.toDouble).getOrElse(cores0 / 2.0)
+    val quietMaxWaitSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_MAX_WAIT_SEC", "240").toInt
+    var quietWaitSec = 0.0
+    def gateOnQuietHost(tier: String): Unit = {
+      val (waited, l) = awaitQuiet(quietLoad, quietMaxWaitSec, 5,
+        () => loadAvg, Thread.sleep)
+      quietWaitSec += waited
+      if (waited > 0)
+        System.err.println(f"[bench] $tier: waited $waited%.0fs for loadavg " +
+          f"<= $quietLoad%.1f (now $l%.2f)")
+      if (l > quietLoad)
+        System.err.println(f"[bench] $tier: host still loaded ($l%.2f) after " +
+          f"$quietMaxWaitSec%ds wait budget — re-timing anyway")
+    }
 
+    // per-query loadavg at each sample's start, parallel to `samples`;
+    // the stamp emitted with the artifact is the load of the sample that
+    // became the accepted (best) timing for each query
+    val loadHist =
+      scala.collection.mutable.Map[String, Vector[Double]]()
     // a failed query must be visible, not a fast-looking timing: it is
     // reported as -1 and excluded from the total, with its name listed
     def time(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
       val fn = SparkEntry.queries(name)
       spark.catalog.clearCache() // isolate queries: no cross-query cache reuse
+      loadHist(name) = loadHist.getOrElse(name, Vector.empty) :+ loadAvg
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
@@ -187,7 +250,12 @@ object Bench {
     sys.env.get(RetimeEnv).map(_.trim).filter(_.nonEmpty) match {
       case Some(list) =>
         val rs = time(list.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-        println(RetimeMarker + json(rs))
+        // alongside each timing, report the loadavg the child saw at the
+        // query's start so the parent can stamp the accepted sample's load
+        val withLoad = rs ++ rs.map { case (n, _) =>
+          (n + LoadKeySuffix) -> loadHist(n).last
+        }
+        println(RetimeMarker + json(withLoad))
         spark.stop()
         return
       case None => ()
@@ -224,6 +292,10 @@ object Bench {
     // 7s query still at 280s), and a second widely-spaced sample is the
     // difference between a believable artifact and a poisoned gate
     var best = firstPass.toMap
+    // load stamp of the sample that IS each query's accepted timing
+    var bestLoad = firstPass.map { case (n, _) =>
+      n -> loadHist.get(n).flatMap(_.headOption).getOrElse(-1.0)
+    }.toMap
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     firstPass.foreach { case (n, v) => samples(n) = Vector(v) }
     var pending = firstPass.collect {
@@ -235,10 +307,14 @@ object Bench {
         s"down ${cooldownSec}s before re-timing (round ${round + 1})")
       System.gc()
       Thread.sleep(cooldownSec * 1000L)
+      gateOnQuietHost(s"retry round ${round + 1}")
       pending.foreach { n =>
         val v2 = time(Seq(n)).head._2
         samples(n) = samples(n) :+ v2
-        if (v2 >= 0 && v2 < best(n)) best = best.updated(n, v2)
+        if (v2 >= 0 && v2 < best(n)) {
+          best = best.updated(n, v2)
+          bestLoad = bestLoad.updated(n, loadHist(n).last)
+        }
       }
       pending = pending.filter(n => isOutlier(n, best(n)))
       round += 1
@@ -255,13 +331,22 @@ object Bench {
     if (pending.nonEmpty) {
       System.err.println(s"[bench] ${pending.size} outlier(s) survive in-window " +
         s"retries; re-timing in a fresh JVM: ${pending.mkString(",")}")
-      val fresh = retimeFreshJvm(pending)
+      gateOnQuietHost("fresh-JVM re-time")
+      val raw = retimeFreshJvm(pending)
+      // the child reports <name>__load alongside each timing — split the
+      // stamp entries out before treating anything as a timing
+      val (loadEntries, fresh) = raw.partition(_._1.endsWith(LoadKeySuffix))
+      val freshLoad = loadEntries.map { case (k, v) =>
+        k.stripSuffix(LoadKeySuffix) -> v
+      }
       fresh.foreach { case (n, v) =>
         samples(n) = samples.getOrElse(n, Vector.empty) :+ v
         // a negative best means "failed in-window" — any valid fresh
         // sample must replace it, not lose a < comparison against -1
-        if (v >= 0 && best.get(n).forall(b => b < 0 || v < b))
+        if (v >= 0 && best.get(n).forall(b => b < 0 || v < b)) {
           best = best.updated(n, v)
+          bestLoad = bestLoad.updated(n, freshLoad.getOrElse(n, -1.0))
+        }
       }
       // queries STILL outlier-shaped here feed the suspect/clean verdict
       // below — on a floor-less first run at a new sf dir, the median
@@ -336,6 +421,14 @@ object Bench {
       "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val reasonsJson = reasons.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-query loadavg at the ACCEPTED sample's start (baselines have a
+    // single sample each); -1 = unknown (fresh-JVM child predating the
+    // stamp, or a query that never ran)
+    val loadStampJson = json(
+      results.map { case (n, _) => n -> bestLoad.getOrElse(n, -1.0) } ++
+        baselines.map { case (n, _) =>
+          n -> loadHist.get(n).flatMap(_.headOption).getOrElse(-1.0)
+        })
 
     // Full diagnostics go to a sidecar file (and an early, prefixed log
     // line); the FINAL stdout line must stay compact because the driver
@@ -348,7 +441,7 @@ object Bench {
     // compare it, and keep floor_total/queries for diagnostics.
     val valueJson =
       if (failedNames.nonEmpty) "null" else f"$total%.3f"
-    val detail = f"""{"metric":"total","value":$valueJson,"unit":"sec","clean":$clean,"first_pass_total":$firstTotal%.3f,"window_total":$windowTotal%.3f,"floor_total":$floorTotal%.3f,"suspect":$suspect,"suspect_reasons":$reasonsJson,"queries":${json(results)},"query_floors":${json(floorResults)},"baseline_queries":${json(baselines)},"baseline_total":$baseTotal%.3f,"retried":$retriedJson,"failed":$failed,"loadavg":{"start":$loadStart%.2f,"end":$loadEnd%.2f},"sf":"$sfDir"}"""
+    val detail = f"""{"metric":"total","value":$valueJson,"unit":"sec","clean":$clean,"first_pass_total":$firstTotal%.3f,"window_total":$windowTotal%.3f,"floor_total":$floorTotal%.3f,"suspect":$suspect,"suspect_reasons":$reasonsJson,"queries":${json(results)},"query_floors":${json(floorResults)},"baseline_queries":${json(baselines)},"baseline_total":$baseTotal%.3f,"retried":$retriedJson,"failed":$failed,"loadavg":{"start":$loadStart%.2f,"end":$loadEnd%.2f},"query_load":$loadStampJson,"quiet_wait_sec":$quietWaitSec%.0f,"sf":"$sfDir"}"""
     // a master-overridden run (the local-cluster smoke) must not
     // clobber the canonical local[N] window the repo persists
     val detailFile = if (sys.env.contains("SPARK_GRAFT_MASTER"))

@@ -123,6 +123,74 @@ object RemoteOrgRegistry {
     new ConcurrentHashMap[String, List[(Long, RemoteOrg)]]()
   @volatile private[graft] var retireGraceMs: Long = 5L * 60 * 1000
   private val RetiredCap = 8
+
+  /** Split a park list into (keep, drop) — aged past the grace window
+    * or overflowing the cap. PURE: called inside map computes, where a
+    * slow `close()` must never run (it would be a socket teardown held
+    * under a ConcurrentHashMap bin lock, stalling every same-name
+    * resolve in a micro-batch — r15 verdict prescription 4). */
+  private def partitionParked(now: Long, all: List[(Long, RemoteOrg)])
+      : (List[(Long, RemoteOrg)], List[RemoteOrg]) = {
+    val (young, aged) = all.partition { case (ts, _) => now - ts < retireGraceMs }
+    val (keep, overflow) = young.splitAt(RetiredCap)
+    (keep, (aged ++ overflow).map(_._2))
+  }
+
+  private def closeAll(os: Seq[RemoteOrg]): Unit = os.foreach { o =>
+    try o.close()
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Close every parked org whose grace window has expired, across all
+    * names — the path that releases transports WITHOUT further resolve
+    * traffic (before this, a displaced pool persisted until process
+    * exit if recipe churn stopped). Returns the number closed. Runs on
+    * the timer below and is callable directly (tests; manual drains). */
+  private[graft] def sweepRetired(
+      now: Long = System.currentTimeMillis()): Int = {
+    val toClose = new java.util.ArrayList[RemoteOrg]()
+    retired.forEachKey(Long.MaxValue, name =>
+      retired.compute(name, (_, old) => {
+        if (old == null) null
+        else {
+          val (keep, drop) = partitionParked(now, old)
+          drop.foreach(toClose.add)
+          if (keep.isEmpty) null else keep
+        }
+      }))
+    import scala.jdk.CollectionConverters._
+    closeAll(toClose.asScala.toSeq)
+    toClose.size()
+  }
+
+  /** Drain EVERYTHING parked regardless of age — the JVM-exit path. */
+  private def drainRetired(): Unit = {
+    val toClose = new java.util.ArrayList[RemoteOrg]()
+    retired.forEachKey(Long.MaxValue, name =>
+      Option(retired.remove(name)).foreach(_.foreach(e => toClose.add(e._2))))
+    import scala.jdk.CollectionConverters._
+    closeAll(toClose.asScala.toSeq)
+  }
+
+  /** Started lazily on the first park: a daemon tick that sweeps aged
+    * parked orgs (1s period — the sweep is a no-op map walk when
+    * nothing is parked), plus a shutdown hook that drains the park
+    * lists so transports release even when churn stops mid-run. */
+  private lazy val sweeper: java.util.concurrent.ScheduledExecutorService = {
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      r => {
+        val t = new Thread(r, "remote-org-retire-sweeper")
+        t.setDaemon(true)
+        t
+      })
+    ex.scheduleWithFixedDelay(() => sweepRetired(), 1000L, 1000L,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    try Runtime.getRuntime.addShutdownHook(
+      new Thread(() => drainRetired(), "remote-org-retire-drain"))
+    catch { case _: IllegalStateException => () } // already shutting down
+    ex
+  }
+
   def register(name: String, org: RemoteOrg): Unit = orgs.put(name, org)
   def apply(name: String): RemoteOrg = {
     val o = orgs.get(name)
@@ -148,37 +216,45 @@ object RemoteOrgRegistry {
         // recipe, an extra HTTP client per loser otherwise) and drop
         // all but one result unclosed. compute() serializes per key:
         // one builder, everyone else reuses its org.
-        rebuilt.compute(name, (_, cached) =>
+        //
+        // Displaced transports release on a GRACE timer (an HTTP org's
+        // pool would otherwise leak on every recipe change): a task of
+        // a CONCURRENT query planned under the displaced recipe may
+        // still be mid-call on the displaced org, so an immediate —
+        // or even generation-lagged — close can cut a live pool out
+        // from under it when two plans with different recipes
+        // interleave (code-review finding). A displaced org is parked
+        // and closed only once retireGraceMs has passed (longer than
+        // any sane task) or the park list overflows its cap; the leak
+        // is bounded to RetiredCap orgs per name within the grace
+        // window, and the background sweeper drains parks even when
+        // churn stops. The computes only PARTITION — the actual
+        // close() calls (slow socket teardown) run after both computes
+        // return, never under the ConcurrentHashMap bin locks where
+        // they would stall every same-name resolve in a micro-batch
+        // (r15 verdict prescription 4 / r14 ADVICE #4).
+        val toClose = new java.util.ArrayList[RemoteOrg]()
+        var parked = false
+        val resolved = rebuilt.compute(name, (_, cached) =>
           if (cached != null && cached._1 == r) cached
           else {
-            // release displaced transports on a GRACE timer (an HTTP
-            // org's pool would otherwise leak on every recipe change):
-            // a task of a CONCURRENT query planned under the displaced
-            // recipe may still be mid-call on the displaced org, so an
-            // immediate — or even generation-lagged — close can cut a
-            // live pool out from under it when two plans with
-            // different recipes interleave (code-review finding). A
-            // displaced org is parked and closed only once
-            // retireGraceMs has passed (longer than any sane task) or
-            // the park list overflows its cap; the leak is bounded to
-            // RetiredCap orgs per name within the grace window.
             if (cached != null) {
+              parked = true
               val now = System.currentTimeMillis()
               retired.compute(name, (_, old) => {
                 val all = (now, cached._2) ::
                   (if (old == null) Nil else old)
-                val (young, aged) =
-                  all.partition { case (ts, _) => now - ts < retireGraceMs }
-                val (keep, overflow) = young.splitAt(RetiredCap)
-                (aged ++ overflow).foreach { case (_, o) =>
-                  try o.close()
-                  catch { case scala.util.control.NonFatal(_) => () }
-                }
+                val (keep, drop) = partitionParked(now, all)
+                drop.foreach(toClose.add)
                 if (keep.isEmpty) null else keep
               })
             }
             (r, r.build())
           })._2
+        if (parked) sweeper // ensure the timed sweep + shutdown drain exist
+        import scala.jdk.CollectionConverters._
+        closeAll(toClose.asScala.toSeq)
+        resolved
       case None => throw new IllegalStateException(
         s"org '$name' is not resident in this JVM and its scan " +
         "partition carries no OrgRecipe. A multi-executor-JVM scan " +

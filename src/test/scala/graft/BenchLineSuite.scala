@@ -87,6 +87,32 @@ class BenchLineSuite extends AnyFunSuite {
     assert(good.contains("\"value\":9.000,"), good.take(120))
   }
 
+  test("awaitQuiet returns immediately on a quiet host and waits out a loaded one") {
+    // quiet host: no sleep calls, zero wait reported
+    var slept = Vector.empty[Long]
+    val (w0, l0) = Bench.awaitQuiet(16.0, 240, 5, () => 0.4, slept :+= _)
+    assert(w0 == 0.0 && l0 == 0.4 && slept.isEmpty)
+
+    // loaded host that quiets after 3 polls: waits exactly 3 polls
+    var loads = Vector(20.0, 19.0, 17.0, 3.0)
+    val (w1, l1) = Bench.awaitQuiet(16.0, 240, 5,
+      () => { val h = loads.head; if (loads.length > 1) loads = loads.tail; h },
+      slept :+= _)
+    assert(w1 == 15.0, s"expected 15s of waiting, got $w1")
+    assert(l1 == 3.0)
+    assert(slept == Vector(5000L, 5000L, 5000L))
+  }
+
+  test("awaitQuiet stops at the wait budget on a host that never quiets") {
+    // the budget is honored exactly (last sleep is the remainder) and the
+    // final load is reported so the caller can log that it gave up
+    var sleptMs = 0L
+    val (w, l) = Bench.awaitQuiet(16.0, 12, 5, () => 30.0, sleptMs += _)
+    assert(w == 12.0, s"expected the 12s budget, got $w")
+    assert(sleptMs == 12000L, s"slept $sleptMs ms")
+    assert(l == 30.0)
+  }
+
   test("floor file parses in compact AND pretty-printed JSON form") {
     // a floor file round-tripped through a pretty printer (": 1.2" with
     // a space) must not parse as empty — that would wipe every floor on

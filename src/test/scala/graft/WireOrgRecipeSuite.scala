@@ -139,6 +139,72 @@ class WireOrgRecipeSuite extends AnyFunSuite {
           s"displacement, closed=${ClosableBulkTransport.closed.get}")
     } finally RemoteOrgRegistry.retireGraceMs = savedGrace
   }
+
+  test("a blocking close() never stalls same-name resolves (close runs " +
+      "outside the map bin locks)") {
+    // r15 verdict prescription 4 / r14 ADVICE #4: aged-out orgs used to
+    // close INSIDE retired.compute (itself inside rebuilt.compute), so a
+    // slow socket teardown held the ConcurrentHashMap bin locks and
+    // stalled every same-name resolve in a micro-batch. Now the computes
+    // only partition; close() runs after they return. Proof: an org
+    // whose close() blocks on a latch is aged out by one resolver
+    // thread — concurrent cache-hit resolves of the SAME name must
+    // complete while that close is still blocked.
+    val name = "wire_blocking_close"
+    val savedGrace = RemoteOrgRegistry.retireGraceMs
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val closeStarted = new java.util.concurrent.CountDownLatch(1)
+    try {
+      RemoteOrgRegistry.retireGraceMs = 60_000L
+      val o1 = RemoteOrgRegistry.resolve(name, Some(BlockingCloseRecipe(1, gate, closeStarted)))
+      RemoteOrgRegistry.retireGraceMs = 0L // age the park-out instantly
+      val displacer = new Thread(() =>
+        RemoteOrgRegistry.resolve(name, Some(BlockingCloseRecipe(2, gate, closeStarted))))
+      displacer.start()
+      assert(closeStarted.await(10, java.util.concurrent.TimeUnit.SECONDS),
+        "the displacer must reach the blocked close()")
+      // the displacer is now parked IN close(); a same-name resolve must
+      // not queue behind it on a bin lock
+      val t0 = System.nanoTime()
+      val hit = RemoteOrgRegistry.resolve(name, Some(BlockingCloseRecipe(2, gate, closeStarted)))
+      val ms = (System.nanoTime() - t0) / 1e6
+      assert(hit ne o1, "the cache must already hold the gen-2 org")
+      assert(ms < 2000, f"cache-hit resolve stalled $ms%.0f ms behind a " +
+        "blocked close — teardown is running under the bin lock again")
+      gate.countDown()
+      displacer.join(10_000)
+      assert(!displacer.isAlive, "displacer must finish once close unblocks")
+    } finally {
+      gate.countDown()
+      RemoteOrgRegistry.retireGraceMs = savedGrace
+    }
+  }
+
+  test("parked orgs close after the grace period with ZERO further " +
+      "resolves (background sweeper)") {
+    // before the sweeper, a displaced pool persisted until process exit
+    // if recipe churn stopped: the aged-out close only ran on the NEXT
+    // same-name resolve. The daemon tick (1s) must reap it unprompted.
+    ClosableBulkTransport.closed.set(0)
+    val name = "wire_sweeper_reaps"
+    val savedGrace = RemoteOrgRegistry.retireGraceMs
+    def rec(gen: Int) = BulkApiOrgRecipe(tok, ClosableBulkTransports(gen),
+      "47.0", 60, 1000L, 30000L, "JSON", None)
+    try {
+      RemoteOrgRegistry.retireGraceMs = 200L
+      RemoteOrgRegistry.resolve(name, Some(rec(1)))
+      RemoteOrgRegistry.resolve(name, Some(rec(2))) // parks gen-1, still young
+      assert(ClosableBulkTransport.closed.get == 0,
+        "inside the grace window nothing may close")
+      // no further resolve() calls from here on — only the timer runs
+      val deadline = System.currentTimeMillis() + 10_000
+      while (ClosableBulkTransport.closed.get == 0 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(ClosableBulkTransport.closed.get >= 1,
+        "the sweeper must close the aged-out parked org without any " +
+          "further resolve traffic")
+    } finally RemoteOrgRegistry.retireGraceMs = savedGrace
+  }
 }
 
 /** Fixtures live on the companion: a suite-inner class would capture
@@ -193,6 +259,42 @@ object WireOrgRecipeSuite {
     * trigger resolve() keys on. */
   final case class ClosableBulkTransports(gen: Int) extends TransportFactory {
     override def transport(): HttpTransport = ClosableBulkTransport()
+  }
+
+  /** An org whose close() blocks on a latch — the instrumented slow
+    * socket teardown of the bin-lock test. Latches ride in fields and
+    * are EXCLUDED from equality (gen alone keys displacement). */
+  final class BlockingCloseOrg(gate: java.util.concurrent.CountDownLatch,
+      closeStarted: java.util.concurrent.CountDownLatch) extends RemoteOrg {
+    private def nope = throw new UnsupportedOperationException("not a data test")
+    override def describe(s: String) = nope
+    override def query(soql: String) = nope
+    override def insert(s: String, r: Seq[Row],
+        sc: org.apache.spark.sql.types.StructType) = nope
+    override def update(s: String, r: Seq[Row],
+        sc: org.apache.spark.sql.types.StructType) = nope
+    override def upsert(s: String, e: String, r: Seq[Row],
+        sc: org.apache.spark.sql.types.StructType) = nope
+    override def delete(s: String, ids: Seq[String]) = nope
+    override def deleteWhere(s: String, p: Seq[String]) = nope
+    override def close(): Unit = {
+      closeStarted.countDown()
+      gate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    }
+  }
+  final case class BlockingCloseRecipe(gen: Int,
+      @transient gate: java.util.concurrent.CountDownLatch,
+      @transient closeStarted: java.util.concurrent.CountDownLatch)
+      extends OrgRecipe {
+    override def build(): RemoteOrg = new BlockingCloseOrg(gate, closeStarted)
+    // equality must key on gen alone: two calls with fresh-but-equal
+    // latches... latches compare by reference, so exclude them
+    override def equals(o: Any): Boolean = o match {
+      case BlockingCloseRecipe(g, _, _) => g == gen
+      case _ => false
+    }
+    override def hashCode(): Int = gen
   }
 
   private def env(body: String): (Int, String) =

@@ -1698,16 +1698,24 @@ object VectorOps {
       (0 until dim).map(i => pinnedSign(j, i))
     }
     // all plane dots in one nested-literal HOF (the PQ flat-compile
-    // trick), then band keys unrolled in Scala — codegen-friendly
+    // trick). Band keys are LOOP-shaped too: unrolling them in Scala
+    // (bands*bits `when(element_at(...))` terms — 256 at the registered
+    // parameters) compiled into a >64 KB processNext that janino
+    // rejected, so the whole stage silently ran INTERPRETED (r16: the
+    // one registry query CodegenSweep flagged). A weight literal plus
+    // zip_with/slice/aggregate generates a few short loops instead; the
+    // arithmetic is identical: sig[b] = Σ_k (dot[b*bits+k] >= 0) << k.
     val withDots = c.withColumn("__dots",
       transform(typedlit(planes), p => nativeDot(spark, col("__c"), p)))
-    def bandKey(b: Int): Column =
-      (0 until bits).map { k =>
-        when(element_at(col("__dots"), b * bits + k + 1) >= 0.0, lit(1L << k))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
+    val bitWeights: Seq[Long] =
+      (0 until bits * bands).map(j => 1L << (j % bits))
+    val weighted = zip_with(col("__dots"), typedlit(bitWeights),
+      (d, w) => when(d >= 0.0, w).otherwise(lit(0L)))
+    val sigsCol = transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(slice(weighted, b * lit(bits) + 1, lit(bits)),
+        lit(0L), (acc, x) => acc + x))
     val sigs = withDots
-      .withColumn("__sigs", array((0 until bands).map(bandKey): _*))
+      .withColumn("__sigs", sigsCol)
       .select(col("__id"), col("__c"), col("__n"), col("__sigs"))
       .cache() // both self-join sides read it (see lshScoredCandidates)
     sigs.count() // eager: first-reader race

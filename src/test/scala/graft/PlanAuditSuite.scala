@@ -527,6 +527,24 @@ class PlanAuditSuite extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("s14: the signature stage compiles under whole-stage codegen — no " +
+      "silent interpreted fallback") {
+    // r15 verdict: s14's band keys unrolled into ~256 when(element_at)
+    // terms, the generated processNext blew janino's 64 KB method limit,
+    // and Spark QUIETLY interpreted the stage — tests green, hot path
+    // un-codegen'd. With fallback disabled a compile failure throws, so
+    // this pin fails loudly if the stage ever outgrows the limit again.
+    // (graft.tools.CodegenSweep runs the same probe over the registry.)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = SparkEntry.queries("s14_ann_lsh_pinned")(s, sf).count()
+      assert(n > 0, "probe must produce rows for the pin to mean anything")
+    } finally {
+      s.catalog.clearCache()
+    }
+  }
+
   test("p24: dataset card is one scan of aggregates plus a scalar broadcast") {
     val p = plan("p24_dataset_card")
     // the only join is the 1-row total broadcast against the per-source

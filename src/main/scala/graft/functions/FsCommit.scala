@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Filesystem commit-capability gate for the persisted stores.
+  *
+  * The signature store ([[TextOps]]) and the pinned ANN index
+  * ([[VectorOps]]) commit state with two primitives and assume
+  * HDFS semantics for both:
+  *
+  *  1. **atomic directory rename** — batches/tombstones/compactions
+  *     stage under `_staging_<uuid>` and `fs.rename` into place as THE
+  *     commit point (torn = absent). The bucketed compaction layout
+  *     additionally assumes the rename preserves file NAMES (bucket
+  *     ids ride in them).
+  *  2. **atomic no-overwrite create** — the `_params` stamp and the
+  *     compaction-lease version chain are O_EXCL CAS claims.
+  *
+  * HDFS, local file://, viewfs, and ADLS Gen2 (abfs) provide both.
+  * S3/GCS-style object stores provide NEITHER: "rename" is a
+  * non-atomic per-object copy+delete (a reader can observe a
+  * half-renamed directory, and two racing creates can both succeed),
+  * which turns every crash-safety argument in the store into silent
+  * corruption windows. Rather than document a footgun, store/index
+  * creation REFUSES such filesystems loudly (r15 verdict
+  * prescription 1). Hadoop 3.4 exposes no atomic-rename
+  * PathCapability, so the gate is: a known-semantics scheme list,
+  * plus a behavioral probe for unknown schemes that rejects
+  * filesystems whose rename fails outright or loses file names.
+  *
+  * Supported-filesystem contract (also in README): run stores and
+  * indexes on a filesystem with HDFS rename/create semantics (HDFS,
+  * viewfs, local, abfs/abfss, ofs/o3fs, webhdfs). To serve from an
+  * object store, run maintenance against an HDFS-semantics root and
+  * copy the committed layout out afterwards — never point the
+  * maintenance APIs at s3a/gs directly.
+  */
+object FsCommit {
+
+  /** Schemes with HDFS-semantics atomic rename AND no-overwrite
+    * create. abfs/abfss = ADLS Gen2 (hierarchical namespace renames
+    * atomically); ofs/o3fs = Apache Ozone. */
+  private val KnownAtomic = Set(
+    "file", "hdfs", "viewfs", "webhdfs", "swebhdfs", "abfs", "abfss",
+    "ofs", "o3fs")
+
+  /** Schemes KNOWN to emulate rename as per-object copy+delete (and
+    * whose create-no-overwrite is check-then-act): every commit
+    * boundary in the store stack is unsafe on them. */
+  private val KnownNonAtomic = Set(
+    "s3", "s3a", "s3n", "gs", "oss", "cos", "cosn", "obs", "swift",
+    "wasb", "wasbs")
+
+  /** One verdict per (scheme, authority): the probe writes files, so
+    * it must not re-run on every append of a long-lived job. A failed
+    * verdict is NOT cached — a transient I/O error during the probe
+    * should not brick the store root until JVM restart. */
+  private val vetted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Test hook: forget cached verdicts (suites register mock schemes
+    * whose FileSystem instances Hadoop also caches per conf). */
+  private[graft] def resetCache(): Unit = vetted.clear()
+
+  private def contractMsg(what: String, path: String, why: String) =
+    s"$what at $path requires HDFS-semantics commit primitives " +
+      s"(atomic directory rename + atomic no-overwrite create), but $why. " +
+      "Staged-rename commits and O_EXCL stamps/leases silently corrupt " +
+      "on copy+delete object stores. Run maintenance against HDFS, " +
+      "viewfs, local, abfs, or ofs — and copy the committed layout to " +
+      "the object store afterwards if that is where it must be served " +
+      "from (see the supported-filesystem contract in README)."
+
+  /** Refuse `path`'s filesystem unless its commit primitives are
+    * HDFS-semantics. `what` names the caller in the error ("signature
+    * store", "ANN index"). Verdicts cache per (scheme, authority). */
+  def requireAtomicCommits(fs: FileSystem, path: String,
+      what: String): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
+    val key = scheme + "://" + Option(fs.getUri.getAuthority).getOrElse("")
+    if (vetted.contains(key)) return
+    if (KnownNonAtomic.contains(scheme))
+      throw new IllegalStateException(contractMsg(what, path,
+        s"scheme '$scheme' is an object store whose directory rename " +
+          "is a non-atomic per-object copy"))
+    if (!KnownAtomic.contains(scheme)) probeRename(fs, path, what, scheme)
+    vetted.add(key)
+    ()
+  }
+
+  /** Behavioral probe for unknown schemes: rename a one-file directory
+    * and require (a) rename returns true and (b) the file keeps its
+    * name under the new directory — catching filesystems that refuse
+    * renames outright and ones that "rename" by re-copying objects
+    * under different keys. True atomicity is not observable from a
+    * single process, so a scheme that passes is accepted with the
+    * contract documented; a scheme that fails is refused loudly. */
+  private def probeRename(fs: FileSystem, path: String, what: String,
+      scheme: String): Unit = {
+    val probe = new Path(path,
+      s"_fscheck_${java.util.UUID.randomUUID().toString}")
+    val src = new Path(probe, "src")
+    val dst = new Path(probe, "dst")
+    try {
+      fs.mkdirs(src)
+      val f = fs.create(new Path(src, "probe-file"), true)
+      try f.write("x".getBytes("UTF-8")) finally f.close()
+      val renamed =
+        try fs.rename(src, dst)
+        catch { case _: java.io.IOException => false }
+      if (!renamed)
+        throw new IllegalStateException(contractMsg(what, path,
+          s"scheme '$scheme' failed a directory-rename probe (rename " +
+            "returned false or threw)"))
+      if (!fs.exists(new Path(dst, "probe-file")))
+        throw new IllegalStateException(contractMsg(what, path,
+          s"scheme '$scheme' renamed the probe directory without " +
+            "preserving the file names inside it (the S3A copy shape) — " +
+            "the bucketed layout and staged commits both break"))
+    } finally {
+      try fs.delete(probe, true)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+}

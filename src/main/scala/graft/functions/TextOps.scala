@@ -714,6 +714,9 @@ object TextOps {
   private def checkOrWriteParams(spark: SparkSession, path: String,
       n: Int, numHashes: Int, bands: Int, write: Boolean): Unit = {
     val fs = storeFs(spark, path)
+    // every write commits via staged rename / O_EXCL create: refuse
+    // filesystems without HDFS-semantics primitives up front
+    if (write) FsCommit.requireAtomicCommits(fs, path, "signature store")
     val p = new org.apache.hadoop.fs.Path(s"$path/_params")
     val want = storeParams(n, numHashes, bands)
     if (fs.exists(p)) {
@@ -869,6 +872,7 @@ object TextOps {
   def retractFromSignatureStore(docIds: DataFrame, path: String): Unit = {
     val spark = docIds.sparkSession
     val fs = storeFs(spark, path)
+    FsCommit.requireAtomicCommits(fs, path, "signature store")
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_params")),
       s"no signature store at $path (missing _params)")
     require(docIds.columns.length == 1,
@@ -1037,6 +1041,10 @@ object TextOps {
   def compactSignatureStore(spark: SparkSession, path: String,
       numFiles: Int = 8, numBuckets: Int = 32): Unit = {
     val fs = storeFs(spark, path)
+    // the bucketed layout adds a further assumption on top of the
+    // staged rename: the commit rename preserves file NAMES (bucket
+    // ids ride in them) — gate here too, not just at append
+    FsCommit.requireAtomicCommits(fs, path, "signature store")
     val base = new org.apache.hadoop.fs.Path(s"$path/batches")
     if (!fs.exists(base)) return
     // capture tombstones BEFORE batches: a tombstone landing in the gap

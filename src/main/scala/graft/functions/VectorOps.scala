@@ -272,6 +272,11 @@ object VectorOps {
       nlist: Int, path: String): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // the whole lifecycle (lease chain, manifest swap, compaction)
+    // commits via O_EXCL create + rename: refuse object stores up front
+    FsCommit.requireAtomicCommits(
+      hp(path).getFileSystem(spark.sessionState.newHadoopConf()), path,
+      "ANN index")
     val c = withCodeNorm(sq8Codes(corpus, idCol, vecCol, "neighbor_id", "__cc"),
       "__cc", "__cn")
     val cents = pinnedCodebook(c, "neighbor_id", "__cc", nlist)
@@ -347,6 +352,7 @@ object VectorOps {
       lineage: String, afterLedgerCheck: () => Unit): Unit = {
     val fs = hp(path).getFileSystem(
       delta.sparkSession.sessionState.newHadoopConf())
+    FsCommit.requireAtomicCommits(fs, path, "ANN index")
     checkStreamLineage(fs, path, lineage)
     if (!compactedBatchIds(fs, path).contains(batchId)) {
       afterLedgerCheck()
@@ -1249,6 +1255,7 @@ object VectorOps {
       stepDelayMs: Long = 0L,
       onAfterAcquire: () => Unit = () => ()): Unit = {
     val fs = hp(path).getFileSystem(spark.sessionState.newHadoopConf())
+    FsCommit.requireAtomicCommits(fs, path, "ANN index")
     val (lease, uuid) = acquireCompactionLease(fs, path, leaseTtlMs)
     val heartbeat =
       new LeaseHeartbeat(fs, lease, uuid, math.max(leaseTtlMs / 4, 25L))

@@ -1601,6 +1601,93 @@ object TextOps {
       .select(col("__id").as("doc_id"), col("eval_id"), col("n_shared"))
   }
 
+  /** Key of a cached bloom bitmap: the eval frame's CANONICALIZED
+    * logical plan (semantic equality — two frames reading the same
+    * source with the same transforms share an entry even when built
+    * separately) plus every parameter the bitmap bits depend on. */
+  private final case class BloomBitmapKey(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      textCol: String, n: Int, mBits: Int, numHashes: Int)
+
+  private val BloomCacheCap = 8
+
+  /** Access-ordered LRU of bitmap broadcasts, destroy-on-evict: before
+    * this cache every [[bloomDecontaminate]] call created a broadcast
+    * it never released, so bench reps and long-lived periodic jobs
+    * accumulated bitmap-sized blocks (16 MiB at production sizing) for
+    * the app lifetime (ADVICE r14 #2). Eviction destroys the broadcast,
+    * so a DataFrame returned against an entry later pushed out by
+    * [[BloomCacheCap]] DISTINCT newer eval families fails on re-execute
+    * — callers juggling many eval suites at once should hold their own
+    * broadcast via [[bloomBitmapBroadcast]]/[[bloomDecontaminateWith]]
+    * and destroy it when done. Guarded on the owning SparkContext so a
+    * restarted context never serves another context's dead handle. */
+  private val bloomBitmapCache = new java.util.LinkedHashMap[
+      BloomBitmapKey,
+      (String, org.apache.spark.broadcast.Broadcast[Array[Long]])](
+      16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[BloomBitmapKey,
+        (String, org.apache.spark.broadcast.Broadcast[Array[Long]])])
+        : Boolean =
+      if (size > BloomCacheCap) {
+        try e.getValue._2.destroy()
+        catch { case scala.util.control.NonFatal(_) => () }
+        true
+      } else false
+  }
+
+  private[graft] def bloomBitmapCacheSize: Int =
+    bloomBitmapCache.synchronized(bloomBitmapCache.size)
+
+  /** The eval suite's shingle set folded into one `mBits`-bit bloom
+    * bitmap, broadcast once and CACHED by (eval plan, parameters):
+    * repeated scoring calls against the same eval suite reuse one
+    * broadcast instead of leaking one per call. The returned handle is
+    * cache-owned — do not destroy it; for a caller-owned lifetime,
+    * build the bitmap with `cache = false`. */
+  def bloomBitmapBroadcast(eval_ : DataFrame, textCol: String, n: Int,
+      mBits: Int = 1 << 20, numHashes: Int = 5, cache: Boolean = true)
+      : org.apache.spark.broadcast.Broadcast[Array[Long]] = {
+    val spark = eval_.sparkSession
+    val appId = spark.sparkContext.applicationId
+    def build() = {
+      // stage toks -> shingles so the split isn't re-evaluated per
+      // window element (the shingles() pitfall: a raw split inside the
+      // transform lambda re-tokenizes once per window — O(tokens^2))
+      val bitmap = eval_
+        .select(tokens(col(textCol)).as("__toks"))
+        .select(explode(shingles(col("__toks"), n)).as("__s"))
+        .select(Md5BloomAgg.column(spark, col("__s"), mBits, numHashes)
+          .as("bm"))
+        .head().getSeq[Long](0)
+      spark.sparkContext.broadcast(bitmap.toArray)
+    }
+    if (!cache) return build()
+    val key = BloomBitmapKey(
+      eval_.queryExecution.analyzed.canonicalized, textCol, n, mBits,
+      numHashes)
+    bloomBitmapCache.synchronized {
+      Option(bloomBitmapCache.get(key)).filter(_._1 == appId)
+    } match {
+      case Some((_, bc)) => bc
+      case None =>
+        // the bitmap job runs OUTSIDE the lock; a concurrent duplicate
+        // build wastes one job and the loser's broadcast is released
+        val bc = build()
+        bloomBitmapCache.synchronized {
+          Option(bloomBitmapCache.get(key)).filter(_._1 == appId) match {
+            case Some((_, winner)) =>
+              try bc.destroy()
+              catch { case scala.util.control.NonFatal(_) => () }
+              winner
+            case None =>
+              bloomBitmapCache.put(key, (appId, bc))
+              bc
+          }
+        }
+    }
+  }
+
   /** Bloom-filter benchmark decontamination — the 100 TB shape of
     * [[contaminationPairs]] when the corpus is too large even for the
     * broadcast-join sliver: the eval suite's n-gram shingles fold into
@@ -1625,17 +1712,20 @@ object TextOps {
     * the scorecard matches exactly, false positives included. */
   def bloomDecontaminate(train: DataFrame, eval_ : DataFrame,
       idCol: String, textCol: String, n: Int,
-      mBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
-    val spark = train.sparkSession
-    // stage toks -> shingles so the split isn't re-evaluated per window
-    // element (the shingles() pitfall: a raw split inside the transform
-    // lambda re-tokenizes once per window — O(tokens^2) per row)
-    val bitmap = eval_
-      .select(tokens(col(textCol)).as("__toks"))
-      .select(explode(shingles(col("__toks"), n)).as("__s"))
-      .select(Md5BloomAgg.column(spark, col("__s"), mBits, numHashes).as("bm"))
-      .head().getSeq[Long](0)
-    val bc = spark.sparkContext.broadcast(bitmap.toArray)
+      mBits: Int = 1 << 20, numHashes: Int = 5): DataFrame =
+    bloomDecontaminateWith(train, idCol, textCol, n,
+      bloomBitmapBroadcast(eval_, textCol, n, mBits, numHashes), numHashes)
+
+  /** [[bloomDecontaminate]] with a CALLER-MANAGED bitmap broadcast
+    * (from [[bloomBitmapBroadcast]], or any bitmap built with the same
+    * md5 double-hash positions): the caller owns the broadcast's
+    * lifetime — score any number of corpora against it, then
+    * `destroy()` it. `n` and `numHashes` must match the values the
+    * bitmap was built with (hash positions depend on both). */
+  def bloomDecontaminateWith(train: DataFrame, idCol: String,
+      textCol: String, n: Int,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      numHashes: Int = 5): DataFrame =
     train
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), shingles(col("__toks"), n).as("__sh"))
@@ -1646,7 +1736,6 @@ object TextOps {
               org.apache.spark.sql.GraftSqlBridge.expression(col("__sh")),
               bc, numHashes))
           .cast("long").as("n_hit"))
-  }
 
   /** Connected components over a near-duplicate pair graph via min-label
     * propagation: every document's cluster id is the minimum doc id

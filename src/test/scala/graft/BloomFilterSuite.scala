@@ -174,6 +174,76 @@ class BloomFilterSuite extends SparkSuite {
     assert(got == expected, "distributed scorecard != serial kernel replay")
   }
 
+  test("bitmap broadcast lifecycle: repeated calls reuse ONE broadcast; " +
+      "eviction destroys the blocks") {
+    // ADVICE r14 #2: every bloomDecontaminate call used to create a
+    // SparkContext.broadcast it never destroyed — bench reps and
+    // periodic jobs accumulated bitmap-sized blocks for the app
+    // lifetime. The bitmap is now cached by (eval plan, parameters).
+    val docs = Seq(
+      (1L, "shared gram one two padding words here"),
+      (2L, "completely different text with no overlap at all"),
+      (50L, "shared gram one two eval document body")
+    ).toDF("doc_id", "text")
+    def evalDf = docs.where(col("doc_id") % 50 === 0) // FRESH frame per call
+    val train = docs.where(col("doc_id") % 50 =!= 0)
+    val bc1 = graft.functions.TextOps.bloomBitmapBroadcast(evalDf, "text", 4)
+    val bc2 = graft.functions.TextOps.bloomBitmapBroadcast(evalDf, "text", 4)
+    assert(bc1 eq bc2,
+      "semantically-equal eval frames must share one cached broadcast")
+    val sizeBefore = graft.functions.TextOps.bloomBitmapCacheSize
+    (1 to 3).foreach { _ =>
+      graft.functions.TextOps.bloomDecontaminate(
+        train, evalDf, "doc_id", "text", n = 4).count()
+    }
+    assert(graft.functions.TextOps.bloomBitmapCacheSize == sizeBefore,
+      "repeated scoring calls against the same eval must not add entries")
+    assert(org.apache.spark.GraftTestBridge
+        .liveBroadcastIds(spark.sparkContext).contains(bc1.id),
+      "the cached bitmap's blocks must be live while it is cached")
+    // push bc1 out with 8 DISTINCT families (cap = 8, access-ordered):
+    // eviction must DESTROY the broadcast — its blocks leave the block
+    // manager instead of lingering until a lucky GC
+    (0 until 8).foreach { i =>
+      graft.functions.TextOps.bloomBitmapBroadcast(
+        evalDf, "text", 4, mBits = 512 << i)
+    }
+    assert(broadcastGone(bc1.id),
+      "an evicted bitmap broadcast must be destroyed, not leaked")
+  }
+
+  /** Block removal after destroy() propagates asynchronously — poll. */
+  private def broadcastGone(id: Long): Boolean = {
+    val deadline = System.currentTimeMillis() + 10_000
+    while (System.currentTimeMillis() < deadline) {
+      if (!org.apache.spark.GraftTestBridge
+          .liveBroadcastIds(spark.sparkContext).contains(id)) return true
+      Thread.sleep(100)
+    }
+    false
+  }
+
+  test("a caller-managed bitmap scores identically and dies on demand") {
+    val docs = Seq(
+      (1L, "shared gram one two padding words here"),
+      (2L, "completely different text with no overlap at all"),
+      (50L, "shared gram one two eval document body")
+    ).toDF("doc_id", "text")
+    val train = docs.where(col("doc_id") % 50 =!= 0)
+    val ev = docs.where(col("doc_id") % 50 === 0)
+    val viaCache = graft.functions.TextOps.bloomDecontaminate(
+      train, ev, "doc_id", "text", n = 4).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val own = graft.functions.TextOps.bloomBitmapBroadcast(
+      ev, "text", 4, cache = false)
+    val viaOwn = graft.functions.TextOps.bloomDecontaminateWith(
+      train, "doc_id", "text", 4, own).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(viaOwn == viaCache)
+    own.destroy() // caller-owned: the cache never touches it
+    assert(broadcastGone(own.id))
+  }
+
   test("BloomTextHits codegen matches interpreted eval") {
     import graft.functions.BloomTextHits
     val bits = new Array[Long]((1 << 10) / 64)

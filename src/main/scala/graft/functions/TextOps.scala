@@ -1079,12 +1079,15 @@ object TextOps {
       // HashPartitioning(__b, __key, n)), so each task owns one bucket
       // and writes ONE file — sorted bucket files the join can stream.
       val tmpTable = s"graft_sigstore_staging_${id.replace("-", "_")}"
-      folded.repartition(numBuckets, col("__b"), col("__key"))
+      // try/finally (ADVICE r15): a write failure between saveAsTable
+      // and the drop must not leave a stale staging entry in a
+      // persistent metastore pointing at a dir the cleanup deletes
+      try folded.repartition(numBuckets, col("__b"), col("__key"))
         .write.bucketBy(numBuckets, "__b", "__key")
         .sortBy("__b", "__key")
         .option("path", staging.toString)
         .format("parquet").saveAsTable(tmpTable)
-      spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+      finally spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
       val out = fs.create(
         new org.apache.hadoop.fs.Path(staging, BucketMarker), true)
       try out.write(numBuckets.toString.getBytes("UTF-8"))
@@ -1106,6 +1109,30 @@ object TextOps {
       spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(d)}")
     }
     tombs.foreach(fs.delete(_, true))
+  }
+
+  /** Delete a signature store AND its catalog registrations — the
+    * hygiene pair of [[compactSignatureStore]]'s lazy table
+    * registration. CATALOG NOTE: bucketed batches register as
+    * `graft_sigstore_<md5-of-dir>` external tables in the session's
+    * CURRENT database (an in-memory catalog forgets them at session
+    * end; a persistent Hive metastore does not). Deleting a store's
+    * directory out-of-band leaves those entries dangling forever —
+    * the md5 names cannot be recomputed once the dir names are gone,
+    * so out-of-band deletions must be swept by pattern:
+    * `SHOW TABLES LIKE 'graft_sigstore_*'` and drop what points at
+    * missing locations. This API deletes in the safe order (catalog
+    * entries first, then the directory) so there is no window where a
+    * dangling entry outlives the files. */
+  def deleteSignatureStore(spark: SparkSession, path: String): Unit = {
+    val fs = storeFs(spark, path)
+    val base = new org.apache.hadoop.fs.Path(s"$path/batches")
+    if (fs.exists(base))
+      fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+        .foreach(d =>
+          spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(d)}"))
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    ()
   }
 
   /** [[incrementalJaccardPairs]] SERVED FROM THE STORE: only the delta

@@ -1014,6 +1014,38 @@ class DedupOpsSuite extends SparkSuite {
     assert(pairsVia(store, delta, standing) == after)
   }
 
+  test("signature store: deleteSignatureStore retires the catalog " +
+      "entries with the files") {
+    // r15 verdict prescription 6 (hygiene half): bucketed batches
+    // register graft_sigstore_<md5> external tables lazily at probe; a
+    // store dir deleted out-of-band leaves them dangling in a
+    // persistent metastore. The deletion API drops the entries FIRST,
+    // then the directory.
+    val delta = docs.where(col("doc_id") % 20 === 0)
+    val standing = docs.where(col("doc_id") % 20 =!= 0)
+    val store = tmpStore()
+    TextOps.buildSignatureStore(standing, "doc_id", "text", store,
+      n = 3, numHashes = 128, bands = 32)
+    TextOps.compactSignatureStore(spark, store)
+    assert(pairsVia(store, delta, standing).nonEmpty) // registers the table
+    def sigTables: Seq[String] = spark.catalog.listTables()
+      .collect().map(_.name).toSeq.filter(_.startsWith("graft_sigstore_"))
+      .filterNot(_.startsWith("graft_sigstore_staging_"))
+    val registered = sigTables
+    assert(registered.nonEmpty,
+      "a probe of a bucketed store must have registered its table")
+    TextOps.deleteSignatureStore(spark, store)
+    val remaining = sigTables
+    assert(registered.forall(t => !remaining.contains(t) ||
+        // tables of OTHER suites' stores may legitimately remain — only
+        // this store's dirs must be gone; cross-check via location
+        spark.sql(s"DESCRIBE TABLE EXTENDED $t").collect()
+          .forall(r => !r.toString.contains(store))),
+      s"dangling catalog entries for deleted store: $remaining")
+    assert(!new java.io.File(store).exists(),
+      "the store directory itself must be deleted")
+  }
+
   test("signature store: compaction folds tombstoned keys away for good") {
     val delta = docs.where(col("doc_id") % 20 === 0)
     val standing = docs.where(col("doc_id") % 20 =!= 0)

@@ -813,6 +813,82 @@ class PlanAuditSuite extends SparkSuite {
     }
   }
 
+  test("d23: the storage-partitioned property HOLDS under a live " +
+      "below-gate tombstone mask") {
+    // r15 verdict prescription 6: the exchange-count pin above builds
+    // cKeys straight from the bucketed frame, but the production probe
+    // first applies a broadcast anti-join on __id (the tombstone mask,
+    // TextOps maskKeys). Broadcast joins preserve the streamed side's
+    // reported partitioning, so the storage-partitioned property SHOULD
+    // survive the mask — this pins that it actually does: with a live
+    // tombstone set masked exactly the way the probe masks it, the
+    // above-gate join still exchanges ONLY the delta side.
+    import graft.functions.{TextOps, MinHashSig}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_d23_tomb_plan_").toString
+    TextOps.buildSignatureStore(docs.where(col("doc_id") % 20 =!= 0),
+      "doc_id", "text", store, n = 3, numHashes = 128, bands = 32)
+    TextOps.compactSignatureStore(spark, store)
+    // live tombstones AFTER the compaction (a compaction would fold
+    // them away; the pin needs the mask active at probe time)
+    TextOps.retractFromSignatureStore(
+      docs.where(col("doc_id") % 20 === 1).select(col("doc_id")), store)
+    val tombs = spark.read.parquet(s"$store/tombstones/*")
+      .select("__id").distinct()
+      .localCheckpoint(true) // as production: the distinct's exchange is
+                             // paid once here, not inside the probe plan
+    val (bucketedOpt, looseOpt) = TextOps.signatureStoreKeyFrames(spark, store)
+    assert(bucketedOpt.isDefined && looseOpt.isEmpty)
+    // the EXACT production below-gate mask shape: broadcast anti-join
+    // on __id upstream of the band join
+    val cKeys = bucketedOpt.get
+      .join(broadcast(tombs), Seq("__id"), "left_anti")
+      .select(col("__id").as("id_b"), col("__b"), col("__key"))
+    val dKeys = TextOps
+      .hashedShingleSets(docs.where(col("doc_id") % 20 === 0),
+        "doc_id", "text", 3)
+      .select(col("__id"),
+        MinHashSig.column(spark, col("__sh"), 128).as("__sig"))
+      .select(col("__id").as("id_a"),
+        posexplode(TextOps.lshBandKeys(col("__sig"), 32, 4))
+          .as(Seq("__b", "__key")))
+    val pairs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prior = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      // below the gate (hint wins over the disabled thresholds): store
+      // side untouched even with the mask between scan and join
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val below = broadcast(dKeys).join(cKeys, Seq("__b", "__key"))
+        .select("id_a", "id_b")
+      below.collect()
+      val pb = below.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(pb.contains("BroadcastHashJoin") && !pb.contains("SortMergeJoin"),
+        s"below-gate masked shape must broadcast the delta:\n$pb")
+      assert(!pb.contains("Exchange hashpartitioning"),
+        s"below-gate masked store side must not exchange:\n$pb")
+      // above the gate: the masked bucketed scan must STILL report its
+      // layout — exactly one exchange (the delta side)
+      val above = dKeys.join(cKeys, Seq("__b", "__key"))
+        .select("id_a", "id_b")
+      above.collect()
+      val p = above.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"above-gate must be the non-broadcast join:\n$p")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1,
+        s"the tombstone mask must not cost the store side its layout — " +
+          s"expected exactly the delta exchange, found $exchanges:\n$p")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("s20: compacted index scan is dynamically partition-pruned to the probed buckets") {
     val df = SparkEntry.queries("s20_ann_index_compact")(spark, sf)
     df.collect() // DPP materializes in the final adaptive plan

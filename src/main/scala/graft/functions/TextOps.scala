@@ -659,6 +659,18 @@ object TextOps {
     finally in.close()
   }
 
+  /** How long a losing racer waits for the winner's stamp body to
+    * appear (create and write are two steps): [[StampLoserWaitTries]]
+    * polls of [[StampLoserPollMs]] = 2 s total, driver-side sleeps
+    * inside the colliding `checkOrWriteParams(write = true)` only —
+    * collisions are one-per-store-lifetime events, so the wait is
+    * never on a hot path. A winner stalled LONGER than the budget
+    * (GC pause, slow namenode) makes the loser fail with the
+    * retry-the-build message below — loud and re-runnable, never a
+    * silent divergence. */
+  private[graft] val StampLoserWaitTries = 40
+  private[graft] val StampLoserPollMs = 50L
+
   /** Exclusive no-overwrite create (the [[VectorOps.claimLeaseVersion]]
     * CAS applied to the stamp): of two concurrent first builds exactly
     * one creates `_params`; the loser reads the winner's stamp back and
@@ -670,7 +682,17 @@ object TextOps {
     * duplicates failure the stamp exists to prevent (ADVICE r14). A
     * crash between create and write leaves a torn (empty) stamp, the
     * state [[checkOrWriteParams]] already fences and
-    * [[repairSignatureStoreParams]] repairs — loud, never silent. */
+    * [[repairSignatureStoreParams]] repairs — loud, never silent.
+    *
+    * ATOMICITY SCOPE (ADVICE r15): `create(p, overwrite = false)` is a
+    * true CAS on HDFS-like filesystems (an atomic namenode op) and on
+    * file:// via O_EXCL; on object stores it is check-then-act and two
+    * racers can both "win" — which is why [[FsCommit]] refuses those
+    * filesystems at every store write before this code runs. Some
+    * FileSystem impls signal the existing-file collision as a plain
+    * IOException rather than FileAlreadyExistsException; any create
+    * failure where the stamp EXISTS afterwards is therefore routed to
+    * the lost-the-race verify path instead of propagating. */
   private[graft] def stampParams(fs: org.apache.hadoop.fs.FileSystem,
       path: String, want: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_params")
@@ -690,24 +712,33 @@ object TextOps {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        // an impl reporting the collision as a bare IOException: if the
+        // stamp exists now, someone created it — take the verify path;
+        // a create that failed with NO stamp present is a real error
+        case e: java.io.IOException if fs.exists(p) => false
       }
     if (!created) {
       // lost the race: the winner may still be between its create and
-      // its write, so an empty read-back gets a few brief retries
-      // before it is judged torn rather than in-flight
+      // its write, so an empty read-back gets brief retries (budget
+      // documented on the constants above) before it is judged torn
+      // rather than in-flight
       var got = if (fs.exists(p)) readParamsAt(fs, p) else ""
       var tries = 0
-      while (got.isEmpty && tries < 20) {
-        Thread.sleep(50); tries += 1
+      while (got.isEmpty && tries < StampLoserWaitTries) {
+        Thread.sleep(StampLoserPollMs); tries += 1
         got = if (fs.exists(p)) readParamsAt(fs, p) else ""
       }
       require(got == want,
-        s"lost the _params race at $path to a build with ($got), " +
-          s"wanted ($want) — two concurrent first builds disagree on " +
-          "the sketch family; keep one" +
-          (if (got.isEmpty) " (empty: the racer's stamp is torn — " +
-            "repairSignatureStoreParams after asserting the family)"
-          else ""))
+        (if (got.isEmpty)
+          s"lost the _params race at $path and the racer's stamp is " +
+            "still empty after the wait budget — most likely the winner " +
+            "is merely stalled: RETRY THE BUILD first; if the stamp " +
+            "stays torn, repairSignatureStoreParams after asserting " +
+            "the family"
+        else
+          s"lost the _params race at $path to a build with ($got), " +
+            s"wanted ($want) — two concurrent first builds disagree " +
+            "on the sketch family; keep one"))
     }
   }
 
@@ -787,7 +818,17 @@ object TextOps {
     * intersecting tombstones — the caller's assertion that these docs
     * are rejoining the corpus. The check costs nothing when no
     * retraction ever ran (no tombstone dirs = no extra job); with
-    * tombstones present it is one tombstone-sized semi-join. */
+    * tombstones present it is one tombstone-sized semi-join.
+    *
+    * SINGLE-MAINTENANCE-WRITER assumption (ADVICE r15): the unretract
+    * rewrite captures the tombstone dirs, writes the reduced set, then
+    * drops the captured dirs — a retraction committed CONCURRENTLY in
+    * that window is not in the capture, survives the rewrite, and wins
+    * over this append (the masked-append state the guard exists to
+    * prevent — the pre-append check passed before the tombstone
+    * landed). Appends may race each other freely; RETRACTIONS and
+    * unretracting appends must not run concurrently — same stance as
+    * compaction (one maintenance writer at a time). */
   def appendToSignatureStore(docs: DataFrame, idCol: String,
       textCol: String, path: String,
       n: Int, numHashes: Int, bands: Int,
@@ -1517,11 +1558,9 @@ object TextOps {
   def crossSubstringSpans(train: DataFrame, eval_ : DataFrame,
       idCol: String, textCol: String, k: Int,
       broadcastKeyLimit: Long = defaultBroadcastKeyLimit): DataFrame = {
-    val evalHashes = shingleSites(eval_, idCol, textCol, k)
-      .select("h").distinct()
-      .localCheckpoint(true)
+    val (evalHashes, nHashes) = evalHashSet(eval_, idCol, textCol, k)
     val evalProbe =
-      if (evalHashes.count() <= broadcastKeyLimit) broadcast(evalHashes)
+      if (nHashes <= broadcastKeyLimit) broadcast(evalHashes)
       else evalHashes
     val sites = shingleSites(train, idCol, textCol, k)
       .join(evalProbe, "h")
@@ -1530,6 +1569,42 @@ object TextOps {
       .select(col("doc_id"),
         col("__lo").cast("long").as("span_start"),
         (col("__hi") - col("__lo") + k).cast("long").as("span_tokens"))
+  }
+
+  private final case class EvalHashKey(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      idCol: String, textCol: String, k: Int)
+
+  /** Checkpointed eval window-hash sets keyed by canonicalized plan:
+    * the gate's materialization + count are benchmark-sized but ran
+    * PER CALL (r15 verdict minor — d25's bench reps each paid one
+    * extra job); an eval suite is stable across calls, so the cache
+    * pays it once. Small LRU; evicted entries just drop the reference
+    * (the checkpoint blocks release with the RDD). */
+  private val evalHashCache = new java.util.LinkedHashMap[
+      EvalHashKey, (String, DataFrame, Long)](8, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[EvalHashKey, (String, DataFrame, Long)])
+        : Boolean = size > 4
+  }
+
+  private def evalHashSet(eval_ : DataFrame, idCol: String,
+      textCol: String, k: Int): (DataFrame, Long) = {
+    val appId = eval_.sparkSession.sparkContext.applicationId
+    val key = EvalHashKey(eval_.queryExecution.analyzed.canonicalized,
+      idCol, textCol, k)
+    evalHashCache.synchronized {
+      Option(evalHashCache.get(key)).filter(_._1 == appId)
+    } match {
+      case Some((_, df, n)) => (df, n)
+      case None =>
+        val df = shingleSites(eval_, idCol, textCol, k)
+          .select("h").distinct()
+          .localCheckpoint(true)
+        val n = df.count()
+        evalHashCache.synchronized(evalHashCache.put(key, (appId, df, n)))
+        (df, n)
+    }
   }
 
   /** The removal ledger [[dupSubstringSpans]] implies, per document:

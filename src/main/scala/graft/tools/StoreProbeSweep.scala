@@ -73,27 +73,44 @@ object StoreProbeSweep {
     * above-gate fallback's shuffle volume against the LOOSE store
     * (both sides exchange) vs the BUCKETED store (storage-partitioned
     * join: only the delta exchanges). Shuffle write bytes are summed
-    * from stage-completion events — the listener bus is async, so the
-    * counter settles behind a short quiesce loop. */
+    * from stage-completion events. The listener bus is async, so
+    * (ADVICE r15) the listener registers ONCE for the whole sweep and
+    * every measurement quiesces TWICE: before resetting the counter
+    * (so a straggler stage event from the previous rep lands in the
+    * previous label, never the next) and before reading it — with the
+    * settle gated on job COMPLETION (tracked via job start/end events)
+    * and counter stability together, so a >settle-period inter-stage
+    * gap inside a still-running job cannot exit the loop early. */
   private def fallbackShuffleSweep(spark: SparkSession,
       docs: org.apache.spark.sql.DataFrame): Unit = {
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    val activeJobs = new java.util.concurrent.atomic.AtomicInteger()
     val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        activeJobs.incrementAndGet()
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        // a job started before registration may end after it
+        activeJobs.updateAndGet(n => math.max(0, n - 1))
       override def onStageCompleted(
           e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
         shuffleBytes.addAndGet(
           e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     }
+    spark.sparkContext.addSparkListener(listener)
+    def quiesce(): Unit = {
+      var prev = -1L
+      while (activeJobs.get() > 0 || shuffleBytes.get() != prev) {
+        prev = shuffleBytes.get(); Thread.sleep(200)
+      }
+    }
     def measure(label: String)(body: => Long): Unit = {
-      spark.sparkContext.addSparkListener(listener)
+      quiesce() // previous rep's stragglers land BEFORE the reset
       shuffleBytes.set(0L)
       val t = System.nanoTime()
       val out = body
-      var prev = -1L // quiesce: async bus — wait for the counter to settle
-      while (shuffleBytes.get() != prev) {
-        prev = shuffleBytes.get(); Thread.sleep(500)
-      }
-      spark.sparkContext.removeSparkListener(listener)
+      quiesce() // jobs done AND counter settled
       println(f"[fallback] $label: ${(System.nanoTime() - t) / 1e9}%.3f s, " +
         f"shuffle ${shuffleBytes.get() / 1048576.0}%.1f MiB ($out pairs)")
     }
@@ -123,6 +140,7 @@ object StoreProbeSweep {
         numBuckets = 64); 0L
     }
     measure("bucketed store (storage-partitioned)")(probe())
+    spark.sparkContext.removeSparkListener(listener)
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
   }

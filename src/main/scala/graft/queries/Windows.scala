@@ -732,6 +732,25 @@ object Windows {
         FROM pairs WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5
         ORDER BY id_a, id_b""")),
 
+    // ---- w28: streamed multimodal ingest → decode → pHash → near-dup ------
+    // the second real multimodal end-to-end (r15 verdict item 8): media
+    // PAYLOADS stream in file-source micro-batches, each batch runs the
+    // REAL ImageIO pixel decode (the mm07 kernel) and the pinned
+    // integer-DCT pHash (the mm08 math) executor-side, the hash spool
+    // accretes per epoch, and the banded pigeonhole Hamming join (the
+    // text/image dedup machinery) pairs the planted duplicates with
+    // their originals. Oracle = mm14's replay verbatim (fixture planes →
+    // hash chain → exact all-pairs Hamming), so the gate chains the
+    // decode boundary, the feature math, the streaming plumbing, and
+    // the dedup join under ONE bit-exact check.
+    QueryDef(
+      "w28_stream_media_neardup",
+      (s, d) =>
+        graft.streaming.Streams.mediaNearDupStreamGate(s, maxHamming = 4)
+          .orderBy("id_a", "id_b"),
+      Some(graft.multimodal.PinnedMediaMath.imageNearDupOracle(
+        maxHamming = 4))),
+
     // ---- w16: stream-static AS-OF enrichment through the engine -----------
     // a04's semantics run incrementally: each streamed purchase joins
     // the latest static view at-or-before its event time (broadcast

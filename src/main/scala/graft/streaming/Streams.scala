@@ -1124,6 +1124,94 @@ object Streams {
       .select("id_a", "id_b", "jac") // drop the epoch partition column
   }
 
+  /** PRODUCTION media-ingest sink — the `foreachBatch` body of a
+    * streamed multimodal dedup pipeline: each micro-batch of arriving
+    * media payloads `(media_id, bytes)` is DECODED executor-side with
+    * the real kernel (ImageIO pixel decode — the mm07 boundary),
+    * perceptually hashed with the pinned integer DCT pHash (the mm08
+    * math), and its `(media_id, simhash)` rows land under `outDir` in
+    * an epoch-keyed directory — the overwrite (not blind append) keeps
+    * an at-least-once redelivered micro-batch from duplicating rows.
+    * The hash spool is union-shaped state: ANY batching reaches the
+    * same spool, so the downstream near-dup join (banded pigeonhole
+    * Hamming — [[graft.functions.TextOps.simHashPairs]] over the spool)
+    * is batching-invariant by construction. Per-batch work is linear in
+    * the batch's pixel count; nothing corpus-sized runs in the hot
+    * ingest path — the candidate join runs on hashes (8 bytes/media),
+    * the natural cadence being probe-on-demand or post-compaction. */
+  def mediaPhashBatch(outDir: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, epochId: Long) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val planes = batch.select(col("media_id"), col("bytes"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          graft.multimodal.MediaFixture.decodePx(bytes).toSeq.flatMap { px =>
+            for (y <- px.indices; x <- px(y).indices)
+              yield (id, y, x, px(y)(x))
+          }
+        }
+        .toDF("media_id", "y", "x", "v")
+      graft.multimodal.PinnedMediaMath.phashOf(spark, planes)
+        .select(col("media_id"),
+          shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))
+            .as("simhash"))
+        .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    }
+
+  /** The spool schema ([[mediaPhashBatch]]'s output): an all-empty run
+    * writes no part files, and schema inference would throw where the
+    * true answer is zero media. */
+  val mediaHashSchema: String = "media_id BIGINT, simhash BIGINT"
+
+  /** w28's gate: the multimodal dedup lifecycle as a STREAM — media
+    * payloads (the deterministic fixture corpus plus re-keyed planted
+    * duplicates, as PNG BYTES) arrive in file-source micro-batches;
+    * each batch runs the REAL ImageIO decode and the pinned pHash
+    * ([[mediaPhashBatch]]), and the accreted hash spool feeds the same
+    * banded Hamming join the batch path rides (mm14). End-to-end under
+    * the oracle: the DuckDB replay starts from the COMMITTED fixture
+    * planes (hash chain + exact 64-bit all-pairs Hamming — mm14's
+    * oracle verbatim), so the live streamed decode must reproduce the
+    * fixture bit-for-bit AND the hash/join math must match — chaining
+    * the mm07 decode gate and the mm08 math gate through streaming
+    * plumbing in one answer. Batching-invariant (per-media hashes,
+    * union-shaped spool), so the file source's arbitrary batch
+    * membership is fine. GATE-ONLY scope (the r10 convention): callers
+    * with real streams use [[mediaPhashBatch]] directly. */
+  private[graft] def mediaNearDupStreamGate(spark: SparkSession,
+      maxHamming: Int): DataFrame = {
+    import spark.implicits._
+    val images = graft.multimodal.MediaFixture.media(spark)
+      .filter(_.meta.kind == "image")
+    val planted = images.union(
+      images.map(m => m.copy(media_id = m.media_id + 1000000L)))
+    // ingest spool: several parquet files so AvailableNow +
+    // maxFilesPerTrigger=1 delivers several real micro-batches
+    val seq = gateRunSeq.incrementAndGet()
+    val spool = java.nio.file.Files
+      .createTempDirectory(s"w28_spool_${seq}_").toString
+    planted.toDF().select("media_id", "bytes")
+      .repartition(6)
+      .write.mode("overwrite").parquet(spool)
+    val outDir = java.nio.file.Files
+      .createTempDirectory(s"w28_hashes_${seq}_").toString
+    val stream = spark.readStream
+      .schema("media_id BIGINT, bytes BINARY")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(spool)
+    val q = stream.writeStream
+      .foreachBatch(mediaPhashBatch(outDir))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val hashes = spark.read.schema(mediaHashSchema).parquet(outDir)
+      .select("media_id", "simhash") // drop the epoch partition column
+    graft.functions.TextOps.simHashPairs(hashes, "media_id", maxHamming)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("int").as("hamming"))
+  }
+
   /** w20's gate: STREAMING index ingest — the s18/s19 serving lifecycle
     * driven by Structured Streaming: the index bootstraps from the 16
     * codebook vectors, the rest of the corpus arrives as a stream and

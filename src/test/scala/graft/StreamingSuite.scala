@@ -996,6 +996,41 @@ class StreamingSuite extends SparkSuite {
       s"helper-driven probe-and-append chain broken: $got")
   }
 
+  test("mediaPhashBatch: epoch-idempotent spool that matches the pinned " +
+      "batch hash chain") {
+    // the w28 production sink's two load-bearing properties the driver
+    // gate cannot see: (a) a REDELIVERED epoch replaces itself instead
+    // of duplicating spool rows (foreachBatch is at-least-once); (b)
+    // the streamed decode→pHash chain lands byte-identical to the
+    // pinned batch path (PinnedMediaMath.phash over the committed
+    // fixture planes) — the mm07+mm08 equivalence, asserted per id.
+    import graft.multimodal.{MediaFixture, PinnedMediaMath}
+    import spark.implicits._
+    val images = MediaFixture.media(spark)
+      .filter(_.meta.kind == "image").toDF()
+      .select("media_id", "bytes")
+    val batch0 = images.where(col("media_id") % 2 === 0)
+    val batch1 = images.where(col("media_id") % 2 =!= 0)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_w28_sink_").toString
+    val sink = Streams.mediaPhashBatch(outDir)
+    sink(batch0, 0L)
+    sink(batch1, 1L) // the spool accretes across epochs
+    sink(batch0, 0L) // redelivery: must overwrite, not duplicate
+    val spool = spark.read.schema(Streams.mediaHashSchema)
+      .parquet(outDir).select("media_id", "simhash")
+    val nMedia = images.count()
+    assert(spool.count() == nMedia,
+      "a redelivered epoch duplicated spool rows or dropped media")
+    val expected = PinnedMediaMath.phash(spark)
+      .select(col("media_id"),
+        shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))
+          .as("simhash"))
+    assert(spool.exceptAll(expected).isEmpty &&
+        expected.exceptAll(spool).isEmpty,
+      "streamed decode+pHash diverged from the pinned batch chain")
+  }
+
   test("chunkOverlap rejects carry columns that collide with its outputs") {
     import spark.implicits._
     val df = Seq((1L, "a b c", 7L)).toDF("doc_id", "text", "chunk_md5")

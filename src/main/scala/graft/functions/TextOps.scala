@@ -697,6 +697,11 @@ object TextOps {
       path: String, want: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_params")
     fs.mkdirs(p.getParent)
+    // the bare-IOException→race conversion must wrap ONLY the create
+    // call (code-review finding): once OUR create has won, a failure in
+    // the body write is a real I/O error — fs.exists(p) would be true
+    // (our own torn stamp), and routing it to the loser path would
+    // swallow the root cause behind a misleading lost-the-race message
     val created =
       try {
         if (fs.getUri.getScheme == "file") {
@@ -705,17 +710,27 @@ object TextOps {
           java.nio.file.Files.write(nio, want.getBytes("UTF-8"))
           true
         } else {
-          val out = fs.create(p, false) // no-overwrite create: the CAS
-          try out.write(want.getBytes("UTF-8")) finally out.close()
-          true
+          val out =
+            try fs.create(p, false) // no-overwrite create: the CAS
+            catch {
+              // an impl reporting the collision as a bare IOException:
+              // if the stamp exists now, someone else created it —
+              // take the verify path; a create that failed with NO
+              // stamp present is a real error and propagates
+              case e: java.io.IOException
+                  if !e.isInstanceOf[
+                    org.apache.hadoop.fs.FileAlreadyExistsException] &&
+                    fs.exists(p) => null
+            }
+          if (out == null) false
+          else {
+            try out.write(want.getBytes("UTF-8")) finally out.close()
+            true
+          }
         }
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        // an impl reporting the collision as a bare IOException: if the
-        // stamp exists now, someone created it — take the verify path;
-        // a create that failed with NO stamp present is a real error
-        case e: java.io.IOException if fs.exists(p) => false
       }
     if (!created) {
       // lost the race: the winner may still be between its create and
@@ -1573,14 +1588,19 @@ object TextOps {
 
   private final case class EvalHashKey(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      idCol: String, textCol: String, k: Int)
+      filesSig: Int, idCol: String, textCol: String, k: Int)
 
-  /** Checkpointed eval window-hash sets keyed by canonicalized plan:
-    * the gate's materialization + count are benchmark-sized but ran
-    * PER CALL (r15 verdict minor — d25's bench reps each paid one
-    * extra job); an eval suite is stable across calls, so the cache
-    * pays it once. Small LRU; evicted entries just drop the reference
-    * (the checkpoint blocks release with the RDD). */
+  /** Checkpointed eval window-hash sets keyed by canonicalized plan +
+    * input-file fingerprint (same stale-cache reasoning as
+    * [[BloomBitmapKey]] — root-path-only canonicalization would serve
+    * an outdated hash set after the eval files change): the gate's
+    * materialization + count are benchmark-sized but ran PER CALL
+    * (r15 verdict minor — d25's bench reps each paid one extra job);
+    * an eval suite is stable across calls, so the cache pays it once.
+    * Small LRU; evicted entries just drop the reference (a concurrent
+    * duplicate build can still double-checkpoint — the loser's blocks
+    * release via ContextCleaner once unreferenced; rare and bounded,
+    * so no destroy discipline is built for it). */
   private val evalHashCache = new java.util.LinkedHashMap[
       EvalHashKey, (String, DataFrame, Long)](8, 0.75f, true) {
     override def removeEldestEntry(
@@ -1592,7 +1612,7 @@ object TextOps {
       textCol: String, k: Int): (DataFrame, Long) = {
     val appId = eval_.sparkSession.sparkContext.applicationId
     val key = EvalHashKey(eval_.queryExecution.analyzed.canonicalized,
-      idCol, textCol, k)
+      inputFilesSig(eval_), idCol, textCol, k)
     evalHashCache.synchronized {
       Option(evalHashCache.get(key)).filter(_._1 == appId)
     } match {
@@ -1602,8 +1622,16 @@ object TextOps {
           .select("h").distinct()
           .localCheckpoint(true)
         val n = df.count()
-        evalHashCache.synchronized(evalHashCache.put(key, (appId, df, n)))
-        (df, n)
+        // double-check under the lock: a concurrent winner's entry is
+        // kept (this builder's checkpoint is dropped to the cleaner)
+        evalHashCache.synchronized {
+          Option(evalHashCache.get(key)).filter(_._1 == appId) match {
+            case Some((_, winner, wn)) => (winner, wn)
+            case None =>
+              evalHashCache.put(key, (appId, df, n))
+              (df, n)
+          }
+        }
     }
   }
 
@@ -1706,24 +1734,42 @@ object TextOps {
   /** Key of a cached bloom bitmap: the eval frame's CANONICALIZED
     * logical plan (semantic equality — two frames reading the same
     * source with the same transforms share an entry even when built
-    * separately) plus every parameter the bitmap bits depend on. */
+    * separately) plus a fingerprint of the frame's INPUT FILE LISTING,
+    * plus every parameter the bitmap bits depend on. The listing
+    * fingerprint closes a stale-cache hole (code-review finding,
+    * verified against Spark 4.1.2): file relations canonicalize by
+    * ROOT PATHS only, so a directory overwritten/appended between
+    * calls would otherwise hit the old entry and serve a stale result
+    * — Spark part-file names are write-unique, so any rewrite or
+    * append changes the listing and misses the cache. */
   private final case class BloomBitmapKey(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      textCol: String, n: Int, mBits: Int, numHashes: Int)
+      filesSig: Int, textCol: String, n: Int, mBits: Int, numHashes: Int)
+
+  /** Order-insensitive fingerprint of a frame's input files (empty for
+    * non-file sources — the canonicalized plan carries those). */
+  private def inputFilesSig(df: DataFrame): Int =
+    scala.util.hashing.MurmurHash3.unorderedHash(df.inputFiles.toSeq)
 
   private val BloomCacheCap = 8
 
-  /** Access-ordered LRU of bitmap broadcasts, destroy-on-evict: before
-    * this cache every [[bloomDecontaminate]] call created a broadcast
-    * it never released, so bench reps and long-lived periodic jobs
-    * accumulated bitmap-sized blocks (16 MiB at production sizing) for
-    * the app lifetime (ADVICE r14 #2). Eviction destroys the broadcast,
-    * so a DataFrame returned against an entry later pushed out by
-    * [[BloomCacheCap]] DISTINCT newer eval families fails on re-execute
-    * — callers juggling many eval suites at once should hold their own
-    * broadcast via [[bloomBitmapBroadcast]]/[[bloomDecontaminateWith]]
-    * and destroy it when done. Guarded on the owning SparkContext so a
-    * restarted context never serves another context's dead handle. */
+  /** Access-ordered LRU of bitmap broadcasts, UNPERSIST-on-evict:
+    * before this cache every [[bloomDecontaminate]] call created a
+    * broadcast it never released, so bench reps and long-lived
+    * periodic jobs accumulated bitmap-sized blocks (16 MiB at
+    * production sizing) for the app lifetime (ADVICE r14 #2).
+    * Eviction calls `unpersist` — NOT `destroy` — deliberately
+    * (code-review finding): a DataFrame returned earlier against the
+    * evicted entry must stay executable (the public API's results
+    * were always-valid before the cache existed, and a destroy would
+    * turn them into nondeterministic time-bombs triggered by
+    * unrelated calls). unpersist frees the executor-resident copies
+    * deterministically (the dominant cost: bitmap x executors); the
+    * driver-side block survives for lazy re-broadcast and is fully
+    * reclaimed by Spark's ContextCleaner once the last referencing
+    * frame is garbage-collected. Guarded on the owning SparkContext
+    * so a restarted context never serves another context's dead
+    * handle. */
   private val bloomBitmapCache = new java.util.LinkedHashMap[
       BloomBitmapKey,
       (String, org.apache.spark.broadcast.Broadcast[Array[Long]])](
@@ -1732,7 +1778,7 @@ object TextOps {
         (String, org.apache.spark.broadcast.Broadcast[Array[Long]])])
         : Boolean =
       if (size > BloomCacheCap) {
-        try e.getValue._2.destroy()
+        try e.getValue._2.unpersist(false)
         catch { case scala.util.control.NonFatal(_) => () }
         true
       } else false
@@ -1766,8 +1812,8 @@ object TextOps {
     }
     if (!cache) return build()
     val key = BloomBitmapKey(
-      eval_.queryExecution.analyzed.canonicalized, textCol, n, mBits,
-      numHashes)
+      eval_.queryExecution.analyzed.canonicalized, inputFilesSig(eval_),
+      textCol, n, mBits, numHashes)
     bloomBitmapCache.synchronized {
       Option(bloomBitmapCache.get(key)).filter(_._1 == appId)
     } match {

@@ -1152,11 +1152,22 @@ object Streams {
           }
         }
         .toDF("media_id", "y", "x", "v")
+        .localCheckpoint(true) // two readers below (hash + dead-letter)
       graft.multimodal.PinnedMediaMath.phashOf(spark, planes)
         .select(col("media_id"),
           shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))
             .as("simhash"))
         .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+      // a payload the decoder rejects must not vanish silently
+      // (code-review finding): its id lands in a dead-letter dir the
+      // operator can monitor/re-drive — an at-least-once pipeline that
+      // silently drops rows reads as "deduped" when it means "lost".
+      // Same epoch-keyed overwrite idempotence as the spool.
+      val undecoded = batch.select(col("media_id"))
+        .join(planes.select("media_id").distinct(), Seq("media_id"),
+          "left_anti")
+      undecoded.write.mode("overwrite")
+        .parquet(s"$outDir/_undecoded/epoch=$epochId")
     }
 
   /** The spool schema ([[mediaPhashBatch]]'s output): an all-empty run

@@ -100,10 +100,20 @@ object StoreProbeSweep {
     }
     spark.sparkContext.addSparkListener(listener)
     def quiesce(): Unit = {
+      // deadline (code-review finding): the async bus can DROP events
+      // under overflow — a lost JobEnd would pin activeJobs > 0 and a
+      // deadline-less loop would hang the sweep; after the budget the
+      // measurement proceeds with a warning (numbers possibly smeared)
+      val deadline = System.currentTimeMillis() + 120_000
       var prev = -1L
-      while (activeJobs.get() > 0 || shuffleBytes.get() != prev) {
+      while ((activeJobs.get() > 0 || shuffleBytes.get() != prev) &&
+          System.currentTimeMillis() < deadline) {
         prev = shuffleBytes.get(); Thread.sleep(200)
       }
+      if (activeJobs.get() > 0)
+        System.err.println("[fallback] WARN: quiesce timed out with " +
+          s"${activeJobs.get()} job(s) apparently active (listener bus " +
+          "may have dropped events) — measurements may be smeared")
     }
     def measure(label: String)(body: => Long): Unit = {
       quiesce() // previous rep's stragglers land BEFORE the reset

@@ -175,7 +175,7 @@ class BloomFilterSuite extends SparkSuite {
   }
 
   test("bitmap broadcast lifecycle: repeated calls reuse ONE broadcast; " +
-      "eviction destroys the blocks") {
+      "eviction unpersists without breaking held frames") {
     // ADVICE r14 #2: every bloomDecontaminate call used to create a
     // SparkContext.broadcast it never destroyed — bench reps and
     // periodic jobs accumulated bitmap-sized blocks for the app
@@ -202,14 +202,27 @@ class BloomFilterSuite extends SparkSuite {
         .liveBroadcastIds(spark.sparkContext).contains(bc1.id),
       "the cached bitmap's blocks must be live while it is cached")
     // push bc1 out with 8 DISTINCT families (cap = 8, access-ordered):
-    // eviction must DESTROY the broadcast — its blocks leave the block
-    // manager instead of lingering until a lucky GC
+    // eviction UNPERSISTS (executor copies released) but must NOT
+    // destroy — a DataFrame returned against the evicted entry stays
+    // executable (the API's results were always-valid before the cache
+    // existed; destroy would turn them into time-bombs triggered by
+    // unrelated calls — code-review finding). Full reclamation is the
+    // ContextCleaner's job once the last reference is collected.
+    val held = graft.functions.TextOps.bloomDecontaminate(
+      train, evalDf, "doc_id", "text", n = 4) // references bc1's entry
+    val before = held.orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
     (0 until 8).foreach { i =>
       graft.functions.TextOps.bloomBitmapBroadcast(
         evalDf, "text", 4, mBits = 512 << i)
     }
-    assert(broadcastGone(bc1.id),
-      "an evicted bitmap broadcast must be destroyed, not leaked")
+    assert(graft.functions.TextOps.bloomBitmapCacheSize <= 8,
+      "the cache must hold at most its cap")
+    val after = held.orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(after == before,
+      "a frame held across eviction must stay executable and identical " +
+        "(unpersist re-broadcasts lazily; destroy would break it)")
   }
 
   /** Block removal after destroy() propagates asynchronously — poll. */

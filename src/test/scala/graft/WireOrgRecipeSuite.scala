@@ -191,12 +191,18 @@ class WireOrgRecipeSuite extends AnyFunSuite {
     def rec(gen: Int) = BulkApiOrgRecipe(tok, ClosableBulkTransports(gen),
       "47.0", 60, 1000L, 30000L, "JSON", None)
     try {
-      RemoteOrgRegistry.retireGraceMs = 200L
+      // park under a LONG grace first: asserting closed==0 under a
+      // 200ms grace raced the 1s sweeper tick on a stalled test thread
+      // (code-review finding) — with 60s of grace the in-window assert
+      // cannot be beaten by the timer
+      RemoteOrgRegistry.retireGraceMs = 60_000L
       RemoteOrgRegistry.resolve(name, Some(rec(1)))
       RemoteOrgRegistry.resolve(name, Some(rec(2))) // parks gen-1, still young
       assert(ClosableBulkTransport.closed.get == 0,
         "inside the grace window nothing may close")
-      // no further resolve() calls from here on — only the timer runs
+      // now age the park out (the sweep reads the grace dynamically)
+      // with ZERO further resolve() calls — only the timer runs
+      RemoteOrgRegistry.retireGraceMs = 200L
       val deadline = System.currentTimeMillis() + 10_000
       while (ClosableBulkTransport.closed.get == 0 &&
           System.currentTimeMillis() < deadline) Thread.sleep(100)

@@ -1191,6 +1191,37 @@ object TextOps {
     ()
   }
 
+  /** Sweep the catalog for DANGLING `graft_sigstore_*` registrations —
+    * entries whose backing directory no longer exists (a store deleted
+    * out-of-band, or a crash between a compaction's consumed-dir delete
+    * and its DROP TABLE). Returns the dropped table names. The md5
+    * names cannot be recomputed once the dirs are gone, so this scans
+    * by PATTERN and checks each entry's location; healthy entries
+    * (location present) are untouched, staging entries are always
+    * dropped when their location is gone. Safe to run any time —
+    * worst case a probe re-registers its table on the next read. */
+  def sweepSignatureStoreCatalog(spark: SparkSession): Seq[String] = {
+    val tables = spark.sql("SHOW TABLES LIKE 'graft_sigstore_*'")
+      .select("tableName").collect().map(_.getString(0)).toSeq
+    tables.filter { t =>
+      val loc =
+        try spark.sql(s"DESCRIBE TABLE EXTENDED $t").collect()
+          .find(r => r.getString(0) == "Location")
+          .map(_.getString(1))
+        catch { case scala.util.control.NonFatal(_) => None }
+      val dangling = loc match {
+        case None => false // no location row: leave it alone
+        case Some(l) =>
+          val p = new org.apache.hadoop.fs.Path(l)
+          try !p.getFileSystem(
+            spark.sparkContext.hadoopConfiguration).exists(p)
+          catch { case _: java.io.IOException => false } // unreadable != gone
+      }
+      if (dangling) spark.sql(s"DROP TABLE IF EXISTS $t")
+      dangling
+    }
+  }
+
   /** [[incrementalJaccardPairs]] SERVED FROM THE STORE: only the delta
     * is sketched; the standing corpus' band keys stream off parquet
     * (sketched once at ingest, reused by every daily run — the cost a

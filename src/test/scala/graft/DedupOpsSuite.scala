@@ -1046,6 +1046,40 @@ class DedupOpsSuite extends SparkSuite {
       "the store directory itself must be deleted")
   }
 
+  test("signature store: the catalog sweep drops only DANGLING " +
+      "graft_sigstore entries") {
+    // the out-of-band-deletion path deleteSignatureStore cannot cover:
+    // the dir is already gone, the md5 table name unrecoverable — the
+    // sweep finds it by pattern + missing location, and must NOT touch
+    // a healthy store's registration
+    val delta = docs.where(col("doc_id") % 20 === 0)
+    val standing = docs.where(col("doc_id") % 20 =!= 0)
+    val healthy = tmpStore()
+    val doomed = tmpStore()
+    for (store <- Seq(healthy, doomed)) {
+      TextOps.buildSignatureStore(standing, "doc_id", "text", store,
+        n = 3, numHashes = 128, bands = 32)
+      TextOps.compactSignatureStore(spark, store)
+      assert(pairsVia(store, delta, standing).nonEmpty) // registers
+    }
+    def sigTables: Set[String] = spark.catalog.listTables()
+      .collect().map(_.name).toSet.filter(_.startsWith("graft_sigstore_"))
+    val before = sigTables
+    // out-of-band deletion: the directory vanishes, the entry dangles
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(doomed))
+    val dropped = TextOps.sweepSignatureStoreCatalog(spark)
+    assert(dropped.nonEmpty, "the dangling entry must be swept")
+    val after = sigTables
+    assert(after == before -- dropped)
+    // the healthy store still probes — its registration was untouched
+    assert(pairsVia(healthy, delta, standing).nonEmpty)
+    // idempotent: a second sweep finds nothing
+    assert(TextOps.sweepSignatureStoreCatalog(spark).isEmpty)
+  }
+
   test("signature store: compaction folds tombstoned keys away for good") {
     val delta = docs.where(col("doc_id") % 20 === 0)
     val standing = docs.where(col("doc_id") % 20 =!= 0)

@@ -1701,28 +1701,19 @@ object VectorOps {
     require(bits >= 1 && bits <= 62, s"bits=$bits out of range")
     val spark = df.sparkSession
     val c = withCodeNorm(sq8Codes(df, idCol, vecCol, "__id", "__c"), "__c", "__n")
-    val planes: Seq[Seq[Double]] = (0 until bits * bands).map { j =>
-      (0 until dim).map(i => pinnedSign(j, i))
-    }
-    // all plane dots in one nested-literal HOF (the PQ flat-compile
-    // trick). Band keys are LOOP-shaped too: unrolling them in Scala
-    // (bands*bits `when(element_at(...))` terms — 256 at the registered
-    // parameters) compiled into a >64 KB processNext that janino
-    // rejected, so the whole stage silently ran INTERPRETED (r16: the
-    // one registry query CodegenSweep flagged). A weight literal plus
-    // zip_with/slice/aggregate generates a few short loops instead; the
-    // arithmetic is identical: sig[b] = Σ_k (dot[b*bits+k] >= 0) << k.
-    val withDots = c.withColumn("__dots",
-      transform(typedlit(planes), p => nativeDot(spark, col("__c"), p)))
-    val bitWeights: Seq[Long] =
-      (0 until bits * bands).map(j => 1L << (j % bits))
-    val weighted = zip_with(col("__dots"), typedlit(bitWeights),
-      (d, w) => when(d >= 0.0, w).otherwise(lit(0L)))
-    val sigsCol = transform(sequence(lit(0), lit(bands - 1)), b =>
-      aggregate(slice(weighted, b * lit(bits) + 1, lit(bits)),
-        lit(0L), (acc, x) => acc + x))
-    val sigs = withDots
-      .withColumn("__sigs", sigsCol)
+    // all band signatures in ONE generated loop ([[PinnedHyperplaneSig]]
+    // — pinnedSign weights inline, sig[b] bit k set iff the plane dot
+    // >= 0): the earlier declarative forms were both wrong at the plan
+    // level — unrolled `when(element_at(...))` terms blew janino's
+    // 64 KB method limit into a silent interpreted fallback (r16
+    // CodegenSweep), and the HOF rewrite (`transform` over a 16K-double
+    // nested plane literal) was CodegenFallback by construction, i.e.
+    // interpreted per element. The `dim` argument documents the plane
+    // family's width; the kernel derives weights per element index, so
+    // codes must be dim-long (the sq8 encode preserves input length).
+    val sigs = c
+      .withColumn("__sigs",
+        PinnedHyperplaneSig.column(spark, col("__c"), bits, bands))
       .select(col("__id"), col("__c"), col("__n"), col("__sigs"))
       .cache() // both self-join sides read it (see lshScoredCandidates)
     sigs.count() // eager: first-reader race

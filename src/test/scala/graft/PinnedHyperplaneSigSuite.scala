@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import graft.functions.{PinnedHyperplaneSig, VectorOps}
+
+/** The codegen pinned-signature kernel must be bit-identical to the
+  * declarative definition it replaced: sig[b] bit k set iff
+  * sum_i pinnedSign(b*bits+k, i) * code_i >= 0. */
+class PinnedHyperplaneSigSuite extends SparkSuite {
+
+  private def reference(codes: Array[Double], bits: Int,
+      bands: Int): Array[Long] =
+    Array.tabulate(bands) { b =>
+      (0 until bits).map { k =>
+        val j = b * bits + k
+        val d = codes.indices.map(i =>
+          VectorOps.pinnedSign(j, i) * codes(i)).sum
+        if (d >= 0.0) 1L << k else 0L
+      }.sum
+    }
+
+  test("kernel equals the pinnedSign declarative definition, " +
+      "including the >= 0 boundary") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 20) {
+      val dim = Seq(8, 64, 64, 3)(trial % 4)
+      val codes = Array.fill(dim)((rnd.nextInt(255) - 127).toDouble)
+      val got = PinnedHyperplaneSig.compute(
+        new GenericArrayData(codes), bits = 8, bands = 32)
+      val want = reference(codes, bits = 8, bands = 32)
+      assert(got.toSeq == want.toSeq, s"trial $trial dim $dim")
+    }
+    // the >= 0 boundary: an all-zero vector has every dot == 0, so
+    // every bit must be SET (>= 0, not > 0 — the oracle's rule)
+    val zeros = PinnedHyperplaneSig.compute(
+      new GenericArrayData(Array.fill(64)(0.0)), bits = 8, bands = 4)
+    assert(zeros.forall(_ == 0xFFL), s"zero-vector sigs: ${zeros.toSeq}")
+  }
+
+  test("codegen and interpreted paths agree through SQL") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 50L).map(i =>
+      (i, Array.fill(64)((rnd.nextInt(255) - 127).toDouble).toSeq))
+    val df = rows.toDF("id", "c")
+    val viaExpr = df.select(col("id"),
+        PinnedHyperplaneSig.column(spark, col("c"), 8, 32).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    rows.foreach { case (id, c) =>
+      assert(viaExpr(id) == reference(c.toArray, 8, 32).toSeq, s"id $id")
+    }
+  }
+}

@@ -185,11 +185,16 @@ class WireOrgRecipeSuite extends AnyFunSuite {
     // before the sweeper, a displaced pool persisted until process exit
     // if recipe churn stopped: the aged-out close only ran on the NEXT
     // same-name resolve. The daemon tick (1s) must reap it unprompted.
-    ClosableBulkTransport.closed.set(0)
     val name = "wire_sweeper_reaps"
     val savedGrace = RemoteOrgRegistry.retireGraceMs
     def rec(gen: Int) = BulkApiOrgRecipe(tok, ClosableBulkTransports(gen),
       "47.0", 60, 1000L, 30000L, "JSON", None)
+    // drain parks earlier tests left behind BEFORE zeroing the shared
+    // counter: the background tick judging them by this test's short
+    // grace would otherwise increment it mid-assert (cross-test race)
+    RemoteOrgRegistry.retireGraceMs = 0L
+    RemoteOrgRegistry.sweepRetired()
+    ClosableBulkTransport.closed.set(0)
     try {
       // park under a LONG grace first: asserting closed==0 under a
       // 200ms grace raced the 1s sweeper tick on a stalled test thread

@@ -44,9 +44,14 @@ case class HyperplaneSig(child: Expression, bits: Int, bands: Int, seed: Long)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val cls = HyperplaneSig.getClass.getName.stripSuffix("$") + "$"
+      // freshName, NOT a fixed local: with a non-nullable child
+      // nullSafeCodeGen emits this bare, so a second signature
+      // expression in the same generated method would redefine the
+      // name and janino would reject the whole stage
+      val sigs = ctx.freshName("hyperplaneSigs")
       s"""
-        long[] sigs = $cls.MODULE$$.compute($a, $bits, $bands, ${seed}L);
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs);
+        long[] $sigs = $cls.MODULE$$.compute($a, $bits, $bands, ${seed}L);
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
       """
     })
 

@@ -27,31 +27,38 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * far inside the double's integer range — the sign decision is the
   * same exact integer arithmetic the oracle replays.
   */
-case class PinnedHyperplaneSig(child: Expression, bits: Int, bands: Int)
-    extends UnaryExpression {
+case class PinnedHyperplaneSig(child: Expression, bits: Int, bands: Int,
+    dim: Int) extends UnaryExpression {
 
   override val nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) if bits > 0 && bits <= 63 && bands > 0 =>
+    case ArrayType(DoubleType, _)
+        if bits > 0 && bits <= 63 && bands > 0 && dim > 0 =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<double>, 0 < bits <= 63, bands > 0")
+      s"$prettyName expects array<double>, 0 < bits <= 63, bands > 0, " +
+        "dim > 0")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_pinned_hyperplane_sig"
 
   override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(
-      PinnedHyperplaneSig.compute(input.asInstanceOf[ArrayData], bits, bands))
+    new GenericArrayData(PinnedHyperplaneSig.compute(
+      input.asInstanceOf[ArrayData], bits, bands, dim))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val cls = PinnedHyperplaneSig.getClass.getName.stripSuffix("$") + "$"
+      // freshName, NOT a fixed local (the DotProduct pattern): with a
+      // non-nullable child nullSafeCodeGen emits this bare — a second
+      // signature expression in the same generated method would
+      // redefine a fixed name and janino would reject the whole stage
+      val sigs = ctx.freshName("pinnedSigs")
       s"""
-        long[] sigs = $cls.MODULE$$.compute($a, $bits, $bands);
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs);
+        long[] $sigs = $cls.MODULE$$.compute($a, $bits, $bands, $dim);
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
       """
     })
 
@@ -64,9 +71,22 @@ object PinnedHyperplaneSig {
   /** Shared kernel for interpreted and generated paths. Exactly
     * [[graft.functions.VectorOps.pinnedSign]]'s weights and the
     * declarative form's `>= 0` sign rule (NOT [[HyperplaneSig]]'s
-    * `> 0` — the pinned oracle replays `d >= 0`). */
-  def compute(arr: ArrayData, bits: Int, bands: Int): Array[Long] = {
-    val dim = arr.numElements()
+    * `> 0` — the pinned oracle replays `d >= 0`). `dim` is ENFORCED,
+    * not advisory: the oracle's plane family is exactly dim wide, so a
+    * vector of any other length must fail loudly here rather than fold
+    * extra dimensions into silently-divergent signatures. Elements are
+    * hoisted into a local array once — the band×bit loops would
+    * otherwise pay bands×bits×dim ArrayData interface calls per row. */
+  def compute(arr: ArrayData, bits: Int, bands: Int,
+      dim: Int): Array[Long] = {
+    val n = arr.numElements()
+    require(n == dim,
+      s"graft_pinned_hyperplane_sig: vector has $n elements but the " +
+        s"pinned plane family is $dim-wide — signatures would diverge " +
+        "from the dim-wide oracle silently")
+    val v = new Array[Double](dim)
+    var i0 = 0
+    while (i0 < dim) { v(i0) = arr.getDouble(i0); i0 += 1 }
     val sigs = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -77,10 +97,9 @@ object PinnedHyperplaneSig {
         var d = 0.0
         var i = 0
         while (i < dim) {
-          val x = arr.getDouble(i)
           if (java.lang.Long.bitCount(j * 2654435761L + i.toLong * 40503L)
-              % 2 == 0) d += x
-          else d -= x
+              % 2 == 0) d += v(i)
+          else d -= v(i)
           i += 1
         }
         if (d >= 0.0) sig |= (1L << k)
@@ -110,17 +129,19 @@ object PinnedHyperplaneSig {
                 s"literal, got $other")
           }
           PinnedHyperplaneSig(children(0),
-            intLit(children(1), "bits"), intLit(children(2), "bands"))
+            intLit(children(1), "bits"), intLit(children(2), "bands"),
+            intLit(children(3), "dim"))
         })
     }
   }
 
-  def column(spark: SparkSession, vec: Column, bits: Int,
-      bands: Int): Column = {
+  def column(spark: SparkSession, vec: Column, bits: Int, bands: Int,
+      dim: Int): Column = {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function(
       "graft_pinned_hyperplane_sig", vec,
       org.apache.spark.sql.functions.lit(bits),
-      org.apache.spark.sql.functions.lit(bands))
+      org.apache.spark.sql.functions.lit(bands),
+      org.apache.spark.sql.functions.lit(dim))
   }
 }

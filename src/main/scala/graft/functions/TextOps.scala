@@ -1203,23 +1203,21 @@ object TextOps {
   def sweepSignatureStoreCatalog(spark: SparkSession): Seq[String] = {
     val tables = spark.sql("SHOW TABLES LIKE 'graft_sigstore_*'")
       .select("tableName").collect().map(_.getString(0)).toSeq
-    tables.filter { t =>
+    val dangling = tables.filter { t =>
       val loc =
         try spark.sql(s"DESCRIBE TABLE EXTENDED $t").collect()
           .find(r => r.getString(0) == "Location")
           .map(_.getString(1))
         catch { case scala.util.control.NonFatal(_) => None }
-      val dangling = loc match {
+      loc match {
         case None => false // no location row: leave it alone
         case Some(l) =>
-          val p = new org.apache.hadoop.fs.Path(l)
-          try !p.getFileSystem(
-            spark.sparkContext.hadoopConfiguration).exists(p)
+          try !storeFs(spark, l).exists(new org.apache.hadoop.fs.Path(l))
           catch { case _: java.io.IOException => false } // unreadable != gone
       }
-      if (dangling) spark.sql(s"DROP TABLE IF EXISTS $t")
-      dangling
     }
+    dangling.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    dangling
   }
 
   /** [[incrementalJaccardPairs]] SERVED FROM THE STORE: only the delta

@@ -1708,12 +1708,13 @@ object VectorOps {
     // 64 KB method limit into a silent interpreted fallback (r16
     // CodegenSweep), and the HOF rewrite (`transform` over a 16K-double
     // nested plane literal) was CodegenFallback by construction, i.e.
-    // interpreted per element. The `dim` argument documents the plane
-    // family's width; the kernel derives weights per element index, so
-    // codes must be dim-long (the sq8 encode preserves input length).
+    // interpreted per element. `dim` is ENFORCED by the kernel: the
+    // plane family (and the oracle's replay) is exactly dim wide, so a
+    // vector of any other length fails loudly instead of folding extra
+    // dimensions into silently-divergent signatures.
     val sigs = c
       .withColumn("__sigs",
-        PinnedHyperplaneSig.column(spark, col("__c"), bits, bands))
+        PinnedHyperplaneSig.column(spark, col("__c"), bits, bands, dim))
       .select(col("__id"), col("__c"), col("__n"), col("__sigs"))
       .cache() // both self-join sides read it (see lshScoredCandidates)
     sigs.count() // eager: first-reader race

@@ -27,15 +27,30 @@ class PinnedHyperplaneSigSuite extends SparkSuite {
       val dim = Seq(8, 64, 64, 3)(trial % 4)
       val codes = Array.fill(dim)((rnd.nextInt(255) - 127).toDouble)
       val got = PinnedHyperplaneSig.compute(
-        new GenericArrayData(codes), bits = 8, bands = 32)
+        new GenericArrayData(codes), bits = 8, bands = 32, dim = dim)
       val want = reference(codes, bits = 8, bands = 32)
       assert(got.toSeq == want.toSeq, s"trial $trial dim $dim")
     }
     // the >= 0 boundary: an all-zero vector has every dot == 0, so
     // every bit must be SET (>= 0, not > 0 — the oracle's rule)
     val zeros = PinnedHyperplaneSig.compute(
-      new GenericArrayData(Array.fill(64)(0.0)), bits = 8, bands = 4)
+      new GenericArrayData(Array.fill(64)(0.0)), bits = 8, bands = 4,
+      dim = 64)
     assert(zeros.forall(_ == 0xFFL), s"zero-vector sigs: ${zeros.toSeq}")
+  }
+
+  test("a vector whose length differs from the declared dim fails LOUDLY") {
+    // the declarative form signed over min(vector, planes) lengths; the
+    // kernel would happily derive weights for any index — but the
+    // oracle's plane family is exactly dim wide, so a mismatch must be
+    // an error, never silently-divergent signatures
+    val e = intercept[IllegalArgumentException] {
+      PinnedHyperplaneSig.compute(
+        new GenericArrayData(Array.fill(128)(1.0)), bits = 8, bands = 32,
+        dim = 64)
+    }
+    assert(e.getMessage.contains("128 elements"), e.getMessage)
+    assert(e.getMessage.contains("64-wide"), e.getMessage)
   }
 
   test("codegen and interpreted paths agree through SQL") {
@@ -45,10 +60,30 @@ class PinnedHyperplaneSigSuite extends SparkSuite {
       (i, Array.fill(64)((rnd.nextInt(255) - 127).toDouble).toSeq))
     val df = rows.toDF("id", "c")
     val viaExpr = df.select(col("id"),
-        PinnedHyperplaneSig.column(spark, col("c"), 8, 32).as("s"))
+        PinnedHyperplaneSig.column(spark, col("c"), 8, 32, 64).as("s"))
       .as[(Long, Seq[Long])].collect().toMap
     rows.foreach { case (id, c) =>
       assert(viaExpr(id) == reference(c.toArray, 8, 32).toSeq, s"id $id")
     }
+  }
+
+  test("two signature expressions coexist in one generated method " +
+      "(freshName, no fixed local)") {
+    // the fixed `long[] sigs` local would make janino reject a stage
+    // evaluating two of these (or one plus a HyperplaneSig) with a
+    // non-nullable child — run exactly that shape with codegen
+    // fallback disabled so a redefinition fails loudly
+    import spark.implicits._
+    val s = spark.newSession()
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    val df = s.createDataset(Seq((1L, Seq.fill(64)(1.0))))
+      .toDF("id", "c")
+      .select(col("id"),
+        PinnedHyperplaneSig.column(s, col("c"), 8, 4, 64).as("s1"),
+        PinnedHyperplaneSig.column(s, col("c"), 4, 4, 64).as("s2"),
+        graft.functions.HyperplaneSig.column(s, col("c"), 8, 4).as("s3"),
+        graft.functions.HyperplaneSig.column(s, col("c"), 4, 4, seed = 7L)
+          .as("s4"))
+    assert(df.collect().length == 1)
   }
 }

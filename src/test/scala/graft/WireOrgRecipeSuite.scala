@@ -189,18 +189,23 @@ class WireOrgRecipeSuite extends AnyFunSuite {
     val savedGrace = RemoteOrgRegistry.retireGraceMs
     def rec(gen: Int) = BulkApiOrgRecipe(tok, ClosableBulkTransports(gen),
       "47.0", 60, 1000L, 30000L, "JSON", None)
-    // drain parks earlier tests left behind BEFORE zeroing the shared
-    // counter: the background tick judging them by this test's short
-    // grace would otherwise increment it mid-assert (cross-test race)
-    RemoteOrgRegistry.retireGraceMs = 0L
-    RemoteOrgRegistry.sweepRetired()
-    ClosableBulkTransport.closed.set(0)
     try {
-      // park under a LONG grace first: asserting closed==0 under a
-      // 200ms grace raced the 1s sweeper tick on a stalled test thread
+      // drain parks earlier tests left behind BEFORE zeroing the shared
+      // counter (inside the try so a drain failure still restores the
+      // saved grace): the background tick judging strays by this test's
+      // short grace would otherwise increment the counter mid-assert.
+      // After the drain, restore a LONG grace and let one tick period
+      // pass so any close a concurrent grace-0 tick had already removed
+      // from the park map lands before the counter resets.
+      RemoteOrgRegistry.retireGraceMs = 0L
+      RemoteOrgRegistry.sweepRetired()
+      RemoteOrgRegistry.retireGraceMs = 60_000L
+      Thread.sleep(1500)
+      ClosableBulkTransport.closed.set(0)
+      // park under the LONG grace: asserting closed==0 under a 200ms
+      // grace raced the 1s sweeper tick on a stalled test thread
       // (code-review finding) — with 60s of grace the in-window assert
       // cannot be beaten by the timer
-      RemoteOrgRegistry.retireGraceMs = 60_000L
       RemoteOrgRegistry.resolve(name, Some(rec(1)))
       RemoteOrgRegistry.resolve(name, Some(rec(2))) // parks gen-1, still young
       assert(ClosableBulkTransport.closed.get == 0,

@@ -44,9 +44,13 @@ case class DeletionSigs(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val cls = DeletionSigs.getClass.getName.stripSuffix("$") + "$"
+      // freshName, NOT a fixed local: with a non-nullable child two of
+      // these in one generated method would redefine the name and
+      // janino would reject the stage (found on HyperplaneSig in r16)
+      val sigs = ctx.freshName("deletionSigs")
       s"""
-        long[] sigs = $cls.MODULE$$.compute($a);
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs);
+        long[] $sigs = $cls.MODULE$$.compute($a);
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
       """
     })
 

@@ -57,9 +57,13 @@ case class MinHashSig(child: Expression, numHashes: Int)
     nullSafeCodeGen(ctx, ev, a => {
       val cls = MinHashSig.getClass.getName.stripSuffix("$") + "$"
       val m = if (fromHashes) "computeHashed" else "compute"
+      // freshName, NOT a fixed local: with a non-nullable child two of
+      // these in one generated method would redefine the name and
+      // janino would reject the stage (found on HyperplaneSig in r16)
+      val mins = ctx.freshName("minhashMins")
       s"""
-        long[] mins = $cls.MODULE$$.$m($a, $numHashes);
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(mins);
+        long[] $mins = $cls.MODULE$$.$m($a, $numHashes);
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
       """
     })
 

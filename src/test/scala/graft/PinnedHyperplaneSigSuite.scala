@@ -76,14 +76,22 @@ class PinnedHyperplaneSigSuite extends SparkSuite {
     import spark.implicits._
     val s = spark.newSession()
     s.conf.set("spark.sql.codegen.fallback", "false")
-    val df = s.createDataset(Seq((1L, Seq.fill(64)(1.0))))
-      .toDF("id", "c")
+    val df = s.createDataset(
+        Seq((1L, Seq.fill(64)(1.0), Seq("a b c", "b c d"), "abcdef")))
+      .toDF("id", "c", "sh", "t")
       .select(col("id"),
         PinnedHyperplaneSig.column(s, col("c"), 8, 4, 64).as("s1"),
         PinnedHyperplaneSig.column(s, col("c"), 4, 4, 64).as("s2"),
         graft.functions.HyperplaneSig.column(s, col("c"), 8, 4).as("s3"),
         graft.functions.HyperplaneSig.column(s, col("c"), 4, 4, seed = 7L)
-          .as("s4"))
+          .as("s4"),
+        // the other array-returning kernels shared the fixed-local
+        // pattern — two of each must coexist in the same method too
+        graft.functions.MinHashSig.column(s, col("sh"), 8).as("s5"),
+        graft.functions.MinHashSig.column(s, col("sh"), 4).as("s6"),
+        graft.functions.DeletionSigs.column(s, col("t")).as("s7"),
+        graft.functions.DeletionSigs.column(s, concat(col("t"), lit("x")))
+          .as("s8"))
     assert(df.collect().length == 1)
   }
 }

@@ -960,6 +960,10 @@ object TextOps {
     // invalid family would re-brick the store behind an intact stamp
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val fs = storeFs(spark, path)
+    // the repair is a store WRITE like any other (an O_EXCL stamp):
+    // it wears the same commit-primitive gate — this was the one
+    // maintenance write the gate missed (code-review finding)
+    FsCommit.requireAtomicCommits(fs, path, "signature store")
     val p = new org.apache.hadoop.fs.Path(s"$path/_params")
     if (fs.exists(p)) {
       val got = readParamsAt(fs, p)
@@ -1097,12 +1101,15 @@ object TextOps {
   def compactSignatureStore(spark: SparkSession, path: String,
       numFiles: Int = 8, numBuckets: Int = 32): Unit = {
     val fs = storeFs(spark, path)
+    val base = new org.apache.hadoop.fs.Path(s"$path/batches")
+    // no store here => pure no-op, BEFORE the gate: gating first would
+    // turn a no-op call into a throw (object store) or leave behavioral
+    // probe dirs under a root no store ever used (code-review finding)
+    if (!fs.exists(base)) return
     // the bucketed layout adds a further assumption on top of the
     // staged rename: the commit rename preserves file NAMES (bucket
     // ids ride in them) — gate here too, not just at append
     FsCommit.requireAtomicCommits(fs, path, "signature store")
-    val base = new org.apache.hadoop.fs.Path(s"$path/batches")
-    if (!fs.exists(base)) return
     // capture tombstones BEFORE batches: a tombstone landing in the gap
     // is simply not consumed (survives, keeps masking at probe), while
     // the reverse order could fold a batch without a tombstone that was
@@ -1187,7 +1194,21 @@ object TextOps {
       fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
         .foreach(d =>
           spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(d)}"))
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    // a compaction that CRASHED between its saveAsTable and its
+    // staging-table drop (driver kill — the try/finally can't run)
+    // leaves graft_sigstore_staging_<uuid> pointing under
+    // $path/_staging_<uuid>: derive those names from the surviving
+    // staging dirs and drop them BEFORE the dirs die with the store
+    // (code-review finding — otherwise the safe-order claim had a gap)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(root))
+      fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("_staging_"))
+        .foreach { dirName =>
+          val id = dirName.stripPrefix("_staging_").replace("-", "_")
+          spark.sql(s"DROP TABLE IF EXISTS graft_sigstore_staging_$id")
+        }
+    fs.delete(root, true)
     ()
   }
 
@@ -1620,47 +1641,34 @@ object TextOps {
       filesSig: Int, idCol: String, textCol: String, k: Int)
 
   /** Checkpointed eval window-hash sets keyed by canonicalized plan +
-    * input-file fingerprint (same stale-cache reasoning as
+    * snapshot fingerprint (same stale-cache reasoning as
     * [[BloomBitmapKey]] — root-path-only canonicalization would serve
-    * an outdated hash set after the eval files change): the gate's
-    * materialization + count are benchmark-sized but ran PER CALL
-    * (r15 verdict minor — d25's bench reps each paid one extra job);
-    * an eval suite is stable across calls, so the cache pays it once.
-    * Small LRU; evicted entries just drop the reference (a concurrent
-    * duplicate build can still double-checkpoint — the loser's blocks
-    * release via ContextCleaner once unreferenced; rare and bounded,
-    * so no destroy discipline is built for it). */
-  private val evalHashCache = new java.util.LinkedHashMap[
-      EvalHashKey, (String, DataFrame, Long)](8, 0.75f, true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[EvalHashKey, (String, DataFrame, Long)])
-        : Boolean = size > 4
-  }
+    * an outdated hash set after the eval files change; mutable non-file
+    * sources bypass the cache entirely): the gate's materialization +
+    * count are benchmark-sized but ran PER CALL (r15 verdict minor —
+    * d25's bench reps each paid one extra job); an eval suite is
+    * stable across calls, so the cache pays it once. Small LRU;
+    * evicted/loser entries just drop the reference (the checkpoint
+    * blocks release via ContextCleaner once unreferenced). */
+  private val evalHashCache =
+    new PlanKeyedCache[EvalHashKey, (DataFrame, Long)](cap = 4,
+      onEvict = _ => (), onLoserBuilt = _ => ())
 
   private def evalHashSet(eval_ : DataFrame, idCol: String,
       textCol: String, k: Int): (DataFrame, Long) = {
-    val appId = eval_.sparkSession.sparkContext.applicationId
-    val key = EvalHashKey(eval_.queryExecution.analyzed.canonicalized,
-      inputFilesSig(eval_), idCol, textCol, k)
-    evalHashCache.synchronized {
-      Option(evalHashCache.get(key)).filter(_._1 == appId)
-    } match {
-      case Some((_, df, n)) => (df, n)
-      case None =>
-        val df = shingleSites(eval_, idCol, textCol, k)
-          .select("h").distinct()
-          .localCheckpoint(true)
-        val n = df.count()
-        // double-check under the lock: a concurrent winner's entry is
-        // kept (this builder's checkpoint is dropped to the cleaner)
-        evalHashCache.synchronized {
-          Option(evalHashCache.get(key)).filter(_._1 == appId) match {
-            case Some((_, winner, wn)) => (winner, wn)
-            case None =>
-              evalHashCache.put(key, (appId, df, n))
-              (df, n)
-          }
-        }
+    def build(): (DataFrame, Long) = {
+      val df = shingleSites(eval_, idCol, textCol, k)
+        .select("h").distinct()
+        .localCheckpoint(true)
+      (df, df.count())
+    }
+    snapshotFingerprint(eval_) match {
+      case None => build() // mutable source: caching would serve stale sets
+      case Some(sig) =>
+        evalHashCache.getOrBuild(
+          eval_.sparkSession.sparkContext.applicationId,
+          EvalHashKey(eval_.queryExecution.analyzed.canonicalized, sig,
+            idCol, textCol, k))(build())
     }
   }
 
@@ -1775,12 +1783,69 @@ object TextOps {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       filesSig: Int, textCol: String, n: Int, mBits: Int, numHashes: Int)
 
-  /** Order-insensitive fingerprint of a frame's input files (empty for
-    * non-file sources — the canonicalized plan carries those). */
-  private def inputFilesSig(df: DataFrame): Int =
-    scala.util.hashing.MurmurHash3.unorderedHash(df.inputFiles.toSeq)
+  /** Snapshot fingerprint for the plan-keyed caches: Some(sig) iff the
+    * frame's data is provably STABLE for a given (plan, sig) pair —
+    * file-backed (the input-file listing fingerprints the snapshot;
+    * part names are write-unique, so any rewrite/append changes it) or
+    * built purely from driver-local leaves (LocalRelation/Range, which
+    * are immutable and participate in plan equality). None for
+    * anything else — a JDBC/DSv2 relation can return different rows
+    * under an UNCHANGED canonicalized plan (code-review finding), so
+    * those sources bypass the caches and recompute, which was the
+    * pre-cache behavior and is always correct. */
+  private def snapshotFingerprint(df: DataFrame): Option[Int] = {
+    val files = df.inputFiles
+    if (files.nonEmpty)
+      Some(scala.util.hashing.MurmurHash3.unorderedHash(files.toSeq))
+    else {
+      import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Range => LRange, OneRowRelation}
+      val leaves = df.queryExecution.analyzed.collectLeaves()
+      val stable = leaves.forall {
+        case _: LocalRelation | _: LRange | _: OneRowRelation => true
+        case _ => false
+      }
+      if (stable) Some(0) else None
+    }
+  }
 
-  private val BloomCacheCap = 8
+  /** App-scoped, access-ordered, capped plan-keyed cache — ONE copy of
+    * the concurrency-sensitive plumbing both caches share (lookup and
+    * insert under the map's lock, the BUILD outside it, a double-check
+    * on insert so a concurrent winner's value is kept and the loser's
+    * released via `onLoserBuilt`, eviction past `cap` released via
+    * `onEvict`, and an appId tag so a restarted SparkContext never
+    * serves another context's dead handle). */
+  private final class PlanKeyedCache[K, V](cap: Int, onEvict: V => Unit,
+      onLoserBuilt: V => Unit) {
+    private val m = new java.util.LinkedHashMap[K, (String, V)](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[K, (String, V)]): Boolean =
+        if (size > cap) {
+          try onEvict(e.getValue._2)
+          catch { case scala.util.control.NonFatal(_) => () }
+          true
+        } else false
+    }
+    def getOrBuild(appId: String, key: K)(build: => V): V =
+      m.synchronized(Option(m.get(key)).filter(_._1 == appId)) match {
+        case Some((_, v)) => v
+        case None =>
+          val built = build
+          m.synchronized {
+            Option(m.get(key)).filter(_._1 == appId) match {
+              case Some((_, winner)) =>
+                try onLoserBuilt(built)
+                catch { case scala.util.control.NonFatal(_) => () }
+                winner
+              case None =>
+                m.put(key, (appId, built))
+                built
+            }
+          }
+      }
+    def size: Int = m.synchronized(m.size)
+  }
 
   /** Access-ordered LRU of bitmap broadcasts, UNPERSIST-on-evict:
     * before this cache every [[bloomDecontaminate]] call created a
@@ -1796,25 +1861,17 @@ object TextOps {
     * deterministically (the dominant cost: bitmap x executors); the
     * driver-side block survives for lazy re-broadcast and is fully
     * reclaimed by Spark's ContextCleaner once the last referencing
-    * frame is garbage-collected. Guarded on the owning SparkContext
-    * so a restarted context never serves another context's dead
-    * handle. */
-  private val bloomBitmapCache = new java.util.LinkedHashMap[
+    * frame is garbage-collected. A LOSER's broadcast (concurrent
+    * duplicate build) is destroyed outright — nothing can reference
+    * it yet. */
+  private val bloomBitmapCache = new PlanKeyedCache[
       BloomBitmapKey,
-      (String, org.apache.spark.broadcast.Broadcast[Array[Long]])](
-      16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[BloomBitmapKey,
-        (String, org.apache.spark.broadcast.Broadcast[Array[Long]])])
-        : Boolean =
-      if (size > BloomCacheCap) {
-        try e.getValue._2.unpersist(false)
-        catch { case scala.util.control.NonFatal(_) => () }
-        true
-      } else false
-  }
+      org.apache.spark.broadcast.Broadcast[Array[Long]]](
+    cap = 8,
+    onEvict = _.unpersist(false),
+    onLoserBuilt = _.destroy())
 
-  private[graft] def bloomBitmapCacheSize: Int =
-    bloomBitmapCache.synchronized(bloomBitmapCache.size)
+  private[graft] def bloomBitmapCacheSize: Int = bloomBitmapCache.size
 
   /** The eval suite's shingle set folded into one `mBits`-bit bloom
     * bitmap, broadcast once and CACHED by (eval plan, parameters):
@@ -1826,7 +1883,6 @@ object TextOps {
       mBits: Int = 1 << 20, numHashes: Int = 5, cache: Boolean = true)
       : org.apache.spark.broadcast.Broadcast[Array[Long]] = {
     val spark = eval_.sparkSession
-    val appId = spark.sparkContext.applicationId
     def build() = {
       // stage toks -> shingles so the split isn't re-evaluated per
       // window element (the shingles() pitfall: a raw split inside the
@@ -1840,28 +1896,12 @@ object TextOps {
       spark.sparkContext.broadcast(bitmap.toArray)
     }
     if (!cache) return build()
-    val key = BloomBitmapKey(
-      eval_.queryExecution.analyzed.canonicalized, inputFilesSig(eval_),
-      textCol, n, mBits, numHashes)
-    bloomBitmapCache.synchronized {
-      Option(bloomBitmapCache.get(key)).filter(_._1 == appId)
-    } match {
-      case Some((_, bc)) => bc
-      case None =>
-        // the bitmap job runs OUTSIDE the lock; a concurrent duplicate
-        // build wastes one job and the loser's broadcast is released
-        val bc = build()
-        bloomBitmapCache.synchronized {
-          Option(bloomBitmapCache.get(key)).filter(_._1 == appId) match {
-            case Some((_, winner)) =>
-              try bc.destroy()
-              catch { case scala.util.control.NonFatal(_) => () }
-              winner
-            case None =>
-              bloomBitmapCache.put(key, (appId, bc))
-              bc
-          }
-        }
+    snapshotFingerprint(eval_) match {
+      case None => build() // mutable source: caching would serve stale bitmaps
+      case Some(sig) =>
+        bloomBitmapCache.getOrBuild(spark.sparkContext.applicationId,
+          BloomBitmapKey(eval_.queryExecution.analyzed.canonicalized, sig,
+            textCol, n, mBits, numHashes))(build())
     }
   }
 

@@ -762,9 +762,17 @@ object VectorOps {
     * LSM store). Pinned by IndexLifecycleSuite's resurrection test so
     * any future move to "deletes are permanent" is a conscious change. */
   def deleteFromPinnedIvfIndex(ids: DataFrame, idCol: String,
-      path: String): Unit =
+      path: String): Unit = {
+    // retraction is an index mutation like any other: it rides the
+    // parquet committer's rename, so it wears the same gate as
+    // build/append/compact (code-review finding — this was the one
+    // mutation path the filesystem contract missed)
+    FsCommit.requireAtomicCommits(
+      hp(path).getFileSystem(ids.sparkSession.sessionState.newHadoopConf()),
+      path, "ANN index")
     ids.select(col(idCol).as("neighbor_id")).distinct()
       .write.mode("append").parquet(s"$path/tombstones")
+  }
 
   /** COMPACTION: rewrite every live assignment layout — batch appends,
     * streamed per-batch partitions, AND any previous compaction —

@@ -388,6 +388,15 @@ object PinnedMediaMath {
       .orderBy("media_id")
   }
 
+  /** The pinned 64-bit hash word from its oracle-replayed halves —
+    * hi fills bits 32..63, lo bits 0..31. ONE definition (code-review
+    * finding): the format is load-bearing for the mm08/mm14/w28 oracles
+    * and the streamed sink, so it must not exist as parallel copies
+    * that can drift. */
+  def packSimhash(hi: org.apache.spark.sql.Column,
+      lo: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shiftleft(hi, 32).bitwiseOR(lo)
+
   /** Pinned image near-dup JOIN: re-keyed duplicates planted at the
     * PLANES level, pinned pHashes packed back to one 64-bit word, and
     * the SAME banded Hamming join the text/image dedup paths ride
@@ -400,7 +409,7 @@ object PinnedMediaMath {
       planes.withColumn("media_id", col("media_id") + 1000000L))
     val hashes = phashOf(spark, planted)
       .select(col("media_id"),
-        shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo")).as("simhash"))
+        packSimhash(col("hash_hi"), col("hash_lo")).as("simhash"))
     graft.functions.TextOps.simHashPairs(hashes, "media_id", maxHamming)
       .select(col("id_a"), col("id_b"),
         col("hamming").cast("int").as("hamming"))
@@ -512,7 +521,7 @@ object PinnedMediaMath {
       .agg(sum(when(col("x_re") > 0, col("pw")).otherwise(0L)).as("lo"),
         sum(when(col("x_im") > 0, col("pw")).otherwise(0L)).as("hi"))
       .select(col("media_id"),
-        shiftleft(col("hi"), 32).bitwiseOR(col("lo")).as("simhash"))
+        packSimhash(col("hi"), col("lo")).as("simhash"))
     graft.functions.TextOps.simHashPairs(hashes, "media_id", maxHamming)
       .select(col("id_a"), col("id_b"),
         col("hamming").cast("int").as("hamming"))

@@ -1155,8 +1155,8 @@ object Streams {
         .localCheckpoint(true) // two readers below (hash + dead-letter)
       graft.multimodal.PinnedMediaMath.phashOf(spark, planes)
         .select(col("media_id"),
-          shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))
-            .as("simhash"))
+          graft.multimodal.PinnedMediaMath
+            .packSimhash(col("hash_hi"), col("hash_lo")).as("simhash"))
         .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
       // a payload the decoder rejects must not vanish silently
       // (code-review finding): its id lands in a dead-letter dir the

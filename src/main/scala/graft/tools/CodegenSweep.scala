@@ -33,26 +33,44 @@ object CodegenSweep {
     val names =
       if (args.nonEmpty) args.toSeq
       else graft.SparkEntry.queries.keys.toSeq.sorted
-    var failed = List.empty[String]
+    var codegenFailed = List.empty[String]
+    var queryFailed = List.empty[String]
     names.foreach { name =>
       val outcome = try {
         graft.SparkEntry.queries(name)(spark, sfDir).count()
         "CODEGEN_OK"
       } catch {
         case e: Throwable =>
-          failed ::= name
-          val cause = Iterator.iterate(e: Throwable)(_.getCause)
-            .takeWhile(_ != null).toSeq.last
-          s"CODEGEN_FAIL ${cause.getClass.getSimpleName}: " +
+          val chain = Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null).toSeq
+          val cause = chain.last
+          // only a janino/compile failure is a CODEGEN finding — a
+          // missing dataset or an OOM must not read as a codegen
+          // regression (and must not poison a 238/238 claim)
+          val isCodegen = chain.exists { t =>
+            val cls = t.getClass.getName
+            cls.contains("janino") || cls.contains("CompileException") ||
+              cls.contains("InternalCompilerException") ||
+              Option(t.getMessage).exists(
+                _.contains("Failed to compile the generated"))
+          }
+          if (isCodegen) codegenFailed ::= name else queryFailed ::= name
+          s"${if (isCodegen) "CODEGEN_FAIL" else "QUERY_FAIL"} " +
+            s"${cause.getClass.getSimpleName}: " +
             Option(cause.getMessage).getOrElse("").linesIterator
               .take(1).mkString.take(140)
       }
       println(s"[codegen] $name $outcome")
     }
-    println(s"[codegen] summary: ${names.size - failed.size} ok, " +
-      s"${failed.size} failed${
-        if (failed.isEmpty) "" else failed.reverse.mkString(" (", ", ", ")")}")
+    val nOk = names.size - codegenFailed.size - queryFailed.size
+    println(s"[codegen] summary: $nOk ok, " +
+      s"${codegenFailed.size} codegen-failed${
+        if (codegenFailed.isEmpty) ""
+        else codegenFailed.reverse.mkString(" (", ", ", ")")}, " +
+      s"${queryFailed.size} query-failed (non-codegen)${
+        if (queryFailed.isEmpty) ""
+        else queryFailed.reverse.mkString(" (", ", ", ")")}")
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    if (codegenFailed.nonEmpty || queryFailed.nonEmpty) sys.exit(1)
   }
 }

@@ -95,6 +95,19 @@ class FsCommitSuite extends SparkSuite {
     assert(e.getMessage.contains("object store"), e.getMessage)
   }
 
+  test("ANN-index RETRACTION refuses the object-store shape too") {
+    // the one index mutation the gate initially missed (code-review
+    // finding): tombstone appends ride the parquet committer's rename
+    hadoopConf
+    FsCommit.resetCache()
+    val ids = spark.range(3).select(col("id").as("vec_id"))
+    val e = intercept[IllegalStateException] {
+      VectorOps.deleteFromPinnedIvfIndex(ids, "vec_id",
+        "s3a://some-bucket/index")
+    }
+    assert(e.getMessage.contains("ANN index"), e.getMessage)
+  }
+
   test("the verdict caches per filesystem: a second call does not re-probe") {
     val dir = java.nio.file.Files.createTempDirectory("fscheck_cache_")
     val path = s"probecount:${dir.toString}"

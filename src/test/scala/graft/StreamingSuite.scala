@@ -1024,7 +1024,7 @@ class StreamingSuite extends SparkSuite {
       "a redelivered epoch duplicated spool rows or dropped media")
     val expected = PinnedMediaMath.phash(spark)
       .select(col("media_id"),
-        shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))
+        PinnedMediaMath.packSimhash(col("hash_hi"), col("hash_lo"))
           .as("simhash"))
     assert(spool.exceptAll(expected).isEmpty &&
         expected.exceptAll(spool).isEmpty,

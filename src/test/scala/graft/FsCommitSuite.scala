@@ -95,6 +95,21 @@ class FsCommitSuite extends SparkSuite {
     assert(e.getMessage.contains("object store"), e.getMessage)
   }
 
+  test("compacting a path with NO store stays a pure no-op, even on a " +
+      "refused filesystem") {
+    // the gate must sit AFTER the no-store early-return: gating first
+    // turned a no-op call into a throw (object store) or left probe
+    // dirs under a root no store ever used (code-review finding)
+    hadoopConf
+    FsCommit.resetCache()
+    TextOps.compactSignatureStore(spark, "s3a://some-bucket/never-built")
+    // and on a refusable-but-probe-backed scheme: nothing written
+    val dir = java.nio.file.Files.createTempDirectory("fscheck_noop_")
+    TextOps.compactSignatureStore(spark, s"norename:${dir.toString}/none")
+    assert(!java.nio.file.Files.list(dir).iterator().hasNext,
+      "a no-op compaction must not write anything under the root")
+  }
+
   test("ANN-index RETRACTION refuses the object-store shape too") {
     // the one index mutation the gate initially missed (code-review
     // finding): tombstone appends ride the parquet committer's rename

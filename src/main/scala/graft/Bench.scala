@@ -22,14 +22,17 @@ import org.apache.spark.sql.SparkSession
   *    re-timed once more in a FRESH JVM (same classpath, its own
   *    SparkSession) and the better time is spliced in — the r4 verdict's
   *    prescription, because the stall mode follows the process window;
-  *  - every retry tier (in-process rounds AND the fresh JVM) first waits
-  *    for the host to go quiet — loadavg <= cores/2 (SPARK_GRAFT_QUIET_LOAD),
-  *    polled every 5s for up to SPARK_GRAFT_QUIET_MAX_WAIT_SEC (default
-  *    240s) — so a re-time measures the query, not the contention; the
-  *    total wait is stamped as `quiet_wait_sec` and each query's accepted
-  *    sample carries the loadavg at its start in `query_load` (r15
-  *    verdict prescription 3: three rounds running, the official window
-  *    started at loadavg ~8 and needed retry roulette);
+  *  - the FIRST pass and every retry tier (in-process rounds AND the
+  *    fresh JVM) first wait for the host to go quiet — loadavg <=
+  *    min(cores/2, 4.0) (SPARK_GRAFT_QUIET_LOAD; the 4.0 is measured:
+  *    this host drifts ~20-25% at loadavg 6.5, so a cores-derived
+  *    threshold never fires), polled every 5s for up to
+  *    SPARK_GRAFT_QUIET_MAX_WAIT_SEC (default 240s) — so a sample
+  *    measures the query, not the contention; the total wait is stamped
+  *    as `quiet_wait_sec` and each query's accepted sample carries the
+  *    loadavg at its start in `query_load` (r15/r16 verdicts: four
+  *    rounds running, the official window started loaded and needed
+  *    retry roulette);
   *  - the emitted JSON carries `first_pass_total` (untouched single-run
   *    measurement), `window_total` (best-of in-window), and `value` (the
   *    headline). When every query lands within 2.5x of its floor the
@@ -196,20 +199,19 @@ object Bench {
       else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: JIT + codegen + parquet footer reads off the clock
-    Tables(spark, sfDir, "lineitem").count()
-    Tables(spark, sfDir, "orders").count()
-
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
-    val loadStart = loadAvg
     val cores0 = Runtime.getRuntime.availableProcessors()
-    // quiet-host gate for the retry tiers: retries only start once the
-    // 1-minute loadavg is back under cores/2 (or the wait budget runs
-    // out), so a re-time measures the query, not the contention
+    // quiet-host gate: the official window must START quiet, not just
+    // retry quiet (r16 verdict: the first pass began at loadavg 6.5 and
+    // needed retry roulette; the builder's own window at loadavg 2.2 was
+    // 20% faster end to end). The default threshold is MEASURED, not
+    // derived from cores: this host's drift is already ~20-25% at
+    // loadavg 6.5, so cores/2 = 16 never fired. 4.0 is the highest
+    // 1-minute loadavg at which committed windows have matched floors.
     val quietLoad = sys.env.get("SPARK_GRAFT_QUIET_LOAD")
-      .map(_.toDouble).getOrElse(cores0 / 2.0)
+      .map(_.toDouble).getOrElse(math.min(cores0 / 2.0, 4.0))
     val quietMaxWaitSec =
       sys.env.getOrElse("SPARK_GRAFT_QUIET_MAX_WAIT_SEC", "240").toInt
     var quietWaitSec = 0.0
@@ -224,6 +226,18 @@ object Bench {
         System.err.println(f"[bench] $tier: host still loaded ($l%.2f) after " +
           f"$quietMaxWaitSec%ds wait budget — re-timing anyway")
     }
+
+    // gate the FIRST pass too (r16 verdict prescription 2: three rounds
+    // of retry roulette started because the first pass launched into a
+    // loaded host). Gated BEFORE the warmup so the reading reflects
+    // external load, not our own parquet footer reads. The fresh-JVM
+    // re-timer child skips it — its parent already gated.
+    if (!sys.env.contains(RetimeEnv)) gateOnQuietHost("first pass")
+
+    // warmup: JIT + codegen + parquet footer reads off the clock
+    Tables(spark, sfDir, "lineitem").count()
+    Tables(spark, sfDir, "orders").count()
+    val loadStart = loadAvg
 
     // per-query loadavg at each sample's start, parallel to `samples`;
     // the stamp emitted with the artifact is the load of the sample that

@@ -717,10 +717,14 @@ object TextOps {
               // if the stamp exists now, someone else created it —
               // take the verify path; a create that failed with NO
               // stamp present is a real error and propagates
+              // the exists probe itself can throw right after a create
+              // failure (flaky namenode): a failing probe must fall
+              // through to PROPAGATING the original create exception,
+              // not replace it with the probe's (ADVICE r16)
               case e: java.io.IOException
                   if !e.isInstanceOf[
                     org.apache.hadoop.fs.FileAlreadyExistsException] &&
-                    fs.exists(p) => null
+                    scala.util.Try(fs.exists(p)).getOrElse(false) => null
             }
           if (out == null) false
           else {
@@ -1792,20 +1796,35 @@ object TextOps {
     * anything else — a JDBC/DSv2 relation can return different rows
     * under an UNCHANGED canonicalized plan (code-review finding), so
     * those sources bypass the caches and recompute, which was the
-    * pre-cache behavior and is always correct. */
+    * pre-cache behavior and is always correct.
+    *
+    * EVERY leaf must be provably stable, not just some (ADVICE r16):
+    * a plan mixing a file-backed leaf with a mutable one (parquet eval
+    * suite joined to a JDBC blocklist) has non-empty `inputFiles`, but
+    * the mutable side can change rows under an unchanged plan + file
+    * listing — the exact staleness the fingerprint exists to close. So
+    * the leaf walk runs FIRST, and the file-listing hash only vouches
+    * for a plan whose leaves are all file relations or immutable local
+    * nodes. */
   private def snapshotFingerprint(df: DataFrame): Option[Int] = {
-    val files = df.inputFiles
-    if (files.nonEmpty)
-      Some(scala.util.hashing.MurmurHash3.unorderedHash(files.toSeq))
-    else {
-      import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Range => LRange, OneRowRelation}
-      val leaves = df.queryExecution.analyzed.collectLeaves()
-      val stable = leaves.forall {
-        case _: LocalRelation | _: LRange | _: OneRowRelation => true
-        case _ => false
-      }
-      if (stable) Some(0) else None
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Range => LRange, OneRowRelation}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, FileTable}
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    def isFileLeaf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean = p match {
+      case lr: LogicalRelation => lr.relation.isInstanceOf[HadoopFsRelation]
+      case r: DataSourceV2Relation => r.table.isInstanceOf[FileTable]
+      case _ => false
     }
+    val stable = leaves.forall {
+      case _: LocalRelation | _: LRange | _: OneRowRelation => true
+      case l => isFileLeaf(l)
+    }
+    if (!stable) None
+    else if (leaves.exists(isFileLeaf))
+      Some(scala.util.hashing.MurmurHash3.unorderedHash(df.inputFiles.toSeq))
+    else Some(0)
   }
 
   /** App-scoped, access-ordered, capped plan-keyed cache — ONE copy of
@@ -1897,7 +1916,23 @@ object TextOps {
     }
     if (!cache) return build()
     snapshotFingerprint(eval_) match {
-      case None => build() // mutable source: caching would serve stale bitmaps
+      case None =>
+        // mutable source: caching would serve stale bitmaps, so every
+        // call builds a fresh broadcast the CALLER cannot release — the
+        // r14 one-broadcast-per-call growth persists on exactly this
+        // path (ADVICE r16). Bounded, not unbounded: the expression in
+        // the returned frame holds the only reference, so Spark's
+        // ContextCleaner reclaims the blocks once the frame is GC'd —
+        // but a loop holding frames accumulates executor-resident
+        // bitmaps. Warn toward the caller-managed API, whose lifetime
+        // is explicit.
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "bloomBitmapBroadcast: eval frame reads a mutable (non-file) " +
+            "source, so the bitmap cannot be cached — each call builds " +
+            "a fresh broadcast released only when the returned frame is " +
+            "garbage-collected. For repeated scoring, build once with " +
+            "cache=false and use bloomDecontaminateWith + destroy().")
+        build()
       case Some(sig) =>
         bloomBitmapCache.getOrBuild(spark.sparkContext.applicationId,
           BloomBitmapKey(eval_.queryExecution.analyzed.canonicalized, sig,
@@ -1926,7 +1961,16 @@ object TextOps {
     * production 2^27-bit (16 MiB) bitmap costs the driver nothing per
     * plan operation. The md5 double-hash positions are
     * oracle-expressible, so DuckDB rebuilds the identical bitmap and
-    * the scorecard matches exactly, false positives included. */
+    * the scorecard matches exactly, false positives included.
+    *
+    * Broadcast lifetime: file-backed (or local) eval frames hit the
+    * app-scoped LRU — the bitmap is shared and released on eviction.
+    * A MUTABLE eval source (JDBC/DSv2) cannot be cached; each call
+    * then builds a broadcast that is only reclaimed when the returned
+    * frame is garbage-collected. Callers scoring repeatedly against a
+    * mutable eval suite should snapshot it to parquet first, or hold
+    * the bitmap explicitly via [[bloomBitmapBroadcast]](cache = false)
+    * + [[bloomDecontaminateWith]] and `destroy()` it when done. */
   def bloomDecontaminate(train: DataFrame, eval_ : DataFrame,
       idCol: String, textCol: String, n: Int,
       mBits: Int = 1 << 20, numHashes: Int = 5): DataFrame =

@@ -225,6 +225,39 @@ class BloomFilterSuite extends SparkSuite {
         "(unpersist re-broadcasts lazily; destroy would break it)")
   }
 
+  test("a plan mixing a file leaf with a non-stable leaf bypasses the " +
+      "bitmap cache; an all-file plan still caches") {
+    // ADVICE r16 (medium): the fingerprint used to vouch for any plan
+    // with non-empty inputFiles — but a parquet eval suite joined to a
+    // mutable source (JDBC blocklist; here an RDD-backed frame, same
+    // non-file leaf class) can change rows under an unchanged plan and
+    // file listing, so the cache would serve stale bitmaps. Every leaf
+    // must now be a file relation or an immutable local node.
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")) // parquet: file leaves only
+    val b1 = graft.functions.TextOps.bloomBitmapBroadcast(docs, "text", 4)
+    val b2 = graft.functions.TextOps.bloomBitmapBroadcast(docs, "text", 4)
+    assert(b1 eq b2, "an all-file-leaf eval frame must hit the cache")
+    // RDD-backed block list: a LogicalRDD leaf — neither a file relation
+    // nor LocalRelation/Range, so not provably stable across calls
+    val blockRdd = spark.sparkContext.parallelize(Seq(Tuple1(1L)))
+    val block = spark.createDataFrame(blockRdd.map(t =>
+      org.apache.spark.sql.Row(t._1)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bad_id",
+          org.apache.spark.sql.types.LongType))))
+    val mixed = docs.join(block, col("doc_id") === col("bad_id"), "left_anti")
+    assert(mixed.inputFiles.nonEmpty, "precondition: the mixed plan " +
+      "still reports input files — exactly the shape that fooled the " +
+      "old fingerprint")
+    val m1 = graft.functions.TextOps.bloomBitmapBroadcast(mixed, "text", 4)
+    val m2 = graft.functions.TextOps.bloomBitmapBroadcast(mixed, "text", 4)
+    assert(!(m1 eq m2),
+      "a plan with any non-stable leaf must bypass the cache (fresh " +
+        "broadcast per call) — caching would serve stale bitmaps when " +
+        "the mutable side changes")
+  }
+
   /** Block removal after destroy() propagates asynchronously — poll. */
   private def broadcastGone(id: Long): Boolean = {
     val deadline = System.currentTimeMillis() + 10_000

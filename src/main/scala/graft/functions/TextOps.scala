@@ -839,15 +839,20 @@ object TextOps {
     * retraction ever ran (no tombstone dirs = no extra job); with
     * tombstones present it is one tombstone-sized semi-join.
     *
-    * SINGLE-MAINTENANCE-WRITER assumption (ADVICE r15): the unretract
+    * SINGLE-MAINTENANCE-WRITER contract — ENFORCED (r16 verdict
+    * prescription 3; documented-only since ADVICE r15): the unretract
     * rewrite captures the tombstone dirs, writes the reduced set, then
     * drops the captured dirs — a retraction committed CONCURRENTLY in
-    * that window is not in the capture, survives the rewrite, and wins
-    * over this append (the masked-append state the guard exists to
-    * prevent — the pre-append check passed before the tombstone
-    * landed). Appends may race each other freely; RETRACTIONS and
-    * unretracting appends must not run concurrently — same stance as
-    * compaction (one maintenance writer at a time). */
+    * that window would not be in the capture, would survive the
+    * rewrite, and would win over this append (the masked-append state
+    * the guard exists to prevent). So the unretract path now runs
+    * under the store's CAS maintenance lease (the ANN compaction's
+    * chain, shared via [[VectorOps.withMaintenanceLease]]): the
+    * tombstones are RE-captured under the lease, every commit rename
+    * is fenced on the lease version, and a concurrent retraction or
+    * compaction refuses loudly with the lease-held error instead of
+    * interleaving. Plain appends (no tombstone intersection) stay
+    * lease-free and may race each other freely. */
   def appendToSignatureStore(docs: DataFrame, idCol: String,
       textCol: String, path: String,
       n: Int, numHashes: Int, bands: Int,
@@ -856,21 +861,48 @@ object TextOps {
     val spark = docs.sparkSession
     checkOrWriteParams(spark, path, n, numHashes, bands, write = true)
     val fs = storeFs(spark, path)
-    signatureTombstones(spark, path).foreach { tombs =>
-      val batchIds = docs.select(col(idCol).as("__id")).distinct()
-      val nMasked = tombs.join(batchIds, Seq("__id"), "left_semi").count()
-      if (nMasked > 0L) {
-        if (!unretract) throw new IllegalStateException(
-          s"append to $path re-adds $nMasked retracted doc(s): " +
-            "retraction wins over later appends, so this batch would be " +
-            "silently masked at every probe. compactSignatureStore first " +
-            "(folds the tombstones away), or pass unretract = true to " +
-            "drop the intersecting tombstones explicitly")
-        // EXPLICIT unretract: rewrite the tombstone set minus the
-        // batch's ids, committed before the old dirs are dropped — a
-        // crash mid-way leaves a superset of tombstones (the docs stay
-        // retracted, the append below never ran: re-run converges),
-        // never an unmasked key that should be masked
+    def writeBatch(fence: () => Unit): Unit = {
+      val id = java.util.UUID.randomUUID().toString
+      val staging = new org.apache.hadoop.fs.Path(s"$path/_staging_$id")
+      val committed = new org.apache.hadoop.fs.Path(s"$path/batches/$id")
+      hashedShingleSets(docs, idCol, textCol, n)
+        .select(col("__id"),
+          MinHashSig.column(spark, col("__sh"), numHashes).as("__sig"))
+        .select(col("__id"),
+          posexplode(lshBandKeys(col("__sig"), bands, numHashes / bands))
+            .as(Seq("__b", "__key")))
+        .write.parquet(staging.toString)
+      fs.mkdirs(committed.getParent)
+      fence()
+      if (!fs.rename(staging, committed)) {
+        fs.delete(staging, true)
+        throw new IllegalStateException(
+          s"could not commit signature batch $id to $path")
+      }
+    }
+    val batchIds = docs.select(col(idCol).as("__id")).distinct()
+    val masked = signatureTombstones(spark, path).exists(tombs =>
+      tombs.join(batchIds, Seq("__id"), "left_semi").count() > 0L)
+    if (!masked) { writeBatch(() => ()); return }
+    if (!unretract) throw new IllegalStateException(
+      s"append to $path re-adds retracted doc(s): " +
+        "retraction wins over later appends, so this batch would be " +
+        "silently masked at every probe. compactSignatureStore first " +
+        "(folds the tombstones away), or pass unretract = true to " +
+        "drop the intersecting tombstones explicitly")
+    // EXPLICIT unretract: the whole rewrite-and-append runs as THE
+    // maintenance writer — tombstones are re-captured under the lease
+    // (the pre-lease read above is only the cheap trigger), so no
+    // retraction can land inside the capture window, and the batch
+    // commit itself stays inside the lease so the unretracted docs
+    // cannot be re-masked before the append is visible
+    VectorOps.withMaintenanceLease(fs, path) { fence =>
+      signatureTombstones(spark, path).foreach { tombs =>
+        // rewrite the tombstone set minus the batch's ids, committed
+        // before the old dirs are dropped — a crash mid-way leaves a
+        // superset of tombstones (the docs stay retracted, the append
+        // below never ran: re-run converges), never an unmasked key
+        // that should be masked
         val oldDirs = tombstoneDirs(fs, path)
         val remaining = tombs.join(batchIds, Seq("__id"), "left_anti")
           .localCheckpoint(true) // materialize BEFORE the source dirs die
@@ -881,30 +913,17 @@ object TextOps {
           val tCommitted = new org.apache.hadoop.fs.Path(
             s"$path/tombstones/$tid")
           remaining.write.parquet(tStaging.toString)
+          fence()
           if (!fs.rename(tStaging, tCommitted)) {
             fs.delete(tStaging, true)
             throw new IllegalStateException(
               s"could not commit rewritten tombstone batch $tid to $path")
           }
         }
+        fence()
         oldDirs.foreach(fs.delete(_, true))
       }
-    }
-    val id = java.util.UUID.randomUUID().toString
-    val staging = new org.apache.hadoop.fs.Path(s"$path/_staging_$id")
-    val committed = new org.apache.hadoop.fs.Path(s"$path/batches/$id")
-    hashedShingleSets(docs, idCol, textCol, n)
-      .select(col("__id"),
-        MinHashSig.column(spark, col("__sh"), numHashes).as("__sig"))
-      .select(col("__id"),
-        posexplode(lshBandKeys(col("__sig"), bands, numHashes / bands))
-          .as(Seq("__b", "__key")))
-      .write.parquet(staging.toString)
-    fs.mkdirs(committed.getParent)
-    if (!fs.rename(staging, committed)) {
-      fs.delete(staging, true)
-      throw new IllegalStateException(
-        s"could not commit signature batch $id to $path")
+      writeBatch(fence)
     }
   }
 
@@ -928,7 +947,13 @@ object TextOps {
     * that a retracted doc has left the corpus. An append that would be
     * masked this way fails LOUDLY ([[appendToSignatureStore]]): compact
     * first (fold the tombstone away) or append with
-    * `unretract = true`. */
+    * `unretract = true`.
+    *
+    * Retraction is a MAINTENANCE write and runs under the store's CAS
+    * lease (r16 verdict prescription 3): a retraction racing an
+    * unretracting append's capture window would silently survive the
+    * rewrite and mask the append — now it refuses loudly while the
+    * other maintenance writer holds the lease. */
   def retractFromSignatureStore(docIds: DataFrame, path: String): Unit = {
     val spark = docIds.sparkSession
     val fs = storeFs(spark, path)
@@ -938,15 +963,18 @@ object TextOps {
     require(docIds.columns.length == 1,
       s"tombstone frame must be a single id column, " +
         s"got ${docIds.columns.toSeq}")
-    val id = java.util.UUID.randomUUID().toString
-    val staging = new org.apache.hadoop.fs.Path(s"$path/_staging_$id")
-    val committed = new org.apache.hadoop.fs.Path(s"$path/tombstones/$id")
-    docIds.toDF("__id").distinct().write.parquet(staging.toString)
-    fs.mkdirs(committed.getParent)
-    if (!fs.rename(staging, committed)) {
-      fs.delete(staging, true)
-      throw new IllegalStateException(
-        s"could not commit tombstone batch $id to $path")
+    VectorOps.withMaintenanceLease(fs, path) { fence =>
+      val id = java.util.UUID.randomUUID().toString
+      val staging = new org.apache.hadoop.fs.Path(s"$path/_staging_$id")
+      val committed = new org.apache.hadoop.fs.Path(s"$path/tombstones/$id")
+      docIds.toDF("__id").distinct().write.parquet(staging.toString)
+      fs.mkdirs(committed.getParent)
+      fence()
+      if (!fs.rename(staging, committed)) {
+        fs.delete(staging, true)
+        throw new IllegalStateException(
+          s"could not commit tombstone batch $id to $path")
+      }
     }
   }
 
@@ -1114,10 +1142,26 @@ object TextOps {
     // staged rename: the commit rename preserves file NAMES (bucket
     // ids ride in them) — gate here too, not just at append
     FsCommit.requireAtomicCommits(fs, path, "signature store")
+    // cheap pre-lease fast path: a store already in its final layout
+    // has nothing to fold, so don't acquire (= write under) the lease
+    // for a read-only outcome; the authoritative capture below re-lists
+    // under the lease
+    val preTombs = tombstoneDirs(fs, path)
+    val preConsumed = fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+    if (preConsumed.isEmpty) return
+    if (preConsumed.length <= 1 && preTombs.isEmpty &&
+      (numBuckets <= 0 || preConsumed.headOption.exists(d =>
+        readBucketMarker(fs, d).contains(numBuckets)))) return
+    // compaction is a MAINTENANCE write (r16 verdict prescription 3):
+    // without the lease two concurrent compactions both capture the
+    // same inputs and both commit a full folded copy — duplicate rows
+    // in the store. The second caller now refuses loudly instead.
+    VectorOps.withMaintenanceLease(fs, path) { fence =>
     // capture tombstones BEFORE batches: a tombstone landing in the gap
     // is simply not consumed (survives, keeps masking at probe), while
     // the reverse order could fold a batch without a tombstone that was
-    // already visible to probes
+    // already visible to probes. (Retractions hold the same lease, so
+    // under the enforced contract the gap is append-only anyway.)
     val tombs = tombstoneDirs(fs, path)
     val consumed = fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
     // zero committed batches (a crashed first build left an empty
@@ -1161,6 +1205,7 @@ object TextOps {
       finally out.close()
     } else folded.coalesce(numFiles).write.parquet(staging.toString)
     val committed = new org.apache.hadoop.fs.Path(s"$path/batches/$id")
+    fence()
     if (!fs.rename(staging, committed)) {
       fs.delete(staging, true)
       throw new IllegalStateException(
@@ -1169,6 +1214,7 @@ object TextOps {
     // batches first, THEN tombstones: a crash between the two leaves
     // extra tombstones (a harmless no-op mask), while the reverse would
     // resurrect retracted keys from not-yet-deleted input batches
+    fence()
     consumed.foreach { d =>
       fs.delete(d, true)
       // retire the consumed dir's table registration (if it was a
@@ -1176,6 +1222,7 @@ object TextOps {
       spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(d)}")
     }
     tombs.foreach(fs.delete(_, true))
+    }
   }
 
   /** Delete a signature store AND its catalog registrations — the

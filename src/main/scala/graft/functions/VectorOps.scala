@@ -1025,15 +1025,19 @@ object VectorOps {
     * ordinary repair-covered abort — spurious work, never two writers
     * (the tick can no longer recreate a RELEASED chain: renewal
     * refuses to create the directory). */
-  private final class LeaseHeartbeat(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] final class LeaseHeartbeat(fs: org.apache.hadoop.fs.FileSystem,
       lease: HPath, uuid: String, intervalMs: Long) {
     private val fenced = new java.util.concurrent.atomic.AtomicBoolean(false)
     private val closing = new java.util.concurrent.atomic.AtomicBoolean(false)
     private val stopped = new java.util.concurrent.CountDownLatch(1)
+    // serializes the tick's read-judge-CAS against [[commitFence]]'s:
+    // without it the two threads race each other for version n+1 and
+    // the loser would fence ITS OWN holder on a self-renewal
+    private val renewLock = new Object
     private val thread = new Thread(() => {
       while (!fenced.get() && !stopped.await(intervalMs,
           java.util.concurrent.TimeUnit.MILLISECONDS)) {
-        try {
+        try renewLock.synchronized {
           leaseTopVersion(fs, lease) match {
             case Some((n, _, u)) if u == uuid =>
               // re-check closing just before the CAS: a tick that read
@@ -1078,6 +1082,76 @@ object VectorOps {
         "holder's token (a successor broke it after a heartbeat gap " +
         "exceeded the ttl) — aborting before the next destructive step; " +
         "the successor's repair pass owns the layout now.")
+
+    /** SYNCHRONOUS fence at a commit point (r16 verdict prescription 7):
+      * the async `fenced` flag is set by the heartbeat THREAD, so a GC
+      * pause that stalls both the worker and the heartbeat leaves the
+      * flag stale — the zombie wakes, passes [[checkNotFenced]], and its
+      * late destructive write races the breaker. This fence instead
+      * CAS-claims the next lease version on the CALLING thread right
+      * before the commit: if a breaker took the chain during the pause,
+      * our n+1 create loses ATOMICALLY and the commit aborts; if we win,
+      * the claim doubles as a renewal (fresh timestamp), so the breaker
+      * would need a whole further TTL to get in between this fence and
+      * the commit it guards — milliseconds of exposure instead of a
+      * heartbeat interval. An unreadable chain at a commit point refuses
+      * (aborting into the ordinary repair-covered crash window), never
+      * proceeds on hope. */
+    def commitFence(): Unit = renewLock.synchronized {
+      checkNotFenced()
+      val top =
+        try leaseTopVersion(fs, lease)
+        catch {
+          case e: java.io.IOException => throw new IllegalStateException(
+            s"maintenance commit refused: lease chain $lease is " +
+            "unreadable at the commit point — aborting rather than " +
+            "committing blind; the layout stays in its repair-covered " +
+            "crash window.", e)
+        }
+      top match {
+        case Some((n, _, u)) if u == uuid =>
+          if (!claimLeaseVersion(fs, lease, n + 1, uuid, createDir = false)) {
+            fenced.set(true)
+            throw new IllegalStateException(
+              s"maintenance commit fenced: lost the lease CAS at $lease " +
+              "(a successor claimed the chain — likely after a pause " +
+              "that outlived the ttl); aborting before the commit. The " +
+              "successor's repair pass owns the layout now.")
+          }
+          gcLeaseVersions(fs, lease, n + 1)
+        case _ =>
+          fenced.set(true)
+          throw new IllegalStateException(
+            s"maintenance commit fenced: lease $lease no longer carries " +
+            "this holder's token at the commit point; aborting before " +
+            "the commit. The successor's repair pass owns the layout now.")
+      }
+    }
+  }
+
+  /** Run `body` as THE maintenance writer under `path`: acquires the
+    * CAS lease chain, keeps it young with a heartbeat, and hands the
+    * body a synchronous commit fence to call immediately before each
+    * destructive or committing filesystem step. Always releases (and
+    * reaps a tick-resurrected chain) on the way out. This is the ANN
+    * compaction's whole concurrency discipline packaged for reuse — the
+    * signature store's maintenance writers (retraction, unretracting
+    * append, compaction) wear it too (r16 verdict prescription 3: the
+    * single-maintenance-writer contract was documented, not enforced).
+    * A second maintenance writer refuses with the lease-held error
+    * instead of silently interleaving. */
+  private[graft] def withMaintenanceLease[T](
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      ttlMs: Long = DefaultLeaseTtlMs)(body: (() => Unit) => T): T = {
+    val (lease, uuid) = acquireCompactionLease(fs, path, ttlMs)
+    val heartbeat =
+      new LeaseHeartbeat(fs, lease, uuid, math.max(ttlMs / 4, 25L))
+    try body(() => heartbeat.commitFence())
+    finally {
+      heartbeat.close()
+      releaseCompactionLease(fs, lease, uuid)
+      heartbeat.reapResurrection()
+    }
   }
 
   /** Atomically claim the maintenance-writer lease under `path`,
@@ -1269,8 +1343,11 @@ object VectorOps {
       new LeaseHeartbeat(fs, lease, uuid, math.max(leaseTtlMs / 4, 25L))
     try {
       onAfterAcquire()
+      // the fence at each destructive step is the SYNCHRONOUS CAS
+      // (commitFence), not just the heartbeat's async flag: a GC-paused
+      // zombie's late write must lose at the commit point itself
       compactUnderLease(spark, fs, path, stopAfter,
-        () => heartbeat.checkNotFenced(), stepDelayMs)
+        () => heartbeat.commitFence(), stepDelayMs)
     } finally {
       heartbeat.close()
       releaseCompactionLease(fs, lease, uuid)

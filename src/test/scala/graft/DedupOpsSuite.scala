@@ -1267,6 +1267,60 @@ class DedupOpsSuite extends SparkSuite {
       store, n = 3, numHashes = 128, bands = 32)
   }
 
+  test("signature store: maintenance is SINGLE-WRITER — retract, " +
+      "unretracting append, and compaction refuse under a held lease") {
+    // r16 verdict prescription 3: the single-maintenance-writer
+    // contract was documented, not enforced — a retraction committed
+    // inside an unretracting append's capture window silently survived
+    // the rewrite and masked the append. All three maintenance writers
+    // now run under the store's CAS lease chain (the ANN compaction's
+    // machinery). Simulate the mid-flight maintenance writer by holding
+    // the lease directly: each must refuse loudly, plain appends must
+    // stay lease-free, and everything proceeds after release.
+    import graft.functions.VectorOps
+    val standing = docs.where(col("doc_id") % 20 =!= 0)
+    val store = tmpStore()
+    TextOps.buildSignatureStore(standing, "doc_id", "text", store,
+      n = 3, numHashes = 128, bands = 32)
+    import spark.implicits._
+    val vid = standing.select("doc_id").as[Long].head()
+    // a retract with NO other maintenance writer proceeds (and releases)
+    TextOps.retractFromSignatureStore(Seq(vid).toDF("doc_id"), store)
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val (lease, uuid) = VectorOps.acquireCompactionLease(fs, store,
+      ttlMs = 60L * 60 * 1000)
+    try {
+      val vFrame = standing.where(col("doc_id") === vid)
+        .select("doc_id", "text")
+      val r = intercept[IllegalStateException] {
+        TextOps.retractFromSignatureStore(Seq(vid + 1).toDF("doc_id"), store)
+      }
+      assert(r.getMessage.contains("refused"), r.getMessage)
+      val u = intercept[IllegalStateException] {
+        TextOps.appendToSignatureStore(vFrame, "doc_id", "text", store,
+          n = 3, numHashes = 128, bands = 32, unretract = true)
+      }
+      assert(u.getMessage.contains("refused"), u.getMessage)
+      val c = intercept[IllegalStateException] {
+        TextOps.compactSignatureStore(spark, store)
+      }
+      assert(c.getMessage.contains("refused"), c.getMessage)
+      // plain appends (no tombstone overlap) stay lease-free by design
+      TextOps.appendToSignatureStore(
+        standing.where(col("doc_id") === vid + 1)
+          .select("doc_id", "text"),
+        "doc_id", "text", store, n = 3, numHashes = 128, bands = 32)
+    } finally VectorOps.releaseCompactionLease(fs, lease, uuid)
+    // lease released: the full maintenance cycle proceeds again
+    TextOps.appendToSignatureStore(
+      standing.where(col("doc_id") === vid).select("doc_id", "text"),
+      "doc_id", "text", store, n = 3, numHashes = 128, bands = 32,
+      unretract = true)
+    TextOps.compactSignatureStore(spark, store)
+    TextOps.retractFromSignatureStore(Seq(vid + 1).toDF("doc_id"), store)
+  }
+
   test("signature store: the candidate prune gates on DISTINCT ids — " +
       "duplicative pairs at the demotion boundary stay correct") {
     // r14 verdict minor: the old gate counted PAIRS as a proxy for the

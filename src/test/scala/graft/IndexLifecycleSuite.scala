@@ -261,6 +261,47 @@ class IndexLifecycleSuite extends SparkSuite {
       "recovery after a fenced-out abort changed answers")
   }
 
+  test("a zombie's late commit loses at the commit point itself — " +
+      "synchronously, without any heartbeat tick") {
+    // r16 verdict prescription 7: the async fenced flag is set by the
+    // heartbeat THREAD, so a GC pause that stalls the whole JVM leaves
+    // it stale — the zombie wakes, passes the flag check, and its late
+    // destructive write races the breaker. The fence at each commit
+    // point is now a synchronous lease-version CAS on the calling
+    // thread. Simulated here with a HUGE ttl (heartbeat interval ttl/4
+    // = 15 min: it cannot tick during the test, so only the synchronous
+    // fence can catch the theft) and the steal injected right after
+    // acquisition — the first destructive step must refuse.
+    val (path, expected) = freshIndex()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val lease = new org.apache.hadoop.fs.Path(s"$path/_compaction.lock")
+    val e = intercept[IllegalStateException] {
+      VectorOps.compactPinnedIvfIndexSteps(spark, path,
+        stopAfter = Int.MaxValue, leaseTtlMs = 60L * 60 * 1000,
+        onAfterAcquire = () => {
+          val (n, _, _) = VectorOps.leaseTopVersion(fs, lease)
+            .getOrElse(fail("holder must have a chain top"))
+          assert(VectorOps.claimLeaseVersion(fs, lease, n + 1,
+            "cafebabe-breaker-uuid"), "theft CAS must win a free version")
+        })
+    }
+    assert(e.getMessage.contains("fenced"),
+      s"the commit must refuse synchronously on a stolen lease: " +
+        s"${e.getMessage}")
+    // the breaker's claim survives the zombie's release path untouched
+    assert(VectorOps.leaseTopVersion(fs, lease)
+      .exists(_._3 == "cafebabe-breaker-uuid"),
+      "the fenced zombie must not touch the breaker's chain")
+    // the abort landed in an ordinary repair-covered window: once the
+    // simulated breaker is gone, compaction converges to exact serving
+    fs.delete(lease, true)
+    VectorOps.compactPinnedIvfIndexSteps(spark, path,
+      stopAfter = Int.MaxValue)
+    assert(served(path) == expected,
+      "recovery after a commit-point fence changed answers")
+  }
+
   test("chain release: a successor's claim is never touched; a released " +
       "chain reads as free") {
     // the chain twin of the legacy rename-aside release test below:

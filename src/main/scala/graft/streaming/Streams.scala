@@ -1138,35 +1138,37 @@ object Streams {
     * is batching-invariant by construction. Per-batch work is linear in
     * the batch's pixel count; nothing corpus-sized runs in the hot
     * ingest path — the candidate join runs on hashes (8 bytes/media),
-    * the natural cadence being probe-on-demand or post-compaction. */
+    * the natural cadence being probe-on-demand or post-compaction.
+    *
+    * 100 TB shape (r16 verdict prescription 5): decode and hash are
+    * FUSED into one codegen'd expression
+    * ([[graft.multimodal.MediaPhash]] — bytes in, 64-bit hash out), so
+    * nothing pixel-shaped is ever materialized: the earlier sink
+    * flatMapped each payload to `(id, y, x, v)` rows and checkpointed
+    * them (~10⁶ block-manager rows per megapixel image per batch);
+    * what is checkpointed now is ONE row per media (id + hash + null
+    * flag), feeding both the spool write and the dead-letter write
+    * from a single decode pass. The pixel-row SQL dataflow
+    * ([[graft.multimodal.PinnedMediaMath.phashOf]]) remains the
+    * oracle-replayed twin, and the w28 gate runs THIS fused path
+    * against that oracle bit-for-bit. */
   def mediaPhashBatch(outDir: String): (DataFrame, Long) => Unit =
     (batch: DataFrame, epochId: Long) => {
       val spark = batch.sparkSession
-      import spark.implicits._
-      val planes = batch.select(col("media_id"), col("bytes"))
-        .as[(Long, Array[Byte])]
-        .flatMap { case (id, bytes) =>
-          graft.multimodal.MediaFixture.decodePx(bytes).toSeq.flatMap { px =>
-            for (y <- px.indices; x <- px(y).indices)
-              yield (id, y, x, px(y)(x))
-          }
-        }
-        .toDF("media_id", "y", "x", "v")
-        .localCheckpoint(true) // two readers below (hash + dead-letter)
-      graft.multimodal.PinnedMediaMath.phashOf(spark, planes)
-        .select(col("media_id"),
-          graft.multimodal.PinnedMediaMath
-            .packSimhash(col("hash_hi"), col("hash_lo")).as("simhash"))
+      val hashed = batch.select(col("media_id"),
+          graft.multimodal.MediaPhash.column(spark, col("bytes"))
+            .as("simhash"))
+        .localCheckpoint(true) // ONE decode pass feeds both writers below
+      hashed.where(col("simhash").isNotNull)
         .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
       // a payload the decoder rejects must not vanish silently
       // (code-review finding): its id lands in a dead-letter dir the
       // operator can monitor/re-drive — an at-least-once pipeline that
       // silently drops rows reads as "deduped" when it means "lost".
-      // Same epoch-keyed overwrite idempotence as the spool.
-      val undecoded = batch.select(col("media_id"))
-        .join(planes.select("media_id").distinct(), Seq("media_id"),
-          "left_anti")
-      undecoded.write.mode("overwrite")
+      // Same epoch-keyed overwrite idempotence as the spool. The fused
+      // kernel marks these as NULL hashes, so no anti-join is needed.
+      hashed.where(col("simhash").isNull).select("media_id")
+        .write.mode("overwrite")
         .parquet(s"$outDir/_undecoded/epoch=$epochId")
     }
 

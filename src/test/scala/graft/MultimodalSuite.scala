@@ -538,4 +538,46 @@ class MultimodalSuite extends SparkSuite {
     // carry real energy on the sine-tone corpus (measured: 636 of 1280)
     assert(checked > 500, s"only $checked band signs were checkable")
   }
+
+  test("fused MediaPhash expression: bit-equal to the pixel-row SQL " +
+      "twin; undecodable bytes are NULL, not an exception") {
+    // r16 verdict prescription 5: the streamed sink's hot path is now
+    // one codegen'd bytes→hash expression (no per-pixel rows). The
+    // pixel-row dataflow (PinnedMediaMath.phashOf — DuckDB-replayed by
+    // the mm08/mm14/w28 oracles) stays the twin; the fused kernel must
+    // reproduce it bit for bit on the real ImageIO-decoded fixture.
+    import graft.multimodal.{MediaFixture, MediaPhash, PinnedMediaMath}
+    val images = MediaFixture.media(spark)
+      .filter(_.meta.kind == "image").toDF()
+      .select("media_id", "bytes")
+    val fused = images.select(col("media_id"),
+        MediaPhash.column(spark, col("bytes")).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val viaSql = PinnedMediaMath.phash(spark)
+      .select(col("media_id"),
+        PinnedMediaMath.packSimhash(col("hash_hi"), col("hash_lo"))
+          .as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    assert(fused.nonEmpty && fused == viaSql,
+      "fused decode+DCT+sign kernel diverged from the pinned SQL twin")
+    // dead-letter contract: a payload ImageIO rejects maps to NULL so
+    // the sink can spool it, never to a mid-stage exception
+    val junk = Seq(
+      (1L, Array[Byte](0x50, 0x4E, 0x47)), // a PNG magic fragment
+      (2L, Array.emptyByteArray)
+    ).toDF("media_id", "bytes")
+    val nulls = junk
+      .select(MediaPhash.column(spark, col("bytes")).as("h")).collect()
+    assert(nulls.forall(_.isNullAt(0)),
+      "undecodable payloads must hash to NULL (dead-letter), got " +
+        nulls.mkString(","))
+    // the shared kernel drives both eval paths: the driver-side call
+    // must agree with the codegen'd column result per id
+    val viaKernel = images.as[(Long, Array[Byte])].collect().map {
+      case (id, b) =>
+        id -> Option(MediaPhash.computeOrNull(b)).map(_.longValue())
+    }.toMap
+    assert(viaKernel.forall { case (id, h) => h.contains(fused(id)) },
+      "interpreted kernel disagrees with the codegen'd column path")
+  }
 }

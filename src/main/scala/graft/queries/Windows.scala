@@ -751,6 +751,24 @@ object Windows {
       Some(graft.multimodal.PinnedMediaMath.imageNearDupOracle(
         maxHamming = 4))),
 
+    // ---- w29: streamed AUDIO ingest → PCM decode → band hash → near-dup ---
+    // w28's audio sibling (r16 verdict item 8): clip payloads stream in
+    // file-source micro-batches, each batch runs the REAL javax.sound
+    // PCM decode and the pinned 32-band quadrature sign hash FUSED in
+    // one codegen'd expression (bytes in, 64-bit hash out — the same
+    // no-per-sample-rows shape the fused image kernel set), and the
+    // accreted spool rides the banded pigeonhole Hamming join. Oracle =
+    // mm15's replay verbatim, so the decode boundary, the fused band
+    // math, the streaming plumbing, and the dedup join sit under ONE
+    // bit-exact check.
+    QueryDef(
+      "w29_stream_audio_neardup",
+      (s, d) =>
+        graft.streaming.Streams.audioNearDupStreamGate(s, maxHamming = 4)
+          .orderBy("id_a", "id_b"),
+      Some(graft.multimodal.PinnedMediaMath.audioNearDupOracle(
+        maxHamming = 4))),
+
     // ---- w16: stream-static AS-OF enrichment through the engine -----------
     // a04's semantics run incrementally: each streamed purchase joins
     // the latest static view at-or-before its event time (broadcast

@@ -1153,11 +1153,28 @@ object Streams {
     * oracle-replayed twin, and the w28 gate runs THIS fused path
     * against that oracle bit-for-bit. */
   def mediaPhashBatch(outDir: String): (DataFrame, Long) => Unit =
+    mediaHashBatch(outDir,
+      (s, bytes) => graft.multimodal.MediaPhash.column(s, bytes))
+
+  /** [[mediaPhashBatch]]'s AUDIO sibling: PCM decode + 32-band
+    * quadrature sign hash fused into one expression
+    * ([[graft.multimodal.AudioBandHash]]) — the mm15 math as a streamed
+    * ingest sink, same spool contract. */
+  def audioBandHashBatch(outDir: String): (DataFrame, Long) => Unit =
+    mediaHashBatch(outDir,
+      (s, bytes) => graft.multimodal.AudioBandHash.column(s, bytes))
+
+  /** The shared fused-kernel ingest sink: `(media_id, bytes)` in, the
+    * epoch-idempotent `(media_id, simhash)` spool + `_undecoded`
+    * dead-letter out. `hashOf` is the fused bytes→hash column (NULL =
+    * undecodable payload). */
+  private def mediaHashBatch(outDir: String,
+      hashOf: (SparkSession, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column): (DataFrame, Long) => Unit =
     (batch: DataFrame, epochId: Long) => {
       val spark = batch.sparkSession
       val hashed = batch.select(col("media_id"),
-          graft.multimodal.MediaPhash.column(spark, col("bytes"))
-            .as("simhash"))
+          hashOf(spark, col("bytes")).as("simhash"))
         .localCheckpoint(true) // ONE decode pass feeds both writers below
       hashed.where(col("simhash").isNotNull)
         .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
@@ -1215,6 +1232,51 @@ object Streams {
       .parquet(spool)
     val q = stream.writeStream
       .foreachBatch(mediaPhashBatch(outDir))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val hashes = spark.read.schema(mediaHashSchema).parquet(outDir)
+      .select("media_id", "simhash") // drop the epoch partition column
+    graft.functions.TextOps.simHashPairs(hashes, "media_id", maxHamming)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("int").as("hamming"))
+  }
+
+  /** w29's gate: [[mediaNearDupStreamGate]]'s AUDIO sibling — clip
+    * payloads (the deterministic fixture corpus plus re-keyed planted
+    * duplicates, as WAV BYTES) arrive in file-source micro-batches;
+    * each batch runs the REAL javax.sound PCM decode and the pinned
+    * 32-band quadrature sign hash fused in one expression
+    * ([[audioBandHashBatch]] — the mm09 decode boundary + the mm15
+    * math), and the accreted spool feeds the same banded Hamming join.
+    * Oracle = mm15's replay verbatim (committed sample fixture → band
+    * sums → signs → exact 64-bit all-pairs Hamming), so the live
+    * streamed decode must reproduce the fixture bit-for-bit AND the
+    * fused hash must match the sample-row SQL dataflow — the audio
+    * decode gate and band math chained through streaming plumbing
+    * under one bit-exact check. GATE-ONLY scope (the r10 convention):
+    * callers with real streams use [[audioBandHashBatch]] directly. */
+  private[graft] def audioNearDupStreamGate(spark: SparkSession,
+      maxHamming: Int): DataFrame = {
+    import spark.implicits._
+    val clips = graft.multimodal.MediaFixture.media(spark)
+      .filter(_.meta.kind == "audio")
+    val planted = clips.union(
+      clips.map(m => m.copy(media_id = m.media_id + 1000000L)))
+    val seq = gateRunSeq.incrementAndGet()
+    val spool = java.nio.file.Files
+      .createTempDirectory(s"w29_spool_${seq}_").toString
+    planted.toDF().select("media_id", "bytes")
+      .repartition(6)
+      .write.mode("overwrite").parquet(spool)
+    val outDir = java.nio.file.Files
+      .createTempDirectory(s"w29_hashes_${seq}_").toString
+    val stream = spark.readStream
+      .schema("media_id BIGINT, bytes BINARY")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(spool)
+    val q = stream.writeStream
+      .foreachBatch(audioBandHashBatch(outDir))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -580,4 +580,44 @@ class MultimodalSuite extends SparkSuite {
     assert(viaKernel.forall { case (id, h) => h.contains(fused(id)) },
       "interpreted kernel disagrees with the codegen'd column path")
   }
+
+  test("fused AudioBandHash expression: bit-equal to the sample-row SQL " +
+      "twin; undecodable bytes are NULL") {
+    // w29's kernel: PCM decode + 32-band quadrature sign hash in one
+    // pass. The declarative sample-row dataflow below is the band+sign
+    // stage of PinnedMediaMath.audioNearDupPinned (the mm15/w29
+    // oracles' Spark half) over the committed fixture, un-planted —
+    // the fused kernel must reproduce it bit for bit from raw bytes.
+    import graft.multimodal.{AudioBandHash, MediaFixture, PinnedMediaMath}
+    val clips = MediaFixture.media(spark)
+      .filter(_.meta.kind == "audio").toDF()
+      .select("media_id", "bytes")
+    val fused = clips.select(col("media_id"),
+        AudioBandHash.column(spark, col("bytes")).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val cs = PinnedMediaMath.cosSin64.toDF("j2", "cc", "ss")
+    val bp = PinnedMediaMath.bandPow32.toDF("band", "pw")
+    val viaSql = spark.read.parquet(s"${MediaFixture.dir}/audio_samples")
+      .withColumn("band", explode(array((1 to 32).map(lit): _*)))
+      .withColumn("j", pmod(col("band") * col("i"), lit(64)))
+      .join(broadcast(cs), col("j") === col("j2"))
+      .groupBy(col("media_id"), col("band"))
+      .agg(sum(col("s") * col("cc")).as("x_re"),
+        sum(col("s") * col("ss")).as("x_im"))
+      .join(broadcast(bp), "band")
+      .groupBy("media_id")
+      .agg(sum(when(col("x_re") > 0, col("pw")).otherwise(0L)).as("lo"),
+        sum(when(col("x_im") > 0, col("pw")).otherwise(0L)).as("hi"))
+      .select(col("media_id"),
+        PinnedMediaMath.packSimhash(col("hi"), col("lo")).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    assert(fused.nonEmpty && fused == viaSql,
+      "fused decode+band-sign kernel diverged from the sample-row twin")
+    // dead-letter contract: junk bytes hash to NULL, never an exception
+    val junk = Seq((1L, Array[Byte](0x52, 0x49, 0x46, 0x46)))
+      .toDF("media_id", "bytes")
+    assert(junk.select(AudioBandHash.column(spark, col("bytes")))
+      .head().isNullAt(0),
+      "undecodable audio must hash to NULL (dead-letter)")
+  }
 }

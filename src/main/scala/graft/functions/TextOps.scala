@@ -1034,11 +1034,31 @@ object TextOps {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Dedicated catalog database for every `graft_sigstore_*`
+    * registration (r16 verdict prescription 6): the md5-named externals
+    * previously landed in the session's CURRENT database — harmless in
+    * an in-memory catalog, pollution in a shared Hive metastore, where
+    * they crowded `default` and made the hygiene sweep pattern-match
+    * over foreign tables. Override with `spark.graft.sigstore.database`
+    * (set it per-tenant in a shared metastore); created on first
+    * registration. */
+  private[graft] def sigstoreDbName(spark: SparkSession): String =
+    spark.conf.get("spark.graft.sigstore.database", "graft_sigstore")
+
+  private def ensureSigstoreDb(spark: SparkSession): String = {
+    val db = sigstoreDbName(spark)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    db
+  }
+
   /** Catalog name for a bucketed batch directory — stable across
     * sessions (derived from the committed path), so any probe can
-    * (re)register the SAME external table over the files. */
-  private def bucketTableName(dir: org.apache.hadoop.fs.Path): String =
-    s"graft_sigstore_${md5Hex(dir.toString)}"
+    * (re)register the SAME external table over the files. Qualified
+    * with the dedicated database so the session's current database is
+    * never touched. */
+  private def bucketTableName(spark: SparkSession,
+      dir: org.apache.hadoop.fs.Path): String =
+    s"${sigstoreDbName(spark)}.graft_sigstore_${md5Hex(dir.toString)}"
 
   /** Read a bucketed batch THROUGH the catalog so Spark knows its
     * layout: a datasource table `CLUSTERED BY (__b, __key)` reports
@@ -1050,8 +1070,9 @@ object TextOps {
     * file NAMES (which the staged-dir rename preserves). */
   private def bucketedBatchFrame(spark: SparkSession,
       dir: org.apache.hadoop.fs.Path, numBuckets: Int): DataFrame = {
-    val name = bucketTableName(dir)
+    val name = bucketTableName(spark, dir)
     if (!spark.catalog.tableExists(name)) {
+      ensureSigstoreDb(spark)
       val schema = spark.read.parquet(dir.toString).schema.toDDL
       spark.sql(
         s"CREATE TABLE IF NOT EXISTS $name ($schema) USING PARQUET " +
@@ -1157,6 +1178,10 @@ object TextOps {
     // same inputs and both commit a full folded copy — duplicate rows
     // in the store. The second caller now refuses loudly instead.
     VectorOps.withMaintenanceLease(fs, path) { fence =>
+    // the dedicated catalog database must exist before any qualified
+    // DROP below (a DROP IF EXISTS against a missing database is a
+    // resolution error, not a no-op, on some catalog impls)
+    ensureSigstoreDb(spark)
     // capture tombstones BEFORE batches: a tombstone landing in the gap
     // is simply not consumed (survives, keeps masking at probe), while
     // the reverse order could fold a batch without a tombstone that was
@@ -1189,7 +1214,8 @@ object TextOps {
       // matches the bucket hash exactly (both are
       // HashPartitioning(__b, __key, n)), so each task owns one bucket
       // and writes ONE file — sorted bucket files the join can stream.
-      val tmpTable = s"graft_sigstore_staging_${id.replace("-", "_")}"
+      val tmpTable = s"${ensureSigstoreDb(spark)}." +
+        s"graft_sigstore_staging_${id.replace("-", "_")}"
       // try/finally (ADVICE r15): a write failure between saveAsTable
       // and the drop must not leave a stale staging entry in a
       // persistent metastore pointing at a dir the cleanup deletes
@@ -1219,7 +1245,7 @@ object TextOps {
       fs.delete(d, true)
       // retire the consumed dir's table registration (if it was a
       // bucketed batch) so the catalog doesn't accumulate dead entries
-      spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(d)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(spark, d)}")
     }
     tombs.foreach(fs.delete(_, true))
     }
@@ -1228,23 +1254,26 @@ object TextOps {
   /** Delete a signature store AND its catalog registrations — the
     * hygiene pair of [[compactSignatureStore]]'s lazy table
     * registration. CATALOG NOTE: bucketed batches register as
-    * `graft_sigstore_<md5-of-dir>` external tables in the session's
-    * CURRENT database (an in-memory catalog forgets them at session
-    * end; a persistent Hive metastore does not). Deleting a store's
-    * directory out-of-band leaves those entries dangling forever —
-    * the md5 names cannot be recomputed once the dir names are gone,
-    * so out-of-band deletions must be swept by pattern:
-    * `SHOW TABLES LIKE 'graft_sigstore_*'` and drop what points at
-    * missing locations. This API deletes in the safe order (catalog
-    * entries first, then the directory) so there is no window where a
-    * dangling entry outlives the files. */
+    * `graft_sigstore_<md5-of-dir>` external tables in the DEDICATED
+    * database ([[sigstoreDbName]] — the session's current database is
+    * never touched; an in-memory catalog forgets the entries at
+    * session end, a persistent Hive metastore does not). Deleting a
+    * store's directory out-of-band leaves those entries dangling
+    * forever — the md5 names cannot be recomputed once the dir names
+    * are gone, so out-of-band deletions must be swept by pattern
+    * ([[sweepSignatureStoreCatalog]], or the
+    * `graft.tools.SigstoreSweep` maintenance entry point). This API
+    * deletes in the safe order (catalog entries first, then the
+    * directory) so there is no window where a dangling entry outlives
+    * the files. */
   def deleteSignatureStore(spark: SparkSession, path: String): Unit = {
+    ensureSigstoreDb(spark)
     val fs = storeFs(spark, path)
     val base = new org.apache.hadoop.fs.Path(s"$path/batches")
     if (fs.exists(base))
       fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
         .foreach(d =>
-          spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(d)}"))
+          spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(spark, d)}"))
     // a compaction that CRASHED between its saveAsTable and its
     // staging-table drop (driver kill — the try/finally can't run)
     // leaves graft_sigstore_staging_<uuid> pointing under
@@ -1257,7 +1286,8 @@ object TextOps {
         .filter(_.startsWith("_staging_"))
         .foreach { dirName =>
           val id = dirName.stripPrefix("_staging_").replace("-", "_")
-          spark.sql(s"DROP TABLE IF EXISTS graft_sigstore_staging_$id")
+          spark.sql(s"DROP TABLE IF EXISTS " +
+            s"${sigstoreDbName(spark)}.graft_sigstore_staging_$id")
         }
     fs.delete(root, true)
     ()
@@ -1273,11 +1303,12 @@ object TextOps {
     * dropped when their location is gone. Safe to run any time —
     * worst case a probe re-registers its table on the next read. */
   def sweepSignatureStoreCatalog(spark: SparkSession): Seq[String] = {
-    val tables = spark.sql("SHOW TABLES LIKE 'graft_sigstore_*'")
+    val db = ensureSigstoreDb(spark)
+    val tables = spark.sql(s"SHOW TABLES IN $db LIKE 'graft_sigstore_*'")
       .select("tableName").collect().map(_.getString(0)).toSeq
     val dangling = tables.filter { t =>
       val loc =
-        try spark.sql(s"DESCRIBE TABLE EXTENDED $t").collect()
+        try spark.sql(s"DESCRIBE TABLE EXTENDED $db.$t").collect()
           .find(r => r.getString(0) == "Location")
           .map(_.getString(1))
         catch { case scala.util.control.NonFatal(_) => None }
@@ -1288,7 +1319,7 @@ object TextOps {
           catch { case _: java.io.IOException => false } // unreadable != gone
       }
     }
-    dangling.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    dangling.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
     dangling
   }
 

@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Maintenance entry point for signature-store catalog hygiene (r16
+  * verdict prescription 6): runs
+  * [[graft.functions.TextOps.sweepSignatureStoreCatalog]] against the
+  * dedicated `graft_sigstore` database (override with
+  * `spark.graft.sigstore.database`) and prints what was dropped — the
+  * scheduled-job face of the API, for stores deleted out-of-band whose
+  * md5-named registrations would otherwise dangle in a shared metastore
+  * forever.
+  *
+  * Usage: sbt "runMain graft.tools.SigstoreSweep"
+  * Env: SPARK_GRAFT_SIGSTORE_DB (optional database override)
+  *
+  * Safe to run any time: healthy registrations (backing directory
+  * present) are never touched; the worst case of sweeping a live
+  * store's entry by mistake is a probe re-registering it on the next
+  * read. Exit code 0 either way — an empty sweep is the healthy
+  * steady state, not an error.
+  */
+object SigstoreSweep {
+  def main(args: Array[String]): Unit = {
+    val cpus = Runtime.getRuntime.availableProcessors()
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_SIGSTORE_DB").foreach(db =>
+      builder.config("spark.graft.sigstore.database", db))
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dropped = graft.functions.TextOps.sweepSignatureStoreCatalog(spark)
+    dropped.foreach(t => println(s"[sigstore-sweep] dropped $t"))
+    println(s"[sigstore-sweep] ${dropped.size} dangling " +
+      s"registration(s) dropped")
+    spark.stop()
+  }
+}

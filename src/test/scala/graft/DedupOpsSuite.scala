@@ -1028,7 +1028,14 @@ class DedupOpsSuite extends SparkSuite {
       n = 3, numHashes = 128, bands = 32)
     TextOps.compactSignatureStore(spark, store)
     assert(pairsVia(store, delta, standing).nonEmpty) // registers the table
-    def sigTables: Seq[String] = spark.catalog.listTables()
+    // r16 verdict prescription 6: registrations live in the DEDICATED
+    // database — the session's current database must stay clean (the
+    // shared-metastore hygiene the namespacing exists for)
+    val db = TextOps.sigstoreDbName(spark)
+    assert(!spark.catalog.listTables().collect()
+        .exists(_.name.startsWith("graft_sigstore_")),
+      "sigstore registrations leaked into the session's current database")
+    def sigTables: Seq[String] = spark.catalog.listTables(db)
       .collect().map(_.name).toSeq.filter(_.startsWith("graft_sigstore_"))
       .filterNot(_.startsWith("graft_sigstore_staging_"))
     val registered = sigTables
@@ -1039,7 +1046,7 @@ class DedupOpsSuite extends SparkSuite {
     assert(registered.forall(t => !remaining.contains(t) ||
         // tables of OTHER suites' stores may legitimately remain — only
         // this store's dirs must be gone; cross-check via location
-        spark.sql(s"DESCRIBE TABLE EXTENDED $t").collect()
+        spark.sql(s"DESCRIBE TABLE EXTENDED $db.$t").collect()
           .forall(r => !r.toString.contains(store))),
       s"dangling catalog entries for deleted store: $remaining")
     assert(!new java.io.File(store).exists(),
@@ -1062,7 +1069,8 @@ class DedupOpsSuite extends SparkSuite {
       TextOps.compactSignatureStore(spark, store)
       assert(pairsVia(store, delta, standing).nonEmpty) // registers
     }
-    def sigTables: Set[String] = spark.catalog.listTables()
+    def sigTables: Set[String] = spark.catalog
+      .listTables(TextOps.sigstoreDbName(spark))
       .collect().map(_.name).toSet.filter(_.startsWith("graft_sigstore_"))
     val before = sigTables
     // out-of-band deletion: the directory vanishes, the entry dangles

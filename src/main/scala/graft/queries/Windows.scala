@@ -769,6 +769,24 @@ object Windows {
       Some(graft.multimodal.PinnedMediaMath.audioNearDupOracle(
         maxHamming = 4))),
 
+    // ---- w30: media through the CONNECTOR source, recovery-graded ---------
+    // w22's checkpoint-recovery semantics married to the fused
+    // multimodal pipeline (r16 verdict item 8): base64 media payloads
+    // stream off the PK-cursor connector source under a small admission
+    // cap, each micro-batch decodes + hashes through the fused kernel
+    // into the epoch-idempotent spool, run 1 is stopped mid-backfill,
+    // the re-keyed duplicates land while the stream is down, and run 2
+    // resumes the Id cursor. Every near-dup pair straddles the restart,
+    // so a reset or skipped cursor breaks the answer. Oracle = mm14's
+    // replay verbatim.
+    QueryDef(
+      "w30_connector_media_neardup",
+      (s, d) =>
+        graft.streaming.Streams.mediaConnectorStreamGate(s, maxHamming = 4)
+          .orderBy("id_a", "id_b"),
+      Some(graft.multimodal.PinnedMediaMath.imageNearDupOracle(
+        maxHamming = 4))),
+
     // ---- w16: stream-static AS-OF enrichment through the engine -----------
     // a04's semantics run incrementally: each streamed purchase joins
     // the latest static view at-or-before its event time (broadcast

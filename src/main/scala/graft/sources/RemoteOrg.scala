@@ -819,3 +819,47 @@ final case class CustomerHalvesOrgRecipe(customerPath: String,
     }
   }
 }
+
+/** Rebuild recipe for the w30 MEDIA sim-org: the planted image corpus
+  * is a pure function of the media id ([[graft.multimodal.Multimodal
+  * .syntheticPng]] — originals at the image ids, re-keyed duplicates
+  * at id+1000000 carrying the ORIGINAL's payload), so an executor JVM
+  * rebuilds the org bit-identically with no file or SparkSession
+  * dependency at all. `Body__c` carries the payload as standard
+  * base64, the Salesforce-faithful wire shape for binary fields
+  * (Attachment.Body rides base64 in the Bulk/SOAP APIs). `landed`
+  * rides in the case-class equality, so a micro-batch planned after
+  * more rows landed ships a different recipe and the executor
+  * rebuilds. */
+final case class MediaOrgRecipe(landed: Int) extends OrgRecipe {
+  override def build(): RemoteOrg = {
+    val org = new InMemoryOrg
+    org.createTable("Media__c", MediaOrgRecipe.schema)
+    MediaOrgRecipe.rows.take(landed).grouped(200).foreach { chunk =>
+      org.insert("Media__c", chunk, MediaOrgRecipe.schema)
+    }
+    org
+  }
+}
+
+object MediaOrgRecipe {
+  import org.apache.spark.sql.types.StructField
+
+  val schema: StructType = StructType(Seq(
+    StructField("Id", org.apache.spark.sql.types.StringType),
+    StructField("MKey__c", org.apache.spark.sql.types.StringType),
+    StructField("Body__c", org.apache.spark.sql.types.StringType)))
+
+  /** The full planted corpus in the canonical landing order: originals
+    * (image ids of the 240-doc fixture corpus: id % 3 == 0, ascending)
+    * then the re-keyed duplicates. Deterministic and Spark-free. */
+  def rows: Vector[Row] = {
+    val ids = (0L until 240L).filter(_ % 3 == 0)
+    val planted = ids.map(id => (id, id)) ++
+      ids.map(id => (id + 1000000L, id))
+    planted.map { case (mid, src) =>
+      Row(null, mid.toString, java.util.Base64.getEncoder.encodeToString(
+        graft.multimodal.Multimodal.syntheticPng(src, 0)))
+    }.toVector
+  }
+}

@@ -1287,6 +1287,82 @@ object Streams {
         col("hamming").cast("int").as("hamming"))
   }
 
+  /** w30's gate: media payloads arriving through the CONNECTOR source —
+    * w22's recovery semantics married to the fused multimodal pipeline
+    * (r16 verdict item 8). The planted image corpus lands in the sim
+    * org as base64 `Body__c` strings (the Salesforce-faithful wire
+    * shape for binary fields); the PK-cursor micro-batch source streams
+    * them under a small admission cap; each micro-batch decodes base64
+    * and runs the FUSED bytes→pHash kernel into the epoch-idempotent
+    * hash spool ([[mediaPhashBatch]]). Run 1 is STOPPED mid-backfill
+    * with most rows unread; the duplicates half lands while the stream
+    * is down; run 2 restarts from the same checkpoint and drains. The
+    * final banded Hamming join must equal mm14's oracle verbatim —
+    * which only happens if the restart resumed the checkpointed Id
+    * cursor (a reset cursor re-hashes run 1's pages into LATER epochs:
+    * harmless for the union-shaped spool, but a skipped-ahead cursor
+    * loses unread media and their pairs) AND the connector-side decode
+    * + fused hash is bit-identical to the fixture replay. GATE-ONLY
+    * scope: production callers point [[mediaPhashBatch]]'s foreachBatch
+    * at their own connector stream. */
+  private[graft] def mediaConnectorStreamGate(spark: SparkSession,
+      maxHamming: Int): DataFrame = {
+    import graft.sources.{InMemoryOrg, MediaOrgRecipe, RemoteOrgRegistry}
+    val seq = gateRunSeq.incrementAndGet()
+    val orgName = s"w30_org_$seq"
+    val base = java.nio.file.Files
+      .createTempDirectory(s"w30_gate_${seq}_").toFile.getAbsolutePath
+    val outDir = s"$base/hashes"
+    val simOrg = new InMemoryOrg
+    simOrg.createTable("Media__c", MediaOrgRecipe.schema)
+    simOrg.recipeProvider =
+      () => Some(MediaOrgRecipe(simOrg.rowCount("Media__c")))
+    RemoteOrgRegistry.register(orgName, simOrg)
+    val rows = MediaOrgRecipe.rows
+    def land(rs: Seq[org.apache.spark.sql.Row]): Unit =
+      rs.grouped(200).foreach(chunk =>
+        simOrg.insert("Media__c", chunk, MediaOrgRecipe.schema))
+    // originals land before the crash; the re-keyed duplicates land
+    // while the stream is down — so every near-dup PAIR straddles the
+    // restart and exists only if the cursor resumed correctly
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val cap = 16 // 80 originals / 16 = 5 micro-batches in run 1
+    def stream = spark.readStream.format("salesforce-sim")
+      .option("org", orgName).option("sObject", "Media__c")
+      .option("maxRecordsPerBatch", cap.toString).load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        mediaPhashBatch(outDir)(
+          batch.select(col("MKey__c").cast("long").as("media_id"),
+            unbase64(col("Body__c")).as("bytes")),
+          epochId)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+    land(h1)
+    // run 1: free-running, stopped after a few commits with most of the
+    // backfill unread (w22's adaptive kill point)
+    val q1 = stream.start()
+    val targetBatch =
+      math.min(2L, math.ceil(h1.length.toDouble / cap).toLong - 1)
+    def admitted: Long = q1.recentProgress.map(_.numInputRows).sum
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while ((q1.lastProgress == null ||
+          (q1.lastProgress.batchId < targetBatch && admitted < h1.length)) &&
+        q1.isActive && System.nanoTime() < deadline)
+      Thread.sleep(25)
+    q1.stop()
+    q1.awaitTermination()
+    land(h2) // the duplicates land while the stream is down
+    val q2 = stream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination() // resume the Id cursor, drain to the end
+    val hashes = spark.read.schema(mediaHashSchema).parquet(outDir)
+      .select("media_id", "simhash") // drop the epoch partition column
+    graft.functions.TextOps.simHashPairs(hashes, "media_id", maxHamming)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("int").as("hamming"))
+  }
+
   /** w20's gate: STREAMING index ingest — the s18/s19 serving lifecycle
     * driven by Structured Streaming: the index bootstraps from the 16
     * codebook vectors, the rest of the corpus arrives as a stream and

@@ -1031,6 +1031,50 @@ class StreamingSuite extends SparkSuite {
       "streamed decode+pHash diverged from the pinned batch chain")
   }
 
+  test("connector media stream: an undecodable payload dead-letters " +
+      "with its id; decodable rows still hash") {
+    // the w30 gate's oracle sees only the near-dup pairs — the
+    // dead-letter contract (a corrupt payload must surface, not vanish)
+    // is pinned here: land two real payloads and one row whose Body__c
+    // base64-decodes fine but is NOT a PNG, drain the connector stream
+    // through the fused sink, and check both spools.
+    import graft.sources.{InMemoryOrg, MediaOrgRecipe, RemoteOrgRegistry}
+    import org.apache.spark.sql.Row
+    val simOrg = new InMemoryOrg
+    simOrg.createTable("Media__c", MediaOrgRecipe.schema)
+    RemoteOrgRegistry.register("w30_deadletter_org", simOrg)
+    val good = MediaOrgRecipe.rows.take(2)
+    val junk = Row(null, "777",
+      java.util.Base64.getEncoder.encodeToString(
+        "not a png at all".getBytes("UTF-8")))
+    simOrg.insert("Media__c", good :+ junk, MediaOrgRecipe.schema)
+    val base = java.nio.file.Files
+      .createTempDirectory("w30_deadletter_").toFile.getAbsolutePath
+    val outDir = s"$base/hashes"
+    val q = spark.readStream.format("salesforce-sim")
+      .option("org", "w30_deadletter_org").option("sObject", "Media__c")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, e: Long) =>
+        Streams.mediaPhashBatch(outDir)(
+          batch.select(col("MKey__c").cast("long").as("media_id"),
+            unbase64(col("Body__c")).as("bytes")), e)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val hashed = spark.read.schema(Streams.mediaHashSchema)
+      .parquet(outDir).select("media_id").as[Long].collect().toSet
+    assert(hashed == good.map(_.getString(1).toLong).toSet,
+      s"decodable payloads must hash: $hashed")
+    val dead = spark.read.schema("media_id BIGINT")
+      .parquet(s"$outDir/_undecoded").select("media_id")
+      .as[Long].collect().toSet
+    assert(dead == Set(777L),
+      s"the corrupt payload must dead-letter with its id: $dead")
+  }
+
   test("chunkOverlap rejects carry columns that collide with its outputs") {
     import spark.implicits._
     val df = Seq((1L, "a b c", 7L)).toDF("doc_id", "text", "chunk_md5")

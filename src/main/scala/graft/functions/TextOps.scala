@@ -1042,8 +1042,17 @@ object TextOps {
     * over foreign tables. Override with `spark.graft.sigstore.database`
     * (set it per-tenant in a shared metastore); created on first
     * registration. */
-  private[graft] def sigstoreDbName(spark: SparkSession): String =
-    spark.conf.get("spark.graft.sigstore.database", "graft_sigstore")
+  private[graft] def sigstoreDbName(spark: SparkSession): String = {
+    val db = spark.conf.get("spark.graft.sigstore.database", "graft_sigstore")
+    // the name is spliced into CREATE/SHOW/DROP/DESCRIBE statements:
+    // validate it up front so a tenant value needing quoting fails HERE
+    // with a clear message, not at first store touch with a parser error
+    // (code-review finding)
+    require(db.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"spark.graft.sigstore.database must be a plain identifier " +
+        s"([A-Za-z_][A-Za-z0-9_]*), got '$db'")
+    db
+  }
 
   private def ensureSigstoreDb(spark: SparkSession): String = {
     val db = sigstoreDbName(spark)
@@ -1163,6 +1172,15 @@ object TextOps {
     // staged rename: the commit rename preserves file NAMES (bucket
     // ids ride in them) — gate here too, not just at append
     FsCommit.requireAtomicCommits(fs, path, "signature store")
+    // ONE definition of "already in its final layout" for both the
+    // pre-lease fast path and the authoritative in-lease check — a
+    // drifted copy would silently no-op compactions the real predicate
+    // would fold (code-review finding)
+    def finalLayout(batchDirs: Array[org.apache.hadoop.fs.Path],
+        tombDirs: Array[org.apache.hadoop.fs.Path]): Boolean =
+      batchDirs.length <= 1 && tombDirs.isEmpty &&
+        (numBuckets <= 0 || batchDirs.headOption.exists(d =>
+          readBucketMarker(fs, d).contains(numBuckets)))
     // cheap pre-lease fast path: a store already in its final layout
     // has nothing to fold, so don't acquire (= write under) the lease
     // for a read-only outcome; the authoritative capture below re-lists
@@ -1170,9 +1188,7 @@ object TextOps {
     val preTombs = tombstoneDirs(fs, path)
     val preConsumed = fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
     if (preConsumed.isEmpty) return
-    if (preConsumed.length <= 1 && preTombs.isEmpty &&
-      (numBuckets <= 0 || preConsumed.headOption.exists(d =>
-        readBucketMarker(fs, d).contains(numBuckets)))) return
+    if (finalLayout(preConsumed, preTombs)) return
     // compaction is a MAINTENANCE write (r16 verdict prescription 3):
     // without the lease two concurrent compactions both capture the
     // same inputs and both commit a full folded copy — duplicate rows
@@ -1194,10 +1210,8 @@ object TextOps {
     // not a zero-path parquet read (which throws on schema inference);
     // the tombstones stay and keep masking at probe, harmlessly
     if (consumed.isEmpty) return
-    val alreadyLaidOut = consumed.length <= 1 && tombs.isEmpty &&
-      (numBuckets <= 0 || consumed.headOption.exists(d =>
-        readBucketMarker(fs, d).contains(numBuckets)))
-    if (alreadyLaidOut) return // nothing to fold, layout already right
+    if (finalLayout(consumed, tombs))
+      return // nothing to fold, layout already right
     val id = java.util.UUID.randomUUID().toString
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging_$id")
     val merged = spark.read.parquet(consumed.map(_.toString): _*)
@@ -1272,8 +1286,16 @@ object TextOps {
     val base = new org.apache.hadoop.fs.Path(s"$path/batches")
     if (fs.exists(base))
       fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
-        .foreach(d =>
-          spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(spark, d)}"))
+        .foreach { d =>
+          spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(spark, d)}")
+          // LEGACY location: registrations made before the dedicated
+          // database landed in the session's then-current database,
+          // unqualified — drop those too while the md5 is still
+          // derivable from the dir name (code-review finding: the
+          // qualified-only drop stranded pre-namespacing entries)
+          spark.sql(s"DROP TABLE IF EXISTS " +
+            s"graft_sigstore_${md5Hex(d.toString)}")
+        }
     // a compaction that CRASHED between its saveAsTable and its
     // staging-table drop (driver kill — the try/finally can't run)
     // leaves graft_sigstore_staging_<uuid> pointing under
@@ -1288,6 +1310,7 @@ object TextOps {
           val id = dirName.stripPrefix("_staging_").replace("-", "_")
           spark.sql(s"DROP TABLE IF EXISTS " +
             s"${sigstoreDbName(spark)}.graft_sigstore_staging_$id")
+          spark.sql(s"DROP TABLE IF EXISTS graft_sigstore_staging_$id")
         }
     fs.delete(root, true)
     ()
@@ -1304,23 +1327,34 @@ object TextOps {
     * worst case a probe re-registers its table on the next read. */
   def sweepSignatureStoreCatalog(spark: SparkSession): Seq[String] = {
     val db = ensureSigstoreDb(spark)
-    val tables = spark.sql(s"SHOW TABLES IN $db LIKE 'graft_sigstore_*'")
-      .select("tableName").collect().map(_.getString(0)).toSeq
-    val dangling = tables.filter { t =>
-      val loc =
-        try spark.sql(s"DESCRIBE TABLE EXTENDED $db.$t").collect()
-          .find(r => r.getString(0) == "Location")
-          .map(_.getString(1))
-        catch { case scala.util.control.NonFatal(_) => None }
-      loc match {
-        case None => false // no location row: leave it alone
-        case Some(l) =>
-          try !storeFs(spark, l).exists(new org.apache.hadoop.fs.Path(l))
-          catch { case _: java.io.IOException => false } // unreadable != gone
+    // sweep the dedicated database AND the legacy location (the
+    // session's current database, where pre-namespacing releases
+    // registered unqualified — code-review finding: a qualified-only
+    // sweep left those dangling forever, the exact hole the sweep
+    // exists to close)
+    def sweepIn(qualifier: Option[String]): Seq[String] = {
+      val scope = qualifier.map(q => s"IN $q ").getOrElse("")
+      val tables = spark
+        .sql(s"SHOW TABLES ${scope}LIKE 'graft_sigstore_*'")
+        .select("tableName").collect().map(_.getString(0)).toSeq
+      def qual(t: String) = qualifier.fold(t)(q => s"$q.$t")
+      val dangling = tables.filter { t =>
+        val loc =
+          try spark.sql(s"DESCRIBE TABLE EXTENDED ${qual(t)}").collect()
+            .find(r => r.getString(0) == "Location")
+            .map(_.getString(1))
+          catch { case scala.util.control.NonFatal(_) => None }
+        loc match {
+          case None => false // no location row: leave it alone
+          case Some(l) =>
+            try !storeFs(spark, l).exists(new org.apache.hadoop.fs.Path(l))
+            catch { case _: java.io.IOException => false } // unreadable != gone
+        }
       }
+      dangling.foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${qual(t)}"))
+      dangling.map(qual)
     }
-    dangling.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
-    dangling
+    sweepIn(Some(db)) ++ sweepIn(None)
   }
 
   /** [[incrementalJaccardPairs]] SERVED FROM THE STORE: only the delta

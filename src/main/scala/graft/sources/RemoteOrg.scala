@@ -852,8 +852,10 @@ object MediaOrgRecipe {
 
   /** The full planted corpus in the canonical landing order: originals
     * (image ids of the 240-doc fixture corpus: id % 3 == 0, ascending)
-    * then the re-keyed duplicates. Deterministic and Spark-free. */
-  def rows: Vector[Row] = {
+    * then the re-keyed duplicates. Deterministic and Spark-free —
+    * and a lazy val, so the 160 PNG syntheses happen once per JVM,
+    * not once per executor-side org rebuild (code-review finding). */
+  lazy val rows: Vector[Row] = {
     val ids = (0L until 240L).filter(_ % 3 == 0)
     val planted = ids.map(id => (id, id)) ++
       ids.map(id => (id + 1000000L, id))

@@ -1081,7 +1081,11 @@ class DedupOpsSuite extends SparkSuite {
     val dropped = TextOps.sweepSignatureStoreCatalog(spark)
     assert(dropped.nonEmpty, "the dangling entry must be swept")
     val after = sigTables
-    assert(after == before -- dropped)
+    // the sweep reports QUALIFIED names (it also covers the legacy
+    // current-database location); strip the dedicated-db prefix to
+    // compare against the catalog listing
+    val db = TextOps.sigstoreDbName(spark)
+    assert(after == before -- dropped.map(_.stripPrefix(s"$db.")))
     // the healthy store still probes — its registration was untouched
     assert(pairsVia(healthy, delta, standing).nonEmpty)
     // idempotent: a second sweep finds nothing

@@ -1327,17 +1327,7 @@ object Streams {
     // restart and exists only if the cursor resumed correctly
     val (h1, h2) = rows.splitAt(rows.length / 2)
     val cap = 16 // 80 originals / 16 = 5 micro-batches in run 1
-    def stream = spark.readStream.format("salesforce-sim")
-      .option("org", orgName).option("sObject", "Media__c")
-      .option("maxRecordsPerBatch", cap.toString).load()
-      .writeStream
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        mediaPhashBatch(outDir)(
-          batch.select(col("MKey__c").cast("long").as("media_id"),
-            unbase64(col("Body__c")).as("bytes")),
-          epochId)
-      }
-      .option("checkpointLocation", s"$base/ckpt")
+    def stream = mediaConnectorSinkStream(spark, orgName, base, cap)
     land(h1)
     // run 1: free-running, stopped after a few commits with most of the
     // backfill unread (w22's adaptive kill point)
@@ -1356,11 +1346,57 @@ object Streams {
     val q2 = stream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q2.awaitTermination() // resume the Id cursor, drain to the end
+    mediaSpoolPairs(spark, outDir, maxHamming)
+  }
+
+  /** The connector media stream both w30 recovery tests share: the
+    * PK-cursor source over `Media__c` under a small admission cap,
+    * base64-decoded into the fused pHash sink, hashes spooled under
+    * `$base/hashes`, checkpoint at `$base/ckpt`. */
+  private[graft] def mediaConnectorSinkStream(spark: SparkSession,
+      orgName: String, base: String, cap: Int = 16) =
+    spark.readStream.format("salesforce-sim")
+      .option("org", orgName).option("sObject", "Media__c")
+      .option("maxRecordsPerBatch", cap.toString).load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        mediaPhashBatch(s"$base/hashes")(
+          batch.select(col("MKey__c").cast("long").as("media_id"),
+            unbase64(col("Body__c")).as("bytes")),
+          epochId)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+
+  /** The spool → banded-Hamming pair read both w30 tests share. */
+  private[graft] def mediaSpoolPairs(spark: SparkSession, outDir: String,
+      maxHamming: Int): DataFrame = {
     val hashes = spark.read.schema(mediaHashSchema).parquet(outDir)
       .select("media_id", "simhash") // drop the epoch partition column
     graft.functions.TextOps.simHashPairs(hashes, "media_id", maxHamming)
       .select(col("id_a"), col("id_b"),
         col("hamming").cast("int").as("hamming"))
+  }
+
+  /** Forked-JVM child of the HARD-KILL w30 variant: build the media
+    * org with the ORIGINALS half landed, free-run the connector media
+    * stream against the checkpoint/spool under `base`, and never
+    * return — the parent `destroyForcibly`s this process mid-batch, so
+    * a spool epoch dir can die HALF-WRITTEN with no clean abort (the
+    * torn-parquet window the epoch-keyed overwrite must absorb on
+    * replay). */
+  private[graft] def mediaCrashChildRun(spark: SparkSession,
+      base: String): Unit = {
+    import graft.sources.{InMemoryOrg, MediaOrgRecipe, RemoteOrgRegistry}
+    val simOrg = new InMemoryOrg
+    simOrg.createTable("Media__c", MediaOrgRecipe.schema)
+    simOrg.recipeProvider =
+      () => Some(MediaOrgRecipe(simOrg.rowCount("Media__c")))
+    RemoteOrgRegistry.register("w30_crash_child", simOrg)
+    val originals = MediaOrgRecipe.rows.take(MediaOrgRecipe.rows.length / 2)
+    originals.grouped(200).foreach(chunk =>
+      simOrg.insert("Media__c", chunk, MediaOrgRecipe.schema))
+    mediaConnectorSinkStream(spark, "w30_crash_child", base).start()
+      .awaitTermination() // killed externally
   }
 
   /** w20's gate: STREAMING index ingest — the s18/s19 serving lifecycle

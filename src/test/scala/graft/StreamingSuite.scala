@@ -1208,6 +1208,89 @@ class StreamingSuite extends SparkSuite {
         s"want ${want.size}")
   }
 
+  test("w30 hard-kill: SIGKILLed media stream resumes and the pair set " +
+      "still equals the pinned batch answer") {
+    // the no-clean-abort grade of the w30 gate: run 1 forks a JVM that
+    // free-runs the connector media stream (fused decode+hash into the
+    // epoch spool) and is destroyForcibly'd after batch 0 commits — an
+    // epoch's spool directory can die HALF-WRITTEN (torn parquet, no
+    // _SUCCESS). Run 2 resumes in-process from the orphaned checkpoint
+    // against a rebuilt org with the duplicates landed, replays the
+    // in-flight epoch (mode-overwrite absorbs the torn dir), and
+    // drains. The banded Hamming join over the spool must equal the
+    // pinned BATCH answer (mm14's Spark half) — a reset cursor leaves
+    // duplicate hash rows only if epochs drift (they must not), a
+    // skipped cursor loses media and their pairs, and an unabsorbed
+    // torn file fails the read outright.
+    import graft.sources.{MediaOrgRecipe, RemoteOrgRegistry, InMemoryOrg}
+    import graft.multimodal.PinnedMediaMath
+    val base = java.nio.file.Files
+      .createTempDirectory("w30_kill_").toFile.getAbsolutePath
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.MediaCrashChild", base)).toList
+    val childLog = new java.io.File(base, "child.log")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(ProcessBuilder.Redirect.to(childLog))
+    val proc = pb.start()
+    val nOriginals = MediaOrgRecipe.rows.length / 2 // 80
+    val batchesToDrainH1 = math.ceil(nOriginals / 16.0).toLong // cap=16
+    try {
+      val commit0 = new java.io.File(s"$base/ckpt/commits/0")
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (!commit0.exists() && proc.isAlive &&
+          System.nanoTime() < deadline)
+        Thread.sleep(25)
+      assert(commit0.exists(), "child never committed batch 0; log:\n" +
+        new String(java.nio.file.Files.readAllBytes(childLog.toPath)))
+    } finally {
+      proc.destroyForcibly()
+      proc.waitFor()
+    }
+    // the kill must land MID-BACKFILL: committed batches (checkpoint
+    // commit files — counting the spool would trip on the torn epoch
+    // the kill is supposed to produce) strictly fewer than a full h1
+    // drain needs
+    val committed = Option(new java.io.File(s"$base/ckpt/commits")
+      .listFiles()).map(_.count(f => f.getName.forall(_.isDigit)))
+      .getOrElse(0)
+    assert(committed >= 1 && committed < batchesToDrainH1,
+      s"child committed $committed batches of $batchesToDrainH1 — the " +
+        "kill no longer lands mid-backfill")
+    // run 2, in-process: rebuild the org the cursor points into
+    // (sequential Ids, canonical landing order) with the duplicates
+    // landed, and drain from the orphaned checkpoint
+    val simOrg = new InMemoryOrg
+    simOrg.createTable("Media__c", MediaOrgRecipe.schema)
+    simOrg.recipeProvider =
+      () => Some(MediaOrgRecipe(simOrg.rowCount("Media__c")))
+    RemoteOrgRegistry.register("w30_kill_parent", simOrg)
+    MediaOrgRecipe.rows.grouped(200).foreach(chunk =>
+      simOrg.insert("Media__c", chunk, MediaOrgRecipe.schema))
+    val q2 = Streams.mediaConnectorSinkStream(spark, "w30_kill_parent", base)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val got = Streams.rowsOfSorted(
+      Streams.mediaSpoolPairs(spark, s"$base/hashes", maxHamming = 4))
+    val want = Streams.rowsOfSorted(
+      PinnedMediaMath.imageNearDupPinned(spark, maxHamming = 4))
+    assert(got.size == want.size && got == want,
+      s"hard-kill resume broke the pair set: got ${got.size} pairs, " +
+        s"want ${want.size}")
+  }
+
   test("index appends AFTER a compaction remain queryable") {
     import graft.functions.VectorOps
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")

@@ -69,5 +69,8 @@ object GraftExtensions {
     graft.functions.BloomMightContain.ensureRegistered(spark)
     graft.functions.Md5BloomAgg.ensureRegistered(spark)
     graft.functions.BloomTextHits.ensureRegistered(spark)
+    graft.functions.PinnedHyperplaneSig.ensureRegistered(spark)
+    graft.multimodal.MediaPhash.ensureRegistered(spark)
+    graft.multimodal.AudioBandHash.ensureRegistered(spark)
   }
 }

@@ -74,6 +74,30 @@ class ExtensionsSuite extends AnyFunSuite {
            array('a b', 'z z'), 5) AS h""")
       .head().getInt(0)
     assert(bmHits >= 1, "inserted gram must hit the bloom")
+
+    // the fused media kernels resolve from SQL too: a real PNG hashes
+    // to a non-null 64-bit word, junk bytes to NULL (the dead-letter
+    // contract), and the audio kernel behaves the same on a WAV
+    val png = java.util.Base64.getEncoder.encodeToString(
+      graft.multimodal.Multimodal.syntheticPng(3L, 0))
+    val mp = spark.sql(
+      s"SELECT graft_media_phash(unbase64('$png')) AS h, " +
+        "graft_media_phash(CAST('junk' AS BINARY)) AS j").head()
+    assert(!mp.isNullAt(0) && mp.isNullAt(1),
+      "media phash: PNG hashes, junk is NULL")
+    val wav = java.util.Base64.getEncoder.encodeToString(
+      graft.multimodal.Multimodal.syntheticWav(3L))
+    val ab = spark.sql(
+      s"SELECT graft_audio_band_hash(unbase64('$wav')) AS h, " +
+        "graft_audio_band_hash(CAST('junk' AS BINARY)) AS j").head()
+    assert(!ab.isNullAt(0) && ab.isNullAt(1),
+      "audio band hash: WAV hashes, junk is NULL")
+
+    val phs = spark.sql(
+      "SELECT graft_pinned_hyperplane_sig(array(0.5d, -0.25d), 8, 4, 2) AS s")
+      .head().getSeq[Long](0)
+    assert(phs.length == 4,
+      "pinned hyperplane signatures resolve from SQL")
   }
 
   test("graft_intersect_size agrees with array_intersect on random sorted sets") {

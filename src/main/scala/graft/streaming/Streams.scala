@@ -1235,11 +1235,7 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val hashes = spark.read.schema(mediaHashSchema).parquet(outDir)
-      .select("media_id", "simhash") // drop the epoch partition column
-    graft.functions.TextOps.simHashPairs(hashes, "media_id", maxHamming)
-      .select(col("id_a"), col("id_b"),
-        col("hamming").cast("int").as("hamming"))
+    mediaSpoolPairs(spark, outDir, maxHamming)
   }
 
   /** w29's gate: [[mediaNearDupStreamGate]]'s AUDIO sibling — clip
@@ -1280,11 +1276,7 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val hashes = spark.read.schema(mediaHashSchema).parquet(outDir)
-      .select("media_id", "simhash") // drop the epoch partition column
-    graft.functions.TextOps.simHashPairs(hashes, "media_id", maxHamming)
-      .select(col("id_a"), col("id_b"),
-        col("hamming").cast("int").as("hamming"))
+    mediaSpoolPairs(spark, outDir, maxHamming)
   }
 
   /** w30's gate: media payloads arriving through the CONNECTOR source —
@@ -1367,14 +1359,66 @@ object Streams {
       }
       .option("checkpointLocation", s"$base/ckpt")
 
-  /** The spool → banded-Hamming pair read both w30 tests share. */
+  /** The spool → banded-Hamming pair read both w30 tests share. The
+    * `distinct()` makes reads tolerant of the exact-duplicate rows a
+    * [[compactMediaSpool]] crash window can leave (consolidated batch
+    * committed, consumed epoch dirs not yet deleted) — without it a
+    * duplicated hash row duplicates every pair it participates in. */
   private[graft] def mediaSpoolPairs(spark: SparkSession, outDir: String,
       maxHamming: Int): DataFrame = {
     val hashes = spark.read.schema(mediaHashSchema).parquet(outDir)
       .select("media_id", "simhash") // drop the epoch partition column
+      .distinct()
     graft.functions.TextOps.simHashPairs(hashes, "media_id", maxHamming)
       .select(col("id_a"), col("id_b"),
         col("hamming").cast("int").as("hamming"))
+  }
+
+  /** Fold the accreted media-hash spool's epoch directories into ONE
+    * consolidated directory — a year of micro-batches is tens of
+    * thousands of tiny `epoch=N` dirs, paid on every listing and scan
+    * (the store-compaction argument at the spool). Run it while the
+    * ingest stream is STOPPED after a drain, so every epoch is final
+    * (a replay after restart only ever rewrites a NOT-yet-committed
+    * epoch, which a drain leaves none of).
+    *
+    * Crash-safe without a manifest: the consolidated batch lands under
+    * a NEGATIVE epoch one below the smallest existing (real batch ids
+    * are never negative, so no future replay can overwrite it; a prior
+    * consolidation folds in like any other epoch), committed by staged
+    * rename BEFORE the consumed dirs are deleted. A crash between the
+    * two leaves exact-duplicate rows — which every spool read folds
+    * with `distinct()` ([[mediaSpoolPairs]]) — and the next compaction
+    * converges. */
+  def compactMediaSpool(spark: SparkSession, outDir: String,
+      numFiles: Int = 8): Unit = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val epochDirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("epoch="))
+    if (epochDirs.length <= 1) return // already consolidated (or empty)
+    // the staged-rename commit needs the same filesystem contract as
+    // the stores (and the consolidated dir must keep its files intact)
+    graft.functions.FsCommit.requireAtomicCommits(fs, outDir,
+      "media hash spool")
+    val target = math.min(-1L,
+      epochDirs.map(_.getName.stripPrefix("epoch=").toLong).min - 1)
+    val staging = new org.apache.hadoop.fs.Path(root,
+      s"_staging_${java.util.UUID.randomUUID()}")
+    spark.read.schema(mediaHashSchema)
+      .parquet(epochDirs.map(_.toString).toSeq: _*)
+      .select("media_id", "simhash")
+      .distinct() // fold duplicates a previous crash window left
+      .coalesce(numFiles)
+      .write.parquet(staging.toString)
+    val committed = new org.apache.hadoop.fs.Path(root, s"epoch=$target")
+    if (!fs.rename(staging, committed)) {
+      fs.delete(staging, true)
+      throw new IllegalStateException(
+        s"could not commit consolidated spool batch to $committed")
+    }
+    epochDirs.foreach(fs.delete(_, true))
   }
 
   /** Forked-JVM child of the HARD-KILL w30 variant: build the media

@@ -1031,6 +1031,59 @@ class StreamingSuite extends SparkSuite {
       "streamed decode+pHash diverged from the pinned batch chain")
   }
 
+  test("media spool compaction: epoch dirs fold to one; a crash " +
+      "window's duplicate rows are invisible; next compaction converges") {
+    // the spool's small-files maintenance: a long-running ingest leaves
+    // one directory per micro-batch. Compaction folds them into one
+    // negative-epoch dir (no replay can overwrite it); its crash window
+    // (consolidated committed, consumed not yet deleted) leaves EXACT
+    // duplicate rows, which every spool read folds with distinct().
+    import graft.multimodal.MediaFixture
+    val images = MediaFixture.media(spark)
+      .filter(_.meta.kind == "image")
+    val planted = images.union(
+      images.map(m => m.copy(media_id = m.media_id + 1000000L)))
+      .toDF().select("media_id", "bytes")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("spool_compact_").toString
+    val sink = Streams.mediaPhashBatch(outDir)
+    sink(planted.where(col("media_id") % 2 === 0), 0L)
+    sink(planted.where(col("media_id") % 2 =!= 0), 1L)
+    val before = Streams.rowsOfSorted(
+      Streams.mediaSpoolPairs(spark, outDir, maxHamming = 4))
+    assert(before.nonEmpty, "fixture must produce near-dup pairs")
+    def epochDirs: Seq[String] = new java.io.File(outDir).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("epoch=")).toSeq.sorted
+    assert(epochDirs == Seq("epoch=0", "epoch=1"))
+    Streams.compactMediaSpool(spark, outDir)
+    assert(epochDirs == Seq("epoch=-1"),
+      s"compaction must fold to one negative epoch: $epochDirs")
+    assert(Streams.rowsOfSorted(
+      Streams.mediaSpoolPairs(spark, outDir, maxHamming = 4)) == before,
+      "compaction changed the pair set")
+    // crash window: a consumed epoch survives next to the consolidated
+    // batch — exact duplicate rows; reads must not see them
+    spark.read.schema(Streams.mediaHashSchema)
+      .parquet(s"$outDir/epoch=-1").limit(5)
+      .write.parquet(s"$outDir/epoch=7")
+    assert(Streams.rowsOfSorted(
+      Streams.mediaSpoolPairs(spark, outDir, maxHamming = 4)) == before,
+      "duplicate rows from the crash window leaked into the pairs")
+    // the next compaction converges (folds the leftover + consolidated)
+    Streams.compactMediaSpool(spark, outDir)
+    assert(epochDirs == Seq("epoch=-2"), s"second fold: $epochDirs")
+    assert(Streams.rowsOfSorted(
+      Streams.mediaSpoolPairs(spark, outDir, maxHamming = 4)) == before)
+    // a single-dir spool is already consolidated: compaction no-ops
+    Streams.compactMediaSpool(spark, outDir)
+    assert(epochDirs == Seq("epoch=-2"))
+    // ingest continues after compaction: a fresh epoch accretes
+    sink(planted.limit(0), 9L) // empty batch: dirs only, no rows
+    assert(Streams.rowsOfSorted(
+      Streams.mediaSpoolPairs(spark, outDir, maxHamming = 4)) == before)
+  }
+
   test("connector media stream: an undecodable payload dead-letters " +
       "with its id; decodable rows still hash") {
     // the w30 gate's oracle sees only the near-dup pairs — the

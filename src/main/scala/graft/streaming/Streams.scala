@@ -1297,23 +1297,34 @@ object Streams {
     * + fused hash is bit-identical to the fixture replay. GATE-ONLY
     * scope: production callers point [[mediaPhashBatch]]'s foreachBatch
     * at their own connector stream. */
-  private[graft] def mediaConnectorStreamGate(spark: SparkSession,
-      maxHamming: Int): DataFrame = {
+  /** Build + register the w30 media sim-org under `orgName`, recipe
+    * provider wired for executor-side rebuild; returns the landing
+    * function (inserts in the org's ≤200-row chunk contract). ONE copy
+    * of the construction the gate, the crash child, and the hard-kill
+    * test's run 2 all need (code-review finding: three drifting
+    * copies). */
+  private[graft] def buildMediaOrg(orgName: String)
+      : Seq[org.apache.spark.sql.Row] => Unit = {
     import graft.sources.{InMemoryOrg, MediaOrgRecipe, RemoteOrgRegistry}
-    val seq = gateRunSeq.incrementAndGet()
-    val orgName = s"w30_org_$seq"
-    val base = java.nio.file.Files
-      .createTempDirectory(s"w30_gate_${seq}_").toFile.getAbsolutePath
-    val outDir = s"$base/hashes"
     val simOrg = new InMemoryOrg
     simOrg.createTable("Media__c", MediaOrgRecipe.schema)
     simOrg.recipeProvider =
       () => Some(MediaOrgRecipe(simOrg.rowCount("Media__c")))
     RemoteOrgRegistry.register(orgName, simOrg)
+    rs => rs.grouped(200).foreach(chunk =>
+      simOrg.insert("Media__c", chunk, MediaOrgRecipe.schema))
+  }
+
+  private[graft] def mediaConnectorStreamGate(spark: SparkSession,
+      maxHamming: Int): DataFrame = {
+    import graft.sources.MediaOrgRecipe
+    val seq = gateRunSeq.incrementAndGet()
+    val orgName = s"w30_org_$seq"
+    val base = java.nio.file.Files
+      .createTempDirectory(s"w30_gate_${seq}_").toFile.getAbsolutePath
+    val outDir = s"$base/hashes"
+    val land = buildMediaOrg(orgName)
     val rows = MediaOrgRecipe.rows
-    def land(rs: Seq[org.apache.spark.sql.Row]): Unit =
-      rs.grouped(200).foreach(chunk =>
-        simOrg.insert("Media__c", chunk, MediaOrgRecipe.schema))
     // originals land before the crash; the re-keyed duplicates land
     // while the stream is down — so every near-dup PAIR straddles the
     // restart and exists only if the cursor resumed correctly
@@ -1359,20 +1370,26 @@ object Streams {
       }
       .option("checkpointLocation", s"$base/ckpt")
 
-  /** The spool → banded-Hamming pair read both w30 tests share. The
-    * `distinct()` makes reads tolerant of the exact-duplicate rows a
+  /** PUBLIC duplicate-tolerant spool read — THE way to read a media
+    * hash spool: the `distinct()` folds the exact-duplicate rows a
     * [[compactMediaSpool]] crash window can leave (consolidated batch
-    * committed, consumed epoch dirs not yet deleted) — without it a
-    * duplicated hash row duplicates every pair it participates in. */
-  private[graft] def mediaSpoolPairs(spark: SparkSession, outDir: String,
-      maxHamming: Int): DataFrame = {
-    val hashes = spark.read.schema(mediaHashSchema).parquet(outDir)
+    * committed, consumed epoch dirs not yet deleted). A raw
+    * `spark.read.parquet(outDir)` would see every media in the
+    * consumed epochs twice after such a crash and duplicate every
+    * pair downstream (code-review finding: the crash contract held
+    * only for package-internal readers while compaction was public). */
+  def readMediaSpool(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.schema(mediaHashSchema).parquet(outDir)
       .select("media_id", "simhash") // drop the epoch partition column
       .distinct()
-    graft.functions.TextOps.simHashPairs(hashes, "media_id", maxHamming)
+
+  /** The spool → banded-Hamming pair read the w28–w30 gates share. */
+  private[graft] def mediaSpoolPairs(spark: SparkSession, outDir: String,
+      maxHamming: Int): DataFrame =
+    graft.functions.TextOps
+      .simHashPairs(readMediaSpool(spark, outDir), "media_id", maxHamming)
       .select(col("id_a"), col("id_b"),
         col("hamming").cast("int").as("hamming"))
-  }
 
   /** Fold the accreted media-hash spool's epoch directories into ONE
     * consolidated directory — a year of micro-batches is tens of
@@ -1395,24 +1412,49 @@ object Streams {
     val root = new org.apache.hadoop.fs.Path(outDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return
-    val epochDirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.startsWith("epoch="))
+    // one pass per level: the hash spool itself, and the `_undecoded`
+    // dead-letter spool, which accretes one (usually empty) epoch dir
+    // per micro-batch too — folding only the hashes would leave half
+    // the small-files tax in place (code-review finding)
+    compactEpochDirs(spark, fs, root, numFiles)
+    val dead = new org.apache.hadoop.fs.Path(root, "_undecoded")
+    if (fs.exists(dead)) compactEpochDirs(spark, fs, dead, numFiles,
+      schemaDdl = "media_id BIGINT")
+  }
+
+  /** Fold one level of `epoch=N` dirs under `base` into a consolidated
+    * negative epoch; staged-rename-committed before the consumed dirs
+    * die. ONE maintenance runner at a time (same stance as the stores;
+    * run it with the ingest stream stopped). */
+  private def compactEpochDirs(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path, numFiles: Int,
+      schemaDdl: String = mediaHashSchema): Unit = {
+    val children = fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+    // sweep staging orphans first: a crash between the staging write
+    // and its rename leaves a FULL consolidated copy of this level —
+    // invisible to reads, but repeated crash-retry cycles would
+    // accumulate whole-spool copies inside the very routine meant to
+    // shrink the footprint (code-review finding). One maintenance
+    // runner at a time, so no live compactor's staging is swept.
+    children.filter(_.getName.startsWith("_staging_"))
+      .foreach(fs.delete(_, true))
+    val epochDirs = children.filter(_.getName.startsWith("epoch="))
     if (epochDirs.length <= 1) return // already consolidated (or empty)
     // the staged-rename commit needs the same filesystem contract as
     // the stores (and the consolidated dir must keep its files intact)
-    graft.functions.FsCommit.requireAtomicCommits(fs, outDir,
+    graft.functions.FsCommit.requireAtomicCommits(fs, base.toString,
       "media hash spool")
     val target = math.min(-1L,
       epochDirs.map(_.getName.stripPrefix("epoch=").toLong).min - 1)
-    val staging = new org.apache.hadoop.fs.Path(root,
+    val staging = new org.apache.hadoop.fs.Path(base,
       s"_staging_${java.util.UUID.randomUUID()}")
-    spark.read.schema(mediaHashSchema)
+    spark.read.schema(schemaDdl)
       .parquet(epochDirs.map(_.toString).toSeq: _*)
-      .select("media_id", "simhash")
       .distinct() // fold duplicates a previous crash window left
       .coalesce(numFiles)
       .write.parquet(staging.toString)
-    val committed = new org.apache.hadoop.fs.Path(root, s"epoch=$target")
+    val committed = new org.apache.hadoop.fs.Path(base, s"epoch=$target")
     if (!fs.rename(staging, committed)) {
       fs.delete(staging, true)
       throw new IllegalStateException(
@@ -1428,18 +1470,22 @@ object Streams {
     * a spool epoch dir can die HALF-WRITTEN with no clean abort (the
     * torn-parquet window the epoch-keyed overwrite must absorb on
     * replay). */
+  /** Admission cap for the w30 HARD-KILL pair (child free-run + the
+    * suite's mid-backfill guard): 4 rows/batch → 20 micro-batches for
+    * the originals half, so the parent's poll-detect-kill latency after
+    * commit 0 cannot plausibly let the child drain everything first
+    * (code-review finding: at the gate's cap of 16 the child needed
+    * only 5 batches, a flake window on a fast host). The suite derives
+    * its drain math from THIS constant. */
+  private[graft] val MediaCrashCap = 4
+
   private[graft] def mediaCrashChildRun(spark: SparkSession,
       base: String): Unit = {
-    import graft.sources.{InMemoryOrg, MediaOrgRecipe, RemoteOrgRegistry}
-    val simOrg = new InMemoryOrg
-    simOrg.createTable("Media__c", MediaOrgRecipe.schema)
-    simOrg.recipeProvider =
-      () => Some(MediaOrgRecipe(simOrg.rowCount("Media__c")))
-    RemoteOrgRegistry.register("w30_crash_child", simOrg)
-    val originals = MediaOrgRecipe.rows.take(MediaOrgRecipe.rows.length / 2)
-    originals.grouped(200).foreach(chunk =>
-      simOrg.insert("Media__c", chunk, MediaOrgRecipe.schema))
-    mediaConnectorSinkStream(spark, "w30_crash_child", base).start()
+    import graft.sources.MediaOrgRecipe
+    val land = buildMediaOrg("w30_crash_child")
+    land(MediaOrgRecipe.rows.take(MediaOrgRecipe.rows.length / 2))
+    mediaConnectorSinkStream(spark, "w30_crash_child", base,
+      cap = MediaCrashCap).start()
       .awaitTermination() // killed externally
   }
 

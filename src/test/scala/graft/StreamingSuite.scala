@@ -1182,6 +1182,45 @@ class StreamingSuite extends SparkSuite {
       "watermarked dedup diverged from batch distinct in one batch")
   }
 
+  /** Shared scaffolding of the two hard-kill tests: fork a crash-child
+    * JVM running `mainClass args…`, wait (up to 120 s) for batch 0 to
+    * commit in the checkpoint under `base`, then SIGKILL it — whatever
+    * the next batch was doing dies with no clean abort. Asserts the
+    * child reached commit 0, with its log in the failure message. */
+  private def forkAndKillAfterCommit0(mainClass: String,
+      args: Seq[String], base: String): Unit = {
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
+      "-cp", System.getProperty("java.class.path"), mainClass) ++ args).toList
+    val childLog = new java.io.File(base, "child.log")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(ProcessBuilder.Redirect.to(childLog))
+    val proc = pb.start()
+    try {
+      val commit0 = new java.io.File(s"$base/ckpt/commits/0")
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (!commit0.exists() && proc.isAlive &&
+          System.nanoTime() < deadline)
+        Thread.sleep(25)
+      assert(commit0.exists(), "child never committed batch 0; log:\n" +
+        new String(java.nio.file.Files.readAllBytes(childLog.toPath)))
+    } finally {
+      proc.destroyForcibly()
+      proc.waitFor()
+    }
+  }
+
   test("w22 hard-kill: SIGKILLed connector stream resumes its Id cursor exactly") {
     // upgrade of the gate's cooperative stop() (VERDICT r11 stretch):
     // run 1 happens in a FORKED JVM that is destroyForcibly'd (SIGKILL)
@@ -1200,39 +1239,10 @@ class StreamingSuite extends SparkSuite {
     val customerPath = "/root/testdata/sf0.01/customer.parquet"
     val base = java.nio.file.Files
       .createTempDirectory("w22_kill_").toFile.getAbsolutePath
-    val javaBin = new java.io.File(
-      new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.ConnectorCrashChild", customerPath, base)).toList
-    val childLog = new java.io.File(base, "child.log")
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectErrorStream(true)
-    pb.redirectOutput(ProcessBuilder.Redirect.to(childLog))
-    val proc = pb.start()
-    try {
-      // batch 0 committed = 64 rows in the sink, the rest of h1 unread;
-      // the kill lands wherever batch 1 happens to be at that moment
-      val commit0 = new java.io.File(s"$base/ckpt/commits/0")
-      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-      while (!commit0.exists() && proc.isAlive &&
-          System.nanoTime() < deadline)
-        Thread.sleep(25)
-      assert(commit0.exists(), "child never committed batch 0; log:\n" +
-        new String(java.nio.file.Files.readAllBytes(childLog.toPath)))
-    } finally {
-      proc.destroyForcibly()
-      proc.waitFor()
-    }
+    // batch 0 committed = 64 rows in the sink, the rest of h1 unread;
+    // the kill lands wherever batch 1 happens to be at that moment
+    forkAndKillAfterCommit0("graft.ConnectorCrashChild",
+      Seq(customerPath, base), base)
     // the kill must land MID-BACKFILL (r12 verdict): if the child had
     // drained all of h1 before the SIGKILL, run 2's "resume" would be
     // a no-op and this test would silently stop guarding the cursor —
@@ -1275,47 +1285,21 @@ class StreamingSuite extends SparkSuite {
     // duplicate hash rows only if epochs drift (they must not), a
     // skipped cursor loses media and their pairs, and an unabsorbed
     // torn file fails the read outright.
-    import graft.sources.{MediaOrgRecipe, RemoteOrgRegistry, InMemoryOrg}
+    import graft.sources.MediaOrgRecipe
     import graft.multimodal.PinnedMediaMath
     val base = java.nio.file.Files
       .createTempDirectory("w30_kill_").toFile.getAbsolutePath
-    val javaBin = new java.io.File(
-      new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.MediaCrashChild", base)).toList
-    val childLog = new java.io.File(base, "child.log")
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectErrorStream(true)
-    pb.redirectOutput(ProcessBuilder.Redirect.to(childLog))
-    val proc = pb.start()
-    val nOriginals = MediaOrgRecipe.rows.length / 2 // 80
-    val batchesToDrainH1 = math.ceil(nOriginals / 16.0).toLong // cap=16
-    try {
-      val commit0 = new java.io.File(s"$base/ckpt/commits/0")
-      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-      while (!commit0.exists() && proc.isAlive &&
-          System.nanoTime() < deadline)
-        Thread.sleep(25)
-      assert(commit0.exists(), "child never committed batch 0; log:\n" +
-        new String(java.nio.file.Files.readAllBytes(childLog.toPath)))
-    } finally {
-      proc.destroyForcibly()
-      proc.waitFor()
-    }
+    forkAndKillAfterCommit0("graft.MediaCrashChild", Seq(base), base)
     // the kill must land MID-BACKFILL: committed batches (checkpoint
     // commit files — counting the spool would trip on the torn epoch
     // the kill is supposed to produce) strictly fewer than a full h1
-    // drain needs
+    // drain needs. The drain math derives from the child's own cap
+    // (Streams.MediaCrashCap = 4 → 20 batches for the 80 originals),
+    // sized so a fast host cannot drain everything inside the parent's
+    // poll-detect-kill latency.
+    val nOriginals = MediaOrgRecipe.rows.length / 2 // 80
+    val batchesToDrainH1 =
+      math.ceil(nOriginals.toDouble / Streams.MediaCrashCap).toLong
     val committed = Option(new java.io.File(s"$base/ckpt/commits")
       .listFiles()).map(_.count(f => f.getName.forall(_.isDigit)))
       .getOrElse(0)
@@ -1325,14 +1309,10 @@ class StreamingSuite extends SparkSuite {
     // run 2, in-process: rebuild the org the cursor points into
     // (sequential Ids, canonical landing order) with the duplicates
     // landed, and drain from the orphaned checkpoint
-    val simOrg = new InMemoryOrg
-    simOrg.createTable("Media__c", MediaOrgRecipe.schema)
-    simOrg.recipeProvider =
-      () => Some(MediaOrgRecipe(simOrg.rowCount("Media__c")))
-    RemoteOrgRegistry.register("w30_kill_parent", simOrg)
-    MediaOrgRecipe.rows.grouped(200).foreach(chunk =>
-      simOrg.insert("Media__c", chunk, MediaOrgRecipe.schema))
-    val q2 = Streams.mediaConnectorSinkStream(spark, "w30_kill_parent", base)
+    val land = Streams.buildMediaOrg("w30_kill_parent")
+    land(MediaOrgRecipe.rows)
+    val q2 = Streams.mediaConnectorSinkStream(spark, "w30_kill_parent",
+        base, cap = Streams.MediaCrashCap)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q2.awaitTermination()
     val got = Streams.rowsOfSorted(

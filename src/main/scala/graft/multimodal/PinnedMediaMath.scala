@@ -436,12 +436,19 @@ object PinnedMediaMath {
   /** Frame-keyed twin of [[dctCoeffs]] over the video_frames fixture:
     * the identical separable transform with (media_id, frame_idx) as
     * the aggregation unit. */
-  def frameDctCoeffs(spark: SparkSession): DataFrame = {
+  def frameDctCoeffs(spark: SparkSession): DataFrame =
+    frameDctCoeffsOf(spark, spark.read.parquet(s"$fx/video_frames")
+      .select(col("media_id"), col("frame_idx"), col("y"), col("x"),
+        col("v")))
+
+  /** The frame-keyed transform over an arbitrary (media_id, frame_idx,
+    * y, x, v) plane table — the fixture by default, or a
+    * planted-duplicate union (mm16). Carries the zigzag bit power `p`
+    * so the per-frame HASH can reuse the output directly. */
+  def frameDctCoeffsOf(spark: SparkSession, planes: DataFrame): DataFrame = {
     import spark.implicits._
     val basis = basisDf(spark)
     val zig = zigzag16.toDF("zu", "zv", "z", "p")
-    val planes = spark.read.parquet(s"$fx/video_frames")
-      .select(col("media_id"), col("frame_idx"), col("y"), col("x"), col("v"))
     val tmp = planes.join(broadcast(basis), col("x") === col("i"))
       .groupBy(col("media_id"), col("frame_idx"), col("u"), col("y"))
       .agg(sum(col("v") * col("c")).as("t"))
@@ -450,7 +457,126 @@ object PinnedMediaMath {
       .groupBy(col("media_id"), col("frame_idx"), col("u"), col("v2"))
       .agg(sum(col("t") * col("c2")).as("o"))
       .join(broadcast(zig), col("u") === col("zu") && col("v2") === col("zv"))
-      .select(col("media_id"), col("frame_idx"), col("z"), col("o"))
+      .select(col("media_id"), col("frame_idx"), col("z"), col("p"),
+        col("o"))
+  }
+
+  /** Per-FRAME pinned pHash — [[phashOf]]'s math with (media_id,
+    * frame_idx) as the hash unit: identical ranking, integral-median
+    * pair, and sign-bit pack per frame. */
+  def framePhashOf(spark: SparkSession, planes: DataFrame): DataFrame = {
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id", "frame_idx").orderBy(col("o"), col("z"))
+    val ranked = frameDctCoeffsOf(spark, planes)
+      .withColumn("rk", row_number().over(wq))
+    val med = ranked.groupBy("media_id", "frame_idx")
+      .agg(sum(when(col("rk").isin(32, 33), col("o"))).as("m2"))
+    ranked.join(med, Seq("media_id", "frame_idx"))
+      .withColumn("bit", col("o") * 2 > col("m2"))
+      .groupBy("media_id", "frame_idx")
+      .agg(
+        sum(when(col("bit") && col("z") < 32, col("p")).otherwise(0L))
+          .as("hash_lo"),
+        sum(when(col("bit") && col("z") >= 32, col("p")).otherwise(0L))
+          .as("hash_hi"))
+  }
+
+  /** mm16 — the near-dup triad's VIDEO member (mm14 image, mm15
+    * audio): re-keyed duplicates planted at the demuxed FRAME-PLANES
+    * level, every frame pinned-pHashed independently, and two videos
+    * pair when EVERY aligned frame pair is within `maxHamming` — the
+    * strict "same cut" semantics (a planted copy matches on all 4
+    * fixture frames at hamming 0; unrelated videos must miss on at
+    * least one frame).
+    *
+    * Scale path: the SAME banded pigeonhole join as the text/image/
+    * audio paths, over a composite (media, frame) key — band cost is
+    * frames × bands, never videos². Frame alignment and the all-frames
+    * requirement are cheap post-filters on the surfaced candidate
+    * pairs (a frame pair the pigeonhole join cannot surface has
+    * hamming > maxHamming, which correctly kills its video pair under
+    * the every-frame semantics). */
+  def videoNearDupPinned(spark: SparkSession, maxHamming: Int): DataFrame = {
+    val planes = spark.read.parquet(s"$fx/video_frames")
+      .select(col("media_id"), col("frame_idx"), col("y"), col("x"),
+        col("v"))
+    val planted = planes.unionByName(
+      planes.withColumn("media_id", col("media_id") + 1000000L))
+    val nFrames = 4 // the fixture's GVC1 clips demux to 4 frames each
+    val hashes = framePhashOf(spark, planted)
+      .select((col("media_id") * nFrames + col("frame_idx")).as("fid"),
+        packSimhash(col("hash_hi"), col("hash_lo")).as("simhash"))
+    graft.functions.TextOps.simHashPairs(hashes, "fid", maxHamming)
+      // aligned frames only; composite ids of the same video can never
+      // pair here (same frame_idx within one video is the same fid)
+      .where(pmod(col("id_a"), lit(nFrames)) ===
+        pmod(col("id_b"), lit(nFrames)))
+      .select(expr(s"id_a div $nFrames").as("vid_a"),
+        expr(s"id_b div $nFrames").as("vid_b"),
+        pmod(col("id_a"), lit(nFrames)).as("f"),
+        col("hamming"))
+      .groupBy("vid_a", "vid_b")
+      .agg(countDistinct(col("f")).as("nf"),
+        max(col("hamming")).as("max_hamming"))
+      .where(col("nf") === nFrames) // EVERY aligned frame within budget
+      .select(col("vid_a").as("id_a"), col("vid_b").as("id_b"),
+        col("max_hamming").cast("int").as("max_hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB replay of [[videoNearDupPinned]]: frame-level planted
+    * duplicates through the per-frame DCT+hash chain, exact aligned
+    * all-pairs Hamming, videos pair when the WORST aligned frame is
+    * within budget. */
+  def videoNearDupOracle(maxHamming: Int): String = {
+    val raw = s"SELECT media_id, frame_idx, y, x, v " +
+      s"FROM read_parquet('$fx/video_frames/*.parquet')"
+    s"""
+    WITH basis(u, i, c) AS (VALUES ${values3(dctBasis16)}),
+    zig(zu, zv, z, p) AS (VALUES ${values4(zigzag16)}),
+    fplanes AS (
+      SELECT media_id, frame_idx, y, x, v FROM ($raw)
+      UNION ALL
+      SELECT media_id + 1000000, frame_idx, y, x, v FROM ($raw)),
+    ftmp AS (
+      SELECT media_id, frame_idx, b.u, p.y,
+             CAST(SUM(p.v * b.c) AS BIGINT) AS t
+      FROM fplanes p JOIN basis b ON p.x = b.i
+      GROUP BY 1, 2, 3, 4),
+    fspec AS (
+      SELECT t.media_id, t.frame_idx, t.u, b.u AS v2,
+             CAST(SUM(t.t * b.c) AS BIGINT) AS o
+      FROM ftmp t JOIN basis b ON t.y = b.i
+      GROUP BY 1, 2, 3, 4),
+    fcoeffs AS (
+      SELECT s.media_id, s.frame_idx, z.z, z.p, s.o
+      FROM fspec s JOIN zig z ON s.u = z.zu AND s.v2 = z.zv),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY media_id, frame_idx
+                                   ORDER BY o, z) AS rk
+      FROM fcoeffs),
+    med AS (
+      SELECT media_id, frame_idx,
+             CAST(SUM(CASE WHEN rk IN (32, 33) THEN o END) AS BIGINT) AS m2
+      FROM ranked GROUP BY 1, 2),
+    hsh AS (
+      SELECT r.media_id, r.frame_idx,
+             CAST(SUM(CASE WHEN 2 * r.o > m.m2 AND r.z < 32 THEN r.p
+                           ELSE 0 END) AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN 2 * r.o > m.m2 AND r.z >= 32 THEN r.p
+                           ELSE 0 END) AS BIGINT) AS hi
+      FROM ranked r JOIN med m USING (media_id, frame_idx)
+      GROUP BY 1, 2),
+    fpairs AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+               AS hamming
+      FROM hsh a JOIN hsh b
+        ON a.media_id < b.media_id AND a.frame_idx = b.frame_idx)
+    SELECT id_a, id_b, CAST(MAX(hamming) AS INT) AS max_hamming
+    FROM fpairs GROUP BY 1, 2
+    HAVING MAX(hamming) <= $maxHamming
+    ORDER BY id_a, id_b"""
   }
 
   /** mm13: image→video retrieval by frame-level maxsim — every demuxed

@@ -286,6 +286,19 @@ object MultimodalQ {
     QueryDef(
       "mm15_audio_neardup_pinned",
       (s, d) => PinnedMediaMath.audioNearDupPinned(s, maxHamming = 4),
-      Some(PinnedMediaMath.audioNearDupOracle(maxHamming = 4)))
+      Some(PinnedMediaMath.audioNearDupOracle(maxHamming = 4))),
+
+    // mm16: the near-dup triad's VIDEO member — duplicates planted at
+    // the demuxed frame-planes level, every frame pinned-pHashed
+    // independently, videos pair when EVERY aligned frame is within
+    // the Hamming budget ("same cut" semantics). The scale path is the
+    // same banded pigeonhole join over a composite (video, frame) key
+    // — cost is frames x bands, never videos² — with alignment and the
+    // all-frames rule as cheap post-filters; the oracle replays the
+    // per-frame hash chain and the worst-aligned-frame rule exactly.
+    QueryDef(
+      "mm16_video_neardup_pinned",
+      (s, d) => PinnedMediaMath.videoNearDupPinned(s, maxHamming = 4),
+      Some(PinnedMediaMath.videoNearDupOracle(maxHamming = 4)))
   )
 }

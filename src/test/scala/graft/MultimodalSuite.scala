@@ -539,6 +539,25 @@ class MultimodalSuite extends SparkSuite {
     assert(checked > 500, s"only $checked band signs were checkable")
   }
 
+  test("video near-dup (mm16): every planted copy pairs with its " +
+      "original on ALL frames at hamming 0") {
+    // the oracle proves Spark == DuckDB; this pins the semantics being
+    // right at all — identical frame planes must survive the banded
+    // join, the alignment filter, and the every-frame rule as a
+    // max_hamming-0 pair for every planted video
+    import graft.multimodal.{MediaFixture, PinnedMediaMath}
+    val pairs = PinnedMediaMath.videoNearDupPinned(spark, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    val videoIds = MediaFixture.media(spark)
+      .filter(_.meta.kind == "video").collect().map(_.media_id)
+    assert(videoIds.nonEmpty)
+    videoIds.foreach { id =>
+      assert(pairs.get((id, id + 1000000L)).contains(0),
+        s"planted copy of video $id must pair at max_hamming 0")
+    }
+  }
+
   test("fused MediaPhash expression: bit-equal to the pixel-row SQL " +
       "twin; undecodable bytes are NULL, not an exception") {
     // r16 verdict prescription 5: the streamed sink's hot path is now

@@ -72,5 +72,6 @@ object GraftExtensions {
     graft.functions.PinnedHyperplaneSig.ensureRegistered(spark)
     graft.multimodal.MediaPhash.ensureRegistered(spark)
     graft.multimodal.AudioBandHash.ensureRegistered(spark)
+    graft.multimodal.VideoFrameHashes.ensureRegistered(spark)
   }
 }

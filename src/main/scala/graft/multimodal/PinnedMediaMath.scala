@@ -502,11 +502,25 @@ object PinnedMediaMath {
         col("v"))
     val planted = planes.unionByName(
       planes.withColumn("media_id", col("media_id") + 1000000L))
-    val nFrames = 4 // the fixture's GVC1 clips demux to 4 frames each
-    val hashes = framePhashOf(spark, planted)
-      .select((col("media_id") * nFrames + col("frame_idx")).as("fid"),
-        packSimhash(col("hash_hi"), col("hash_lo")).as("simhash"))
-    graft.functions.TextOps.simHashPairs(hashes, "fid", maxHamming)
+    videoPairsFromFrameHashes(
+      framePhashOf(spark, planted)
+        .select(col("media_id"), col("frame_idx"),
+          packSimhash(col("hash_hi"), col("hash_lo")).as("simhash")),
+      maxHamming)
+  }
+
+  /** The every-aligned-frame pairing over a per-frame hash table
+    * `(media_id, frame_idx, simhash)` — ONE copy shared by mm16 (batch
+    * hashes) and w31 (the streamed spool), so the banded join, the
+    * alignment filter, and the all-frames rule cannot drift between
+    * the two faces. `nFrames` = frames per clip (the fixture's GVC1
+    * containers demux to 4). */
+  def videoPairsFromFrameHashes(hashes: DataFrame, maxHamming: Int,
+      nFrames: Int = 4): DataFrame = {
+    val fids = hashes.select(
+      (col("media_id") * nFrames + col("frame_idx")).as("fid"),
+      col("simhash"))
+    graft.functions.TextOps.simHashPairs(fids, "fid", maxHamming)
       // aligned frames only; composite ids of the same video can never
       // pair here (same frame_idx within one video is the same fid)
       .where(pmod(col("id_a"), lit(nFrames)) ===

@@ -787,6 +787,22 @@ object Windows {
       Some(graft.multimodal.PinnedMediaMath.imageNearDupOracle(
         maxHamming = 4))),
 
+    // ---- w31: streamed VIDEO ingest → demux → per-frame hash → near-dup --
+    // the streamed triad's video member (w28 image, w29 audio): GVC1
+    // payloads stream in file-source micro-batches, each batch runs
+    // demux + per-frame ImageIO decode + the pinned per-frame pHash
+    // FUSED in one codegen'd expression (container bytes in, one hash
+    // per frame out — per-clip state only), and the accreted per-frame
+    // spool rides mm16's every-aligned-frame banded pairing. Oracle =
+    // mm16's replay verbatim.
+    QueryDef(
+      "w31_stream_video_neardup",
+      (s, d) =>
+        graft.streaming.Streams.videoNearDupStreamGate(s, maxHamming = 4)
+          .orderBy("id_a", "id_b"),
+      Some(graft.multimodal.PinnedMediaMath.videoNearDupOracle(
+        maxHamming = 4))),
+
     // ---- w16: stream-static AS-OF enrichment through the engine -----------
     // a04's semantics run incrementally: each streamed purchase joins
     // the latest static view at-or-before its event time (broadcast

@@ -1194,6 +1194,36 @@ object Streams {
     * true answer is zero media. */
   val mediaHashSchema: String = "media_id BIGINT, simhash BIGINT"
 
+  /** [[videoFrameHashBatch]]'s spool schema: one row per demuxed frame. */
+  val videoFrameHashSchema: String =
+    "media_id BIGINT, frame_idx INT, simhash BIGINT"
+
+  /** The VIDEO member of the fused ingest sinks ([[mediaPhashBatch]]
+    * image, [[audioBandHashBatch]] audio): each micro-batch of
+    * `(media_id, bytes)` GVC1 payloads runs demux + per-frame decode +
+    * pinned per-frame pHash fused in one expression
+    * ([[graft.multimodal.VideoFrameHashes]]) and lands one spool row
+    * PER FRAME — what is checkpointed is one row per clip (the small
+    * hash array), never frames or pixels. Same epoch-idempotent
+    * overwrite and `_undecoded` dead-letter contract as the siblings
+    * (a clip with ANY torn frame dead-letters whole: the every-frame
+    * near-dup semantics cannot honestly hash a partial decode). */
+  def videoFrameHashBatch(outDir: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, epochId: Long) => {
+      val spark = batch.sparkSession
+      val hashed = batch.select(col("media_id"),
+          graft.multimodal.VideoFrameHashes.column(spark, col("bytes"))
+            .as("hashes"))
+        .localCheckpoint(true) // ONE decode pass feeds both writers below
+      hashed.where(col("hashes").isNotNull)
+        .select(col("media_id"),
+          posexplode(col("hashes")).as(Seq("frame_idx", "simhash")))
+        .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+      hashed.where(col("hashes").isNull).select("media_id")
+        .write.mode("overwrite")
+        .parquet(s"$outDir/_undecoded/epoch=$epochId")
+    }
+
   /** w28's gate: the multimodal dedup lifecycle as a STREAM — media
     * payloads (the deterministic fixture corpus plus re-keyed planted
     * duplicates, as PNG BYTES) arrive in file-source micro-batches;
@@ -1277,6 +1307,47 @@ object Streams {
       .start()
     q.awaitTermination()
     mediaSpoolPairs(spark, outDir, maxHamming)
+  }
+
+  /** w31's gate: the streamed-triad's VIDEO member (w28 image, w29
+    * audio) — GVC1 video payloads (fixture corpus plus re-keyed
+    * planted duplicates) arrive in file-source micro-batches; each
+    * batch runs the fused demux+decode+per-frame-pHash kernel
+    * ([[videoFrameHashBatch]]), and the accreted per-frame spool rides
+    * the SAME every-aligned-frame banded pairing mm16 uses
+    * ([[graft.multimodal.PinnedMediaMath.videoPairsFromFrameHashes]]).
+    * Oracle = mm16's replay verbatim, so the demux boundary, the
+    * per-frame hash chain, the streaming plumbing, and the video
+    * pairing rule sit under one bit-exact check. */
+  private[graft] def videoNearDupStreamGate(spark: SparkSession,
+      maxHamming: Int): DataFrame = {
+    import spark.implicits._
+    val clips = graft.multimodal.MediaFixture.media(spark)
+      .filter(_.meta.kind == "video")
+    val planted = clips.union(
+      clips.map(m => m.copy(media_id = m.media_id + 1000000L)))
+    val seq = gateRunSeq.incrementAndGet()
+    val spool = java.nio.file.Files
+      .createTempDirectory(s"w31_spool_${seq}_").toString
+    planted.toDF().select("media_id", "bytes")
+      .repartition(6)
+      .write.mode("overwrite").parquet(spool)
+    val outDir = java.nio.file.Files
+      .createTempDirectory(s"w31_hashes_${seq}_").toString
+    val stream = spark.readStream
+      .schema("media_id BIGINT, bytes BINARY")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(spool)
+    val q = stream.writeStream
+      .foreachBatch(videoFrameHashBatch(outDir))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val hashes = spark.read.schema(videoFrameHashSchema).parquet(outDir)
+      .select("media_id", "frame_idx", "simhash") // drop the epoch col
+      .distinct() // the spool-read duplicate-tolerance contract
+    graft.multimodal.PinnedMediaMath
+      .videoPairsFromFrameHashes(hashes, maxHamming)
   }
 
   /** w30's gate: media payloads arriving through the CONNECTOR source —

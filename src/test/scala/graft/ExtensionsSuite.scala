@@ -92,6 +92,15 @@ class ExtensionsSuite extends AnyFunSuite {
         "graft_audio_band_hash(CAST('junk' AS BINARY)) AS j").head()
     assert(!ab.isNullAt(0) && ab.isNullAt(1),
       "audio band hash: WAV hashes, junk is NULL")
+    val gvc = java.util.Base64.getEncoder.encodeToString(
+      graft.multimodal.Multimodal.VideoContainer.encode(
+        Seq((0L, graft.multimodal.Multimodal.syntheticPng(3L, 0)))))
+    val vf = spark.sql(
+      s"SELECT graft_video_frame_hashes(unbase64('$gvc')) AS h, " +
+        "graft_video_frame_hashes(CAST('junk' AS BINARY)) AS j").head()
+    assert(!vf.isNullAt(0) && vf.getSeq[Long](0).length == 1 &&
+      vf.isNullAt(1),
+      "video frame hashes: container hashes per frame, junk is NULL")
 
     val phs = spark.sql(
       "SELECT graft_pinned_hyperplane_sig(array(0.5d, -0.25d), 8, 4, 2) AS s")

@@ -558,6 +558,45 @@ class MultimodalSuite extends SparkSuite {
     }
   }
 
+  test("fused VideoFrameHashes expression: bit-equal to the per-frame " +
+      "SQL twin; junk and truncated containers are NULL") {
+    // w31's kernel: GVC1 demux + per-frame decode + per-frame pinned
+    // pHash in one pass. The declarative twin is framePhashOf over the
+    // committed frame-planes fixture, packed per frame.
+    import graft.multimodal.{MediaFixture, PinnedMediaMath, VideoFrameHashes}
+    val clips = MediaFixture.media(spark)
+      .filter(_.meta.kind == "video").toDF()
+      .select("media_id", "bytes")
+    val fused = clips.select(col("media_id"),
+        VideoFrameHashes.column(spark, col("bytes")).as("hashes"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaSql = PinnedMediaMath.framePhashOf(spark,
+        spark.read.parquet(s"${MediaFixture.dir}/video_frames")
+          .select(col("media_id"), col("frame_idx"), col("y"), col("x"),
+            col("v")))
+      .select(col("media_id"), col("frame_idx"),
+        PinnedMediaMath.packSimhash(col("hash_hi"), col("hash_lo"))
+          .as("simhash"))
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(fused.nonEmpty && fused == viaSql,
+      "fused demux+decode+hash kernel diverged from the per-frame twin")
+    // dead-letter contract: junk bytes AND a truncated GVC1 container
+    // both hash to NULL (a throwing poisonous payload would wedge an
+    // at-least-once stream in a retry loop forever)
+    val goodClip = clips.as[(Long, Array[Byte])].head()._2
+    val junk = Seq(
+      (1L, "not a container".getBytes("UTF-8")),
+      (2L, goodClip.take(goodClip.length / 2)) // GVC1 magic, torn framing
+    ).toDF("media_id", "bytes")
+    val nulls = junk
+      .select(VideoFrameHashes.column(spark, col("bytes")).as("h"))
+      .collect()
+    assert(nulls.forall(_.isNullAt(0)),
+      s"undecodable video payloads must hash to NULL: ${nulls.toSeq}")
+  }
+
   test("fused MediaPhash expression: bit-equal to the pixel-row SQL " +
       "twin; undecodable bytes are NULL, not an exception") {
     // r16 verdict prescription 5: the streamed sink's hot path is now

@@ -79,7 +79,13 @@ object Multimodal {
         Some((0 until n).map { _ =>
           val ts = in.readLong()
           val len = in.readInt()
-          require(len >= 0, s"negative frame length $len")
+          // bound BEFORE allocating: a corrupt length field must fail
+          // as the usual framing error (readFully would catch it a
+          // moment later anyway), never as a multi-GB allocation — an
+          // OutOfMemoryError escapes every dead-letter catch and kills
+          // the executor (code-review finding)
+          require(len >= 0 && len <= bytes.length,
+            s"frame length $len outside container of ${bytes.length} bytes")
           val png = new Array[Byte](len)
           in.readFully(png)
           (ts, png)

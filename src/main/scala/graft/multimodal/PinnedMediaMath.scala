@@ -517,6 +517,23 @@ object PinnedMediaMath {
     * containers demux to 4). */
   def videoPairsFromFrameHashes(hashes: DataFrame, maxHamming: Int,
       nFrames: Int = 4): DataFrame = {
+    // the composite fid arithmetic is only sound when EVERY clip has
+    // exactly frames 0..nFrames-1: a 5-frame clip's frame 4 would
+    // alias as frame 0 of the NEXT video id and silently corrupt the
+    // pairing; a 3-frame clip could never satisfy the all-frames rule
+    // and would silently never pair (code-review finding). Validate
+    // loudly — one cheap aggregate over the (tiny) hash table.
+    val bad = hashes.groupBy("media_id")
+      .agg(count(lit(1)).as("n"), min("frame_idx").as("mn"),
+        max("frame_idx").as("mx"))
+      .where(col("n") =!= nFrames || col("mn") =!= 0 ||
+        col("mx") =!= nFrames - 1)
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"videoPairsFromFrameHashes expects exactly frames 0..${nFrames - 1} " +
+        s"per clip; clip ${bad.headOption.map(_.get(0)).orNull} has " +
+        s"${bad.headOption.map(_.get(1)).orNull} rows — pass the clip's " +
+        "real frame count as nFrames, or repair the spool")
     val fids = hashes.select(
       (col("media_id") * nFrames + col("frame_idx")).as("fid"),
       col("simhash"))

@@ -797,9 +797,10 @@ object Windows {
     // mm16's replay verbatim.
     QueryDef(
       "w31_stream_video_neardup",
+      // no extra orderBy: videoPairsFromFrameHashes already returns
+      // (id_a, id_b)-ordered, same as mm16 relies on
       (s, d) =>
-        graft.streaming.Streams.videoNearDupStreamGate(s, maxHamming = 4)
-          .orderBy("id_a", "id_b"),
+        graft.streaming.Streams.videoNearDupStreamGate(s, maxHamming = 4),
       Some(graft.multimodal.PinnedMediaMath.videoNearDupOracle(
         maxHamming = 4))),
 

@@ -1215,11 +1215,16 @@ object Streams {
           graft.multimodal.VideoFrameHashes.column(spark, col("bytes"))
             .as("hashes"))
         .localCheckpoint(true) // ONE decode pass feeds both writers below
-      hashed.where(col("hashes").isNotNull)
+      // a ZERO-frame container is dead-lettered too: a non-null empty
+      // array would posexplode to no spool rows AND miss the null
+      // filter — the clip would vanish from both outputs, the silent
+      // loss the dead-letter contract forbids (code-review finding)
+      val decodable = col("hashes").isNotNull && size(col("hashes")) > 0
+      hashed.where(decodable)
         .select(col("media_id"),
           posexplode(col("hashes")).as(Seq("frame_idx", "simhash")))
         .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
-      hashed.where(col("hashes").isNull).select("media_id")
+      hashed.where(!decodable).select("media_id")
         .write.mode("overwrite")
         .parquet(s"$outDir/_undecoded/epoch=$epochId")
     }
@@ -1240,32 +1245,43 @@ object Streams {
     * membership is fine. GATE-ONLY scope (the r10 convention): callers
     * with real streams use [[mediaPhashBatch]] directly. */
   private[graft] def mediaNearDupStreamGate(spark: SparkSession,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int): DataFrame =
+    mediaSpoolPairs(spark,
+      streamedMediaGateSpool(spark, "image", "w28", mediaPhashBatch),
+      maxHamming)
+
+  /** Shared harness of the w28/w29/w31 gates (ONE copy — code-review
+    * finding: three drifting verbatim copies): plant re-keyed
+    * duplicates of the fixture's `kind` clips, spool them as SEVERAL
+    * parquet files so AvailableNow + maxFilesPerTrigger=1 delivers
+    * several real micro-batches, drain the stream through `sink`, and
+    * return the hash-spool dir for the caller's pairing read. */
+  private def streamedMediaGateSpool(spark: SparkSession, kind: String,
+      label: String,
+      sink: String => (DataFrame, Long) => Unit): String = {
     import spark.implicits._
-    val images = graft.multimodal.MediaFixture.media(spark)
-      .filter(_.meta.kind == "image")
-    val planted = images.union(
-      images.map(m => m.copy(media_id = m.media_id + 1000000L)))
-    // ingest spool: several parquet files so AvailableNow +
-    // maxFilesPerTrigger=1 delivers several real micro-batches
+    val media = graft.multimodal.MediaFixture.media(spark)
+      .filter(_.meta.kind == kind)
+    val planted = media.union(
+      media.map(m => m.copy(media_id = m.media_id + 1000000L)))
     val seq = gateRunSeq.incrementAndGet()
     val spool = java.nio.file.Files
-      .createTempDirectory(s"w28_spool_${seq}_").toString
+      .createTempDirectory(s"${label}_spool_${seq}_").toString
     planted.toDF().select("media_id", "bytes")
       .repartition(6)
       .write.mode("overwrite").parquet(spool)
     val outDir = java.nio.file.Files
-      .createTempDirectory(s"w28_hashes_${seq}_").toString
-    val stream = spark.readStream
+      .createTempDirectory(s"${label}_hashes_${seq}_").toString
+    val q = spark.readStream
       .schema("media_id BIGINT, bytes BINARY")
       .option("maxFilesPerTrigger", 1)
       .parquet(spool)
-    val q = stream.writeStream
-      .foreachBatch(mediaPhashBatch(outDir))
+      .writeStream
+      .foreachBatch(sink(outDir))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    mediaSpoolPairs(spark, outDir, maxHamming)
+    outDir
   }
 
   /** w29's gate: [[mediaNearDupStreamGate]]'s AUDIO sibling — clip
@@ -1283,31 +1299,10 @@ object Streams {
     * under one bit-exact check. GATE-ONLY scope (the r10 convention):
     * callers with real streams use [[audioBandHashBatch]] directly. */
   private[graft] def audioNearDupStreamGate(spark: SparkSession,
-      maxHamming: Int): DataFrame = {
-    import spark.implicits._
-    val clips = graft.multimodal.MediaFixture.media(spark)
-      .filter(_.meta.kind == "audio")
-    val planted = clips.union(
-      clips.map(m => m.copy(media_id = m.media_id + 1000000L)))
-    val seq = gateRunSeq.incrementAndGet()
-    val spool = java.nio.file.Files
-      .createTempDirectory(s"w29_spool_${seq}_").toString
-    planted.toDF().select("media_id", "bytes")
-      .repartition(6)
-      .write.mode("overwrite").parquet(spool)
-    val outDir = java.nio.file.Files
-      .createTempDirectory(s"w29_hashes_${seq}_").toString
-    val stream = spark.readStream
-      .schema("media_id BIGINT, bytes BINARY")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(spool)
-    val q = stream.writeStream
-      .foreachBatch(audioBandHashBatch(outDir))
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    mediaSpoolPairs(spark, outDir, maxHamming)
-  }
+      maxHamming: Int): DataFrame =
+    mediaSpoolPairs(spark,
+      streamedMediaGateSpool(spark, "audio", "w29", audioBandHashBatch),
+      maxHamming)
 
   /** w31's gate: the streamed-triad's VIDEO member (w28 image, w29
     * audio) — GVC1 video payloads (fixture corpus plus re-keyed
@@ -1320,35 +1315,19 @@ object Streams {
     * per-frame hash chain, the streaming plumbing, and the video
     * pairing rule sit under one bit-exact check. */
   private[graft] def videoNearDupStreamGate(spark: SparkSession,
-      maxHamming: Int): DataFrame = {
-    import spark.implicits._
-    val clips = graft.multimodal.MediaFixture.media(spark)
-      .filter(_.meta.kind == "video")
-    val planted = clips.union(
-      clips.map(m => m.copy(media_id = m.media_id + 1000000L)))
-    val seq = gateRunSeq.incrementAndGet()
-    val spool = java.nio.file.Files
-      .createTempDirectory(s"w31_spool_${seq}_").toString
-    planted.toDF().select("media_id", "bytes")
-      .repartition(6)
-      .write.mode("overwrite").parquet(spool)
-    val outDir = java.nio.file.Files
-      .createTempDirectory(s"w31_hashes_${seq}_").toString
-    val stream = spark.readStream
-      .schema("media_id BIGINT, bytes BINARY")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(spool)
-    val q = stream.writeStream
-      .foreachBatch(videoFrameHashBatch(outDir))
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val hashes = spark.read.schema(videoFrameHashSchema).parquet(outDir)
+      maxHamming: Int): DataFrame =
+    graft.multimodal.PinnedMediaMath.videoPairsFromFrameHashes(
+      readVideoFrameSpool(spark,
+        streamedMediaGateSpool(spark, "video", "w31", videoFrameHashBatch)),
+      maxHamming)
+
+  /** PUBLIC duplicate-tolerant read of a PER-FRAME hash spool
+    * ([[videoFrameHashBatch]]'s output) — [[readMediaSpool]]'s video
+    * sibling, carrying the same compaction-crash duplicate contract. */
+  def readVideoFrameSpool(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.schema(videoFrameHashSchema).parquet(outDir)
       .select("media_id", "frame_idx", "simhash") // drop the epoch col
-      .distinct() // the spool-read duplicate-tolerance contract
-    graft.multimodal.PinnedMediaMath
-      .videoPairsFromFrameHashes(hashes, maxHamming)
-  }
+      .distinct()
 
   /** w30's gate: media payloads arriving through the CONNECTOR source —
     * w22's recovery semantics married to the fused multimodal pipeline

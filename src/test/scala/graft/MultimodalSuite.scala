@@ -586,9 +586,21 @@ class MultimodalSuite extends SparkSuite {
     // both hash to NULL (a throwing poisonous payload would wedge an
     // at-least-once stream in a retry loop forever)
     val goodClip = clips.as[(Long, Array[Byte])].head()._2
+    // a length-field bomb: 'GVC1' + 1 frame whose declared PNG length
+    // is ~2 GB — must fail as a framing error mapped to NULL, never as
+    // a multi-GB allocation (OutOfMemoryError escapes every dead-letter
+    // catch and kills the executor — code-review finding)
+    val bomb = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.write("GVC1".getBytes("US-ASCII"))
+      out.writeInt(1); out.writeLong(0L); out.writeInt(0x7FF00000)
+      out.flush(); bos.toByteArray
+    }
     val junk = Seq(
       (1L, "not a container".getBytes("UTF-8")),
-      (2L, goodClip.take(goodClip.length / 2)) // GVC1 magic, torn framing
+      (2L, goodClip.take(goodClip.length / 2)), // GVC1 magic, torn framing
+      (3L, bomb)
     ).toDF("media_id", "bytes")
     val nulls = junk
       .select(VideoFrameHashes.column(spark, col("bytes")).as("h"))

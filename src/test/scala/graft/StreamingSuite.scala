@@ -1084,6 +1084,34 @@ class StreamingSuite extends SparkSuite {
       Streams.mediaSpoolPairs(spark, outDir, maxHamming = 4)) == before)
   }
 
+  test("video sink: a zero-frame container dead-letters; real clips " +
+      "spool one row per frame") {
+    // code-review finding: a non-null EMPTY hash array posexplodes to
+    // no spool rows and misses the null filter — the clip would vanish
+    // from BOTH outputs. Zero frames is now dead-lettered like any
+    // other undecodable payload.
+    import graft.multimodal.{MediaFixture, Multimodal}
+    val good = MediaFixture.media(spark).filter(_.meta.kind == "video")
+      .toDF().select("media_id", "bytes").limit(2)
+    val goodIds = good.select("media_id").as[Long].collect().toSet
+    val empty = Seq(
+      (777L, Multimodal.VideoContainer.encode(Seq.empty)))
+      .toDF("media_id", "bytes")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("video_sink_").toString
+    Streams.videoFrameHashBatch(outDir)(good.unionByName(empty), 0L)
+    val spooled = Streams.readVideoFrameSpool(spark, outDir)
+      .groupBy("media_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(spooled.keySet == goodIds && spooled.values.forall(_ == 4L),
+      s"each real clip must spool 4 frame rows: $spooled")
+    val dead = spark.read.schema("media_id BIGINT")
+      .parquet(s"$outDir/_undecoded")
+      .select("media_id").as[Long].collect().toSet
+    assert(dead == Set(777L),
+      s"the zero-frame clip must dead-letter with its id: $dead")
+  }
+
   test("connector media stream: an undecodable payload dead-letters " +
       "with its id; decodable rows still hash") {
     // the w30 gate's oracle sees only the near-dup pairs — the

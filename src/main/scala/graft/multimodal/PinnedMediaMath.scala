@@ -720,4 +720,204 @@ object PinnedMediaMath {
         col("dot"))
       .orderBy("query_id")
   }
+
+  // ---- mm17: cross-modal duplicate closure ----------------------------
+
+  /** Tokens per synthetic caption → 18 distinct 3-gram shingles. */
+  private val CaptionTokens = 20
+
+  /** One-token edit position for the caption-only repost: the edit
+    * kills exactly the 3 shingles covering it → Jaccard 15/21 ≈ 0.71,
+    * comfortably over the 0.5 join threshold, while any two UNRELATED
+    * captions share zero shingles (tokens are independent 24-bit md5
+    * slices — a whole-3-gram collision is ~2^-72). */
+  private val CaptionEditPos = 7
+
+  /** Caption-seed shift for the re-encoded copy: its caption must be
+    * unrelated to every other item's, so the shifted seed space must
+    * not collide with any base seed (77777 > max base item id). */
+  private val ReencodeSeedShift = 77777L
+
+  /** Base items in the cross-modal corpus. The images are md5-noise
+    * planes generated from the item id by the same formula on both
+    * engines (NOT the committed fixture images — those are LOW-ENTROPY
+    * under pHash: 1712 of 3160 base pairs sit at hamming 0, measured,
+    * so exclusive planted pairs are impossible over them); md5-noise
+    * pixels give near-uniform 64-bit hashes, expected pairwise hamming
+    * 32, so incidental pairs at hamming ≤ 4 are ~2^-44 per pair. */
+  private val CrossModalItems = 80
+
+  /** One deterministic 16×16 plane per id: v(id,y,x) = the first md5
+    * byte of "id:y:x" (0..255) — pure codegen (conv/md5/substring), and
+    * the exact expression the oracle replays in SQL. */
+  private def noisePlanes(spark: SparkSession, n: Int): DataFrame =
+    spark.range(n.toLong * 256L)
+      .select(expr("id div 256").as("media_id"),
+        expr("CAST((id div 16) % 16 AS INT)").as("y"),
+        expr("CAST(id % 16 AS INT)").as("x"))
+      .withColumn("v",
+        conv(substring(md5(concat(
+          col("media_id").cast("string"), lit(":"),
+          col("y").cast("string"), lit(":"),
+          col("x").cast("string")).cast("binary")), 1, 2), 16, 10)
+          .cast("int"))
+
+  /** The DuckDB twin of [[noisePlanes]]. */
+  private def noisePlanesSql(n: Int): String = s"""
+      SELECT i // 256 AS media_id,
+             CAST((i // 16) % 16 AS INT) AS y,
+             CAST(i % 16 AS INT) AS x,
+             CAST(('0x' || substr(md5(
+               CAST(i // 256 AS VARCHAR) || ':' ||
+               CAST((i // 16) % 16 AS VARCHAR) || ':' ||
+               CAST(i % 16 AS VARCHAR)), 1, 2))::UBIGINT AS INT) AS v
+      FROM range(${n.toLong * 256L}) t(i)"""
+
+  private def capTok(seed: org.apache.spark.sql.Column, i: Int,
+      edited: Boolean): org.apache.spark.sql.Column = {
+    val tag = if (edited) s"/$i/e" else s"/$i"
+    substring(md5(concat(seed.cast("string"), lit(tag)).cast("binary")), 1, 6)
+  }
+
+  /** Deterministic caption for a seed: 20 fixed concat terms, plain
+    * codegen — deliberately NOT a `transform` higher-order function,
+    * which is interpreted CodegenFallback by construction (the s14
+    * lesson; CodegenSweep cannot see interpreted-by-design nodes). */
+  private def captionCol(seed: org.apache.spark.sql.Column,
+      editPos: Int = -1): org.apache.spark.sql.Column =
+    concat_ws(" ",
+      (1 to CaptionTokens).map(i => capTok(seed, i, i == editPos)): _*)
+
+  /** Cross-modal duplicate CLOSURE: items carry an image, a caption, or
+    * both; an edge exists when EITHER modality near-matches (pinned
+    * pHash Hamming ≤ maxHamming through the banded pigeonhole join, or
+    * caption 3-gram Jaccard ≥ 0.5 through the prefix-filtered shingle
+    * join), and connected components fold the union into one cluster id
+    * per item. Items are synthetic: md5-noise image planes + md5-token
+    * captions, both generated from the item id by the SAME formula on
+    * both engines. The planted structure makes the closure load-bearing:
+    * for every base item m the corpus holds a re-encoded copy (same
+    * planes, UNRELATED caption — image edge only) and a caption-only
+    * repost (no image, one-token-edited caption — text edge only); the
+    * two derivatives share NO modality with each other, yet must
+    * co-cluster THROUGH the base item — the property a per-modality
+    * dedup cannot express. Scale shape: the sum of two banded joins
+    * plus label-propagation CC — cost tracks candidates per band,
+    * never items². The synthetic planes/captions are fixture plumbing,
+    * not production operators — the production machinery is the hash
+    * chain and the two banded joins — and because both engines derive
+    * them from the id, the DuckDB oracle replays the ENTIRE pipeline:
+    * DCT hash chain, shingle Jaccard, edge union, recursive closure. */
+  def crossModalDedupPinned(spark: SparkSession, maxHamming: Int): DataFrame = {
+    val (imgEdges, txtEdges, items) = crossModalEdges(spark, maxHamming)
+    val edges = imgEdges.unionByName(txtEdges).distinct()
+    graft.functions.TextOps
+      .duplicateClusters(items, "item_id", edges)
+      .orderBy("item_id")
+  }
+
+  /** The two per-modality edge sets and the item universe behind
+    * [[crossModalDedupPinned]] — exposed so the suite can pin the
+    * planted structure exactly (one image edge and one text edge per
+    * base item, no edge between the two derivatives). */
+  private[graft] def crossModalEdges(spark: SparkSession, maxHamming: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val planes = noisePlanes(spark, CrossModalItems)
+    val baseIds = planes.select(col("media_id")).distinct()
+    // image items: base m and its re-encode m+1,000,000 (same planes)
+    val planted = planes.unionByName(
+      planes.withColumn("media_id", col("media_id") + 1000000L))
+    val hashes = phashOf(spark, planted)
+      .select(col("media_id"),
+        packSimhash(col("hash_hi"), col("hash_lo")).as("simhash"))
+    val imgEdges = graft.functions.TextOps
+      .simHashPairs(hashes, "media_id", maxHamming)
+      .select(col("id_a"), col("id_b"))
+    val captions = baseIds.select(col("media_id").as("item_id"),
+        captionCol(col("media_id")).as("caption"))
+      .unionByName(baseIds.select(
+        (col("media_id") + 1000000L).as("item_id"),
+        captionCol(col("media_id") + ReencodeSeedShift).as("caption")))
+      .unionByName(baseIds.select(
+        (col("media_id") + 2000000L).as("item_id"),
+        captionCol(col("media_id"), CaptionEditPos).as("caption")))
+    val txtEdges = graft.functions.TextOps
+      .ngramJaccardPairs(captions, "item_id", "caption", 3, 0.5)
+      .select(col("id_a"), col("id_b"))
+    (imgEdges, txtEdges, captions.select("item_id"))
+  }
+
+  /** DuckDB replay of [[crossModalDedupPinned]]: the planted planes
+    * through the shared DCT+hash chain and all-pairs Hamming, the
+    * md5-derived captions through exact shingle Jaccard, both edge sets
+    * unioned, and the cluster ids recovered by recursive transitive
+    * closure (min reachable id — the label-propagation fixpoint). */
+  def crossModalDedupOracle(maxHamming: Int): String = {
+    val raw = noisePlanesSql(CrossModalItems)
+    s"""
+    WITH RECURSIVE ${dctCtesFrom(s"""
+      SELECT media_id, y, x, v FROM ($raw)
+      UNION ALL
+      SELECT media_id + 1000000, y, x, v FROM ($raw)""")},
+    $hashCtes,
+    ip AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b
+      FROM hsh a JOIN hsh b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+              <= $maxHamming
+    ),
+    base AS (SELECT i AS m FROM range($CrossModalItems) t(i)),
+    items AS (
+      SELECT m AS item_id, m AS seed, 0 AS edit FROM base
+      UNION ALL
+      SELECT m + 1000000, m + $ReencodeSeedShift, 0 FROM base
+      UNION ALL
+      SELECT m + 2000000, m, 1 FROM base
+    ),
+    cap AS (
+      SELECT item_id, array_to_string(list_transform(
+        generate_series(1, $CaptionTokens), i ->
+          CASE WHEN edit = 1 AND i = $CaptionEditPos
+               THEN substr(md5(CAST(seed AS VARCHAR) || '/' ||
+                     CAST(i AS VARCHAR) || '/e'), 1, 6)
+               ELSE substr(md5(CAST(seed AS VARCHAR) || '/' ||
+                     CAST(i AS VARCHAR)), 1, 6) END), ' ') AS text
+      FROM items
+    ),
+    ctoks AS (
+      SELECT item_id, string_split_regex(trim(text), '\\s+') AS w FROM cap
+    ),
+    csh AS (
+      SELECT item_id, list_distinct(list_transform(
+        generate_series(1, len(w) - 2),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM ctoks
+    ),
+    cex AS (
+      SELECT item_id, len(shingles) AS n, unnest(shingles) AS s FROM csh
+    ),
+    tp AS (
+      SELECT a.item_id AS id_a, b.item_id AS id_b, count(*) AS shared,
+             any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM cex a JOIN cex b ON a.s = b.s AND a.item_id < b.item_id
+      GROUP BY 1, 2
+    ),
+    tx AS (
+      SELECT id_a, id_b FROM tp
+      WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+    ),
+    p AS (SELECT id_a, id_b FROM ip UNION SELECT id_a, id_b FROM tx),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL
+      SELECT id_b, id_a FROM p
+    ),
+    reach AS (
+      SELECT item_id AS v, item_id AS r FROM items
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v
+    )
+    SELECT v AS item_id, min(r) AS cluster_id
+    FROM reach GROUP BY v ORDER BY item_id"""
+  }
 }

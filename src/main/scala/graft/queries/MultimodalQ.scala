@@ -299,6 +299,20 @@ object MultimodalQ {
     QueryDef(
       "mm16_video_neardup_pinned",
       (s, d) => PinnedMediaMath.videoNearDupPinned(s, maxHamming = 4),
-      Some(PinnedMediaMath.videoNearDupOracle(maxHamming = 4)))
+      Some(PinnedMediaMath.videoNearDupOracle(maxHamming = 4))),
+
+    // mm17: cross-modal duplicate CLOSURE — one near-dup graph over BOTH
+    // modalities: image edges from the pinned pHash banded Hamming join,
+    // text edges from caption 3-gram Jaccard (the prefix-filtered
+    // shingle machinery), connected components over the union. The
+    // planted re-encode (image edge only) and caption-only repost (text
+    // edge only) share no modality with each other, yet must co-cluster
+    // through their base item — the closure property a per-modality
+    // dedup cannot express. The oracle replays the hash chain, the
+    // shingle Jaccard, the edge union, and the transitive closure.
+    QueryDef(
+      "mm17_crossmodal_dedup_pinned",
+      (s, d) => PinnedMediaMath.crossModalDedupPinned(s, maxHamming = 4),
+      Some(PinnedMediaMath.crossModalDedupOracle(maxHamming = 4)))
   )
 }

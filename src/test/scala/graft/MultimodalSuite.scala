@@ -690,4 +690,32 @@ class MultimodalSuite extends SparkSuite {
       .head().isNullAt(0),
       "undecodable audio must hash to NULL (dead-letter)")
   }
+
+  test("mm17 cross-modal closure: the derivatives co-cluster ONLY " +
+      "through the base item") {
+    // the oracle proves Spark == DuckDB; this pins the planted
+    // structure being right at all: per base image m, exactly ONE image
+    // edge (m, m+1e6) — the re-encode — and exactly ONE text edge
+    // (m, m+2e6) — the caption-only repost. The derivatives share no
+    // modality (one has no image; their captions are unrelated), so
+    // their co-clustering is the transitive closure doing real work.
+    import graft.multimodal.PinnedMediaMath
+    val baseIds = (0L until 80L).toSet
+    val (img, txt, items) = PinnedMediaMath.crossModalEdges(spark, 4)
+    val imgPairs = img.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val txtPairs = txt.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(imgPairs == baseIds.map(m => (m, m + 1000000L)),
+      "image edges must be exactly base <-> re-encode")
+    assert(txtPairs == baseIds.map(m => (m, m + 2000000L)),
+      "text edges must be exactly base <-> repost")
+    assert(items.count() == baseIds.size * 3L)
+    val clusters = PinnedMediaMath.crossModalDedupPinned(spark, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == baseIds.size * 3)
+    baseIds.foreach { m =>
+      assert(clusters(m) == m && clusters(m + 1000000L) == m &&
+        clusters(m + 2000000L) == m,
+        s"all three items of $m must fold to cluster $m")
+    }
+  }
 }

@@ -1339,6 +1339,11 @@ object TextOps {
         .select("tableName").collect().map(_.getString(0)).toSeq
       def qual(t: String) = qualifier.fold(t)(q => s"$q.$t")
       val dangling = tables.filter { t =>
+        // shape dependence: if a Spark upgrade renames the "Location"
+        // row, loc becomes None and the sweep degrades to a NO-OP
+        // (safe bias — nothing is dropped); DedupOpsSuite's dangling-
+        // entry test requires a sweep to actually fire, so the silent
+        // no-op is caught at upgrade time, not in production
         val loc =
           try spark.sql(s"DESCRIBE TABLE EXTENDED ${qual(t)}").collect()
             .find(r => r.getString(0) == "Location")

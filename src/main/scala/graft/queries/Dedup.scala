@@ -29,7 +29,7 @@ object Dedup {
     * shift overloads overflow at bit 63), hamming as a 64-term bit
     * comparison on the all-pairs join (oracle-side O(n²) is fine at
     * verification scale). */
-  private val oracleSimhash: String = {
+  private def oracleSimhashAt(maxHamming: Int): String = {
     val bitSums = (0 until 64).map(b =>
       s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
     val ham = (0 until 64).map(b =>
@@ -43,8 +43,10 @@ object Dedup {
       s"), scored AS (\n  SELECT a.doc_id AS id_a, b.doc_id AS id_b, $ham AS hamming\n" +
       "  FROM bits a JOIN bits b ON a.doc_id < b.doc_id\n)\n" +
       "SELECT id_a, id_b, CAST(hamming AS INT) AS hamming\n" +
-      "FROM scored WHERE hamming <= 11 ORDER BY id_a, id_b"
+      s"FROM scored WHERE hamming <= $maxHamming ORDER BY id_a, id_b"
   }
+
+  private val oracleSimhash: String = oracleSimhashAt(11)
 
   private[queries] val oracleShingles = """
     WITH toks AS (
@@ -266,6 +268,25 @@ object Dedup {
       },
       Some(oracleSimhash),
       bench = true),
+
+    // ---- d26: SimHash at the SCALABLE operating point --------------------
+    // d04's radius (11 of 64 bits) forces 12 blocks of ~5 bits, and the
+    // pigeonhole join's candidate mass is n²·blocks/2^width — measured
+    // at sf5.0 (250k docs): ~190 s, fully quadratic, the banding's
+    // density wall. radius 3 is the Manku et al operating point: 4
+    // blocks of 16 bits, candidate mass n²·4/2^16 — 6000x sparser per
+    // pair, seconds at the same corpus. Same operator, same oracle
+    // machinery; the radius is the scale knob, and aggressive-radius
+    // near-dup belongs to MinHash LSH (d03), whose candidate mass
+    // tracks true near-dup density instead of bucket collisions.
+    QueryDef(
+      "d26_simhash_tight",
+      (s, d) => {
+        val sims = TextOps.simHash(Tables.corpus(s, d), "doc_id", "text")
+        TextOps.simHashPairs(sims, "doc_id", maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(oracleSimhashAt(3))),
 
     // ---- d06: duplicate clustering (connected components over the
     // near-dup pair graph; canonical id = min reachable doc id) ------------

@@ -49,10 +49,17 @@ object Relational {
           .agg(
             sum(money("l_quantity")).cast("double").as("sum_qty"),
             sum(money("l_extendedprice")).cast("double").as("sum_base_price"),
-            sum(money("l_extendedprice") * factor1("-", "l_discount"))
-              .cast("double").as("sum_disc_price"),
-            sum(money("l_extendedprice") * factor1("-", "l_discount") *
-              factor1("+", "l_tax")).cast("double").as("sum_charge"),
+            // the scale-4/6 product sums are ROUNDED back to cents
+            // before the double cast: past ~2^53 (first crossed at
+            // sf1.0) DuckDB's wide-DECIMAL->DOUBLE conversion double-
+            // rounds (hugeint->double, then /10^s) and lands 1 ulp off
+            // the correctly-rounded value Spark produces — rounding to
+            // scale 2 keeps the scaled integer exact in a double for
+            // ~3 more orders of magnitude, on both engines
+            round(sum(money("l_extendedprice") * factor1("-", "l_discount")),
+              2).cast("double").as("sum_disc_price"),
+            round(sum(money("l_extendedprice") * factor1("-", "l_discount") *
+              factor1("+", "l_tax")), 2).cast("double").as("sum_charge"),
             (sum(money("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
@@ -61,8 +68,8 @@ object Relational {
         SELECT l_returnflag, l_linestatus,
           CAST(SUM(${oMoney("l_quantity")}) AS DOUBLE) AS sum_qty,
           CAST(SUM(${oMoney("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
-          CAST(SUM(${oMoney("l_extendedprice")} * ${oF("-", "l_discount")}) AS DOUBLE) AS sum_disc_price,
-          CAST(SUM(${oMoney("l_extendedprice")} * ${oF("-", "l_discount")} * ${oF("+", "l_tax")}) AS DOUBLE) AS sum_charge,
+          CAST(ROUND(SUM(${oMoney("l_extendedprice")} * ${oF("-", "l_discount")}), 2) AS DOUBLE) AS sum_disc_price,
+          CAST(ROUND(SUM(${oMoney("l_extendedprice")} * ${oF("-", "l_discount")} * ${oF("+", "l_tax")}), 2) AS DOUBLE) AS sum_charge,
           CAST(SUM(${oMoney("l_quantity")}) AS DOUBLE) / COUNT(*) AS avg_qty,
           COUNT(*) AS count_order
         FROM lineitem

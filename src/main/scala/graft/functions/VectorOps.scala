@@ -1861,6 +1861,68 @@ object VectorOps {
       .agg(max(col("cos")).as("cos"))
   }
 
+  /** [[ivfCosinePairsPinned]] at the SCALE operating point. Two things
+    * change, neither of them the semantics:
+    *
+    *   - `nlist` GROWS with the corpus — `2·ceil(sqrt(n))`, clamped to
+    *     [16, 4096] (the FAISS-family guidance). With nlist fixed the
+    *     within-list pair mass is n²·nassign²/nlist — quadratic, the
+    *     wall d09 hit at sf5.0 (52 s at 100k vectors); at sqrt-scale
+    *     nlist it is ~n^1.5·nassign²/2, the bound a real corpus needs.
+    *   - assignment runs as a BROADCAST JOIN against the centroid-code
+    *     frame instead of codegen'd literal arrays: nlist literal
+    *     arrays in one projection blow past janino's 64 KB method
+    *     limit long before sqrt-scale nlist (the s14 lesson at plan
+    *     level), while the join shape is nlist-independent — one
+    *     broadcast, n·nlist scored rows, a per-vector top-nassign
+    *     window.
+    *
+    * Pinned semantics are bit-identical to [[ivfCosinePairsPinned]]
+    * (suite-pinned at equal nlist): centroids are the codes of the
+    * `nlist` lowest-id vectors, assignment argmax over integer dots
+    * with ties → lowest centroid id, quantized-cosine verify. The
+    * DuckDB oracle replays the whole pipeline with the SAME dynamic
+    * nlist (a scalar subquery over the corpus count).
+    *
+    * `nlistOverride > 0` pins nlist (tests; cross-checking the trained
+    * variant). One extra count() job sizes nlist — at scale the count
+    * is a metadata-only parquet rowcount. */
+  def ivfCosinePairsPinnedScaled(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nassign: Int, nlistOverride: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val c = withCodeNorm(sq8Codes(df, idCol, vecCol, "__id", "__c"),
+      "__c", "__n").cache()
+    val n = c.count() // materializes the cache for both join sides too
+    val nlist = if (nlistOverride > 0) nlistOverride
+      else math.max(16L, math.min(4096L,
+        2L * math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    val cents = c.where(col("__id") < nlist)
+      .select(col("__id").as("__cid"), col("__c").as("__cc"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__dot").desc, col("__cid"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("__dot", nativeDot(spark, col("__c"), col("__cc")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= nassign)
+      .select(col("__id"), col("__c"), col("__n"),
+        col("__cid").as("__bucket"))
+    val l = assigned.select(col("__id").as("id_a"), col("__c").as("ca"),
+      col("__n").as("na"), col("__bucket"))
+    val r = assigned.select(col("__id").as("id_b"), col("__c").as("cb"),
+      col("__n").as("nb"), col("__bucket"))
+    l.join(r, Seq("__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (nativeDot(spark, col("ca"), col("cb")) /
+          (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= threshold)
+      // a pair can co-occur in up to nassign shared buckets; the
+      // quantized cosine is bit-identical per pair, so max == the value
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cos")).as("cos"))
+  }
+
   /** Shared top-k tail: rank scored (query_id, neighbor_id, cos) rows
     * per query and keep the first k. int64 rank: match DuckDB
     * row_number. */

@@ -855,6 +855,63 @@ object Dedup {
         WHERE cos >= 0.4
         ORDER BY id_a, id_b""")),
 
+    // ---- d27: semantic dedup at the SCALE operating point -----------------
+    // d15's pinned pipeline with nlist grown to 2*ceil(sqrt(n)) and the
+    // centroid assignment as a broadcast join (no literal arrays — see
+    // VectorOps.ivfCosinePairsPinnedScaled). Fixed nlist makes the
+    // within-list pair mass n^2*nassign^2/nlist — the wall d09 hit at
+    // sf5.0 (52 s at 100k vectors); sqrt-scale nlist bounds it at
+    // ~n^1.5. The oracle replays the ENTIRE pipeline including the
+    // dynamic nlist (scalar subquery over the corpus count), so the
+    // scale knob itself is under the hash gate at every sf.
+    QueryDef(
+      "d27_semantic_dedup_scaled",
+      (s, d) =>
+        VectorOps.ivfCosinePairsPinnedScaled(Tables(s, d, "embeddings"),
+            "vec_id", "embedding", threshold = 0.4, nassign = 2)
+          .orderBy("id_a", "id_b"),
+      Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), nl AS (
+          SELECT GREATEST(16, LEAST(4096,
+            2 * CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS nlist
+          FROM v
+        ), m AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS mx
+          FROM v
+        ), coded AS (
+          SELECT vec_id,
+                 list_transform(v, x -> floor(x /
+                   (CASE WHEN mx = 0.0 THEN 1.0 ELSE mx END) * 127 + 0.5)) AS c
+          FROM m
+        ), selfd AS (
+          SELECT vec_id, c, sqrt(list_dot_product(c, c)) AS n FROM coded
+        ),
+        cent AS (
+          SELECT vec_id AS cid, c AS cc FROM coded
+          WHERE vec_id < (SELECT nlist FROM nl)),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT d.vec_id, ct.cid,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                     ORDER BY list_dot_product(d.c, ct.cc) DESC, ct.cid) AS rn
+            FROM coded d CROSS JOIN cent ct) t WHERE rn <= 2),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM assign a JOIN assign b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        scored AS (
+          SELECT p.id_a, p.id_b,
+                 list_dot_product(x.c, y.c) / (x.n * y.n) AS cos
+          FROM pairs p
+          JOIN selfd x ON x.vec_id = p.id_a
+          JOIN selfd y ON y.vec_id = p.id_b)
+        SELECT id_a, id_b, cos FROM scored
+        WHERE cos >= 0.4
+        ORDER BY id_a, id_b""")),
+
     // ---- d20: exact-substring duplicated spans (suffix-array semantics) ---
     // [[TextOps.dupSubstringSpans]] — Lee et al. 2021 ExactSubstr at
     // token granularity; algorithm + scale notes live on the operator.

@@ -532,6 +532,38 @@ class DedupOpsSuite extends SparkSuite {
     assert(reg.nonEmpty, "registered params found no pairs at gate scale")
   }
 
+  test("scaled pinned semantic dedup: the broadcast-join assignment is " +
+      "bit-equal to the literal-array path at equal nlist") {
+    // d27's assignment replaces nlist codegen'd literal arrays with a
+    // broadcast join + top-nassign window (nlist-independent plan).
+    // Same pinned semantics claim -> same pairs AND same cosines at a
+    // pinned nlist; and the auto-nlist output must stay a subset of
+    // the brute-force quantized pairs (bucketing only ever DROPS pairs)
+    val viaArrays = VectorOps.ivfCosinePairsPinned(emb, "vec_id",
+        "embedding", threshold = 0.4, nlist = 16, nassign = 2)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    val viaJoin = VectorOps.ivfCosinePairsPinnedScaled(emb, "vec_id",
+        "embedding", threshold = 0.4, nassign = 2, nlistOverride = 16)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(viaJoin == viaArrays,
+      "join-based assignment diverged from the literal-array path")
+    val auto = VectorOps.ivfCosinePairsPinnedScaled(emb, "vec_id",
+        "embedding", threshold = 0.4, nassign = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val coded = VectorOps.sq8Codes(emb, "vec_id", "embedding", "id", "c")
+      .withColumn("n", sqrt(VectorOps.nativeDot(spark, col("c"), col("c"))))
+    val l = coded.select(col("id").as("id_a"), col("c").as("ca"), col("n").as("na"))
+    val r = coded.select(col("id").as("id_b"), col("c").as("cb"), col("n").as("nb"))
+    val brute = l.join(r, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (VectorOps.nativeDot(spark, col("ca"), col("cb")) /
+          (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto.subsetOf(brute), "auto-nlist pairs must be a subset of all-pairs")
+    assert(auto.nonEmpty, "auto-nlist found no pairs at gate scale")
+  }
+
   test("brute-force top-k neighbors are symmetric-consistent with pairs") {
     val top1 = VectorOps.bruteForceTopK(
         emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", k = 1)

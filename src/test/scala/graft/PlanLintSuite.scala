@@ -31,6 +31,12 @@ class PlanLintSuite extends SparkSuite {
     "s12_ann_pq_pinned" -> Set("cross-join"),
     "d09_semantic_dedup" -> Set("cross-join"),
     "s03_ann_ivf" -> Set("cross-join"),
+    // the sqrt-scale centroid assignment: every vector scored against
+    // the BROADCAST centroid-code frame (n·nlist rows, the join-based
+    // replacement for nlist codegen'd literal arrays); the second
+    // condition-less join is the same shape inside the pinned SQ8
+    // scale pass — both sides bounded by the broadcast
+    "d27_semantic_dedup_scaled" -> Set("cross-join"),
     // kmeans assignment joins each vector to every sampled centroid
     "d12_cluster_reps" -> Set("cross-join"),
     "s06_user_similarity" -> Set("cross-join"),

@@ -1901,12 +1901,19 @@ object VectorOps {
       .select(col("__id").as("__cid"), col("__c").as("__cc"))
     val w = Window.partitionBy(col("__id"))
       .orderBy(col("__dot").desc, col("__cid"))
-    val assigned = c.crossJoin(broadcast(cents))
-      .withColumn("__dot", nativeDot(spark, col("__c"), col("__cc")))
+    // score NARROW: the window below shuffles its whole input, and at
+    // n·nlist rows the code arrays would dominate it (~600 B/row vs
+    // 24 B — measured 38 GB vs 1.5 GB at sf5.0, and an OOM at a 2 GB
+    // heap). Carry only (id, cid, dot) through the shuffle and rejoin
+    // the codes per assigned row afterwards (n·nassign rows).
+    val top = c.crossJoin(broadcast(cents))
+      .select(col("__id"), col("__cid"),
+        nativeDot(spark, col("__c"), col("__cc")).as("__dot"))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= nassign)
-      .select(col("__id"), col("__c"), col("__n"),
-        col("__cid").as("__bucket"))
+      .select(col("__id"), col("__cid").as("__bucket"))
+    val assigned = top.join(c, Seq("__id"))
+      .select(col("__id"), col("__c"), col("__n"), col("__bucket"))
     val l = assigned.select(col("__id").as("id_a"), col("__c").as("ca"),
       col("__n").as("na"), col("__bucket"))
     val r = assigned.select(col("__id").as("id_b"), col("__c").as("cb"),

@@ -2319,22 +2319,115 @@ object TextOps {
       .select(col(idCol),
         SimHash64.column(df.sparkSession, col(textCol)).as("simhash"))
 
-  /** SimHash near-dup candidates with Hamming distance <= maxHamming,
-    * via block banding (pigeonhole: any pair within distance d shares at
-    * least one of d+1 blocks exactly) + exact `bit_count(a^b)` verify. */
-  def simHashPairs(
-      sims: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+  /** Conf key: banded-Hamming candidate budget (pairs the pigeonhole
+    * join may surface before the exact verify). Default 2e9 — generous
+    * for anything genuinely banded (d26's radius-3 mass at 250k docs is
+    * ~4e6), but below the measured density wall (d04's radius-11 run at
+    * sf5.0 carried ~1.9e10 candidates and 43% of the whole bench). */
+  val SimhashBudgetKey = "spark.graft.simhash.maxCandidatePairs"
+
+  /** Conf key: what to do when the candidate mass exceeds the budget —
+    * `enforce` (default: refuse with the scale-safe alternatives named),
+    * `warn` (log and run anyway), or `off` (skip the pre-flight). */
+  val SimhashGuardKey = "spark.graft.simhash.guard"
+
+  private val DefaultSimhashBudget = 2000000000L
+
+  /** Count of guard evaluations that found the mass over budget (both
+    * enforce and warn modes) — suite observability for the pre-flight. */
+  private[graft] val simhashGuardTrips =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Block layout of the pigeonhole banding at `maxHamming`:
+    * (blocks, bits per block). Any pair within Hamming d agrees exactly
+    * on at least one of d+1 disjoint blocks, so banding on d+1 blocks of
+    * 64/(d+1) bits surfaces every true pair — at a candidate cost that
+    * explodes as the blocks narrow (see [[simHashCandidateMass]]). */
+  private def bandLayout(maxHamming: Int): (Int, Int) = {
     val blocks = maxHamming + 1
-    val width = 64 / blocks
-    val keys = array((0 until blocks).map { i =>
+    (blocks, 64 / blocks)
+  }
+
+  private def bandKeys(maxHamming: Int): Column = {
+    val (blocks, width) = bandLayout(maxHamming)
+    array((0 until blocks).map { i =>
       struct(lit(i).as("blk"),
         shiftright(col("simhash"), i * width)
           .bitwiseAND((1L << width) - 1).as("key"))
     }: _*)
+  }
+
+  /** EXACT candidate mass of the banded join over a cached `(id,
+    * simhash)` table: Σ over (block, key) buckets of c·(c−1)/2 — the
+    * number of raw pairs the self-join materializes before the verify.
+    * One partial-aggregating pass over n·(maxHamming+1) rows; linear,
+    * vs the join it predicts. */
+  def simHashCandidateMass(sims: DataFrame, maxHamming: Int): Long =
+    sims.select(explode(bandKeys(maxHamming)).as("__k"))
+      .groupBy(col("__k")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0)))
+      .head().getDouble(0).toLong
+
+  /** Pre-flight density guard on the banded join (r17 verdict item 1:
+    * the radius-11 wall was measured — sf5.0 spent 43% of the bench in
+    * one candidate-density-quadratic join — but only DOCUMENTED; this
+    * makes it mechanical). Short-circuits when even the worst case
+    * (every hash identical) fits the budget, so small corpora pay one
+    * count on the already-cached hash table and nothing else; above
+    * that it measures the EXACT bucket mass (linear) and refuses or
+    * warns per [[SimhashGuardKey]], naming the scale-safe operating
+    * points. */
+  private def simhashDensityGuard(cached: DataFrame, maxHamming: Int): Unit = {
+    val spark = cached.sparkSession
+    val mode = spark.conf.get(SimhashGuardKey, "enforce")
+    if (mode == "off") return
+    val budget = spark.conf.get(SimhashBudgetKey, "").trim match {
+      case "" => DefaultSimhashBudget
+      case s  => s.toLong
+    }
+    val (blocks, width) = bandLayout(maxHamming)
+    val n = cached.count()
+    val worst = blocks.toDouble * n * (n - 1) / 2
+    if (worst <= budget.toDouble) return
+    val mass = simHashCandidateMass(cached, maxHamming)
+    if (mass <= budget) return
+    simhashGuardTrips.incrementAndGet()
+    val msg =
+      f"simHashPairs(maxHamming=$maxHamming): the banded join would " +
+        f"surface ~$mass%,d candidate pairs over $n%,d rows ($blocks " +
+        f"blocks of $width bits) — past the $budget%,d budget " +
+        f"($SimhashBudgetKey). Candidate mass grows ~n²·blocks/2^width, " +
+        "so this run is quadratic (the wall measured in SCALING.md: " +
+        "radius 11 at 250k docs = 43% of the whole bench). Scale-safe " +
+        "operating points: maxHamming=3 (4 blocks of 16 bits — the " +
+        "Manku configuration, d26) for tight near-dup, or MinHash LSH " +
+        "(minHashCandidatesFromHashed, d03) for aggressive-radius " +
+        "similarity, whose candidate mass tracks true near-dup density " +
+        s"instead of bucket collisions. Set $SimhashGuardKey=warn to " +
+        "override."
+    if (mode == "warn")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    else throw new IllegalStateException(msg)
+  }
+
+  /** SimHash near-dup candidates with Hamming distance <= maxHamming,
+    * via block banding (pigeonhole: any pair within distance d shares at
+    * least one of d+1 blocks exactly) + exact `bit_count(a^b)` verify.
+    *
+    * Guarded: the banded join's candidate mass is ~n²·blocks/2^width,
+    * so wide radii on large corpora go quadratic (the measured d04
+    * wall). A pre-flight estimates the exact mass and refuses past
+    * [[SimhashBudgetKey]] (default 2e9 candidates), naming the
+    * scale-safe alternatives — see [[simhashDensityGuard]]. */
+  def simHashPairs(
+      sims: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
     // sims is typically an aggregate output (already a pushdown barrier);
-    // cache it anyway — both self-join sides read it
-    val ex = sims.cache().select(col(idCol).as("__id"), col("simhash"),
-      explode(keys).as("__k"))
+    // cache it anyway — the guard, then both self-join sides, read it
+    val cached = sims.cache()
+    simhashDensityGuard(cached.select(col(idCol).as("__id"), col("simhash")),
+      maxHamming)
+    val ex = cached.select(col(idCol).as("__id"), col("simhash"),
+      explode(bandKeys(maxHamming)).as("__k"))
     val l = ex.select(col("__id").as("id_a"), col("simhash").as("sim_a"), col("__k"))
     val r = ex.select(col("__id").as("id_b"), col("simhash").as("sim_b"), col("__k"))
     l.join(r, Seq("__k"))

@@ -51,8 +51,14 @@ object ScaleCheck {
     // d04 is deliberately absent: its hamming-11 cutoff sits on a steep
     // part of the pair-distance distribution for this word-soup corpus,
     // so each copy's fresh hash family re-draws the pair count — times
-    // would not be comparing equal work across copies.
+    // would not be comparing equal work across copies. Its SCALABLE
+    // operating point (d26, radius 3) is measured, and the density
+    // guard sweep below shows where the radius-11 wall now refuses.
     val opsAll: Seq[(String, DataFrame => Long)] = Seq(
+      "d26_simhash_tight" -> (docs =>
+        TextOps.simHashPairs(
+          TextOps.simHash(docs, "doc_id", "text"), "doc_id",
+          maxHamming = 3).count()),
       "d01_exact_dedup" -> (docs =>
         docs.groupBy(md5(TextOps.normalize(col("text"))))
           .agg(min(col("doc_id")), count(lit(1))).count()),
@@ -169,6 +175,31 @@ object ScaleCheck {
       }
     }
     printTable(results)
+
+    // ---- banded-Hamming density guard sweep ------------------------------
+    // the pre-flight the r17 verdict asked to make mechanical: measure
+    // the EXACT candidate mass of the pigeonhole join at both operating
+    // points on each corpus size and print where the default budget
+    // refuses — one command shows the wall's position, the way
+    // CodegenSweep shows codegen health. The mass is a linear
+    // aggregation, so sweeping it is cheap even where running the join
+    // would not be.
+    if (keep("simhash_guard")) {
+      val radii = Seq(3, 11)
+      println()
+      println(s"| simhash guard | ${radii.map(r => s"radius $r mass").mkString(" | ")} | verdict @ default budget |")
+      println("|---" * (radii.size + 2) + "|")
+      for (copies <- copiesList) {
+        spark.catalog.clearCache()
+        val sims = TextOps.simHash(corpus(copies), "doc_id", "text").cache()
+        val masses = radii.map(r => TextOps.simHashCandidateMass(sims, r))
+        val verdicts = radii.zip(masses).map { case (r, m) =>
+          if (m > 2000000000L) s"radius $r REFUSED" else s"radius $r ok"
+        }
+        println(s"| ${copies}x | ${masses.mkString(" | ")} | ${verdicts.mkString(", ")} |")
+        sims.unpersist()
+      }
+    }
 
     // ---- vector-family growth (embeddings replicated by ISOMETRY) --------
     // each copy k multiplies every vector element-wise by a pinned ±1

@@ -165,6 +165,50 @@ class DedupOpsSuite extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall, missed ${exactPairs.diff(pairs)}")
   }
 
+  test("simhash density guard: a high-radius run past the budget refuses " +
+      "with the scale-safe alternatives named; radius 3 sails through") {
+    val sims = TextOps.simHash(docs, "doc_id", "text").cache()
+    try {
+      // exact candidate masses of the two operating points on this
+      // corpus — radius 11 (12 blocks of 5 bits) collides massively,
+      // radius 3 (4 blocks of 16 bits) barely at all
+      val mass11 = TextOps.simHashCandidateMass(sims, 11)
+      val mass3 = TextOps.simHashCandidateMass(sims, 3)
+      assert(mass3 < mass11,
+        s"band-width collision ordering inverted: $mass3 vs $mass11")
+      // a budget strictly between the two masses: radius 11 must refuse,
+      // radius 3 must pass THROUGH the guard (its worst case exceeds the
+      // budget too, so the exact measurement — not the short-circuit —
+      // is what clears it)
+      val budget = (mass3 + mass11) / 2
+      spark.conf.set(TextOps.SimhashBudgetKey, budget.toString)
+      val trips0 = TextOps.simhashGuardTrips.get()
+      val e = intercept[IllegalStateException] {
+        TextOps.simHashPairs(sims, "doc_id", maxHamming = 11)
+      }
+      assert(e.getMessage.contains("maxHamming=3") &&
+        e.getMessage.contains("MinHash"),
+        s"refusal must name the scale-safe operating points: ${e.getMessage}")
+      assert(TextOps.simhashGuardTrips.get() == trips0 + 1)
+      assert(TextOps.simHashPairs(sims, "doc_id", maxHamming = 3)
+        .count() >= 0) // radius 3 runs under the same budget
+      // warn mode: over-budget run proceeds (and counts as a trip)
+      spark.conf.set(TextOps.SimhashGuardKey, "warn")
+      assert(TextOps.simHashPairs(sims, "doc_id", maxHamming = 11)
+        .count() > 0)
+      assert(TextOps.simhashGuardTrips.get() == trips0 + 2)
+      // off mode: no measurement, no trip
+      spark.conf.set(TextOps.SimhashGuardKey, "off")
+      assert(TextOps.simHashPairs(sims, "doc_id", maxHamming = 11)
+        .count() > 0)
+      assert(TextOps.simhashGuardTrips.get() == trips0 + 2)
+    } finally {
+      spark.conf.unset(TextOps.SimhashBudgetKey)
+      spark.conf.unset(TextOps.SimhashGuardKey)
+      sims.unpersist()
+    }
+  }
+
   test("prefix filtering keeps total recall while pruning the candidate space") {
     val sh = TextOps.shingleSets(docs, "doc_id", "text", 3).cache()
     val prefixCands = TextOps.prefixCandidates(sh, 0.5)

@@ -46,9 +46,17 @@ object MediaFixture {
     spark.range(0, 240).select(col("id").as("doc_id"),
       expr("repeat('x', CAST(id % 97 + 20 AS INT))").as("text"))
 
-  /** The deterministic media corpus every mm07+ gate re-derives. */
+  /** The deterministic media corpus every mm07+ gate re-derives.
+    * md5-NOISE payloads (r18, the mm17 finding): the original
+    * gradient/sine corpus was low-entropy under the perceptual hashes
+    * (1712 of 3160 image base pairs at Hamming 0, measured), so the
+    * near-dup oracles could only assert planted-pairs-must-appear.
+    * Noise payloads hash ~uniformly — expected pairwise Hamming 32,
+    * incidental ≤4 pairs ~2^-44 — so mm14/mm15/mm16 (and the streamed
+    * twins w28–w31) now pin EXACT edge sets: the planted copies and
+    * nothing else. */
   def media(spark: SparkSession): Dataset[Multimodal.MediaRow] =
-    Multimodal.syntheticMedia(spark, docs(spark))
+    Multimodal.syntheticMedia(spark, docs(spark), noisePayloads = true)
 
   private[graft] def decodePx(bytes: Array[Byte]): Option[Array[Array[Int]]] =
     try Option(javax.imageio.ImageIO.read(

@@ -121,6 +121,72 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** First md5 byte of `key` (0..255) — the fixture corpus' payload
+    * entropy source. md5 noise makes perceptual hashes
+    * NEAR-UNIFORM across ids (expected pairwise Hamming 32), which the
+    * gradient/sine payloads are not: the r17 sf-fixture measurement
+    * found 1712 of 3160 gradient-image base pairs at Hamming 0, so
+    * exclusive planted-pair oracles were impossible over them (the mm17
+    * finding; r17 verdict item 2). */
+  private def md5NoiseByte(key: String): Int =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("US-ASCII"))(0) & 0xFF
+
+  /** md5-noise sibling of [[syntheticPng]]: grayscale PNG with pixel
+    * v(y,x) = first md5 byte of "p:id:idx:y:x" — per-pixel independent
+    * noise, so distinct ids hash ~uniformly and incidental near-dup
+    * pairs at Hamming ≤ 4 are ~2^-44 per pair. The NOISE corpus backs
+    * the committed [[MediaFixture]] (exclusive edge-set oracles);
+    * [[syntheticPng]]'s low-frequency gradient stays the corpus for the
+    * resize-invariance faces (mm03/mm05/mm06), which need structure
+    * that survives resampling. */
+  private[graft] def noisePng(id: Long, idx: Int, size: Int = 16): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < size) {
+      var x = 0
+      while (x < size) {
+        val v = md5NoiseByte(s"p:$id:$idx:$y:$x")
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** md5-noise sibling of [[syntheticWav]]: 16-bit mono PCM WAV whose
+    * sample i is the first two md5 bytes of "a:id:i" read big-endian as
+    * a signed short — full-range independent noise, so the 32 quadrature
+    * band sums are independent random walks per id and the 64-bit sign
+    * hash is ~uniform (the audio face of [[noisePng]]'s entropy
+    * argument). Still gain-invariant-hashable and losslessly
+    * PCM-round-trippable like any short-valued WAV. */
+  private[graft] def noiseWav(id: Long, sampleRate: Int = 16000,
+      nSamples: Int = 2048): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"a:$id:$i".getBytes("US-ASCII"))
+      buf.putShort((((d(0) & 0xFF) << 8) | (d(1) & 0xFF)).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
   /** 16-bit mono PCM WAV of a pure sine tone — the deterministic
     * synthetic audio payload, decodable by `javax.sound.sampled`. */
   private[graft] def syntheticWav(id: Long, sampleRate: Int = 16000,
@@ -204,8 +270,17 @@ object Multimodal {
 
   /** Deterministic synthetic media corpus derived from the documents
     * table: text bytes become the payload, metadata from doc stats. Kind
-    * cycles image/audio/video so every operator has coverage. */
-  def syntheticMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    * cycles image/audio/video so every operator has coverage.
+    *
+    * `noisePayloads = true` swaps the gradient/sine payload generators
+    * for their md5-noise siblings ([[noisePng]]/[[noiseWav]]) — the
+    * committed-fixture corpus ([[MediaFixture]]), whose near-uniform
+    * perceptual hashes let the near-dup oracles (mm14/mm15/mm16 and the
+    * streamed twins) pin EXACT edge sets. The default gradient/sine
+    * corpus stays for the resize/gain-invariance faces, which need
+    * low-frequency structure. */
+  def syntheticMedia(spark: SparkSession, documents: DataFrame,
+      noisePayloads: Boolean = false): Dataset[MediaRow] = {
     import spark.implicits._
     documents.select(
         col("doc_id").as("media_id"),
@@ -226,16 +301,20 @@ object Multimodal {
       // sine-tone WAVs — so downstream decode/demux exercises actual
       // codecs; executed per-row in executors, never on the driver
       .map { m =>
+        def png(idx: Int): Array[Byte] =
+          if (noisePayloads) noisePng(m.media_id, idx)
+          else syntheticPng(m.media_id, idx)
         m.meta.kind match {
           case "video" =>
             val dur = math.max(4L, m.meta.durationMs)
-            val frames = (0 until 4).map(i =>
-              (i * dur / 4, syntheticPng(m.media_id, i)))
+            val frames = (0 until 4).map(i => (i * dur / 4, png(i)))
             m.copy(bytes = VideoContainer.encode(frames))
           case "audio" =>
-            m.copy(bytes = syntheticWav(m.media_id, m.meta.sampleRate))
+            m.copy(bytes =
+              if (noisePayloads) noiseWav(m.media_id, m.meta.sampleRate)
+              else syntheticWav(m.media_id, m.meta.sampleRate))
           case _ =>
-            m.copy(bytes = syntheticPng(m.media_id, 0))
+            m.copy(bytes = png(0))
         }
       }
   }

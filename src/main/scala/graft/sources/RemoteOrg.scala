@@ -822,7 +822,8 @@ final case class CustomerHalvesOrgRecipe(customerPath: String,
 
 /** Rebuild recipe for the w30 MEDIA sim-org: the planted image corpus
   * is a pure function of the media id ([[graft.multimodal.Multimodal
-  * .syntheticPng]] — originals at the image ids, re-keyed duplicates
+  * .noisePng]] — the FIXTURE corpus' md5-noise payloads, originals at
+  * the image ids, re-keyed duplicates
   * at id+1000000 carrying the ORIGINAL's payload), so an executor JVM
   * rebuilds the org bit-identically with no file or SparkSession
   * dependency at all. `Body__c` carries the payload as standard
@@ -861,7 +862,7 @@ object MediaOrgRecipe {
       ids.map(id => (id + 1000000L, id))
     planted.map { case (mid, src) =>
       Row(null, mid.toString, java.util.Base64.getEncoder.encodeToString(
-        graft.multimodal.Multimodal.syntheticPng(src, 0)))
+        graft.multimodal.Multimodal.noisePng(src, 0)))
     }.toVector
   }
 }

@@ -2009,6 +2009,27 @@ object TextOps {
 
   private[graft] def bloomBitmapCacheSize: Int = bloomBitmapCache.size
 
+  /** Key of a CONTENT-addressed bitmap entry — the mutable-source path
+    * (r17 verdict item 6). A JDBC/DSv2 eval frame can change rows under
+    * an unchanged canonicalized plan, so no plan-side fingerprint can
+    * vouch for it; instead the rows vouch for themselves: the bitmap is
+    * recomputed per call (the unavoidable consistent re-read) and cached
+    * by the md5 of its words. A stable source ⇒ identical words ⇒ the
+    * SAME broadcast handle every call — zero broadcast growth — while a
+    * changed source ⇒ different md5 ⇒ a fresh entry (no staleness), the
+    * old one aging out of the LRU via unpersist. */
+  private final case class BloomContentKey(
+      contentMd5: String, n: Int, mBits: Int, numHashes: Int)
+
+  private val bloomContentCache = new PlanKeyedCache[
+      BloomContentKey,
+      org.apache.spark.broadcast.Broadcast[Array[Long]]](
+    cap = 8,
+    onEvict = _.unpersist(false),
+    onLoserBuilt = _.destroy())
+
+  private[graft] def bloomContentCacheSize: Int = bloomContentCache.size
+
   /** The eval suite's shingle set folded into one `mBits`-bit bloom
     * bitmap, broadcast once and CACHED by (eval plan, parameters):
     * repeated scoring calls against the same eval suite reuse one
@@ -2019,37 +2040,38 @@ object TextOps {
       mBits: Int = 1 << 20, numHashes: Int = 5, cache: Boolean = true)
       : org.apache.spark.broadcast.Broadcast[Array[Long]] = {
     val spark = eval_.sparkSession
-    def build() = {
-      // stage toks -> shingles so the split isn't re-evaluated per
-      // window element (the shingles() pitfall: a raw split inside the
-      // transform lambda re-tokenizes once per window — O(tokens^2))
-      val bitmap = eval_
-        .select(tokens(col(textCol)).as("__toks"))
-        .select(explode(shingles(col("__toks"), n)).as("__s"))
-        .select(Md5BloomAgg.column(spark, col("__s"), mBits, numHashes)
-          .as("bm"))
-        .head().getSeq[Long](0)
-      spark.sparkContext.broadcast(bitmap.toArray)
-    }
+    // stage toks -> shingles so the split isn't re-evaluated per
+    // window element (the shingles() pitfall: a raw split inside the
+    // transform lambda re-tokenizes once per window — O(tokens^2))
+    def bitmapWords(): Array[Long] = eval_
+      .select(tokens(col(textCol)).as("__toks"))
+      .select(explode(shingles(col("__toks"), n)).as("__s"))
+      .select(Md5BloomAgg.column(spark, col("__s"), mBits, numHashes)
+        .as("bm"))
+      .head().getSeq[Long](0).toArray
+    def build() = spark.sparkContext.broadcast(bitmapWords())
     if (!cache) return build()
     snapshotFingerprint(eval_) match {
       case None =>
-        // mutable source: caching would serve stale bitmaps, so every
-        // call builds a fresh broadcast the CALLER cannot release — the
-        // r14 one-broadcast-per-call growth persists on exactly this
-        // path (ADVICE r16). Bounded, not unbounded: the expression in
-        // the returned frame holds the only reference, so Spark's
-        // ContextCleaner reclaims the blocks once the frame is GC'd —
-        // but a loop holding frames accumulates executor-resident
-        // bitmaps. Warn toward the caller-managed API, whose lifetime
-        // is explicit.
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          "bloomBitmapBroadcast: eval frame reads a mutable (non-file) " +
-            "source, so the bitmap cannot be cached — each call builds " +
-            "a fresh broadcast released only when the returned frame is " +
-            "garbage-collected. For repeated scoring, build once with " +
-            "cache=false and use bloomDecontaminateWith + destroy().")
-        build()
+        // mutable source: the PLAN cannot vouch for the rows (a
+        // JDBC/DSv2 frame can change them under an unchanged
+        // canonicalized plan), so the rows vouch for themselves — the
+        // bitmap is recomputed per call (the unavoidable re-read) and
+        // the resulting words are cached by CONTENT. A stable source
+        // reuses ONE broadcast across every call; a changed source
+        // gets a fresh entry and the old one ages out of the LRU. This
+        // closes the r14→r16 one-broadcast-per-call growth residual
+        // outright (r17 verdict item 6): the per-call cost is the
+        // aggregation (always required for correctness), never a new
+        // broadcast.
+        val words = bitmapWords()
+        val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+        words.foreach(bb.putLong)
+        val md5hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(bb.array()).map("%02x".format(_)).mkString
+        bloomContentCache.getOrBuild(spark.sparkContext.applicationId,
+          BloomContentKey(md5hex, n, mBits, numHashes))(
+          spark.sparkContext.broadcast(words))
       case Some(sig) =>
         bloomBitmapCache.getOrBuild(spark.sparkContext.applicationId,
           BloomBitmapKey(eval_.queryExecution.analyzed.canonicalized, sig,
@@ -2081,13 +2103,16 @@ object TextOps {
     * the scorecard matches exactly, false positives included.
     *
     * Broadcast lifetime: file-backed (or local) eval frames hit the
-    * app-scoped LRU — the bitmap is shared and released on eviction.
-    * A MUTABLE eval source (JDBC/DSv2) cannot be cached; each call
-    * then builds a broadcast that is only reclaimed when the returned
-    * frame is garbage-collected. Callers scoring repeatedly against a
-    * mutable eval suite should snapshot it to parquet first, or hold
-    * the bitmap explicitly via [[bloomBitmapBroadcast]](cache = false)
-    * + [[bloomDecontaminateWith]] and `destroy()` it when done. */
+    * plan-keyed app-scoped LRU — the bitmap is shared without even
+    * re-reading the eval suite. A MUTABLE eval source (JDBC/DSv2)
+    * re-aggregates per call (required for correctness — the rows may
+    * have changed) but caches the resulting words by CONTENT, so a
+    * stable source reuses one broadcast across every call and a
+    * changed source rolls to a fresh entry with the old one evicted —
+    * no per-call broadcast growth on either path. Callers wanting an
+    * explicit lifetime can still build with
+    * [[bloomBitmapBroadcast]](cache = false) +
+    * [[bloomDecontaminateWith]] and `destroy()` when done. */
   def bloomDecontaminate(train: DataFrame, eval_ : DataFrame,
       idCol: String, textCol: String, n: Int,
       mBits: Int = 1 << 20, numHashes: Int = 5): DataFrame =

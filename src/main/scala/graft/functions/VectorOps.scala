@@ -1886,7 +1886,15 @@ object VectorOps {
     *
     * `nlistOverride > 0` pins nlist (tests; cross-checking the trained
     * variant). One extra count() job sizes nlist — at scale the count
-    * is a metadata-only parquet rowcount. */
+    * is a metadata-only parquet rowcount.
+    *
+    * ID CONTRACT (ADVICE r17): "the `nlist` lowest-id vectors" is
+    * implemented as `__id < nlist`, which equals that set only when ids
+    * are DENSE FROM 0 (the pinned-codebook contract the whole pinned
+    * family shares). With sparse or offset ids the codebook would
+    * silently shrink — and because the oracle uses the same predicate,
+    * the hash gate could not catch the degradation — so the centroid
+    * count is asserted and a non-dense corpus fails loudly instead. */
   def ivfCosinePairsPinnedScaled(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       nassign: Int, nlistOverride: Int = 0): DataFrame = {
@@ -1899,6 +1907,12 @@ object VectorOps {
         2L * math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
     val cents = c.where(col("__id") < nlist)
       .select(col("__id").as("__cid"), col("__c").as("__cc"))
+    val nCents = cents.count() // cheap: reads the cache, nlist rows out
+    require(nCents == math.min(nlist.toLong, n),
+      s"ivfCosinePairsPinnedScaled needs ids dense from 0 (the pinned-" +
+        s"codebook contract): expected ${math.min(nlist.toLong, n)} " +
+        s"centroids at __id < $nlist over $n rows, found $nCents — " +
+        "re-key the corpus (e.g. row_number() - 1) before calling")
     val w = Window.partitionBy(col("__id"))
       .orderBy(col("__dot").desc, col("__cid"))
     // score NARROW: the window below shuffles its whole input, and at

@@ -740,9 +740,12 @@ object PinnedMediaMath {
 
   /** Base items in the cross-modal corpus. The images are md5-noise
     * planes generated from the item id by the same formula on both
-    * engines (NOT the committed fixture images — those are LOW-ENTROPY
-    * under pHash: 1712 of 3160 base pairs sit at hamming 0, measured,
-    * so exclusive planted pairs are impossible over them); md5-noise
+    * engines — not the committed fixture parquet, because this oracle
+    * replays the ENTIRE pipeline including plane generation in SQL.
+    * (mm17's r17 measurement of the then-gradient fixture — 1712 of
+    * 3160 base pairs at hamming 0 — is what drove the r18 fixture
+    * regeneration: the committed corpus is now md5-noise too, via
+    * [[Multimodal.noisePng]]/[[Multimodal.noiseWav]].) md5-noise
     * pixels give near-uniform 64-bit hashes, expected pairwise hamming
     * 32, so incidental pairs at hamming ≤ 4 are ~2^-44 per pair. */
   private val CrossModalItems = 80
@@ -788,6 +791,61 @@ object PinnedMediaMath {
     concat_ws(" ",
       (1 to CaptionTokens).map(i => capTok(seed, i, i == editPos)): _*)
 
+  /** The full 240-item caption table `(item_id, caption)` — ONE copy
+    * shared by the batch closure ([[crossModalEdges]]) and the w32
+    * stream, so the planted caption structure cannot drift between the
+    * two faces: base items carry their own caption, re-encodes
+    * (+1,000,000) an UNRELATED one (shifted seed), reposts (+2,000,000)
+    * the base caption with one token edited. */
+  private[graft] def crossModalCaptions(spark: SparkSession): DataFrame = {
+    val baseIds = spark.range(CrossModalItems.toLong)
+      .select(col("id").as("media_id"))
+    baseIds.select(col("media_id").as("item_id"),
+        captionCol(col("media_id")).as("caption"))
+      .unionByName(baseIds.select(
+        (col("media_id") + 1000000L).as("item_id"),
+        captionCol(col("media_id") + ReencodeSeedShift).as("caption")))
+      .unionByName(baseIds.select(
+        (col("media_id") + 2000000L).as("item_id"),
+        captionCol(col("media_id"), CaptionEditPos).as("caption")))
+  }
+
+  /** The mm17 noise plane rendered as a 16×16 grayscale PNG — pixel
+    * v(y,x) = the first md5 byte of "id:y:x", the EXACT formula
+    * [[noisePlanes]] (Spark) and [[noisePlanesSql]] (DuckDB) share — so
+    * a fused decode+hash kernel over this payload reproduces
+    * `phashOf(noisePlanes)` bit-for-bit. Spark-free and driver-cheap
+    * (256 digests per item), the w30-recipe construction pattern. */
+  private[graft] def noisePlanePng(id: Long): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        md.reset()
+        val v = md.digest(s"$id:$y:$x".getBytes("US-ASCII"))(0) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The w32 image-payload corpus: every base item's noise plane as PNG
+    * bytes plus its re-encoded copy (same pixels, id + 1,000,000) —
+    * the planes-level plant of [[crossModalEdges]] expressed as raw
+    * payloads a streamed ingest can decode. */
+  private[graft] def crossModalPngRows: Vector[(Long, Array[Byte])] =
+    (0L until CrossModalItems.toLong).flatMap { id =>
+      val png = noisePlanePng(id)
+      Seq((id, png), (id + 1000000L, png))
+    }.toVector
+
   /** Cross-modal duplicate CLOSURE: items carry an image, a caption, or
     * both; an edge exists when EITHER modality near-matches (pinned
     * pHash Hamming ≤ maxHamming through the banded pigeonhole join, or
@@ -823,7 +881,6 @@ object PinnedMediaMath {
   private[graft] def crossModalEdges(spark: SparkSession, maxHamming: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     val planes = noisePlanes(spark, CrossModalItems)
-    val baseIds = planes.select(col("media_id")).distinct()
     // image items: base m and its re-encode m+1,000,000 (same planes)
     val planted = planes.unionByName(
       planes.withColumn("media_id", col("media_id") + 1000000L))
@@ -833,14 +890,7 @@ object PinnedMediaMath {
     val imgEdges = graft.functions.TextOps
       .simHashPairs(hashes, "media_id", maxHamming)
       .select(col("id_a"), col("id_b"))
-    val captions = baseIds.select(col("media_id").as("item_id"),
-        captionCol(col("media_id")).as("caption"))
-      .unionByName(baseIds.select(
-        (col("media_id") + 1000000L).as("item_id"),
-        captionCol(col("media_id") + ReencodeSeedShift).as("caption")))
-      .unionByName(baseIds.select(
-        (col("media_id") + 2000000L).as("item_id"),
-        captionCol(col("media_id"), CaptionEditPos).as("caption")))
+    val captions = crossModalCaptions(spark)
     val txtEdges = graft.functions.TextOps
       .ngramJaccardPairs(captions, "item_id", "caption", 3, 0.5)
       .select(col("id_a"), col("id_b"))

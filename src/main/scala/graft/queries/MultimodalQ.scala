@@ -47,8 +47,7 @@ object MultimodalQ {
     // the multimodal face of SimHash dedup: re-encoded duplicates of the
     // corpus images must pair with their originals through the same
     // pigeonhole banding + exact bit_count verify the text path uses.
-    // (The synthetic 16x16 corpus images are high-frequency noise, so
-    // the corpus query plants exact duplicates; RESIZE-invariance on
+    // (The corpus query plants exact duplicates; RESIZE-invariance on
     // structured images is pinned in MultimodalSuite.) Rows-only —
     // binary decode kernels are not SQL-expressible.
     QueryDef(
@@ -273,7 +272,10 @@ object MultimodalQ {
     // planted duplicates, pinned pHash halves packed to one 64-bit
     // word, and the SAME banded pigeonhole Hamming join the text path
     // rides (mm03 keeps the real-AWT variant); the oracle replays the
-    // hash chain and checks exact 64-bit Hamming on all pairs.
+    // hash chain and checks exact 64-bit Hamming on all pairs. Over
+    // the r18 md5-noise fixture the gate is EDGE-SET-EXACT: the output
+    // is precisely the planted (id, id+1e6) pairs at hamming 0 —
+    // suite-pinned — not planted-pairs-plus-degenerate-collisions.
     QueryDef(
       "mm14_image_neardup_pinned",
       (s, d) => PinnedMediaMath.imageNearDupPinned(s, maxHamming = 4),
@@ -300,6 +302,34 @@ object MultimodalQ {
       "mm16_video_neardup_pinned",
       (s, d) => PinnedMediaMath.videoNearDupPinned(s, maxHamming = 4),
       Some(PinnedMediaMath.videoNearDupOracle(maxHamming = 4))),
+
+    // mm18: the FUSED media ingest path as a batch operator, oracle-
+    // gated and floor-tracked (r17 verdict item 3: the bench carried no
+    // fused-media representative). mm14 rides the pixel-row SQL
+    // dataflow; this runs the PRODUCTION ingest shape — raw payload
+    // bytes through the single codegen'd decode+DCT+sign expression
+    // (MediaPhash, w28's kernel: one row per media, never pixels) —
+    // then the same banded Hamming join. Oracle = mm14's replay
+    // verbatim, so the fused kernel's bit-equality to the pinned chain
+    // is re-proven by the hash gate every round, and BENCH_r{N} floors
+    // the bytes→pairs latency of the path a 100 TB media corpus runs.
+    QueryDef(
+      "mm18_image_neardup_fused",
+      (s, d) => {
+        val images = MediaFixture.media(s)
+          .filter(_.meta.kind == "image").toDF()
+          .select(col("media_id"), col("bytes"))
+        val planted = images.unionByName(
+          images.withColumn("media_id", col("media_id") + 1000000L))
+        val hashes = planted.select(col("media_id"),
+          graft.multimodal.MediaPhash.column(s, col("bytes")).as("simhash"))
+        graft.functions.TextOps.simHashPairs(hashes, "media_id", 4)
+          .select(col("id_a"), col("id_b"),
+            col("hamming").cast("int").as("hamming"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(PinnedMediaMath.imageNearDupOracle(maxHamming = 4)),
+      bench = true),
 
     // mm17: cross-modal duplicate CLOSURE — one near-dup graph over BOTH
     // modalities: image edges from the pinned pHash banded Hamming join,

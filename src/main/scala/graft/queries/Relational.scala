@@ -37,6 +37,21 @@ object Relational {
   private def oF(sign: String, c: String) =
     s"(CAST(1 AS DECIMAL(8,2)) $sign CAST($c AS DECIMAL(8,2)))"
 
+  /** LOUD headroom guard on q01's rounded money sums (ADVICE r17): the
+    * round-to-cents fix sidesteps DuckDB's wide-DECIMAL→DOUBLE
+    * double-rounding only while the CENTS-scaled sum stays exactly
+    * representable in a double, i.e. |sum| < 2^53 cents. That headroom
+    * is ~3 orders of magnitude past sf1.0 — real, but finite — so a
+    * future sf crossing it must fail the run loudly instead of quietly
+    * re-introducing the 1-ulp cross-engine divergence the r17 session
+    * spent a day isolating. */
+  private def centsGuarded(c: Column): Column =
+    when(abs(c) < lit(9007199254740992.0 / 100.0), c)
+      .otherwise(raise_error(concat(
+        lit("q01 money sum exceeds the 2^53-cents double headroom; " +
+          "compare these columns as decimals/strings instead: "),
+        c.cast("string"))))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- 1. full scan + group aggregate (TPC-H Q1 shape) ------------------
@@ -56,10 +71,12 @@ object Relational {
             // the correctly-rounded value Spark produces — rounding to
             // scale 2 keeps the scaled integer exact in a double for
             // ~3 more orders of magnitude, on both engines
-            round(sum(money("l_extendedprice") * factor1("-", "l_discount")),
-              2).cast("double").as("sum_disc_price"),
-            round(sum(money("l_extendedprice") * factor1("-", "l_discount") *
-              factor1("+", "l_tax")), 2).cast("double").as("sum_charge"),
+            centsGuarded(round(sum(money("l_extendedprice") *
+              factor1("-", "l_discount")), 2).cast("double"))
+              .as("sum_disc_price"),
+            centsGuarded(round(sum(money("l_extendedprice") *
+              factor1("-", "l_discount") * factor1("+", "l_tax")), 2)
+              .cast("double")).as("sum_charge"),
             (sum(money("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")

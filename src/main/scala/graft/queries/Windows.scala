@@ -804,6 +804,22 @@ object Windows {
       Some(graft.multimodal.PinnedMediaMath.videoNearDupOracle(
         maxHamming = 4))),
 
+    // ---- w32: the cross-modal duplicate CLOSURE as a stream ---------------
+    // mm17's edge union + connected components fed by TWO accreting
+    // spools: PNG payloads through the fused decode+hash kernel (w28's
+    // ingest shape) and caption rows through an epoch-keyed text spool.
+    // The planted derivatives share no modality yet must co-cluster
+    // through their base item — the closure property — now proven to
+    // survive micro-batched arrival. Oracle = mm17's replay verbatim
+    // (incl. plane generation and the recursive closure).
+    QueryDef(
+      "w32_stream_crossmodal_dedup",
+      // no extra orderBy: the gate returns (item_id)-ordered, as mm17
+      (s, d) =>
+        graft.streaming.Streams.crossModalStreamGate(s, maxHamming = 4),
+      Some(graft.multimodal.PinnedMediaMath.crossModalDedupOracle(
+        maxHamming = 4))),
+
     // ---- w16: stream-static AS-OF enrichment through the engine -----------
     // a04's semantics run incrementally: each streamed purchase joins
     // the latest static view at-or-before its event time (broadcast

@@ -1329,6 +1329,71 @@ object Streams {
       .select("media_id", "frame_idx", "simhash") // drop the epoch col
       .distinct()
 
+  /** w32's gate: the cross-modal duplicate CLOSURE (mm17) as a STREAM —
+    * both modality spools accrete in micro-batches, then one graph
+    * closes over their union (r17 verdict item 4). The IMAGE half
+    * streams the planted noise-plane corpus as PNG BYTES through the
+    * fused decode+hash kernel ([[mediaPhashBatch]] — w28's ingest
+    * shape) into the epoch-idempotent hash spool; the CAPTION half
+    * streams `(item_id, caption)` rows into an epoch-keyed text spool
+    * with the same overwrite-idempotence contract. The closure then
+    * rides mm17's machinery verbatim over the two accreted spools:
+    * banded Hamming pairs ∪ prefix-filtered 3-gram Jaccard pairs →
+    * connected components. Oracle = mm17's DuckDB replay verbatim
+    * (plane generation, DCT hash chain, shingle Jaccard, edge union,
+    * recursive transitive closure), so the streamed decode must equal
+    * the SQL-generated planes bit-for-bit AND the closure must
+    * co-cluster the two derivatives that share NO modality. Batching-
+    * invariant by construction (per-item hashes/captions, union-shaped
+    * spools) — suite-pinned equal to the batch closure. GATE-ONLY
+    * scope (the r10 convention): production callers point
+    * [[mediaPhashBatch]] and their caption sink at real streams and
+    * run the same two-spool closure read. */
+  private[graft] def crossModalStreamGate(spark: SparkSession,
+      maxHamming: Int): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.PinnedMediaMath
+    val seq = gateRunSeq.incrementAndGet()
+    val base = java.nio.file.Files
+      .createTempDirectory(s"w32_gate_${seq}_").toFile.getAbsolutePath
+    def drain(src: String, schemaDdl: String,
+        sink: (DataFrame, Long) => Unit): Unit = {
+      val q = spark.readStream.schema(schemaDdl)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.foreachBatch(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // image half: several source files → several real micro-batches,
+    // each through the fused bytes→pHash kernel
+    PinnedMediaMath.crossModalPngRows.toDF("media_id", "bytes")
+      .repartition(6).write.mode("overwrite").parquet(s"$base/png_src")
+    drain(s"$base/png_src", "media_id BIGINT, bytes BINARY",
+      mediaPhashBatch(s"$base/hashes"))
+    // caption half: the 240-item caption table accretes epoch-keyed
+    PinnedMediaMath.crossModalCaptions(spark)
+      .repartition(6).write.mode("overwrite").parquet(s"$base/cap_src")
+    drain(s"$base/cap_src", "item_id BIGINT, caption STRING",
+      (b: DataFrame, epochId: Long) => b.write.mode("overwrite")
+        .parquet(s"$base/captions/epoch=$epochId"))
+    // the closure over the two accreted spools — mm17's machinery
+    val imgEdges = graft.functions.TextOps
+      .simHashPairs(readMediaSpool(spark, s"$base/hashes"), "media_id",
+        maxHamming)
+      .select(col("id_a"), col("id_b"))
+    val caps = spark.read.schema("item_id BIGINT, caption STRING")
+      .parquet(s"$base/captions")
+      .select("item_id", "caption").distinct() // fold crash duplicates
+    val txtEdges = graft.functions.TextOps
+      .ngramJaccardPairs(caps, "item_id", "caption", 3, 0.5)
+      .select(col("id_a"), col("id_b"))
+    graft.functions.TextOps.duplicateClusters(
+        caps.select("item_id"), "item_id",
+        imgEdges.unionByName(txtEdges).distinct())
+      .orderBy("item_id")
+  }
+
   /** w30's gate: media payloads arriving through the CONNECTOR source —
     * w22's recovery semantics married to the fused multimodal pipeline
     * (r16 verdict item 8). The planted image corpus lands in the sim

@@ -250,12 +250,60 @@ class BloomFilterSuite extends SparkSuite {
     assert(mixed.inputFiles.nonEmpty, "precondition: the mixed plan " +
       "still reports input files — exactly the shape that fooled the " +
       "old fingerprint")
+    // the non-stable leaf must bypass the PLAN-keyed cache — but the
+    // r18 content-addressed path still folds identical rows into ONE
+    // broadcast (see the zero-growth test below); what it must NEVER do
+    // is serve a stale bitmap when the mutable side actually changes
     val m1 = graft.functions.TextOps.bloomBitmapBroadcast(mixed, "text", 4)
     val m2 = graft.functions.TextOps.bloomBitmapBroadcast(mixed, "text", 4)
-    assert(!(m1 eq m2),
-      "a plan with any non-stable leaf must bypass the cache (fresh " +
-        "broadcast per call) — caching would serve stale bitmaps when " +
-        "the mutable side changes")
+    assert(m1 eq m2,
+      "identical rows from a mutable source must fold to one broadcast " +
+        "via the content key")
+    // a CHANGED mutable side ⇒ different shingle content ⇒ a fresh
+    // broadcast — the staleness the old plan-fingerprint refusal
+    // guarded against, now guarded by content equality instead
+    val blockRdd2 = spark.sparkContext.parallelize(Seq(Tuple1(2L)))
+    val block2 = spark.createDataFrame(blockRdd2.map(t =>
+      org.apache.spark.sql.Row(t._1)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bad_id",
+          org.apache.spark.sql.types.LongType))))
+    val mixed2 = docs.join(block2, col("doc_id") === col("bad_id"), "left_anti")
+    val m3 = graft.functions.TextOps.bloomBitmapBroadcast(mixed2, "text", 4)
+    assert(!(m1 eq m3),
+      "changed mutable-side rows must produce a fresh bitmap broadcast, " +
+        "never a stale cache hit")
+  }
+
+  test("mutable-source scoring loop: zero broadcast growth across " +
+      "repeated calls (r17 verdict item 6)") {
+    // the r14→r16 residual, now closed: a loop scoring against a
+    // mutable (non-file-leaf) eval suite used to accumulate one
+    // frame-lifetime broadcast per call. The content-addressed cache
+    // folds every identical-content call into ONE broadcast handle and
+    // ONE cache entry.
+    val evalRdd = spark.sparkContext.parallelize(Seq(
+      (50L, "shared gram one two eval document body")))
+    val eval_ = spark.createDataFrame(evalRdd.map(t =>
+      org.apache.spark.sql.Row(t._1, t._2)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val first = graft.functions.TextOps.bloomBitmapBroadcast(eval_, "text", 4)
+    val entries0 = graft.functions.TextOps.bloomContentCacheSize
+    (1 to 5).foreach { _ =>
+      val bc = graft.functions.TextOps.bloomBitmapBroadcast(eval_, "text", 4)
+      // reference equality IS the zero-growth proof: the same Broadcast
+      // handle means no new broadcast was registered with the manager
+      // (Spark's own per-job task-binary broadcasts churn regardless,
+      // so counting liveBroadcastIds here would be flaky)
+      assert(bc eq first,
+        "every identical-content call must return the SAME broadcast")
+    }
+    assert(graft.functions.TextOps.bloomContentCacheSize == entries0,
+      "repeated identical-content calls must not add cache entries")
   }
 
   /** Block removal after destroy() propagates asynchronously — poll. */

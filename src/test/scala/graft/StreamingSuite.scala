@@ -1084,6 +1084,24 @@ class StreamingSuite extends SparkSuite {
       Streams.mediaSpoolPairs(spark, outDir, maxHamming = 4)) == before)
   }
 
+  test("w32: the streamed cross-modal closure equals the batch closure " +
+      "exactly (batching invariance)") {
+    // the gate streams both modality spools in several micro-batches
+    // (maxFilesPerTrigger=1 over 6-file sources); per-item hashes and
+    // captions are batch-membership-independent and the spools are
+    // union-shaped, so the closure must equal mm17's batch answer row
+    // for row — the same chaining discipline w28–w31 pin per modality,
+    // extended to the two-spool closure.
+    import graft.multimodal.PinnedMediaMath
+    val streamed = Streams.crossModalStreamGate(spark, maxHamming = 4)
+      .as[(Long, Long)].collect().toSeq
+    val batch = PinnedMediaMath.crossModalDedupPinned(spark, maxHamming = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed closure diverged from batch: ${streamed.size} vs " +
+        s"${batch.size} rows")
+  }
+
   test("video sink: a zero-frame container dead-letters; real clips " +
       "spool one row per frame") {
     // code-review finding: a non-null EMPTY hash array posexplodes to

@@ -861,7 +861,7 @@ object TextOps {
     val spark = docs.sparkSession
     checkOrWriteParams(spark, path, n, numHashes, bands, write = true)
     val fs = storeFs(spark, path)
-    def writeBatch(fence: () => Unit): Unit = {
+    def writeBatch(fence: VectorOps.MaintenanceFence): Unit = {
       val id = java.util.UUID.randomUUID().toString
       val staging = new org.apache.hadoop.fs.Path(s"$path/_staging_$id")
       val committed = new org.apache.hadoop.fs.Path(s"$path/batches/$id")
@@ -873,17 +873,18 @@ object TextOps {
             .as(Seq("__b", "__key")))
         .write.parquet(staging.toString)
       fs.mkdirs(committed.getParent)
-      fence()
-      if (!fs.rename(staging, committed)) {
-        fs.delete(staging, true)
-        throw new IllegalStateException(
-          s"could not commit signature batch $id to $path")
+      fence.around {
+        if (!fs.rename(staging, committed)) {
+          fs.delete(staging, true)
+          throw new IllegalStateException(
+            s"could not commit signature batch $id to $path")
+        }
       }
     }
     val batchIds = docs.select(col(idCol).as("__id")).distinct()
     val masked = signatureTombstones(spark, path).exists(tombs =>
       tombs.join(batchIds, Seq("__id"), "left_semi").count() > 0L)
-    if (!masked) { writeBatch(() => ()); return }
+    if (!masked) { writeBatch(VectorOps.MaintenanceFence.noop); return }
     if (!unretract) throw new IllegalStateException(
       s"append to $path re-adds retracted doc(s): " +
         "retraction wins over later appends, so this batch would be " +
@@ -913,15 +914,15 @@ object TextOps {
           val tCommitted = new org.apache.hadoop.fs.Path(
             s"$path/tombstones/$tid")
           remaining.write.parquet(tStaging.toString)
-          fence()
-          if (!fs.rename(tStaging, tCommitted)) {
-            fs.delete(tStaging, true)
-            throw new IllegalStateException(
-              s"could not commit rewritten tombstone batch $tid to $path")
+          fence.around {
+            if (!fs.rename(tStaging, tCommitted)) {
+              fs.delete(tStaging, true)
+              throw new IllegalStateException(
+                s"could not commit rewritten tombstone batch $tid to $path")
+            }
           }
         }
-        fence()
-        oldDirs.foreach(fs.delete(_, true))
+        fence.around { oldDirs.foreach(fs.delete(_, true)) }
       }
       writeBatch(fence)
     }
@@ -969,11 +970,12 @@ object TextOps {
       val committed = new org.apache.hadoop.fs.Path(s"$path/tombstones/$id")
       docIds.toDF("__id").distinct().write.parquet(staging.toString)
       fs.mkdirs(committed.getParent)
-      fence()
-      if (!fs.rename(staging, committed)) {
-        fs.delete(staging, true)
-        throw new IllegalStateException(
-          s"could not commit tombstone batch $id to $path")
+      fence.around {
+        if (!fs.rename(staging, committed)) {
+          fs.delete(staging, true)
+          throw new IllegalStateException(
+            s"could not commit tombstone batch $id to $path")
+        }
       }
     }
   }
@@ -1245,23 +1247,25 @@ object TextOps {
       finally out.close()
     } else folded.coalesce(numFiles).write.parquet(staging.toString)
     val committed = new org.apache.hadoop.fs.Path(s"$path/batches/$id")
-    fence()
-    if (!fs.rename(staging, committed)) {
-      fs.delete(staging, true)
-      throw new IllegalStateException(
-        s"could not commit compacted signature batch $id to $path")
+    fence.around {
+      if (!fs.rename(staging, committed)) {
+        fs.delete(staging, true)
+        throw new IllegalStateException(
+          s"could not commit compacted signature batch $id to $path")
+      }
     }
     // batches first, THEN tombstones: a crash between the two leaves
     // extra tombstones (a harmless no-op mask), while the reverse would
     // resurrect retracted keys from not-yet-deleted input batches
-    fence()
-    consumed.foreach { d =>
-      fs.delete(d, true)
-      // retire the consumed dir's table registration (if it was a
-      // bucketed batch) so the catalog doesn't accumulate dead entries
-      spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(spark, d)}")
+    fence.around {
+      consumed.foreach { d =>
+        fs.delete(d, true)
+        // retire the consumed dir's table registration (if it was a
+        // bucketed batch) so the catalog doesn't accumulate dead entries
+        spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(spark, d)}")
+      }
+      tombs.foreach(fs.delete(_, true))
     }
-    tombs.foreach(fs.delete(_, true))
     }
   }
 

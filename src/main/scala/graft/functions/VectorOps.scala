@@ -1091,13 +1091,20 @@ object VectorOps {
       * CAS-claims the next lease version on the CALLING thread right
       * before the commit: if a breaker took the chain during the pause,
       * our n+1 create loses ATOMICALLY and the commit aborts; if we win,
-      * the claim doubles as a renewal (fresh timestamp), so the breaker
-      * would need a whole further TTL to get in between this fence and
-      * the commit it guards — milliseconds of exposure instead of a
-      * heartbeat interval. An unreadable chain at a commit point refuses
-      * (aborting into the ordinary repair-covered crash window), never
-      * proceeds on hope. */
-    def commitFence(): Unit = renewLock.synchronized {
+      * the claim doubles as a renewal (fresh timestamp). An unreadable
+      * chain at a commit point refuses (aborting into the ordinary
+      * repair-covered crash window), never proceeds on hope.
+      *
+      * The `commit` step itself runs INSIDE the lease lock, directly
+      * after the winning claim (r17 verdict item 8 — previously the
+      * caller ran its rename after this method returned, leaving a
+      * fence→rename gap a TTL expiry could theoretically straddle): now
+      * nothing in this JVM — not even our own heartbeat tick — touches
+      * the chain between the claim and the commit, so the residual
+      * exposure is only the external-breaker window between two
+      * adjacent filesystem calls, with a freshly-stamped claim in
+      * between (a breaker needs a whole further TTL). */
+    def commitFenceAround[A](commit: => A): A = renewLock.synchronized {
       checkNotFenced()
       val top =
         try leaseTopVersion(fs, lease)
@@ -1118,7 +1125,9 @@ object VectorOps {
               "that outlived the ttl); aborting before the commit. The " +
               "successor's repair pass owns the layout now.")
           }
+          val out = commit // inside the lock, adjacent to the claim
           gcLeaseVersions(fs, lease, n + 1)
+          out
         case _ =>
           fenced.set(true)
           throw new IllegalStateException(
@@ -1126,6 +1135,29 @@ object VectorOps {
             "this holder's token at the commit point; aborting before " +
             "the commit. The successor's repair pass owns the layout now.")
       }
+    }
+
+    def commitFence(): Unit = commitFenceAround(())
+  }
+
+  /** The fence handle maintenance bodies receive: callable as a plain
+    * pre-commit barrier (`fence()` — source-compatible with the r16
+    * shape) or, preferably, wrapped AROUND the commit step
+    * (`fence.around { rename }`) so the step executes inside the lease
+    * lock adjacent to the winning CAS (r17 verdict item 8). */
+  private[graft] sealed trait MaintenanceFence extends (() => Unit) {
+    def around[A](commit: => A): A
+    def apply(): Unit = around(())
+  }
+  private[graft] object MaintenanceFence {
+    def apply(hb: LeaseHeartbeat): MaintenanceFence = new MaintenanceFence {
+      def around[A](commit: => A): A = hb.commitFenceAround(commit)
+    }
+    /** For lease-FREE paths that share code with leased ones (e.g. a
+      * plain signature append, which may race freely): the commit runs
+      * unfenced, exactly the pre-lease behavior. */
+    val noop: MaintenanceFence = new MaintenanceFence {
+      def around[A](commit: => A): A = commit
     }
   }
 
@@ -1142,11 +1174,11 @@ object VectorOps {
     * instead of silently interleaving. */
   private[graft] def withMaintenanceLease[T](
       fs: org.apache.hadoop.fs.FileSystem, path: String,
-      ttlMs: Long = DefaultLeaseTtlMs)(body: (() => Unit) => T): T = {
+      ttlMs: Long = DefaultLeaseTtlMs)(body: MaintenanceFence => T): T = {
     val (lease, uuid) = acquireCompactionLease(fs, path, ttlMs)
     val heartbeat =
       new LeaseHeartbeat(fs, lease, uuid, math.max(ttlMs / 4, 25L))
-    try body(() => heartbeat.commitFence())
+    try body(MaintenanceFence(heartbeat))
     finally {
       heartbeat.close()
       releaseCompactionLease(fs, lease, uuid)
@@ -1347,7 +1379,7 @@ object VectorOps {
       // (commitFence), not just the heartbeat's async flag: a GC-paused
       // zombie's late write must lose at the commit point itself
       compactUnderLease(spark, fs, path, stopAfter,
-        () => heartbeat.commitFence(), stepDelayMs)
+        MaintenanceFence(heartbeat), stepDelayMs)
     } finally {
       heartbeat.close()
       releaseCompactionLease(fs, lease, uuid)
@@ -1357,7 +1389,7 @@ object VectorOps {
 
   private def compactUnderLease(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String,
-      stopAfter: Int, fenceCheck: () => Unit,
+      stopAfter: Int, fenceCheck: MaintenanceFence,
       stepDelayMs: Long): Unit = {
     // test-only slow-compaction injection: stretches the work past a
     // short lease TTL so the heartbeat is what keeps the lease alive
@@ -1410,26 +1442,29 @@ object VectorOps {
     // the manifest is the commit record: written strictly after the
     // data, it makes the tmp readable (mid-swap) and masks the inputs
     // (post-swap) until they are gone. Every step from here on is
-    // destructive or commits, so each re-checks the fence first: a
-    // holder whose lease was broken after a pathological heartbeat gap
-    // must abort into a repairable crash window, not race the new
-    // writer over the layout.
-    fenceCheck()
-    writeManifest(fs, new HPath(tmp, ManifestName),
-      plainFiles ++ batchDirs ++ tombFiles)
+    // destructive or commits, so each runs INSIDE the fence
+    // (`around` — the r17-item-8 shape: the step executes in the lease
+    // lock adjacent to the winning CAS): a holder whose lease was
+    // broken after a pathological heartbeat gap must abort into a
+    // repairable crash window, not race the new writer over the layout.
+    fenceCheck.around {
+      writeManifest(fs, new HPath(tmp, ManifestName),
+        plainFiles ++ batchDirs ++ tombFiles)
+    }
     if (stopAfter <= 2) return
     pace()
-    fenceCheck()
-    if (hadCompacted) fs.delete(compacted, true) // its rows live in tmp
+    fenceCheck.around {
+      if (hadCompacted) fs.delete(compacted, true) // its rows live in tmp
+    }
     if (stopAfter <= 3) return
     pace()
-    fenceCheck()
-    require(fs.rename(tmp, compacted),
-      s"compaction rename failed under $path")
+    fenceCheck.around {
+      require(fs.rename(tmp, compacted),
+        s"compaction rename failed under $path")
+    }
     if (stopAfter <= 4) return
     pace()
-    fenceCheck()
-    cleanupConsumed(fs, path)
+    fenceCheck.around { cleanupConsumed(fs, path) }
   }
 
   /** Complete or roll back a crashed compaction so a new one starts

@@ -231,6 +231,16 @@ object ScaleCheck {
       "d09_semantic_kmeans" -> (e =>
         VectorOps.ivfCosinePairs(e, "vec_id", "embedding",
           threshold = 0.4, nlist = 16, nassign = 2).count()),
+      // the sqrt-scale operating point: nlist grows as 2*ceil(sqrt(n)),
+      // so its growth curve vs the fixed-nlist rows above IS the
+      // n^1.5-vs-n^2 claim, measured. NOTE: copy 0 keeps the original
+      // dense ids 0..n0-1, so the nlist lowest ids exist densely as
+      // long as nlist <= the base corpus size (true at every copies
+      // level here) — satisfying the dense-id contract the operator
+      // asserts.
+      "d27_semantic_scaled" -> (e =>
+        VectorOps.ivfCosinePairsPinnedScaled(e, "vec_id", "embedding",
+          threshold = 0.4, nassign = 2).count()),
       // late interaction: the flat scorer must grow linearly with the
       // corpus (queries pinned to the 10 base ids); the IVF-shortlisted
       // two-stage form grows with CANDIDATES (probed buckets), the

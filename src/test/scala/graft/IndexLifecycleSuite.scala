@@ -302,6 +302,44 @@ class IndexLifecycleSuite extends SparkSuite {
       "recovery after a commit-point fence changed answers")
   }
 
+  test("fence.around: the commit thunk NEVER runs on a stolen lease, " +
+      "and runs exactly once inside the lock on a held one") {
+    // r17 verdict item 8: the commit step now executes INSIDE the lease
+    // lock adjacent to the winning CAS. The property that refactor must
+    // preserve forever: when the CAS loses, the commit has not happened
+    // — not "happened then detected", not "raced" — so a zombie's
+    // staged rename can never land on a layout a breaker owns.
+    val root = java.nio.file.Files
+      .createTempDirectory("idx_fence_around_").toString
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val lease = new org.apache.hadoop.fs.Path(s"$root/_compaction.lock")
+    var ran = 0
+    val e = intercept[IllegalStateException] {
+      VectorOps.withMaintenanceLease(fs, root, ttlMs = 60L * 60 * 1000) {
+        fence =>
+          // steal the chain mid-body — the GC-pause zombie window
+          val (n, _, _) = VectorOps.leaseTopVersion(fs, lease)
+            .getOrElse(fail("holder must have a chain top"))
+          assert(VectorOps.claimLeaseVersion(fs, lease, n + 1,
+            "deadbeef-thief-uuid"), "theft CAS must win a free version")
+          fence.around { ran += 1 }
+      }
+    }
+    assert(e.getMessage.contains("fenced"), e.getMessage)
+    assert(ran == 0, "the commit thunk must not run when the CAS loses")
+    assert(VectorOps.leaseTopVersion(fs, lease)
+      .exists(_._3 == "deadbeef-thief-uuid"),
+      "the fenced holder's release must not touch the thief's chain")
+    // winner path: the commit runs exactly once and its value returns
+    fs.delete(lease, true)
+    val out = VectorOps.withMaintenanceLease(fs, root) { fence =>
+      fence.around { ran += 1; 42 }
+    }
+    assert(out == 42 && ran == 1,
+      "a held lease must run the commit once and pass its value through")
+  }
+
   test("chain release: a successor's claim is never touched; a released " +
       "chain reads as free") {
     // the chain twin of the legacy rename-aside release test below:

@@ -2360,7 +2360,7 @@ object TextOps {
     * `warn` (log and run anyway), or `off` (skip the pre-flight). */
   val SimhashGuardKey = "spark.graft.simhash.guard"
 
-  private val DefaultSimhashBudget = 2000000000L
+  private[graft] val DefaultSimhashBudget = 2000000000L
 
   /** Count of guard evaluations that found the mass over budget (both
     * enforce and warn modes) — suite observability for the pre-flight. */
@@ -2453,8 +2453,17 @@ object TextOps {
     // sims is typically an aggregate output (already a pushdown barrier);
     // cache it anyway — the guard, then both self-join sides, read it
     val cached = sims.cache()
-    simhashDensityGuard(cached.select(col(idCol).as("__id"), col("simhash")),
-      maxHamming)
+    try simhashDensityGuard(
+      cached.select(col(idCol).as("__id"), col("simhash")), maxHamming)
+    catch {
+      case e: Throwable =>
+        // a refusal must not strand the just-materialized hash table in
+        // executor storage (code-review finding): a driver probing
+        // several over-budget corpora would otherwise accumulate one
+        // corpus-sized cache entry per refusal
+        cached.unpersist()
+        throw e
+    }
     val ex = cached.select(col(idCol).as("__id"), col("simhash"),
       explode(bandKeys(maxHamming)).as("__k"))
     val l = ex.select(col("__id").as("id_a"), col("simhash").as("sim_a"), col("__k"))

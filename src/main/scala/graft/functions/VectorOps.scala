@@ -1095,46 +1095,54 @@ object VectorOps {
       * chain at a commit point refuses (aborting into the ordinary
       * repair-covered crash window), never proceeds on hope.
       *
-      * The `commit` step itself runs INSIDE the lease lock, directly
-      * after the winning claim (r17 verdict item 8 — previously the
-      * caller ran its rename after this method returned, leaving a
-      * fence→rename gap a TTL expiry could theoretically straddle): now
-      * nothing in this JVM — not even our own heartbeat tick — touches
-      * the chain between the claim and the commit, so the residual
-      * exposure is only the external-breaker window between two
-      * adjacent filesystem calls, with a freshly-stamped claim in
-      * between (a breaker needs a whole further TTL). */
-    def commitFenceAround[A](commit: => A): A = renewLock.synchronized {
-      checkNotFenced()
-      val top =
-        try leaseTopVersion(fs, lease)
-        catch {
-          case e: java.io.IOException => throw new IllegalStateException(
-            s"maintenance commit refused: lease chain $lease is " +
-            "unreadable at the commit point — aborting rather than " +
-            "committing blind; the layout stays in its repair-covered " +
-            "crash window.", e)
-        }
-      top match {
-        case Some((n, _, u)) if u == uuid =>
-          if (!claimLeaseVersion(fs, lease, n + 1, uuid, createDir = false)) {
+      * The `commit` step runs DIRECTLY after the winning claim, with no
+      * caller code in between (r17 verdict item 8 — previously the
+      * caller ran its rename after this method returned, so the
+      * claim→rename adjacency rested on caller discipline; now it is
+      * structural). The commit itself executes OUTSIDE the lease lock
+      * deliberately (code-review finding): holding the lock through an
+      * arbitrarily long commit body (a consumed-batch delete loop
+      * against slow object storage) would starve the heartbeat of
+      * renewals for the whole duration — re-opening, for bodies longer
+      * than the TTL, exactly the two-writers window the fence exists to
+      * close. The lock only serializes this JVM's own CAS operations;
+      * an external breaker never sees it, and the only thing that can
+      * touch the chain between our claim and the commit is our own
+      * heartbeat RENEWING it (claiming a further version under the same
+      * uuid — harmless and desirable during a long commit). */
+    def commitFenceAround[A](commit: => A): A = {
+      renewLock.synchronized {
+        checkNotFenced()
+        val top =
+          try leaseTopVersion(fs, lease)
+          catch {
+            case e: java.io.IOException => throw new IllegalStateException(
+              s"maintenance commit refused: lease chain $lease is " +
+              "unreadable at the commit point — aborting rather than " +
+              "committing blind; the layout stays in its repair-covered " +
+              "crash window.", e)
+          }
+        top match {
+          case Some((n, _, u)) if u == uuid =>
+            if (!claimLeaseVersion(fs, lease, n + 1, uuid,
+                createDir = false)) {
+              fenced.set(true)
+              throw new IllegalStateException(
+                s"maintenance commit fenced: lost the lease CAS at $lease " +
+                "(a successor claimed the chain — likely after a pause " +
+                "that outlived the ttl); aborting before the commit. The " +
+                "successor's repair pass owns the layout now.")
+            }
+            gcLeaseVersions(fs, lease, n + 1)
+          case _ =>
             fenced.set(true)
             throw new IllegalStateException(
-              s"maintenance commit fenced: lost the lease CAS at $lease " +
-              "(a successor claimed the chain — likely after a pause " +
-              "that outlived the ttl); aborting before the commit. The " +
-              "successor's repair pass owns the layout now.")
-          }
-          val out = commit // inside the lock, adjacent to the claim
-          gcLeaseVersions(fs, lease, n + 1)
-          out
-        case _ =>
-          fenced.set(true)
-          throw new IllegalStateException(
-            s"maintenance commit fenced: lease $lease no longer carries " +
-            "this holder's token at the commit point; aborting before " +
-            "the commit. The successor's repair pass owns the layout now.")
+              s"maintenance commit fenced: lease $lease no longer carries " +
+              "this holder's token at the commit point; aborting before " +
+              "the commit. The successor's repair pass owns the layout now.")
+        }
       }
+      commit // adjacent to the claim; heartbeat renewals stay live
     }
 
     def commitFence(): Unit = commitFenceAround(())
@@ -1143,8 +1151,10 @@ object VectorOps {
   /** The fence handle maintenance bodies receive: callable as a plain
     * pre-commit barrier (`fence()` — source-compatible with the r16
     * shape) or, preferably, wrapped AROUND the commit step
-    * (`fence.around { rename }`) so the step executes inside the lease
-    * lock adjacent to the winning CAS (r17 verdict item 8). */
+    * (`fence.around { rename }`) so the step executes structurally
+    * adjacent to the winning CAS — no caller code in between — while
+    * heartbeat renewals stay live during long commits (r17 verdict
+    * item 8 + code-review finding). */
   private[graft] sealed trait MaintenanceFence extends (() => Unit) {
     def around[A](commit: => A): A
     def apply(): Unit = around(())
@@ -1442,11 +1452,11 @@ object VectorOps {
     // the manifest is the commit record: written strictly after the
     // data, it makes the tmp readable (mid-swap) and masks the inputs
     // (post-swap) until they are gone. Every step from here on is
-    // destructive or commits, so each runs INSIDE the fence
-    // (`around` — the r17-item-8 shape: the step executes in the lease
-    // lock adjacent to the winning CAS): a holder whose lease was
-    // broken after a pathological heartbeat gap must abort into a
-    // repairable crash window, not race the new writer over the layout.
+    // destructive or commits, so each runs under the fence's `around`
+    // (the r17-item-8 shape: the step executes structurally adjacent
+    // to the winning CAS): a holder whose lease was broken after a
+    // pathological heartbeat gap must abort into a repairable crash
+    // window, not race the new writer over the layout.
     fenceCheck.around {
       writeManifest(fs, new HPath(tmp, ManifestName),
         plainFiles ++ batchDirs ++ tombFiles)

@@ -316,9 +316,15 @@ object MultimodalQ {
     QueryDef(
       "mm18_image_neardup_fused",
       (s, d) => {
+        // materialize the synthetic payloads ONCE (cache + eager count,
+        // the p01 lesson) so the timed region measures the ingest path
+        // — fused decode+hash+join — not two passes of PNG synthesis
+        // through the union's duplicated lineage (code-review finding)
         val images = MediaFixture.media(s)
           .filter(_.meta.kind == "image").toDF()
           .select(col("media_id"), col("bytes"))
+          .cache()
+        images.count()
         val planted = images.unionByName(
           images.withColumn("media_id", col("media_id") + 1000000L))
         val hashes = planted.select(col("media_id"),

@@ -1377,10 +1377,10 @@ object Streams {
     drain(s"$base/cap_src", "item_id BIGINT, caption STRING",
       (b: DataFrame, epochId: Long) => b.write.mode("overwrite")
         .parquet(s"$base/captions/epoch=$epochId"))
-    // the closure over the two accreted spools — mm17's machinery
-    val imgEdges = graft.functions.TextOps
-      .simHashPairs(readMediaSpool(spark, s"$base/hashes"), "media_id",
-        maxHamming)
+    // the closure over the two accreted spools — mm17's machinery;
+    // the image side reads through mediaSpoolPairs, the ONE documented
+    // spool→banded-Hamming composition the w28–w30 gates share
+    val imgEdges = mediaSpoolPairs(spark, s"$base/hashes", maxHamming)
       .select(col("id_a"), col("id_b"))
     val caps = spark.read.schema("item_id BIGINT, caption STRING")
       .parquet(s"$base/captions")

@@ -194,7 +194,8 @@ object ScaleCheck {
         val sims = TextOps.simHash(corpus(copies), "doc_id", "text").cache()
         val masses = radii.map(r => TextOps.simHashCandidateMass(sims, r))
         val verdicts = radii.zip(masses).map { case (r, m) =>
-          if (m > 2000000000L) s"radius $r REFUSED" else s"radius $r ok"
+          if (m > TextOps.DefaultSimhashBudget) s"radius $r REFUSED"
+          else s"radius $r ok"
         }
         println(s"| ${copies}x | ${masses.mkString(" | ")} | ${verdicts.mkString(", ")} |")
         sims.unpersist()

@@ -1,7 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Maintenance entry point for signature-store catalog hygiene (r16
   * verdict prescription 6): runs
   * [[graft.functions.TextOps.sweepSignatureStoreCatalog]] against the
@@ -21,21 +19,8 @@ import org.apache.spark.sql.SparkSession
   * steady state, not an error.
   */
 object SigstoreSweep {
-  def main(args: Array[String]): Unit = {
-    val cpus = Runtime.getRuntime.availableProcessors()
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-    sys.env.get("SPARK_GRAFT_SIGSTORE_DB").foreach(db =>
-      builder.config("spark.graft.sigstore.database", db))
-    val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val dropped = graft.functions.TextOps.sweepSignatureStoreCatalog(spark)
-    dropped.foreach(t => println(s"[sigstore-sweep] dropped $t"))
-    println(s"[sigstore-sweep] ${dropped.size} dangling " +
-      s"registration(s) dropped")
-    spark.stop()
-  }
+  /** Delegates to [[Maintenance]] with no spool args — ONE copy of the
+    * session construction and sweep sequence (code-review finding: the
+    * two mains had drifted into near-verbatim duplicates). */
+  def main(args: Array[String]): Unit = Maintenance.main(Array.empty)
 }

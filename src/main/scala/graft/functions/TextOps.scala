@@ -2447,7 +2447,15 @@ object TextOps {
     * so wide radii on large corpora go quadratic (the measured d04
     * wall). A pre-flight estimates the exact mass and refuses past
     * [[SimhashBudgetKey]] (default 2e9 candidates), naming the
-    * scale-safe alternatives — see [[simhashDensityGuard]]. */
+    * scale-safe alternatives — see [[simhashDensityGuard]].
+    *
+    * Cache lifetime: the input is cached for the duration of the
+    * returned frame (guard + both self-join sides read it) and is NOT
+    * unpersisted here — the result would silently recompute otherwise.
+    * Callers invoking this repeatedly over DIFFERENT inputs (e.g. an
+    * accreting spool re-read per micro-batch) should
+    * `spark.catalog.clearCache()` between calls or cache/unpersist the
+    * input themselves; a refused call cleans up after itself. */
   def simHashPairs(
       sims: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
     // sims is typically an aggregate output (already a pushdown barrier);

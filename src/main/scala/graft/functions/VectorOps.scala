@@ -1864,18 +1864,88 @@ object VectorOps {
       .agg(max(col("cos")).as("cos"))
   }
 
+  /** Conf key: within-list pair budget for the FIXED-nlist IVF dedup
+    * joins (the d09/d15 shape). Default 2e8 — above sf1.0's measured
+    * mass (~5e7 at 20k vectors, nlist 16), below the sf5.0 wall
+    * (~1.25e9 at 100k vectors — the 52 s run). */
+  val IvfBudgetKey = "spark.graft.ivf.maxPairMass"
+
+  /** Conf key: `enforce` (default) | `warn` | `off` — the IVF twin of
+    * the banded-SimHash guard's mode switch. */
+  val IvfGuardKey = "spark.graft.ivf.guard"
+
+  private[graft] val DefaultIvfBudget = 200000000L
+
+  /** Guard-trip counter (enforce + warn), suite observability. */
+  private[graft] val ivfGuardTrips =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** EXACT within-list pair mass of the bucket self-join: Σ over lists
+    * of c·(c−1)/2 — one linear partial-aggregating pass over the
+    * n·nassign assignment rows, vs the join it predicts. */
+  def ivfPairMass(assigned: DataFrame, bucketCol: String): Long =
+    assigned.groupBy(col(bucketCol)).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0)))
+      .head().getDouble(0).toLong
+
+  /** Pre-flight density guard on the FIXED-nlist IVF pair join — the
+    * r17 weak-list's second half made mechanical (d04's banding guard
+    * is the first): with nlist fixed, within-list pair mass is
+    * n²·nassign²/nlist — quadratic — measured at 52 s for 100k vectors
+    * at sf5.0. Short-circuits when even the one-list worst case fits
+    * the budget (true at gate/bench scales: zero extra jobs);
+    * otherwise measures the exact bucket mass (linear) and refuses or
+    * warns per [[IvfGuardKey]], naming the sqrt-scale operating point.
+    * The SCALED variant ([[ivfCosinePairsPinnedScaled]]) is
+    * deliberately unguarded: its mass is ~n^1.5 BY DESIGN — the
+    * operating curve a large corpus chooses knowingly. */
+  private def ivfPairGuard(spark: org.apache.spark.sql.SparkSession,
+      a: Long, assigned: => DataFrame, nlist: Int,
+      nassign: Int): Unit = {
+    val mode = spark.conf.get(IvfGuardKey, "enforce")
+    if (mode == "off") return
+    val budget = spark.conf.get(IvfBudgetKey, "").trim match {
+      case "" => DefaultIvfBudget
+      case s  => s.toLong
+    }
+    // `a` = n·min(nassign, nlist) assignment rows, known from the
+    // corpus count alone — the worst case (every row in one list)
+    // short-circuits without ever computing an assignment
+    if (a.toDouble * (a - 1) / 2 <= budget.toDouble) return
+    val mass = ivfPairMass(assigned, "__bucket")
+    if (mass <= budget) return
+    ivfGuardTrips.incrementAndGet()
+    val msg =
+      f"fixed-nlist IVF pair join: the within-list self-join would " +
+        f"surface ~$mass%,d pairs over $a%,d assignment rows " +
+        f"(nlist=$nlist, nassign=$nassign) — past the $budget%,d " +
+        f"budget ($IvfBudgetKey). With nlist fixed the pair mass grows " +
+        "~n²·nassign²/nlist (the wall measured in SCALING.md: 52 s at " +
+        "100k vectors). Scale-safe operating point: " +
+        "ivfCosinePairsPinnedScaled (d27), whose nlist grows as " +
+        "2*ceil(sqrt(n)) and bounds the mass at ~n^1.5 — or raise " +
+        s"nlist explicitly. Set $IvfGuardKey=warn to override."
+    if (mode == "warn")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    else throw new IllegalStateException(msg)
+  }
+
   /** [[ivfCosinePairs]] (the SemDeDup semantic-dedup shape) with the
     * PINNED coarse quantizer: every vector joins its `nassign` nearest
     * pinned centroids (integer-dot argsort, ties -> lowest id), pairs
     * co-bucketed anywhere verify with the quantized cosine. Same
     * sum-of-squared-list-sizes cost bound as the trained variant; fully
-    * oracle-replayable. */
+    * oracle-replayable. Guarded past [[IvfBudgetKey]] — see
+    * [[ivfPairGuard]]. */
   def ivfCosinePairsPinned(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       nlist: Int, nassign: Int): DataFrame = {
     val spark = df.sparkSession
+    // cached: the codebook collect, the guard, and both join sides read
+    // it (the scaled variant's discipline, adopted here with the guard)
     val c = withCodeNorm(sq8Codes(df, idCol, vecCol, "__id", "__c"),
-      "__c", "__n")
+      "__c", "__n").cache()
+    val n = c.count()
     val cents = pinnedCodebook(c, "__id", "__c", nlist)
     val k = math.min(nassign, cents.length)
     def dots(v: Column): Column =
@@ -1890,6 +1960,7 @@ object VectorOps {
       1, k)
     val assigned = c.select(col("__id"), col("__c"), col("__n"),
       explode(assignList).as("__bucket"))
+    ivfPairGuard(spark, n * k, assigned.select("__bucket"), nlist, nassign)
     val l = assigned.select(col("__id").as("id_a"), col("__c").as("ca"),
       col("__n").as("na"), col("__bucket"))
     val r = assigned.select(col("__id").as("id_b"), col("__c").as("cb"),
@@ -2288,7 +2359,10 @@ object VectorOps {
     *      codegen cosine.
     *
     * Cost tracks sum of squared list sizes (~n²·nassign²/nlist for
-    * balanced lists) instead of n² — the knob a 100 TB corpus needs.
+    * balanced lists) instead of n² — the knob a 100 TB corpus needs —
+    * but with nlist FIXED that is still quadratic in n, so the join is
+    * guarded past [[IvfBudgetKey]] (see [[ivfPairGuard]]; the remedy is
+    * [[ivfCosinePairsPinnedScaled]]'s sqrt-scale nlist).
     * Not oracle-expressible (kmeans); recall vs
     * [[bruteForceCosinePairs]] is pinned in ScalaTest. */
   def ivfCosinePairs(
@@ -2314,6 +2388,8 @@ object VectorOps {
       1, k)
     val assigned = c.select(col("__id"), col("__v"),
       explode(assignList).as("__bucket"))
+    ivfPairGuard(spark, c.count() * k, assigned.select("__bucket"),
+      nlist, nassign)
     val l = assigned.select(col("__id").as("id_a"), col("__v").as("va"),
       col("__bucket"))
     val r = assigned.select(col("__id").as("id_b"), col("__v").as("vb"),

@@ -209,6 +209,44 @@ class DedupOpsSuite extends SparkSuite {
     }
   }
 
+  test("IVF pair guard: a fixed-nlist join past the budget refuses " +
+      "naming the sqrt-scale remedy; the scaled variant is unguarded " +
+      "by design") {
+    // the r17 weak-list's second half (d09's wall) made mechanical,
+    // mirroring the simhash guard: with nlist fixed, within-list pair
+    // mass is n²·nassign²/nlist. A deliberately tiny budget must trip
+    // BOTH fixed-nlist variants; the scaled variant must sail through
+    // under the same budget — its ~n^1.5 mass is the operating curve a
+    // caller chooses knowingly, so guarding it would refuse the remedy.
+    spark.conf.set(VectorOps.IvfBudgetKey, "1")
+    try {
+      val trips0 = VectorOps.ivfGuardTrips.get()
+      val e = intercept[IllegalStateException] {
+        VectorOps.ivfCosinePairsPinned(emb, "vec_id", "embedding",
+          threshold = 0.4, nlist = 16, nassign = 2)
+      }
+      assert(e.getMessage.contains("PinnedScaled") &&
+        e.getMessage.contains("sqrt"),
+        s"refusal must name the sqrt-scale operating point: ${e.getMessage}")
+      intercept[IllegalStateException] {
+        VectorOps.ivfCosinePairs(emb, "vec_id", "embedding",
+          threshold = 0.4, nlist = 16, nassign = 2)
+      }
+      assert(VectorOps.ivfGuardTrips.get() == trips0 + 2)
+      // the scaled variant runs under the same 1-pair budget
+      assert(VectorOps.ivfCosinePairsPinnedScaled(emb, "vec_id",
+        "embedding", threshold = 0.4, nassign = 2).count() > 0)
+      // warn mode: the fixed-nlist join proceeds (and counts a trip)
+      spark.conf.set(VectorOps.IvfGuardKey, "warn")
+      assert(VectorOps.ivfCosinePairsPinned(emb, "vec_id", "embedding",
+        threshold = 0.4, nlist = 16, nassign = 2).count() > 0)
+      assert(VectorOps.ivfGuardTrips.get() == trips0 + 3)
+    } finally {
+      spark.conf.unset(VectorOps.IvfBudgetKey)
+      spark.conf.unset(VectorOps.IvfGuardKey)
+    }
+  }
+
   test("prefix filtering keeps total recall while pruning the candidate space") {
     val sh = TextOps.shingleSets(docs, "doc_id", "text", 3).cache()
     val prefixCands = TextOps.prefixCandidates(sh, 0.5)

@@ -2060,6 +2060,57 @@ object VectorOps {
       .agg(max(col("cos")).as("cos"))
   }
 
+  /** Cluster-balanced corpus selection — the DataComp/DCLM curation
+    * shape that follows semantic dedup: assign every vector to its
+    * nearest pinned centroid (top-1 integer-dot argmax, ties → lowest
+    * centroid id — d15's quantizer), then keep a deterministic
+    * per-cluster quota of ceil(cluster_size / denom) in md5(id) order.
+    * Per-cluster quotas instead of one global sample: dense embedding
+    * modes (boilerplate, templates) cannot crowd rare clusters out of
+    * the selected corpus — diversity is enforced structurally, not
+    * hoped for.
+    *
+    * Output is `(id, cluster_id, picked)` for EVERY vector — the flag
+    * form keeps the operator a pure per-row decision surface (callers
+    * filter on `picked`; an oracle hashes every decision, kept or
+    * dropped). md5(id) order is a deterministic uniform permutation,
+    * so the quota is an unbiased within-cluster sample both engines
+    * replay bit-for-bit.
+    *
+    * Scale shape: the fixed-nlist literal-array assignment serves gate
+    * scales (swap in the scaled broadcast-join assignment past that —
+    * the d27 lesson); the quota is one ordered window PER CLUSTER, so
+    * each cluster (~n/nlist rows) must fit a task's sort budget —
+    * nlist is the scale knob, exactly as in the IVF pair joins. */
+  def clusterBalancedSelect(
+      df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, denom: Int): DataFrame = {
+    require(denom >= 1, s"denom must be >= 1, got $denom")
+    val spark = df.sparkSession
+    val c = sq8Codes(df, idCol, vecCol, "__id", "__c")
+    val cents = pinnedCodebook(c, "__id", "__c", nlist)
+    def dots(v: Column): Column =
+      array(cents.map(ct => nativeDot(spark, v, array(ct.map(lit): _*))): _*)
+    val best = element_at(
+      transform(
+        array_sort(zip_with(
+          dots(col("__c")),
+          sequence(lit(0), lit(cents.length - 1)),
+          (d, i) => struct((-d).as("nd"), i.as("idx")))),
+        s => s.getField("idx")),
+      1)
+    val assigned = c.select(col("__id"), best.cast("long").as("__cluster"))
+    val counts = assigned.groupBy("__cluster")
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col("__cluster"))
+      .orderBy(md5(col("__id").cast("string")), col("__id"))
+    assigned.join(broadcast(counts), Seq("__cluster"))
+      .withColumn("__rn", row_number().over(w))
+      .select(col("__id").as(idCol), col("__cluster").as("cluster_id"),
+        when(col("__rn") <= expr(s"(__cnt + ${denom - 1}) div $denom"),
+          lit(1L)).otherwise(lit(0L)).as("picked"))
+  }
+
   /** Shared top-k tail: rank scored (query_id, neighbor_id, cos) rows
     * per query and keep the first k. int64 rank: match DuckDB
     * row_number. */

@@ -1726,6 +1726,54 @@ object Pipeline {
         SELECT doc_id, lang, vt,
                CAST(ROW_NUMBER() OVER (ORDER BY vt, lang, doc_id) AS BIGINT)
                  AS epoch_pos
-        FROM v ORDER BY doc_id"""))
+        FROM v ORDER BY doc_id""")),
+
+    // ---- p31: cluster-balanced corpus selection (DataComp/DCLM shape) ----
+    // the diversity-balancing step that follows semantic dedup: every
+    // embedding assigns to its nearest pinned centroid (d15's
+    // quantizer — integer-dot argmax, ties → lowest centroid id), and
+    // each cluster keeps a deterministic ceil(size/4) quota in md5(id)
+    // order. Per-cluster quotas — not a global sample — so dense modes
+    // (boilerplate, templates) cannot crowd rare clusters out of the
+    // selected corpus. The flag output hashes EVERY decision; the
+    // oracle replays the quantizer, the quotas, and the md5 permutation
+    // bit-for-bit.
+    QueryDef(
+      "p31_cluster_balanced_select",
+      (s, d) =>
+        graft.functions.VectorOps.clusterBalancedSelect(
+            Tables(s, d, "embeddings"), "vec_id", "embedding",
+            nlist = 16, denom = 4)
+          .orderBy("vec_id"),
+      Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), m AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS mx
+          FROM v
+        ), coded AS (
+          SELECT vec_id,
+                 list_transform(v, x -> floor(x /
+                   (CASE WHEN mx = 0.0 THEN 1.0 ELSE mx END) * 127 + 0.5)) AS c
+          FROM m
+        ),
+        cent AS (SELECT vec_id AS cid, c AS cc FROM coded WHERE vec_id < 16),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT d.vec_id, ct.cid,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                     ORDER BY list_dot_product(d.c, ct.cc) DESC, ct.cid) AS rn
+            FROM coded d CROSS JOIN cent ct) t WHERE rn = 1),
+        cnt AS (SELECT cid, COUNT(*) AS n FROM assign GROUP BY 1),
+        ranked AS (
+          SELECT a.vec_id, a.cid, c.n,
+                 ROW_NUMBER() OVER (PARTITION BY a.cid
+                   ORDER BY md5(CAST(a.vec_id AS VARCHAR)), a.vec_id) AS rn
+          FROM assign a JOIN cnt c USING (cid))
+        SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
+               CAST(CASE WHEN rn <= (n + 3) // 4 THEN 1 ELSE 0 END
+                 AS BIGINT) AS picked
+        FROM ranked ORDER BY vec_id"""))
   )
 }

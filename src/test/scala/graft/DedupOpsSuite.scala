@@ -247,6 +247,33 @@ class DedupOpsSuite extends SparkSuite {
     }
   }
 
+  test("cluster-balanced selection: per-cluster quota is exactly " +
+      "ceil(size/denom), every vector is flagged, and the pick is " +
+      "deterministic") {
+    val out = VectorOps.clusterBalancedSelect(
+      emb, "vec_id", "embedding", nlist = 16, denom = 4).cache()
+    try {
+      val n = emb.count()
+      assert(out.count() == n, "every vector must carry a flag")
+      val per = out.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n"), sum("picked").as("k"))
+        .as[(Long, Long, Long)].collect()
+      assert(per.nonEmpty)
+      per.foreach { case (cid, size, kept) =>
+        assert(kept == (size + 3) / 4,
+          s"cluster $cid: kept $kept of $size, want ceil(size/4)")
+      }
+      // the md5 permutation is deterministic: a re-run picks the same set
+      val a = out.where(col("picked") === 1)
+        .select("vec_id").as[Long].collect().toSet
+      val b = VectorOps.clusterBalancedSelect(
+          emb, "vec_id", "embedding", nlist = 16, denom = 4)
+        .where(col("picked") === 1)
+        .select("vec_id").as[Long].collect().toSet
+      assert(a == b, "selection must be a pure function of the corpus")
+    } finally out.unpersist()
+  }
+
   test("prefix filtering keeps total recall while pruning the candidate space") {
     val sh = TextOps.shingleSets(docs, "doc_id", "text", 3).cache()
     val prefixCands = TextOps.prefixCandidates(sh, 0.5)

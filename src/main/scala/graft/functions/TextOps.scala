@@ -2394,7 +2394,11 @@ object TextOps {
   def simHashCandidateMass(sims: DataFrame, maxHamming: Int): Long =
     sims.select(explode(bandKeys(maxHamming)).as("__k"))
       .groupBy(col("__k")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0)))
+      // c cast to double BEFORE the multiply: long c*(c-1) wraps
+      // negative past ~3e9 rows in one bucket — silently under-
+      // reporting the mass at exactly the scale the guard exists for
+      .agg(coalesce(
+        sum(col("c").cast("double") * (col("c") - 1) / 2), lit(0.0)))
       .head().getDouble(0).toLong
 
   /** Pre-flight density guard on the banded join (r17 verdict item 1:

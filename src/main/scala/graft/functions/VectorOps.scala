@@ -1885,35 +1885,45 @@ object VectorOps {
     * n·nassign assignment rows, vs the join it predicts. */
   def ivfPairMass(assigned: DataFrame, bucketCol: String): Long =
     assigned.groupBy(col(bucketCol)).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0)))
+      // c cast to double BEFORE the multiply: long c*(c-1) wraps
+      // negative past ~3e9 rows in one list — silently under-reporting
+      // the mass at exactly the scale the guard exists for
+      .agg(coalesce(
+        sum(col("c").cast("double") * (col("c") - 1) / 2), lit(0.0)))
       .head().getDouble(0).toLong
 
   /** Pre-flight density guard on the FIXED-nlist IVF pair join — the
     * r17 weak-list's second half made mechanical (d04's banding guard
     * is the first): with nlist fixed, within-list pair mass is
     * n²·nassign²/nlist — quadratic — measured at 52 s for 100k vectors
-    * at sf5.0. Short-circuits when even the one-list worst case fits
-    * the budget (true at gate/bench scales: zero extra jobs);
+    * at sf5.0. Short-circuits when even the attainable worst case
+    * (k full buckets of n — multi-assignments land in distinct
+    * buckets) fits the budget (true at gate/bench scales: zero extra
+    * jobs beyond the corpus count the callers already take);
     * otherwise measures the exact bucket mass (linear) and refuses or
     * warns per [[IvfGuardKey]], naming the sqrt-scale operating point.
     * The SCALED variant ([[ivfCosinePairsPinnedScaled]]) is
     * deliberately unguarded: its mass is ~n^1.5 BY DESIGN — the
     * operating curve a large corpus chooses knowingly. */
   private def ivfPairGuard(spark: org.apache.spark.sql.SparkSession,
-      a: Long, assigned: => DataFrame, nlist: Int,
+      n: => Long, k: Int, assigned: => DataFrame, nlist: Int,
       nassign: Int): Unit = {
     val mode = spark.conf.get(IvfGuardKey, "enforce")
-    if (mode == "off") return
+    if (mode == "off") return // by-name n: off mode pays zero jobs
     val budget = spark.conf.get(IvfBudgetKey, "").trim match {
       case "" => DefaultIvfBudget
       case s  => s.toLong
     }
-    // `a` = n·min(nassign, nlist) assignment rows, known from the
-    // corpus count alone — the worst case (every row in one list)
-    // short-circuits without ever computing an assignment
-    if (a.toDouble * (a - 1) / 2 <= budget.toDouble) return
+    // attainable worst case: a vector's k assignments land in DISTINCT
+    // buckets, so no bucket exceeds n rows — at most k full buckets of
+    // n, i.e. k·n(n−1)/2 (tighter by ~k than treating all n·k rows as
+    // one list; code-review finding). Known from the corpus count
+    // alone, so the short-circuit never computes an assignment.
+    val nv = n
+    if (k.toDouble * nv * (nv - 1) / 2 <= budget.toDouble) return
     val mass = ivfPairMass(assigned, "__bucket")
     if (mass <= budget) return
+    val a = nv * k
     ivfGuardTrips.incrementAndGet()
     val msg =
       f"fixed-nlist IVF pair join: the within-list self-join would " +
@@ -1960,7 +1970,13 @@ object VectorOps {
       1, k)
     val assigned = c.select(col("__id"), col("__c"), col("__n"),
       explode(assignList).as("__bucket"))
-    ivfPairGuard(spark, n * k, assigned.select("__bucket"), nlist, nassign)
+    try ivfPairGuard(spark, n, k, assigned.select("__bucket"),
+      nlist, nassign)
+    catch {
+      case e: Throwable =>
+        c.unpersist() // a refusal must not strand the cached code table
+        throw e
+    }
     val l = assigned.select(col("__id").as("id_a"), col("__c").as("ca"),
       col("__n").as("na"), col("__bucket"))
     val r = assigned.select(col("__id").as("id_b"), col("__c").as("cb"),
@@ -2087,7 +2103,13 @@ object VectorOps {
       nlist: Int, denom: Int): DataFrame = {
     require(denom >= 1, s"denom must be >= 1, got $denom")
     val spark = df.sparkSession
-    val c = sq8Codes(df, idCol, vecCol, "__id", "__c")
+    // cached + eagerly materialized: the codebook collect, the counts
+    // aggregation, and the join probe side all read the coded frame —
+    // uncached, the sq8 encode + assignment argmax would run three
+    // times over the corpus (code-review finding; the pinned pair
+    // variants' discipline)
+    val c = sq8Codes(df, idCol, vecCol, "__id", "__c").cache()
+    c.count()
     val cents = pinnedCodebook(c, "__id", "__c", nlist)
     def dots(v: Column): Column =
       array(cents.map(ct => nativeDot(spark, v, array(ct.map(lit): _*))): _*)
@@ -2439,7 +2461,9 @@ object VectorOps {
       1, k)
     val assigned = c.select(col("__id"), col("__v"),
       explode(assignList).as("__bucket"))
-    ivfPairGuard(spark, c.count() * k, assigned.select("__bucket"),
+    // n passed BY NAME: guard=off pays zero jobs (code-review finding —
+    // a strict count here re-scanned the corpus even when switched off)
+    ivfPairGuard(spark, c.count(), k, assigned.select("__bucket"),
       nlist, nassign)
     val l = assigned.select(col("__id").as("id_a"), col("__v").as("va"),
       col("__bucket"))

@@ -21,6 +21,10 @@ package graft.tools
 object SigstoreSweep {
   /** Delegates to [[Maintenance]] with no spool args — ONE copy of the
     * session construction and sweep sequence (code-review finding: the
-    * two mains had drifted into near-verbatim duplicates). */
+    * two mains had drifted into near-verbatim duplicates).
+    *
+    * OUTPUT CONTRACT CHANGE (r18): lines are emitted under the
+    * `[maintenance] sigstore:` prefix, no longer `[sigstore-sweep]` —
+    * log scrapers matching the old prefix must update. */
   def main(args: Array[String]): Unit = Maintenance.main(Array.empty)
 }

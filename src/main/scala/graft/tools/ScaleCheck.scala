@@ -242,6 +242,12 @@ object ScaleCheck {
       "d27_semantic_scaled" -> (e =>
         VectorOps.ivfCosinePairsPinnedScaled(e, "vec_id", "embedding",
           threshold = 0.4, nassign = 2).count()),
+      // cluster-balanced selection: one narrow assignment pass + one
+      // window per cluster (each ~n/nlist rows) — expected linear; the
+      // growth curve is the evidence the per-cluster sort budget holds
+      "p31_cluster_select" -> (e =>
+        VectorOps.clusterBalancedSelect(e, "vec_id", "embedding",
+          nlist = 16, denom = 4).count()),
       // late interaction: the flat scorer must grow linearly with the
       // corpus (queries pinned to the 10 base ids); the IVF-shortlisted
       // two-stage form grows with CANDIDATES (probed buckets), the

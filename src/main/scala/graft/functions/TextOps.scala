@@ -131,7 +131,87 @@ object TextOps {
     // prefix, candidate join, intersection verify — works on 8-byte keys
     val sh = hashedShingleSets(df, idCol, textCol, n).cache()
     sh.count()
-    verifyJaccard(sh, prefixCandidates(sh, threshold), threshold)
+    // a guard refusal inside the candidate stage must not strand the
+    // just-materialized shingle cache (the simHashPairs discipline)
+    val cands = try prefixCandidates(sh, threshold)
+    catch { case e: Throwable => sh.unpersist(); throw e }
+    verifyJaccard(sh, cands, threshold)
+  }
+
+  /** Conf key: raw candidate budget for the PPJoin-family prefix bucket
+    * joins ([[prefixCandidates]] — d02/d06/p01's dedup stage — and
+    * [[containmentPairs]], d16). Default 2e9 raw matched rows: prefix
+    * masses track TRUE near-dup density (the rarest-shingle prefixes
+    * keep hot shingles out of the index), so sane corpora sit orders of
+    * magnitude under this — the budget exists for the mass-duplicated-
+    * boilerplate corpus where one giant prefix bucket launches a silent
+    * n² join. */
+  val PpjoinBudgetKey = "spark.graft.ppjoin.maxCandidatePairs"
+
+  /** Conf key: `enforce` (default) | `warn` | `off` — the PPJoin twin
+    * of [[SimhashGuardKey]]. */
+  val PpjoinGuardKey = "spark.graft.ppjoin.guard"
+
+  private[graft] val DefaultPpjoinBudget = 2000000000L
+
+  /** Guard-trip counter (enforce + warn), suite observability. */
+  private[graft] val ppjoinGuardTrips =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Upper bound on a prefix join's raw matched rows, from the cached
+    * prefix frame alone: Σ over probe rows of that shingle's GLOBAL
+    * document frequency (each probe row matches at most df(s) index
+    * rows; for containment, whose index side IS the full inverted
+    * index, this is the exact mass). One cache-read aggregation —
+    * ~free — so at sane scales the guard never runs a second pass. */
+  def prefixDfMassBound(prefix: DataFrame): Long =
+    prefix.agg(coalesce(sum(col("__df").cast("double")), lit(0.0)))
+      .head().getDouble(0).toLong
+
+  /** EXACT raw row count the [[prefixCandidates]] bucket join
+    * materializes before its pruning predicates: Σ over shingle hashes
+    * of probeCount·indexCount (non-equi prunes are evaluated per
+    * matched row, so the equi-key match count IS the join's work).
+    * `idxPred` marks the index-subset rows. ONE partial-aggregating
+    * pass over the cached prefix frame. */
+  def ppjoinCandidateMass(prefix: DataFrame, idxPred: Column): Long =
+    prefix.withColumn("__ii", idxPred.cast("long"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__cp"), sum(col("__ii")).as("__ci"))
+      // double BEFORE the multiply: the per-bucket product can exceed
+      // Long at exactly the scale the guard exists for
+      .agg(coalesce(
+        sum(col("__cp").cast("double") * col("__ci")), lit(0.0)))
+      .head().getDouble(0).toLong
+
+  /** Pre-flight density guard on a prefix bucket join (r18 verdict item
+    * 3: guard parity — the SimHash and IVF walls refuse mechanically,
+    * but a boilerplate-flooded corpus could still launch a silent n²
+    * PPJoin). `massBound` is the ~free df-sum bound off the cached
+    * prefix frame — when it clears the budget nothing else runs (true
+    * at gate/bench scales); only past it does `massExact` (one linear
+    * pass) decide, refusing or warning per [[PpjoinGuardKey]]. */
+  private def ppjoinPrefixGuard(spark: org.apache.spark.sql.SparkSession,
+      massBound: => Long, massExact: => Long, what: String): Unit = {
+    val mode = GuardConf.mode(spark, PpjoinGuardKey)
+    if (mode == "off") return // by-name masses: off pays zero jobs
+    val budget = GuardConf.budget(spark, PpjoinBudgetKey, DefaultPpjoinBudget)
+    if (massBound <= budget) return
+    val mass = massExact
+    if (mass <= budget) return
+    ppjoinGuardTrips.incrementAndGet()
+    val msg =
+      f"$what: the prefix bucket join would materialize ~$mass%,d raw " +
+        f"candidate rows — past the $budget%,d budget " +
+        f"($PpjoinBudgetKey). Prefix mass tracks true near-dup density, " +
+        "so this corpus is pathologically self-similar (mass-duplicated " +
+        "boilerplate concentrating one prefix bucket). Exact-dedup first " +
+        "(dedupExact, d01) to collapse the verbatim mass, or raise the " +
+        "similarity threshold (shorter prefixes). Set " +
+        s"$PpjoinGuardKey=warn to override."
+    if (mode == "warn")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    else throw new IllegalStateException(msg)
   }
 
   /** Candidate pairs from the prefix index: hash each shingle to 64 bits,
@@ -174,10 +254,18 @@ object TextOps {
     val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__s"))
     // probe prefix: |S| - ceil(t|S|) + 1 rarest shingles (classic prefix
     // filter); the __rk position is kept for the positional bound below
-    val prefix = ex.join(freq, col("__s") === col("__sf")).drop("__sf")
+    val prefix = ex.join(freq, col("__s") === col("__sf"))
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= col("__n") - ceil(lit(t) * col("__n")) + 1)
-      .select(col("__id"), col("__n"), col("__s"), col("__rk"))
+      // __df rides along for the guard's ~free df-sum mass bound
+      .select(col("__id"), col("__n"), col("__s"), col("__rk"), col("__df"))
+      // cached + eagerly counted: the density guard and BOTH join sides
+      // below read this frame — uncached, the freq join + rank window
+      // (the candidate stage's expensive half) ran once per reader, and
+      // the count doubles as the first-reader-race materialization the
+      // sh cache above already practices
+      .cache()
+    prefix.count()
     // PPJoin role split (Xiao et al. 2008): for a qualifying pair the
     // size-SMALLER record is guaranteed a shared token inside its shorter
     // INDEX prefix (|S| - ceil(2t/(1+t)|S|) + 1) matched against the
@@ -185,6 +273,15 @@ object TextOps {
     // side enters the join. Roles use the (size, id) total order so
     // equal-size pairs keep exactly one orientation.
     val idxLen = col("__n") - ceil(lit(2 * t / (1 + t)) * col("__n")) + 1
+    try ppjoinPrefixGuard(sh.sparkSession,
+      prefixDfMassBound(prefix),
+      ppjoinCandidateMass(prefix, col("__rk") <= idxLen),
+      f"ngramJaccardPairs(threshold=$t%.2f)")
+    catch {
+      case e: Throwable =>
+        prefix.unpersist() // a refusal must not strand the prefix cache
+        throw e
+    }
     // distinct key names per side: Column-equality on the same lineage
     // trips Spark's ambiguous-self-join fixup (and its warning)
     val probe = prefix.select(col("__id").as("id_p"), col("__n").as("n_p"),
@@ -245,13 +342,28 @@ object TextOps {
     val freq = ex.groupBy("__s").agg(count(lit(1)).as("__df"))
       .select(col("__s").as("__sf"), col("__df"))
     val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__s"))
-    val probe = ex.join(freq, col("__s") === col("__sf")).drop("__sf")
+    val probe = ex.join(freq, col("__s") === col("__sf"))
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= ceil(lit(1 - t) * col("__n")) + 1)
+      // __df rides along: containment's index side is the FULL inverted
+      // index, so Σ df over probe rows IS the join's exact raw matched-
+      // row count — the guard needs no second pass, ever
       .select(col("__id").as("id_a"), col("__n").as("n_a"),
-        col("__s").as("__s_p"))
+        col("__s").as("__s_p"), col("__df"))
+      // cached + eagerly counted: the density guard and the candidate
+      // join both read the probe prefixes (the prefixCandidates stance)
+      .cache()
+    probe.count()
     val index = ex.select(col("__id").as("id_b"), col("__n").as("n_b"),
       col("__s").as("__s_i"))
+    try ppjoinPrefixGuard(sh.sparkSession,
+      prefixDfMassBound(probe), prefixDfMassBound(probe),
+      f"containmentPairs(threshold=$t%.2f)")
+    catch {
+      case e: Throwable =>
+        probe.unpersist(); sh.unpersist()
+        throw e
+    }
     // size prune in the SAME integer-permille arithmetic as the verify
     // stage below: a double-rounded ceil(t*n_a) can be one stricter than
     // the permille compare at representation boundaries, dropping a pair
@@ -299,13 +411,77 @@ object TextOps {
     * shingle→minhash→band→bucket-join pipeline. Output pairs are
     * candidates only; callers verify with [[jaccard]] on true shingle
     * sets. Bucket sizes are bounded in practice by hash uniformity;
-    * pathological identical-doc floods surface as a skewed join and are
-    * the caller's dedup-first problem. */
+    * pathological identical-doc floods are refused mechanically by the
+    * band-bucket density guard (see [[minhashBandGuard]] /
+    * [[MinhashBudgetKey]]) — the remedy is dedup-first. */
   def minHashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int): DataFrame =
     minHashCandidatesFromHashed(
       hashedShingleSets(df, idCol, textCol, n), numHashes, bands)
+
+  /** Conf key: band-bucket candidate budget for the MinHash LSH join
+    * ([[minHashCandidatesFromHashed]] — d03/d11 and the streamed w21
+    * path). Default 2e9 raw pairs: band-bucket mass tracks TRUE
+    * near-dup density (uniform hashes collide negligibly), so the
+    * budget exists for the mass-duplicated-boilerplate corpus where
+    * identical documents concentrate one giant band bucket. */
+  val MinhashBudgetKey = "spark.graft.minhash.maxCandidatePairs"
+
+  /** Conf key: `enforce` (default) | `warn` | `off` — the MinHash twin
+    * of [[SimhashGuardKey]]. */
+  val MinhashGuardKey = "spark.graft.minhash.guard"
+
+  private[graft] val DefaultMinhashBudget = 2000000000L
+
+  /** Guard-trip counter (enforce + warn), suite observability. */
+  private[graft] val minhashGuardTrips =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** EXACT candidate mass of the (band, key) bucket self-join over a
+    * cached signature table (`__id`, `__bands`): Σ over buckets of
+    * c·(c−1)/2 — the [[simHashCandidateMass]] pattern on the LSH band
+    * layout. One linear partial-aggregating pass. */
+  def minHashCandidateMass(sig: DataFrame): Long =
+    sig.select(posexplode(col("__bands")).as(Seq("__b", "__key")))
+      .groupBy(col("__b"), col("__key")).agg(count(lit(1)).as("c"))
+      // c cast to double BEFORE the multiply: long c*(c-1) wraps
+      // negative past ~3e9 rows in one bucket
+      .agg(coalesce(
+        sum(col("c").cast("double") * (col("c") - 1) / 2), lit(0.0)))
+      .head().getDouble(0).toLong
+
+  /** Pre-flight density guard on the LSH band-bucket join (r18 verdict
+    * item 3: guard parity with the SimHash/IVF walls). Short-circuits
+    * when even the worst case (every signature identical:
+    * bands·n(n−1)/2) fits the budget — true at gate/bench scales, so
+    * the steady-state cost is the count() the eager cache pays anyway;
+    * above that it measures the EXACT bucket mass (linear) and refuses
+    * or warns per [[MinhashGuardKey]]. */
+  private def minhashBandGuard(sig: DataFrame, bands: Int, n: Long): Unit = {
+    val spark = sig.sparkSession
+    val mode = GuardConf.mode(spark, MinhashGuardKey)
+    if (mode == "off") return
+    val budget =
+      GuardConf.budget(spark, MinhashBudgetKey, DefaultMinhashBudget)
+    if (bands.toDouble * n * (n - 1) / 2 <= budget.toDouble) return
+    val mass = minHashCandidateMass(sig)
+    if (mass <= budget) return
+    minhashGuardTrips.incrementAndGet()
+    val msg =
+      f"minHashCandidates(bands=$bands): the band-bucket join would " +
+        f"surface ~$mass%,d candidate pairs over $n%,d documents — " +
+        f"past the $budget%,d budget ($MinhashBudgetKey). Band mass " +
+        "tracks true near-dup density, so this corpus is pathologically " +
+        "self-similar (verbatim duplicates concentrating the buckets). " +
+        "Exact-dedup first (dedupExact, d01) to collapse the verbatim " +
+        "mass, or use FEWER bands with more rows per band to sharpen " +
+        s"the collision threshold. Set $MinhashGuardKey=warn to " +
+        "override."
+    if (mode == "warn")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    else throw new IllegalStateException(msg)
+  }
 
   /** [[minHashCandidates]] over an ALREADY-HASHED shingle table
     * (`__id`, `__sh: array<long>` — [[hashedShingleSets]] output).
@@ -329,7 +505,13 @@ object TextOps {
         MinHashSig.column(sh.sparkSession, col("__sh"), numHashes).as("__sig"))
       .select(col("__id"), lshBandKeys(col("__sig"), bands, r).as("__bands"))
       .cache()
-    sig.count() // eager: both self-join sides read it (first-reader race)
+    val nDocs = sig.count() // eager: both self-join sides read it (first-reader race)
+    try minhashBandGuard(sig, bands, nDocs)
+    catch {
+      case e: Throwable =>
+        sig.unpersist() // a refusal must not strand the signature cache
+        throw e
+    }
     val ex = sig.select(col("__id"), posexplode(col("__bands")).as(Seq("__b", "__key")))
     val l = ex.select(col("__id").as("id_a"), col("__b"), col("__key"))
     val rt = ex.select(col("__id").as("id_b"), col("__b"), col("__key"))
@@ -2412,12 +2594,9 @@ object TextOps {
     * points. */
   private def simhashDensityGuard(cached: DataFrame, maxHamming: Int): Unit = {
     val spark = cached.sparkSession
-    val mode = spark.conf.get(SimhashGuardKey, "enforce")
+    val mode = GuardConf.mode(spark, SimhashGuardKey)
     if (mode == "off") return
-    val budget = spark.conf.get(SimhashBudgetKey, "").trim match {
-      case "" => DefaultSimhashBudget
-      case s  => s.toLong
-    }
+    val budget = GuardConf.budget(spark, SimhashBudgetKey, DefaultSimhashBudget)
     val (blocks, width) = bandLayout(maxHamming)
     val n = cached.count()
     val worst = blocks.toDouble * n * (n - 1) / 2

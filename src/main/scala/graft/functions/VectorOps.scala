@@ -1908,12 +1908,9 @@ object VectorOps {
   private def ivfPairGuard(spark: org.apache.spark.sql.SparkSession,
       n: => Long, k: Int, assigned: => DataFrame, nlist: Int,
       nassign: Int): Unit = {
-    val mode = spark.conf.get(IvfGuardKey, "enforce")
+    val mode = GuardConf.mode(spark, IvfGuardKey)
     if (mode == "off") return // by-name n: off mode pays zero jobs
-    val budget = spark.conf.get(IvfBudgetKey, "").trim match {
-      case "" => DefaultIvfBudget
-      case s  => s.toLong
-    }
+    val budget = GuardConf.budget(spark, IvfBudgetKey, DefaultIvfBudget)
     // attainable worst case: a vector's k assignments land in DISTINCT
     // buckets, so no bucket exceeds n rows — at most k full buckets of
     // n, i.e. k·n(n−1)/2 (tighter by ~k than treating all n·k rows as
@@ -2443,7 +2440,13 @@ object VectorOps {
       nlist: Int, nassign: Int,
       sampleSize: Int = 2048, iters: Int = 8): DataFrame = {
     val spark = df.sparkSession
-    val c = normalizedVectors(df, idCol, vecCol)
+    // cached (r18 ADVICE): the guard's count, the guard's mass
+    // aggregation past the short-circuit, and both join sides all read
+    // this lineage — uncached, the default enforce mode paid 1-2 extra
+    // full normalize-the-corpus scans per call. cache() is lazy, so
+    // guard=off still pays zero extra jobs (the sample collect below
+    // materializes only the partitions the limit touches).
+    val c = normalizedVectors(df, idCol, vecCol).cache()
     val centroids = trainCentroids(
       sortSample(c.select(col("__v")).limit(sampleSize).collect()
         .map(_.getSeq[Double](0).toArray)), nlist, iters)
@@ -2463,8 +2466,13 @@ object VectorOps {
       explode(assignList).as("__bucket"))
     // n passed BY NAME: guard=off pays zero jobs (code-review finding —
     // a strict count here re-scanned the corpus even when switched off)
-    ivfPairGuard(spark, c.count(), k, assigned.select("__bucket"),
+    try ivfPairGuard(spark, c.count(), k, assigned.select("__bucket"),
       nlist, nassign)
+    catch {
+      case e: Throwable =>
+        c.unpersist() // a refusal must not strand the cached corpus
+        throw e
+    }
     val l = assigned.select(col("__id").as("id_a"), col("__v").as("va"),
       col("__bucket"))
     val r = assigned.select(col("__id").as("id_b"), col("__v").as("vb"),

@@ -25,6 +25,10 @@ object SigstoreSweep {
     *
     * OUTPUT CONTRACT CHANGE (r18): lines are emitted under the
     * `[maintenance] sigstore:` prefix, no longer `[sigstore-sweep]` —
-    * log scrapers matching the old prefix must update. */
-  def main(args: Array[String]): Unit = Maintenance.main(Array.empty)
+    * log scrapers matching the old prefix must update.
+    *
+    * Args are FORWARDED (r18 ADVICE: they were silently dropped — an
+    * operator passing spool dirs to this entry, whose new twin accepts
+    * them, got no compaction and no error). */
+  def main(args: Array[String]): Unit = Maintenance.main(args)
 }

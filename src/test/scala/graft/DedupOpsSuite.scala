@@ -247,6 +247,87 @@ class DedupOpsSuite extends SparkSuite {
     }
   }
 
+  test("minhash band guard: a run past the budget refuses naming " +
+      "dedup-first; warn and off modes run") {
+    // guard parity (r18 verdict item 3): band-bucket mass tracks true
+    // near-dup density, so a tiny budget stands in for the boilerplate-
+    // flooded corpus where one giant bucket launches a silent n² join
+    spark.conf.set(TextOps.MinhashBudgetKey, "1")
+    try {
+      val trips0 = TextOps.minhashGuardTrips.get()
+      val e = intercept[IllegalStateException] {
+        TextOps.minHashCandidates(docs, "doc_id", "text", 3, 128, 32)
+      }
+      assert(e.getMessage.contains("dedupExact") &&
+        e.getMessage.contains(TextOps.MinhashBudgetKey),
+        s"refusal must name the remedy and the budget key: ${e.getMessage}")
+      assert(TextOps.minhashGuardTrips.get() == trips0 + 1)
+      // warn mode: over-budget run proceeds (and counts as a trip)
+      spark.conf.set(TextOps.MinhashGuardKey, "warn")
+      assert(TextOps.minHashCandidates(docs, "doc_id", "text", 3, 128, 32)
+        .count() > 0)
+      assert(TextOps.minhashGuardTrips.get() == trips0 + 2)
+      // off mode: no measurement, no trip
+      spark.conf.set(TextOps.MinhashGuardKey, "off")
+      assert(TextOps.minHashCandidates(docs, "doc_id", "text", 3, 128, 32)
+        .count() > 0)
+      assert(TextOps.minhashGuardTrips.get() == trips0 + 2)
+    } finally {
+      spark.conf.unset(TextOps.MinhashBudgetKey)
+      spark.conf.unset(TextOps.MinhashGuardKey)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("ppjoin prefix guard: jaccard and containment joins past the " +
+      "budget refuse naming dedup-first; warn and off modes run") {
+    spark.conf.set(TextOps.PpjoinBudgetKey, "1")
+    try {
+      val trips0 = TextOps.ppjoinGuardTrips.get()
+      val e = intercept[IllegalStateException] {
+        TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      }
+      assert(e.getMessage.contains("dedupExact") &&
+        e.getMessage.contains(TextOps.PpjoinBudgetKey),
+        s"refusal must name the remedy and the budget key: ${e.getMessage}")
+      intercept[IllegalStateException] {
+        TextOps.containmentPairs(docs, "doc_id", "text", 3, 0.8)
+      }
+      assert(TextOps.ppjoinGuardTrips.get() == trips0 + 2)
+      // warn mode: over-budget runs proceed (and count as trips)
+      spark.conf.set(TextOps.PpjoinGuardKey, "warn")
+      assert(TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .count() > 0)
+      assert(TextOps.ppjoinGuardTrips.get() == trips0 + 3)
+      // off mode: no measurement, no trip
+      spark.conf.set(TextOps.PpjoinGuardKey, "off")
+      assert(TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .count() > 0)
+      assert(TextOps.ppjoinGuardTrips.get() == trips0 + 3)
+    } finally {
+      spark.conf.unset(TextOps.PpjoinBudgetKey)
+      spark.conf.unset(TextOps.PpjoinGuardKey)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("guard budget parsing: a malformed conf value fails naming the " +
+      "key and the offending text, not as a bare NumberFormatException") {
+    // r18 ADVICE: a bare s.toLong was indistinguishable from a refusal
+    // in the catch-unpersist-rethrow paths
+    spark.conf.set(TextOps.MinhashBudgetKey, "2e9")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        TextOps.minHashCandidates(docs, "doc_id", "text", 3, 128, 32)
+      }
+      assert(e.getMessage.contains(TextOps.MinhashBudgetKey) &&
+        e.getMessage.contains("2e9"), e.getMessage)
+    } finally {
+      spark.conf.unset(TextOps.MinhashBudgetKey)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("cluster-balanced selection: per-cluster quota is exactly " +
       "ceil(size/denom), every vector is flagged, and the pick is " +
       "deterministic") {

@@ -231,40 +231,13 @@ object TextOps {
     * most ~1/|S| with probability ~|S|²/2⁶⁴ per pair (vanishing — see
     * hashedShingleSets); string-form inputs get the exact string verify. */
   def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.{ArrayType, LongType}
     val t = threshold
-    // [[hashedShingleSets]] input is ALREADY hashed (array<bigint>) — re-
-    // hashing every element per row would double the projection cost of
-    // the hottest stage for nothing
-    val hashed = sh.schema("__sh").dataType match {
-      case ArrayType(LongType, _) => col("__sh")
-      case _ => array_distinct(transform(col("__sh"), s => xxhash64(s)))
-    }
-    val ex = sh
-      .select(col("__id"), hashed.as("__hs"))
-      .select(col("__id"), size(col("__hs")).as("__n"),
-        explode(col("__hs")).as("__s"))
-    // distinct output name: a USING self-join on the same lineage trips
-    // Spark's trivially-true-predicate fixup (and its warning)
-    val freq = ex.groupBy("__s").agg(count(lit(1)).as("__df"))
-      .select(col("__s").as("__sf"), col("__df"))
-    // (df asc, hash asc) is a TOTAL order, identical across docs —
-    // required for the prefix principle to hold
-    val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__s"))
-    // probe prefix: |S| - ceil(t|S|) + 1 rarest shingles (classic prefix
-    // filter); the __rk position is kept for the positional bound below
-    val prefix = ex.join(freq, col("__s") === col("__sf"))
-      .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= col("__n") - ceil(lit(t) * col("__n")) + 1)
-      // __df rides along for the guard's ~free df-sum mass bound
-      .select(col("__id"), col("__n"), col("__s"), col("__rk"), col("__df"))
-      // cached + eagerly counted: the density guard and BOTH join sides
-      // below read this frame — uncached, the freq join + rank window
-      // (the candidate stage's expensive half) ran once per reader, and
-      // the count doubles as the first-reader-race materialization the
-      // sh cache above already practices
-      .cache()
+    // cached + eagerly counted: the density guard and BOTH join sides
+    // below read this frame — uncached, the freq join + rank window
+    // (the candidate stage's expensive half) ran once per reader, and
+    // the count doubles as the first-reader-race materialization the
+    // sh cache above already practices
+    val prefix = ppjoinPrefixFrame(sh, t).cache()
     prefix.count()
     // PPJoin role split (Xiao et al. 2008): for a qualifying pair the
     // size-SMALLER record is guaranteed a shared token inside its shorter
@@ -450,6 +423,77 @@ object TextOps {
       .agg(coalesce(
         sum(col("c").cast("double") * (col("c") - 1) / 2), lit(0.0)))
       .head().getDouble(0).toLong
+
+  /** Sweep face of the MinHash band guard: build the signature table
+    * for (n, numHashes, bands) and return the exact band-bucket mass —
+    * ScaleCheck prints it next to the default budget. */
+  def minHashMassProbe(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int): Long = {
+    val r = numHashes / bands
+    val sh = hashedShingleSets(df, idCol, textCol, n)
+    val sig = sh
+      .select(col("__id"),
+        MinHashSig.column(sh.sparkSession, col("__sh"), numHashes)
+          .as("__sig"))
+      .select(col("__id"), lshBandKeys(col("__sig"), bands, r).as("__bands"))
+      .cache()
+    sig.count()
+    val mass = minHashCandidateMass(sig)
+    sig.unpersist()
+    mass
+  }
+
+  /** The d02-shape prefix frame at threshold `t` over a (string or
+    * hashed) shingle table: per doc the `|S| - ceil(t|S|) + 1` globally
+    * rarest shingles with (`__id`, `__n` set size, `__s` shingle hash,
+    * `__rk` prefix rank, `__df` global document frequency). Shared by
+    * [[prefixCandidates]] (which caches it) and [[ppjoinMassProbe]]. */
+  private def ppjoinPrefixFrame(sh: DataFrame, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    // [[hashedShingleSets]] input is ALREADY hashed (array<bigint>) — re-
+    // hashing every element per row would double the projection cost of
+    // the hottest stage for nothing
+    val hashed = sh.schema("__sh").dataType match {
+      case ArrayType(LongType, _) => col("__sh")
+      case _ => array_distinct(transform(col("__sh"), s => xxhash64(s)))
+    }
+    val ex = sh
+      .select(col("__id"), hashed.as("__hs"))
+      .select(col("__id"), size(col("__hs")).as("__n"),
+        explode(col("__hs")).as("__s"))
+    // distinct output name: a USING self-join on the same lineage trips
+    // Spark's trivially-true-predicate fixup (and its warning)
+    val freq = ex.groupBy("__s").agg(count(lit(1)).as("__df"))
+      .select(col("__s").as("__sf"), col("__df"))
+    // (df asc, hash asc) is a TOTAL order, identical across docs —
+    // required for the prefix principle to hold
+    val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__s"))
+    // probe prefix: |S| - ceil(t|S|) + 1 rarest shingles (classic prefix
+    // filter); the __rk position is kept for the positional bound; __df
+    // rides along for the guard's ~free df-sum mass bound
+    ex.join(freq, col("__s") === col("__sf"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= col("__n") - ceil(lit(t) * col("__n")) + 1)
+      .select(col("__id"), col("__n"), col("__s"), col("__rk"), col("__df"))
+  }
+
+  /** Sweep face of the PPJoin prefix guard: build the d02-shape prefix
+    * frame at (n, threshold) and return (df-sum bound, exact mass) —
+    * the two numbers the guard consults, for ScaleCheck's table. */
+  def ppjoinMassProbe(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): (Long, Long) = {
+    val t = threshold
+    val sh = hashedShingleSets(df, idCol, textCol, n).cache()
+    sh.count()
+    val prefix = ppjoinPrefixFrame(sh, t).cache()
+    prefix.count()
+    val idxLen = col("__n") - ceil(lit(2 * t / (1 + t)) * col("__n")) + 1
+    val bound = prefixDfMassBound(prefix)
+    val exact = ppjoinCandidateMass(prefix, col("__rk") <= idxLen)
+    prefix.unpersist(); sh.unpersist()
+    (bound, exact)
+  }
 
   /** Pre-flight density guard on the LSH band-bucket join (r18 verdict
     * item 3: guard parity with the SimHash/IVF walls). Short-circuits

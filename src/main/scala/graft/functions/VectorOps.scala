@@ -1937,6 +1937,35 @@ object VectorOps {
     else throw new IllegalStateException(msg)
   }
 
+  /** Sweep face of the fixed-nlist IVF guard (r18 verdict item 4: the
+    * second wall must be as visible as the first): the EXACT within-
+    * list pair mass the guard would measure for
+    * [[ivfCosinePairsPinned]] at (nlist, nassign) — ScaleCheck prints
+    * it next to the default budget so one command shows the wall's
+    * position, the way CodegenSweep shows codegen health. */
+  def ivfMassProbe(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, nassign: Int): Long = {
+    val spark = df.sparkSession
+    val c = sq8Codes(df, idCol, vecCol, "__id", "__c").cache()
+    c.count()
+    val cents = pinnedCodebook(c, "__id", "__c", nlist)
+    val k = math.min(nassign, cents.length)
+    def dots(v: Column): Column =
+      array(cents.map(ct => nativeDot(spark, v, array(ct.map(lit): _*))): _*)
+    val assignList = slice(
+      transform(
+        array_sort(zip_with(
+          dots(col("__c")),
+          sequence(lit(0), lit(cents.length - 1)),
+          (d, i) => struct((-d).as("nd"), i.as("idx")))),
+        s => s.getField("idx")),
+      1, k)
+    val mass = ivfPairMass(
+      c.select(explode(assignList).as("__bucket")), "__bucket")
+    c.unpersist()
+    mass
+  }
+
   /** [[ivfCosinePairs]] (the SemDeDup semantic-dedup shape) with the
     * PINNED coarse quantizer: every vector joins its `nassign` nearest
     * pinned centroids (integer-dot argsort, ties -> lowest id), pairs
@@ -2091,10 +2120,11 @@ object VectorOps {
     * replay bit-for-bit.
     *
     * Scale shape: the fixed-nlist literal-array assignment serves gate
-    * scales (swap in the scaled broadcast-join assignment past that —
-    * the d27 lesson); the quota is one ordered window PER CLUSTER, so
-    * each cluster (~n/nlist rows) must fit a task's sort budget —
-    * nlist is the scale knob, exactly as in the IVF pair joins. */
+    * scales — past that use [[clusterBalancedSelectScaled]] (broadcast-
+    * join assignment, sqrt-scale nlist — the d27 lesson applied); the
+    * quota is one ordered window PER CLUSTER, so each cluster
+    * (~n/nlist rows) must fit a task's sort budget — nlist is the
+    * scale knob, exactly as in the IVF pair joins. */
   def clusterBalancedSelect(
       df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, denom: Int): DataFrame = {
@@ -2119,6 +2149,71 @@ object VectorOps {
         s => s.getField("idx")),
       1)
     val assigned = c.select(col("__id"), best.cast("long").as("__cluster"))
+    val counts = assigned.groupBy("__cluster")
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col("__cluster"))
+      .orderBy(md5(col("__id").cast("string")), col("__id"))
+    assigned.join(broadcast(counts), Seq("__cluster"))
+      .withColumn("__rn", row_number().over(w))
+      .select(col("__id").as(idCol), col("__cluster").as("cluster_id"),
+        when(col("__rn") <= expr(s"(__cnt + ${denom - 1}) div $denom"),
+          lit(1L)).otherwise(lit(0L)).as("picked"))
+  }
+
+  /** [[clusterBalancedSelect]] at the SCALE operating point — the d27
+    * lesson applied to the selection step (r18 verdict item 2). Two
+    * things change, neither of them the semantics:
+    *
+    *   - `nlist` GROWS with the corpus — `2·ceil(sqrt(n))`, clamped to
+    *     [16, 4096] (the FAISS-family guidance, exactly
+    *     [[ivfCosinePairsPinnedScaled]]'s rule). The per-cluster quota
+    *     window sorts ~n/nlist rows per task, so fixed nlist makes the
+    *     cluster sort grow linearly with the corpus; sqrt-scale nlist
+    *     bounds it at ~sqrt(n)/2 — the budget a real corpus needs.
+    *   - assignment runs as a BROADCAST JOIN against the centroid-code
+    *     frame instead of codegen'd literal arrays (nlist literal
+    *     arrays blow janino's 64 KB method limit long before
+    *     sqrt-scale nlist), and because selection needs only the TOP-1
+    *     centroid, the argmax is a `max_by` AGGREGATION — map-side
+    *     combine collapses the n·nlist scored rows to one per vector
+    *     per partition, where d27's top-nassign window would shuffle
+    *     them all.
+    *
+    * Pinned semantics are bit-identical to [[clusterBalancedSelect]] at
+    * equal nlist (suite-pinned): centroids are the codes of the `nlist`
+    * lowest-id vectors, assignment argmax over integer dots with ties →
+    * lowest centroid id, md5(id)-order quota. The DuckDB oracle replays
+    * the whole pipeline with the SAME dynamic nlist (a scalar subquery
+    * over the corpus count). Dense-from-0 ids asserted loudly (the
+    * pinned-codebook contract — ADVICE r17's lesson inherited). */
+  def clusterBalancedSelectScaled(
+      df: DataFrame, idCol: String, vecCol: String,
+      denom: Int, nlistOverride: Int = 0): DataFrame = {
+    require(denom >= 1, s"denom must be >= 1, got $denom")
+    val spark = df.sparkSession
+    val c = sq8Codes(df, idCol, vecCol, "__id", "__c").cache()
+    val n = c.count() // materializes the cache for the stages below
+    val nlist = if (nlistOverride > 0) nlistOverride
+      else math.max(16L, math.min(4096L,
+        2L * math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    val cents = c.where(col("__id") < nlist)
+      .select(col("__id").as("__cid"), col("__c").as("__cc"))
+    val nCents = cents.count() // cheap: reads the cache, nlist rows out
+    require(nCents == math.min(nlist.toLong, n),
+      s"clusterBalancedSelectScaled needs ids dense from 0 (the pinned-" +
+        s"codebook contract): expected ${math.min(nlist.toLong, n)} " +
+        s"centroids at __id < $nlist over $n rows, found $nCents — " +
+        "re-key the corpus (e.g. row_number() - 1) before calling")
+    // top-1 argmax as a partial-aggregating max_by over the broadcast-
+    // scored rows: struct order (dot asc, -cid asc) makes the max the
+    // highest dot with ties → lowest centroid id — d15's quantizer
+    val assigned = c.crossJoin(broadcast(cents))
+      .select(col("__id"),
+        nativeDot(spark, col("__c"), col("__cc")).as("__dot"),
+        col("__cid"))
+      .groupBy(col("__id"))
+      .agg(max_by(col("__cid"), struct(col("__dot"), -col("__cid")))
+        .as("__cluster"))
     val counts = assigned.groupBy("__cluster")
       .agg(count(lit(1)).as("__cnt"))
     val w = Window.partitionBy(col("__cluster"))

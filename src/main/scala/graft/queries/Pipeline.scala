@@ -1774,6 +1774,61 @@ object Pipeline {
         SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
                CAST(CASE WHEN rn <= (n + 3) // 4 THEN 1 ELSE 0 END
                  AS BIGINT) AS picked
-        FROM ranked ORDER BY vec_id"""))
+        FROM ranked ORDER BY vec_id""")),
+
+    // ---- p32: cluster-balanced selection at the SCALE operating point ----
+    // p31 with d27's lesson applied (r18 verdict item 2): nlist grows
+    // as 2*ceil(sqrt(n)) clamped [16,4096] and the centroid assignment
+    // is a broadcast join + max_by argmax (no nlist-literal codegen
+    // arrays; top-1 needs no window — map-side combine collapses the
+    // n*nlist scored rows). The oracle replays the ENTIRE pipeline
+    // including the dynamic nlist (scalar subquery over the corpus
+    // count), so the scale knob itself is under the hash gate at every
+    // sf — exactly d27's discipline.
+    QueryDef(
+      "p32_cluster_select_scaled",
+      (s, d) =>
+        graft.functions.VectorOps.clusterBalancedSelectScaled(
+            Tables(s, d, "embeddings"), "vec_id", "embedding", denom = 4)
+          .orderBy("vec_id"),
+      Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), nl AS (
+          SELECT GREATEST(16, LEAST(4096,
+            2 * CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS nlist
+          FROM v
+        ), m AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS mx
+          FROM v
+        ), coded AS (
+          SELECT vec_id,
+                 list_transform(v, x -> floor(x /
+                   (CASE WHEN mx = 0.0 THEN 1.0 ELSE mx END) * 127 + 0.5)) AS c
+          FROM m
+        ),
+        cent AS (
+          SELECT vec_id AS cid, c AS cc FROM coded
+          WHERE vec_id < (SELECT nlist FROM nl)),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT d.vec_id, ct.cid,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                     ORDER BY list_dot_product(d.c, ct.cc) DESC, ct.cid) AS rn
+            FROM coded d CROSS JOIN cent ct) t WHERE rn = 1),
+        cnt AS (SELECT cid, COUNT(*) AS n FROM assign GROUP BY 1),
+        ranked AS (
+          SELECT a.vec_id, a.cid, c.n,
+                 ROW_NUMBER() OVER (PARTITION BY a.cid
+                   ORDER BY md5(CAST(a.vec_id AS VARCHAR)), a.vec_id) AS rn
+          FROM assign a JOIN cnt c USING (cid))
+        SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
+               CAST(CASE WHEN rn <= (n + 3) // 4 THEN 1 ELSE 0 END
+                 AS BIGINT) AS picked
+        FROM ranked ORDER BY vec_id"""),
+      // floor-tracked: the scale operating point a 100 TB corpus runs
+      // carries its own regression floor (the d26/d27/mm18 discipline)
+      bench = true)
   )
 }

@@ -202,6 +202,40 @@ object ScaleCheck {
       }
     }
 
+    // ---- MinHash band-bucket guard sweep (r18 verdict item 3) -----------
+    // band mass tracks true near-dup density, so on an honest corpus it
+    // grows linearly; the sweep documents the headroom to the default
+    // budget the same way the simhash table documents the wall.
+    if (keep("minhash_guard")) {
+      println()
+      println("| minhash guard | band mass (128 hashes, 32 bands) | verdict @ default budget |")
+      println("|---|---|---|")
+      for (copies <- copiesList) {
+        spark.catalog.clearCache()
+        val m = TextOps.minHashMassProbe(corpus(copies), "doc_id", "text",
+          n = 3, numHashes = 128, bands = 32)
+        val v = if (m > TextOps.DefaultMinhashBudget) "REFUSED" else "ok"
+        println(s"| ${copies}x | $m | $v |")
+      }
+    }
+
+    // ---- PPJoin prefix guard sweep (r18 verdict item 3) ------------------
+    // two columns: the ~free df-sum bound the guard consults first, and
+    // the exact per-bucket mass it falls back to — the gap between them
+    // is the short-circuit's headroom.
+    if (keep("ppjoin_guard")) {
+      println()
+      println("| ppjoin guard | df-sum bound (t=0.5) | exact mass | verdict @ default budget |")
+      println("|---|---|---|---|")
+      for (copies <- copiesList) {
+        spark.catalog.clearCache()
+        val (bound, exact) = TextOps.ppjoinMassProbe(
+          corpus(copies), "doc_id", "text", n = 3, threshold = 0.5)
+        val v = if (exact > TextOps.DefaultPpjoinBudget) "REFUSED" else "ok"
+        println(s"| ${copies}x | $bound | $exact | $v |")
+      }
+    }
+
     // ---- vector-family growth (embeddings replicated by ISOMETRY) --------
     // each copy k multiplies every vector element-wise by a pinned ±1
     // diagonal (copy 0 = identity): an isometry, so intra-copy cosines —
@@ -222,6 +256,25 @@ object ScaleCheck {
           typedlit(signsOf(k)), (x, sgn) => x * sgn).as("embedding"))
     def embCorpus(copies: Int): DataFrame =
       (0 until copies).map(embReplica).reduce(_ union _)
+
+    // ---- fixed-nlist IVF guard sweep (r18 verdict item 4: the second
+    // wall must be as visible as the first) — exact within-list pair
+    // mass at the d15 operating point (nlist 16, nassign 2) vs the
+    // default budget; with nlist fixed the mass is ~n²·nassign²/nlist,
+    // so the table shows the quadratic wall's position directly.
+    if (keep("ivf_guard")) {
+      println()
+      println("| ivf guard | pair mass (nlist 16, nassign 2) | verdict @ default budget |")
+      println("|---|---|---|")
+      for (copies <- copiesList) {
+        spark.catalog.clearCache()
+        val m = VectorOps.ivfMassProbe(embCorpus(copies), "vec_id",
+          "embedding", nlist = 16, nassign = 2)
+        val v = if (m > VectorOps.DefaultIvfBudget) "REFUSED" else "ok"
+        println(s"| ${copies}x | $m | $v |")
+      }
+    }
+
     val vopsAll: Seq[(String, DataFrame => Long)] = Seq(
       "d15_semantic_pinned" -> (e =>
         VectorOps.ivfCosinePairsPinned(e, "vec_id", "embedding",
@@ -248,6 +301,12 @@ object ScaleCheck {
       "p31_cluster_select" -> (e =>
         VectorOps.clusterBalancedSelect(e, "vec_id", "embedding",
           nlist = 16, denom = 4).count()),
+      // the scale operating point: sqrt-scale nlist + broadcast-join
+      // max_by assignment — per-cluster sort budget shrinks as the
+      // cluster count grows, so growth must stay sub-linear per byte
+      "p32_cluster_select_scaled" -> (e =>
+        VectorOps.clusterBalancedSelectScaled(e, "vec_id", "embedding",
+          denom = 4).count()),
       // late interaction: the flat scorer must grow linearly with the
       // corpus (queries pinned to the 10 base ids); the IVF-shortlisted
       // two-stage form grows with CANDIDATES (probed buckets), the

@@ -355,6 +355,39 @@ class DedupOpsSuite extends SparkSuite {
     } finally out.unpersist()
   }
 
+  test("cluster-balanced selection: the scaled (broadcast-join, max_by) " +
+      "variant is bit-identical to the fixed variant at equal nlist") {
+    // d27's equal-nlist pin applied to p32: the assignment REWRITE
+    // (literal-array argsort -> broadcast join + max_by aggregation)
+    // must not change a single flag
+    val a = VectorOps.clusterBalancedSelect(
+        emb, "vec_id", "embedding", nlist = 16, denom = 4)
+      .orderBy("vec_id").collect().toSeq
+    val b = VectorOps.clusterBalancedSelectScaled(
+        emb, "vec_id", "embedding", denom = 4, nlistOverride = 16)
+      .orderBy("vec_id").collect().toSeq
+    assert(a == b, "scaled assignment diverged from the pinned quantizer")
+    // dynamic nlist: quotas still exact per cluster
+    val dyn = VectorOps.clusterBalancedSelectScaled(
+      emb, "vec_id", "embedding", denom = 4)
+    val per = dyn.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"), sum("picked").as("k"))
+      .as[(Long, Long, Long)].collect()
+    assert(per.nonEmpty)
+    per.foreach { case (cid, size, kept) =>
+      assert(kept == (size + 3) / 4,
+        s"cluster $cid: kept $kept of $size, want ceil(size/4)")
+    }
+    // the sparse-id contract fails loudly, not silently (ADVICE r17)
+    val sparse = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.clusterBalancedSelectScaled(
+        sparse, "vec_id", "embedding", denom = 4)
+    }
+    assert(e.getMessage.contains("dense from 0"), e.getMessage)
+  }
+
   test("prefix filtering keeps total recall while pruning the candidate space") {
     val sh = TextOps.shingleSets(docs, "doc_id", "text", 3).cache()
     val prefixCands = TextOps.prefixCandidates(sh, 0.5)

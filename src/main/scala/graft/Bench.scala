@@ -215,16 +215,17 @@ object Bench {
     val quietMaxWaitSec =
       sys.env.getOrElse("SPARK_GRAFT_QUIET_MAX_WAIT_SEC", "240").toInt
     var quietWaitSec = 0.0
-    def gateOnQuietHost(tier: String): Unit = {
-      val (waited, l) = awaitQuiet(quietLoad, quietMaxWaitSec, 5,
+    def gateOnQuietHost(tier: String, threshold: Double = quietLoad,
+        maxWait: Int = quietMaxWaitSec): Unit = {
+      val (waited, l) = awaitQuiet(threshold, maxWait, 5,
         () => loadAvg, Thread.sleep)
       quietWaitSec += waited
       if (waited > 0)
         System.err.println(f"[bench] $tier: waited $waited%.0fs for loadavg " +
-          f"<= $quietLoad%.1f (now $l%.2f)")
-      if (l > quietLoad)
+          f"<= $threshold%.1f (now $l%.2f)")
+      if (l > threshold)
         System.err.println(f"[bench] $tier: host still loaded ($l%.2f) after " +
-          f"$quietMaxWaitSec%ds wait budget — re-timing anyway")
+          f"$maxWait%ds wait budget — re-timing anyway")
     }
 
     // gate the FIRST pass too (r16 verdict prescription 2: three rounds
@@ -232,7 +233,21 @@ object Bench {
     // loaded host). Gated BEFORE the warmup so the reading reflects
     // external load, not our own parquet footer reads. The fresh-JVM
     // re-timer child skips it — its parent already gated.
-    if (!sys.env.contains(RetimeEnv)) gateOnQuietHost("first pass")
+    //
+    // The first pass requires MARGIN under the gate (r18 verdict item
+    // 1: the official r18 window started at loadavg 4.03 — passing the
+    // 4.0 gate at the boundary — and carried 10 retried queries plus
+    // two >2x-floor readings on untouched plans; the same build in a
+    // genuinely quiet window read 6% faster end to end). A window that
+    // BEGINS at the boundary has no headroom for its own load, so the
+    // start gate is quietLoad − 1.0 (floored at 1.0) with a longer
+    // dedicated wait budget; retry tiers keep the plain gate — they
+    // only need the host no worse than the sample they're replacing.
+    val firstPassLoad = math.max(1.0, quietLoad - 1.0)
+    val firstWaitSec = sys.env
+      .getOrElse("SPARK_GRAFT_FIRST_QUIET_MAX_WAIT_SEC", "900").toInt
+    if (!sys.env.contains(RetimeEnv))
+      gateOnQuietHost("first pass", firstPassLoad, firstWaitSec)
 
     // warmup: JIT + codegen + parquet footer reads off the clock
     Tables(spark, sfDir, "lineitem").count()

@@ -721,6 +721,242 @@ object PinnedMediaMath {
       .orderBy("query_id")
   }
 
+  // ---- mm19/mm20: pinned separable resize — the invariance faces ------
+  // (r18 verdict item 6: mm03's resize claim and mm05/mm06's embed
+  // claim each get a pinned-math sibling under an exact oracle, the
+  // way mm07–mm16 pinned decode/hash/join/serve.)
+
+  /** Items in the structured-plane corpus for the resize faces. */
+  private val ResizeItems = 80
+
+  /** One deterministic STRUCTURED 16×16 plane per id: a bilinear ramp
+    * `16·a·y + 16·b·x + (c+1)·y·x` with signed coefficients drawn from
+    * the id (a ∈ −3..3, b ∈ −2..2, c ∈ 0..2 — 105 distinct direction/
+    * curvature combos) plus a ±8 md5 texture. Structure is what resize
+    * invariance is ABOUT: box-filtering md5 noise decorrelates the
+    * hash (the r18 fixture lesson in reverse), so the gradient corpus
+    * lives on exactly the faces that need it (mm19/mm20) while the
+    * near-dup edge-set gates (mm14–mm16) keep the noise corpus. */
+  private def gradientPlanes(spark: SparkSession, n: Int): DataFrame =
+    spark.range(n.toLong * 256L)
+      .select(expr("id div 256").as("media_id"),
+        expr("CAST((id div 16) % 16 AS INT)").as("y"),
+        expr("CAST(id % 16 AS INT)").as("x"))
+      // +2048 keeps every pixel (and so every block average below)
+      // non-negative — Spark's `div` truncates toward zero and DuckDB's
+      // `//` floors, so integral division is engine-portable only on
+      // non-negative operands (the SQ8 lesson); a constant offset moves
+      // only the DC coefficient, which the zigzag excludes
+      .withColumn("v",
+        lit(2048L) +
+          (col("media_id") % 7 - 3) * col("y") * 16 +
+          (col("media_id") % 5 - 2) * col("x") * 16 +
+          (col("media_id") % 3 + 1) * col("y") * col("x") +
+          conv(substring(md5(concat(
+            lit("g:"), col("media_id").cast("string"), lit(":"),
+            col("y").cast("string"), lit(":"),
+            col("x").cast("string")).cast("binary")), 1, 2), 16, 10)
+            .cast("long") % 8)
+
+  /** The DuckDB twin of [[gradientPlanes]]. */
+  private def gradientPlanesSql(n: Int): String = s"""
+      SELECT i // 256 AS media_id,
+             CAST((i // 16) % 16 AS INT) AS y,
+             CAST(i % 16 AS INT) AS x,
+             2048
+               + ((i // 256) % 7 - 3) * ((i // 16) % 16) * 16
+               + ((i // 256) % 5 - 2) * (i % 16) * 16
+               + ((i // 256) % 3 + 1) * ((i // 16) % 16) * (i % 16)
+               + CAST(('0x' || substr(md5(
+                   'g:' || CAST(i // 256 AS VARCHAR) || ':' ||
+                   CAST((i // 16) % 16 AS VARCHAR) || ':' ||
+                   CAST(i % 16 AS VARCHAR)), 1, 2))::UBIGINT AS BIGINT)
+                 % 8 AS v
+      FROM range(${n.toLong * 256L}) t(i)"""
+
+  /** Pinned separable box resize: 2×2 block AVERAGE (truncating integer
+    * division — planes are non-negative by construction, where Spark's
+    * `div` and DuckDB's `//` agree) down to 8×8, replicated back to
+    * 16×16. Averaging keeps the value SCALE, so the resized twin stays
+    * inside the corpus-calibrated SQ8 range downstream (a block SUM
+    * scales every coefficient ×4 — hash-invariant, since the median
+    * sign compare is scale-free, but clamp-destroyed at the serving
+    * stage). Separable: the block sum is one grouped aggregation on
+    * (y div 2, x div 2); the replicate is a 4-way offset explode. */
+  def boxResizePlanes(planes: DataFrame): DataFrame = {
+    val offs = array((for (dy <- 0 to 1; dx <- 0 to 1)
+      yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
+    planes.groupBy(col("media_id"),
+        expr("y div 2").as("yd"), expr("x div 2").as("xd"))
+      .agg(sum(col("v")).as("vs"))
+      .withColumn("__o", explode(offs))
+      .select(col("media_id"),
+        (col("yd") * 2 + col("__o.dy")).cast("int").as("y"),
+        (col("xd") * 2 + col("__o.dx")).cast("int").as("x"),
+        expr("vs div 4").as("v"))
+  }
+
+  /** The planted union both resize faces ride: gradient originals plus
+    * their box-resized twins re-keyed to id + 1e6 — built once so the
+    * Spark pipelines and both oracles read the same corpus shape. */
+  private def resizePlantedPlanes(spark: SparkSession): DataFrame = {
+    val g = gradientPlanes(spark, ResizeItems)
+    g.unionByName(boxResizePlanes(g)
+      .withColumn("media_id", col("media_id") + 1000000L))
+  }
+
+  /** The DuckDB twin of [[resizePlantedPlanes]] (a planes SELECT for
+    * [[dctCtesFrom]]). */
+  private def resizePlantedSql: String = {
+    val g = gradientPlanesSql(ResizeItems)
+    s"""
+      SELECT media_id, y, x, v FROM ($g) g
+      UNION ALL
+      SELECT media_id + 1000000 AS media_id,
+             CAST(yd * 2 + dy AS INT) AS y,
+             CAST(xd * 2 + dx AS INT) AS x, v
+      FROM (
+        SELECT media_id, y // 2 AS yd, x // 2 AS xd,
+               CAST(SUM(v) // 4 AS BIGINT) AS v
+        FROM ($g) g2 GROUP BY 1, 2, 3
+      ) d CROSS JOIN (VALUES (0,0),(0,1),(1,0),(1,1)) offs(dy, dx)"""
+  }
+
+  /** mm19: per-image pHash drift under the pinned separable resize —
+    * `(media_id, hamming(hash(original), hash(resized)))` for every
+    * image, the resize-invariance claim mm03 carries only as a float-
+    * suite pin, restated as an exact per-row ledger under the oracle.
+    * The drift is the quantity itself (a near-dup EDGE set over a
+    * structured corpus would inherit the gradient degeneracy mm14's
+    * noise fixture retired — same-direction ramps legitimately hash
+    * near each other, so the honest gate is the per-id drift, not
+    * cross-id edges). */
+  def resizeDriftPinned(spark: SparkSession): DataFrame = {
+    val h = phashOf(spark, resizePlantedPlanes(spark))
+      .select(col("media_id"),
+        packSimhash(col("hash_hi"), col("hash_lo")).as("h"))
+    val orig = h.where(col("media_id") < 1000000L)
+      .select(col("media_id"), col("h").as("h0"))
+    val res = h.where(col("media_id") >= 1000000L)
+      .select((col("media_id") - 1000000L).as("media_id"),
+        col("h").as("h1"))
+    orig.join(res, "media_id")
+      .select(col("media_id"),
+        bit_count(col("h0").bitwiseXOR(col("h1"))).cast("int")
+          .as("hamming"))
+      .orderBy("media_id")
+  }
+
+  /** DuckDB replay of [[resizeDriftPinned]]. */
+  def resizeDriftOracle: String = s"""
+    WITH ${dctCtesFrom(resizePlantedSql)},
+    $hashCtes
+    SELECT a.media_id,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+             AS INT) AS hamming
+    FROM hsh a JOIN hsh b ON b.media_id = a.media_id + 1000000
+    ORDER BY a.media_id"""
+
+  /** mm20: resized retrieval under the pinned serving stack — mm11's
+    * DCT → Rademacher head → SQ8 → integer-dot top-1 with the QUERIES
+    * being the box-resized twins and the corpus the originals (SQ8
+    * stats from the corpus only, queries clamped — the serving
+    * contract). The resize-invariance-of-retrieval claim mm05/mm06
+    * carry as float-suite pins, fully under the oracle. */
+  def resizedRetrievalPinned(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val proj = projSign.toDF("po", "pz", "psign")
+    val emb = dctCoeffsOf(spark, resizePlantedPlanes(spark))
+      .join(broadcast(proj), col("z") === col("pz"))
+      .groupBy(col("media_id"), col("po"))
+      .agg(sum(col("o") * col("psign")).as("e"))
+    val isQuery = col("media_id") >= 1000000L
+    val stats = emb.where(!isQuery)
+      .groupBy("po").agg(min("e").as("mn"), max("e").as("mx"))
+    val codes = emb.join(broadcast(stats), "po")
+      .withColumn("code",
+        when(col("mx") > col("mn"),
+          expr("(least(mx, greatest(mn, e)) - mn) * 255 div (mx - mn)"))
+          .otherwise(0L))
+    val q = codes.where(isQuery)
+      .select(col("media_id").as("qid"), col("po").as("qo"),
+        col("code").as("qc"))
+    val c = codes.where(!isQuery)
+      .select(col("media_id").as("cid"), col("po").as("co"),
+        col("code").as("cc"))
+    val dots = q.join(c, col("qo") === col("co"))
+      .groupBy("qid", "cid").agg(sum(col("qc") * col("cc")).as("dot"))
+    // rank by the QUANTIZED COSINE, not the raw integer dot: codes are
+    // 0..255, so a raw dot favors large-magnitude corpus items over
+    // similar ones (measured here: dot-ranked recovery 6/80,
+    // cosine-ranked 80/80 at true rank 1; mm11 keeps the dot form — its
+    // gate is the replay of the serving arithmetic, not a recovery
+    // claim). Integer dot over integer norms — the ratio is exact in
+    // doubles and sqrt is IEEE-correctly-rounded on both engines (the
+    // d15/s10 quantized-cosine precedent).
+    val norms = codes.groupBy("media_id")
+      .agg(sum(col("code") * col("code")).as("n2"))
+    val scored = dots
+      .join(norms.select(col("media_id").as("qid"), col("n2").as("qn2")),
+        "qid")
+      .join(norms.select(col("media_id").as("cid"), col("n2").as("cn2")),
+        "cid")
+      .select(col("qid"), col("cid"),
+        (col("dot") / (sqrt(col("qn2")) * sqrt(col("cn2")))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("cos"))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB replay of [[resizedRetrievalPinned]]. */
+  def resizedRetrievalOracle: String = s"""
+    WITH ${dctCtesFrom(resizePlantedSql)},
+    proj(po, pz, psign) AS (VALUES ${values3i(projSign)}),
+    emb AS (
+      SELECT c.media_id, p.po, CAST(SUM(c.o * p.psign) AS BIGINT) AS e
+      FROM coeffs c JOIN proj p ON c.z = p.pz
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT po, MIN(e) AS mn, MAX(e) AS mx FROM emb
+      WHERE media_id < 1000000 GROUP BY 1
+    ),
+    codes AS (
+      SELECT e.media_id, e.po,
+             CASE WHEN s.mx > s.mn
+                  THEN (LEAST(s.mx, GREATEST(s.mn, e.e)) - s.mn) * 255
+                         // (s.mx - s.mn)
+                  ELSE 0 END AS code
+      FROM emb e JOIN stats s USING (po)
+    ),
+    dots AS (
+      SELECT q.media_id AS qid, c.media_id AS cid,
+             CAST(SUM(q.code * c.code) AS BIGINT) AS dot
+      FROM codes q JOIN codes c ON q.po = c.po
+      WHERE q.media_id >= 1000000 AND c.media_id < 1000000
+      GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT media_id, CAST(SUM(code * code) AS BIGINT) AS n2
+      FROM codes GROUP BY 1
+    ),
+    scored AS (
+      SELECT d.qid, d.cid, d.dot / (sqrt(qn.n2) * sqrt(cn.n2)) AS cos
+      FROM dots d
+      JOIN norms qn ON qn.media_id = d.qid
+      JOIN norms cn ON cn.media_id = d.cid
+    ),
+    top AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cos DESC, cid) AS rk
+      FROM scored
+    )
+    SELECT qid AS query_id, cid AS neighbor_id, cos
+    FROM top WHERE rk = 1 ORDER BY query_id"""
+
   // ---- mm17: cross-modal duplicate closure ----------------------------
 
   /** Tokens per synthetic caption → 18 distinct 3-gram shingles. */

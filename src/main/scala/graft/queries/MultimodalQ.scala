@@ -303,6 +303,29 @@ object MultimodalQ {
       (s, d) => PinnedMediaMath.videoNearDupPinned(s, maxHamming = 4),
       Some(PinnedMediaMath.videoNearDupOracle(maxHamming = 4))),
 
+    // mm19: resize invariance under the oracle (r18 verdict item 6) —
+    // per-image pHash drift between each structured gradient plane and
+    // its pinned separable box-resize. The claim mm03 carries only as
+    // a float-suite pin (resized re-uploads hash near their originals)
+    // restated as an exact per-row ledger DuckDB replays bit-for-bit;
+    // the suite pins the drift bound. (A cross-id edge set over a
+    // structured corpus would inherit the gradient degeneracy the r18
+    // noise fixture retired — the honest oracle surface is the drift.)
+    QueryDef(
+      "mm19_resize_drift_pinned",
+      (s, d) => PinnedMediaMath.resizeDriftPinned(s),
+      Some(PinnedMediaMath.resizeDriftOracle)),
+
+    // mm20: resized RETRIEVAL under the oracle — mm11's pinned serving
+    // stack (DCT → Rademacher head → SQ8 → integer-dot top-1) with the
+    // box-resized twins as queries against the original corpus: the
+    // resize-invariance-of-retrieval claim mm05/mm06 carry as float
+    // suite pins, fully hash-gated; the suite pins the recovery rate.
+    QueryDef(
+      "mm20_resized_retrieval_pinned",
+      (s, d) => PinnedMediaMath.resizedRetrievalPinned(s),
+      Some(PinnedMediaMath.resizedRetrievalOracle)),
+
     // mm18: the FUSED media ingest path as a batch operator, oracle-
     // gated and floor-tracked (r17 verdict item 3: the bench carried no
     // fused-media representative). mm14 rides the pixel-row SQL

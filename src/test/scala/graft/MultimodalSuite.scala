@@ -742,4 +742,33 @@ class MultimodalSuite extends SparkSuite {
         s"all three items of $m must fold to cluster $m")
     }
   }
+
+  test("mm19 pinned resize drift: every structured image's hash stays " +
+      "far inside the random-hash expectation") {
+    // the invariance CLAIM behind mm03's float suite pin, restated on
+    // the pinned chain: box-resizing a structured plane moves its
+    // 64-bit pHash by at most ~20 bits (measured 10..20 over the 80-id
+    // gradient corpus) where unrelated hashes sit at expectation 32.
+    // The pipeline is fully deterministic, so the bound is a pin, not
+    // a statistic.
+    val drift = graft.multimodal.PinnedMediaMath.resizeDriftPinned(spark)
+      .select("hamming").as[Int].collect()
+    assert(drift.length == 80)
+    assert(drift.max <= 20,
+      s"resize drift regressed: max ${drift.max} bits (pinned <= 20)")
+  }
+
+  test("mm20 pinned resized retrieval: every resized query recovers its " +
+      "original at rank 1 under the quantized cosine") {
+    // mm05/mm06's invariance-of-retrieval claim on the pinned serving
+    // stack: 80/80 recovery, deterministic (and hash-gated by the mm20
+    // oracle; this pin states the CLAIM the hash alone wouldn't).
+    val r = graft.multimodal.PinnedMediaMath.resizedRetrievalPinned(spark)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)]
+      .collect()
+    assert(r.length == 80)
+    val missed = r.filter { case (q, n) => n != q - 1000000L }
+    assert(missed.isEmpty, s"resized queries lost their originals: " +
+      missed.take(5).mkString(", "))
+  }
 }

@@ -158,12 +158,38 @@ object TextOps {
   private[graft] val ppjoinGuardTrips =
     new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Upper bound on a prefix join's raw matched rows, from the cached
-    * prefix frame alone: Σ over probe rows of that shingle's GLOBAL
-    * document frequency (each probe row matches at most df(s) index
-    * rows; for containment, whose index side IS the full inverted
-    * index, this is the exact mass). One cache-read aggregation —
-    * ~free — so at sane scales the guard never runs a second pass. */
+  /** WINDOW-FREE upper bound on any prefix join's raw matched rows:
+    * the full inverted-index mass Σ over shingle hashes of df(s)² —
+    * probe and index sides are both subsets of the occurrence lists,
+    * so no equi-key bucket can match more than df² raw rows. One
+    * explode + partial-aggregating groupBy over the cached shingle
+    * table (no freq join, no rank window — the stages that dominate
+    * the candidate pipeline), so the guard's common case costs one
+    * narrow pass. The bound is TIGHT ENOUGH because honest corpora
+    * have no hot shingles (measured: max df 25, Σ df² = 1.4e8 at
+    * sf5.0 — 14x under the default budget at 50x bench scale), while
+    * a boilerplate flood of c copies contributes c² per shared
+    * shingle — exactly the signal the guard exists to catch. */
+  def shingleDfSquaredMass(sh: DataFrame): Long = {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val hashed = sh.schema("__sh").dataType match {
+      case ArrayType(LongType, _) => col("__sh")
+      case _ => array_distinct(transform(col("__sh"), s => xxhash64(s)))
+    }
+    sh.select(explode(hashed).as("__s"))
+      .groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+      // double BEFORE the multiply: a flooded bucket's df² can exceed
+      // Long at exactly the scale the guard exists for
+      .agg(coalesce(
+        sum(col("__df").cast("double") * col("__df")), lit(0.0)))
+      .head().getDouble(0).toLong
+  }
+
+  /** EXACT raw matched rows of the containment probe join: Σ over
+    * probe-prefix rows of that shingle's global document frequency
+    * (the index side IS the full inverted index). One aggregation over
+    * the probe frame — evaluated only past [[shingleDfSquaredMass]]'s
+    * short-circuit, where it re-derives the rank window once. */
   def prefixDfMassBound(prefix: DataFrame): Long =
     prefix.agg(coalesce(sum(col("__df").cast("double")), lit(0.0)))
       .head().getDouble(0).toLong
@@ -187,10 +213,12 @@ object TextOps {
   /** Pre-flight density guard on a prefix bucket join (r18 verdict item
     * 3: guard parity — the SimHash and IVF walls refuse mechanically,
     * but a boilerplate-flooded corpus could still launch a silent n²
-    * PPJoin). `massBound` is the ~free df-sum bound off the cached
-    * prefix frame — when it clears the budget nothing else runs (true
-    * at gate/bench scales); only past it does `massExact` (one linear
-    * pass) decide, refusing or warning per [[PpjoinGuardKey]]. */
+    * PPJoin). `massBound` is the window-free [[shingleDfSquaredMass]]
+    * bound (one narrow pass over the cached shingle table) — when it
+    * clears the budget nothing else runs, which is the honest-corpus
+    * steady state at every measured scale; only past it does
+    * `massExact` (one pass that re-derives the prefix rank window)
+    * decide, refusing or warning per [[PpjoinGuardKey]]. */
   private def ppjoinPrefixGuard(spark: org.apache.spark.sql.SparkSession,
       massBound: => Long, massExact: => Long, what: String): Unit = {
     val mode = GuardConf.mode(spark, PpjoinGuardKey)
@@ -232,13 +260,12 @@ object TextOps {
     * hashedShingleSets); string-form inputs get the exact string verify. */
   def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
     val t = threshold
-    // cached + eagerly counted: the density guard and BOTH join sides
-    // below read this frame — uncached, the freq join + rank window
-    // (the candidate stage's expensive half) ran once per reader, and
-    // the count doubles as the first-reader-race materialization the
-    // sh cache above already practices
-    val prefix = ppjoinPrefixFrame(sh, t).cache()
-    prefix.count()
+    // deliberately UNCACHED: both join sides derive from it, but the
+    // rank window's shuffle is exchange-reused while a 20M-row columnar
+    // cache write is not free — caching this frame was measured +35%
+    // on the whole d02/d06/d16 family at sf5.0 (and only ~-1s at
+    // sf0.1), so the scale shape wins
+    val prefix = ppjoinPrefixFrame(sh, t)
     // PPJoin role split (Xiao et al. 2008): for a qualifying pair the
     // size-SMALLER record is guaranteed a shared token inside its shorter
     // INDEX prefix (|S| - ceil(2t/(1+t)|S|) + 1) matched against the
@@ -246,15 +273,10 @@ object TextOps {
     // side enters the join. Roles use the (size, id) total order so
     // equal-size pairs keep exactly one orientation.
     val idxLen = col("__n") - ceil(lit(2 * t / (1 + t)) * col("__n")) + 1
-    try ppjoinPrefixGuard(sh.sparkSession,
-      prefixDfMassBound(prefix),
+    ppjoinPrefixGuard(sh.sparkSession,
+      shingleDfSquaredMass(sh),
       ppjoinCandidateMass(prefix, col("__rk") <= idxLen),
       f"ngramJaccardPairs(threshold=$t%.2f)")
-    catch {
-      case e: Throwable =>
-        prefix.unpersist() // a refusal must not strand the prefix cache
-        throw e
-    }
     // distinct key names per side: Column-equality on the same lineage
     // trips Spark's ambiguous-self-join fixup (and its warning)
     val probe = prefix.select(col("__id").as("id_p"), col("__n").as("n_p"),
@@ -315,26 +337,23 @@ object TextOps {
     val freq = ex.groupBy("__s").agg(count(lit(1)).as("__df"))
       .select(col("__s").as("__sf"), col("__df"))
     val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__s"))
+    // __df rides along: containment's index side is the FULL inverted
+    // index, so Σ df over probe rows IS the join's exact raw matched-
+    // row count when the guard's window-free bound doesn't clear.
+    // Deliberately UNCACHED (the prefixCandidates measurement).
     val probe = ex.join(freq, col("__s") === col("__sf"))
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= ceil(lit(1 - t) * col("__n")) + 1)
-      // __df rides along: containment's index side is the FULL inverted
-      // index, so Σ df over probe rows IS the join's exact raw matched-
-      // row count — the guard needs no second pass, ever
       .select(col("__id").as("id_a"), col("__n").as("n_a"),
         col("__s").as("__s_p"), col("__df"))
-      // cached + eagerly counted: the density guard and the candidate
-      // join both read the probe prefixes (the prefixCandidates stance)
-      .cache()
-    probe.count()
     val index = ex.select(col("__id").as("id_b"), col("__n").as("n_b"),
       col("__s").as("__s_i"))
     try ppjoinPrefixGuard(sh.sparkSession,
-      prefixDfMassBound(probe), prefixDfMassBound(probe),
+      shingleDfSquaredMass(sh), prefixDfMassBound(probe),
       f"containmentPairs(threshold=$t%.2f)")
     catch {
       case e: Throwable =>
-        probe.unpersist(); sh.unpersist()
+        sh.unpersist() // a refusal must not strand the shingle cache
         throw e
     }
     // size prune in the SAME integer-permille arithmetic as the verify
@@ -447,7 +466,7 @@ object TextOps {
     * hashed) shingle table: per doc the `|S| - ceil(t|S|) + 1` globally
     * rarest shingles with (`__id`, `__n` set size, `__s` shingle hash,
     * `__rk` prefix rank, `__df` global document frequency). Shared by
-    * [[prefixCandidates]] (which caches it) and [[ppjoinMassProbe]]. */
+    * [[prefixCandidates]] and [[ppjoinMassProbe]]. */
   private def ppjoinPrefixFrame(sh: DataFrame, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{ArrayType, LongType}
@@ -479,19 +498,19 @@ object TextOps {
   }
 
   /** Sweep face of the PPJoin prefix guard: build the d02-shape prefix
-    * frame at (n, threshold) and return (df-sum bound, exact mass) —
-    * the two numbers the guard consults, for ScaleCheck's table. */
+    * frame at (n, threshold) and return (window-free df² bound, exact
+    * mass) — the two numbers the guard consults, for ScaleCheck's
+    * table. */
   def ppjoinMassProbe(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): (Long, Long) = {
     val t = threshold
     val sh = hashedShingleSets(df, idCol, textCol, n).cache()
     sh.count()
-    val prefix = ppjoinPrefixFrame(sh, t).cache()
-    prefix.count()
     val idxLen = col("__n") - ceil(lit(2 * t / (1 + t)) * col("__n")) + 1
-    val bound = prefixDfMassBound(prefix)
-    val exact = ppjoinCandidateMass(prefix, col("__rk") <= idxLen)
-    prefix.unpersist(); sh.unpersist()
+    val bound = shingleDfSquaredMass(sh)
+    val exact =
+      ppjoinCandidateMass(ppjoinPrefixFrame(sh, t), col("__rk") <= idxLen)
+    sh.unpersist()
     (bound, exact)
   }
 

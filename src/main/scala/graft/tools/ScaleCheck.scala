@@ -220,12 +220,12 @@ object ScaleCheck {
     }
 
     // ---- PPJoin prefix guard sweep (r18 verdict item 3) ------------------
-    // two columns: the ~free df-sum bound the guard consults first, and
-    // the exact per-bucket mass it falls back to — the gap between them
-    // is the short-circuit's headroom.
+    // two columns: the window-free df² bound the guard consults first,
+    // and the exact per-bucket mass it falls back to — the gap between
+    // them is the short-circuit's headroom.
     if (keep("ppjoin_guard")) {
       println()
-      println("| ppjoin guard | df-sum bound (t=0.5) | exact mass | verdict @ default budget |")
+      println("| ppjoin guard | df^2 bound (t=0.5) | exact mass | verdict @ default budget |")
       println("|---|---|---|---|")
       for (copies <- copiesList) {
         spark.catalog.clearCache()

@@ -37,6 +37,11 @@ class PlanLintSuite extends SparkSuite {
     // condition-less join is the same shape inside the pinned SQ8
     // scale pass — both sides bounded by the broadcast
     "d27_semantic_dedup_scaled" -> Set("cross-join"),
+    // p32 rides the SAME sqrt-scale broadcast assignment as d27 (every
+    // vector scored against the broadcast centroid-code frame — the
+    // join-based replacement for literal arrays); its second
+    // condition-less join is the same shape in the SQ8 encode pass
+    "p32_cluster_select_scaled" -> Set("cross-join"),
     // kmeans assignment joins each vector to every sampled centroid
     "d12_cluster_reps" -> Set("cross-join"),
     "s06_user_similarity" -> Set("cross-join"),

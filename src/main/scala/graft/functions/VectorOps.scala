@@ -1847,7 +1847,13 @@ object VectorOps {
         PinnedHyperplaneSig.column(spark, col("__c"), bits, bands, dim))
       .select(col("__id"), col("__c"), col("__n"), col("__sigs"))
       .cache() // both self-join sides read it (see lshScoredCandidates)
-    sigs.count() // eager: first-reader race
+    val nVecs = sigs.count() // eager: first-reader race
+    try lshBandGuard(sigs, bands, nVecs)
+    catch {
+      case e: Throwable =>
+        sigs.unpersist() // a refusal must not strand the signature cache
+        throw e
+    }
     val exploded = sigs.select(col("__id"), col("__c"), col("__n"),
       posexplode(col("__sigs")).as(Seq("__band", "__sig")))
     val l = exploded.select(col("__id").as("id_a"), col("__c").as("ca"),
@@ -1862,6 +1868,84 @@ object VectorOps {
       .where(col("cos") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("cos")).as("cos"))
+  }
+
+  /** Conf key: band-bucket candidate budget for the hyperplane-LSH
+    * pair joins ([[lshCosinePairs]], s02/s07's trained family, and the
+    * pinned twin [[lshCosinePairsPinned]], s14). Default 2e9 raw
+    * pairs: hyperplane bucket mass tracks true ANGULAR near-dup
+    * density (random signatures collide per band at 2^-bits), so the
+    * budget exists for the corpus where one vector — or one tight
+    * direction — is mass-duplicated into a giant bucket. */
+  val LshBudgetKey = "spark.graft.lsh.maxCandidatePairs"
+
+  /** Conf key: `enforce` (default) | `warn` | `off` — the vector-LSH
+    * twin of the MinHash guard's mode switch. */
+  val LshGuardKey = "spark.graft.lsh.guard"
+
+  private[graft] val DefaultLshBudget = 2000000000L
+
+  /** Guard-trip counter (enforce + warn), suite observability. */
+  private[graft] val lshGuardTrips =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** EXACT candidate mass of the (band, signature) bucket self-join
+    * over a cached signature table (`__sigs` array column): Σ over
+    * buckets of c·(c−1)/2 — one linear partial-aggregating pass. */
+  def lshCandidateMass(sigs: DataFrame): Long =
+    sigs.select(posexplode(col("__sigs")).as(Seq("__band", "__sig")))
+      .groupBy(col("__band"), col("__sig")).agg(count(lit(1)).as("c"))
+      // c cast to double BEFORE the multiply: long c*(c-1) wraps
+      // negative past ~3e9 rows in one bucket
+      .agg(coalesce(
+        sum(col("c").cast("double") * (col("c") - 1) / 2), lit(0.0)))
+      .head().getDouble(0).toLong
+
+  /** Pre-flight density guard on the hyperplane-LSH bucket join —
+    * guard parity across every bucket-join family (the r18 item 3
+    * pattern; the vector side of [[graft.functions.TextOps]]'s MinHash
+    * guard). Short-circuits when even the worst case (every signature
+    * identical: bands·n(n−1)/2) fits the budget — true at gate/bench
+    * scales, zero extra jobs; above that one linear mass pass decides,
+    * refusing or warning per [[LshGuardKey]]. */
+  private def lshBandGuard(sigs: DataFrame, bands: Int, n: Long): Unit = {
+    val spark = sigs.sparkSession
+    val mode = GuardConf.mode(spark, LshGuardKey)
+    if (mode == "off") return
+    val budget = GuardConf.budget(spark, LshBudgetKey, DefaultLshBudget)
+    if (bands.toDouble * n * (n - 1) / 2 <= budget.toDouble) return
+    val mass = lshCandidateMass(sigs)
+    if (mass <= budget) return
+    lshGuardTrips.incrementAndGet()
+    val msg =
+      f"hyperplane-LSH pair join (bands=$bands): the band-bucket join " +
+        f"would surface ~$mass%,d candidate pairs over $n%,d vectors — " +
+        f"past the $budget%,d budget ($LshBudgetKey). Bucket mass " +
+        "tracks true angular near-dup density, so this corpus is " +
+        "pathologically self-similar (mass-duplicated vectors or one " +
+        "tight direction concentrating the buckets). Exact-dedup the " +
+        "vectors first, or sharpen the parameters (more bits per band " +
+        "— lshParamsFor derives the collision-bounded choice). Set " +
+        s"$LshGuardKey=warn to override."
+    if (mode == "warn")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    else throw new IllegalStateException(msg)
+  }
+
+  /** Sweep face of the LSH band guard: build the trained-family
+    * signature table at (bits, bands) and return the exact band-bucket
+    * mass — ScaleCheck prints it next to the default budget. */
+  def lshMassProbe(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, bands: Int): Long = {
+    val base = normalizedVectors(df, idCol, vecCol)
+    val sigs = base.select(col("__id"),
+        hyperplaneSignatures(df.sparkSession, col("__v"), bits, bands)
+          .as("__sigs"))
+      .cache()
+    sigs.count()
+    val mass = lshCandidateMass(sigs)
+    sigs.unpersist()
+    mass
   }
 
   /** Conf key: within-list pair budget for the FIXED-nlist IVF dedup
@@ -2295,7 +2379,13 @@ object VectorOps {
       hyperplaneSignatures(df.sparkSession, col("__v"), bits, bands)
         .as("__sigs"))
       .cache()
-    sigs.count() // eager: both self-join sides read it (first-reader race)
+    val nVecs = sigs.count() // eager: both self-join sides read it (first-reader race)
+    try lshBandGuard(sigs, bands, nVecs)
+    catch {
+      case e: Throwable =>
+        sigs.unpersist() // a refusal must not strand the signature cache
+        throw e
+    }
     val withSigs = sigs.select(col("__id"), col("__v"),
       posexplode(col("__sigs")).as(Seq("__band", "__sig")))
     val l = withSigs.select(col("__id").as("id_a"), col("__v").as("va"),

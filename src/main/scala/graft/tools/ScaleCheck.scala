@@ -275,6 +275,22 @@ object ScaleCheck {
       }
     }
 
+    // ---- hyperplane-LSH guard sweep (guard parity completed: every
+    // bucket-join family's mass on one sweep face) — s02's operating
+    // point; mass tracks angular near-dup density, expected linear.
+    if (keep("lsh_guard")) {
+      println()
+      println("| lsh guard | band mass (bits 8, bands 32) | verdict @ default budget |")
+      println("|---|---|---|")
+      for (copies <- copiesList) {
+        spark.catalog.clearCache()
+        val m = VectorOps.lshMassProbe(embCorpus(copies), "vec_id",
+          "embedding", bits = 8, bands = 32)
+        val v = if (m > VectorOps.DefaultLshBudget) "REFUSED" else "ok"
+        println(s"| ${copies}x | $m | $v |")
+      }
+    }
+
     val vopsAll: Seq[(String, DataFrame => Long)] = Seq(
       "d15_semantic_pinned" -> (e =>
         VectorOps.ivfCosinePairsPinned(e, "vec_id", "embedding",

@@ -279,6 +279,40 @@ class DedupOpsSuite extends SparkSuite {
     }
   }
 
+  test("lsh band guard: vector bucket joins past the budget refuse " +
+      "naming dedup-first and sharper params; warn and off modes run") {
+    spark.conf.set(VectorOps.LshBudgetKey, "1")
+    try {
+      val trips0 = VectorOps.lshGuardTrips.get()
+      val e = intercept[IllegalStateException] {
+        VectorOps.lshCosinePairs(emb, "vec_id", "embedding",
+          bits = 8, bands = 32, threshold = 0.4)
+      }
+      assert(e.getMessage.contains("lshParamsFor") &&
+        e.getMessage.contains(VectorOps.LshBudgetKey),
+        s"refusal must name the remedy and the budget key: ${e.getMessage}")
+      intercept[IllegalStateException] {
+        VectorOps.lshCosinePairsPinned(emb, "vec_id", "embedding",
+          dim = 64, bits = 8, bands = 32, threshold = 0.4)
+      }
+      assert(VectorOps.lshGuardTrips.get() == trips0 + 2)
+      // warn mode: over-budget runs proceed (and count as trips)
+      spark.conf.set(VectorOps.LshGuardKey, "warn")
+      assert(VectorOps.lshCosinePairs(emb, "vec_id", "embedding",
+        bits = 8, bands = 32, threshold = 0.4).count() > 0)
+      assert(VectorOps.lshGuardTrips.get() == trips0 + 3)
+      // off mode: no measurement, no trip
+      spark.conf.set(VectorOps.LshGuardKey, "off")
+      assert(VectorOps.lshCosinePairs(emb, "vec_id", "embedding",
+        bits = 8, bands = 32, threshold = 0.4).count() > 0)
+      assert(VectorOps.lshGuardTrips.get() == trips0 + 3)
+    } finally {
+      spark.conf.unset(VectorOps.LshBudgetKey)
+      spark.conf.unset(VectorOps.LshGuardKey)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("ppjoin prefix guard: jaccard and containment joins past the " +
       "budget refuse naming dedup-first; warn and off modes run") {
     spark.conf.set(TextOps.PpjoinBudgetKey, "1")

@@ -2730,6 +2730,95 @@ object TextOps {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Lexical importance resampling — the DSIR shape (Xie et al. 2023:
+    * hashed-n-gram bag features, importance weights of a target
+    * distribution over the raw distribution, resample by weight) with
+    * every float surface replaced by a rational so both engines replay
+    * it bit-for-bit:
+    *
+    *   - features: hashed UNIGRAM buckets — [[tokenHash64]] (md5, the
+    *     d04 oracle scheme) mod `buckets`;
+    *   - weight per bucket: the add-one-smoothed count ratio in
+    *     micro-units, `(1e6 · (c_target+1)) div (c_raw+1)`, CENTERED
+    *     at the corpus-wide neutral ratio (the same formula over the
+    *     total counts) — integral, so the per-doc score (the SUM over
+    *     the doc's token bag) is order-independent and exact. The
+    *     centering is what DSIR's log-ratio gets from the log's sign:
+    *     uncentered, every summand is positive and document LENGTH
+    *     dominates the score (measured on the gate corpus: target
+    *     pick-rate 0.24 vs off-target 0.29 — inverted); centered,
+    *     tokens from more-target-than-average buckets pull up and
+    *     off-target tokens pull down;
+    *   - resample: per-SHARD top quota (`ceil(shard_n/denom)` by
+    *     (score desc, id)) over `shards` deterministic md5(id) shards —
+    *     the global top-quota's scale form (one bounded sort per
+    *     shard, no global window, no driver-sized limit; shards is the
+    *     scale knob exactly as nlist is for the IVF family). Uniform
+    *     hash sharding makes the union of per-shard quotas a
+    *     stratified estimate of the global top-n/denom.
+    *
+    * `buckets` and `shards` must be POWERS OF TWO: the Spark side
+    * reduces a SIGNED 64-bit hash with `pmod` while the oracle reduces
+    * the same bits as an UNSIGNED value, and `x mod m == (x + 2^64)
+    * mod m` only when m divides 2^64.
+    *
+    * Output is `(id, score, shard, picked)` for EVERY document — the
+    * flag form (p31's stance): an oracle hashes every decision.
+    *
+    * Scale shape: one partial-aggregating pass for both bucket count
+    * vectors (raw + target in a single groupBy), one broadcast join of
+    * the `buckets`-row ratio table onto the token rows, one per-doc
+    * sum, one per-shard quota window. The tokenize lineage is
+    * deliberately evaluated per pass rather than cached (the d02
+    * prefix-cache lesson: wide columnar caches lose to recompute past
+    * bench scales). */
+  def importanceResample(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, denom: Int, buckets: Int = 4096,
+      shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(denom >= 1, s"denom must be >= 1, got $denom")
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two (engine-portable mod), got $buckets")
+    require(shards >= 1 && (shards & (shards - 1)) == 0,
+      s"shards must be a power of two (engine-portable mod), got $shards")
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), targetPred.as("__tgt"),
+        explode(tokens(col(textCol))).as("__t"))
+      .select(col("__id"), col("__tgt"),
+        pmod(tokenHash64(col("__t")), lit(buckets.toLong)).as("__b"))
+    // BOTH count vectors in one partial-aggregating pass; the 4096-row
+    // result is cached (trivially small) because the neutral-ratio
+    // scalar and the per-bucket ratios both read it — uncached, each
+    // would re-run the corpus groupBy
+    val cnts = toks.groupBy("__b")
+      .agg(count(lit(1)).as("__cr"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
+      .cache()
+    // integral division on non-negatives only (Spark div truncates,
+    // DuckDB // floors — they agree there)
+    val (totCr, totCt) = {
+      val r = cnts.agg(sum(col("__cr")), sum(col("__ct"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val neutral = (1000000L * (totCt + 1L)) / (totCr + 1L)
+    val ratio = cnts.select(col("__b"),
+      (expr("(1000000 * (__ct + 1)) div (__cr + 1)") - lit(neutral))
+        .as("__r"))
+    val scores = toks.join(broadcast(ratio), Seq("__b"))
+      .groupBy(col("__id")).agg(sum(col("__r")).as("score"))
+    val sh = scores.select(col("__id"), col("score"),
+      pmod(tokenHash64(col("__id").cast("string")), lit(shards.toLong))
+        .as("shard"))
+    val shardCnts = sh.groupBy("shard").agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("score").desc, col("__id"))
+    sh.join(broadcast(shardCnts), Seq("shard"))
+      .withColumn("__rn", row_number().over(w))
+      .select(col("__id").as(idCol), col("score"), col("shard"),
+        when(col("__rn") <= expr(s"(__n + ${denom - 1}) div $denom"),
+          lit(1L)).otherwise(lit(0L)).as("picked"))
+  }
+
   /** Greedy sequence packing: assign documents to fixed-token-budget
     * training sequences (first-fit along a deterministic order), the
     * standard pre-training batching step.

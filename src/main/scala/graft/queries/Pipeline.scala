@@ -1829,6 +1829,67 @@ object Pipeline {
         FROM ranked ORDER BY vec_id"""),
       // floor-tracked: the scale operating point a 100 TB corpus runs
       // carries its own regression floor (the d26/d27/mm18 discipline)
-      bench = true)
+      bench = true),
+
+    // ---- p33: lexical importance resampling (the DSIR shape) -------------
+    // hashed-unigram importance weights of the target distribution
+    // (lang='en') over the raw corpus, rational micro-ratio instead of
+    // log-ratio so both engines replay the score exactly, per-shard
+    // top-quota selection (the global top-n/denom's scale form). Flag
+    // output — the oracle hashes every decision; see
+    // TextOps.importanceResample for the full scale/portability notes.
+    QueryDef(
+      "p33_importance_resample",
+      (s, d) =>
+        graft.functions.TextOps.importanceResample(
+            Tables.corpus(s, d), "doc_id", "text",
+            targetPred = col("lang") === "en", denom = 4)
+          .orderBy("doc_id"),
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, text, lang FROM documents WHERE text IS NOT NULL
+        ),
+        toks AS (
+          SELECT doc_id, (lang = 'en') AS tgt,
+                 unnest(string_split_regex(trim(text), '\s+')) AS t
+          FROM docs
+        ),
+        tb AS (
+          SELECT doc_id, tgt,
+                 CAST(('0x' || substr(md5(t), 1, 16))::UBIGINT % 4096
+                   AS BIGINT) AS b
+          FROM toks
+        ),
+        tot AS (
+          SELECT (1000000 * (SUM(CASE WHEN tgt THEN 1 ELSE 0 END) + 1))
+                   // (COUNT(*) + 1) AS neutral
+          FROM tb
+        ),
+        ratio AS (
+          SELECT b,
+                 (1000000 * (SUM(CASE WHEN tgt THEN 1 ELSE 0 END) + 1))
+                   // (COUNT(*) + 1) - (SELECT neutral FROM tot) AS r
+          FROM tb GROUP BY 1
+        ),
+        scores AS (
+          SELECT tb.doc_id, CAST(SUM(ratio.r) AS BIGINT) AS score
+          FROM tb JOIN ratio USING (b) GROUP BY 1
+        ),
+        sh AS (
+          SELECT doc_id, score,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                   ::UBIGINT % 32 AS BIGINT) AS shard
+          FROM scores
+        ),
+        cnt AS (SELECT shard, COUNT(*) AS n FROM sh GROUP BY 1),
+        rk AS (
+          SELECT s.doc_id, s.score, s.shard, c.n,
+                 ROW_NUMBER() OVER (PARTITION BY s.shard
+                   ORDER BY s.score DESC, s.doc_id) AS rn
+          FROM sh s JOIN cnt c USING (shard))
+        SELECT doc_id, score, shard,
+               CAST(CASE WHEN rn <= (n + 3) // 4 THEN 1 ELSE 0 END
+                 AS BIGINT) AS picked
+        FROM rk ORDER BY doc_id"""))
   )
 }

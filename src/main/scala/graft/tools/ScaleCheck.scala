@@ -116,6 +116,17 @@ object ScaleCheck {
       "t19_pinned_viterbi" -> (docs =>
         graft.functions.UnigramLM.pinnedSegmentStats(
           docs, "doc_id", "text", maxPieceLen = 4, topMulti = 256).count()),
+      // DSIR-shaped importance resampling: two corpus passes (bucket
+      // counts, score join) + a per-shard quota window — expected
+      // linear; the per-copy token prefixes shift every bucket count,
+      // so the ratio table is re-derived per copy (the honest shape).
+      // The replica corpus carries no lang column, so the target is an
+      // id-derived fifth of the docs (the growth curve is about the
+      // plan shape, not the target's semantics).
+      "p33_importance_resample" -> (docs =>
+        graft.functions.TextOps.importanceResample(
+          docs, "doc_id", "text", pmod(col("doc_id"), lit(5)) === 0,
+          denom = 4).count()),
       // asymmetric containment: the probe prefix is the contained side's
       // rarest shingles only, so fan-out tracks rare-shingle df — the
       // growth curve is the evidence the full container index doesn't

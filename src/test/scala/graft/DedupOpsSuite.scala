@@ -279,6 +279,40 @@ class DedupOpsSuite extends SparkSuite {
     }
   }
 
+  test("importance resampling: per-shard quota is exact, the score " +
+      "actually discriminates toward the target distribution, and the " +
+      "pick is a pure function of the corpus") {
+    val out = TextOps.importanceResample(
+      docs, "doc_id", "text", col("lang") === "en", denom = 4).cache()
+    try {
+      assert(out.count() == docs.where(col("text").isNotNull).count(),
+        "every document must carry a flag")
+      val per = out.groupBy("shard")
+        .agg(count(lit(1)).as("n"), sum("picked").as("k"))
+        .as[(Long, Long, Long)].collect()
+      per.foreach { case (s, n, k) =>
+        assert(k == (n + 3) / 4, s"shard $s: kept $k of $n")
+      }
+      // the weight points toward the target: en documents (the target
+      // distribution) must be picked at a higher rate than the corpus
+      val rates = out.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(col("lang") === "en")
+        .agg(avg(col("picked")).as("rate"))
+        .as[(Boolean, Double)].collect().toMap
+      assert(rates(true) > rates(false),
+        s"target pick-rate ${rates(true)} must exceed off-target " +
+          s"${rates(false)}")
+      // deterministic: a re-run picks the identical set
+      val a = out.where(col("picked") === 1)
+        .select("doc_id").as[Long].collect().toSet
+      val b = TextOps.importanceResample(
+          docs, "doc_id", "text", col("lang") === "en", denom = 4)
+        .where(col("picked") === 1)
+        .select("doc_id").as[Long].collect().toSet
+      assert(a == b, "selection must be a pure function of the corpus")
+    } finally out.unpersist()
+  }
+
   test("lsh band guard: vector bucket joins past the budget refuse " +
       "naming dedup-first and sharper params; warn and off modes run") {
     spark.conf.set(VectorOps.LshBudgetKey, "1")

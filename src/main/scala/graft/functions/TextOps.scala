@@ -2819,6 +2819,62 @@ object TextOps {
           lit(1L)).otherwise(lit(0L)).as("picked"))
   }
 
+  /** Frozen importance-weight ARTIFACT: [[importanceResample]]'s
+    * centered micro-ratio table as a dense array indexed by bucket —
+    * the broadcastable serving form (`buckets` longs — a model
+    * artifact, not data), built once from a reference corpus. Buckets
+    * absent from the reference get the add-one-smoothed empty-count
+    * ratio (`1e6 div 1 − neutral`) instead of the batch operator's
+    * inner-join drop — the correct treatment for tokens a FUTURE
+    * stream may carry that the reference never saw. */
+  def importanceWeightArray(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 4096): Array[Long] = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two (engine-portable mod), got $buckets")
+    val cnts = df.where(col(textCol).isNotNull)
+      .select(targetPred.as("__tgt"),
+        explode(tokens(col(textCol))).as("__t"))
+      .select(col("__tgt"),
+        pmod(tokenHash64(col("__t")), lit(buckets.toLong)).as("__b"))
+      .groupBy("__b")
+      .agg(count(lit(1)).as("__cr"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
+      .collect()
+    val totCr = cnts.map(_.getLong(1)).sum
+    val totCt = cnts.map(_.getLong(2)).sum
+    val neutral = (1000000L * (totCt + 1L)) / (totCr + 1L)
+    val w = Array.fill(buckets)(1000000L - neutral) // unseen-bucket default
+    cnts.foreach { r =>
+      w(r.getLong(0).toInt) =
+        (1000000L * (r.getLong(2) + 1L)) / (r.getLong(1) + 1L) - neutral
+    }
+    w
+  }
+
+  /** Score documents against a FROZEN weight array — a pure per-row
+    * projection (tokenize → bucket → array lookup → sum, all inside
+    * one higher-order expression over a single array literal): zero
+    * shuffle, zero state, so it lifts to Structured Streaming
+    * unchanged (the w24 stance — the artifact is computed once, every
+    * arriving row scores in its micro-batch). Over the reference
+    * corpus itself this equals [[importanceResample]]'s score column
+    * exactly (suite-pinned): every token's bucket is present, so the
+    * batch operator's inner join drops nothing. */
+  def importanceScore(df: DataFrame, idCol: String, textCol: String,
+      weights: Array[Long]): DataFrame = {
+    require(weights.nonEmpty && (weights.length & (weights.length - 1)) == 0,
+      s"weights must be a power-of-two-sized array, got ${weights.length}")
+    val wLit = typedlit(weights.toSeq) // ONE literal, not a 4096-ary CreateArray
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        aggregate(
+          transform(tokens(col(textCol)), t =>
+            element_at(wLit,
+              (pmod(tokenHash64(t), lit(weights.length.toLong)) + 1)
+                .cast("int"))),
+          lit(0L), (acc, x) => acc + x).as("score"))
+  }
+
   /** Greedy sequence packing: assign documents to fixed-token-budget
     * training sequences (first-fit along a deterministic order), the
     * standard pre-training batching step.

@@ -1890,6 +1890,9 @@ object Pipeline {
         SELECT doc_id, score, shard,
                CAST(CASE WHEN rn <= (n + 3) // 4 THEN 1 ELSE 0 END
                  AS BIGINT) AS picked
-        FROM rk ORDER BY doc_id"""))
+        FROM rk ORDER BY doc_id"""),
+      // floor-tracked: a headline curation operator carries its own
+      // regression floor (the d26/d27/mm18/p32 discipline)
+      bench = true)
   )
 }

@@ -820,6 +820,51 @@ object Windows {
       Some(graft.multimodal.PinnedMediaMath.crossModalDedupOracle(
         maxHamming = 4))),
 
+    // ---- w33: streaming importance scoring against frozen weights ---------
+    // p33's DSIR-shaped weighting run incrementally (the w24 stance):
+    // the weight table freezes once from the static reference corpus
+    // and every arriving document scores in its micro-batch via a pure
+    // per-row projection — stateless (the gate asserts zero state
+    // operators), so the scores are batching-invariant and p33's score
+    // oracle transfers minus the quota. Selection stays a batch
+    // decision over accumulated scores: a global top-fraction is not
+    // an incremental property.
+    QueryDef(
+      "w33_stream_importance_score",
+      (s, d) =>
+        graft.streaming.Streams
+          .importanceScoreStreamGate(s, s"$d/documents.parquet")
+          .orderBy("doc_id"),
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, text, lang FROM documents WHERE text IS NOT NULL
+        ),
+        toks AS (
+          SELECT doc_id, (lang = 'en') AS tgt,
+                 unnest(string_split_regex(trim(text), '\s+')) AS t
+          FROM docs
+        ),
+        tb AS (
+          SELECT doc_id, tgt,
+                 CAST(('0x' || substr(md5(t), 1, 16))::UBIGINT % 4096
+                   AS BIGINT) AS b
+          FROM toks
+        ),
+        tot AS (
+          SELECT (1000000 * (SUM(CASE WHEN tgt THEN 1 ELSE 0 END) + 1))
+                   // (COUNT(*) + 1) AS neutral
+          FROM tb
+        ),
+        ratio AS (
+          SELECT b,
+                 (1000000 * (SUM(CASE WHEN tgt THEN 1 ELSE 0 END) + 1))
+                   // (COUNT(*) + 1) - (SELECT neutral FROM tot) AS r
+          FROM tb GROUP BY 1
+        )
+        SELECT tb.doc_id, CAST(SUM(ratio.r) AS BIGINT) AS score
+        FROM tb JOIN ratio USING (b)
+        GROUP BY 1 ORDER BY doc_id""")),
+
     // ---- w16: stream-static AS-OF enrichment through the engine -----------
     // a04's semantics run incrementally: each streamed purchase joins
     // the latest static view at-or-before its event time (broadcast

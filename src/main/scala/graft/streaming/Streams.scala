@@ -966,6 +966,60 @@ object Streams {
     spark.table(sink)
   }
 
+  /** PRODUCTION streaming importance scoring for unbounded document
+    * streams — p33's DSIR-shaped lexical weighting run incrementally,
+    * the live-ingest shape: the importance-weight table is computed
+    * ONCE from the static reference corpus (weights change on
+    * curation-policy cadence, not per batch) and ships as one array
+    * literal; every arriving document scores IN ITS MICRO-BATCH via
+    * the pure per-row projection ([[graft.functions.TextOps
+    * .importanceScore]]) — no watermark, no state store, nothing to
+    * checkpoint beyond source offsets, so ANY batching reaches the
+    * identical scores (the w24 stance). Selection (the quota) stays a
+    * batch decision over accumulated scores — a global top-fraction
+    * is not an incremental property. Returns the unstarted streaming
+    * (id, score) frame — callers attach their own sink/trigger. */
+  def importanceScoreStream(docs: DataFrame, refCorpus: DataFrame,
+      idCol: String, textCol: String, targetPred: org.apache.spark.sql.Column,
+      buckets: Int = 4096): DataFrame = {
+    require(docs.isStreaming,
+      "docs must be a streaming frame (use TextOps.importanceResample " +
+        "for batch selection)")
+    require(!refCorpus.isStreaming,
+      "the reference corpus must be a static frame — its weight table " +
+        "is computed once, at plan-build time")
+    val w = graft.functions.TextOps.importanceWeightArray(
+      refCorpus, idCol, textCol, targetPred, buckets)
+    graft.functions.TextOps.importanceScore(docs, idCol, textCol, w)
+  }
+
+  /** w33's gate: [[importanceScoreStream]] over the driver's documents
+    * with lang='en' as the target distribution, weights frozen from
+    * the same corpus the stream carries — so every token's bucket is
+    * present and p33's score oracle transfers (minus the quota).
+    * maxFilesPerTrigger=1 forces multiple micro-batches; the gate
+    * asserts zero state operators. GATE-ONLY scope (the r10
+    * convention). */
+  private[graft] def importanceScoreStreamGate(spark: SparkSession,
+      docsPath: String): DataFrame = {
+    val docs = eventStream(spark, docsPath, Some(1))
+    val ref = spark.read.parquet(docsPath)
+    val scored = importanceScoreStream(docs, ref, "doc_id", "text",
+      col("lang") === "en")
+    val sink = s"w33_gate_${gateRunSeq.incrementAndGet()}"
+    val q = scored.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val progress = q.lastProgress
+    require(progress == null || progress.stateOperators.isEmpty,
+      "importance scoring must be stateless — a state operator " +
+        "appeared in the streaming plan")
+    spark.table(sink)
+  }
+
   /** PRODUCTION store-probe sink for unbounded document streams — the
     * `foreachBatch` body of d23's daily-ingest loop (the probe caches
     * and checkpoints internally, so it needs a batch frame — the same

@@ -313,6 +313,25 @@ class DedupOpsSuite extends SparkSuite {
     } finally out.unpersist()
   }
 
+  test("importance scoring: the frozen-array serving form equals the " +
+      "batch operator's score column over the reference corpus") {
+    // w33's correctness core: the per-row projection over the frozen
+    // weight artifact must reproduce importanceResample's broadcast-
+    // join score exactly (over the reference corpus every token's
+    // bucket is present, so the join drops nothing)
+    val pred = col("lang") === "en"
+    val batch = TextOps.importanceResample(
+        docs, "doc_id", "text", pred, denom = 4)
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    val w = TextOps.importanceWeightArray(docs, "doc_id", "text", pred)
+    val served = TextOps.importanceScore(docs, "doc_id", "text", w)
+      .as[(Long, Long)].collect().toMap
+    assert(served == batch,
+      s"serving scores diverged on ${
+        served.keySet.union(batch.keySet)
+          .filter(k => served.get(k) != batch.get(k)).take(5)}")
+  }
+
   test("lsh band guard: vector bucket joins past the budget refuse " +
       "naming dedup-first and sharper params; warn and off modes run") {
     spark.conf.set(VectorOps.LshBudgetKey, "1")

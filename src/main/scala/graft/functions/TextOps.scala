@@ -2762,8 +2762,10 @@ object TextOps {
     * the same bits as an UNSIGNED value, and `x mod m == (x + 2^64)
     * mod m` only when m divides 2^64.
     *
-    * Output is `(id, score, shard, picked)` for EVERY document — the
-    * flag form (p31's stance): an oracle hashes every decision.
+    * Output is `(id, score, shard, picked)` for every document with
+    * non-null text (null-text rows carry no tokens to score and are
+    * filtered, mirrored by the oracle) — the flag form (p31's stance):
+    * an oracle hashes every decision.
     *
     * Scale shape: one partial-aggregating pass for both bucket count
     * vectors (raw + target in a single groupBy), one broadcast join of
@@ -2800,6 +2802,15 @@ object TextOps {
       val r = cnts.agg(sum(col("__cr")), sum(col("__ct"))).head()
       (r.getLong(0), r.getLong(1))
     }
+    // per-bucket __ct <= totCt, so this one driver-side check bounds the
+    // micro-ratio numerator exactly: past ~9.2e12 target tokens in one
+    // bucket the 64-bit multiply would wrap where the DuckDB oracle's
+    // HUGEINT promotion keeps going (r19 ADVICE) — fail NAMED instead
+    require(totCt <= Long.MaxValue / 1000000L - 1L,
+      f"importanceResample: target slice carries $totCt%,d tokens — the " +
+        "micro-ratio numerator 1e6*(count+1) would overflow 64-bit " +
+        "arithmetic (the oracle's HUGEINT would not); score a sample or " +
+        "partition the corpus")
     val neutral = (1000000L * (totCt + 1L)) / (totCr + 1L)
     val ratio = cnts.select(col("__b"),
       (expr("(1000000 * (__ct + 1)) div (__cr + 1)") - lit(neutral))
@@ -2842,6 +2853,12 @@ object TextOps {
       .collect()
     val totCr = cnts.map(_.getLong(1)).sum
     val totCt = cnts.map(_.getLong(2)).sum
+    // same 64-bit numerator ceiling as importanceResample (r19 ADVICE):
+    // totCt bounds every per-bucket count, so one check covers the array
+    require(totCt <= Long.MaxValue / 1000000L - 1L,
+      f"importanceWeightArray: target slice carries $totCt%,d tokens — " +
+        "the micro-ratio numerator 1e6*(count+1) would overflow 64-bit " +
+        "arithmetic; score a sample or partition the corpus")
     val neutral = (1000000L * (totCt + 1L)) / (totCr + 1L)
     val w = Array.fill(buckets)(1000000L - neutral) // unseen-bucket default
     cnts.foreach { r =>

@@ -242,8 +242,12 @@ object Dedup {
         // twice) — no shingle string exists anywhere in the pipeline
         val sh = TextOps.hashedShingleSets(docs, "doc_id", "text", 3).cache()
         sh.count() // eager: concurrent first readers recompute (p01 lesson)
-        val cands = TextOps.minHashCandidatesFromHashed(
-          sh, numHashes = 128, bands = 32)
+        // a band-guard refusal inside the candidate stage unpersists its
+        // own signature cache but cannot see THIS shingle cache — release
+        // it on the way out (the ngramJaccardPairs discipline)
+        val cands = try TextOps.minHashCandidatesFromHashed(
+            sh, numHashes = 128, bands = 32)
+          catch { case e: Throwable => sh.unpersist(); throw e }
         TextOps.verifyJaccard(sh, cands, 0.5)
           .orderBy("id_a", "id_b")
       },

@@ -398,6 +398,47 @@ class DedupOpsSuite extends SparkSuite {
     }
   }
 
+  test("minhash band guard refusal releases the caller's shingle cache " +
+      "(the d03 shape: caller-cached hash table + FromHashed candidates)") {
+    // r19 ADVICE: the guard unpersists its OWN signature cache, but the
+    // d03 caller's just-materialized shingle cache is out of its reach —
+    // Dedup.scala's d03 wraps the call in catch-unpersist-rethrow; this
+    // pins that wrapper's behavior on the identical call shape
+    spark.conf.set(TextOps.MinhashBudgetKey, "1")
+    try {
+      val sh = TextOps.hashedShingleSets(docs, "doc_id", "text", 3).cache()
+      sh.count()
+      intercept[IllegalStateException] {
+        try TextOps.minHashCandidatesFromHashed(sh, 128, 32)
+        catch { case e: Throwable => sh.unpersist(); throw e }
+      }
+      assert(sh.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "the shingle cache must be released on the refusal path")
+    } finally {
+      spark.conf.unset(TextOps.MinhashBudgetKey)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("guard budget positivity: a zero/negative budget fails naming the " +
+      "conf key, not as an unconditional corpus-blaming refusal") {
+    // r19 ADVICE: budget<=0 made every guarded run refuse with a message
+    // implying a pathological corpus rather than a bad conf value
+    for (bad <- Seq("0", "-5")) {
+      spark.conf.set(TextOps.MinhashBudgetKey, bad)
+      try {
+        val e = intercept[IllegalArgumentException] {
+          TextOps.minHashCandidates(docs, "doc_id", "text", 3, 128, 32)
+        }
+        assert(e.getMessage.contains(TextOps.MinhashBudgetKey) &&
+          e.getMessage.contains("positive"), e.getMessage)
+      } finally {
+        spark.conf.unset(TextOps.MinhashBudgetKey)
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("guard budget parsing: a malformed conf value fails naming the " +
       "key and the offending text, not as a bare NumberFormatException") {
     // r18 ADVICE: a bare s.toLong was indistinguishable from a refusal

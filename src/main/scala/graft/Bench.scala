@@ -33,6 +33,25 @@ import org.apache.spark.sql.SparkSession
   *    loadavg at its start in `query_load` (r15/r16 verdicts: four
   *    rounds running, the official window started loaded and needed
   *    retry roulette);
+  *  - sample ACCEPTANCE is load-gated, not just the window start and
+  *    the retry tiers (r19 verdict item 1: the official r19 window
+  *    accepted 34 of 47 samples above the quiet gate because the floor
+  *    band was the only acceptance rule — the host loaded up
+  *    mid-window and contended samples inside the band sailed
+  *    through). The gated quantity is the EXTERNAL load: raw loadavg
+  *    minus this JVM's own CPU use smoothed with the kernel's ~60 s
+  *    decay (SelfLoadEma) — the bench's own local[32] bursts push raw
+  *    loadavg to 6–15 on an otherwise-idle host, so raw stamps mostly
+  *    measured the bench benching (that is much of what r19's 34/47
+  *    "loaded" stamps were). A sample whose start external load
+  *    exceeds the quiet gate cannot be accepted while it is the
+  *    query's ONLY sample — it re-times through the existing tiers
+  *    even when inside the floor band (count stamped as
+  *    `load_forced_retimes`); once any quiet sample exists, acceptance
+  *    is min over the QUIET pool, so in a clean window every stamped
+  *    `query_load` is <= the gate. A query whose every sample stayed
+  *    externally loaded taints `clean:false` ("accepted above
+  *    loadavg");
   *  - the emitted JSON carries `first_pass_total` (untouched single-run
   *    measurement), `window_total` (best-of in-window), and `value` (the
   *    headline). When every query lands within 2.5x of its floor the
@@ -65,6 +84,58 @@ object Bench {
   private[graft] def overFloorBand(floor: Double, v: Double): Boolean =
     (v > 1.75 * floor && v > floor + 1.5) ||
       (v > 2.0 * floor && v > floor + 0.3)
+
+  /** This JVM's own CPU use in cores, smoothed with the same ~60 s
+    * exponential decay the kernel applies to the 1-minute loadavg —
+    * the correction that makes a mid-window load stamp mean
+    * CONTENTION instead of "the bench was benching". A local[32]
+    * query burst pushes the raw 1-minute loadavg to 6–15 all by
+    * itself (observed: 26 of 45 first-pass samples of a quiet-host
+    * window stamped above the 4.0 gate with zero external load), so
+    * raw loadavg cannot gate sample acceptance; `raw − own − inherited`
+    * can. Updates fold the process CPU consumed since the last call
+    * into the EMA over the elapsed wall interval — the continuous
+    * analog of the kernel's 5 s-sampled decay. */
+  private[graft] final class SelfLoadEma(tau: Double = 60.0) {
+    private var ema = 0.0
+    private var last: Option[(Long, Long)] = None // (wallNs, cpuNs)
+    /** Feed a (wall, cpu) sample pair; returns the updated EMA. */
+    def update(wallNs: Long, cpuNs: Long): Double = {
+      last match {
+        case Some((w0, c0)) if wallNs > w0 =>
+          val dt = (wallNs - w0) / 1e9
+          val cores = math.max(0.0, (cpuNs - c0) / 1e9 / dt)
+          val a = math.exp(-dt / tau)
+          ema = ema * a + cores * (1 - a)
+        case _ => ()
+      }
+      last = Some((wallNs, cpuNs))
+      ema
+    }
+    def value: Double = ema
+  }
+
+  /** Env var: the parent bench JVM's own-load EMA at fork time. The
+    * kernel's loadavg remembers the PARENT's just-finished window for
+    * ~a minute after the fresh-JVM child starts; the child subtracts
+    * this handed-down value (decayed from its start time) so it does
+    * not read its parent's cooling burst as external contention. */
+  private[graft] val ParentEmaEnv = "SPARK_GRAFT_PARENT_EMA"
+
+  /** The load-gated acceptance policy over a query's (value, load)
+    * samples: min over the samples taken at or under the quiet gate;
+    * only when NO quiet sample exists, min over everything (the loaded
+    * min is reported but the caller taints the clean verdict). Failed
+    * samples (value < 0) never participate; unknown loads (-1) count as
+    * loaded. Returns (value, load) of the accepted sample, or (-1,-1)
+    * when no valid sample exists. */
+  private[graft] def acceptedSample(zs: Seq[(Double, Double)],
+      quietLoad: Double): (Double, Double) = {
+    val valid = zs.filter(_._1 >= 0)
+    val quiet = valid.filter { case (_, l) => l >= 0 && l <= quietLoad }
+    val pool = if (quiet.nonEmpty) quiet else valid
+    if (pool.isEmpty) (-1.0, -1.0) else pool.minBy(_._1)
+  }
 
   /** Comma-separated query names: when set, this process is a fresh-JVM
     * re-timer child — time ONLY those queries once and print a marked
@@ -105,7 +176,8 @@ object Bench {
     * classpath + the Spark add-opens set). Returns name -> seconds, or
     * Map.empty when the child could not run — callers treat that as
     * "no better sample". */
-  private def retimeFreshJvm(names: Seq[String]): Map[String, Double] = try {
+  private def retimeFreshJvm(names: Seq[String],
+      parentEma: Double): Map[String, Double] = try {
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
     val addOpens = Seq(
@@ -124,6 +196,10 @@ object Bench {
       "graft.Bench")).toList
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put(RetimeEnv, names.mkString(","))
+    // the kernel's loadavg remembers this JVM's window for ~a minute —
+    // hand the child our own-load EMA so it doesn't read the parent's
+    // cooling burst as external contention
+    pb.environment().put(ParentEmaEnv, f"$parentEma%.3f")
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT) // Spark logs stay visible
     val proc = pb.start()
@@ -159,12 +235,35 @@ object Bench {
     }
   }
 
-  private def saveFloors(floors: Map[String, Double]): Unit = {
+  private[graft] def saveFloors(floors: Map[String, Double],
+      file: String = FloorFile): Unit = {
     val body = floors.toSeq.sorted
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(FloorFile), body.getBytes("UTF-8"))
+      java.nio.file.Paths.get(file), body.getBytes("UTF-8"))
+  }
+
+  /** Floor-epoch discipline (r19 verdict item 3): a floor seeded under
+    * DIFFERENT operator code is not a fair regression denominator — the
+    * d04 pattern: guard-era walls judged against a pre-guard 1.353 s
+    * floor graded `weak` for two rounds straight. When a round's diff
+    * touches an operator on a query's path, [[graft.tools.FloorRetire]]
+    * moves every `<ns>/<query>` floor to `<ns>/<query>@retired-<tag>`
+    * (kept for history, never matched by floorOf, never re-tightened),
+    * so the next clean window re-seeds the live key under the current
+    * code. The over-band rule therefore only ever compares same-epoch
+    * values: floorOf reads the exact live key, and retired keys are
+    * preserved verbatim across saves. */
+  private[graft] def retireFloors(floors: Map[String, Double],
+      queries: Seq[String], tag: String): Map[String, Double] = {
+    val qset = queries.toSet
+    floors.map { case (k, v) =>
+      val live = !k.contains("@retired")
+      val name = k.substring(k.lastIndexOf('/') + 1)
+      if (live && qset.contains(name)) s"$k@retired-$tag" -> v
+      else k -> v
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -205,6 +304,28 @@ object Bench {
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
+    // EXTERNAL load = raw loadavg − this JVM's own smoothed CPU use −
+    // the parent bench's decaying handoff (fresh-JVM child only). All
+    // gating and stamping below reads THIS, not raw loadavg: the bench
+    // itself pushes the raw 1-minute loadavg past any sane gate
+    // mid-window, and a gate that trips on its own measurement work
+    // would re-time the whole window forever (see SelfLoadEma).
+    def processCpuNs: Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+        case _ => -1L
+      }
+    val selfEma = new SelfLoadEma()
+    val parentEma0 = sys.env.get(ParentEmaEnv).map(_.toDouble).getOrElse(0.0)
+    val jvmStartNs = System.nanoTime()
+    def extLoad: Double = {
+      val cpu = processCpuNs
+      val own =
+        if (cpu >= 0) selfEma.update(System.nanoTime(), cpu) else 0.0
+      val inherited =
+        parentEma0 * math.exp(-(System.nanoTime() - jvmStartNs) / 1e9 / 60.0)
+      math.max(0.0, loadAvg - own - inherited)
+    }
     val cores0 = Runtime.getRuntime.availableProcessors()
     // quiet-host gate: the official window must START quiet, not just
     // retry quiet (r16 verdict: the first pass began at loadavg 6.5 and
@@ -221,7 +342,7 @@ object Bench {
     def gateOnQuietHost(tier: String, threshold: Double = quietLoad,
         maxWait: Int = quietMaxWaitSec): Unit = {
       val (waited, l) = awaitQuiet(threshold, maxWait, 5,
-        () => loadAvg, Thread.sleep)
+        () => extLoad, Thread.sleep)
       quietWaitSec += waited
       if (waited > 0)
         System.err.println(f"[bench] $tier: waited $waited%.0fs for loadavg " +
@@ -257,9 +378,9 @@ object Bench {
     Tables(spark, sfDir, "orders").count()
     val loadStart = loadAvg
 
-    // per-query loadavg at each sample's start, parallel to `samples`;
-    // the stamp emitted with the artifact is the load of the sample that
-    // became the accepted (best) timing for each query
+    // per-query EXTERNAL load (see extLoad) at each sample's start,
+    // parallel to `samples`; the stamp emitted with the artifact is the
+    // load of the sample that became the accepted timing for each query
     val loadHist =
       scala.collection.mutable.Map[String, Vector[Double]]()
     // a failed query must be visible, not a fast-looking timing: it is
@@ -267,7 +388,7 @@ object Bench {
     def time(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
       val fn = SparkEntry.queries(name)
       spark.catalog.clearCache() // isolate queries: no cross-query cache reuse
-      loadHist(name) = loadHist.getOrElse(name, Vector.empty) :+ loadAvg
+      loadHist(name) = loadHist.getOrElse(name, Vector.empty) :+ extLoad
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
@@ -323,32 +444,56 @@ object Bench {
     // stall windows can outlive one cooldown (observed: first retry of a
     // 7s query still at 280s), and a second widely-spaced sample is the
     // difference between a believable artifact and a poisoned gate
-    var best = firstPass.toMap
-    // load stamp of the sample that IS each query's accepted timing
-    var bestLoad = firstPass.map { case (n, _) =>
-      n -> loadHist.get(n).flatMap(_.headOption).getOrElse(-1.0)
-    }.toMap
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     firstPass.foreach { case (n, v) => samples(n) = Vector(v) }
+    // per-query (value, load) pairs — samples(n) and loadHist(n) stay
+    // parallel: time() appends the load before each run, callers append
+    // the value after; the fresh-JVM splice appends both together
+    def samplePairs(n: String): Vector[(Double, Double)] =
+      samples.getOrElse(n, Vector.empty)
+        .zip(loadHist.getOrElse(n, Vector.empty)).filter(_._1 >= 0)
+    // load-gated ACCEPTANCE (r19 verdict item 1: the official r19 window
+    // accepted 34 of 47 samples above the quiet gate because the floor
+    // band was the only acceptance rule — a contended sample inside the
+    // band sailed through). A sample taken above the quiet gate cannot
+    // be accepted while it is the query's ONLY sample; once a quiet
+    // sample exists, acceptance is min over the QUIET pool, so the
+    // stamped query_load of every accepted sample in a clean window is
+    // <= the gate. When no quiet sample survives every retry tier the
+    // loaded min is reported but the query taints the clean verdict.
+    def hasQuietSample(n: String): Boolean =
+      samplePairs(n).exists { case (_, l) => l >= 0 && l <= quietLoad }
+    def acceptedOf(n: String): (Double, Double) =
+      acceptedSample(samplePairs(n), quietLoad)
+    def stillPending(n: String): Boolean = {
+      val v = acceptedOf(n)._1
+      v >= 0 && (isOutlier(n, v) || !hasQuietSample(n))
+    }
+    // queries re-timed ONLY because their single sample was loaded —
+    // the count the artifact stamps as load_forced_retimes
+    val loadForced = firstPass.collect {
+      case (n, v) if v >= 0 && !hasQuietSample(n) && !isOutlier(n, v) => n
+    }
+    if (loadForced.nonEmpty)
+      System.err.println(s"[bench] ${loadForced.size} in-band sample(s) " +
+        s"taken above loadavg $quietLoad forced to re-time: " +
+        loadForced.mkString(","))
     var pending = firstPass.collect {
-      case (n, v) if v >= 0 && isOutlier(n, v) => n
+      case (n, v) if v >= 0 && stillPending(n) => n
     }
     var round = 0
     while (pending.nonEmpty && round < 2) {
-      System.err.println(s"[bench] ${pending.size} outlier(s); cooling " +
-        s"down ${cooldownSec}s before re-timing (round ${round + 1})")
+      System.err.println(s"[bench] ${pending.size} outlier/loaded " +
+        s"sample(s); cooling down ${cooldownSec}s before re-timing " +
+        s"(round ${round + 1})")
       System.gc()
       Thread.sleep(cooldownSec * 1000L)
       gateOnQuietHost(s"retry round ${round + 1}")
       pending.foreach { n =>
         val v2 = time(Seq(n)).head._2
         samples(n) = samples(n) :+ v2
-        if (v2 >= 0 && v2 < best(n)) {
-          best = best.updated(n, v2)
-          bestLoad = bestLoad.updated(n, loadHist(n).last)
-        }
       }
-      pending = pending.filter(n => isOutlier(n, best(n)))
+      pending = pending.filter(stillPending)
       round += 1
     }
     // still outlier-shaped after two in-window retries: the stall mode is
@@ -358,13 +503,15 @@ object Bench {
     // outlier status — the test hook that proves the fork+splice works
     // without waiting for a real stall.
     val forced = sys.env.get("SPARK_GRAFT_FORCE_FRESH").toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(best.contains)
+      .flatMap(_.split(",")).map(_.trim).filter(samples.contains)
     pending = (pending ++ forced).distinct
     if (pending.nonEmpty) {
       System.err.println(s"[bench] ${pending.size} outlier(s) survive in-window " +
         s"retries; re-timing in a fresh JVM: ${pending.mkString(",")}")
       gateOnQuietHost("fresh-JVM re-time")
-      val raw = retimeFreshJvm(pending)
+      val lineageEma = selfEma.value +
+        parentEma0 * math.exp(-(System.nanoTime() - jvmStartNs) / 1e9 / 60.0)
+      val raw = retimeFreshJvm(pending, lineageEma)
       // the child reports <name>__load alongside each timing — split the
       // stamp entries out before treating anything as a timing
       val (loadEntries, fresh) = raw.partition(_._1.endsWith(LoadKeySuffix))
@@ -373,23 +520,37 @@ object Bench {
       }
       fresh.foreach { case (n, v) =>
         samples(n) = samples.getOrElse(n, Vector.empty) :+ v
-        // a negative best means "failed in-window" — any valid fresh
-        // sample must replace it, not lose a < comparison against -1
-        if (v >= 0 && best.get(n).forall(b => b < 0 || v < b)) {
-          best = best.updated(n, v)
-          bestLoad = bestLoad.updated(n, freshLoad.getOrElse(n, -1.0))
-        }
+        // keep the load vector parallel so acceptedOf sees the child's
+        // stamp (-1 = a child predating the stamp: counts as loaded)
+        loadHist(n) = loadHist.getOrElse(n, Vector.empty) :+
+          freshLoad.getOrElse(n, -1.0)
       }
-      // queries STILL outlier-shaped here feed the suspect/clean verdict
-      // below — on a floor-less first run at a new sf dir, the median
-      // rule is the only stall detector, so it must reach the flag
-      pending = pending.filter(n => isOutlier(n, best(n)))
+      // queries STILL outlier-shaped (or still without a quiet-host
+      // sample) here feed the suspect/clean verdict below — on a
+      // floor-less first run at a new sf dir, the median rule is the
+      // only stall detector, so it must reach the flag
+      pending = pending.filter(stillPending)
     }
     val unresolved = pending
     val retried: Map[String, Vector[Double]] =
       samples.filter(_._2.length > 1).toMap
-    val results = firstPass.map { case (name, _) => name -> best(name) }
-    val baselines = time(SparkEntry.baselineQueries)
+    val results = firstPass.map { case (name, _) => name -> acceptedOf(name)._1 }
+    val bestLoad = firstPass.map { case (name, _) =>
+      name -> acceptedOf(name)._2 }.toMap
+    // baselines get the same single-sample load rule: one gated re-time
+    // when the only sample was taken above the quiet gate
+    val baselinesFirst = time(SparkEntry.baselineQueries)
+    baselinesFirst.foreach { case (n, v) => samples(n) = Vector(v) }
+    val loadedBaselines = baselinesFirst.collect {
+      case (n, v) if v >= 0 && !hasQuietSample(n) => n
+    }
+    if (loadedBaselines.nonEmpty) {
+      gateOnQuietHost("baseline re-time")
+      loadedBaselines.foreach { n =>
+        samples(n) = samples(n) :+ time(Seq(n)).head._2
+      }
+    }
+    val baselines = baselinesFirst.map { case (n, _) => n -> acceptedOf(n)._1 }
     val loadEnd = loadAvg
     val cores = Runtime.getRuntime.availableProcessors()
 
@@ -406,26 +567,36 @@ object Bench {
     // in-band pollution marking: the driver's gate must see a believable
     // number or an explicit suspect flag, never silently-garbage timings
     val loadSuspect = math.min(loadStart, loadEnd) > cores * 1.5
-    // same floor rules as the retry trigger (1.75x+1.5s OR 2x+0.75s), so a
+    // same floor rules as the retry trigger (1.75x+1.5s OR 2x+0.3s), so a
     // window only reports clean:true when every accepted sample is within
     // the band its own retry trigger enforces
     val slowVsFloor = results.filter { case (name, v) =>
       v >= 0 && overFloor(name, v)
     }.map(_._1)
     val failedNames = (results ++ baselines).filter(_._2 < 0).map(_._1)
+    // a query whose EVERY sample (all retry tiers included) was taken
+    // above the quiet gate reports its loaded min but cannot vouch for
+    // it — the r19 verdict's acceptance hole, now a clean-verdict taint
+    val noQuietSample = (results ++ baselines).collect {
+      case (n, v) if v >= 0 && !hasQuietSample(n) => n
+    }
     // polluted = any of: a final timing >2.5x its persisted floor; a
     // FLOOR-LESS query still outlier-shaped after every retry tier (on a
     // first run at a new sf dir the median rule is the only stall
     // signal — a floored query legitimately slower than the median is
-    // vouched for by its own floor instead); or a failed query
+    // vouched for by its own floor instead); a query with no quiet-host
+    // sample; or a failed query
     val polluted =
-      (slowVsFloor ++ unresolved.filter(n => floorOf(n).isEmpty)).distinct
+      (slowVsFloor ++ unresolved.filter(n => floorOf(n).isEmpty) ++
+        noQuietSample).distinct
     val suspect = loadSuspect || polluted.nonEmpty || failedNames.nonEmpty
     val reasons =
       (if (loadSuspect) Seq(f"loadavg ${math.min(loadStart, loadEnd)}%.1f > ${cores * 1.5}%.1f") else Nil) ++
         slowVsFloor.map(n => s"$n over floor band") ++
-        polluted.filterNot(slowVsFloor.contains)
+        unresolved.filter(n => floorOf(n).isEmpty)
+          .filterNot(slowVsFloor.contains)
           .map(n => s"$n floorless outlier after all retries") ++
+        noQuietSample.map(n => f"$n accepted above loadavg $quietLoad%.1f") ++
         failedNames.map(n => s"$n failed")
 
     val failed = (results ++ baselines).filter(_._2 < 0).map(r => "\"" + r._1 + "\"")
@@ -453,14 +624,12 @@ object Bench {
       "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val reasonsJson = reasons.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // per-query loadavg at the ACCEPTED sample's start (baselines have a
-    // single sample each); -1 = unknown (fresh-JVM child predating the
-    // stamp, or a query that never ran)
+    // per-query loadavg at the ACCEPTED sample's start; in a clean
+    // window every stamp is <= the quiet gate by construction of
+    // acceptedOf. -1 = unknown (a query that never ran)
     val loadStampJson = json(
       results.map { case (n, _) => n -> bestLoad.getOrElse(n, -1.0) } ++
-        baselines.map { case (n, _) =>
-          n -> loadHist.get(n).flatMap(_.headOption).getOrElse(-1.0)
-        })
+        baselines.map { case (n, _) => n -> acceptedOf(n)._2 })
 
     // Full diagnostics go to a sidecar file (and an early, prefixed log
     // line); the FINAL stdout line must stay compact because the driver
@@ -473,7 +642,7 @@ object Bench {
     // compare it, and keep floor_total/queries for diagnostics.
     val valueJson =
       if (failedNames.nonEmpty) "null" else f"$total%.3f"
-    val detail = f"""{"metric":"total","value":$valueJson,"unit":"sec","clean":$clean,"first_pass_total":$firstTotal%.3f,"window_total":$windowTotal%.3f,"floor_total":$floorTotal%.3f,"suspect":$suspect,"suspect_reasons":$reasonsJson,"queries":${json(results)},"query_floors":${json(floorResults)},"baseline_queries":${json(baselines)},"baseline_total":$baseTotal%.3f,"retried":$retriedJson,"failed":$failed,"loadavg":{"start":$loadStart%.2f,"end":$loadEnd%.2f},"query_load":$loadStampJson,"quiet_wait_sec":$quietWaitSec%.0f,"sf":"$sfDir"}"""
+    val detail = f"""{"metric":"total","value":$valueJson,"unit":"sec","clean":$clean,"first_pass_total":$firstTotal%.3f,"window_total":$windowTotal%.3f,"floor_total":$floorTotal%.3f,"suspect":$suspect,"suspect_reasons":$reasonsJson,"queries":${json(results)},"query_floors":${json(floorResults)},"baseline_queries":${json(baselines)},"baseline_total":$baseTotal%.3f,"retried":$retriedJson,"failed":$failed,"loadavg":{"start":$loadStart%.2f,"end":$loadEnd%.2f},"query_load":$loadStampJson,"query_load_kind":"external (raw loadavg minus this JVM's own smoothed CPU)","quiet_gate":$quietLoad%.1f,"load_forced_retimes":${loadForced.length},"quiet_wait_sec":$quietWaitSec%.0f,"sf":"$sfDir"}"""
     // a master-overridden run (the local-cluster smoke) must not
     // clobber the canonical local[N] window the repo persists
     val detailFile = if (sys.env.contains("SPARK_GRAFT_MASTER"))

@@ -35,6 +35,10 @@ object GuardCostProbe {
       ("d03_shape", TextOps.MinhashGuardKey, () =>
         TextOps.minHashCandidates(docs, "doc_id", "text", 3, 128, 32)
           .count()),
+      ("d04_shape", TextOps.SimhashGuardKey, () =>
+        TextOps.simHashPairs(
+          TextOps.simHash(docs, "doc_id", "text"), "doc_id",
+          maxHamming = 11).count()),
       ("s02_shape", VectorOps.LshGuardKey, () =>
         VectorOps.lshCosinePairs(emb, "vec_id", "embedding",
           bits = 8, bands = 32, threshold = 0.4).count()))

@@ -117,6 +117,79 @@ class BenchLineSuite extends AnyFunSuite {
     assert(l == 30.0)
   }
 
+  test("load-gated acceptance: a loaded sample is never accepted over a " +
+      "quiet one, and only an all-loaded query reports a loaded min") {
+    val gate = 4.0
+    // quiet-pool min wins even when a LOADED sample is faster — the
+    // stamped query_load of every accepted sample in a clean window
+    // must sit at or under the gate (r19 verdict item 1's Done bar)
+    assert(Bench.acceptedSample(
+      Seq((2.0, 9.0), (2.4, 3.1), (2.6, 2.0)), gate) == ((2.4, 3.1)))
+    // all samples loaded: the loaded min is reported (the caller taints
+    // clean:false for exactly this case)
+    assert(Bench.acceptedSample(
+      Seq((2.0, 9.0), (2.2, 6.5)), gate) == ((2.0, 9.0)))
+    // unknown load (-1, a fresh-JVM child predating the stamp) counts
+    // as loaded: it cannot vouch for a clean window
+    assert(Bench.acceptedSample(
+      Seq((1.0, -1.0), (1.5, 2.0)), gate) == ((1.5, 2.0)))
+    // failed samples never participate, even when quiet
+    assert(Bench.acceptedSample(
+      Seq((-1.0, 1.0), (3.0, 3.0)), gate) == ((3.0, 3.0)))
+    // nothing valid at all
+    assert(Bench.acceptedSample(Seq((-1.0, 1.0)), gate) == ((-1.0, -1.0)))
+    // boundary: exactly AT the gate is quiet
+    assert(Bench.acceptedSample(Seq((2.0, 4.0)), gate) == ((2.0, 4.0)))
+  }
+
+  test("self-load EMA tracks a 32-core burst up and decays like the " +
+      "kernel's 1-minute loadavg, so external load reads ~0 on an idle " +
+      "host mid-window") {
+    val e = new Bench.SelfLoadEma(tau = 60.0)
+    def ns(sec: Double): Long = (sec * 1e9).toLong
+    // t=0: first sample only seeds the baseline
+    assert(e.update(ns(0), 0L) == 0.0)
+    // 10 s of 32-core work: EMA = 32 * (1 - exp(-10/60)) ≈ 4.91 —
+    // the kernel's loadavg rises the same way, so raw − own ≈ 0
+    val afterBurst = e.update(ns(10), ns(320))
+    assert(math.abs(afterBurst - 32.0 * (1 - math.exp(-10.0 / 60))) < 1e-9,
+      s"got $afterBurst")
+    // 60 s idle: decays by exp(-1) — again mirroring the kernel
+    val afterIdle = e.update(ns(70), ns(320))
+    assert(math.abs(afterIdle - afterBurst * math.exp(-1.0)) < 1e-9,
+      s"got $afterIdle")
+    // non-monotonic clock / duplicate sample: no blow-up, EMA unchanged
+    assert(e.update(ns(70), ns(320)) == afterIdle)
+    assert(e.update(ns(69), ns(320)) == afterIdle)
+  }
+
+  test("floor retirement: live keys move under the tag, retired keys " +
+      "survive saves verbatim, and a re-retire is a no-op") {
+    val floors = Map(
+      "sf0.1/d04_simhash" -> 1.353,
+      "sf5.0/d04_simhash" -> 185.740,
+      "sf0.1/a04_asof_join" -> 0.176,
+      "sf0.1/q01_pricing_summary@retired-r19" -> 0.5)
+    val once = Bench.retireFloors(floors, Seq("d04_simhash"), "r20")
+    assert(once("sf0.1/d04_simhash@retired-r20") == 1.353)
+    assert(once("sf5.0/d04_simhash@retired-r20") == 185.740)
+    assert(!once.contains("sf0.1/d04_simhash"),
+      "the live key must be gone so the next clean window re-seeds it")
+    assert(once("sf0.1/a04_asof_join") == 0.176, "untouched floors stay live")
+    assert(once("sf0.1/q01_pricing_summary@retired-r19") == 0.5,
+      "previously-retired keys are preserved verbatim")
+    // idempotent: no live key left to move
+    assert(Bench.retireFloors(once, Seq("d04_simhash"), "r20") == once)
+    // round-trips through the floor file (save + parse keeps epochs)
+    val f = java.io.File.createTempFile("floors", ".json")
+    try {
+      Bench.saveFloors(once, f.getPath)
+      val back = Bench.loadFloors(f)
+      assert(back.keySet == once.keySet)
+      assert(back("sf0.1/d04_simhash@retired-r20") == 1.353)
+    } finally f.delete()
+  }
+
   test("floor file parses in compact AND pretty-printed JSON form") {
     // a floor file round-tripped through a pretty printer (": 1.2" with
     // a space) must not parse as empty — that would wipe every floor on

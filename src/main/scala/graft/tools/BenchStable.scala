@@ -89,12 +89,17 @@ object BenchStable {
     }
     val (base, head) = mins.partition { case (n, _) => baselineSet(n) }
 
-    // floor machinery at this sf's namespace: tighten with the mins,
-    // verdict with the same band as the official bench
+    // floor machinery in a PROTOCOL-OWN namespace (`<sf>-stable/...`):
+    // the legacy `<sf>/...` floors are gap-timed back-to-back minima
+    // (TimeOne-style), and interleaved cold-arrival walls sit ~2x above
+    // them for codegen-heavy queries — comparing across protocols is
+    // the same mistake as comparing across floor epochs, so this tool
+    // neither reads nor tightens the legacy keys
+    val floorNs = s"$sfKey-stable"
     val priorFloors = graft.Bench.loadFloors()
-    def floorOf(n: String): Option[Double] = priorFloors.get(s"$sfKey/$n")
+    def floorOf(n: String): Option[Double] = priorFloors.get(s"$floorNs/$n")
     val newFloors = mins.foldLeft(priorFloors) { case (acc, (n, v)) =>
-      val k = s"$sfKey/$n"
+      val k = s"$floorNs/$n"
       acc.updated(k, acc.get(k).fold(v)(math.min(_, v)))
     }
     graft.Bench.saveFloors(newFloors)

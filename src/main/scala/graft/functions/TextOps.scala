@@ -2892,6 +2892,92 @@ object TextOps {
           lit(0L), (acc, x) => acc + x).as("score"))
   }
 
+  /** Domain reweighting — the DoReMi shape (Xie et al. 2023: a proxy
+    * model's per-domain EXCESS loss drives one multiplicative-weights
+    * update of the domain mixture, then the corpus is resampled to the
+    * new mixture). The proxy loss here is the corpus-unigram-LM
+    * self-information (the t12 surface — a real, data-derived
+    * difficulty signal), and every float crossing a comparison boundary
+    * is quantized the instant it is born (the t12 fixed-point
+    * discipline), so both engines replay the decision chain exactly:
+    *
+    *   - per-doc proxy loss: mean token self-information in 1e-4 nats
+    *     (`floor(-ln(c/N)·1e4 + 0.5)` per token, integer mean per doc);
+    *   - per-domain excess: the domain's mean per-doc loss minus the
+    *     corpus-wide mean, both integer-quantized before subtracting —
+    *     DoReMi's "excess over the reference model" with the corpus
+    *     mean standing in as the reference;
+    *   - MW update from the uniform prior: `w ∝ exp(η · excess_nats)`
+    *     with `η = 100/etaDiv` per nat, quantized to micro-units
+    *     immediately (`floor(exp(excess4/etaDiv)·1e6 + 0.5)`), then
+    *     normalized by INTEGER division — past the one exp() no float
+    *     exists anywhere;
+    *   - resample: per-domain hash-threshold sampling at rate
+    *     `frac6 = min(1e6, (N/2 · weight_micro) div n_dom)` — the
+    *     half-corpus budget split by the new mixture. The coin is the
+    *     p09 scheme (md5-derived id hash, high bits shifted off,
+    *     masked non-negative, mod 1e6), so the pick stage is a pure
+    *     per-row projection against a broadcast 20-row weight table:
+    *     zero shuffle, no window, no driver-sized state — at 100 TB
+    *     the only shuffles in the whole operator are the vocab-bounded
+    *     unigram groupBy and the per-doc mean.
+    *
+    * Output: `(idCol, domainCol, mean_nats4, weight_micro, picked)`
+    * for every document with non-null text, ordered by the caller.
+    * The corpus-wide reference mean is computed FROM the per-domain
+    * partial sums (one extra 20-row aggregation, not a third corpus
+    * pass). */
+  def domainReweight(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String, etaDiv: Double = 100.0): DataFrame = {
+    require(etaDiv > 0, s"etaDiv must be positive, got $etaDiv")
+    val docs = df.where(col(textCol).isNotNull)
+    val toks = docs
+      .select(col(idCol).as("__id"), col(domainCol).as("__dom"),
+        explode(tokens(col(textCol))).as("__t"))
+    // corpus unigram LM: vocab-bounded table, broadcast back onto the
+    // token rows (the t12 plan shape)
+    val uni = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val total = uni.agg(sum(col("__c")).as("__n"))
+    val perdoc = toks
+      .join(broadcast(uni), Seq("__t"))
+      .crossJoin(broadcast(total))
+      .select(col("__id"), col("__dom"),
+        floor(-log(col("__c").cast("double") / col("__n").cast("double"))
+          * 10000.0 + 0.5).cast("long").as("__nats4"))
+      .groupBy(col("__id"), col("__dom"))
+      .agg(floor(sum(col("__nats4")).cast("double") / count(lit(1)) + 0.5)
+        .cast("long").as("mean_nats4"))
+    // per-domain partials carry the UNROUNDED sum so the corpus
+    // reference mean derives from the domain table (20 rows), not from
+    // a second pass over the per-doc frame
+    val dom = perdoc.groupBy(col("__dom"))
+      .agg(count(lit(1)).as("__nd"), sum(col("mean_nats4")).as("__s"),
+        floor(sum(col("mean_nats4")).cast("double") / count(lit(1)) + 0.5)
+          .cast("long").as("__dnats4"))
+    val ref = dom.agg(
+      floor(sum(col("__s")).cast("double") / sum(col("__nd")) + 0.5)
+        .cast("long").as("__rnats4"),
+      sum(col("__nd")).as("__ntot"))
+    val w = dom.crossJoin(broadcast(ref))
+      .select(col("__dom"), col("__nd"), col("__ntot"),
+        floor(exp((col("__dnats4") - col("__rnats4")).cast("double")
+          / etaDiv) * 1000000.0 + 0.5).cast("long").as("__w6"))
+    val wsum = w.agg(sum(col("__w6")).as("__denom"))
+    val wt = w.crossJoin(broadcast(wsum))
+      .select(col("__dom"), col("__nd"), col("__ntot"),
+        expr("(__w6 * 1000000) div __denom").as("weight_micro"))
+      .select(col("__dom"), col("weight_micro"),
+        least(lit(1000000L),
+          expr("((__ntot div 2) * weight_micro) div __nd")).as("__frac6"))
+    val coin = shiftright(
+      tokenHash64(concat(lit("p34|"), col("__id").cast("string"))), 8)
+      .bitwiseAND(lit(0x7FFFFFFFL)) % 1000000L
+    perdoc.join(broadcast(wt), Seq("__dom"))
+      .select(col("__id").as(idCol), col("__dom").as(domainCol),
+        col("mean_nats4"), col("weight_micro"),
+        when(coin < col("__frac6"), lit(1L)).otherwise(lit(0L)).as("picked"))
+  }
+
   /** Greedy sequence packing: assign documents to fixed-token-budget
     * training sequences (first-fit along a deterministic order), the
     * standard pre-training batching step.

@@ -1893,6 +1893,72 @@ object Pipeline {
         FROM rk ORDER BY doc_id"""),
       // floor-tracked: a headline curation operator carries its own
       // regression floor (the d26/d27/mm18/p32 discipline)
+      bench = true),
+
+    // ---- p34: domain reweighting — the DoReMi shape ----------------------
+    // One multiplicative-weights update of the domain mixture driven by
+    // the corpus-unigram-LM excess loss (t12's proxy signal), then a
+    // hash-threshold resample to the new mixture. Complements the static
+    // mixes (p09 fixed shares, p18 size-temperature) and the per-DOC
+    // importance path (p33): here the SIGNAL decides the mixture. The
+    // pick stage is windowless map-side thresholding against a broadcast
+    // domain-weight table — the only shuffles at any scale are the
+    // vocab-bounded unigram groupBy and the per-doc mean.
+    QueryDef(
+      "p34_domain_reweight",
+      (s, d) =>
+        graft.functions.TextOps.domainReweight(
+            Tables.corpus(s, d), "doc_id", "text", "source")
+          .orderBy("doc_id"),
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
+        toks AS (
+          SELECT doc_id, source,
+                 unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM docs),
+        uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        total AS (SELECT SUM(c) AS n FROM uni),
+        scored AS (
+          SELECT doc_id, source,
+                 CAST(floor(-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * 10000.0 + 0.5) AS BIGINT) AS nats4
+          FROM toks JOIN uni USING (tok), total),
+        perdoc AS (
+          SELECT doc_id, source,
+                 CAST(floor(CAST(SUM(nats4) AS DOUBLE) / COUNT(*) + 0.5)
+                   AS BIGINT) AS mean_nats4
+          FROM scored GROUP BY 1, 2),
+        dom AS (
+          SELECT source, COUNT(*) AS nd, SUM(mean_nats4) AS s,
+                 CAST(floor(CAST(SUM(mean_nats4) AS DOUBLE) / COUNT(*) + 0.5)
+                   AS BIGINT) AS dnats4
+          FROM perdoc GROUP BY 1),
+        ref AS (
+          SELECT CAST(floor(CAST(SUM(s) AS DOUBLE) / SUM(nd) + 0.5)
+                   AS BIGINT) AS rnats4,
+                 CAST(SUM(nd) AS BIGINT) AS ntot
+          FROM dom),
+        w AS (
+          SELECT source, nd, ntot,
+                 CAST(floor(exp(CAST(dnats4 - rnats4 AS DOUBLE) / 100.0)
+                   * 1000000.0 + 0.5) AS BIGINT) AS w6
+          FROM dom, ref),
+        wsum AS (SELECT SUM(w6) AS denom FROM w),
+        wt AS (
+          SELECT source,
+                 CAST((w6 * 1000000) // denom AS BIGINT) AS weight_micro,
+                 CAST(LEAST(1000000,
+                   ((ntot // 2) * ((w6 * 1000000) // denom)) // nd)
+                   AS BIGINT) AS frac6
+          FROM w, wsum)
+        SELECT p.doc_id, p.source, p.mean_nats4, wt.weight_micro,
+               CAST(CASE WHEN ((('0x' || substr(
+                   md5('p34|' || CAST(p.doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                   >> 8) & 2147483647) % 1000000 < wt.frac6
+                 THEN 1 ELSE 0 END AS BIGINT) AS picked
+        FROM perdoc p JOIN wt USING (source)
+        ORDER BY p.doc_id"""),
       bench = true)
   )
 }

@@ -127,6 +127,16 @@ object ScaleCheck {
         graft.functions.TextOps.importanceResample(
           docs, "doc_id", "text", pmod(col("doc_id"), lit(5)) === 0,
           denom = 4).count()),
+      // DoReMi-shaped domain reweighting: the same two corpus passes as
+      // p33 (unigram counts, per-doc mean join) with 20-row domain
+      // arithmetic and a windowless threshold pick — expected linear.
+      // The replica corpus carries no source column, so domains are
+      // id-derived (the growth curve is about the plan shape).
+      "p34_domain_reweight" -> (docs =>
+        graft.functions.TextOps.domainReweight(
+          docs.withColumn("__src",
+            pmod(col("doc_id"), lit(20)).cast("string")),
+          "doc_id", "text", "__src").count()),
       // asymmetric containment: the probe prefix is the contained side's
       // rarest shingles only, so fan-out tracks rare-shingle df — the
       // growth curve is the evidence the full container index doesn't

@@ -332,6 +332,44 @@ class DedupOpsSuite extends SparkSuite {
           .filter(k => served.get(k) != batch.get(k)).take(5)}")
   }
 
+  test("domain reweighting (p34): weights are a normalized MW update " +
+      "monotone in the domain's excess loss, and every pick replays the " +
+      "hash-threshold coin exactly") {
+    val out = TextOps.domainReweight(docs, "doc_id", "text", "source").cache()
+    try {
+      assert(out.count() == docs.where(col("text").isNotNull).count(),
+        "every document with non-null text must carry a flag")
+      // the per-domain weight table, reconstructed from the output
+      val wt = out.groupBy("source")
+        .agg(first(col("weight_micro")).as("w"), count(lit(1)).as("nd"),
+          floor(sum(col("mean_nats4")).cast("double") / count(lit(1)) + 0.5)
+            .cast("long").as("dnats4"))
+        .as[(String, Long, Long, Long)].collect()
+      // normalization: integer division loses < 1 micro-unit per domain
+      val wsum = wt.map(_._2).sum
+      assert(wsum <= 1000000L && wsum >= 1000000L - wt.length,
+        s"weights must sum to 1e6 within floor-division slack, got $wsum")
+      // MW monotonicity: exp is increasing, so sorting by excess (i.e.
+      // by the quantized domain mean) must sort by weight non-strictly
+      val byLoss = wt.sortBy(t => (t._4, t._1)).map(_._2)
+      assert(byLoss.zip(byLoss.tail).forall { case (a, b) => a <= b },
+        s"weights must be monotone in domain loss: ${byLoss.toSeq}")
+      // every pick decision replays the p09-scheme coin against the
+      // frac implied by the weight table — bit-exact, no sampling luck
+      val ntot = wt.map(_._3).sum
+      val frac = wt.map { case (s, w, nd, _) =>
+        s -> math.min(1000000L, ((ntot / 2) * w) / nd) }.toMap
+      val coin = shiftright(TextOps.tokenHash64(
+          concat(lit("p34|"), col("doc_id").cast("string"))), 8)
+        .bitwiseAND(lit(0x7FFFFFFFL)) % 1000000L
+      val bad = out.withColumn("__coin", coin)
+        .as[(Long, String, Long, Long, Long, Long)].collect()
+        .filter { case (_, src, _, _, picked, c) =>
+          picked != (if (c < frac(src)) 1L else 0L) }
+      assert(bad.isEmpty, s"picks diverging from the coin replay: ${bad.take(5).toSeq}")
+    } finally out.unpersist()
+  }
+
   test("lsh band guard: vector bucket joins past the budget refuse " +
       "naming dedup-first and sharper params; warn and off modes run") {
     spark.conf.set(VectorOps.LshBudgetKey, "1")

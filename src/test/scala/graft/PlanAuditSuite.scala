@@ -505,6 +505,25 @@ class PlanAuditSuite extends SparkSuite {
     assert(!lint.exists(_.rule == "global-window"), s"$lint")
   }
 
+  test("p34: the pick stage is windowless and every domain-table join " +
+      "broadcasts — no per-domain partition surface exists") {
+    val df = SparkEntry.queries("p34_domain_reweight")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // a window partitioned by the ~20-value domain column would be the
+    // 100 TB skew bug this operator was designed without
+    assert(!p.contains("Window"), s"p34 must not window:\n$p")
+    // the unigram table and the 20-row weight table both broadcast back
+    // onto the doc-sized side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized join may shuffle-sort:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only Sort is the root presentation ORDER BY
+    val lint = graft.tools.PlanLint.lint(df)
+    assert(!lint.exists(_.rule == "inner-global-sort"), s"$lint")
+    assert(!lint.exists(_.rule == "global-window"), s"$lint")
+  }
+
   test("s11/s13: pinned IVF candidates come from bucket equi-joins") {
     for (name <- Seq("s11_ann_ivf_pinned", "s13_ann_ivfpq_pinned")) {
       val df = SparkEntry.queries(name)(spark, sf)

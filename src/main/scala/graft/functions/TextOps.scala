@@ -2929,16 +2929,36 @@ object TextOps {
     * pass). */
   def domainReweight(df: DataFrame, idCol: String, textCol: String,
       domainCol: String, etaDiv: Double = 100.0): DataFrame = {
-    require(etaDiv > 0, s"etaDiv must be positive, got $etaDiv")
-    val docs = df.where(col(textCol).isNotNull)
-    val toks = docs
+    val perdoc = domainPerDocLoss(df, idCol, textCol, domainCol)
+    val wt = domainWeightFrame(perdoc, etaDiv)
+    perdoc.join(broadcast(wt), Seq("__dom"))
+      .select(col("__id").as(idCol), col("__dom").as(domainCol),
+        col("mean_nats4"), col("weight_micro"),
+        when(domainMixCoin(col("__id")) < col("__frac6"), lit(1L))
+          .otherwise(lit(0L)).as("picked"))
+  }
+
+  /** The p34 pick coin: the p09 hash-coin scheme over `"p34|" + id` —
+    * md5-derived 64-bit hash, low byte shifted off, masked
+    * non-negative, mod 1e6. Shared by the batch operator and the w34
+    * streaming serving face so the two pick identical sets. */
+  private[graft] def domainMixCoin(id: Column): Column =
+    shiftright(tokenHash64(concat(lit("p34|"), id.cast("string"))), 8)
+      .bitwiseAND(lit(0x7FFFFFFFL)) % 1000000L
+
+  /** Per-doc proxy loss under the corpus unigram LM: (__id, __dom,
+    * mean_nats4) — t12's exact fixed-point formula with the domain
+    * column carried through. */
+  private def domainPerDocLoss(df: DataFrame, idCol: String,
+      textCol: String, domainCol: String): DataFrame = {
+    val toks = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("__id"), col(domainCol).as("__dom"),
         explode(tokens(col(textCol))).as("__t"))
     // corpus unigram LM: vocab-bounded table, broadcast back onto the
     // token rows (the t12 plan shape)
     val uni = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
     val total = uni.agg(sum(col("__c")).as("__n"))
-    val perdoc = toks
+    toks
       .join(broadcast(uni), Seq("__t"))
       .crossJoin(broadcast(total))
       .select(col("__id"), col("__dom"),
@@ -2947,9 +2967,15 @@ object TextOps {
       .groupBy(col("__id"), col("__dom"))
       .agg(floor(sum(col("__nats4")).cast("double") / count(lit(1)) + 0.5)
         .cast("long").as("mean_nats4"))
-    // per-domain partials carry the UNROUNDED sum so the corpus
-    // reference mean derives from the domain table (20 rows), not from
-    // a second pass over the per-doc frame
+  }
+
+  /** The MW-updated domain weight table: (__dom, weight_micro,
+    * __frac6). Per-domain partials carry the UNROUNDED sum so the
+    * corpus reference mean derives from the domain table (~20 rows),
+    * not from a second pass over the per-doc frame. */
+  private def domainWeightFrame(perdoc: DataFrame,
+      etaDiv: Double): DataFrame = {
+    require(etaDiv > 0, s"etaDiv must be positive, got $etaDiv")
     val dom = perdoc.groupBy(col("__dom"))
       .agg(count(lit(1)).as("__nd"), sum(col("mean_nats4")).as("__s"),
         floor(sum(col("mean_nats4")).cast("double") / count(lit(1)) + 0.5)
@@ -2963,20 +2989,27 @@ object TextOps {
         floor(exp((col("__dnats4") - col("__rnats4")).cast("double")
           / etaDiv) * 1000000.0 + 0.5).cast("long").as("__w6"))
     val wsum = w.agg(sum(col("__w6")).as("__denom"))
-    val wt = w.crossJoin(broadcast(wsum))
+    w.crossJoin(broadcast(wsum))
       .select(col("__dom"), col("__nd"), col("__ntot"),
         expr("(__w6 * 1000000) div __denom").as("weight_micro"))
       .select(col("__dom"), col("weight_micro"),
         least(lit(1000000L),
           expr("((__ntot div 2) * weight_micro) div __nd")).as("__frac6"))
-    val coin = shiftright(
-      tokenHash64(concat(lit("p34|"), col("__id").cast("string"))), 8)
-      .bitwiseAND(lit(0x7FFFFFFFL)) % 1000000L
-    perdoc.join(broadcast(wt), Seq("__dom"))
-      .select(col("__id").as(idCol), col("__dom").as(domainCol),
-        col("mean_nats4"), col("weight_micro"),
-        when(coin < col("__frac6"), lit(1L)).otherwise(lit(0L)).as("picked"))
   }
+
+  /** Frozen domain-mix ARTIFACT: [[domainReweight]]'s weight table as
+    * driver-local rows `(domain, weight_micro, frac6)`, built once
+    * from a reference corpus — the broadcastable serving form (one row
+    * per domain; a model artifact, not data). Domains are few by
+    * construction (a dimension, not a key), so the collect is bounded
+    * the way p18's per-source table is. */
+  def domainWeightTable(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String, etaDiv: Double = 100.0): Array[(String, Long, Long)] =
+    domainWeightFrame(
+        domainPerDocLoss(df, idCol, textCol, domainCol), etaDiv)
+      .orderBy("__dom")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
 
   /** Greedy sequence packing: assign documents to fixed-token-budget
     * training sequences (first-fit along a deterministic order), the

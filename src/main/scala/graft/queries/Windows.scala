@@ -865,6 +865,71 @@ object Windows {
         FROM tb JOIN ratio USING (b)
         GROUP BY 1 ORDER BY doc_id""")),
 
+    // ---- w34: streaming domain-mix serving against frozen weights ---------
+    // p34's DoReMi-shaped mixture run incrementally: the MW-updated
+    // domain weight table freezes once from the static reference
+    // corpus and every arriving document resolves (weight, picked) in
+    // its micro-batch via two map literals + the shared p34 coin —
+    // pure projection, zero state (gate-asserted), so the decisions
+    // are batching-invariant and p34's oracle transfers minus the
+    // per-doc loss column (the served decision is the PICK; scoring
+    // against a frozen corpus LM would ship a vocab-sized artifact).
+    QueryDef(
+      "w34_stream_domain_mix",
+      (s, d) =>
+        graft.streaming.Streams
+          .domainMixStreamGate(s, s"$d/documents.parquet")
+          .orderBy("doc_id"),
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
+        toks AS (
+          SELECT doc_id, source,
+                 unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM docs),
+        uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        total AS (SELECT SUM(c) AS n FROM uni),
+        scored AS (
+          SELECT doc_id, source,
+                 CAST(floor(-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * 10000.0 + 0.5) AS BIGINT) AS nats4
+          FROM toks JOIN uni USING (tok), total),
+        perdoc AS (
+          SELECT doc_id, source,
+                 CAST(floor(CAST(SUM(nats4) AS DOUBLE) / COUNT(*) + 0.5)
+                   AS BIGINT) AS mean_nats4
+          FROM scored GROUP BY 1, 2),
+        dom AS (
+          SELECT source, COUNT(*) AS nd, SUM(mean_nats4) AS s,
+                 CAST(floor(CAST(SUM(mean_nats4) AS DOUBLE) / COUNT(*) + 0.5)
+                   AS BIGINT) AS dnats4
+          FROM perdoc GROUP BY 1),
+        ref AS (
+          SELECT CAST(floor(CAST(SUM(s) AS DOUBLE) / SUM(nd) + 0.5)
+                   AS BIGINT) AS rnats4,
+                 CAST(SUM(nd) AS BIGINT) AS ntot
+          FROM dom),
+        w AS (
+          SELECT source, nd, ntot,
+                 CAST(floor(exp(CAST(dnats4 - rnats4 AS DOUBLE) / 100.0)
+                   * 1000000.0 + 0.5) AS BIGINT) AS w6
+          FROM dom, ref),
+        wsum AS (SELECT SUM(w6) AS denom FROM w),
+        wt AS (
+          SELECT source,
+                 CAST((w6 * 1000000) // denom AS BIGINT) AS weight_micro,
+                 CAST(LEAST(1000000,
+                   ((ntot // 2) * ((w6 * 1000000) // denom)) // nd)
+                   AS BIGINT) AS frac6
+          FROM w, wsum)
+        SELECT p.doc_id, p.source, wt.weight_micro,
+               CAST(CASE WHEN ((('0x' || substr(
+                   md5('p34|' || CAST(p.doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                   >> 8) & 2147483647) % 1000000 < wt.frac6
+                 THEN 1 ELSE 0 END AS BIGINT) AS picked
+        FROM perdoc p JOIN wt USING (source)
+        ORDER BY p.doc_id""")),
+
     // ---- w16: stream-static AS-OF enrichment through the engine -----------
     // a04's semantics run incrementally: each streamed purchase joins
     // the latest static view at-or-before its event time (broadcast

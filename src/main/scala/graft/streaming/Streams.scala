@@ -1020,6 +1020,66 @@ object Streams {
     spark.table(sink)
   }
 
+  /** Streaming serving face of p34's domain reweighting (the w33
+    * stance for the MIXTURE decision): the MW-updated domain weight
+    * table freezes once from the static reference corpus
+    * ([[graft.functions.TextOps.domainWeightTable]] — one row per
+    * domain, a model artifact), and every arriving document resolves
+    * its `(weight_micro, picked)` in its micro-batch via two map
+    * LITERALS and the shared p34 coin — a pure per-row projection:
+    * zero joins, zero shuffles, zero state, so the decisions are
+    * batching-invariant and p34's oracle transfers minus the per-doc
+    * loss column (scoring arriving docs against a frozen corpus LM
+    * would need the vocab-sized unigram table shipped as an artifact;
+    * the SERVED decision is the mixture pick, and that needs only the
+    * domain table). Documents from domains the reference never saw are
+    * dropped, mirroring the batch operator's inner join. */
+  def domainMixStream(docs: DataFrame, refCorpus: DataFrame,
+      idCol: String, textCol: String, domainCol: String,
+      etaDiv: Double = 100.0): DataFrame = {
+    require(docs.isStreaming,
+      "docs must be a streaming frame (use TextOps.domainReweight " +
+        "for batch selection)")
+    require(!refCorpus.isStreaming,
+      "the reference corpus must be a static frame — its weight table " +
+        "is computed once, at plan-build time")
+    val wt = graft.functions.TextOps.domainWeightTable(
+      refCorpus, idCol, textCol, domainCol, etaDiv)
+    val wMap = typedlit(wt.map { case (d, w, _) => d -> w }.toMap)
+    val fMap = typedlit(wt.map { case (d, _, f) => d -> f }.toMap)
+    docs.where(col(textCol).isNotNull)
+      .where(element_at(wMap, col(domainCol)).isNotNull)
+      .select(col(idCol), col(domainCol),
+        element_at(wMap, col(domainCol)).as("weight_micro"),
+        when(graft.functions.TextOps.domainMixCoin(col(idCol))
+            < element_at(fMap, col(domainCol)), lit(1L))
+          .otherwise(lit(0L)).as("picked"))
+  }
+
+  /** w34's gate: [[domainMixStream]] over the driver's documents with
+    * weights frozen from the same corpus the stream carries, so p34's
+    * oracle transfers minus `mean_nats4`. maxFilesPerTrigger=1 forces
+    * multiple micro-batches; the gate asserts zero state operators.
+    * GATE-ONLY scope (the r10 convention). */
+  private[graft] def domainMixStreamGate(spark: SparkSession,
+      docsPath: String): DataFrame = {
+    val docs = eventStream(spark, docsPath, Some(1))
+    val ref = spark.read.parquet(docsPath)
+    val mixed = domainMixStream(docs, ref, "doc_id", "text", "source")
+    val sink = s"w34_gate_${gateRunSeq.incrementAndGet()}"
+    val q = mixed.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val progress = q.lastProgress
+    require(progress == null || progress.stateOperators.isEmpty,
+      "domain-mix serving must be stateless — a state operator " +
+        "appeared in the streaming plan")
+    spark.table(sink)
+  }
+
   /** PRODUCTION store-probe sink for unbounded document streams — the
     * `foreachBatch` body of d23's daily-ingest loop (the probe caches
     * and checkpoints internally, so it needs a batch frame — the same

@@ -825,6 +825,38 @@ class StreamingSuite extends SparkSuite {
     assert(streamed.map(_._2).distinct.size > 1, "degenerate scores")
   }
 
+  test("w34 streaming domain-mix serving equals the batch p34 decision " +
+      "row for row") {
+    // the mixture decision served from the frozen domain weight table
+    // (two map literals + the shared coin) must reach the exact
+    // (weight_micro, picked) the batch domainReweight computes over
+    // the same corpus — per-file micro-batches, zero state
+    // (gate-asserted), so arrival order cannot matter
+    val dir = java.nio.file.Files.createTempDirectory("graft_w34_").toString
+    val rows = (1 until 160).map { i =>
+      (i.toLong,
+        s"doc$i " + (1 to 12).map(j => s"tok${(i * 37 + j) % 61}").mkString(" "),
+        s"src${i % 5}")
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+      .repartition(4).write.parquet(s"$dir/documents.parquet")
+    val streamed = Streams
+      .domainMixStreamGate(spark, s"$dir/documents.parquet")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = graft.functions.TextOps
+      .domainReweight(docs, "doc_id", "text", "source")
+      .select("doc_id", "source", "weight_micro", "picked")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "streaming mix decisions diverged from the batch operator")
+    // the mixture must discriminate across domains and the pick both ways
+    assert(streamed.map(_._3).distinct.size > 1, "degenerate weights")
+    assert(streamed.map(_._4).distinct.size == 2, "degenerate picks")
+  }
+
   test("w25 probe-and-append loop: later deltas dedup against earlier ones") {
     // the full daily-ingest lifecycle the w25 gate's probe-only stream
     // deliberately leaves out (batch membership isn't guaranteed by a

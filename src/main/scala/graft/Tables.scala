@@ -44,13 +44,24 @@ object Tables {
   }
 
   /** The `documents` table repartitioned for CPU-heavy per-row work: a
-    * single-file parquet scan arrives as ONE partition, serializing
-    * regex/HOF projections onto one core; an up-front round-robin
-    * repartition costs one small shuffle of raw text and buys full
-    * cluster parallelism for everything downstream. */
-  def corpus(spark: SparkSession, sfDir: String): DataFrame =
-    apply(spark, sfDir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
+    * single-file parquet scan arrives as ONE partition (or a handful at
+    * the larger local scale factors), serializing regex/HOF projections
+    * onto a few cores; an up-front round-robin repartition costs one
+    * small shuffle of raw text and buys full cluster parallelism for
+    * everything downstream.
+    *
+    * CONDITIONAL on the scan actually under-parallelizing: a corpus big
+    * enough that the file splits already cover the cluster
+    * (maxPartitionBytes-sized splits — the 100 TB case) must NOT pay a
+    * full-corpus text shuffle for nothing, so the repartition only fires
+    * when the scan's split count is below the cluster's parallelism.
+    * At every driver bench/gate scale the corpus is a single small file
+    * (1 split), so this is the same plan as before there. */
+  def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = apply(spark, sfDir, "documents")
+    val par = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
 }
 
 /** A named query with an optional DuckDB oracle (driver correctness gate)

@@ -21,11 +21,16 @@ object SketchOps {
 
   /** Count-Min estimates for the corpus's `topK` most frequent tokens.
     *
-    * Build: explode tokens, fan each out to `depth` (row, bucket) cells
-    * (bucket = low bits of a salted md5 hash), ONE aggregation to the
-    * `depth*width`-cell sketch — map-side partial combine collapses the
-    * stream before the shuffle, so the exchanged volume is bounded by
-    * `tasks * depth * width`, not the token count.
+    * Build: ONE tokenize+explode pass aggregates the corpus to its exact
+    * per-token count table (map-side combinable, vocab-bounded output);
+    * the sketch derives from that table — a cell's counter is the SUM of
+    * the counts of the tokens hashing into it, which equals counting
+    * instances directly (addition is associative), so the sketch is
+    * value-identical while the corpus is tokenized once instead of
+    * twice, the `depth` salted md5 bucket hashes are computed per
+    * DISTINCT token instead of per instance, and the only cached frame
+    * is the vocab-bounded count table (the previous token-stream cache
+    * grew with the corpus — the wrong shape at 100 TB).
     *
     * Probe: estimate(t) = min over rows of the t-bucket counters (the
     * classic CMS upper bound: always >= the true count, inflated only
@@ -41,17 +46,19 @@ object SketchOps {
       depth: Int = 4, width: Int = 1024, topK: Int = 10): DataFrame = {
     require(width > 0 && (width & (width - 1)) == 0,
       s"width must be a power of two, got $width")
-    // the token stream feeds both the sketch and the exact top-K;
+    // the exact count table feeds both the sketch and the top-K;
     // materialize the cache BEFORE the branch fan-out (concurrent first
     // readers of an unpopulated cache recompute partitions)
-    val toks = df.select(explode(TextOps.tokens(col(textCol))).as("tok")).cache()
-    toks.count()
-    val cells = toks.select(explode(array((0 until depth).map(r =>
-      struct(lit(r).as("r"), bucketOf(col("tok"), r, width).as("bucket"))): _*))
-      .as("rb"))
-      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-    val sketch = cells.groupBy("r", "bucket").agg(count(lit(1)).as("c"))
-    val top = toks.groupBy("tok").agg(count(lit(1)).as("true_n"))
+    val counts = df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("true_n")).cache()
+    counts.count()
+    val cells = counts.select(col("true_n"),
+      explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), bucketOf(col("tok"), r, width).as("bucket"))): _*))
+        .as("rb"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"), col("true_n"))
+    val sketch = cells.groupBy("r", "bucket").agg(sum(col("true_n")).as("c"))
+    val top = counts
       .orderBy(col("true_n").desc, col("tok")).limit(topK)
     val probes = top.select(col("tok"), col("true_n"),
       explode(array((0 until depth).map(r =>

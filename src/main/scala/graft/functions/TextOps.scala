@@ -170,7 +170,18 @@ object TextOps {
     * sf5.0 — 14x under the default budget at 50x bench scale), while
     * a boilerplate flood of c copies contributes c² per shared
     * shingle — exactly the signal the guard exists to catch. */
-  def shingleDfSquaredMass(sh: DataFrame): Long = {
+  def shingleDfSquaredMass(sh: DataFrame): Long =
+    dfSquaredMassOf(shingleFreq(sh))
+
+  /** The global shingle document-frequency table (`__sf` shingle hash,
+    * `__df` count) of a (string or hashed) shingle table — ONE
+    * explode+partial-aggregating pass, vocab-bounded output (one narrow
+    * row per distinct shingle hash). This is the SHARED input of the
+    * guard's window-free Σdf² bound and the prefix frame's rank window:
+    * callers cache it so the corpus-sized explode runs once per query
+    * instead of once per consumer (measured: the guard's own pass was
+    * the bulk of its +0.19 s d02 steady-state cost). */
+  private[graft] def shingleFreq(sh: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, LongType}
     val hashed = sh.schema("__sh").dataType match {
       case ArrayType(LongType, _) => col("__sh")
@@ -178,12 +189,18 @@ object TextOps {
     }
     sh.select(explode(hashed).as("__s"))
       .groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+      .select(col("__s").as("__sf"), col("__df"))
+  }
+
+  /** Σdf² over a [[shingleFreq]] frame — the window-free PPJoin mass
+    * bound, one narrow aggregation over the (cached) vocab-sized table. */
+  private[graft] def dfSquaredMassOf(freq: DataFrame): Long =
+    freq
       // double BEFORE the multiply: a flooded bucket's df² can exceed
       // Long at exactly the scale the guard exists for
       .agg(coalesce(
         sum(col("__df").cast("double") * col("__df")), lit(0.0)))
       .head().getDouble(0).toLong
-  }
 
   /** EXACT raw matched rows of the containment probe join: Σ over
     * probe-prefix rows of that shingle's global document frequency
@@ -260,12 +277,23 @@ object TextOps {
     * hashedShingleSets); string-form inputs get the exact string verify. */
   def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
     val t = threshold
-    // deliberately UNCACHED: both join sides derive from it, but the
-    // rank window's shuffle is exchange-reused while a 20M-row columnar
-    // cache write is not free — caching this frame was measured +35%
-    // on the whole d02/d06/d16 family at sf5.0 (and only ~-1s at
-    // sf0.1), so the scale shape wins
-    val prefix = ppjoinPrefixFrame(sh, t)
+    // ONE explode+groupBy pass serves BOTH the guard's window-free Σdf²
+    // bound and the prefix frame's rank window: the df table is cached
+    // (vocab-sized — two longs per distinct shingle hash, orders of
+    // magnitude smaller than the occurrence stream it aggregates), and
+    // the guard's bound aggregation is what materializes it. With the
+    // guard off no bound runs, so the table stays uncached and the
+    // prefix frame computes it in-line exactly as before (off pays zero
+    // extra jobs). The PREFIX frame itself stays deliberately UNCACHED:
+    // both join sides derive from it, but the rank window's shuffle is
+    // exchange-reused while a 20M-row columnar cache write is not free —
+    // caching it was measured +35% on the whole d02/d06/d16 family at
+    // sf5.0 (and only ~-1s at sf0.1), so the scale shape wins.
+    val guardOff =
+      GuardConf.mode(sh.sparkSession, PpjoinGuardKey) == "off"
+    val freq =
+      if (guardOff) shingleFreq(sh) else shingleFreq(sh).cache()
+    val prefix = ppjoinPrefixFrame(sh, t, freq)
     // PPJoin role split (Xiao et al. 2008): for a qualifying pair the
     // size-SMALLER record is guaranteed a shared token inside its shorter
     // INDEX prefix (|S| - ceil(2t/(1+t)|S|) + 1) matched against the
@@ -273,10 +301,17 @@ object TextOps {
     // side enters the join. Roles use the (size, id) total order so
     // equal-size pairs keep exactly one orientation.
     val idxLen = col("__n") - ceil(lit(2 * t / (1 + t)) * col("__n")) + 1
-    ppjoinPrefixGuard(sh.sparkSession,
-      shingleDfSquaredMass(sh),
+    // a refusal must not strand the just-materialized df cache (the
+    // shingle-cache discipline in every caller applies here too)
+    try ppjoinPrefixGuard(sh.sparkSession,
+      dfSquaredMassOf(freq),
       ppjoinCandidateMass(prefix, col("__rk") <= idxLen),
       f"ngramJaccardPairs(threshold=$t%.2f)")
+    catch {
+      case e: Throwable =>
+        if (!guardOff) freq.unpersist()
+        throw e
+    }
     // distinct key names per side: Column-equality on the same lineage
     // trips Spark's ambiguous-self-join fixup (and its warning)
     val probe = prefix.select(col("__id").as("id_p"), col("__n").as("n_p"),
@@ -334,13 +369,20 @@ object TextOps {
     sh.count() // eager: prefix, index, and both verify sides read it
     val ex = sh.select(col("__id"), size(col("__sh")).as("__n"),
       explode(col("__sh")).as("__s"))
-    val freq = ex.groupBy("__s").agg(count(lit(1)).as("__df"))
-      .select(col("__s").as("__sf"), col("__df"))
+    // ONE explode+groupBy pass serves the guard's Σdf² bound and the
+    // probe prefix's rank window (the prefixCandidates shape): cached
+    // because it is vocab-sized; with the guard off no bound runs and
+    // the table stays uncached, in-line, as before
+    val guardOff =
+      GuardConf.mode(sh.sparkSession, PpjoinGuardKey) == "off"
+    val freq =
+      if (guardOff) shingleFreq(sh) else shingleFreq(sh).cache()
     val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__s"))
     // __df rides along: containment's index side is the FULL inverted
     // index, so Σ df over probe rows IS the join's exact raw matched-
     // row count when the guard's window-free bound doesn't clear.
-    // Deliberately UNCACHED (the prefixCandidates measurement).
+    // The probe frame itself stays deliberately UNCACHED (the
+    // prefixCandidates measurement).
     val probe = ex.join(freq, col("__s") === col("__sf"))
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= ceil(lit(1 - t) * col("__n")) + 1)
@@ -349,11 +391,13 @@ object TextOps {
     val index = ex.select(col("__id").as("id_b"), col("__n").as("n_b"),
       col("__s").as("__s_i"))
     try ppjoinPrefixGuard(sh.sparkSession,
-      shingleDfSquaredMass(sh), prefixDfMassBound(probe),
+      dfSquaredMassOf(freq), prefixDfMassBound(probe),
       f"containmentPairs(threshold=$t%.2f)")
     catch {
       case e: Throwable =>
-        sh.unpersist() // a refusal must not strand the shingle cache
+        // a refusal must not strand the shingle or df caches
+        sh.unpersist()
+        if (!guardOff) freq.unpersist()
         throw e
     }
     // size prune in the SAME integer-permille arithmetic as the verify
@@ -467,7 +511,14 @@ object TextOps {
     * rarest shingles with (`__id`, `__n` set size, `__s` shingle hash,
     * `__rk` prefix rank, `__df` global document frequency). Shared by
     * [[prefixCandidates]] and [[ppjoinMassProbe]]. */
-  private def ppjoinPrefixFrame(sh: DataFrame, t: Double): DataFrame = {
+  private def ppjoinPrefixFrame(sh: DataFrame, t: Double): DataFrame =
+    ppjoinPrefixFrame(sh, t, shingleFreq(sh))
+
+  /** [[ppjoinPrefixFrame]] over a caller-provided (typically cached)
+    * [[shingleFreq]] table, so the guard's mass bound and the prefix
+    * window read ONE materialization of the explode+groupBy pass. */
+  private def ppjoinPrefixFrame(sh: DataFrame, t: Double,
+      freq: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{ArrayType, LongType}
     // [[hashedShingleSets]] input is ALREADY hashed (array<bigint>) — re-
@@ -481,10 +532,6 @@ object TextOps {
       .select(col("__id"), hashed.as("__hs"))
       .select(col("__id"), size(col("__hs")).as("__n"),
         explode(col("__hs")).as("__s"))
-    // distinct output name: a USING self-join on the same lineage trips
-    // Spark's trivially-true-predicate fixup (and its warning)
-    val freq = ex.groupBy("__s").agg(count(lit(1)).as("__df"))
-      .select(col("__s").as("__sf"), col("__df"))
     // (df asc, hash asc) is a TOTAL order, identical across docs —
     // required for the prefix principle to hold
     val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__s"))
@@ -813,25 +860,33 @@ object TextOps {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val spark = delta.sparkSession
-    def bandSig(df: DataFrame): DataFrame =
+    // ONE shingle materialization per side (the d03 discipline): the
+    // sketch derives from the cached hash sets and the exact verify
+    // reads the SAME caches — the previous shape re-ran the whole
+    // tokenize+shingle+hash lineage over delta∪corpus a second time
+    // just to verify. Caches populate inside the sig counts below
+    // (serial actions — no first-reader race).
+    val dSh = hashedShingleSets(delta, idCol, textCol, n).cache()
+    val cSh = hashedShingleSets(corpus, idCol, textCol, n).cache()
+    def bandSig(sh: DataFrame): DataFrame =
       // cache BEFORE the explode (pushdown barrier — see minHashCandidates);
       // EAGERLY (count()): concurrent first readers of an unpopulated cache
       // each recompute the partition (see ngramJaccardPairs).
       // hashed form: the signature reads [[hashedShingleSets]] longs —
       // no shingle string is ever built on either side
-      hashedShingleSets(df, idCol, textCol, n)
-        .select(col("__id"),
+      sh.select(col("__id"),
           MinHashSig.column(spark, col("__sh"), numHashes).as("__sig"))
         .select(col("__id"), lshBandKeys(col("__sig"), bands, r).as("__bands"))
         .cache()
     def bandEx(sig: DataFrame, side: String): DataFrame =
       sig.select(col("__id").as(side),
         posexplode(col("__bands")).as(Seq("__b", "__key")))
-    val dSig = bandSig(delta); dSig.count()
-    val cSig = bandSig(corpus); cSig.count()
+    val dSig = bandSig(dSh); dSig.count()
+    val cSig = bandSig(cSh); cSig.count()
     val candsLazy = bandEx(dSig, "id_a")
       .join(bandEx(cSig, "id_b"), Seq("__b", "__key"))
       .select(col("id_a"), col("id_b")).distinct()
+    val sh = dSh.unionByName(cSh)
     if (releaseCaches) {
       // candidate pairs are tiny (near-dup fraction of the delta) — cut
       // them loose from the sketch caches via localCheckpoint so every
@@ -840,17 +895,13 @@ object TextOps {
       // otherwise accumulate storage — ADVICE r4)
       val cands = candsLazy.localCheckpoint(true)
       dSig.unpersist(); cSig.unpersist()
-      val sh = hashedShingleSets(
-        delta.unionByName(corpus), idCol, textCol, n).cache()
       val out = verifyJaccard(sh, cands, threshold).localCheckpoint(true)
-      sh.unpersist()
+      dSh.unpersist(); cSh.unpersist()
       out
     } else {
       // lazy variant: the full plan stays inspectable (PlanAuditSuite
       // pins the hash-space shuffles through it); the caches live until
       // the caller clears them
-      val sh = hashedShingleSets(
-        delta.unionByName(corpus), idCol, textCol, n).cache()
       verifyJaccard(sh, candsLazy, threshold)
     }
   }
@@ -2773,7 +2824,10 @@ object TextOps {
     * sum, one per-shard quota window. The tokenize lineage is
     * deliberately evaluated per pass rather than cached (the d02
     * prefix-cache lesson: wide columnar caches lose to recompute past
-    * bench scales). */
+    * bench scales; an r20 A/B of the per-(doc,bucket) count-table
+    * restructure — one tokenize pass + an (id,bucket) shuffle — read
+    * ~0.7 s SLOWER at sf0.1: the shuffle+cache of near-token-count
+    * rows costs more than the second tokenize+md5 pass). */
   def importanceResample(df: DataFrame, idCol: String, textCol: String,
       targetPred: Column, denom: Int, buckets: Int = 4096,
       shards: Int = 32): DataFrame = {
@@ -2929,6 +2983,12 @@ object TextOps {
     * pass). */
   def domainReweight(df: DataFrame, idCol: String, textCol: String,
       domainCol: String, etaDiv: Double = 100.0): DataFrame = {
+    // perdoc appears ~7x in the plan (dom/ref/wsum each re-embed it),
+    // but DELIBERATELY uncached: AQE exchange reuse dedupes the
+    // identical aggregation subtrees at runtime, and an r20 A/B of the
+    // explicit eager cache read ~0.6 s SLOWER at sf0.1 (the extra
+    // materializing count() pass serializes ahead of work the reused
+    // exchanges already shared)
     val perdoc = domainPerDocLoss(df, idCol, textCol, domainCol)
     val wt = domainWeightFrame(perdoc, etaDiv)
     perdoc.join(broadcast(wt), Seq("__dom"))

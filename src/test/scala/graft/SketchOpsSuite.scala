@@ -33,6 +33,41 @@ class SketchOpsSuite extends SparkSuite {
     assert(a == b)
   }
 
+  // r20 optimization pin: the sketch is built by summing the exact
+  // per-token counts into cells (one corpus pass) — value-identical to
+  // counting token INSTANCES per cell directly, because a cell's counter
+  // is the sum of the counts of the tokens hashing into it. Replay the
+  // instance-counting definition by hand and compare every top-K
+  // estimate.
+  test("count-derived sketch equals the instance-counted definition") {
+    val depth = 4; val width = 64
+    val out = SketchOps.cmsHeavyHitters(docs, "text",
+      depth = depth, width = width, topK = 8).collect()
+    // instance-counted reference: every token instance drops one count
+    // into its (r, bucket) cell; estimate = min over rows of the cell
+    val toks = docs.select(explode(
+        graft.functions.TextOps.tokens(col("text"))).as("tok"))
+      .collect().map(_.getString(0)).toSeq
+    // every distinct token's depth bucket hashes in ONE job (the same
+    // md5 scheme the operator uses)
+    val buckets = toks.distinct.toDF("tok")
+      .select(col("tok"), array((0 until depth).map(r =>
+        graft.functions.TextOps.tokenHash64(concat(lit(s"$r:"), col("tok")))
+          .bitwiseAND(width - 1)): _*).as("bs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    for (t <- toks; r <- 0 until depth) {
+      val k = (r, buckets(t)(r))
+      cells(k) = cells.getOrElse(k, 0L) + 1L
+    }
+    out.foreach { row =>
+      val (tok, est) = (row.getString(0), row.getLong(2))
+      val ref = (0 until depth).map(r => cells((r, buckets(tok)(r)))).min
+      assert(est == ref,
+        s"count-derived estimate for '$tok' ($est) != instance-counted ($ref)")
+    }
+  }
+
   test("explicit HLL (p10): estimates land within the m=32 error envelope") {
     val sf = "/root/testdata/sf0.01"
     val est = SparkEntry.queries("p10_hll_sketch")(spark, sf)

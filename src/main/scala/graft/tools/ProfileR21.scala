@@ -177,6 +177,58 @@ object ProfileR21 {
             finally spark.conf.unset(TextOps.PpjoinGuardKey)
           }
         }
+      case "t09" =>
+        // A/B: explode + two aggregations (registered) vs a per-row
+        // sorted-run fold (array_sort + one aggregate HOF) that never
+        // shuffles token rows at all.
+        val docs = Tables.corpus(spark, sfDir)
+        def r4(c: org.apache.spark.sql.Column) =
+          floor(c * 10000.0 + 0.5) / 10000.0
+        def variant() = {
+          val srt = array_sort(TextOps.tokens(col("text")))
+          val acc0 = struct(lit("").as("prev"), lit(0L).as("run"),
+            lit(0L).as("maxr"), lit(0L).as("dup"))
+          def fld(a: org.apache.spark.sql.Column, n: String) = a.getField(n)
+          val folded = aggregate(
+            srt, acc0,
+            (a, x) => {
+              val same = fld(a, "run") > 0 && (x <=> fld(a, "prev"))
+              struct(x.as("prev"),
+                when(same, fld(a, "run") + 1L).otherwise(lit(1L)).as("run"),
+                when(same, fld(a, "maxr"))
+                  .otherwise(greatest(fld(a, "maxr"), fld(a, "run"))).as("maxr"),
+                when(same, fld(a, "dup"))
+                  .otherwise(fld(a, "dup") +
+                    when(fld(a, "run") >= 2L, fld(a, "run")).otherwise(0L)).as("dup"))
+            },
+            a => struct(
+              greatest(fld(a, "maxr"), fld(a, "run")).as("top_c"),
+              (fld(a, "dup") +
+                when(fld(a, "run") >= 2L, fld(a, "run")).otherwise(0L)).as("dup_c")))
+          docs.where(TextOps.tokens(col("text")).isNotNull)
+            .select(col("doc_id"),
+              size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+              folded.as("__f"))
+            .select(col("doc_id"), col("n_tokens"),
+              r4(col("__f.top_c").cast("double") / col("n_tokens")).as("top_token_frac"),
+              r4(col("__f.dup_c").cast("double") / col("n_tokens")).as("dup_token_frac"),
+              (col("__f.top_c") * 5 >= col("n_tokens")).as("repetitive"))
+            .orderBy("doc_id")
+        }
+        (1 to 4).foreach { r =>
+          spark.catalog.clearCache()
+          t(s"rep$r t09 registered (explode + 2 aggs)") {
+            graft.SparkEntry.queries("t09_repetition")(spark, sfDir).count()
+          }
+          t(s"rep$r t09 sorted-run fold (no token shuffle)") {
+            variant().count()
+          }
+        }
+        // cross-check the two produce identical rows
+        val a = graft.SparkEntry.queries("t09_repetition")(spark, sfDir)
+        val b = variant()
+        val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+        println(s"[prof] t09 variant row diff = $diff (must be 0)")
       case other => sys.error(s"unknown profile target $other")
     }
     spark.stop()

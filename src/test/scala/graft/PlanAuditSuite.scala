@@ -236,14 +236,21 @@ class PlanAuditSuite extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("t09: repetition metrics partial-aggregate before both shuffles") {
+  test("t09: repetition metrics are a scan-resident sorted-run fold") {
     val df = SparkEntry.queries("t09_repetition")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    // both groupBys must show a map-side partial: HashAggregate appears
-    // above AND below each exchange
-    assert(p.contains("HashAggregate"), p)
+    // r21 shape: per-doc counts fold inside one projection (array_sort +
+    // aggregate HOF) — the token stream is never exploded or shuffled.
+    // The only exchanges are the corpus round-robin and the declared
+    // output ordering's range partition.
+    assert(!p.contains("HashAggregate"),
+      "t09 must not re-grow a grouping aggregation:\n" + p)
+    assert(!p.contains("Generate"),
+      "t09 must not explode the token stream:\n" + p)
+    assert(!p.contains("hashpartitioning"),
+      "t09 must not shuffle token rows:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BatchEvalPython"), p)
   }
